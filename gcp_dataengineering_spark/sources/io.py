@@ -1,0 +1,130 @@
+"""Sources & sinks — SURVEY.md §2.1 (S1-S11).
+
+Reimplements the reference's write protocol on plain Spark:
+
+- snapshot overwrite: ``coalesce(8).write.mode('overwrite').parquet``
+  (``stage_1_hcp_channel_all_hardcode.py:191, 1093``)
+- versioned history: probe max(version), stamp version = last+1,
+  ``write.partitionBy('version').mode('append')``
+  (``stage_1:208-222, 1110-1125``)
+- audit rows: list-of-dicts → createDataFrame → append parquet
+  (``stage_1:1240-1258``)
+- CSV directory → Parquet (corrected version of
+  ``Python_Scripts/csv_to_parquet.py`` — the original is misnamed
+  and passes directories to single-file pandas APIs; this one is a
+  distributed directory-batch converter)
+
+Scale notes: ``coalesce(8)`` caps output files per snapshot exactly
+as the reference does; at 100 TB replace with a row-count-aware
+repartition (kept as a parameter). The version probe reads only
+parquet partition directories (a metadata-only listing on the
+``version=N`` layout), not data.
+"""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timezone
+
+from pyspark.sql import DataFrame, Row, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_snapshot(df: DataFrame, path: str, num_files: int = 8) -> None:
+    """S3 — current-snapshot overwrite, 8 output files
+    (``stage_1:191, 1093``)."""
+    df.coalesce(num_files).write.mode("overwrite").parquet(path)
+
+
+def read_max_version(spark: SparkSession, path: str) -> int:
+    """S2+S11 — max(version) probe of the history table
+    (``stage_1:209-211, 1111-1113``). Returns 0 when the table does
+    not exist yet (the reference's Athena existence check,
+    ``stage_1:195-208``, becomes a filesystem check).
+
+    On a ``partitionBy('version')`` layout the directory listing
+    alone carries the answer; we still go through the DataFrame agg
+    (partition pruning makes it metadata-cheap) to stay engine-pure.
+    """
+    if not os.path.exists(path):
+        return 0
+    try:
+        hist = spark.read.parquet(path)
+    except Exception:
+        return 0
+    if "version" not in hist.columns:
+        return 0
+    v = hist.agg(F.max("version")).first()[0]
+    return int(v) if v is not None else 0
+
+
+def write_versioned_history(
+    df: DataFrame, spark: SparkSession, path: str, num_files: int = 8
+) -> int:
+    """S4 — append-only versioned history: stamp version = max+1 and
+    append partitioned by version (``stage_1:212-222, 1114-1125``).
+    Returns the version written."""
+    version = read_max_version(spark, path) + 1
+    (
+        df.withColumn("version", F.lit(version))
+        .coalesce(num_files)
+        .write.partitionBy("version")
+        .mode("append")
+        .parquet(path)
+    )
+    return version
+
+
+def audit_rows(
+    spark: SparkSession,
+    table_name: str,
+    rows_updated: int,
+    status: str,
+    etl_script: str,
+    etl_layer: str,
+    batch_id: str,
+    start_time: datetime | None = None,
+    end_time: datetime | None = None,
+) -> DataFrame:
+    """S5+S6 — audit-log rows (schema at ``stage_1:1240-1257``,
+    FIXTURES.md §B.15): local collection → createDataFrame."""
+    now = datetime.now(timezone.utc)
+    row = Row(
+        table_name=table_name,
+        rows_updated=rows_updated,
+        log_id_status=status,
+        script_exe_start_time=start_time or now,
+        script_exe_end_time=end_time,
+        etl_script=etl_script,
+        etl_layer=etl_layer,
+        batch_id=batch_id,
+    )
+    schema = (
+        "table_name string, rows_updated int, log_id_status string, "
+        "script_exe_start_time timestamp, script_exe_end_time timestamp, "
+        "etl_script string, etl_layer string, batch_id string"
+    )
+    return spark.createDataFrame([row], schema=schema)
+
+
+def append_audit(df: DataFrame, path: str) -> None:
+    """S5 — plain append sink (``stage_1:1247, 1258``)."""
+    df.write.mode("append").parquet(path)
+
+
+def csv_dir_to_parquet(
+    spark: SparkSession, csv_dir: str, out_dir: str, header: bool = True
+) -> None:
+    """S7 — corrected, distributed version of
+    ``Python_Scripts/csv_to_parquet.py:5-19`` (the original's
+    ``parquet_to_csv`` name is backwards and it feeds directories to
+    single-file pandas APIs). Converts every ``*.csv`` in csv_dir to
+    a parquet dataset under out_dir, schema-inferred."""
+    for name in sorted(os.listdir(csv_dir)):
+        if not name.lower().endswith(".csv"):
+            continue
+        src = os.path.join(csv_dir, name)
+        dst = os.path.join(out_dir, name[:-4] + ".parquet")
+        spark.read.csv(src, header=header, inferSchema=True).write.mode(
+            "overwrite"
+        ).parquet(dst)
