@@ -426,6 +426,396 @@ FROM customer LEFT JOIN totals ON c_custkey = o_custkey
 """
 
 
+# ---------------------------------------------------------------- J7 + missing-cost pass
+def q_missing_cost_full_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 degenerate-coalesce full outer join + the missing-cost
+    discovery pass (``stage_1:1004-1035``): cost pots whose
+    (year, month, channel) has NO reach rows are surfaced and summed
+    per (channel, year). Pot channel 'X' never appears in the reach
+    side, so all its pots are 'missing'."""
+    li = _t(spark, sf_dir, "lineitem")
+    reach = (
+        li.withColumn("year", F.year("l_shipdate").cast("int"))
+        .withColumn("month", F.month("l_shipdate").cast("int"))
+        .withColumn("channel", F.col("l_returnflag"))
+        .groupBy("year", "month", "channel")
+        .agg(F.sum("l_quantity").alias("reach"))
+    )
+    pots = spark.createDataFrame(
+        [
+            (y, m, ch, 10000.0 + y - 1995 + m)
+            for y in range(1995, 2002)
+            for m in range(1, 13)
+            for ch in ("A", "N", "R", "X")
+        ],
+        "year int, month int, channel string, cost double",
+    )
+    from ..ops.allocate import missing_cost_redistribution
+
+    out = missing_cost_redistribution(reach, pots)
+    return out.select("channel", "year", r4(F.col("missing_cost")).alias("missing_cost"))
+
+
+ORACLE_MISSING_COST_FULL_JOIN = """
+WITH reach AS (
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+           CAST(month(l_shipdate) AS INTEGER) AS month,
+           l_returnflag AS channel,
+           SUM(l_quantity) AS reach
+    FROM lineitem GROUP BY 1, 2, 3
+), pots AS (
+    SELECT y.y AS year, m.m AS month, ch.ch AS channel,
+           CAST(10000.0 + y.y - 1995 + m.m AS DOUBLE) AS cost
+    FROM (SELECT UNNEST(range(1995, 2002)) AS y) y
+    CROSS JOIN (SELECT UNNEST(range(1, 13)) AS m) m
+    CROSS JOIN (SELECT UNNEST(['A', 'N', 'R', 'X']) AS ch) ch
+), full_joined AS (
+    SELECT d.reach, ca.channel AS ca_channel, ca.year AS ca_year, ca.cost
+    FROM reach d FULL JOIN pots ca
+      ON COALESCE(d.year, ca.year) = ca.year
+     AND COALESCE(d.month, ca.month) = ca.month
+     AND COALESCE(d.channel, ca.channel) = ca.channel
+)
+SELECT ca_channel AS channel, ca_year AS year,
+       ROUND(SUM(cost), 4) AS missing_cost
+FROM full_joined WHERE reach IS NULL
+GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- J3/J8 expression-key joins
+def q_expr_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J3 join on derived key ``substring(year_month,1,4) = year``
+    (``stage_1:151-152``) + J8 join on cast-expression key
+    ``cast(dma_code as string) = dma_code`` (``stage_1:940-941``)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    o2 = o.withColumn("ym", F.date_format("o_orderdate", "yyyyMM"))
+    costs = spark.createDataFrame(
+        [(str(y), 1000.0 * (y - 1994)) for y in range(1995, 2002)],
+        "year string, year_cost double",
+    )
+    n2 = n.select(F.col("n_nationkey").cast("string").alias("nkey_str"), "n_name").distinct()
+    joined = (
+        o2.join(F.broadcast(costs), F.substring(F.col("ym"), 1, 4) == costs.year, "inner")
+        .join(c, o2.o_custkey == c.c_custkey, "inner")
+        .join(F.broadcast(n2), c.c_nationkey.cast("string") == n2.nkey_str, "inner")
+    )
+    return joined.groupBy("n_name", "year").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        r4(F.sum("year_cost")).alias("cost"),
+    )
+
+
+ORACLE_EXPR_KEY_JOIN = """
+WITH o2 AS (
+    SELECT *, strftime(o_orderdate, '%Y%m') AS ym FROM orders
+), costs AS (
+    SELECT CAST(y AS VARCHAR) AS year, CAST(1000.0 * (y - 1994) AS DOUBLE) AS year_cost
+    FROM (SELECT UNNEST(range(1995, 2002)) AS y)
+), n2 AS (
+    SELECT DISTINCT CAST(n_nationkey AS VARCHAR) AS nkey_str, n_name FROM nation
+)
+SELECT n_name, year, CAST(COUNT(*) AS BIGINT) AS n_orders,
+       ROUND(SUM(year_cost), 4) AS cost
+FROM o2
+JOIN costs ON substring(o2.ym, 1, 4) = costs.year
+JOIN customer ON o2.o_custkey = c_custkey
+JOIN n2 ON CAST(c_nationkey AS VARCHAR) = n2.nkey_str
+GROUP BY n_name, year
+"""
+
+
+# ---------------------------------------------------------------- J4/J6 multi-key joins
+def q_multi_key_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4 two-key (year, month) cost attach (``stage_1:312-314``) +
+    J6 three-key (year, month, channel) totals attach
+    (``stage_1:1022-1023``), composed like the hcp query."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    fact = (
+        li.withColumn("year", F.year("l_shipdate").cast("int"))
+        .withColumn("month", F.month("l_shipdate").cast("int"))
+        .withColumn("channel", F.col("l_returnflag"))
+    )
+    pots = (
+        o.withColumn("year", F.year("o_orderdate").cast("int"))
+        .withColumn("month", F.month("o_orderdate").cast("int"))
+        .groupBy("year", "month")
+        .agg(F.sum("o_totalprice").alias("pot"))
+    )
+    totals = fact.groupBy("year", "month", "channel").agg(
+        F.sum("l_quantity").alias("total_qty")
+    )
+    joined = fact.join(pots, ["year", "month"], "inner").join(
+        totals, ["year", "month", "channel"], "inner"
+    )
+    return joined.groupBy("year", "month", "channel").agg(
+        r4(F.sum(F.col("pot") * F.col("l_quantity") / F.col("total_qty"))).alias("alloc"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+ORACLE_MULTI_KEY_JOIN = """
+WITH fact AS (
+    SELECT CAST(year(l_shipdate) AS INTEGER) AS year,
+           CAST(month(l_shipdate) AS INTEGER) AS month,
+           l_returnflag AS channel, l_quantity
+    FROM lineitem
+), pots AS (
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS year,
+           CAST(month(o_orderdate) AS INTEGER) AS month,
+           SUM(o_totalprice) AS pot
+    FROM orders GROUP BY 1, 2
+), totals AS (
+    SELECT year, month, channel, SUM(l_quantity) AS total_qty
+    FROM fact GROUP BY 1, 2, 3
+)
+SELECT f.year, f.month, f.channel,
+       ROUND(SUM(p.pot * f.l_quantity / t.total_qty), 4) AS alloc,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM fact f
+JOIN pots p ON f.year = p.year AND f.month = p.month
+JOIN totals t ON f.year = t.year AND f.month = t.month AND f.channel = t.channel
+GROUP BY f.year, f.month, f.channel
+"""
+
+
+# ---------------------------------------------------------------- F1-F8/F13 scalar functions
+def q_scalar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar-function battery: F1 substring, F2 cast, F3 de-comma
+    money parse (on comma-grouped strings we format first), F4 upper,
+    F5 coalesce, F6 concat, F7 date_format, F13 arithmetic."""
+    o = _t(spark, sf_dir, "orders")
+    row = o.select(
+        F.col("o_orderkey"),
+        F.upper("o_orderpriority").alias("pri_u"),
+        F.substring("o_orderpriority", 1, 1).alias("pri_code"),
+        F.date_format("o_orderdate", "yyyyMM").alias("ym"),
+        parse_money(F.format_number(F.col("o_totalprice"), 2)).alias("money"),
+        F.concat(F.date_format("o_orderdate", "yyyy"), F.lit("-01-01")).alias("jan1"),
+        F.coalesce(typed_null("string"), F.col("o_orderstatus")).alias("status"),
+        (F.col("o_totalprice") * 0.16).alias("npp_slice"),
+    )
+    return row.select(
+        "o_orderkey", "pri_u", "pri_code", "ym", "jan1", "status",
+        r4(F.col("money")).alias("money"),
+        r4(F.col("npp_slice")).alias("npp_slice"),
+    )
+
+
+ORACLE_SCALAR_FUNCS = """
+SELECT o_orderkey,
+       UPPER(o_orderpriority) AS pri_u,
+       substring(o_orderpriority, 1, 1) AS pri_code,
+       strftime(o_orderdate, '%Y%m') AS ym,
+       concat(strftime(o_orderdate, '%Y'), '-01-01') AS jan1,
+       COALESCE(CAST(NULL AS VARCHAR), o_orderstatus) AS status,
+       -- comma-grouped money string built from integer cents (DuckDB's
+       -- format() lacks ',' for doubles), de-comma'd and parsed back:
+       -- converges to the same double as Spark's format_number round-trip
+       ROUND(CAST(replace(format('{:,}', CAST(round(o_totalprice * 100) AS BIGINT)), ',', '') AS DOUBLE) / 100, 4) AS money,
+       ROUND(o_totalprice * 0.16, 4) AS npp_slice
+FROM orders
+"""
+
+
+# ---------------------------------------------------------------- F11 week→month translation
+def q_week_to_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11 — the Presto week→month expression (``stage_1:853``)
+    translated to Spark. The oracle reproduces Presto's ACTUAL
+    date-arithmetic semantics in DuckDB (add (week-1)//4 months to
+    Jan 1, keep the month number), so this differentially proves the
+    closed form ``((week-1) div 4) % 12 + 1`` — including the
+    week>=49 wrap-to-January quirk with the year kept unchanged."""
+    li = _t(spark, sf_dir, "lineitem")
+    weekly = li.select(
+        F.date_format("l_shipdate", "yyyy").alias("year"),
+        (((F.dayofyear("l_shipdate") - 1) / 7).cast("int") + 1).alias("week"),
+        F.col("l_quantity"),
+    )
+    monthly = weekly.withColumn("month", week_to_month("week"))
+    return monthly.groupBy("year", "month").agg(
+        r4(F.sum("l_quantity")).alias("reach"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+ORACLE_WEEK_TO_MONTH = """
+WITH weekly AS (
+    SELECT strftime(l_shipdate, '%Y') AS year,
+           CAST((dayofyear(l_shipdate) - 1) // 7 + 1 AS INTEGER) AS week,
+           l_quantity
+    FROM lineitem
+), monthly AS (
+    SELECT year,
+           CAST(month(CAST(year || '-01-01' AS DATE)
+                + to_months(CAST((week - 1) // 4 AS INTEGER))) AS INTEGER) AS month,
+           l_quantity
+    FROM weekly
+)
+SELECT year, month, ROUND(SUM(l_quantity), 4) AS reach,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM monthly GROUP BY year, month
+"""
+
+
+# ---------------------------------------------------------------- U3/U4 heterogeneous union conform
+def q_union_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3/U4 — conform heterogeneous sources to one schema and
+    union (``stage_1:283-297`` legacy-wide + new-tall costs;
+    ``stage_1:1069-1084`` 6-way channel union). Typed nulls fill
+    missing metrics per branch."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    b1 = o.select(
+        F.lit("orders").alias("src"),
+        F.year("o_orderdate").cast("int").alias("year"),
+        F.month("o_orderdate").cast("int").alias("month"),
+        F.col("o_totalprice").alias("reach"),
+        typed_null("double").alias("engage"),
+    )
+    b2 = li.select(
+        F.lit("lineitem").alias("src"),
+        F.year("l_shipdate").cast("int").alias("year"),
+        F.month("l_shipdate").cast("int").alias("month"),
+        F.col("l_extendedprice").alias("reach"),
+        F.col("l_quantity").alias("engage"),
+    )
+    ts = event_ts("ts")
+    b3 = ev.select(
+        F.lit("events").alias("src"),
+        F.year(ts).cast("int").alias("year"),
+        F.month(ts).cast("int").alias("month"),
+        F.col("value").alias("reach"),
+        typed_null("double").alias("engage"),
+    )
+    unioned = b1.unionByName(b2).unionByName(b3)
+    return unioned.groupBy("src", "year", "month").agg(
+        r4(F.sum("reach")).alias("reach"),
+        r4(F.sum("engage")).alias("engage"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+
+
+ORACLE_UNION_CONFORM = """
+WITH unioned AS (
+    SELECT 'orders' AS src, CAST(year(o_orderdate) AS INTEGER) AS year,
+           CAST(month(o_orderdate) AS INTEGER) AS month,
+           o_totalprice AS reach, CAST(NULL AS DOUBLE) AS engage
+    FROM orders
+    UNION ALL
+    SELECT 'lineitem', CAST(year(l_shipdate) AS INTEGER),
+           CAST(month(l_shipdate) AS INTEGER), l_extendedprice, l_quantity
+    FROM lineitem
+    UNION ALL
+    SELECT 'events', CAST(year(CAST(ts AS TIMESTAMP)) AS INTEGER),
+           CAST(month(CAST(ts AS TIMESTAMP)) AS INTEGER), value, CAST(NULL AS DOUBLE)
+    FROM events
+)
+SELECT src, year, month, ROUND(SUM(reach), 4) AS reach,
+       ROUND(SUM(engage), 4) AS engage, CAST(COUNT(*) AS BIGINT) AS n
+FROM unioned GROUP BY src, year, month
+"""
+
+
+# ---------------------------------------------------------------- F12/J2 array ops
+def q_array_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12 array_contains (``stage_1:131``) + J2 equi-key join with
+    an array predicate in the ON clause (``stage_1:129-131``):
+    documents joined to a language dim on lang AND
+    array_contains(split(text), 'spark')."""
+    docs = _t(spark, sf_dir, "documents")
+    langs = spark.createDataFrame(
+        [("en", "English"), ("es", "Spanish"), ("fr", "French"),
+         ("de", "German"), ("zh", "Chinese")],
+        "lang string, lang_name string",
+    )
+    words = docs.withColumn("words", F.split(F.col("text"), " "))
+    joined = words.join(
+        F.broadcast(langs),
+        (words.lang == langs.lang) & F.array_contains(F.col("words"), "spark"),
+        "inner",
+    )
+    return joined.groupBy("lang_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+    )
+
+
+ORACLE_ARRAY_OPS = """
+WITH langs AS (
+    SELECT * FROM (VALUES ('en','English'),('es','Spanish'),('fr','French'),
+                          ('de','German'),('zh','Chinese')) AS t(lang, lang_name)
+)
+SELECT lang_name, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+FROM documents d JOIN langs l
+  ON d.lang = l.lang AND list_contains(string_split(d.text, ' '), 'spark')
+GROUP BY lang_name
+"""
+
+
+# ---------------------------------------------------------------- A1/A6/A7 ordinal group-by via SQL
+def q_agg_ordinals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 GROUP BY ordinals 1..n (``stage_1:179``) + A6 redundant
+    DISTINCT-with-GROUP-BY (``stage_1:824``) preserved verbatim via
+    the SQL entry path (spark.sql over a temp view)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("q_agg_ordinals_lineitem")
+    return spark.sql(
+        """
+        SELECT DISTINCT l_returnflag, l_linestatus,
+               ROUND(SUM(CAST(l_quantity AS double)), 4) AS sum_qty,
+               ROUND(SUM(CAST(l_extendedprice AS double)), 4) AS sum_price
+        FROM q_agg_ordinals_lineitem
+        GROUP BY 1, 2
+        """
+    )
+
+
+ORACLE_AGG_ORDINALS = """
+SELECT DISTINCT l_returnflag, l_linestatus,
+       ROUND(SUM(CAST(l_quantity AS DOUBLE)), 4) AS sum_qty,
+       ROUND(SUM(CAST(l_extendedprice AS DOUBLE)), 4) AS sum_price
+FROM lineitem GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------- events tumbling window
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Beyond-reference (SURVEY §2.9): tumbling-window aggregation
+    over the events table — the batch form of the Structured
+    Streaming upgrade path (same F.window logic is used by
+    streaming/windowed.py with readStream + watermark)."""
+    ev = _t(spark, sf_dir, "events")
+    ts = event_ts("ts")
+    win = F.window(ts, "1 hour")
+    return (
+        ev.groupBy(win.alias("w"), F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            r4(F.sum("value")).alias("total_value"),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).cast("long").alias("hour_epoch"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+ORACLE_EVENTS_HOURLY = """
+SELECT CAST(epoch(time_bucket(INTERVAL 1 HOUR, CAST(ts AS TIMESTAMP))) AS BIGINT) AS hour_epoch,
+       event_type, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "tam_flagship": q_tam_flagship,
     "vintage_union": q_vintage_union,
@@ -437,6 +827,15 @@ QUERIES = {
     "grouped_total_join": q_grouped_total_join,
     "conditional_pivot": q_conditional_pivot,
     "left_join_costs": q_left_join_costs,
+    "missing_cost_full_join": q_missing_cost_full_join,
+    "expr_key_join": q_expr_key_join,
+    "multi_key_join": q_multi_key_join,
+    "scalar_funcs": q_scalar_funcs,
+    "week_to_month": q_week_to_month,
+    "union_conform": q_union_conform,
+    "array_ops": q_array_ops,
+    "agg_ordinals": q_agg_ordinals,
+    "events_hourly": q_events_hourly,
 }
 
 ORACLES = {
@@ -450,4 +849,13 @@ ORACLES = {
     "grouped_total_join": ORACLE_GROUPED_TOTAL_JOIN,
     "conditional_pivot": ORACLE_CONDITIONAL_PIVOT,
     "left_join_costs": ORACLE_LEFT_JOIN_COSTS,
+    "missing_cost_full_join": ORACLE_MISSING_COST_FULL_JOIN,
+    "expr_key_join": ORACLE_EXPR_KEY_JOIN,
+    "multi_key_join": ORACLE_MULTI_KEY_JOIN,
+    "scalar_funcs": ORACLE_SCALAR_FUNCS,
+    "week_to_month": ORACLE_WEEK_TO_MONTH,
+    "union_conform": ORACLE_UNION_CONFORM,
+    "array_ops": ORACLE_ARRAY_OPS,
+    "agg_ordinals": ORACLE_AGG_ORDINALS,
+    "events_hourly": ORACLE_EVENTS_HOURLY,
 }
