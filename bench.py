@@ -1,0 +1,94 @@
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced to full execution with the noop sink (no
+driver-side collect — the data path stays distributed, as it must at
+100 TB).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "tam_flagship",
+    "vintage_union",
+    "window_allocation",
+    "grouped_total_join",
+    "multi_key_join",
+    "conditional_pivot",
+    "union_conform",
+    "events_hourly",
+    "missing_cost_full_join",
+    "scalar_funcs",
+    # llm ops (present once suite/llm.py is populated)
+    "dedup_exact",
+    "dedup_minhash",
+    "text_quality",
+    "embedding_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
+
+    import __spark_entry__ as e
+    from gcp_dataengineering_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = e.queries()
+
+    # JVM/codegen warmup on a trivial action so q1 isn't charged for it
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    # Per-query codegen/JIT warmup at the smallest SF: the generated
+    # code is identical across scale factors, so this charges compile
+    # cost (5-20 s/query on this VM) to warmup, not to the timed run —
+    # the steady-state number is the signal that scales to 100 TB.
+    warm_dir = "/root/testdata/sf0.001"
+    times: dict[str, float] = {}
+    for key in HEADLINE:
+        fn = qs.get(key)
+        if fn is None:
+            continue
+        if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+            try:
+                fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
+            except Exception:
+                pass
+        # best-of-2: this VM (Firecracker) shows multi-second jitter;
+        # min of two runs is the stable steady-state figure
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        times[key] = round(best, 3)
+
+    total = round(sum(times.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": times,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
