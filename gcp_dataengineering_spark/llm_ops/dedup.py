@@ -1,0 +1,237 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash+LSH,
+SimHash — each fully declarative (explode / groupBy / join), so
+Catalyst distributes them; no driver-side pair loops.
+
+Scale design notes (the whole point of these shapes at 100 TB):
+- exact dedup shuffles a 32-byte md5 key, never the document text;
+- near-dup candidate generation is a *posting-list self-join*
+  (explode shingles → join on shingle) or an *LSH band-bucket join*
+  (join on band signature), both linear-ish in data size — never an
+  all-pairs cross join;
+- ultra-frequent shingles (stop-shingles) explode posting lists
+  quadratically; `max_shingle_freq` caps them, mirroring the
+  stop-word dropping used by production near-dup pipelines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint
+
+
+# ------------------------------------------------------------ exact
+def dedup_exact(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup via hash-groupBy: one winner (min id) per
+    normalized-text fingerprint. Returns (fp, keep_id, n_dups).
+    The shuffle key is the 32-char md5, not the document body."""
+    return (
+        df.select(fingerprint(text_col).alias("fp"), F.col(id_col))
+        .groupBy("fp")
+        .agg(
+            F.min(id_col).alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_dups"),
+        )
+    )
+
+
+# ------------------------------------------------------------ shingles
+def shingle_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, shingle) rows: distinct word n-grams per document.
+    Built with sequence/transform/slice — single codegen'd projection
+    + one explode; no UDF."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    k = F.size(words) - F.lit(n - 1)
+    shingles = F.when(
+        k > 0,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+            )
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
+
+
+def doc_shingle_sizes(shingles: DataFrame) -> DataFrame:
+    return shingles.groupBy("doc_id").agg(F.count(F.lit(1)).cast("long").alias("n_shingles"))
+
+
+# ------------------------------------------------------------ n-gram Jaccard
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_jaccard: float = 0.0,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard similarity via posting-list
+    self-join: explode shingles, join on shingle (id_a < id_b),
+    count common, then |A∩B| / (|A| + |B| - |A∩B|).
+
+    Returns (id_a, id_b, common, jaccard). `max_shingle_freq` drops
+    shingles appearing in more than that many docs before pairing —
+    the quadratic-blowup guard for 100 TB corpora."""
+    sh = shingle_rows(df, text_col, id_col, n)
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
+        sh = sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle").drop("df_")
+    sizes = doc_shingle_sizes(sh)
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_shingles").alias("size_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_shingles").alias("size_b"))
+    out = (
+        common.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("common").cast("double")
+            / (F.col("size_a") + F.col("size_b") - F.col("common")).cast("double"),
+        )
+        .select("id_a", "id_b", "common", "jaccard")
+    )
+    if min_jaccard > 0.0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out
+
+
+# ------------------------------------------------------------ MinHash + LSH
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash signature per document: hash family h_i(s) =
+    md5(i || 0x1f || s) (hex strings order like the underlying
+    128-bit integers, so min() over hex = min over the hash family —
+    portable across engines and deterministic across runs).
+    Returns (doc_id, m0..m{k-1})."""
+    sh = shingle_rows(df, text_col, id_col, n)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(str(i)), F.lit("\x1f"), F.col("shingle")).cast("binary"))).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, num_hashes: int = 8, bands: int = 4
+) -> DataFrame:
+    """LSH banding: split the signature into `bands` bands of
+    num_hashes/bands rows; docs sharing ANY band signature are
+    candidates. Implemented as explode(bands) → self-join on
+    (band_idx, band_key) → distinct pairs with shared-band count.
+    The join key is a band hash — never a cross join."""
+    rows_per_band = num_hashes // bands
+    band_cols = []
+    for b in range(bands):
+        parts = [F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)]
+        band_cols.append(F.struct(F.lit(b).alias("band_idx"), F.concat_ws("|", *parts).alias("band_key")))
+    exploded = signatures.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("band")
+    ).select("doc_id", F.col("band.band_idx").alias("band_idx"), F.col("band.band_key").alias("band_key"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_bands"))
+    )
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidates with estimated similarity:
+    (id_a, id_b, shared_bands, est_jaccard) where est_jaccard is the
+    fraction of matching minhash components."""
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    cands = lsh_candidate_pairs(sigs, num_hashes, bands)
+    sa = sigs.select(F.col("doc_id").alias("id_a"), *[F.col(f"m{i}").alias(f"a{i}") for i in range(num_hashes)])
+    sb = sigs.select(F.col("doc_id").alias("id_b"), *[F.col(f"m{i}").alias(f"b{i}") for i in range(num_hashes)])
+    est = None
+    for i in range(num_hashes):
+        m = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        est = m if est is None else est + m
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("est_jaccard", est.cast("double") / F.lit(float(num_hashes)))
+        .select("id_a", "id_b", "shared_bands", "est_jaccard")
+    )
+
+
+# ------------------------------------------------------------ SimHash
+def _hex4_to_int(c: Column) -> Column:
+    """First 4 hex chars → int, via ascii arithmetic (portable to
+    any SQL engine — no engine-specific conv())."""
+    total = F.lit(0)
+    for pos in range(1, 5):
+        ch = F.ascii(F.substring(c, pos, 1))
+        val = F.when(ch >= 97, ch - 87).otherwise(ch - 48)
+        total = total * 16 + val
+    return total
+
+
+def simhash16(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """16-bit SimHash per document: each (distinct-position) word
+    votes ±1 on every bit of its 16-bit md5-derived hash; bit j of
+    the fingerprint is 1 iff the weighted vote is positive.
+    Near-dups then differ in few bits (hamming distance on the
+    fingerprint). Declarative: explode words → explode 16 bits →
+    two-level agg. Returns (doc_id, simhash)."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    w = df.select(F.col(id_col).alias("doc_id"), F.explode(words).alias("word"))
+    counts = w.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("w_cnt"))
+    h = _hex4_to_int(F.md5(F.col("word").cast("binary")))
+    bits = counts.withColumn("h", h).select(
+        "doc_id",
+        "w_cnt",
+        F.explode(F.sequence(F.lit(0), F.lit(15))).alias("j"),
+        "h",
+    )
+    contrib = bits.withColumn(
+        "vote",
+        (F.floor(F.col("h") / F.pow(F.lit(2), F.col("j"))).cast("long") % 2 * 2 - 1)
+        * F.col("w_cnt"),
+    )
+    bit_votes = contrib.groupBy("doc_id", "j").agg(F.sum("vote").alias("v"))
+    return (
+        bit_votes.withColumn(
+            "bit", F.when(F.col("v") > 0, F.lit(1)).otherwise(F.lit(0))
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(F.col("bit") * F.pow(F.lit(2), F.col("j")).cast("long"))
+            .cast("long")
+            .alias("simhash")
+        )
+    )

@@ -1,8 +1,416 @@
-"""LLM-data-pipeline operator suite (dedup, similarity, text
-analysis) on the documents/embeddings fixtures. Filled in after
-core parity — see llm_ops/."""
+"""LLM-data-pipeline suite: dedup / similarity / text analysis /
+multimodal queries over the documents & embeddings fixtures, each
+with a DuckDB oracle (the multimodal decode runs the Pandas-UDF
+plumbing with the deterministic fake decoder, oracle-checked via
+byte functions).
+
+Portability notes baked into the oracles:
+- DuckDB regexp_replace needs the 'g' flag (Spark is global by default);
+- md5() hex strings compare like the underlying 128-bit ints, so
+  min(md5(...)) is a portable MinHash;
+- dot products fold left-to-right in both engines → bit-identical
+  doubles before the final ROUND.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..llm_ops import dedup as D
+from ..llm_ops import multimodal as M
+from ..llm_ops import similarity as S
+from ..llm_ops import text as T
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def r4(c):
+    return F.round(c, 4)
+
+
+# ---------------------------------------------------------------- exact dedup
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on the normalized-text fingerprint;
+    winner = min(doc_id). Shuffles 32-byte keys, not documents."""
+    return D.dedup_exact(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_EXACT = """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS keep_id,
+       CAST(COUNT(*) AS BIGINT) AS n_dups
+FROM documents GROUP BY 1
+"""
+
+
+# ---------------------------------------------------------------- text quality
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-scoring features per document."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = T.quality_features(docs)
+    return feats.select(
+        "doc_id",
+        "n_chars_calc",
+        "n_tokens",
+        r4(F.col("avg_token_len")).alias("avg_token_len"),
+        r4(F.col("punct_ratio")).alias("punct_ratio"),
+        r4(F.col("stopword_ratio")).alias("stopword_ratio"),
+    )
+
+
+ORACLE_TEXT_QUALITY = """
+WITH base AS (
+    SELECT doc_id, text,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+           length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+           length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+           ((CASE WHEN ' '||lower(text)||' ' LIKE '% the %' THEN 1 ELSE 0 END)
+          + (CASE WHEN ' '||lower(text)||' ' LIKE '% and %' THEN 1 ELSE 0 END)
+          + (CASE WHEN ' '||lower(text)||' ' LIKE '% of %' THEN 1 ELSE 0 END)
+          + (CASE WHEN ' '||lower(text)||' ' LIKE '% to %' THEN 1 ELSE 0 END)
+          + (CASE WHEN ' '||lower(text)||' ' LIKE '% a %' THEN 1 ELSE 0 END)) AS sw_hits
+    FROM documents
+)
+SELECT doc_id, n_chars_calc, n_tokens,
+       ROUND(CAST(n_nonspace AS DOUBLE) / greatest(n_tokens, 1), 4) AS avg_token_len,
+       ROUND(CAST(n_punct AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio,
+       ROUND(CAST(sw_hits AS DOUBLE) / 5, 4) AS stopword_ratio
+FROM base
+"""
+
+
+# ---------------------------------------------------------------- language id
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-heuristic language ID; output is the confusion
+    matrix against the labeled lang column."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = docs.withColumn("lang_pred", T.lang_id("text"))
+    return pred.groupBy("lang", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+
+
+def _sql_hits(words: list[str]) -> str:
+    return "(" + " + ".join(
+        f"(CASE WHEN ' '||lower(text)||' ' LIKE '% {w} %' THEN 1 ELSE 0 END)" for w in words
+    ) + ")"
+
+
+ORACLE_LANG_ID = f"""
+WITH scored AS (
+    SELECT lang,
+           {_sql_hits(T.STOPWORDS['en'])} AS s_en,
+           {_sql_hits(T.STOPWORDS['es'])} AS s_es,
+           {_sql_hits(T.STOPWORDS['fr'])} AS s_fr,
+           {_sql_hits(T.STOPWORDS['de'])} AS s_de
+    FROM documents
+), pred AS (
+    SELECT lang,
+           CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+                WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
+                WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
+                WHEN s_de > 0 THEN 'de'
+                ELSE 'und' END AS lang_pred
+    FROM scored
+)
+SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+FROM pred GROUP BY lang, lang_pred
+"""
+
+
+# ---------------------------------------------------------------- token counting
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace and BPE-ish regex token counts per document."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.whitespace_token_count("text").cast("long").alias("n_ws_tokens"),
+        T.token_count("text").cast("long").alias("n_re_tokens"),
+    )
+
+
+ORACLE_TOKEN_COUNT = """
+SELECT doc_id,
+       CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+       CAST(len(list_filter(regexp_split_to_array(text, '[^a-zA-Z0-9]+'), x -> x <> '')) AS BIGINT) AS n_re_tokens
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- fingerprint
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic md5 fingerprint of normalized text per doc."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+ORACLE_DOC_FINGERPRINT = """
+SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------- n-gram Jaccard near-dup
+def q_dedup_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by 3-gram Jaccard ≥ 0.1 via posting-list
+    self-join (no cross join; stop-shingle guard available)."""
+    pairs = D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), min_jaccard=0.1
+    )
+    return pairs.select("id_a", "id_b", "common", r4(F.col("jaccard")).alias("jaccard"))
+
+
+ORACLE_DEDUP_NGRAM = """
+WITH words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+    FROM words, unnest(range(greatest(len(w) - 2, 0))) AS r(i)
+), sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, common,
+       ROUND(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON common.id_a = sa.doc_id
+JOIN sizes sb ON common.id_b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.1
+"""
+
+
+# ---------------------------------------------------------------- MinHash + LSH
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(8)+LSH(4 bands) candidate pairs with estimated
+    Jaccard — candidate generation is a band-bucket equi-join."""
+    return D.minhash_dedup_pairs(_t(spark, sf_dir, "documents")).select(
+        "id_a", "id_b", "shared_bands", r4(F.col("est_jaccard")).alias("est_jaccard")
+    )
+
+
+def _mh_sql() -> str:
+    mins = ",\n           ".join(
+        f"MIN(md5('{i}' || chr(31) || shingle)) AS m{i}" for i in range(8)
+    )
+    bands = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {b} AS band_idx, m{2*b} || '|' || m{2*b+1} AS band_key FROM sigs"
+        for b in range(4)
+    )
+    est = " + ".join(f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(8))
+    return f"""
+WITH words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+    FROM words, unnest(range(greatest(len(w) - 2, 0))) AS r(i)
+), sigs AS (
+    SELECT doc_id, {mins}
+    FROM sh GROUP BY doc_id
+), bands AS (
+    {bands}
+), cands AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(COUNT(*) AS BIGINT) AS shared_bands
+    FROM bands a
+    JOIN bands b ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+               AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared_bands,
+       ROUND(CAST({est} AS DOUBLE) / 8, 4) AS est_jaccard
+FROM cands
+JOIN sigs sa ON cands.id_a = sa.doc_id
+JOIN sigs sb ON cands.id_b = sb.doc_id
+"""
+
+
+ORACLE_DEDUP_MINHASH = _mh_sql()
+
+
+# ---------------------------------------------------------------- SimHash
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """16-bit SimHash fingerprint per document."""
+    return D.simhash16(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_DEDUP_SIMHASH = """
+WITH wc AS (
+    SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS w_cnt
+    FROM (
+        SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '')) AS word
+        FROM documents
+    ) GROUP BY doc_id, word
+), hashed AS (
+    SELECT doc_id, w_cnt,
+           ((CASE WHEN ascii(substring(md5(word),1,1)) >= 97 THEN ascii(substring(md5(word),1,1)) - 87 ELSE ascii(substring(md5(word),1,1)) - 48 END) * 4096
+          + (CASE WHEN ascii(substring(md5(word),2,1)) >= 97 THEN ascii(substring(md5(word),2,1)) - 87 ELSE ascii(substring(md5(word),2,1)) - 48 END) * 256
+          + (CASE WHEN ascii(substring(md5(word),3,1)) >= 97 THEN ascii(substring(md5(word),3,1)) - 87 ELSE ascii(substring(md5(word),3,1)) - 48 END) * 16
+          + (CASE WHEN ascii(substring(md5(word),4,1)) >= 97 THEN ascii(substring(md5(word),4,1)) - 87 ELSE ascii(substring(md5(word),4,1)) - 48 END)) AS h
+    FROM wc
+), votes AS (
+    SELECT doc_id, j,
+           SUM(((CAST(floor(h / pow(2, j)) AS BIGINT) % 2) * 2 - 1) * w_cnt) AS v
+    FROM hashed, unnest(range(16)) AS r(j)
+    GROUP BY doc_id, j
+)
+SELECT doc_id,
+       CAST(SUM(CASE WHEN v > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+FROM votes GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------- embedding: brute-force top-k
+def q_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-5 for queries vec_id < 20: broadcast query
+    set, one corpus pass, window rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_bruteforce(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+ORACLE_EMBEDDING_TOPK = """
+WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20),
+c AS (SELECT vec_id AS nid, embedding AS cv FROM embeddings),
+scored AS (
+    SELECT qid, nid,
+        (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+         FROM (SELECT unnest(qv) AS x, unnest(cv) AS y) t) /
+        (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(qv) AS x) t2)) *
+         sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(cv) AS y) t3))) AS cos
+    FROM c, q WHERE nid <> qid
+), ranked AS (
+    SELECT qid, nid, cos,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+    FROM scored
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(cos, 4) AS cos
+FROM ranked WHERE rank <= 5
+"""
+
+
+# ---------------------------------------------------------------- embedding: LSH ANN
+def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-3 via hyperplane-sign LSH buckets — the
+    100 TB path: candidates come from a bucket equi-join."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 20), k=3)
+
+
+def _lsh_bucket_sql(v: str) -> str:
+    dims = [0, 8, 16, 24, 32, 40, 48, 56]
+    expr = "0"
+    for d in dims:
+        expr = f"({expr}) * 2 + (CASE WHEN {v}[{d + 1}] >= 0 THEN 1 ELSE 0 END)"
+    return expr
+
+
+ORACLE_EMBEDDING_LSH = f"""
+WITH q AS (
+    SELECT vec_id AS qid, embedding AS qv, {_lsh_bucket_sql('embedding')} AS bucket
+    FROM embeddings WHERE vec_id < 20
+), c AS (
+    SELECT vec_id AS nid, embedding AS cv, {_lsh_bucket_sql('embedding')} AS bucket
+    FROM embeddings
+), scored AS (
+    SELECT qid, nid,
+        (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+         FROM (SELECT unnest(qv) AS x, unnest(cv) AS y) t) /
+        (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(qv) AS x) t2)) *
+         sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(cv) AS y) t3))) AS cos
+    FROM c JOIN q USING (bucket) WHERE nid <> qid
+), ranked AS (
+    SELECT qid, nid, cos,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+    FROM scored
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(cos, 4) AS cos
+FROM ranked WHERE rank <= 3
+"""
+
+
+# ---------------------------------------------------------------- embedding near-dup
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (cos ≥ 0.4, blocked on
+    label): the pair space is per-block, never global."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.embedding_near_dup_pairs(emb, threshold=0.4)
+
+
+ORACLE_EMBEDDING_NEARDUP = """
+WITH pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+         FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) t) /
+        (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x) t2)) *
+         sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(b.embedding) AS y) t3))) AS cos
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 4) AS cos
+FROM pairs WHERE cos >= 0.4
+"""
+
+
+# ---------------------------------------------------------------- multimodal plumbing
+def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column pipeline: documents.text as opaque payload →
+    mapInPandas (Arrow-batched, deterministic fake decoder) → typed
+    metadata. Differentially checks the Pandas-UDF plumbing itself
+    (byte counts / first byte / md5 agree with the oracle's byte
+    functions)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.attach_binary_payload(docs, "text", "doc_id")
+    return M.decode_media_meta(media, fake=True)
+
+
+ORACLE_MULTIMODAL_META = """
+SELECT doc_id AS media_id,
+       'image/fake' AS media_type,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       CAST(ascii(substring(text, 1, 1)) AS INTEGER) AS header_byte,
+       md5(text) AS checksum
+FROM documents
+"""
+
+
+QUERIES = {
+    "dedup_exact": q_dedup_exact,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_ngram": q_dedup_ngram,
+    "dedup_minhash": q_dedup_minhash,
+    "dedup_simhash": q_dedup_simhash,
+    "embedding_topk": q_embedding_topk,
+    "embedding_lsh": q_embedding_lsh,
+    "embedding_neardup": q_embedding_neardup,
+    "multimodal_meta": q_multimodal_meta,
+}
+
+ORACLES = {
+    "dedup_exact": ORACLE_DEDUP_EXACT,
+    "text_quality": ORACLE_TEXT_QUALITY,
+    "lang_id": ORACLE_LANG_ID,
+    "token_count": ORACLE_TOKEN_COUNT,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "dedup_ngram": ORACLE_DEDUP_NGRAM,
+    "dedup_minhash": ORACLE_DEDUP_MINHASH,
+    "dedup_simhash": ORACLE_DEDUP_SIMHASH,
+    "embedding_topk": ORACLE_EMBEDDING_TOPK,
+    "embedding_lsh": ORACLE_EMBEDDING_LSH,
+    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "multimodal_meta": ORACLE_MULTIMODAL_META,
+}
