@@ -1,0 +1,76 @@
+"""Tests for the sources/sinks protocol (SURVEY.md §2.1)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+from pyspark.sql import functions as F
+
+from gcp_dataengineering_spark.sources.io import (
+    append_audit,
+    audit_rows,
+    csv_dir_to_parquet,
+    read_max_version,
+    write_snapshot,
+    write_versioned_history,
+)
+
+
+def test_write_snapshot_eight_files(spark, tmp_path):
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    out = str(tmp_path / "snap")
+    write_snapshot(df, out)
+    files = glob.glob(os.path.join(out, "part-*.parquet"))
+    assert 1 <= len(files) <= 8
+    assert spark.read.parquet(out).count() == 1000
+    # overwrite semantics
+    write_snapshot(df.filter(F.col("id") < 10), out)
+    assert spark.read.parquet(out).count() == 10
+
+
+def test_versioned_history_protocol(spark, tmp_path):
+    """stage_1:208-222 — version probe + stamp + partitioned append."""
+    hist = str(tmp_path / "hist")
+    df = spark.range(5).withColumn("x", F.lit("a"))
+    assert read_max_version(spark, hist) == 0
+    assert write_versioned_history(df, spark, hist) == 1
+    assert write_versioned_history(df, spark, hist) == 2
+    assert read_max_version(spark, hist) == 2
+    # partition layout on disk
+    assert os.path.isdir(os.path.join(hist, "version=1"))
+    assert os.path.isdir(os.path.join(hist, "version=2"))
+    loaded = spark.read.parquet(hist)
+    assert loaded.count() == 10
+    assert loaded.filter(F.col("version") == 2).count() == 5
+
+
+def test_audit_rows(spark, tmp_path):
+    path = str(tmp_path / "audit")
+    append_audit(
+        audit_rows(spark, "t1", 42, "COMPLETED", "script", "normalized", "b1"), path
+    )
+    append_audit(
+        audit_rows(spark, "t1", 0, "INITIATED", "script", "normalized", "b2"), path
+    )
+    df = spark.read.parquet(path)
+    assert df.count() == 2
+    assert set(df.columns) == {
+        "table_name", "rows_updated", "log_id_status", "script_exe_start_time",
+        "script_exe_end_time", "etl_script", "etl_layer", "batch_id",
+    }
+
+
+def test_csv_dir_to_parquet(spark, tmp_path):
+    """Corrected csv_to_parquet.py behavior: directory-batch convert."""
+    csv_dir = tmp_path / "csvs"
+    csv_dir.mkdir()
+    (csv_dir / "a.csv").write_text("x,y\n1,foo\n2,bar\n")
+    (csv_dir / "b.csv").write_text("k\n9\n")
+    (csv_dir / "ignore.txt").write_text("not a csv")
+    out = tmp_path / "pq"
+    csv_dir_to_parquet(spark, str(csv_dir), str(out))
+    a = spark.read.parquet(str(out / "a.parquet"))
+    assert sorted(map(tuple, a.collect())) == [(1, "foo"), (2, "bar")]
+    assert spark.read.parquet(str(out / "b.parquet")).count() == 1
+    assert not os.path.exists(out / "ignore.parquet")

@@ -1,0 +1,140 @@
+"""Unit tests for the operator library (SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_dataengineering_spark.ops.allocate import (
+    allocate_join,
+    allocate_window,
+    missing_cost_redistribution,
+)
+from gcp_dataengineering_spark.ops.conform import (
+    parse_money,
+    recode,
+    typed_null,
+    week_to_month,
+    yrmo_month,
+    yrmo_year,
+)
+from gcp_dataengineering_spark.ops.pivot import builtin_pivot, conditional_pivot, unpivot
+from gcp_dataengineering_spark.ops.vintage import assert_disjoint, union_vintages
+
+
+def test_parse_money(spark):
+    df = spark.createDataFrame([("1,234,567",), ("89", ), (None,)], "s string")
+    vals = [r[0] for r in df.select(parse_money("s").alias("v")).collect()]
+    assert vals == [1234567.0, 89.0, None]
+
+
+def test_typed_null_keeps_schema(spark):
+    df = spark.range(1).select(typed_null("double").alias("engage"))
+    assert dict(df.dtypes)["engage"] == "double"
+    assert df.first()["engage"] is None
+
+
+def test_recode_with_and_without_default(spark):
+    df = spark.createDataFrame([("EHR",), ("VIDEO",), ("UNKNOWN",)], "c string")
+    m = {"EHR": "EHR/EMR", "VIDEO": "Custom"}
+    passthrough = [r[0] for r in df.select(recode("c", m).alias("o")).collect()]
+    assert passthrough == ["EHR/EMR", "Custom", "UNKNOWN"]
+    nulled = [
+        r[0]
+        for r in df.select(recode("c", m, default=typed_null("string")).alias("o")).collect()
+    ]
+    assert nulled == ["EHR/EMR", "Custom", None]
+
+
+def test_yrmo_helpers(spark):
+    df = spark.createDataFrame([(202201,), (202312,)], "ym bigint")
+    rows = df.select(
+        yrmo_year("ym").alias("y"), yrmo_month("ym").alias("m")
+    ).collect()
+    assert [(r.y, r.m) for r in rows] == [("2022", "01"), ("2023", "12")]
+
+
+def test_week_to_month_full_range(spark):
+    """The F11 translation over weeks 1..53, incl. the >=49 wrap
+    (stage_1:853: offset = (week-1) div 4 months past Jan 1, keep
+    month only)."""
+    df = spark.createDataFrame([(w,) for w in range(1, 54)], "week int")
+    got = {r["week"]: r["m"] for r in df.select("week", week_to_month("week").alias("m")).collect()}
+    import datetime
+
+    for w in range(1, 54):
+        offset = (w - 1) // 4
+        base = datetime.date(2023, 1, 1)
+        y, m = base.year + (offset // 12), base.month + (offset % 12)
+        expect = m  # date arithmetic keeps only the month number
+        assert got[w] == expect, (w, got[w], expect)
+    assert got[49] == 1 and got[52] == 1 and got[53] == 2
+
+
+def test_union_vintages_and_disjoint(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "k int")
+    k = F.col("k")
+    branches = [(df, k < 5), (df, (k >= 5) & (k < 8)), (df, k >= 8)]
+    u = union_vintages(branches, source_col="src")
+    assert u.count() == 10
+    assert u.filter(F.col("src") == "v2").count() == 3
+    assert_disjoint(branches, "k")
+    with pytest.raises(AssertionError):
+        assert_disjoint([(df, k < 5), (df, k < 3)], "k")
+
+
+def test_allocation_window_equals_join(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 1, 30.0), ("a", 2, 5.0), ("b", 1, 7.0)],
+        "g string, m int, w double",
+    ).withColumn("pot", F.lit(100.0))
+    a = allocate_window(df, "pot", "w", ["g", "m"], out_col="c")
+    b = allocate_join(df, "pot", "w", ["g", "m"], out_col="c")
+    key = lambda r: (r["g"], r["m"], r["w"])
+    ra = sorted([(key(r), round(r["c"], 9)) for r in a.collect()])
+    rb = sorted([(key(r), round(r["c"], 9)) for r in b.collect()])
+    assert ra == rb
+    # each partition's allocations sum to the pot
+    total = a.groupBy("g", "m").agg(F.round(F.sum("c"), 6).alias("s")).collect()
+    assert all(r["s"] == 100.0 for r in total)
+
+
+def test_missing_cost_redistribution(spark):
+    reach = spark.createDataFrame(
+        [("2024", "01", "Display", 10.0)], "year string, month string, channel string, reach double"
+    )
+    pots = spark.createDataFrame(
+        [
+            ("2024", "01", "Display", 100.0),
+            ("2024", "01", "Custom", 50.0),
+            ("2024", "02", "Display", 70.0),
+        ],
+        "year string, month string, channel string, cost double",
+    )
+    out = {
+        (r["channel"], r["year"]): r["missing_cost"]
+        for r in missing_cost_redistribution(reach, pots).collect()
+    }
+    # Custom 2024-01 has no reach; Display 2024-02 has no reach either
+    assert out == {("Custom", "2024"): 50.0, ("Display", "2024"): 70.0}
+
+
+def test_pivot_forms_agree(spark):
+    df = spark.createDataFrame(
+        [("u1", "REACH", "10"), ("u1", "REACH", "5"), ("u1", "ENGAGEMENT", "2"), ("u2", "REACH", "1")],
+        "id string, metric string, value string",
+    )
+    a = conditional_pivot(df, ["id"], "metric", "value", {"REACH": "reach", "ENGAGEMENT": "engage"})
+    b = builtin_pivot(df, ["id"], "metric", "value", ["REACH", "ENGAGEMENT"]).withColumnsRenamed(
+        {"REACH": "reach", "ENGAGEMENT": "engage"}
+    )
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    row = {r["id"]: r for r in a.collect()}
+    assert row["u1"]["reach"] == 15.0 and row["u1"]["engage"] == 2.0
+    assert row["u2"]["engage"] is None
+
+
+def test_unpivot(spark):
+    df = spark.createDataFrame([("2022-01", "10", "20")], "m string, a string, b string")
+    out = unpivot(df, ["m"], ["a", "b"], var_name="ch", value_name="v")
+    assert sorted(map(tuple, out.collect())) == [("2022-01", "a", "10"), ("2022-01", "b", "20")]
