@@ -1,0 +1,156 @@
+"""Behavioral tests for llm_ops beyond the oracle checks: planted
+near-duplicates must actually be FOUND (the oracles prove engine
+parity; these prove the operators do their job)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_dataengineering_spark.llm_ops.dedup import (
+    dedup_exact,
+    minhash_dedup_pairs,
+    ngram_jaccard_pairs,
+    simhash16,
+)
+from gcp_dataengineering_spark.llm_ops.multimodal import (
+    attach_binary_payload,
+    decode_media_meta,
+    frame_sample_plan,
+)
+from gcp_dataengineering_spark.llm_ops.similarity import (
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from gcp_dataengineering_spark.llm_ops.text import lang_id, quality_features
+
+
+BASE = "the quick brown fox jumps over the lazy dog again and again " * 5
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE),  # exact dup of 0
+        (2, BASE.replace("lazy", "sleepy")),  # near dup of 0
+        (3, "completely different words about spark query engines and shuffles " * 5),
+        (4, "the quick brown fox jumps over the lazy dog AGAIN " + BASE),  # near dup
+        (5, "short text"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_finds_planted_dup(docs):
+    out = {r["keep_id"]: r["n_dups"] for r in dedup_exact(docs).collect()}
+    assert out[0] == 2  # docs 0 and 1 collapse
+    assert sum(out.values()) == 6
+
+
+def test_ngram_jaccard_finds_near_dups(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, min_jaccard=0.3).collect()
+    }
+    assert pairs[(0, 1)] == 1.0
+    assert (0, 2) in pairs and pairs[(0, 2)] > 0.5
+    assert (0, 4) in pairs
+    assert not any(3 in p for p in pairs)
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    # 8 bands of 1 row: candidate on ANY matching minhash component —
+    # the right banding for high-recall near-dup at j >= ~0.5
+    pairs = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_dedup_pairs(docs, num_hashes=8, bands=8).collect()
+    }
+    assert pairs[(0, 1)] == 1.0  # identical docs share all bands
+    assert (0, 2) in pairs and pairs[(0, 2)] >= 0.25  # near dup found
+    # (true j = 0.6; the 8-component estimate is coarse by design)
+    assert not any(3 in p and 5 in p for p in pairs)
+
+
+def test_simhash_near_dups_close_in_hamming(docs):
+    h = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
+    def ham(a, b):
+        return bin(int(a) ^ int(b)).count("1")
+    assert ham(h[0], h[1]) == 0
+    assert ham(h[0], h[2]) <= 4
+    assert ham(h[0], h[3]) >= 5
+
+
+def test_cosine_topk_matches_numpy(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(50, 16)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_topk_bruteforce(df, df.filter(F.col("vec_id") < 3), k=4)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["query_id"], []).append((r["rank"], r["neighbor_id"], r["cos"]))
+    norms = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norms @ norms.T
+    for q in range(3):
+        order = [i for i in np.argsort(-sims[q]) if i != q][:4]
+        got_ids = [nid for _, nid, _ in sorted(got[q])]
+        assert got_ids == [int(i) for i in order]
+        for (rank, nid, cos) in sorted(got[q]):
+            assert math.isclose(cos, float(sims[q, nid]), abs_tol=2e-4)
+
+
+def test_lsh_topk_subset_of_bucket(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(200, 64)).astype("float32")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(200)],
+        "vec_id long, embedding array<float>",
+    )
+    # 4-bit buckets (16 buckets / 200 vecs → ~12 per bucket); the
+    # 8-bit default is sized for larger corpora
+    dims = [0, 8, 16, 24]
+    out = cosine_topk_lsh(df, df.filter(F.col("vec_id") < 5), k=3, bucket_dims=dims)
+    rows = out.collect()
+    assert len(rows) > 0
+    # neighbors must share the sign pattern on the bucket dims
+    for r in rows:
+        q, n = vecs[r["query_id"]], vecs[r["neighbor_id"]]
+        assert all((q[d] >= 0) == (n[d] >= 0) for d in dims)
+
+
+def test_lang_id_and_quality(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of a to house"),
+            (2, "el perro de la casa que y gato"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r["p"] for r in df.select("doc_id", lang_id("text").alias("p")).collect()}
+    assert got == {1: "en", 2: "es", 3: "und"}
+    q = {r["doc_id"]: r for r in quality_features(df).collect()}
+    assert q[1]["n_tokens"] == 9
+    assert q[3]["stopword_ratio"] == 0.0
+    assert 0 <= q[1]["punct_ratio"] < 0.05
+
+
+def test_multimodal_stub_and_fake(spark):
+    df = spark.createDataFrame([(1, "abc"), (2, "defg")], "doc_id long, text string")
+    media = attach_binary_payload(df, "text", "doc_id")
+    assert dict(media.dtypes)["payload"] == "binary"
+    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+        decode_media_meta(media, fake=False).collect()
+    meta = {r["media_id"]: r for r in decode_media_meta(media, fake=True).collect()}
+    assert meta[1]["n_bytes"] == 3 and meta[2]["n_bytes"] == 4
+    assert meta[1]["header_byte"] == ord("a")
+    frames = frame_sample_plan(media, every_n=2).collect()
+    assert {(r["media_id"], r["frame_idx"]) for r in frames} >= {(1, 0), (2, 0), (2, 1)}
