@@ -45,6 +45,7 @@ def with_event_time(events: DataFrame) -> DataFrame:
 
 def batch_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return hourly_agg(with_event_time(spark.read.parquet(f"{sf_dir}/events.parquet")))
 
 
@@ -55,6 +56,7 @@ def stream_hourly(
     Returns the streaming DataFrame; callers attach a sink
     (tests use format('memory') + processAllAvailable)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     stream = (
         spark.readStream.schema(schema)

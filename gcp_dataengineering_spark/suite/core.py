@@ -29,8 +29,11 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects by default; read as long nanos (runtime conf —
         # works on the driver's session too) and derive timestamps
-        # explicitly where needed.
+        # explicitly where needed. Pin UTC so year()/month()/window()
+        # over the derived instants match DuckDB's naive timestamps
+        # regardless of the host session's timezone.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
