@@ -65,10 +65,12 @@ def main() -> None:
                 fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
             except Exception:
                 pass
-        # best-of-2: this VM (Firecracker) shows multi-second jitter;
-        # min of two runs is the stable steady-state figure
+        # single timed run after warmup (BENCH_RUNS=2 for best-of-N
+        # locally; the VM shows multi-second jitter but total bench
+        # wall time matters more than per-query variance)
+        runs = int(os.environ.get("BENCH_RUNS", "1"))
         best = float("inf")
-        for _ in range(2):
+        for _ in range(max(1, runs)):
             t0 = time.perf_counter()
             df = fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
