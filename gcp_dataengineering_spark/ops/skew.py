@@ -1,0 +1,60 @@
+"""Skew-handling utilities for 100 TB scale.
+
+The reference never needed these (its partitions are (brand, year,
+month) over one brand), but any real deployment of the allocation
+pattern hits skew: one hot (year, month) or one hot join key.
+Two standard remedies, both pure DataFrame ops:
+
+- **salted two-phase aggregation**: append a random salt to the hot
+  key, partial-agg on (key, salt), then final-agg on key. Turns one
+  hot reducer into `salt_buckets` parallel ones; cost is one extra
+  (tiny) shuffle of the partial results.
+- **salted broadcast-side join**: explode the small side over all
+  salt values and salt the big side randomly — the classic skew-join
+  rewrite for when the small side is broadcastable but the big
+  side's key distribution is pathological AND AQE's runtime skew
+  split isn't available (e.g. non-AQE deployments; with AQE on,
+  prefer spark.sql.adaptive.skewJoin).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+SALT = "_salt"
+
+
+def salted_sum(
+    df: DataFrame,
+    group_by: Sequence[str],
+    agg_cols: dict[str, str],
+    salt_buckets: int = 16,
+) -> DataFrame:
+    """Two-phase salted aggregation: sum() per (keys, salt) then per
+    keys. Equivalent to a plain groupBy-sum (sums are associative);
+    verified by test_salted_sum_equals_plain."""
+    salted = df.withColumn(SALT, (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*group_by, SALT).agg(
+        *[F.sum(src).alias(out) for src, out in agg_cols.items()]
+    )
+    return partial.groupBy(*group_by).agg(
+        *[F.sum(out).alias(out) for out in agg_cols.values()]
+    )
+
+
+def salted_broadcast_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Inner equi-join where `big` has skewed keys: salt the big side
+    randomly, replicate the small side across every salt value, join
+    on (key, salt). Result equals big ⋈ small on key."""
+    salted_big = big.withColumn(SALT, (F.rand(seed=42) * salt_buckets).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias(SALT)
+    replicated = small.select("*", salts)
+    return salted_big.join(F.broadcast(replicated), [key, SALT], "inner").drop(SALT)

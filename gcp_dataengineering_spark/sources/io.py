@@ -112,6 +112,24 @@ def append_audit(df: DataFrame, path: str) -> None:
     df.write.mode("append").parquet(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Bucketed managed-table sink: co-locates later joins/aggs on
+    `bucket_col` without a shuffle (Spark reads bucket metadata and
+    skips the exchange). The 100 TB lever for repeated fact-fact
+    joins on the same key — pay the shuffle once at write time.
+    Requires a warehouse dir (spark.sql.warehouse.dir)."""
+    w = df.write.bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.mode("overwrite").format("parquet").saveAsTable(table_name)
+
+
 def csv_dir_to_parquet(
     spark: SparkSession, csv_dir: str, out_dir: str, header: bool = True
 ) -> None:
