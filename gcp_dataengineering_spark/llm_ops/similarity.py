@@ -125,6 +125,127 @@ def cosine_topk_lsh(
     )
 
 
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k via an Arrow-batched Pandas UDF matmul — the
+    high-dims × many-queries path where a numpy GEMM beats per-row
+    expression evaluation. Semantics identical to
+    cosine_topk_bruteforce (same oracle).
+
+    Shape: the query matrix is tiny and rides into the closure
+    (broadcast by Spark's task serialization); each Arrow batch of
+    corpus vectors does one (batch × dim)·(dim × q) GEMM and emits
+    its batch-local top-k per query; a final window rank reduces
+    batch-local candidates to the global top-k. Shuffle volume is
+    O(batches × q × k), never O(corpus)."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    ).collect()  # query set only — small by contract
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    q_mat = np.array([r["q_vec"] for r in q_rows], dtype=np.float64)
+    q_norm = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+
+    def score_batches(batches):
+        for pdf in batches:
+            c_mat = np.array(list(pdf["c_vec"]), dtype=np.float64)
+            c_ids = pdf["neighbor_id"].values
+            c_n = c_mat / np.linalg.norm(c_mat, axis=1, keepdims=True)
+            sims = c_n @ q_norm.T  # (batch, q)
+            out = []
+            top = min(k + 1, sims.shape[0])
+            for qi in range(sims.shape[1]):
+                idx = np.argpartition(-sims[:, qi], top - 1)[:top]
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": q_ids[qi],
+                            "neighbor_id": c_ids[idx],
+                            "cos": sims[idx, qi],
+                        }
+                    )
+                )
+            yield pd.concat(out)
+
+    cands = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    ).mapInPandas(score_batches, schema="query_id long, neighbor_id long, cos double")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        cands.filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means the corpus once
+    (the training pass LSH avoids), assign every vector to its
+    centroid's posting list, then score each query only against the
+    `nprobe` nearest posting lists.
+
+    The index is a cluster column on the corpus — at 100 TB it is
+    computed once, persisted with the table (ideally as the bucketing
+    key), and reused by every query batch; candidate selection is an
+    equi-join on cluster id. Recall/latency trade via nprobe."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feats = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
+    )
+    model = KMeans(k=n_clusters, seed=seed, featuresCol="_features").fit(feats)
+    assigned = model.transform(feats).select(
+        "neighbor_id", "c_vec", F.col("prediction").alias("cluster")
+    )
+    spark = corpus.sparkSession
+    centroids = spark.createDataFrame(
+        [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
+        "cluster int, centroid array<double>",
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cluster").asc())
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("c_cos", cosine(F.col("q_vec"), F.col("centroid")))
+        .withColumn("c_rank", F.row_number().over(wq))
+        .filter(F.col("c_rank") <= nprobe)
+        .select("query_id", "q_vec", "cluster")
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.9,

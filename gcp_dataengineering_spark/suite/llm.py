@@ -299,6 +299,25 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------- embedding: pandas-UDF top-k
+def q_embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same exact top-5 as embedding_topk, computed by the
+    Arrow-batched Pandas-UDF GEMM path — checked against the SAME
+    oracle, proving the UDF path is bit-compatible (after 4-dp
+    rounding) with the expression path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_pandas(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+# ---------------------------------------------------------------- embedding: IVF ANN
+def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (k-means posting lists, nprobe=3).
+    K-means is not SQL-expressible → no oracle (rows-only check);
+    recall vs brute force is pytest-verified instead."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
 # ---------------------------------------------------------------- embedding: LSH ANN
 def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-3 via hyperplane-sign LSH buckets — the
@@ -395,6 +414,8 @@ QUERIES = {
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "embedding_topk": q_embedding_topk,
+    "embedding_topk_pandas": q_embedding_topk_pandas,
+    "embedding_ivf": q_embedding_ivf,
     "embedding_lsh": q_embedding_lsh,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
@@ -410,6 +431,8 @@ ORACLES = {
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
+    "embedding_topk_pandas": ORACLE_EMBEDDING_TOPK,
+    # embedding_ivf: k-means index — not SQL-expressible, rows-only
     "embedding_lsh": ORACLE_EMBEDDING_LSH,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "multimodal_meta": ORACLE_MULTIMODAL_META,

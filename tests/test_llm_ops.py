@@ -126,6 +126,33 @@ def test_lsh_topk_subset_of_bucket(spark):
         assert all((q[d] >= 0) == (n[d] >= 0) for d in dims)
 
 
+def test_pandas_topk_equals_expression_topk(spark):
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    from gcp_dataengineering_spark.llm_ops.similarity import cosine_topk_pandas
+
+    a = sorted(map(tuple, cosine_topk_bruteforce(emb, q, k=4).collect()))
+    b = sorted(map(tuple, cosine_topk_pandas(emb, q, k=4).collect()))
+    assert a == b
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    from gcp_dataengineering_spark.llm_ops.similarity import cosine_topk_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {}
+    for r in cosine_topk_bruteforce(emb, q, k=5).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = {}
+    for r in cosine_topk_ivf(emb, q, k=5, n_clusters=8, nprobe=3).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact[qid] & approx.get(qid, set())) / len(exact[qid]) for qid in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.5, recalls
+
+
 def test_lang_id_and_quality(spark):
     df = spark.createDataFrame(
         [
