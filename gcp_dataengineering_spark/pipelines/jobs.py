@@ -75,3 +75,27 @@ def run_digital_job(spark: SparkSession, tables: dict[str, DataFrame], out_root:
                     batch_id: str = "local") -> dict:
     return run_table_job(spark, nvs_digital(spark, tables), out_root,
                          "mars_combined_nvs_data", batch_id)
+
+
+def run_all(spark: SparkSession, tables: dict[str, DataFrame], out_root: str,
+            batch_id: str = "local") -> list[dict]:
+    """Entry point A (``stage_1:1261-1304``): audit INITIATED row →
+    nvs_tam → nvs_digital → (crawler is a no-op on Spark: parquet
+    self-describes) → audit COMPLETED rows. Returns the job
+    summaries."""
+    audit_path = os.path.join(out_root, "audit_job_info")
+    append_audit(
+        audit_rows(spark, "job", 0, "INITIATED", "gcp_dataengineering_spark",
+                   "normalized", batch_id),
+        audit_path,
+    )
+    results = [
+        run_tam_job(spark, tables, out_root, batch_id),
+        run_digital_job(spark, tables, out_root, batch_id),
+    ]
+    append_audit(
+        audit_rows(spark, "job", sum(r["rows"] for r in results), "COMPLETED",
+                   "gcp_dataengineering_spark", "normalized", batch_id),
+        audit_path,
+    )
+    return results
