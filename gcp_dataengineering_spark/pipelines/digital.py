@@ -470,10 +470,16 @@ def hcp_all_channels(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         & (F.col("d.channel") == F.col("mr.channel")),
         "inner",
     )
+    # The reference writes coalesce(d.k, ca.k) = ca.k (stage_1:1024-1025).
+    # On the (d ⋈ mr) side every key is non-null (it just inner-joined on
+    # exactly those keys), so the degenerate condition reduces to plain
+    # equality — expressed that way here so Catalyst plans a scalable
+    # SortMergeJoin FullOuter instead of a fact-sized nested loop; the
+    # parity test runs the reference's own form in DuckDB and matches.
     full_cond = (
-        (F.coalesce(F.col("d.year"), F.col("ca.year")) == F.col("ca.year"))
-        & (F.coalesce(F.col("d.month"), F.col("ca.month")) == F.col("ca.month"))
-        & (F.coalesce(F.col("d.channel"), F.col("ca.channel")) == F.col("ca.channel"))
+        (F.col("d.year") == F.col("ca.year"))
+        & (F.col("d.month") == F.col("ca.month"))
+        & (F.col("d.channel") == F.col("ca.channel"))
     )
     incl_missing = (
         d_mr.join(ca, full_cond, "full")
