@@ -217,6 +217,61 @@ def minhash_dedup_pairs(
     )
 
 
+# ------------------------------------------------------------ dup-group resolution
+def resolve_dup_groups(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over near-dup pairs → one keeper per
+    duplicate group: (doc_id, group_id) where group_id is the minimum
+    doc id reachable through the pair graph (the canonical keeper).
+
+    Iterative min-label propagation: each round every node adopts the
+    smallest label among itself and its neighbors; converges in
+    O(component diameter) rounds. The driver loop iterates ROUNDS,
+    not rows — each round is one distributed join+groupBy, so the
+    pattern scales (this is how large dedup pipelines and GraphX'
+    connected components work). Near-dup components are shallow
+    (diameter ≲ 10), so max_iter=25 is generous; raises if not
+    converged."""
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        # localCheckpoint truncates the growing lineage each round —
+        # without it the plan doubles per iteration
+        labels = new_labels.localCheckpoint(eager=True)
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"dup-group resolution did not converge in {max_iter} rounds")
+    return labels.select(F.col("node").alias(id_col), F.col("label").alias("group_id"))
+
+
 # ------------------------------------------------------------ SimHash
 def _hex4_to_int(c: Column) -> Column:
     """First 4 hex chars → int, via ascii arithmetic (portable to

@@ -238,6 +238,51 @@ JOIN sigs sb ON cands.id_b = sb.doc_id
 ORACLE_DEDUP_MINHASH = _mh_sql()
 
 
+# ---------------------------------------------------------------- dup groups
+def q_dedup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-components resolution of the 3-gram near-dup pairs
+    (jaccard ≥ 0.1): every document labeled with its group's minimum
+    doc_id. Iterative label propagation in Spark; the oracle computes
+    the same components with a recursive transitive-closure CTE."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, min_jaccard=0.1)
+    return D.resolve_dup_groups(docs, pairs)
+
+
+ORACLE_DEDUP_GROUPS = """
+WITH RECURSIVE words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+    FROM words, unnest(range(greatest(len(w) - 2, 0))) AS r(i)
+), sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT id_a, id_b FROM common
+    JOIN sizes sa ON common.id_a = sa.doc_id
+    JOIN sizes sb ON common.id_b = sb.doc_id
+    WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.1
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+    -- recursive transitive closure (components are tiny)
+    SELECT doc_id AS src, doc_id AS dst FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS group_id
+FROM reach GROUP BY src
+"""
+
+
 # ---------------------------------------------------------------- SimHash
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash fingerprint per document."""
@@ -411,6 +456,7 @@ QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_ngram": q_dedup_ngram,
+    "dedup_groups": q_dedup_groups,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "embedding_topk": q_embedding_topk,
@@ -428,6 +474,7 @@ ORACLES = {
     "token_count": ORACLE_TOKEN_COUNT,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "dedup_ngram": ORACLE_DEDUP_NGRAM,
+    "dedup_groups": ORACLE_DEDUP_GROUPS,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,

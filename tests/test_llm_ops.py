@@ -73,6 +73,18 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert not any(3 in p and 5 in p for p in pairs)
 
 
+def test_resolve_dup_groups(spark):
+    from gcp_dataengineering_spark.llm_ops.dedup import resolve_dup_groups
+
+    ids = spark.createDataFrame([(i,) for i in range(7)], "doc_id long")
+    # chain 0-1-2, pair 4-5, isolates 3 and 6
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (4, 5)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["group_id"] for r in resolve_dup_groups(ids, pairs).collect()}
+    assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
+
+
 def test_simhash_near_dups_close_in_hamming(docs):
     h = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
     def ham(a, b):
