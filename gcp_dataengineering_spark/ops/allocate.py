@@ -75,6 +75,7 @@ def missing_cost_redistribution(
     keys: Sequence[str] = ("year", "month", "channel"),
     reach_col: str = "reach",
     cost_col: str = "cost",
+    degenerate: bool = False,
 ) -> DataFrame:
     """The full-join "missing cost" discovery pass of the
     hcp_all_channels query (``stage_1:1004-1035``), generalized.
@@ -97,7 +98,15 @@ def missing_cost_redistribution(
     ca = pots_df.alias("ca")
     cond = None
     for k in keys:
-        c = F.coalesce(F.col(f"d.{k}"), F.col(f"ca.{k}")) == F.col(f"ca.{k}")
+        if degenerate:
+            # the reference's literal form — non-equi, plans as a
+            # nested-loop join; only for bit-for-bit plan parity
+            c = F.coalesce(F.col(f"d.{k}"), F.col(f"ca.{k}")) == F.col(f"ca.{k}")
+        else:
+            # equivalent whenever the reach side's keys are non-null
+            # (they come from groupBy keys here) — plans as a scalable
+            # equi SortMergeJoin/ShuffledHashJoin
+            c = F.col(f"d.{k}") == F.col(f"ca.{k}")
         cond = c if cond is None else cond & c
     full = d.join(ca, cond, "full")
     missing = full.filter(F.col(f"d.{reach_col}").isNull())
