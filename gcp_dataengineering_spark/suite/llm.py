@@ -83,6 +83,87 @@ FROM base
 """
 
 
+# ---------------------------------------------------------------- quality filter
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The downstream filter policy over the quality features: keep
+    documents that are long enough, token-dense, and not
+    punctuation-heavy — the standard pre-training corpus gate."""
+    docs = _t(spark, sf_dir, "documents")
+    feats = T.quality_features(docs)
+    kept = feats.filter(
+        (F.col("n_chars_calc") >= 100)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("punct_ratio") <= 0.1)
+        & (F.col("avg_token_len") >= 2.0)
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+ORACLE_QUALITY_FILTER = """
+WITH base AS (
+    SELECT lang,
+           CAST(length(text) AS BIGINT) AS n_chars_calc,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
+           length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
+           length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
+           length(text) AS n_chars
+    FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM base
+WHERE n_chars_calc >= 100
+  AND n_tokens >= 20
+  AND CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) <= 0.1
+  AND CAST(n_nonspace AS DOUBLE) / greatest(n_tokens, 1) >= 2.0
+GROUP BY lang
+"""
+
+
+# ---------------------------------------------------------------- capped near-dup
+def q_dedup_ngram_capped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The posting-list near-dup with the stop-shingle guard active
+    (drop shingles appearing in > 40 docs before pairing) — the
+    quadratic-blowup control for web-scale corpora, differentially
+    checked here."""
+    pairs = D.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), min_jaccard=0.05, max_shingle_freq=40
+    )
+    return pairs.select("id_a", "id_b", "common", r4(F.col("jaccard")).alias("jaccard"))
+
+
+ORACLE_DEDUP_NGRAM_CAPPED = """
+WITH words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+    FROM documents
+), sh0 AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+    FROM words, unnest(range(greatest(len(w) - 2, 0))) AS r(i)
+), freq AS (
+    SELECT shingle, COUNT(*) AS df_ FROM sh0 GROUP BY 1
+), sh AS (
+    SELECT sh0.doc_id, sh0.shingle FROM sh0 JOIN freq USING (shingle)
+    WHERE freq.df_ <= 40
+), sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, common,
+       ROUND(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 4) AS jaccard
+FROM common
+JOIN sizes sa ON common.id_a = sa.doc_id
+JOIN sizes sb ON common.id_b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.05
+"""
+
+
 # ---------------------------------------------------------------- language id
 def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stopword-heuristic language ID; output is the confusion
@@ -452,6 +533,8 @@ FROM documents
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
+    "quality_filter": q_quality_filter,
+    "dedup_ngram_capped": q_dedup_ngram_capped,
     "lang_id": q_lang_id,
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
@@ -470,6 +553,8 @@ QUERIES = {
 ORACLES = {
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "text_quality": ORACLE_TEXT_QUALITY,
+    "quality_filter": ORACLE_QUALITY_FILTER,
+    "dedup_ngram_capped": ORACLE_DEDUP_NGRAM_CAPPED,
     "lang_id": ORACLE_LANG_ID,
     "token_count": ORACLE_TOKEN_COUNT,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
