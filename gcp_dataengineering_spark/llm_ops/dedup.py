@@ -42,22 +42,45 @@ def shingle_rows(
     text_col: str = "text",
     id_col: str = "doc_id",
     n: int = 3,
+    spread: bool = True,
 ) -> DataFrame:
     """(doc_id, shingle) rows: distinct word n-grams per document.
-    Built with sequence/transform/slice — single codegen'd projection
-    + one explode; no UDF."""
-    words = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
-    k = F.size(words) - F.lit(n - 1)
+    Built with sequence/transform/slice — codegen'd projections + one
+    explode; no UDF.
+
+    Two scale-critical details:
+    - The words array is projected into a REAL column (`_w`) before
+      the shingle transform. Spark does no subexpression elimination
+      inside higher-order-function lambdas, so referencing the
+      split/filter expression from inside the `transform` lambda
+      re-evaluates it per sequence element — O(words²) per document.
+      CollapseProject keeps the two projections separate (the words
+      expression is non-cheap and multiply-referenced), so `_w` is
+      evaluated once per row: O(words) per document.
+    - `spread` round-robin-repartitions the (id, text) input to
+      defaultParallelism first. Shingling is ~10× the scan cost, so a
+      few-file input (one parquet file at small SF; a skewed split at
+      100 TB) would otherwise serialize the whole map stage on a
+      handful of tasks. The payload shuffled is one pass of the raw
+      text — cheap relative to the CPU it balances. Pass spread=False
+      when the caller already controls partitioning."""
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    if spread:
+        base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    words = F.filter(F.split(F.lower(F.col("_text")), "\\s+"), lambda t: t != "")
+    wdf = base.select("doc_id", words.alias("_w"))
+    w = F.col("_w")
+    k = F.size(w) - F.lit(n - 1)
     shingles = F.when(
         k > 0,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), k),
-                lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
             )
         ),
     ).otherwise(F.array().cast("array<string>"))
-    return df.select(F.col(id_col).alias("doc_id"), F.explode(shingles).alias("shingle"))
+    return wdf.select("doc_id", F.explode(shingles).alias("shingle"))
 
 
 def doc_shingle_sizes(shingles: DataFrame) -> DataFrame:
@@ -117,14 +140,31 @@ def minhash_signatures(
     num_hashes: int = 8,
     n: int = 3,
 ) -> DataFrame:
-    """MinHash signature per document: hash family h_i(s) =
-    md5(i || 0x1f || s) (hex strings order like the underlying
-    128-bit integers, so min() over hex = min over the hash family —
-    portable across engines and deterministic across runs).
-    Returns (doc_id, m0..m{k-1})."""
+    """MinHash signature per document: hash family h_i(s) = the first
+    60 bits of md5(i || 0x1f || s), taken as a BIGINT
+    (conv(substring(md5_hex, 1, 15), 16, 10) — portable: DuckDB spells
+    the same value ('0x' || substring(md5_hex,1,15))::BIGINT).
+    Returns (doc_id, m0..m{k-1}).
+
+    The numeric (not hex-string) aggregation buffer matters at scale:
+    min(string) forces SortAggregate (string-typed buffers can't use
+    hash aggregation), sorting every exploded shingle row twice;
+    min(bigint) uses HashAggregate and shuffles 8-byte values instead
+    of 32-byte hex strings. 60 bits keeps the full minhash collision
+    behavior (P[collision] ≈ 2^-60 per pair per hash)."""
     sh = shingle_rows(df, text_col, id_col, n)
     aggs = [
-        F.min(F.md5(F.concat(F.lit(str(i)), F.lit("\x1f"), F.col("shingle")).cast("binary"))).alias(f"m{i}")
+        F.min(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(str(i)), F.lit("\x1f"), F.col("shingle")).cast("binary")),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+        ).alias(f"m{i}")
         for i in range(num_hashes)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -138,6 +178,11 @@ def lsh_candidate_pairs(
     candidates. Implemented as explode(bands) → self-join on
     (band_idx, band_key) → distinct pairs with shared-band count.
     The join key is a band hash — never a cross join."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop trailing signature components"
+        )
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -172,13 +217,26 @@ def minhash_dedup_pairs(
     (id_a, id_b, shared_bands, est_jaccard) where est_jaccard is the
     fraction of matching minhash components.
 
-    The full signature array rides along through the band explode, so
-    the estimate is computed in the same pass as candidate generation
-    — no signature re-join, the expensive shingle+minhash lineage runs
-    once. (At 100 TB the alternative — three recomputations of the
-    shingle scan — triples the dominant cost.)"""
+    The signatures DataFrame is eagerly materialized
+    (localCheckpoint) before the band self-join. Without that, BOTH
+    join sides re-evaluate the full scan→shingle→minhash lineage —
+    ReuseExchange does not fire across a BroadcastExchange, so the
+    dominant cost of the whole operator runs twice (round-1 plans
+    showed exactly this). After the checkpoint the expensive lineage
+    runs once and the self-join reads the materialized blocks; the
+    signature array rides along through the band explode so the
+    similarity estimate needs no third pass either. (On a real
+    cluster, `checkpoint()` to a durable store or a parquet
+    write/read of the signatures does the same job with fault
+    tolerance; localCheckpoint is the single-JVM equivalent.)"""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop trailing signature components"
+        )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    sigs = sigs.localCheckpoint(eager=True)
     sig_arr = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
     band_cols = []
     for b in range(bands):
@@ -236,10 +294,17 @@ def resolve_dup_groups(
     connected components work). Near-dup components are shallow
     (diameter ≲ 10), so max_iter=25 is generous; raises if not
     converged."""
+    # Materialize the edge list ONCE before iterating: `pairs` is
+    # typically the most expensive subplan in the module (a full
+    # shingle posting-list join), and every propagation round consumes
+    # `edges` — uncheckpointed, max_iter rounds would re-run that join
+    # lineage every round. The edge list itself is tiny relative to
+    # the corpus (near-dup pairs only).
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     for _ in range(max_iter):
@@ -255,6 +320,12 @@ def resolve_dup_groups(
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
             )
         )
+        # Checkpoint FIRST (truncates the growing lineage — without it
+        # the plan doubles per iteration), THEN derive the convergence
+        # check from the checkpointed result, so the round's join+agg
+        # executes exactly once instead of once for `changed` and
+        # again for the checkpoint.
+        new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
@@ -262,9 +333,7 @@ def resolve_dup_groups(
             .limit(1)
             .count()
         )
-        # localCheckpoint truncates the growing lineage each round —
-        # without it the plan doubles per iteration
-        labels = new_labels.localCheckpoint(eager=True)
+        labels = new_labels
         if changed == 0:
             break
     else:

@@ -279,11 +279,15 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mh_sql() -> str:
+    # numeric minhash: first 60 bits of md5 as BIGINT — matches
+    # Spark's conv(substring(md5_hex,1,15),16,10)::bigint exactly
     mins = ",\n           ".join(
-        f"MIN(md5('{i}' || chr(31) || shingle)) AS m{i}" for i in range(8)
+        f"MIN(('0x' || substring(md5('{i}' || chr(31) || shingle), 1, 15))::BIGINT) AS m{i}"
+        for i in range(8)
     )
     bands = "\n    UNION ALL\n    ".join(
-        f"SELECT doc_id, {b} AS band_idx, m{2*b} || '|' || m{2*b+1} AS band_key FROM sigs"
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"CAST(m{2*b} AS VARCHAR) || '|' || CAST(m{2*b+1} AS VARCHAR) AS band_key FROM sigs"
         for b in range(4)
     )
     est = " + ".join(f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(8))
