@@ -32,8 +32,11 @@ HEADLINE = [
     # llm ops (present once suite/llm.py is populated)
     "dedup_exact",
     "dedup_minhash",
+    "dedup_ngram_capped",
+    "dedup_groups",
     "text_quality",
     "embedding_topk",
+    "embedding_lsh",
 ]
 
 
@@ -63,8 +66,10 @@ def main() -> None:
         if os.path.isdir(warm_dir) and warm_dir != sf_dir:
             try:
                 fn(spark, warm_dir).write.format("noop").mode("overwrite").save()
-            except Exception:
-                pass
+            except Exception as ex:
+                # a warmup failure usually means the timed run fails too —
+                # make it visible instead of silently mis-charging codegen
+                print(f"bench: warmup failed for {key}: {ex}", file=sys.stderr)
         # single timed run after warmup (BENCH_RUNS=2 for best-of-N
         # locally; the VM shows multi-second jitter but total bench
         # wall time matters more than per-query variance)

@@ -99,8 +99,10 @@ def audit_rows(
         etl_layer=etl_layer,
         batch_id=batch_id,
     )
+    # rows_updated is bigint: at the target scale table counts exceed
+    # 2^31 and an int audit column would overflow the audit path
     schema = (
-        "table_name string, rows_updated int, log_id_status string, "
+        "table_name string, rows_updated bigint, log_id_status string, "
         "script_exe_start_time timestamp, script_exe_end_time timestamp, "
         "etl_script string, etl_layer string, batch_id string"
     )

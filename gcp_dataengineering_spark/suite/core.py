@@ -25,15 +25,18 @@ from ..ops.vintage import union_vintages
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # Pin UTC unconditionally: any query extracting year()/month()
+    # from timestamp- or date-typed columns is tz-sensitive, and the
+    # DuckDB oracles compute over tz-naive values. Pinning only when
+    # some table happens to be read first would make correctness
+    # depend on query execution order on a non-UTC host session.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects by default; read as long nanos (runtime conf —
         # works on the driver's session too) and derive timestamps
-        # explicitly where needed. Pin UTC so year()/month()/window()
-        # over the derived instants match DuckDB's naive timestamps
-        # regardless of the host session's timezone.
+        # explicitly where needed.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.conf.set("spark.sql.session.timeZone", "UTC")
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
