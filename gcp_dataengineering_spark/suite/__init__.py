@@ -9,11 +9,11 @@ from __future__ import annotations
 
 
 def assemble():
-    from . import core, llm
+    from . import core, e2e, llm
 
     queries: dict = {}
     oracles: dict = {}
-    for mod in (core, llm):
+    for mod in (core, llm, e2e):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
     return queries, oracles

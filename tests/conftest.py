@@ -1,17 +1,16 @@
 """Shared pytest fixtures: one local SparkSession per run, plus
-deterministic reference-shaped synthetic inputs (FIXTURES.md §B)
-materialized both as Spark DataFrames and as DuckDB views so tests
-can compare the pipelines against DuckDB running translated
-reference SQL on identical inputs.
+deterministic reference-shaped synthetic inputs (FIXTURES.md §B,
+synthesized by gcp_dataengineering_spark.fixtures) materialized both
+as Spark DataFrames and as DuckDB views so tests can compare the
+pipelines against DuckDB running translated reference SQL on
+identical inputs.
 """
 
 from __future__ import annotations
 
-import random
-
-import pandas as pd
 import pytest
 
+from gcp_dataengineering_spark.fixtures import synth_inputs
 from gcp_dataengineering_spark.session import get_spark
 
 SF_DIR = "/root/testdata/sf0.001"
@@ -22,209 +21,6 @@ def spark():
     s = get_spark("tests", cpus=8, shuffle_partitions=8)
     yield s
     s.stop()
-
-
-def _money(n: float) -> str:
-    return f"{n:,.0f}"
-
-
-def synth_inputs() -> dict[str, pd.DataFrame]:
-    """Deterministic reference-shaped inputs, covering the essential
-    properties from FIXTURES.md §B: overlapping vintages, duplicate
-    DMA rows, comma-grouped money, REACH/ENGAGEMENT metric rows,
-    2024 cost pots with zero reach (missing-cost path), weeks ≥ 49
-    (month-wrap), null npi/zip rows."""
-    rng = random.Random(42)
-
-    def calls(yrmos):
-        rows = []
-        for i, yrmo in enumerate(yrmos):
-            for j in range(6):
-                rows.append(
-                    {
-                        "npi_num": None if j == 5 else f"npi{j}",
-                        "zip_cd": f"z{j % 3}",
-                        "city": "c",
-                        "state": "s",
-                        "brand": "XOLAIR",
-                        "yrmo": yrmo,
-                        "call_p1": "1" if j % 3 == 0 else "0",
-                        "call_p2": "1" if j % 3 == 1 else "0",
-                        "call_p3": "1" if j % 3 == 2 else "0",
-                        "calls": str(j),
-                        "lunch_n_learn_calls": "1" if j == 4 else "0",
-                    }
-                )
-        return pd.DataFrame(rows)
-
-    # overlapping vintages: v1 also contains 2022H2 rows that its
-    # predicate must exclude
-    t = {
-        "calls_v1": calls([202201, 202203, 202206, 202207, 202210]),
-        "calls_v2": calls([202206, 202207, 202209, 202212]),
-        "calls_v3": calls([202212, 202301, 202306, 202312]),
-        "calls_v4": calls([202312, 202401, 202403]),
-        "mdm": pd.DataFrame(
-            [
-                {"npi_number": f"npi{j}", "mdm_id": f"m{j}", "mdm_zip": f"{10000 + j}"}
-                for j in range(5)
-            ]
-        ),
-        "hcp_org": pd.DataFrame(
-            [
-                {
-                    "mdm_id": f"m{j}",
-                    "mdm_zip": f"{30000 + j}",
-                    "product_brand_name": ["XOLAIR", "OTHER"] if j % 2 == 0 else ["OTHER"],
-                }
-                for j in range(5)
-            ]
-        ),
-        "demographics": pd.DataFrame(
-            [
-                # duplicate rows on purpose (distinct matters)
-                {"dma_code": str(500 + d), "dma_name": f"DMA_{d}", "zip": f"{20000 + d}"}
-                for d in range(4)
-                for _ in range(2)
-            ]
-        ),
-    }
-
-    def feed(yrmos, dma_col="dma_region", n_dma=4, clicks=True):
-        rows = []
-        for yrmo in yrmos:
-            for d in range(n_dma):
-                r = {
-                    "year_mth": yrmo,
-                    dma_col: f"DMA_{d}",
-                    "dma_code": str(500 + d),
-                    "impressions": str(rng.randint(100, 9999)),
-                }
-                if clicks:
-                    r["clicks"] = str(rng.randint(1, 999))
-                rows.append(r)
-        return pd.DataFrame(rows)
-
-    t["display_v1"] = feed([202201, 202206, 202212, 202301])  # 202301 excluded by pred
-    t["display_v2"] = feed([202301, 202306, 202312])
-    t["display_v3"] = feed([202401, 202403])
-    t["search_v1"] = feed([202202, 202207], dma_col="dma_name")
-    t["search_v2"] = feed([202302, 202308], dma_col="dma_name")
-    t["search_v3"] = feed([202402], dma_col="dma_name")
-    t["poc_v1"] = feed([202203, 202208], dma_col="dma", clicks=False)
-    t["poc_v2"] = feed([202303], dma_col="dma", clicks=False)
-    t["poc_v3"] = feed([202403], dma_col="dma", clicks=False)
-    t["social_v1"] = feed([202204, 202209], dma_col="dma_name")
-    t["social_v2"] = feed([202304, 202404], dma_col="dma_name")
-
-    t["hcp_search_daily"] = pd.DataFrame(
-        [
-            {
-                "dma_code": str(500 + d),
-                "activity_date": f"2022-{m:02d}-{day:02d}",
-                "impressions": str(rng.randint(50, 999)),
-                "clicks": str(rng.randint(1, 99)),
-            }
-            for m in (1, 6, 12)
-            for day in (1, 15)
-            for d in range(3)
-        ]
-        # plus rows beyond the cutoff that the filter must drop
-        + [
-            {"dma_code": "500", "activity_date": "2023-01-05",
-             "impressions": "99999", "clicks": "9"}
-        ]
-    )
-    t["hcp_search_m1"] = feed([202301, 202307], dma_col="dma_name")[
-        ["dma_code", "year_mth", "impressions", "clicks"]
-    ]
-    t["hcp_search_m2"] = feed([202401, 202402], dma_col="dma_name")[
-        ["dma_code", "year_mth", "impressions", "clicks"]
-    ]
-
-    # weekly tall feed: weeks incl >= 49 (month-wrap) + null zips
-    weekly_rows = []
-    for yrwk in (202302, 202318, 202349, 202352):
-        for ch in ("EHR", "3RD_PARTY_EMAIL", "POC", "DISPLAY", "VIDEO", "CUSTOM", "ENDEMIC_SOCIAL"):
-            for z in ("z1", "z2", None):
-                for metric in ("REACH", "ENGAGEMENT"):
-                    weekly_rows.append(
-                        {
-                            "channel": ch,
-                            "yrwk": yrwk,
-                            "zip_cd": z,
-                            "metric": metric,
-                            "value": str(rng.randint(10, 500)),
-                        }
-                    )
-    # rows past the cutoff the filter must drop
-    weekly_rows.append({"channel": "EHR", "yrwk": 202401, "zip_cd": "z1",
-                        "metric": "REACH", "value": "12345"})
-    t["hcp_all_weekly"] = pd.DataFrame(weekly_rows)
-
-    def monthly(chs, yrmos, clicks=True):
-        rows = []
-        for ym in yrmos:
-            for ch in chs:
-                for d in range(3):
-                    r = {
-                        "dma_code": 500 + d,
-                        "year_mth": ym,
-                        "impressions": float(rng.randint(100, 999)),
-                    }
-                    if ch is not None:
-                        r["ipmm_channel"] = ch
-                    if clicks:
-                        r["clicks"] = float(rng.randint(1, 99))
-                    rows.append(r)
-        return pd.DataFrame(rows)
-
-    # NOTE: no 'Custom'/'Video' reach rows in 2024 monthly feeds →
-    # Custom cost pots go unmatched → missing-cost path exercised
-    t["hcp_all_monthly"] = monthly(
-        ["EHR", "3rd Party Email", "Digital Display"], [202401, 202402]
-    )
-    t["hcp_poc_monthly"] = monthly([None], [202401, 202402], clicks=False).drop(
-        columns=[]
-    )
-    t["hcp_social_monthly"] = monthly([None], [202401, 202402])
-    t["hcp_poc_monthly"] = t["hcp_poc_monthly"][["dma_code", "year_mth", "impressions"]]
-    t["hcp_social_monthly"] = t["hcp_social_monthly"][
-        ["dma_code", "year_mth", "impressions", "clicks"]
-    ]
-
-    t["costs_wide"] = pd.DataFrame(
-        [
-            {
-                "date_month_": f"{y}-{m:02d}",
-                "dtc_display_": _money(rng.randint(10000, 99999)),
-                "dtc_search": _money(rng.randint(10000, 99999)),
-                "dtc_poc": _money(rng.randint(10000, 99999)),
-                "dtc_social": _money(rng.randint(10000, 99999)),
-                "npp": _money(rng.randint(100000, 999999)),
-            }
-            for y in (2022, 2023, 2024)
-            for m in range(1, 13)
-        ]
-    )
-    t["costs_unpivot"] = pd.DataFrame(
-        [
-            {
-                "year_month": ym,
-                "audience": aud,
-                "channel": ch,
-                "cost": float(rng.randint(5000, 50000)),
-            }
-            for ym in (202401, 202402, 202403)
-            for aud, chans in (
-                ("DTC", ["Digital Display", "Paid Search", "POC", "Endemic Social"]),
-                ("HCP", ["Digital Display", "Paid Search", "POC", "3rd Party Email",
-                         "Endemic Social", "Online Video", "Video", "Custom", "EHR"]),
-            )
-            for ch in chans
-        ]
-    )
-    return t
 
 
 @pytest.fixture(scope="session")
