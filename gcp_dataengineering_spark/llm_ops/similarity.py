@@ -188,42 +188,56 @@ def cosine_topk_pandas(
     )
 
 
-def cosine_topk_ivf(
+def ivf_index(
     corpus: DataFrame,
-    queries: DataFrame,
-    k: int = 5,
     n_clusters: int = 16,
-    nprobe: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     seed: int = 42,
-) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: k-means the corpus once
-    (the training pass LSH avoids), assign every vector to its
-    centroid's posting list, then score each query only against the
-    `nprobe` nearest posting lists.
+) -> tuple[DataFrame, DataFrame]:
+    """IVF index build: k-means the corpus once, producing
+    (assignments, centroids) — ``assignments`` is (vec_id, cluster),
+    ``centroids`` is (cluster, centroid array<double>).
 
     The index is a cluster column on the corpus — at 100 TB it is
     computed once, persisted with the table (ideally as the bucketing
-    key), and reused by every query batch; candidate selection is an
-    equi-join on cluster id. Recall/latency trade via nprobe."""
+    key), and reused by every query batch. This is the only stage the
+    DuckDB oracle cannot replay (k-means is not SQL-expressible);
+    persisting both outputs lets the probe/score/rank stages be
+    differential-tested over the materialized index."""
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
     feats = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        F.col(id_col).alias("vec_id"),
         array_to_vector(F.col(vec_col).cast("array<double>")).alias("_features"),
     )
     model = KMeans(k=n_clusters, seed=seed, featuresCol="_features").fit(feats)
     assigned = model.transform(feats).select(
-        "neighbor_id", "c_vec", F.col("prediction").alias("cluster")
+        "vec_id", F.col("prediction").alias("cluster")
     )
-    spark = corpus.sparkSession
-    centroids = spark.createDataFrame(
+    centroids = corpus.sparkSession.createDataFrame(
         [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())],
         "cluster int, centroid array<double>",
     )
+    return assigned, centroids
+
+
+def cosine_topk_ivf_from_index(
+    corpus: DataFrame,
+    queries: DataFrame,
+    assignments: DataFrame,
+    centroids: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over a prebuilt index: each query scores the
+    centroids (tiny broadcast), keeps its `nprobe` nearest posting
+    lists, and scores only the vectors assigned to them — candidate
+    selection is an equi-join on cluster id. Recall/latency trade via
+    nprobe."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     wq = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cluster").asc())
     probes = (
@@ -232,6 +246,10 @@ def cosine_topk_ivf(
         .withColumn("c_rank", F.row_number().over(wq))
         .filter(F.col("c_rank") <= nprobe)
         .select("query_id", "q_vec", "cluster")
+    )
+    assigned = assignments.select(F.col("vec_id").alias("neighbor_id"), "cluster").join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id",
     )
     scored = (
         assigned.join(F.broadcast(probes), "cluster")
@@ -243,6 +261,24 @@ def cosine_topk_ivf(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
+def cosine_topk_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_clusters: int = 16,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF approximate top-k: index build + search in one call (see
+    ivf_index / cosine_topk_ivf_from_index)."""
+    assigned, centroids = ivf_index(corpus, n_clusters, id_col, vec_col, seed)
+    return cosine_topk_ivf_from_index(
+        corpus, queries, assigned, centroids, k, nprobe, id_col, vec_col
     )
 
 

@@ -14,6 +14,8 @@ Portability notes baked into the oracles:
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -440,12 +442,72 @@ def q_embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- embedding: IVF ANN
+IVF_INDEX_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    ".ivf_index",
+)
+
+
 def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 (k-means posting lists, nprobe=3).
-    K-means is not SQL-expressible → no oracle (rows-only check);
-    recall vs brute force is pytest-verified instead."""
+    """IVF approximate top-5 (k-means posting lists, nprobe=3), with a
+    PARTIAL oracle: the k-means index build itself is not
+    SQL-expressible, so the query persists the built index
+    (assignments + centroids) to parquet and the search — probe
+    selection, posting-list scoring, ranking — runs from those files
+    in BOTH engines. Only the index build stays oracle-unchecked
+    (pytest verifies its recall vs brute force instead)."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.cosine_topk_ivf(emb, emb.filter(F.col("vec_id") < 20), k=5)
+    assigned, centroids = S.ivf_index(emb)
+    assigned.write.mode("overwrite").parquet(f"{IVF_INDEX_DIR}/assignments.parquet")
+    centroids.write.mode("overwrite").parquet(f"{IVF_INDEX_DIR}/centroids.parquet")
+    a = spark.read.parquet(f"{IVF_INDEX_DIR}/assignments.parquet")
+    c = spark.read.parquet(f"{IVF_INDEX_DIR}/centroids.parquet")
+    return S.cosine_topk_ivf_from_index(
+        emb, emb.filter(F.col("vec_id") < 20), a, c, k=5, nprobe=3
+    )
+
+
+ORACLE_EMBEDDING_IVF = f"""
+WITH assigned AS (
+    SELECT * FROM read_parquet('{IVF_INDEX_DIR}/assignments.parquet/*.parquet')
+), centroids AS (
+    SELECT * FROM read_parquet('{IVF_INDEX_DIR}/centroids.parquet/*.parquet')
+), q AS (
+    SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20
+), probe_scored AS (
+    SELECT qid, cluster,
+        (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+         FROM (SELECT unnest(qv) AS x, unnest(centroid) AS y) t) /
+        (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(qv) AS x) t2)) *
+         sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(centroid) AS y) t3))) AS c_cos
+    FROM q, centroids
+), probes AS (
+    SELECT qid, cluster FROM (
+        SELECT qid, cluster,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c_cos DESC, cluster ASC) AS c_rank
+        FROM probe_scored
+    ) WHERE c_rank <= 3
+), cands AS (
+    SELECT p.qid, a.vec_id AS nid FROM probes p JOIN assigned a USING (cluster)
+), scored AS (
+    SELECT cands.qid, cands.nid,
+        (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+         FROM (SELECT unnest(q.qv) AS x, unnest(c.cv) AS y) t) /
+        (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(q.qv) AS x) t2)) *
+         sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(c.cv) AS y) t3))) AS cos
+    FROM cands
+    JOIN q ON cands.qid = q.qid
+    JOIN (SELECT vec_id AS nid, embedding AS cv FROM embeddings) c ON cands.nid = c.nid
+    WHERE cands.nid <> cands.qid
+), ranked AS (
+    SELECT qid, nid, cos,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
+    FROM scored
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       ROUND(cos, 4) AS cos
+FROM ranked WHERE rank <= 5
+"""
 
 
 # ---------------------------------------------------------------- embedding: LSH ANN
@@ -568,7 +630,9 @@ ORACLES = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "embedding_topk_pandas": ORACLE_EMBEDDING_TOPK,
-    # embedding_ivf: k-means index — not SQL-expressible, rows-only
+    # embedding_ivf: partial oracle — the query persists the k-means
+    # index to parquet; probe/score/rank are replayed from it in DuckDB
+    "embedding_ivf": ORACLE_EMBEDDING_IVF,
     "embedding_lsh": ORACLE_EMBEDDING_LSH,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
