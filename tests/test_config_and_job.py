@@ -32,6 +32,52 @@ def test_config_roundtrip(tmp_path, spark):
     assert spark.sql("SELECT count(*) FROM lineitem").first()[0] > 0
 
 
+def test_cli_entry_point(tmp_path):
+    """Entry point A as an executable (stage_1:1261-1304): argv →
+    INI → session → audit INITIATED → tam → digital → audit
+    COMPLETED. Runs in a subprocess (the CLI owns and stops its
+    session); outputs are checked with DuckDB."""
+    import json
+    import subprocess
+    import sys
+
+    from gcp_dataengineering_spark.fixtures import ensure_parquet, fixture_path, synth_inputs
+
+    ensure_parquet()
+    out_root = tmp_path / "cli_out"
+    ini = tmp_path / "configuration.ini"
+    lines = ["[dev]", f"out_root = {out_root}"]
+    lines += [f"{name} = {fixture_path(name)}" for name in synth_inputs()]
+    ini.write_text("\n".join(lines) + "\n")
+
+    proc = subprocess.run(
+        [sys.executable, "-m", "gcp_dataengineering_spark",
+         "--config", str(ini), "--environment", "dev",
+         "--batch-id", "cli-b1", "--cpus", "4"],
+        capture_output=True, text=True, timeout=420,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    summaries = [json.loads(ln) for ln in proc.stdout.splitlines() if ln.startswith("{")]
+    assert [s["table"] for s in summaries] == ["mars_tam_nvs", "mars_combined_nvs_data"]
+    assert all(s["rows"] > 0 and s["version"] == 1 for s in summaries)
+
+    import duckdb
+
+    con = duckdb.connect()
+    for s in summaries:
+        n = con.execute(
+            f"SELECT COUNT(*) FROM read_parquet('{s['snapshot']}/*.parquet')"
+        ).fetchone()[0]
+        assert n == s["rows"]
+    audit = con.execute(
+        f"SELECT log_id_status, batch_id FROM read_parquet('{out_root}/audit_job_info/*.parquet')"
+    ).fetchall()
+    statuses = [a[0] for a in audit]
+    assert statuses.count("INITIATED") == 1
+    assert statuses.count("COMPLETED") >= 5
+    assert all(a[1] == "cli-b1" for a in audit)
+
+
 def test_run_all_jobs(spark, ref_tables, tmp_path):
     out = str(tmp_path / "out")
     results = run_all(spark, ref_tables, out, batch_id="b-all")
