@@ -8,9 +8,10 @@ Two forms with identical semantics:
   so Spark evaluates them in a single WindowExec pass.
 - **streaming**: `applyInPandasWithState` keeps (last_ts, session_id)
   per user; a session is emitted when a later event opens the next
-  one. NoTimeout keeps the operator deterministic under
-  processAllAvailable-driven tests; a production deployment would add
-  ProcessingTimeTimeout to flush+evict idle users' tail sessions.
+  one. With `idle_timeout_ms` set, a ProcessingTimeTimeout flushes
+  and evicts idle users' tail sessions (the production mode); the
+  NoTimeout default keeps the operator deterministic under
+  processAllAvailable-driven equivalence tests.
   (Structured Streaming also offers the built-in
   `session_window(ts, gap)` aggregation; the explicit state form is
   kept here because it is the template for arbitrary custom stateful
@@ -57,10 +58,23 @@ def sessionize_batch(
     )
 
 
-def sessionize_stream(events_stream: DataFrame, gap_seconds: int = GAP_SECONDS) -> DataFrame:
+def sessionize_stream(
+    events_stream: DataFrame,
+    gap_seconds: int = GAP_SECONDS,
+    idle_timeout_ms: int | None = None,
+) -> DataFrame:
     """Streaming form: per-user state via applyInPandasWithState.
     Emits closed sessions (a session closes when a later event opens
-    the next one; tail sessions close on timeout)."""
+    the next one).
+
+    ``idle_timeout_ms`` controls the tail-session flush: when set,
+    the operator registers a ProcessingTimeTimeout per user; if no
+    event arrives within that wall-clock window, the user's open
+    session is emitted and the state evicted — so idle users' last
+    sessions reach the sink and state stays O(*active* users), the
+    production deployment mode. When None (default), NoTimeout keeps
+    the operator deterministic for processAllAvailable-driven
+    equivalence tests (stream == batch minus each user's open tail)."""
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -72,8 +86,31 @@ def sessionize_stream(events_stream: DataFrame, gap_seconds: int = GAP_SECONDS) 
         "session_id long, last_ts double, start_ts double, n long, total double"
     )
 
+    def emit(user_id, sessions):
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "session_id": s,
+                    "n_events": c,
+                    "start_epoch": int(st),
+                    "end_epoch": int(en),
+                    "total_value": round(tv, 4),
+                }
+                for (s, st, en, c, tv) in sessions
+            ]
+        )
+
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
+        if idle_timeout_ms is not None and state.hasTimedOut:
+            # idle user: flush the open tail session and evict state
+            if state.exists:
+                sid, last, start, n, total = state.get
+                state.remove()
+                if n:
+                    yield emit(user_id, [(sid, start, last, n, total)])
+            return
         if state.exists:
             sid, last, start, n, total = state.get
         else:
@@ -90,21 +127,16 @@ def sessionize_stream(events_stream: DataFrame, gap_seconds: int = GAP_SECONDS) 
             else:
                 last, n, total = t, n + 1, total + v
         state.update((sid, last, start, n, total))
+        if idle_timeout_ms is not None:
+            state.setTimeoutDuration(idle_timeout_ms)
         if closed:
-            yield pd.DataFrame(
-                [
-                    {
-                        "user_id": user_id,
-                        "session_id": s,
-                        "n_events": c,
-                        "start_epoch": int(st),
-                        "end_epoch": int(en),
-                        "total_value": round(tv, 4),
-                    }
-                    for (s, st, en, c, tv) in closed
-                ]
-            )
+            yield emit(user_id, closed)
 
+    timeout_conf = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if idle_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
     return events_stream.groupBy("user_id").applyInPandasWithState(
-        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+        fn, out_schema, state_schema, "append", timeout_conf
     )
