@@ -1,0 +1,97 @@
+"""Corpus-assembly operators: the steps between "filtered, deduped
+documents" and "training shards" in a large-scale pipeline —
+deterministic dataset splitting, token-budget shard planning, and
+duplicate-keeper application.
+
+All pure built-in-expression / window implementations (no UDFs, no
+driver loops):
+
+- `hash_split` is a *content-stable* split: membership depends only
+  on the id hashed with a salt, so re-running over a grown corpus
+  never moves an old document between train/val/test (the property
+  that prevents eval contamination across dataset versions). One
+  projection, runs at scan speed.
+- `shard_by_token_budget` plans output shards of ~budget tokens by
+  greedy sequential fill within each partition column value: an
+  exclusive prefix sum (one window over (part, order)) divided by
+  the budget. One shuffle on the partition column; the window and
+  the subsequent per-shard aggregation reuse the same partitioning.
+- `apply_dedup_keepers` joins the connected-component labels from
+  `dedup.resolve_dup_groups` back to the corpus and keeps each
+  group's canonical document — the final step of every near-dup
+  pipeline. Broadcast-friendly when the label table is small;
+  shuffle hash join on doc_id otherwise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .text import whitespace_token_count
+
+
+def hash_bucket(id_col: Column | str, salt: str = "split", buckets: int = 100) -> Column:
+    """Deterministic bucket in [0, buckets): first 60 bits of
+    md5(salt || 0x1f || id) mod buckets — engine-portable (DuckDB:
+    ('0x' || substring(md5(...), 1, 15))::BIGINT % buckets)."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.lit("\x1f"), c.cast("string")).cast("binary")),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("bigint")
+    return h % buckets
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+    salt: str = "split",
+) -> DataFrame:
+    """Adds a `split` column ('train' / 'val' / 'test') by
+    deterministic hash bucket of the id. Content-stable: a document's
+    split never changes as the corpus grows."""
+    b = hash_bucket(id_col, salt)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def shard_by_token_budget(
+    df: DataFrame,
+    budget_tokens: int,
+    part_col: str = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Assigns each document a `shard_id` so consecutive documents
+    (ordered by `order_col` within `part_col`) fill shards of
+    ~`budget_tokens` whitespace tokens: shard_id = exclusive-prefix
+    token sum ÷ budget. Deterministic, one window pass."""
+    toks = whitespace_token_count(text_col).cast("long")
+    w = Window.partitionBy(part_col).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    inclusive = F.sum(toks).over(w)
+    return df.withColumn("n_tokens", toks).withColumn(
+        "shard_id", F.floor((inclusive - toks) / F.lit(budget_tokens)).cast("long")
+    )
+
+
+def apply_dedup_keepers(
+    df: DataFrame, groups: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Keeps one document per duplicate group: join the
+    (doc_id, group_id) labels from `resolve_dup_groups` and retain
+    rows where the document IS its group's canonical keeper."""
+    return df.join(groups, id_col).filter(F.col(id_col) == F.col("group_id"))

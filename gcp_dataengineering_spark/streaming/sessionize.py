@@ -58,6 +58,41 @@ def sessionize_batch(
     )
 
 
+def sessionize_native(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts_ts",
+    gap_seconds: int = GAP_SECONDS,
+) -> DataFrame:
+    """Built-in `session_window` form of the same operator: one
+    groupBy on (user, session_window(ts, gap)) — Spark's native
+    session aggregation (usable unchanged under readStream with a
+    watermark) — then a per-user rank to recover ordinal session
+    ids. Checked against the SAME oracle as the lag+cumsum batch
+    form, proving the two are interchangeable.
+
+    Boundary note: the native window treats an event at exactly
+    last_ts + gap as part of the same session only if the gap
+    comparison is inclusive — which matches the batch form's
+    `diff > gap` new-session rule; the equivalence is
+    differentially verified, not assumed."""
+    grouped = events.groupBy(
+        F.col(user_col),
+        F.session_window(F.col(ts_col), f"{gap_seconds} seconds").alias("sw"),
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.min(F.col(ts_col).cast("double")).cast("long").alias("start_epoch"),
+        F.max(F.col(ts_col).cast("double")).cast("long").alias("end_epoch"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+    w = Window.partitionBy(user_col).orderBy(F.col("sw.start").asc())
+    return grouped.withColumn(
+        "session_id", F.row_number().over(w).cast("long")
+    ).select(
+        user_col, "session_id", "n_events", "start_epoch", "end_epoch", "total_value"
+    )
+
+
 def sessionize_stream(
     events_stream: DataFrame,
     gap_seconds: int = GAP_SECONDS,

@@ -858,6 +858,17 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same sessionization via Spark's built-in session_window
+    aggregation + per-user rank — checked against the SAME oracle as
+    the lag+cumsum form, proving interchangeability (the native form
+    is the one that runs unchanged under readStream + watermark)."""
+    from ..streaming.sessionize import sessionize_native
+
+    ev = _t(spark, sf_dir, "events")
+    return sessionize_native(ev.withColumn("ts_ts", event_ts("ts")))
+
+
 QUERIES = {
     "tam_flagship": q_tam_flagship,
     "vintage_union": q_vintage_union,
@@ -879,6 +890,7 @@ QUERIES = {
     "agg_ordinals": q_agg_ordinals,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
+    "sessionize_native": q_sessionize_native,
 }
 
 ORACLES = {
@@ -902,4 +914,5 @@ ORACLES = {
     "agg_ordinals": ORACLE_AGG_ORDINALS,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "sessionize": ORACLE_SESSIONIZE,
+    "sessionize_native": ORACLE_SESSIONIZE,
 }

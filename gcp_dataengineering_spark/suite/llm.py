@@ -19,6 +19,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..llm_ops import corpus as C
 from ..llm_ops import dedup as D
 from ..llm_ops import multimodal as M
 from ..llm_ops import similarity as S
@@ -574,6 +575,115 @@ FROM pairs WHERE cos >= 0.4
 """
 
 
+# ---------------------------------------------------------------- corpus assembly
+def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup pipeline: 3-gram Jaccard pairs (≥ 0.1) →
+    connected-component groups → keep each group's canonical
+    document → per-language kept counts + token totals. The full
+    dedup flow a training pipeline runs, as ONE declarative query."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = D.ngram_jaccard_pairs(docs, min_jaccard=0.1)
+    groups = D.resolve_dup_groups(docs, pairs)
+    kept = C.apply_dedup_keepers(docs, groups)
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum(T.whitespace_token_count("text")).cast("long").alias("kept_tokens"),
+    )
+
+
+ORACLE_DEDUP_PIPELINE = """
+WITH RECURSIVE words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+    FROM words, unnest(range(greatest(len(w) - 2, 0))) AS r(i)
+), sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+), pairs AS (
+    SELECT id_a, id_b FROM common
+    JOIN sizes sa ON common.id_a = sa.doc_id
+    JOIN sizes sb ON common.id_b = sb.doc_id
+    WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.1
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+    SELECT doc_id AS src, doc_id AS dst FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+), groups AS (
+    SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src
+)
+SELECT d.lang, CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(SUM(len(list_filter(regexp_split_to_array(d.text, '\\s+'), x -> x <> ''))) AS BIGINT) AS kept_tokens
+FROM documents d JOIN groups g ON d.doc_id = g.doc_id
+WHERE d.doc_id = g.group_id
+GROUP BY d.lang
+"""
+
+
+def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic content-stable train/val/test split (80/10/10 by
+    salted md5 bucket of the id) — membership never changes as the
+    corpus grows. Per-split doc + token counts."""
+    docs = _t(spark, sf_dir, "documents")
+    s = C.hash_split(docs)
+    return s.groupBy("split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(T.whitespace_token_count("text")).cast("long").alias("total_tokens"),
+    )
+
+
+ORACLE_DATASET_SPLIT = """
+WITH b AS (
+    SELECT text,
+           ('0x' || substring(md5('split' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bk
+    FROM documents
+)
+SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens
+FROM b GROUP BY 1
+"""
+
+
+def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard planning: greedy sequential fill of
+    ~2000-token shards within each language (exclusive prefix sum ÷
+    budget — one window pass). Per-shard doc + token totals."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = C.shard_by_token_budget(docs, budget_tokens=2000)
+    return sh.groupBy("lang", "shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("shard_tokens"),
+    )
+
+
+ORACLE_SHARD_PLAN = """
+WITH t AS (
+    SELECT lang, doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+), c AS (
+    SELECT lang, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM t
+)
+SELECT lang, CAST(FLOOR((cum - n_tokens) / 2000) AS BIGINT) AS shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS shard_tokens
+FROM c GROUP BY 1, 2
+"""
+
+
 # ---------------------------------------------------------------- multimodal plumbing
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: documents.text as opaque payload →
@@ -614,6 +724,9 @@ QUERIES = {
     "embedding_lsh": q_embedding_lsh,
     "embedding_neardup": q_embedding_neardup,
     "multimodal_meta": q_multimodal_meta,
+    "dedup_pipeline": q_dedup_pipeline,
+    "dataset_split": q_dataset_split,
+    "shard_plan": q_shard_plan,
 }
 
 ORACLES = {
@@ -636,4 +749,7 @@ ORACLES = {
     "embedding_lsh": ORACLE_EMBEDDING_LSH,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
+    "dedup_pipeline": ORACLE_DEDUP_PIPELINE,
+    "dataset_split": ORACLE_DATASET_SPLIT,
+    "shard_plan": ORACLE_SHARD_PLAN,
 }

@@ -193,3 +193,52 @@ def test_multimodal_stub_and_fake(spark):
     assert meta[1]["header_byte"] == ord("a")
     frames = frame_sample_plan(media, every_n=2).collect()
     assert {(r["media_id"], r["frame_idx"]) for r in frames} >= {(1, 0), (2, 0), (2, 1)}
+
+
+def test_hash_split_stable_and_exhaustive(spark):
+    """hash_split is deterministic, content-stable (a doc's split is
+    unchanged when the corpus grows), and covers every row."""
+    from gcp_dataengineering_spark.llm_ops.corpus import hash_split
+
+    docs = spark.range(0, 500).withColumnRenamed("id", "doc_id")
+    s1 = {r["doc_id"]: r["split"] for r in hash_split(docs).collect()}
+    assert set(s1.values()) == {"train", "val", "test"}
+    # roughly 80/10/10
+    n = len(s1)
+    train = sum(1 for v in s1.values() if v == "train")
+    assert 0.7 * n < train < 0.9 * n
+    # growing the corpus never moves an old document
+    bigger = spark.range(0, 1000).withColumnRenamed("id", "doc_id")
+    s2 = {r["doc_id"]: r["split"] for r in hash_split(bigger).collect()}
+    assert all(s2[k] == v for k, v in s1.items())
+
+
+def test_shard_by_token_budget_fills_sequentially(spark):
+    """Shards are contiguous in order_col and no shard except the
+    last (per partition value) is under-filled by more than one doc's
+    tokens."""
+    import pyspark.sql.functions as F
+
+    from gcp_dataengineering_spark.llm_ops.corpus import shard_by_token_budget
+
+    rows = [(i, "en", "tok " * 50) for i in range(40)]  # 50 tokens each
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    sh = shard_by_token_budget(docs, budget_tokens=200)
+    got = sh.select("doc_id", "shard_id").collect()
+    # 50 tokens/doc, 200/shard -> 4 docs per shard, in doc_id order
+    assert all(r["shard_id"] == r["doc_id"] // 4 for r in got)
+    totals = sh.groupBy("shard_id").agg(F.sum("n_tokens").alias("t")).collect()
+    assert all(r["t"] == 200 for r in totals)
+
+
+def test_apply_dedup_keepers_one_per_group(spark):
+    from gcp_dataengineering_spark.llm_ops.corpus import apply_dedup_keepers
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    groups = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 3), (4, 3), (5, 5)], "doc_id long, group_id long"
+    )
+    kept = sorted(r["doc_id"] for r in apply_dedup_keepers(docs, groups).collect())
+    assert kept == [0, 3, 5]
