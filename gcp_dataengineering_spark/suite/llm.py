@@ -684,6 +684,36 @@ FROM c GROUP BY 1, 2
 """
 
 
+def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-level corpus stats in one pass: ROLLUP over
+    (lang, split) — per (lang, split), per lang, and grand total,
+    computed by Spark's expand+aggregate (one shuffle). The standard
+    'dataset card' summary query."""
+    docs = _t(spark, sf_dir, "documents")
+    s = C.hash_split(docs)
+    return s.rollup("lang", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(T.whitespace_token_count("text")).cast("long").alias("total_tokens"),
+    )
+
+
+ORACLE_CORPUS_ROLLUP = """
+WITH b AS (
+    SELECT lang, text,
+           ('0x' || substring(md5('split' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bk
+    FROM documents
+), s AS (
+    SELECT lang,
+           CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM b
+)
+SELECT lang, split, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM s GROUP BY ROLLUP (lang, split)
+"""
+
+
 # ---------------------------------------------------------------- multimodal plumbing
 def q_multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column pipeline: documents.text as opaque payload →
@@ -727,6 +757,7 @@ QUERIES = {
     "dedup_pipeline": q_dedup_pipeline,
     "dataset_split": q_dataset_split,
     "shard_plan": q_shard_plan,
+    "corpus_rollup": q_corpus_rollup,
 }
 
 ORACLES = {
@@ -752,4 +783,5 @@ ORACLES = {
     "dedup_pipeline": ORACLE_DEDUP_PIPELINE,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "shard_plan": ORACLE_SHARD_PLAN,
+    "corpus_rollup": ORACLE_CORPUS_ROLLUP,
 }
