@@ -249,10 +249,21 @@ def ensure_parquet() -> str:
         fresh = False
     if not fresh:
         os.makedirs(FIXTURE_DIR, exist_ok=True)
+        # write-to-temp + atomic rename: two processes may race on the
+        # first materialization (the driver runs Spark queries and
+        # DuckDB oracles; both import this module). Content is
+        # deterministic, so last-rename-wins is safe; a half-written
+        # file is never visible under the final name.
+        pid = os.getpid()
         for name, pdf in synth_inputs().items():
-            pdf.to_parquet(os.path.join(FIXTURE_DIR, f"{name}.parquet"), index=False)
-        with open(marker, "w") as fh:
+            final = os.path.join(FIXTURE_DIR, f"{name}.parquet")
+            tmp = f"{final}.tmp.{pid}"
+            pdf.to_parquet(tmp, index=False)
+            os.replace(tmp, final)
+        tmp_marker = f"{marker}.tmp.{pid}"
+        with open(tmp_marker, "w") as fh:
             fh.write(FIXTURE_VERSION)
+        os.replace(tmp_marker, marker)
     _ensured = True
     return FIXTURE_DIR
 
