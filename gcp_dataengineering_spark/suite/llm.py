@@ -684,6 +684,31 @@ FROM c GROUP BY 1, 2
 """
 
 
+def q_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-aggregation corpus stats: per-language document count,
+    distinct normalized-text fingerprints (two-phase distinct agg —
+    the expand/partial-dedup shape), and the implied duplicate count."""
+    docs = _t(spark, sf_dir, "documents")
+    fp = docs.select("lang", T.fingerprint("text").alias("fp"))
+    return fp.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.countDistinct("fp").cast("long").alias("n_distinct"),
+        (F.count(F.lit(1)) - F.countDistinct("fp")).cast("long").alias("n_dup_docs"),
+    )
+
+
+ORACLE_DEDUP_STATS = """
+WITH fp AS (
+    SELECT lang, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_distinct,
+       CAST(COUNT(*) - COUNT(DISTINCT fp) AS BIGINT) AS n_dup_docs
+FROM fp GROUP BY lang
+"""
+
+
 def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-level corpus stats in one pass: ROLLUP over
     (lang, split) — per (lang, split), per lang, and grand total,
@@ -758,6 +783,7 @@ QUERIES = {
     "dataset_split": q_dataset_split,
     "shard_plan": q_shard_plan,
     "corpus_rollup": q_corpus_rollup,
+    "dedup_stats": q_dedup_stats,
 }
 
 ORACLES = {
@@ -784,4 +810,5 @@ ORACLES = {
     "dataset_split": ORACLE_DATASET_SPLIT,
     "shard_plan": ORACLE_SHARD_PLAN,
     "corpus_rollup": ORACLE_CORPUS_ROLLUP,
+    "dedup_stats": ORACLE_DEDUP_STATS,
 }

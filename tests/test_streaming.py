@@ -120,3 +120,42 @@ def test_stream_matches_batch(spark):
     gs = sorted([(key(r), r["n"], round(r["total_value"], 4)) for r in got])
     es = sorted([(key(r), r["n"], round(r["total_value"], 4)) for r in expect])
     assert gs == es and len(gs) > 0
+
+
+def test_dedup_stream_drops_watermark_window_dups(spark, tmp_path):
+    """Streaming exact dedup: re-arrivals of a fingerprint within the
+    watermark window are dropped; each key's first arrival is
+    emitted."""
+    from gcp_dataengineering_spark.streaming.dedup import dedup_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    schema = "fp string, ts timestamp, doc string"
+    rows = [
+        ("a", "2024-01-01 10:00:00", "doc-a"),
+        ("b", "2024-01-01 10:00:05", "doc-b"),
+        ("a", "2024-01-01 10:00:30", "doc-a-dup"),   # dup within window
+        ("c", "2024-01-01 10:01:00", "doc-c"),
+        ("b", "2024-01-01 10:02:00", "doc-b-dup"),   # dup within window
+    ]
+    df = spark.createDataFrame(
+        [(f, __import__("datetime").datetime.fromisoformat(t), d) for f, t, d in rows],
+        schema,
+    )
+    df.coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*.parquet")
+    name = f"dd_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream(stream, ["fp"], "ts", watermark="10 minutes")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["fp"]: r["doc"] for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    finally:
+        q.stop()
+    assert got == {"a": "doc-a", "b": "doc-b", "c": "doc-c"}
