@@ -70,16 +70,25 @@ def hash_split(
 def shard_by_token_budget(
     df: DataFrame,
     budget_tokens: int,
-    part_col: str = "lang",
+    part_col: str | list[str] = "lang",
     order_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
     """Assigns each document a `shard_id` so consecutive documents
     (ordered by `order_col` within `part_col`) fill shards of
     ~`budget_tokens` whitespace tokens: shard_id = exclusive-prefix
-    token sum ÷ budget. Deterministic, one window pass."""
+    token sum ÷ budget. Deterministic, one window pass.
+
+    Scale note: a greedy sequential fill is inherently ordered, so
+    each `part_col` value is ONE window partition processed by one
+    task. With a low-cardinality part_col (e.g. language alone) that
+    is a straggler at 100 TB — pass a composite like
+    ``["lang", hash-bucket column]`` (see `hash_bucket`) so partitions
+    are bounded; shard ids then stay unique per (part, shard_id)
+    tuple, which is what a sharded writer keys on anyway."""
+    parts = [part_col] if isinstance(part_col, str) else list(part_col)
     toks = whitespace_token_count(text_col).cast("long")
-    w = Window.partitionBy(part_col).orderBy(order_col).rowsBetween(
+    w = Window.partitionBy(*parts).orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0
     )
     inclusive = F.sum(toks).over(w)
