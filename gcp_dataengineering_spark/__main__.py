@@ -52,6 +52,12 @@ def main(argv: list[str] | None = None) -> int:
     args = build_arg_parser().parse_args(argv)
     cp = read_config_file(args.config)
     registry = registry_from_config(cp, args.environment)
+    # configparser merges [DEFAULT] entries into every section; those
+    # are shared settings, not table bindings — drop them from the
+    # table registry (out_root may still come from DEFAULT).
+    for key in cp.defaults():
+        if key != OUT_ROOT_KEY:
+            registry.paths.pop(key, None)
     if OUT_ROOT_KEY not in registry.paths:
         raise KeyError(
             f"config section [{args.environment}] must define '{OUT_ROOT_KEY}'"

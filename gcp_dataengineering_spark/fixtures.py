@@ -25,6 +25,21 @@ import pandas as pd
 # bump when synth_inputs changes so stale fixture dirs are rewritten
 FIXTURE_VERSION = "1"
 
+# Static table list (synth_inputs().keys(), sorted) — kept as a
+# constant so importers don't pay fixture synthesis just to learn the
+# names; test_config_and_job asserts it stays in sync.
+FIXTURE_TABLES = (
+    "calls_v1", "calls_v2", "calls_v3", "calls_v4",
+    "costs_unpivot", "costs_wide", "demographics",
+    "display_v1", "display_v2", "display_v3",
+    "hcp_all_monthly", "hcp_all_weekly", "hcp_org",
+    "hcp_poc_monthly", "hcp_search_daily", "hcp_search_m1",
+    "hcp_search_m2", "hcp_social_monthly", "mdm",
+    "poc_v1", "poc_v2", "poc_v3",
+    "search_v1", "search_v2", "search_v3",
+    "social_v1", "social_v2",
+)
+
 FIXTURE_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".e2e_fixtures")
 
 
@@ -188,9 +203,7 @@ def synth_inputs() -> dict[str, pd.DataFrame]:
     t["hcp_all_monthly"] = monthly(
         ["EHR", "3rd Party Email", "Digital Display"], [202401, 202402]
     )
-    t["hcp_poc_monthly"] = monthly([None], [202401, 202402], clicks=False).drop(
-        columns=[]
-    )
+    t["hcp_poc_monthly"] = monthly([None], [202401, 202402], clicks=False)
     t["hcp_social_monthly"] = monthly([None], [202401, 202402])
     t["hcp_poc_monthly"] = t["hcp_poc_monthly"][["dma_code", "year_mth", "impressions"]]
     t["hcp_social_monthly"] = t["hcp_social_monthly"][

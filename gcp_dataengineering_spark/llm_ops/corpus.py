@@ -28,24 +28,14 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import whitespace_token_count
+from .text import md5_60bit, whitespace_token_count
 
 
 def hash_bucket(id_col: Column | str, salt: str = "split", buckets: int = 100) -> Column:
-    """Deterministic bucket in [0, buckets): first 60 bits of
-    md5(salt || 0x1f || id) mod buckets — engine-portable (DuckDB:
-    ('0x' || substring(md5(...), 1, 15))::BIGINT % buckets)."""
+    """Deterministic bucket in [0, buckets): md5_60bit(salt || 0x1f
+    || id) mod buckets (see text.md5_60bit for the DuckDB spelling)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.lit(salt), F.lit("\x1f"), c.cast("string")).cast("binary")),
-            1,
-            15,
-        ),
-        16,
-        10,
-    ).cast("bigint")
-    return h % buckets
+    return md5_60bit(F.concat(F.lit(salt), F.lit("\x1f"), c.cast("string"))) % buckets
 
 
 def hash_split(

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import fingerprint
+from .text import fingerprint, md5_60bit
 
 
 # ------------------------------------------------------------ exact
@@ -155,15 +155,7 @@ def minhash_signatures(
     sh = shingle_rows(df, text_col, id_col, n)
     aggs = [
         F.min(
-            F.conv(
-                F.substring(
-                    F.md5(F.concat(F.lit(str(i)), F.lit("\x1f"), F.col("shingle")).cast("binary")),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("bigint")
+            md5_60bit(F.concat(F.lit(str(i)), F.lit("\x1f"), F.col("shingle")))
         ).alias(f"m{i}")
         for i in range(num_hashes)
     ]

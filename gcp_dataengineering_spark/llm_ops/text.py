@@ -23,6 +23,16 @@ STOPWORDS = {
 }
 
 
+def md5_60bit(c: Column) -> Column:
+    """First 60 bits of md5(c) as a BIGINT — the engine-portable
+    numeric hash used by the minhash family and dataset splitting.
+    DuckDB spells the identical value
+    ``('0x' || substring(md5(x), 1, 15))::BIGINT``. Numeric (not hex
+    string) so aggregations stay HashAggregate and shuffles carry
+    8 bytes."""
+    return F.conv(F.substring(F.md5(c.cast("binary")), 1, 15), 16, 10).cast("bigint")
+
+
 def tokens(col: Column | str, pattern: str = TOKEN_SPLIT_RE) -> Column:
     """Regex tokenization → array<string> (empty strings filtered)."""
     c = F.col(col) if isinstance(col, str) else col

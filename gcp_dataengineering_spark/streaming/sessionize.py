@@ -139,12 +139,24 @@ def sessionize_stream(
     def fn(key, pdfs, state: GroupState):
         (user_id,) = key
         if idle_timeout_ms is not None and state.hasTimedOut:
-            # idle user: flush the open tail session and evict state
+            # Two-phase eviction. Phase 1: flush the open tail session
+            # but KEEP the session counter as a tombstone (n=0) with a
+            # fresh timeout, so a user returning within the grace
+            # window continues ordinal session ids instead of reusing
+            # an already-emitted (user_id, session_id). Phase 2: a
+            # tombstone that times out again is removed entirely —
+            # state stays O(recently active users). A user returning
+            # after full eviction restarts ids at 1; consumers that
+            # need identity across that horizon should key on
+            # (user_id, start_epoch).
             if state.exists:
                 sid, last, start, n, total = state.get
-                state.remove()
                 if n:
+                    state.update((sid, None, None, 0, 0.0))
+                    state.setTimeoutDuration(idle_timeout_ms)
                     yield emit(user_id, [(sid, start, last, n, total)])
+                else:
+                    state.remove()
             return
         if state.exists:
             sid, last, start, n, total = state.get

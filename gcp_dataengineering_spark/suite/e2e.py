@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..fixtures import ensure_parquet, fixture_path, synth_inputs
+from ..fixtures import FIXTURE_TABLES, ensure_parquet, fixture_path
 from ..pipelines.digital import nvs_digital
 from ..pipelines.tam import nvs_tam
 
@@ -38,8 +38,6 @@ try:
 except OSError:  # pragma: no cover - read-only checkout; queries will re-raise
     pass
 
-FIXTURE_TABLES = sorted(synth_inputs().keys())
-
 
 def _load_tables(spark: SparkSession) -> dict[str, DataFrame]:
     ensure_parquet()
@@ -50,13 +48,18 @@ def _sourced(sql: str) -> str:
     """Prefix a WITH-query with CTEs binding every fixture table name
     to its parquet file, so the oracle is self-contained against the
     driver's DuckDB connection (which only registers the testdata
-    views). Unused CTEs are pruned by DuckDB's optimizer."""
+    views). Unused CTEs are pruned by DuckDB's optimizer. A leading
+    WITH RECURSIVE keeps RECURSIVE in the (mandatory) first position;
+    non-recursive source CTEs are legal after it."""
     ctes = ",\n".join(
         f"{name} AS (SELECT * FROM read_parquet('{fixture_path(name)}'))"
         for name in FIXTURE_TABLES
     )
     body = sql.lstrip()
-    if body.upper().startswith("WITH"):
+    upper = body.upper()
+    if upper.startswith("WITH RECURSIVE"):
+        return "WITH RECURSIVE " + ctes + ",\n" + body[len("WITH RECURSIVE"):].lstrip()
+    if upper.startswith("WITH"):
         return "WITH " + ctes + ",\n" + body[len("WITH"):].lstrip()
     return "WITH " + ctes + "\n" + body
 

@@ -87,3 +87,9 @@ def test_run_all_jobs(spark, ref_tables, tmp_path):
     statuses = [r["log_id_status"] for r in audit.collect()]
     assert statuses.count("INITIATED") == 1
     assert statuses.count("COMPLETED") >= 5  # 2 per table job + final
+
+
+def test_fixture_table_constant_in_sync():
+    from gcp_dataengineering_spark.fixtures import FIXTURE_TABLES, synth_inputs
+
+    assert tuple(sorted(synth_inputs().keys())) == FIXTURE_TABLES
