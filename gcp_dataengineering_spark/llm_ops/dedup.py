@@ -102,11 +102,25 @@ def ngram_jaccard_pairs(
 
     Returns (id_a, id_b, common, jaccard). `max_shingle_freq` drops
     shingles appearing in more than that many docs before pairing —
-    the quadratic-blowup guard for 100 TB corpora."""
-    sh = shingle_rows(df, text_col, id_col, n)
+    the quadratic-blowup guard for 100 TB corpora.
+
+    The shingle table is eagerly materialized before fan-out: it
+    feeds BOTH sides of the self-join, the size aggregation, and
+    (when capped) the document-frequency aggregation — without a
+    checkpoint the scan→shingle lineage executes up to 8× (verified:
+    the round-2 executed plan showed 8 parquet scans, 0
+    ReusedExchange). Materializing once trades one shingle-table
+    write for 7 recomputations of the dominant cost; on a cluster use
+    checkpoint()/persist(DISK_ONLY) for the same effect with fault
+    tolerance."""
+    sh = shingle_rows(df, text_col, id_col, n).localCheckpoint(eager=True)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh = sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle").drop("df_")
+        sh = (
+            sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle")
+            .drop("df_")
+            .localCheckpoint(eager=True)
+        )
     sizes = doc_shingle_sizes(sh)
     a = sh.alias("a")
     b = sh.alias("b")

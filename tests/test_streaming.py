@@ -159,3 +159,90 @@ def test_dedup_stream_drops_watermark_window_dups(spark, tmp_path):
     finally:
         q.stop()
     assert got == {"a": "doc-a", "b": "doc-b", "c": "doc-c"}
+
+
+def test_sessionize_timeout_tombstone_preserves_session_ids(spark):
+    """Deterministic check of the two-phase eviction logic: after a
+    timeout flush the session counter survives as a tombstone, so a
+    returning user continues ordinal ids instead of reusing one; a
+    tombstone that times out again is fully evicted."""
+    import pandas as pd
+
+    from gcp_dataengineering_spark.streaming import sessionize as SZ
+
+    class FakeState:
+        def __init__(self):
+            self._v, self.hasTimedOut, self.removed = None, False, False
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v, self.removed = None, True
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+    # Recreate the closure fn by calling sessionize_stream is not
+    # possible without a streaming DF; drive the same logic through a
+    # tiny shim that mirrors fn's contract instead.
+    def run_fn(state, rows):
+        out = []
+        gap, idle = 300, 1000
+
+        def batches():
+            yield pd.DataFrame(rows, columns=["ts_sec", "value"])
+
+        # inline reimplementation would defeat the test; instead call
+        # the real applyInPandasWithState function object extracted
+        # from the operator via a probe DataFrame
+        fn = extract_fn()
+        for pdf in fn((1,), batches(), state):
+            out.extend(pdf.to_dict("records"))
+        return out
+
+    captured = {}
+
+    class Probe:
+        def groupBy(self, *a):
+            return self
+
+        def applyInPandasWithState(self, fn, *a, **k):
+            captured["fn"] = fn
+            return None
+
+    def extract_fn():
+        if "fn" not in captured:
+            SZ.sessionize_stream(Probe(), gap_seconds=300, idle_timeout_ms=1000)
+        return captured["fn"]
+
+    st = FakeState()
+    # batch 1: one session for user 1
+    assert run_fn(st, [(1000.0, 2.0), (1010.0, 3.0)]) == []
+    assert st.get[0] == 1  # open session id 1
+    # timeout fires: tail session flushed, tombstone keeps sid
+    st.hasTimedOut = True
+    flushed = run_fn(st, [])
+    assert [r["session_id"] for r in flushed] == [1]
+    assert st.exists and st.get[0] == 1 and st.get[3] == 0  # tombstone
+    # user returns within grace window: next session id continues at 2
+    st.hasTimedOut = False
+    assert run_fn(st, [(5000.0, 1.0)]) == []
+    assert st.get[0] == 2
+    # close it via a later event, emitted with id 2 (never a reuse of 1)
+    closed = run_fn(st, [(9000.0, 1.0)])
+    assert [r["session_id"] for r in closed] == [2]
+    # tombstone timeout after flush: fully evicted
+    st.hasTimedOut = True
+    assert [r["session_id"] for r in run_fn(st, [])] == [3]  # flush open session 3
+    st.hasTimedOut = True
+    assert run_fn(st, []) == []
+    assert st.removed and not st.exists
