@@ -183,12 +183,16 @@ def lsh_candidate_pairs(
     num_hashes/bands rows; docs sharing ANY band signature are
     candidates. Implemented as explode(bands) → self-join on
     (band_idx, band_key) → distinct pairs with shared-band count.
-    The join key is a band hash — never a cross join."""
+    The join key is a band hash — never a cross join. The signatures
+    are eagerly materialized first: both sides of the self-join
+    consume them, and an unmaterialized input would re-run whatever
+    lineage produced it twice (see minhash_dedup_pairs)."""
     if num_hashes % bands != 0:
         raise ValueError(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
             "a remainder would silently drop trailing signature components"
         )
+    signatures = signatures.localCheckpoint(eager=True)
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):

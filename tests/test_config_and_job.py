@@ -93,3 +93,26 @@ def test_fixture_table_constant_in_sync():
     from gcp_dataengineering_spark.fixtures import FIXTURE_TABLES, synth_inputs
 
     assert tuple(sorted(synth_inputs().keys())) == FIXTURE_TABLES
+
+
+def test_cli_default_section_keys_not_tables(tmp_path, spark):
+    """[DEFAULT] entries are shared settings, not table bindings —
+    the registry built for the job must exclude them (out_root may
+    come from DEFAULT)."""
+    from gcp_dataengineering_spark.__main__ import OUT_ROOT_KEY
+    from gcp_dataengineering_spark.config import read_config_file, registry_from_config
+
+    ini = tmp_path / "configuration.ini"
+    ini.write_text(
+        "[DEFAULT]\nretries = 3\nout_root = /tmp/shared_out\n"
+        "[dev]\norders = /root/testdata/sf0.001/orders.parquet\n"
+    )
+    cp = read_config_file(str(ini))
+    registry = registry_from_config(cp, "dev")
+    for key in cp.defaults():
+        if key != OUT_ROOT_KEY:
+            registry.paths.pop(key, None)
+    assert "retries" not in registry.paths
+    assert registry.paths.pop(OUT_ROOT_KEY) == "/tmp/shared_out"
+    assert list(registry.paths) == ["orders"]
+    assert registry.read(spark, "orders").count() > 0

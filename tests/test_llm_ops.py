@@ -242,3 +242,59 @@ def test_apply_dedup_keepers_one_per_group(spark):
     )
     kept = sorted(r["doc_id"] for r in apply_dedup_keepers(docs, groups).collect())
     assert kept == [0, 3, 5]
+
+
+def test_shingle_rows_matches_python_reference(spark):
+    """Property check of the O(L) shingle rewrite against a pure
+    Python reference: distinct word 3-grams per document, across
+    generated word-list shapes (empty, short, repeated words)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gcp_dataengineering_spark.llm_ops.dedup import shingle_rows
+
+    word = st.text(alphabet="abcd", min_size=1, max_size=3)
+
+    @settings(max_examples=15, deadline=None)
+    @given(st.lists(st.lists(word, min_size=0, max_size=12), min_size=1, max_size=6))
+    def check(docs_words):
+        rows = [(i, " ".join(ws)) for i, ws in enumerate(docs_words)]
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            (r["doc_id"], r["shingle"])
+            for r in shingle_rows(df, spread=False).collect()
+        }
+        expect = set()
+        for i, ws in enumerate(docs_words):
+            toks = [w.lower() for w in ws if w]
+            for j in range(len(toks) - 2):
+                expect.add((i, " ".join(toks[j : j + 3])))
+        assert got == expect
+
+    check()
+
+
+def test_lsh_candidate_pairs_agrees_with_minhash_pairs(docs):
+    """The standalone banding operator must produce the same
+    candidate set (and shared-band counts) as the fused
+    minhash_dedup_pairs path over the same signatures."""
+    from gcp_dataengineering_spark.llm_ops.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(docs, num_hashes=8)
+    stand = {
+        (r["id_a"], r["id_b"]): r["shared_bands"]
+        for r in lsh_candidate_pairs(sigs, num_hashes=8, bands=4).collect()
+    }
+    fused = {
+        (r["id_a"], r["id_b"]): r["shared_bands"]
+        for r in minhash_dedup_pairs(docs, num_hashes=8, bands=4).collect()
+    }
+    assert stand == fused and len(stand) > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="divisible"):
+        lsh_candidate_pairs(sigs, num_hashes=8, bands=3)
