@@ -858,6 +858,30 @@ FROM numbered GROUP BY user_id, session_id
 """
 
 
+def q_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation (the hot-key remedy): sum per
+    (keys, random salt) then per keys. Result must equal a plain
+    GROUP BY sum — integer-valued l_quantity keeps the double sum
+    exact in any addition order, so the equality is bit-level."""
+    from ..ops.skew import salted_sum
+
+    li = _t(spark, sf_dir, "lineitem")
+    out = salted_sum(
+        li, ["l_returnflag", "l_linestatus"], {"l_quantity": "sum_qty"}
+    )
+    return out.select(
+        "l_returnflag", "l_linestatus",
+        F.col("sum_qty").cast("double").alias("sum_qty"),
+    )
+
+
+ORACLE_SALTED_AGG = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(l_quantity) AS DOUBLE) AS sum_qty
+FROM lineitem GROUP BY 1, 2
+"""
+
+
 def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same sessionization via Spark's built-in session_window
     aggregation + per-user rank — checked against the SAME oracle as
@@ -891,6 +915,7 @@ QUERIES = {
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
     "sessionize_native": q_sessionize_native,
+    "salted_agg": q_salted_agg,
 }
 
 ORACLES = {
@@ -915,4 +940,5 @@ ORACLES = {
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "sessionize": ORACLE_SESSIONIZE,
     "sessionize_native": ORACLE_SESSIONIZE,
+    "salted_agg": ORACLE_SALTED_AGG,
 }

@@ -575,6 +575,36 @@ FROM pairs WHERE cos >= 0.4
 """
 
 
+# ------------------------------------------------------- embedding near-dup @scale
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of embedding near-dup: block on sign-LSH
+    buckets computed from the vectors themselves (no label column
+    needed), then score only intra-bucket pairs — the pair space is
+    per-bucket, never global."""
+    dims = [0, 8, 16, 24, 32, 40, 48, 56]
+    emb = _t(spark, sf_dir, "embeddings").withColumn(
+        "_bucket", S.sign_bucket(F.col("embedding"), dims)
+    )
+    return S.embedding_near_dup_pairs(emb, threshold=0.4, block_col="_bucket")
+
+
+ORACLE_EMBEDDING_NEARDUP_LSH = f"""
+WITH v AS (
+    SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+    FROM embeddings
+), pairs AS (
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+         FROM (SELECT unnest(a.embedding) AS x, unnest(b.embedding) AS y) t) /
+        (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(a.embedding) AS x) t2)) *
+         sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(b.embedding) AS y) t3))) AS cos
+    FROM v a JOIN v b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, ROUND(cos, 4) AS cos
+FROM pairs WHERE cos >= 0.4
+"""
+
+
 # ---------------------------------------------------------------- corpus assembly
 def q_dedup_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """End-to-end near-dup pipeline: 3-gram Jaccard pairs (≥ 0.1) →
@@ -778,6 +808,7 @@ QUERIES = {
     "embedding_ivf": q_embedding_ivf,
     "embedding_lsh": q_embedding_lsh,
     "embedding_neardup": q_embedding_neardup,
+    "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "multimodal_meta": q_multimodal_meta,
     "dedup_pipeline": q_dedup_pipeline,
     "dataset_split": q_dataset_split,
@@ -805,6 +836,7 @@ ORACLES = {
     "embedding_ivf": ORACLE_EMBEDDING_IVF,
     "embedding_lsh": ORACLE_EMBEDDING_LSH,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "embedding_neardup_lsh": ORACLE_EMBEDDING_NEARDUP_LSH,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "dedup_pipeline": ORACLE_DEDUP_PIPELINE,
     "dataset_split": ORACLE_DATASET_SPLIT,
