@@ -34,9 +34,13 @@ HEADLINE = [
     "dedup_minhash",
     "dedup_ngram_capped",
     "dedup_groups",
+    "dedup_pipeline",
     "text_quality",
     "embedding_topk",
     "embedding_lsh",
+    "dataset_split",
+    "shard_plan",
+    "corpus_rollup",
 ]
 
 
