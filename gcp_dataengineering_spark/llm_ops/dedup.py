@@ -95,6 +95,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.0,
     max_shingle_freq: int | None = None,
+    _keep_sizes: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard similarity via posting-list
     self-join: explode shingles, join on shingle (id_a < id_b),
@@ -139,11 +140,44 @@ def ngram_jaccard_pairs(
             F.col("common").cast("double")
             / (F.col("size_a") + F.col("size_b") - F.col("common")).cast("double"),
         )
-        .select("id_a", "id_b", "common", "jaccard")
+        .select(
+            "id_a", "id_b", "common", "jaccard",
+            *(["size_a", "size_b"] if _keep_sizes else []),
+        )
     )
     if min_jaccard > 0.0:
         out = out.filter(F.col("jaccard") >= min_jaccard)
     return out
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 3,
+    min_containment: float = 0.8,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by n-gram CONTAINMENT: |A∩B| / min(|A|, |B|) —
+    the one-sided overlap measure that catches subset duplication
+    (boilerplate, quoted passages, truncated copies) which symmetric
+    Jaccard under-scores: a 100-word doc fully embedded in a
+    10,000-word doc has Jaccard ≈ 0.01 but containment = 1.0.
+
+    Same posting-list shape (and the same single materialized shingle
+    table) as ngram_jaccard_pairs — reuses its pair generation and
+    derives both measures, returning (id_a, id_b, common, jaccard,
+    containment) filtered on containment."""
+    pairs = ngram_jaccard_pairs(
+        df, text_col, id_col, n, min_jaccard=0.0, max_shingle_freq=max_shingle_freq,
+        _keep_sizes=True,
+    )
+    out = pairs.withColumn(
+        "containment",
+        F.col("common").cast("double")
+        / F.least(F.col("size_a"), F.col("size_b")).cast("double"),
+    ).select("id_a", "id_b", "common", "jaccard", "containment")
+    return out.filter(F.col("containment") >= min_containment)
 
 
 # ------------------------------------------------------------ MinHash + LSH

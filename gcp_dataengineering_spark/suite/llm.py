@@ -272,6 +272,46 @@ WHERE CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common) >= 0.1
 """
 
 
+# ---------------------------------------------------------------- containment
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by n-gram containment |A∩B|/min(|A|,|B|) ≥ 0.5
+    — the one-sided measure that catches subset/boilerplate
+    duplication symmetric Jaccard under-scores."""
+    pairs = D.ngram_containment_pairs(
+        _t(spark, sf_dir, "documents"), min_containment=0.5
+    )
+    return pairs.select(
+        "id_a", "id_b", "common",
+        r4(F.col("jaccard")).alias("jaccard"),
+        r4(F.col("containment")).alias("containment"),
+    )
+
+
+ORACLE_DEDUP_CONTAINMENT = """
+WITH words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+    FROM documents
+), sh AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+    FROM words, unnest(range(greatest(len(w) - 2, 0))) AS r(i)
+), sizes AS (
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh FROM sh GROUP BY 1
+), common AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS common
+    FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b, common,
+       ROUND(CAST(common AS DOUBLE) / (sa.n_sh + sb.n_sh - common), 4) AS jaccard,
+       ROUND(CAST(common AS DOUBLE) / least(sa.n_sh, sb.n_sh), 4) AS containment
+FROM common
+JOIN sizes sa ON common.id_a = sa.doc_id
+JOIN sizes sb ON common.id_b = sb.doc_id
+WHERE CAST(common AS DOUBLE) / least(sa.n_sh, sb.n_sh) >= 0.5
+"""
+
+
 # ---------------------------------------------------------------- MinHash + LSH
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(8)+LSH(4 bands) candidate pairs with estimated
@@ -800,6 +840,7 @@ QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "dedup_ngram": q_dedup_ngram,
+    "dedup_containment": q_dedup_containment,
     "dedup_groups": q_dedup_groups,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
@@ -826,6 +867,7 @@ ORACLES = {
     "token_count": ORACLE_TOKEN_COUNT,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "dedup_ngram": ORACLE_DEDUP_NGRAM,
+    "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "dedup_groups": ORACLE_DEDUP_GROUPS,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,

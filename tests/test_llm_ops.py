@@ -298,3 +298,25 @@ def test_lsh_candidate_pairs_agrees_with_minhash_pairs(docs):
 
     with _pytest.raises(ValueError, match="divisible"):
         lsh_candidate_pairs(sigs, num_hashes=8, bands=3)
+
+
+def test_containment_catches_subset_duplication(spark):
+    """A short doc fully embedded in a long doc: Jaccard is tiny but
+    containment is 1.0 — only the containment measure flags it."""
+    from gcp_dataengineering_spark.llm_ops.dedup import (
+        ngram_containment_pairs,
+        ngram_jaccard_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon zeta"
+    filler = " ".join(f"w{i} x{i} y{i}" for i in range(60))
+    docs = spark.createDataFrame(
+        [(0, short), (1, filler + " " + short + " " + filler)],
+        "doc_id long, text string",
+    )
+    cont = {(r["id_a"], r["id_b"]): r for r in ngram_containment_pairs(docs).collect()}
+    assert (0, 1) in cont
+    assert cont[(0, 1)]["containment"] == 1.0
+    assert cont[(0, 1)]["jaccard"] < 0.05
+    jac = ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
+    assert jac == []  # symmetric Jaccard misses the subset dup
