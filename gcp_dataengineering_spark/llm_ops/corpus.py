@@ -31,7 +31,16 @@ from pyspark.sql import functions as F
 from .text import md5_60bit, whitespace_token_count
 
 
-def hash_bucket(id_col: Column | str, salt: str = "split", buckets: int = 100) -> Column:
+# Bucket count shared by hash_bucket's default and hash_split's
+# percent thresholds — a percent IS a bucket count only because this
+# is 100, so both read the same constant (desynchronizing them would
+# silently skew the split ratios).
+SPLIT_BUCKETS = 100
+
+
+def hash_bucket(
+    id_col: Column | str, salt: str = "split", buckets: int = SPLIT_BUCKETS
+) -> Column:
     """Deterministic bucket in [0, buckets): md5_60bit(salt || 0x1f
     || id) mod buckets (see text.md5_60bit for the DuckDB spelling)."""
     c = F.col(id_col) if isinstance(id_col, str) else id_col
@@ -47,8 +56,16 @@ def hash_split(
 ) -> DataFrame:
     """Adds a `split` column ('train' / 'val' / 'test') by
     deterministic hash bucket of the id. Content-stable: a document's
-    split never changes as the corpus grows."""
-    b = hash_bucket(id_col, salt)
+    split never changes as the corpus grows.
+
+    train_pct + val_pct == 100 is allowed (deliberately empty test
+    split); > 100 raises — it would silently mislabel val rows."""
+    if train_pct < 0 or val_pct < 0 or train_pct + val_pct > 100:
+        raise ValueError(
+            f"invalid split percentages train={train_pct} val={val_pct}: "
+            "need train_pct >= 0, val_pct >= 0, train_pct + val_pct <= 100"
+        )
+    b = hash_bucket(id_col, salt, SPLIT_BUCKETS)
     return df.withColumn(
         "split",
         F.when(b < train_pct, "train")
@@ -92,5 +109,13 @@ def apply_dedup_keepers(
 ) -> DataFrame:
     """Keeps one document per duplicate group: join the
     (doc_id, group_id) labels from `resolve_dup_groups` and retain
-    rows where the document IS its group's canonical keeper."""
-    return df.join(groups, id_col).filter(F.col(id_col) == F.col("group_id"))
+    rows where the document IS its group's canonical keeper.
+
+    LEFT join + coalesce(group_id, doc_id): a document absent from
+    the labels table (caller derived labels from pairs only, not the
+    full id set) has no duplicates by construction and is its own
+    keeper — an inner join would silently drop every such unique
+    document from the corpus."""
+    labeled = df.join(groups, on=id_col, how="left")
+    effective = F.coalesce(F.col("group_id"), F.col(id_col))
+    return labeled.filter(F.col(id_col) == effective).drop("group_id")

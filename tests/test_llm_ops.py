@@ -244,6 +244,40 @@ def test_apply_dedup_keepers_one_per_group(spark):
     assert kept == [0, 3, 5]
 
 
+def test_apply_dedup_keepers_partial_labels_keep_unlabeled(spark):
+    """A document absent from the labels table (pairs-derived labels,
+    not seeded with all ids) is its own keeper — it must NOT be
+    silently dropped."""
+    from gcp_dataengineering_spark.llm_ops.corpus import apply_dedup_keepers
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in range(6)], "doc_id long, text string"
+    )
+    # only docs 0-2 appear in any near-dup pair; 3-5 are unlabeled uniques
+    groups = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0)], "doc_id long, group_id long"
+    )
+    kept = apply_dedup_keepers(docs, groups)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0, 3, 4, 5]
+    # schema is unchanged (no group_id leaking into the corpus)
+    assert kept.columns == docs.columns
+
+
+def test_hash_split_validates_percents(spark):
+    import pytest as _pytest
+
+    from gcp_dataengineering_spark.llm_ops.corpus import hash_split
+
+    docs = spark.range(0, 10).withColumnRenamed("id", "doc_id")
+    with _pytest.raises(ValueError):
+        hash_split(docs, train_pct=95, val_pct=10)
+    with _pytest.raises(ValueError):
+        hash_split(docs, train_pct=-1, val_pct=5)
+    # == 100 is the documented deliberately-empty-test case
+    splits = {r["split"] for r in hash_split(docs, train_pct=90, val_pct=10).collect()}
+    assert "test" not in splits
+
+
 def test_shingle_rows_matches_python_reference(spark):
     """Property check of the O(L) shingle rewrite against a pure
     Python reference: distinct word 3-grams per document, across
