@@ -18,7 +18,15 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .materialize import MaterializeFn
+from .materialize import materialize as _materialize
 from .text import fingerprint, md5_60bit
+
+# Every operator below that materializes an intermediate takes a
+# ``materialize=`` parameter (strategy name | callable | False) and
+# defaults to the module-wide strategy in llm_ops.materialize —
+# localCheckpoint locally; switch to 'checkpoint' / 'parquet:<dir>'
+# on a cluster so a multi-hour job survives executor loss.
 
 
 # ------------------------------------------------------------ exact
@@ -58,15 +66,19 @@ def shingle_rows(
       expression is non-cheap and multiply-referenced), so `_w` is
       evaluated once per row: O(words) per document.
     - `spread` round-robin-repartitions the (id, text) input to
-      defaultParallelism first. Shingling is ~10× the scan cost, so a
+      defaultParallelism first — but ONLY when the input has fewer
+      partitions than that. Shingling is ~10× the scan cost, so a
       few-file input (one parquet file at small SF; a skewed split at
       100 TB) would otherwise serialize the whole map stage on a
-      handful of tasks. The payload shuffled is one pass of the raw
-      text — cheap relative to the CPU it balances. Pass spread=False
-      when the caller already controls partitioning."""
+      handful of tasks. A well-partitioned input (a 100 TB table read
+      as thousands of splits) skips the shuffle entirely: the guard
+      keeps the default safe without the caller knowing to pass
+      spread=False."""
     base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
     if spread:
-        base = base.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < parallelism:
+            base = base.repartition(parallelism)
     words = F.filter(F.split(F.lower(F.col("_text")), "\\s+"), lambda t: t != "")
     wdf = base.select("doc_id", words.alias("_w"))
     w = F.col("_w")
@@ -95,6 +107,7 @@ def ngram_jaccard_pairs(
     n: int = 3,
     min_jaccard: float = 0.0,
     max_shingle_freq: int | None = None,
+    materialize: str | MaterializeFn | bool | None = None,
     _keep_sizes: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard similarity via posting-list
@@ -110,17 +123,16 @@ def ngram_jaccard_pairs(
     (when capped) the document-frequency aggregation — without a
     checkpoint the scan→shingle lineage executes up to 8× (verified:
     the round-2 executed plan showed 8 parquet scans, 0
-    ReusedExchange). Materializing once trades one shingle-table
-    write for 7 recomputations of the dominant cost; on a cluster use
-    checkpoint()/persist(DISK_ONLY) for the same effect with fault
-    tolerance."""
-    sh = shingle_rows(df, text_col, id_col, n).localCheckpoint(eager=True)
+    ReusedExchange). HOW it materializes is the ``materialize``
+    strategy (see llm_ops.materialize): localCheckpoint by default,
+    'checkpoint'/'parquet:<dir>' for fault tolerance on a cluster,
+    False to skip (caller owns caching + pushdown)."""
+    sh = _materialize(shingle_rows(df, text_col, id_col, n), materialize)
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df_"))
-        sh = (
-            sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle")
-            .drop("df_")
-            .localCheckpoint(eager=True)
+        sh = _materialize(
+            sh.join(freq.filter(F.col("df_") <= max_shingle_freq), "shingle").drop("df_"),
+            materialize,
         )
     sizes = doc_shingle_sizes(sh)
     a = sh.alias("a")
@@ -157,6 +169,7 @@ def ngram_containment_pairs(
     n: int = 3,
     min_containment: float = 0.8,
     max_shingle_freq: int | None = None,
+    materialize: str | MaterializeFn | bool | None = None,
 ) -> DataFrame:
     """Near-dup pairs by n-gram CONTAINMENT: |A∩B| / min(|A|, |B|) —
     the one-sided overlap measure that catches subset duplication
@@ -170,7 +183,7 @@ def ngram_containment_pairs(
     containment) filtered on containment."""
     pairs = ngram_jaccard_pairs(
         df, text_col, id_col, n, min_jaccard=0.0, max_shingle_freq=max_shingle_freq,
-        _keep_sizes=True,
+        materialize=materialize, _keep_sizes=True,
     )
     out = pairs.withColumn(
         "containment",
@@ -211,7 +224,10 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    signatures: DataFrame, num_hashes: int = 8, bands: int = 4
+    signatures: DataFrame,
+    num_hashes: int = 8,
+    bands: int = 4,
+    materialize: str | MaterializeFn | bool | None = None,
 ) -> DataFrame:
     """LSH banding: split the signature into `bands` bands of
     num_hashes/bands rows; docs sharing ANY band signature are
@@ -226,7 +242,7 @@ def lsh_candidate_pairs(
             f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
             "a remainder would silently drop trailing signature components"
         )
-    signatures = signatures.localCheckpoint(eager=True)
+    signatures = _materialize(signatures, materialize)
     rows_per_band = num_hashes // bands
     band_cols = []
     for b in range(bands):
@@ -256,6 +272,7 @@ def minhash_dedup_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     n: int = 3,
+    materialize: str | MaterializeFn | bool | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup candidates with estimated similarity:
     (id_a, id_b, shared_bands, est_jaccard) where est_jaccard is the
@@ -280,7 +297,7 @@ def minhash_dedup_pairs(
         )
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
-    sigs = sigs.localCheckpoint(eager=True)
+    sigs = _materialize(sigs, materialize)
     sig_arr = F.array(*[F.col(f"m{i}") for i in range(num_hashes)])
     band_cols = []
     for b in range(bands):
@@ -325,6 +342,7 @@ def resolve_dup_groups(
     pairs: DataFrame,
     id_col: str = "doc_id",
     max_iter: int = 25,
+    materialize: str | MaterializeFn | bool | None = None,
 ) -> DataFrame:
     """Connected components over near-dup pairs → one keeper per
     duplicate group: (doc_id, group_id) where group_id is the minimum
@@ -344,11 +362,11 @@ def resolve_dup_groups(
     # `edges` — uncheckpointed, max_iter rounds would re-run that join
     # lineage every round. The edge list itself is tiny relative to
     # the corpus (near-dup pairs only).
-    edges = (
+    edges = _materialize(
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-        .distinct()
-        .localCheckpoint(eager=True)
+        .distinct(),
+        materialize,
     )
     labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
     for _ in range(max_iter):
@@ -364,12 +382,15 @@ def resolve_dup_groups(
                 F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
             )
         )
-        # Checkpoint FIRST (truncates the growing lineage — without it
-        # the plan doubles per iteration), THEN derive the convergence
-        # check from the checkpointed result, so the round's join+agg
-        # executes exactly once instead of once for `changed` and
-        # again for the checkpoint.
-        new_labels = new_labels.localCheckpoint(eager=True)
+        # Materialize FIRST (truncates the growing lineage — without
+        # it the plan doubles per iteration), THEN derive the
+        # convergence check from the materialized result, so the
+        # round's join+agg executes exactly once instead of once for
+        # `changed` and again for the checkpoint. With a durable
+        # strategy ('checkpoint' / 'parquet:<dir>') an executor loss
+        # mid-loop resumes from the last round's labels instead of
+        # killing the job.
+        new_labels = _materialize(new_labels, materialize)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))

@@ -1,0 +1,136 @@
+"""Pluggable materialization for iterative / self-join operators.
+
+The dedup / LSH / connected-components family must eagerly
+materialize expensive intermediates (shingle tables, minhash
+signatures, CC edge lists and per-round labels): both sides of a
+self-join re-run the producing lineage otherwise (ReuseExchange does
+not fire across a BroadcastExchange), and an iterative loop's plan
+doubles per round without truncation. HOW they materialize is a
+deployment decision, not an algorithmic one:
+
+- ``localCheckpoint`` (default): fastest on a single JVM — blocks
+  live in executor storage, NOT fault-tolerant. The right choice for
+  local[*] and for clusters where re-running the job on executor
+  loss is acceptable.
+- ``checkpoint``: Spark's reliable checkpoint to
+  ``spark.sparkContext.setCheckpointDir(...)`` (HDFS/S3/GCS on a
+  cluster) — survives executor loss; the right choice for a
+  multi-hour 100 TB dedup where losing one executor must not kill
+  the whole job.
+- ``parquet:<dir>``: explicit write-then-read spill. Same durability
+  as ``checkpoint`` plus the intermediate is a plain parquet table —
+  inspectable, reusable across jobs, and columnar-compressed (often
+  smaller than checkpoint block files for wide rows).
+- ``none``: no materialization. The caller owns caching; downstream
+  filter/projection pushdown reaches the producing plan. Correct but
+  pathological for the iterative CC loop (lineage grows per round) —
+  intended for callers who persist() themselves.
+
+Select globally with :func:`set_materializer` / the
+:func:`materializer` context manager, or per call via each
+operator's ``materialize=`` parameter (a strategy name, a callable
+``DataFrame -> DataFrame``, or ``False`` for none).
+"""
+
+from __future__ import annotations
+
+import uuid
+from collections.abc import Callable
+from contextlib import contextmanager
+
+from pyspark.sql import DataFrame
+
+MaterializeFn = Callable[[DataFrame], DataFrame]
+
+
+def local_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager localCheckpoint: executor-storage blocks, single-JVM
+    durability (lost on executor failure)."""
+    return df.localCheckpoint(eager=True)
+
+
+def reliable_checkpoint(df: DataFrame) -> DataFrame:
+    """Eager reliable checkpoint to the session's checkpoint dir;
+    raises with a clear message if none is configured."""
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() is None:
+        raise RuntimeError(
+            "materialize strategy 'checkpoint' requires a checkpoint dir: "
+            "call spark.sparkContext.setCheckpointDir('<durable path>') first "
+            "(HDFS/S3/GCS on a cluster)"
+        )
+    return df.checkpoint(eager=True)
+
+
+def parquet_spill(spill_dir: str) -> MaterializeFn:
+    """Strategy factory: write the DataFrame to a fresh parquet table
+    under ``spill_dir`` and read it back — durable AND inspectable."""
+
+    def _spill(df: DataFrame) -> DataFrame:
+        path = f"{spill_dir}/mat-{uuid.uuid4().hex}.parquet"
+        df.write.mode("errorifexists").parquet(path)
+        return df.sparkSession.read.parquet(path)
+
+    return _spill
+
+
+def passthrough(df: DataFrame) -> DataFrame:
+    """No materialization — caller owns caching/pushdown."""
+    return df
+
+
+_NAMED: dict[str, MaterializeFn] = {
+    "localCheckpoint": local_checkpoint,
+    "checkpoint": reliable_checkpoint,
+    "none": passthrough,
+}
+
+_current: list[MaterializeFn] = [local_checkpoint]
+
+
+def _coerce(strategy: str | MaterializeFn | bool | None) -> MaterializeFn:
+    if strategy is None:
+        return _current[0]
+    if strategy is False:
+        return passthrough
+    if strategy is True:
+        return local_checkpoint
+    if isinstance(strategy, str):
+        if strategy.startswith("parquet:"):
+            return parquet_spill(strategy.split(":", 1)[1])
+        if strategy in _NAMED:
+            return _NAMED[strategy]
+        raise ValueError(
+            f"unknown materialize strategy {strategy!r}: expected one of "
+            f"{sorted(_NAMED)} or 'parquet:<dir>' or a callable"
+        )
+    return strategy
+
+
+def set_materializer(strategy: str | MaterializeFn) -> None:
+    """Set the module-wide default strategy (name or callable)."""
+    _current[0] = _coerce(strategy if strategy is not None else "localCheckpoint")
+
+
+def get_materializer() -> MaterializeFn:
+    return _current[0]
+
+
+@contextmanager
+def materializer(strategy: str | MaterializeFn):
+    """Scoped strategy override:
+    ``with materializer('checkpoint'): ...``"""
+    old = _current[0]
+    set_materializer(strategy)
+    try:
+        yield
+    finally:
+        _current[0] = old
+
+
+def materialize(
+    df: DataFrame, strategy: str | MaterializeFn | bool | None = None
+) -> DataFrame:
+    """Materialize ``df`` with the given strategy (default: the
+    module-wide one)."""
+    return _coerce(strategy)(df)

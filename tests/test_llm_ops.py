@@ -354,3 +354,101 @@ def test_containment_catches_subset_duplication(spark):
     assert cont[(0, 1)]["jaccard"] < 0.05
     jac = ngram_jaccard_pairs(docs, min_jaccard=0.5).collect()
     assert jac == []  # symmetric Jaccard misses the subset dup
+
+
+# ---------------------------------------------------------------- materialization
+@pytest.mark.parametrize("strategy", ["localCheckpoint", "checkpoint", "parquet", "none"])
+def test_materialize_strategies_equivalent(spark, docs, tmp_path, strategy):
+    """Every materialization strategy (single-JVM localCheckpoint,
+    reliable checkpoint, parquet spill, none) yields identical
+    near-dup pairs, LSH candidates, and CC groups — the strategy is a
+    durability/deployment knob, never a semantics knob."""
+    from gcp_dataengineering_spark.llm_ops.dedup import resolve_dup_groups
+
+    if strategy == "checkpoint":
+        spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+        strat = "checkpoint"
+    elif strategy == "parquet":
+        strat = f"parquet:{tmp_path}/spill"
+    elif strategy == "none":
+        strat = False
+    else:
+        strat = "localCheckpoint"
+
+    pairs = ngram_jaccard_pairs(docs, min_jaccard=0.1, materialize=strat)
+    got_pairs = {(r["id_a"], r["id_b"]): round(r["jaccard"], 4) for r in pairs.collect()}
+    got_mh = {
+        (r["id_a"], r["id_b"]): r["shared_bands"]
+        for r in minhash_dedup_pairs(docs, materialize=strat).collect()
+    }
+    got_groups = {
+        r["doc_id"]: r["group_id"]
+        for r in resolve_dup_groups(docs, pairs, materialize=strat).collect()
+    }
+
+    exp_pairs = {
+        (r["id_a"], r["id_b"]): round(r["jaccard"], 4)
+        for r in ngram_jaccard_pairs(docs, min_jaccard=0.1).collect()
+    }
+    exp_mh = {
+        (r["id_a"], r["id_b"]): r["shared_bands"]
+        for r in minhash_dedup_pairs(docs).collect()
+    }
+    exp_groups = {
+        r["doc_id"]: r["group_id"]
+        for r in resolve_dup_groups(
+            docs, ngram_jaccard_pairs(docs, min_jaccard=0.1)
+        ).collect()
+    }
+    assert got_pairs == exp_pairs and len(got_pairs) > 0
+    assert got_mh == exp_mh and len(got_mh) > 0
+    assert got_groups == exp_groups
+
+
+def test_materializer_module_default_scoped(spark, docs, tmp_path):
+    """set_materializer / the materializer context manager swap the
+    module-wide default; operators with no explicit materialize=
+    follow it."""
+    from gcp_dataengineering_spark.llm_ops import materialize as M
+
+    with M.materializer(f"parquet:{tmp_path}/modspill"):
+        assert M.get_materializer()(docs).count() == docs.count()
+        out = {r["keep_id"] for r in dedup_exact(docs).collect()}
+    assert M.get_materializer() is M.local_checkpoint
+    assert len(out) == 5
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown materialize strategy"):
+        M.set_materializer("bogus")
+    assert M.get_materializer() is M.local_checkpoint
+
+    with _pytest.raises(RuntimeError, match="checkpoint dir"):
+        fresh_df = docs.limit(1)
+        ctx_dir = spark.sparkContext.getCheckpointDir()
+        if ctx_dir is None:
+            M.reliable_checkpoint(fresh_df)
+        else:
+            raise RuntimeError("checkpoint dir already set by a prior test")
+
+
+def test_spread_guard_skips_well_partitioned_input(spark, tmp_path):
+    """shingle_rows(spread=True) must NOT round-robin an input that
+    already has >= defaultParallelism partitions (a 100 TB table read
+    as thousands of splits would otherwise pay a full-text shuffle);
+    it MUST spread a single-partition input."""
+    from gcp_dataengineering_spark.llm_ops.dedup import shingle_rows
+
+    par = spark.sparkContext.defaultParallelism
+    path = str(tmp_path / "many.parquet")
+    spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i}") for i in range(4 * par)],
+        "doc_id long, text string",
+    ).repartition(2 * par).write.parquet(path)
+    wide = spark.read.parquet(path)
+    assert wide.rdd.getNumPartitions() >= par
+    plan = shingle_rows(wide)._jdf.queryExecution().optimizedPlan().toString()
+    assert "RoundRobinPartitioning" not in plan and "Repartition" not in plan
+
+    narrow = spark.read.parquet(path).coalesce(1)
+    plan2 = shingle_rows(narrow)._jdf.queryExecution().optimizedPlan().toString()
+    assert "Repartition" in plan2 or "RoundRobinPartitioning" in plan2
