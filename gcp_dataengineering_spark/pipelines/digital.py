@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from ..ops.conform import parse_money, recode, typed_null, week_to_month
 from ..ops.vintage import union_vintages
@@ -428,8 +429,17 @@ def hcp_all_channels(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
     )
 
     # all_hcp_unioned (stage_1:943-947): old month INT ∪ new month
-    # STRING — SQL positional union coerces to string; done explicitly
-    all_hcp = old.withColumn("month", F.col("month").cast("string")).unionByName(new)
+    # STRING — SQL positional union coerces to string; done explicitly.
+    # Persisted: consumed by monthly_reach, the full-join discovery
+    # branch AND the final allocation (3 consumers) — relying on
+    # AQE's stage cache to dedup those scans is deployment-dependent;
+    # an explicit MEMORY_AND_DISK persist guarantees the union (and
+    # everything under it) is computed once on any deployment.
+    all_hcp = (
+        old.withColumn("month", F.col("month").cast("string"))
+        .unionByName(new)
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     # spend_data + channel_allocations (stage_1:949-991)
     spend = legacy_costs(t["costs_wide"], "npp").withColumnRenamed("cost", "total_cost")
@@ -449,11 +459,15 @@ def hcp_all_channels(spark: SparkSession, t: dict[str, DataFrame]) -> DataFrame:
         )
         .agg(F.sum("cost").alias("cost"))
     )
-    allocations = alloc_old.unionByName(alloc_new)
+    # Persisted: joined by both the discovery branch and the final
+    # allocation (2 consumers each).
+    allocations = alloc_old.unionByName(alloc_new).persist(StorageLevel.MEMORY_AND_DISK)
 
     # monthly_reach (stage_1:993-1002)
-    monthly_reach = all_hcp.groupBy("brand", "year", "month", "channel").agg(
-        F.sum("reach").alias("total_monthly_reach")
+    monthly_reach = (
+        all_hcp.groupBy("brand", "year", "month", "channel")
+        .agg(F.sum("reach").alias("total_monthly_reach"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
 
     d = all_hcp.alias("d")

@@ -130,3 +130,27 @@ def test_tam_job_protocol(spark, ref_tables, tmp_path):
     assert hist.count() == 2 * r1["rows"]
     audit = spark.read.parquet(str(tmp_path / "out" / "audit_job_info"))
     assert audit.count() == 4
+
+
+def test_hcp_all_shared_intermediates_persisted(spark, ref_tables):
+    """all_hcp_unioned / monthly_reach / channel_allocations are
+    multiply-consumed; the pipeline persists them explicitly so a
+    non-AQE (or AQE-cache-miss) deployment still computes each once.
+    Receipt: the AQE-off executed plan reads them via
+    InMemoryTableScan at every reuse site, and results are identical
+    with AQE on."""
+    from gcp_dataengineering_spark.pipelines.digital import hcp_all_channels
+
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        out = hcp_all_channels(spark, ref_tables)
+        n_off = out.count()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        # every reuse site reads the cache, not the raw lineage
+        assert plan.count("InMemoryTableScan") >= 6
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        n_on = hcp_all_channels(spark, ref_tables).count()
+        assert n_off == n_on
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
