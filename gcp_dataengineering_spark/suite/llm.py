@@ -14,8 +14,6 @@ Portability notes baked into the oracles:
 
 from __future__ import annotations
 
-import os
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -483,37 +481,77 @@ def q_embedding_topk_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------- embedding: IVF ANN
-IVF_INDEX_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
-    ".ivf_index",
-)
-
-
 def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 (k-means posting lists, nprobe=3), with a
-    PARTIAL oracle: the k-means index build itself is not
-    SQL-expressible, so the query persists the built index
-    (assignments + centroids) to parquet and the search — probe
-    selection, posting-list scoring, ranking — runs from those files
-    in BOTH engines. Only the index build stays oracle-unchecked
-    (pytest verifies its recall vs brute force instead)."""
+    """IVF approximate top-5 (k-means posting lists, nprobe=3) with a
+    FULL oracle: the index build is fixed-iteration Lloyd's k-means
+    as deterministic DataFrame ops (quantized integer arithmetic,
+    seeded hash init — similarity.ivf_index), so the DuckDB oracle
+    replays the identical iterations AND the probe/score/rank search.
+    No parquet handoff, no ordering/staleness hazard — both sides
+    compute the index from the raw embeddings table."""
     emb = _t(spark, sf_dir, "embeddings")
     assigned, centroids = S.ivf_index(emb)
-    assigned.write.mode("overwrite").parquet(f"{IVF_INDEX_DIR}/assignments.parquet")
-    centroids.write.mode("overwrite").parquet(f"{IVF_INDEX_DIR}/centroids.parquet")
-    a = spark.read.parquet(f"{IVF_INDEX_DIR}/assignments.parquet")
-    c = spark.read.parquet(f"{IVF_INDEX_DIR}/centroids.parquet")
     return S.cosine_topk_ivf_from_index(
-        emb, emb.filter(F.col("vec_id") < 20), a, c, k=5, nprobe=3
+        emb, emb.filter(F.col("vec_id") < 20), assigned, centroids, k=5, nprobe=3
     )
 
 
+def _ivf_build_ctes(n_clusters: int = 16, n_iter: int = 3, seed: int = 42) -> str:
+    """DuckDB CTE chain replaying similarity.ivf_index exactly:
+    quantize → seeded hash init → n_iter × (integer mean, re-quantize,
+    exact integer squared-L2 argmin). All sums are BIGINT (order-
+    independent); the only float ops (mean division + 0.5, floor) are
+    single IEEE ops identical in both engines."""
+    s = S.KMEANS_SCALE
+    ctes = [
+        f"""vq AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {s} + 0.5) AS BIGINT)) AS vq
+    FROM embeddings
+)""",
+        f"""assign0 AS (
+    SELECT vec_id,
+           CAST(('0x' || substring(md5('ivf{seed}' || chr(31) || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % {n_clusters} AS INTEGER) AS cluster
+    FROM vq
+)""",
+    ]
+    prev = "assign0"
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""cent{t}_long AS (
+    SELECT cluster, j, CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+    FROM (
+        SELECT a.cluster, r.j, v.vq[r.j + 1] AS val
+        FROM {prev} a JOIN vq v USING (vec_id), unnest(range(len(v.vq))) AS r(j)
+    ) GROUP BY cluster, j
+)""")
+        ctes.append(f"""cent{t} AS (
+    SELECT cluster, array_agg(cq ORDER BY j) AS cq_arr FROM cent{t}_long GROUP BY cluster
+)""")
+        ctes.append(f"""dist{t} AS (
+    SELECT v.vec_id, c.cluster,
+           (SELECT SUM((a - b) * (a - b)) FROM (SELECT unnest(v.vq) AS a, unnest(c.cq_arr) AS b) z) AS dist
+    FROM vq v CROSS JOIN cent{t} c
+)""")
+        ctes.append(f"""assign{t} AS (
+    SELECT vec_id, cluster FROM (
+        SELECT vec_id, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
+        FROM dist{t}
+    ) WHERE rn = 1
+)""")
+        prev = f"assign{t}"
+    ctes.append(f"assigned AS (SELECT vec_id, cluster FROM {prev})")
+    ctes.append(
+        f"""centroids AS (
+    SELECT cluster, list_transform(cq_arr, q -> CAST(q AS DOUBLE) / {s}) AS centroid
+    FROM cent{n_iter}
+)"""
+    )
+    return ",\n".join(ctes)
+
+
 ORACLE_EMBEDDING_IVF = f"""
-WITH assigned AS (
-    SELECT * FROM read_parquet('{IVF_INDEX_DIR}/assignments.parquet/*.parquet')
-), centroids AS (
-    SELECT * FROM read_parquet('{IVF_INDEX_DIR}/centroids.parquet/*.parquet')
-), q AS (
+WITH {_ivf_build_ctes()}, q AS (
     SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20
 ), probe_scored AS (
     SELECT qid, cluster,
@@ -873,8 +911,9 @@ ORACLES = {
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
     "embedding_topk_pandas": ORACLE_EMBEDDING_TOPK,
-    # embedding_ivf: partial oracle — the query persists the k-means
-    # index to parquet; probe/score/rank are replayed from it in DuckDB
+    # embedding_ivf: FULL oracle — deterministic Lloyd's k-means build
+    # (quantized integer arithmetic) replayed iteration-by-iteration
+    # in DuckDB, then probe/score/rank over the in-SQL index
     "embedding_ivf": ORACLE_EMBEDDING_IVF,
     "embedding_lsh": ORACLE_EMBEDDING_LSH,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
