@@ -869,6 +869,35 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------- multimodal real decode
+def q_multimodal_real_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image-metadata decode, differentially checked: for every
+    document id, synth_image_corpus emits spec-valid PNG/JPEG/GIF
+    header bytes with closed-form dimensions (format = id%3, width =
+    id%300+16, height = id*7%200+16, filler = id%17 bytes), and
+    decode_image_headers parses width/height/format back OUT of the
+    raw bytes in pure Python (IHDR / SOFn walk / screen descriptor).
+    The oracle recomputes every field from the id formulas alone — if
+    the parser misreads a single header byte, the hash diverges."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.synth_image_corpus(docs, id_col="doc_id")
+    return M.decode_image_headers(media)
+
+
+ORACLE_MULTIMODAL_REAL_META = """
+SELECT doc_id AS media_id,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'
+            WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END AS media_type,
+       CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 33
+                 WHEN 1 THEN 41 ELSE 14 END + doc_id % 17 AS BIGINT) AS n_bytes,
+       CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
+            WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
+       CAST(doc_id % 300 + 16 AS INTEGER) AS width,
+       CAST((doc_id * 7) % 200 + 16 AS INTEGER) AS height
+FROM documents
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
@@ -889,6 +918,7 @@ QUERIES = {
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "multimodal_meta": q_multimodal_meta,
+    "multimodal_real_meta": q_multimodal_real_meta,
     "dedup_pipeline": q_dedup_pipeline,
     "dataset_split": q_dataset_split,
     "shard_plan": q_shard_plan,
@@ -919,6 +949,7 @@ ORACLES = {
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "embedding_neardup_lsh": ORACLE_EMBEDDING_NEARDUP_LSH,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
+    "multimodal_real_meta": ORACLE_MULTIMODAL_REAL_META,
     "dedup_pipeline": ORACLE_DEDUP_PIPELINE,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "shard_plan": ORACLE_SHARD_PLAN,

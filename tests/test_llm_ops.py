@@ -452,3 +452,34 @@ def test_spread_guard_skips_well_partitioned_input(spark, tmp_path):
     narrow = spark.read.parquet(path).coalesce(1)
     plan2 = shingle_rows(narrow)._jdf.queryExecution().optimizedPlan().toString()
     assert "Repartition" in plan2 or "RoundRobinPartitioning" in plan2
+
+
+def test_image_header_parser_real_formats(spark):
+    """parse_image_header reads true dimensions out of spec-valid
+    PNG/JPEG/GIF bytes and degrades safely on garbage/truncation;
+    decode_image_headers runs it over Arrow batches end-to-end."""
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        decode_image_headers,
+        parse_image_header,
+        synth_image_payload,
+        synth_image_corpus,
+    )
+
+    for i in [0, 1, 2, 16, 299, 300, 12345]:
+        mt, payload = synth_image_payload(i)
+        fmt, w, h = parse_image_header(payload)
+        assert (w, h) == (i % 300 + 16, (i * 7) % 200 + 16)
+        assert {"image/png": "png", "image/jpeg": "jpeg", "image/gif": "gif"}[mt] == fmt
+
+    assert parse_image_header(None) == (None, None, None)
+    assert parse_image_header(b"") == (None, None, None)
+    assert parse_image_header(b"\x89PNG\r\n\x1a\x08nope") == (None, None, None)
+    assert parse_image_header(b"\xff\xd8\xff\xd9") == ("jpeg", None, None)  # no SOF
+    assert parse_image_header(b"GIF89a\x05") == (None, None, None)  # truncated
+    assert parse_image_header(b"random garbage") == (None, None, None)
+
+    ids = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    out = {r["media_id"]: r for r in decode_image_headers(synth_image_corpus(ids)).collect()}
+    assert len(out) == 30
+    for i, r in out.items():
+        assert r["width"] == i % 300 + 16 and r["height"] == (i * 7) % 200 + 16
