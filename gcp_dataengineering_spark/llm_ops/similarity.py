@@ -86,14 +86,104 @@ def cosine_topk_bruteforce(
 
 
 def sign_bucket(vec: Column, dims: list[int]) -> Column:
-    """Hyperplane-sign LSH bucket key: bit i = sign(vec[dims[i]]).
-    Axis-aligned planes keep it deterministic and engine-portable;
-    random gaussian planes are a drop-in upgrade (broadcast the
-    plane matrix)."""
+    """Axis-aligned hyperplane-sign LSH bucket key: bit i =
+    sign(vec[dims[i]]). Kept as the zero-arithmetic baseline; the
+    production bucketing is :func:`gaussian_bucket` (random gaussian
+    planes — better recall at higher dims / correlated features)."""
     key = F.lit(0)
     for d in dims:
         key = key * 2 + F.when(F.element_at(vec, d + 1) >= 0, 1).otherwise(0)
     return key
+
+
+def gaussian_planes_q(
+    n_planes: int, dim: int, seed: int = 7, scale: int = KMEANS_SCALE
+) -> list[list[int]]:
+    """Seeded gaussian hyperplanes, QUANTIZED to 1/scale fixed-point
+    ints. Integer plane components × integer-quantized vectors make
+    every dot-product sign exact integer math — order-independent and
+    bit-identical between Spark and any SQL oracle (no float
+    reduction-order or literal-parsing drift). The planes are plain
+    Python ints baked into the expression (a broadcast literal — at
+    100 TB the plane matrix is KBs, it rides into codegen)."""
+    import math
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    mat = rng.standard_normal((n_planes, dim))
+    return [[int(math.floor(x * scale + 0.5)) for x in row] for row in mat]
+
+
+def _bigint_array_sql(pq: list[int]) -> str:
+    return "array(" + ", ".join(f"{q}L" for q in pq) + ")"
+
+
+def gaussian_bucket(vq_col: str, planes_q: list[list[int]]) -> Column:
+    """Bucket key from a QUANTIZED vector column name (array<bigint>,
+    see quantize_fixed): bit i (LSB = plane 0) = 1 iff
+    Σⱼ vq[j]·pq[i][j] ≥ 0. Two deliberate mechanics:
+
+    - vq must be a REAL projected column (Spark does no subexpression
+      elimination across HOF lambdas — an inline quantize expression
+      would re-evaluate per plane);
+    - the whole key is ONE parsed SQL expression (F.expr), not
+      composed Column objects: building planes×dim literals through
+      per-element F.lit() costs thousands of py4j round-trips (~5 s
+      of driver-side plan-construction latency for 24×64 planes,
+      measured); one string parse is one call."""
+    bits = []
+    for i, pq in enumerate(planes_q):
+        dot = (
+            f"aggregate(zip_with({vq_col}, {_bigint_array_sql(pq)}, "
+            "(a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+        )
+        bits.append(
+            f"(CASE WHEN {dot} >= 0 THEN CAST({2**i} AS BIGINT) "
+            "ELSE CAST(0 AS BIGINT) END)"
+        )
+    return F.expr(" + ".join(bits))
+
+
+def with_gaussian_buckets(
+    df: DataFrame,
+    tables: list[list[list[int]]],
+    id_out: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    vec_out: str = "vec",
+) -> DataFrame:
+    """(id, vec, tbl, bucket) — one row per LSH table, bucket =
+    gaussian sign key for that table's planes. The multi-table
+    explode shape: candidate generation downstream is an equi-join on
+    (tbl, bucket), and a pair is a candidate if ANY table agrees.
+
+    The bucket arithmetic is tables×planes×dim multiply-adds per row
+    through higher-order-function lambdas (interpreted, not codegen),
+    so a few-file input would serialize the dominant CPU on a couple
+    of tasks — under-partitioned inputs are spread to
+    defaultParallelism first (same guard as dedup.shingle_rows)."""
+    par = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < par:
+        df = df.repartition(par)
+    base = df.select(
+        F.col(id_col).alias(id_out),
+        F.col(vec_col).alias(vec_out),
+        quantize_fixed(F.col(vec_col)).alias("_vq"),
+    )
+    per_table = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                gaussian_bucket("_vq", planes).alias("bucket"),
+            )
+            for t, planes in enumerate(tables)
+        ]
+    )
+    return (
+        base.select(id_out, vec_out, F.explode(per_table).alias("tb"))
+        .select(id_out, vec_out, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+    )
 
 
 def cosine_topk_lsh(
@@ -103,27 +193,56 @@ def cosine_topk_lsh(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_dims: list[int] | None = None,
+    n_planes: int = 3,
+    n_tables: int = 8,
+    seed: int = 7,
+    dim: int = 64,
+    planes_q: list[list[list[int]]] | None = None,
 ) -> DataFrame:
-    """Approximate top-k: score only candidates in the query's LSH
-    bucket. Candidate generation is an equi-join on the bucket key —
-    the shape that survives 100 TB (bucket count scales with 2^bits;
-    skewed buckets split by AQE)."""
-    dims = bucket_dims if bucket_dims is not None else [0, 8, 16, 24, 32, 40, 48, 56]
-    q = queries.select(
-        F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        sign_bucket(F.col(vec_col), dims).alias("bucket"),
-    )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        sign_bucket(F.col(vec_col), dims).alias("bucket"),
-    )
-    scored = (
-        c.join(F.broadcast(q), "bucket")
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
-    )
+    """Approximate top-k: score only candidates sharing an LSH bucket
+    with the query. Candidate generation is an equi-join on the
+    bucket key — the shape that survives 100 TB (bucket count scales
+    with 2^bits; skewed buckets split by AQE).
+
+    Default bucketing is MULTI-TABLE gaussian-hyperplane sign LSH
+    (n_tables independent tables of n_planes seeded planes,
+    integer-quantized so the DuckDB oracle replays buckets exactly):
+    a pair is a candidate if ANY table agrees, recall =
+    1-(1-p^b)^L for per-plane agreement p — tunable to any target
+    without giving up the equi-join shape. Pass ``bucket_dims`` for
+    the legacy axis-aligned single-table variant."""
+    if bucket_dims is not None:
+        q = queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            sign_bucket(F.col(vec_col), bucket_dims).alias("bucket"),
+        )
+        scored = (
+            c.join(F.broadcast(q), "bucket")
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+        )
+    else:
+        if planes_q is None:
+            flat = gaussian_planes_q(n_tables * n_planes, dim, seed)
+            planes_q = [flat[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
+        qx = with_gaussian_buckets(queries, planes_q, "query_id", id_col, vec_col, "q_vec")
+        cx = with_gaussian_buckets(corpus, planes_q, "neighbor_id", id_col, vec_col, "c_vec")
+        # score per (tbl, bucket) hit, then collapse duplicate hits
+        # across tables (identical cos) with a hash agg — cheaper than
+        # a distinct-then-rejoin of the vectors.
+        scored = (
+            cx.join(F.broadcast(qx), ["tbl", "bucket"])
+            .filter(F.col("neighbor_id") != F.col("query_id"))
+            .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+            .groupBy("query_id", "neighbor_id")
+            .agg(F.max("cos").alias("cos"))
+        )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
     )

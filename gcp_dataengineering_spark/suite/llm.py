@@ -590,35 +590,70 @@ FROM ranked WHERE rank <= 5
 
 
 # ---------------------------------------------------------------- embedding: LSH ANN
+# One canonical plane set, shared verbatim by the Spark query and the
+# DuckDB oracle: seeded gaussian hyperplanes quantized to integers
+# (similarity.gaussian_planes_q), 8 tables x 3 planes (recall ~0.9 vs
+# brute force on the fixture corpus — pytest pins >= 0.8).
+_LSH_N_PLANES, _LSH_N_TABLES = 3, 8
+_lsh_flat = S.gaussian_planes_q(_LSH_N_TABLES * _LSH_N_PLANES, 64, seed=7)
+LSH_TABLES = [
+    _lsh_flat[t * _LSH_N_PLANES : (t + 1) * _LSH_N_PLANES]
+    for t in range(_LSH_N_TABLES)
+]
+# single-table 6-plane blocking for the near-dup variant
+NEARDUP_PLANES = S.gaussian_planes_q(6, 64, seed=7)
+
+
 def q_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-3 via hyperplane-sign LSH buckets — the
-    100 TB path: candidates come from a bucket equi-join."""
+    """Approximate top-3 via multi-table gaussian-hyperplane LSH —
+    the 100 TB path: candidates come from a (table, bucket) equi-join
+    over integer-exact sign buckets; a pair is a candidate if ANY of
+    the 8 tables agrees."""
     emb = _t(spark, sf_dir, "embeddings")
-    return S.cosine_topk_lsh(emb, emb.filter(F.col("vec_id") < 20), k=3)
+    return S.cosine_topk_lsh(
+        emb, emb.filter(F.col("vec_id") < 20), k=3, planes_q=LSH_TABLES
+    )
 
 
-def _lsh_bucket_sql(v: str) -> str:
-    dims = [0, 8, 16, 24, 32, 40, 48, 56]
-    expr = "0"
-    for d in dims:
-        expr = f"({expr}) * 2 + (CASE WHEN {v}[{d + 1}] >= 0 THEN 1 ELSE 0 END)"
-    return expr
+def _planes_values(tables: list[list[list[int]]]) -> str:
+    return ",\n        ".join(
+        f"({t}, {i}, {pq})"
+        for t, planes in enumerate(tables)
+        for i, pq in enumerate(planes)
+    )
 
+
+_VQ_SQL = (
+    "list_transform(embedding, x -> "
+    f"CAST(floor(CAST(x AS DOUBLE) * {S.KMEANS_SCALE} + 0.5) AS BIGINT))"
+)
 
 ORACLE_EMBEDDING_LSH = f"""
-WITH q AS (
-    SELECT vec_id AS qid, embedding AS qv, {_lsh_bucket_sql('embedding')} AS bucket
-    FROM embeddings WHERE vec_id < 20
-), c AS (
-    SELECT vec_id AS nid, embedding AS cv, {_lsh_bucket_sql('embedding')} AS bucket
+WITH planes(tbl, pi, pq) AS (
+    VALUES
+        {_planes_values(LSH_TABLES)}
+), vq AS (
+    SELECT vec_id, embedding, {_VQ_SQL} AS vq
     FROM embeddings
+), buckets AS (
+    SELECT v.vec_id, p.tbl,
+           CAST(SUM(CASE WHEN (SELECT SUM(a * b) FROM (SELECT unnest(v.vq) AS a, unnest(p.pq) AS b) z) >= 0
+                         THEN CAST(pow(2, p.pi) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM vq v CROSS JOIN planes p
+    GROUP BY v.vec_id, p.tbl
+), cands AS (
+    SELECT DISTINCT q.vec_id AS qid, c.vec_id AS nid
+    FROM buckets q JOIN buckets c ON q.tbl = c.tbl AND q.bucket = c.bucket
+    WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id
 ), scored AS (
-    SELECT qid, nid,
+    SELECT cands.qid, cands.nid,
         (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
-         FROM (SELECT unnest(qv) AS x, unnest(cv) AS y) t) /
-        (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(qv) AS x) t2)) *
-         sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(cv) AS y) t3))) AS cos
-    FROM c JOIN q USING (bucket) WHERE nid <> qid
+         FROM (SELECT unnest(q.embedding) AS x, unnest(c.embedding) AS y) t) /
+        (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(q.embedding) AS x) t2)) *
+         sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(c.embedding) AS y) t3))) AS cos
+    FROM cands
+    JOIN embeddings q ON cands.qid = q.vec_id
+    JOIN embeddings c ON cands.nid = c.vec_id
 ), ranked AS (
     SELECT qid, nid, cos,
            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY cos DESC, nid ASC) AS rank
@@ -655,21 +690,34 @@ FROM pairs WHERE cos >= 0.4
 
 # ------------------------------------------------------- embedding near-dup @scale
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The 100 TB form of embedding near-dup: block on sign-LSH
-    buckets computed from the vectors themselves (no label column
-    needed), then score only intra-bucket pairs — the pair space is
-    per-bucket, never global."""
-    dims = [0, 8, 16, 24, 32, 40, 48, 56]
+    """The 100 TB form of embedding near-dup: block on
+    gaussian-hyperplane sign buckets computed from the vectors
+    themselves (no label column needed), then score only intra-bucket
+    pairs — the pair space is per-bucket, never global. Buckets are
+    integer-exact (quantized planes x quantized vectors), so the
+    oracle replays them bit-identically."""
     emb = _t(spark, sf_dir, "embeddings").withColumn(
-        "_bucket", S.sign_bucket(F.col("embedding"), dims)
+        "_vq", S.quantize_fixed(F.col("embedding"))
     )
+    emb = emb.withColumn(
+        "_bucket", S.gaussian_bucket("_vq", NEARDUP_PLANES)
+    ).drop("_vq")
     return S.embedding_near_dup_pairs(emb, threshold=0.4, block_col="_bucket")
 
 
 ORACLE_EMBEDDING_NEARDUP_LSH = f"""
-WITH v AS (
-    SELECT vec_id, embedding, {_lsh_bucket_sql('embedding')} AS bucket
+WITH planes(pi, pq) AS (
+    VALUES
+        {",".join(f"({i}, {pq})" for i, pq in enumerate(NEARDUP_PLANES))}
+), vqt AS (
+    SELECT vec_id, embedding, {_VQ_SQL} AS vq
     FROM embeddings
+), v AS (
+    SELECT t.vec_id, t.embedding,
+           CAST(SUM(CASE WHEN (SELECT SUM(a * b) FROM (SELECT unnest(t.vq) AS a, unnest(p.pq) AS b) z) >= 0
+                         THEN CAST(pow(2, p.pi) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM vqt t CROSS JOIN planes p
+    GROUP BY t.vec_id, t.embedding
 ), pairs AS (
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))

@@ -483,3 +483,51 @@ def test_image_header_parser_real_formats(spark):
     assert len(out) == 30
     for i, r in out.items():
         assert r["width"] == i % 300 + 16 and r["height"] == (i * 7) % 200 + 16
+
+
+def test_gaussian_lsh_recall_bound(spark):
+    """Multi-table gaussian-hyperplane LSH (the suite's default
+    bucketing) must reach recall >= 0.8 against brute-force top-3 on
+    the fixture corpus — the property the axis-aligned variant could
+    not pin."""
+    from gcp_dataengineering_spark.suite.llm import LSH_TABLES
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 20)
+    exact, approx = {}, {}
+    for r in cosine_topk_bruteforce(emb, q, k=3).collect():
+        exact.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in cosine_topk_lsh(emb, q, k=3, planes_q=LSH_TABLES).collect():
+        approx.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [
+        len(exact[qid] & approx.get(qid, set())) / len(exact[qid]) for qid in exact
+    ]
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_gaussian_neardup_lsh_recall_of_blocked(spark):
+    """Blocking embedding near-dup on gaussian sign buckets must
+    retain every planted high-cosine pair that shares a bucket AND
+    find at least one of the label-blocked ground-truth pairs."""
+    from gcp_dataengineering_spark.llm_ops.similarity import (
+        embedding_near_dup_pairs,
+        gaussian_bucket,
+        quantize_fixed,
+    )
+    from gcp_dataengineering_spark.suite.llm import NEARDUP_PLANES
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    truth = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(emb, threshold=0.4).collect()
+    }
+    b = emb.withColumn("_vq", quantize_fixed(F.col("embedding"))).withColumn(
+        "_bucket", gaussian_bucket("_vq", NEARDUP_PLANES)
+    ).drop("_vq")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(b, threshold=0.4, block_col="_bucket").collect()
+    }
+    # bucketed pairs are a subset of the label-blocked truth's cosine
+    # criterion; at least some truth pairs must survive the blocking
+    assert got, "gaussian blocking lost every near-dup pair"
