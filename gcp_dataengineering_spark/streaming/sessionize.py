@@ -16,6 +16,10 @@ Two forms with identical semantics:
   `session_window(ts, gap)` aggregation; the explicit state form is
   kept here because it is the template for arbitrary custom stateful
   operators, which is the capability being demonstrated.)
+- **streaming, event-time**: `sessionize_stream_event_time` flushes
+  on watermark progress (EventTimeTimeout) instead of wall-clock —
+  the correct mode for historical replays and out-of-order data;
+  differentially tested for exact equality with the batch form.
 
 Scale notes: state is O(active users), not O(events); the batch form
 shuffles once on user_id and both windows + the final session
@@ -186,4 +190,144 @@ def sessionize_stream(
     )
     return events_stream.groupBy("user_id").applyInPandasWithState(
         fn, out_schema, state_schema, "append", timeout_conf
+    )
+
+
+def sessionize_stream_event_time(
+    events_stream: DataFrame,
+    gap_seconds: int = GAP_SECONDS,
+    watermark_delay: str = "1 hour",
+    ts_col: str = "ts_ts",
+    tombstone_grace_seconds: int | None = None,
+) -> DataFrame:
+    """Watermark-driven (EventTimeTimeout) sessionizer — the
+    semantically correct mode for replaying historical / out-of-order
+    streams (VERDICT r2 item 8).
+
+    ProcessingTimeTimeout (``sessionize_stream(idle_timeout_ms=...)``)
+    flushes on *wall-clock* idleness, so replaying a historical stream
+    flushes sessions at boundaries that depend on replay speed. This
+    form instead flushes a session exactly when the **event-time
+    watermark** passes ``session_end + gap_seconds`` — at that point no
+    non-late event can extend or precede-and-merge the session, so the
+    flush boundary is a pure function of the data, identical however
+    fast the replay runs.
+
+    Mechanics: per user, non-late events are buffered in state
+    (O(events within the watermark horizon) per user — bounded by
+    ``watermark_delay``, unlike the O(1) running-aggregate state of
+    the processing-time form; that is the price of correct
+    out-of-order handling, since a late-but-valid event may extend a
+    still-open session backwards). Every invocation re-runs the batch
+    gap-split over the buffer and finalizes the closeable prefix —
+    sessions whose ``last + gap < watermark``. Ordinal session ids are
+    preserved across flushes by keeping the counter as an
+    empty-buffer tombstone for ``tombstone_grace_seconds`` (default:
+    ``gap_seconds``) of further watermark progress before eviction.
+
+    Input contract: ``user_id``, ``ts_col`` (timestamp — the
+    watermark column, applied here), ``value``. Output schema matches
+    ``sessionize_batch``. Differential test:
+    tests/test_streaming.py::test_sessionize_event_time_replay_matches_batch
+    replays out-of-order micro-batches and asserts exact equality
+    with the batch form."""
+    import pandas as pd  # noqa: F401  (pdfs arrive as pandas frames)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    grace_ms = int(
+        (tombstone_grace_seconds if tombstone_grace_seconds is not None else gap_seconds)
+        * 1000
+    )
+    out_schema = (
+        "user_id long, session_id long, n_events long, "
+        "start_epoch long, end_epoch long, total_value double"
+    )
+    state_schema = "session_id long, buf_ts array<double>, buf_val array<double>"
+
+    def fn(key, pdfs, state: GroupState):
+        (user_id,) = key
+        if state.exists:
+            sid, buf_ts, buf_val = state.get
+            buf_ts, buf_val = list(buf_ts or ()), list(buf_val or ())
+        else:
+            sid, buf_ts, buf_val = 0, [], []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                buf_ts.extend(float(x) for x in pdf["ts_sec"])
+                buf_val.extend(float(x) for x in pdf["value"])
+        wm_ms = state.getCurrentWatermarkMs()
+        wm = wm_ms / 1000.0
+        # Re-run the batch gap-split over the buffered events. Only
+        # non-late events reach this operator, so a session whose
+        # last + gap < watermark can never gain members — closeable
+        # sessions are exactly a prefix of the time-ordered split.
+        order = sorted(range(len(buf_ts)), key=buf_ts.__getitem__)
+        sessions: list[list[int]] = []
+        last = None
+        for i in order:
+            t = buf_ts[i]
+            if last is None or t - last > gap_seconds:
+                sessions.append([i])
+            else:
+                sessions[-1].append(i)
+            last = t
+        n_final = 0
+        for sess in sessions:
+            if buf_ts[sess[-1]] + gap_seconds < wm:
+                n_final += 1
+            else:
+                break
+        closed = []
+        for sess in sessions[:n_final]:
+            sid += 1
+            closed.append(
+                (
+                    sid,
+                    buf_ts[sess[0]],
+                    buf_ts[sess[-1]],
+                    len(sess),
+                    sum(buf_val[i] for i in sess),
+                )
+            )
+        keep = [i for sess in sessions[n_final:] for i in sess]
+        if keep:
+            state.update((sid, [buf_ts[i] for i in keep], [buf_val[i] for i in keep]))
+            fire = int((buf_ts[keep[-1]] + gap_seconds) * 1000) + 1
+            state.setTimeoutTimestamp(max(fire, wm_ms + 1))
+        elif state.hasTimedOut and not closed:
+            # tombstone fired again with nothing left to flush: evict.
+            state.remove()
+        else:
+            # keep the session counter as a tombstone so a user
+            # returning within the grace window continues ordinal ids.
+            state.update((sid, [], []))
+            state.setTimeoutTimestamp(wm_ms + grace_ms + 1)
+        if closed:
+            yield emit(user_id, closed)
+
+    def emit(user_id, sessions):
+        import pandas as pd
+
+        return pd.DataFrame(
+            [
+                {
+                    "user_id": user_id,
+                    "session_id": s,
+                    "n_events": c,
+                    "start_epoch": int(st),
+                    "end_epoch": int(en),
+                    "total_value": round(tv, 4),
+                }
+                for (s, st, en, c, tv) in sessions
+            ]
+        )
+
+    prepared = events_stream.withWatermark(ts_col, watermark_delay).select(
+        "user_id",
+        F.col(ts_col),
+        F.col(ts_col).cast("double").alias("ts_sec"),
+        "value",
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.EventTimeTimeout
     )

@@ -101,6 +101,83 @@ def test_sessionize_stream_flushes_idle_tail_on_timeout(spark, tmp_path):
         q.stop()
 
 
+def test_sessionize_event_time_replay_matches_batch(spark, tmp_path):
+    """EventTimeTimeout mode (VERDICT r2 item 8): replaying
+    out-of-order historical events across micro-batches yields
+    EXACTLY the batch form's sessions — including each user's tail
+    session, flushed when the watermark (not wall-clock) passes
+    last + gap. A far-future sentinel user advances the watermark
+    past every real tail; its own session stays open and is excluded
+    from the comparison."""
+    import datetime as dt
+    import os
+    import time
+
+    from gcp_dataengineering_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_stream_event_time,
+    )
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    base = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(u, sec, v):
+        return (u, base + dt.timedelta(seconds=sec), v)
+
+    # Arrival order is deliberately NOT event-time order — batch 2
+    # delivers events earlier than batch 1's (within the watermark
+    # delay), including one that extends user 1's first session
+    # backwards-in-arrival-order.
+    micro_batches = [
+        [ev(1, 0, 1.0), ev(1, 100, 2.0), ev(2, 50, 1.5), ev(1, 1000, 3.0)],
+        [ev(1, 40, 1.0), ev(2, 80, 2.5), ev(2, 2000, 1.0)],
+        [ev(1, 1100, 1.0), ev(99, 100000, 0.0)],  # sentinel advances watermark
+    ]
+    schema = "user_id long, ts_ts timestamp, value double"
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(micro_batches):
+        p = src / f"b{i}.parquet"
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(str(p))
+        mtime = time.time() + i  # force file-source pickup order
+        for root, _, files in os.walk(p):
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    real = [r for rows in micro_batches for r in rows if r[0] != 99]
+    expect = sorted(
+        tuple(r) for r in sessionize_batch(spark.createDataFrame(real, schema)).collect()
+    )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(str(src / "b0.parquet")).schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src) + "/*.parquet")
+    )
+    name = f"sess_et_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream_event_time(stream, watermark_delay="2000 seconds")
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # the tail-flushing no-data batch can land just after
+        # processAllAvailable returns; poll briefly for the full set
+        deadline = time.time() + 60
+        got = []
+        while time.time() < deadline:
+            got = sorted(tuple(r) for r in spark.sql(f"SELECT * FROM {name}").collect())
+            if len(got) >= len(expect):
+                break
+            time.sleep(0.5)
+    finally:
+        q.stop()
+    assert got == expect and len(got) == 4
+
+
 def test_stream_matches_batch(spark):
     name = f"ev_{uuid.uuid4().hex[:8]}"
     q = (
