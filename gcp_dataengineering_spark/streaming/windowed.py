@@ -37,10 +37,18 @@ def hourly_agg(events: DataFrame, ts_col="ts_ts") -> DataFrame:
 
 
 def with_event_time(events: DataFrame) -> DataFrame:
-    """events.ts (long nanos — see suite/core.py) → timestamp."""
-    return events.withColumn(
-        "ts_ts", F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    """events.ts → timestamp `ts_ts`, schema-adaptive: long nanos
+    (TIMESTAMP(NANOS) parquet under nanosAsLong=true — pre-round-4
+    testdata) is divided down to micros; a native timestamp /
+    timestamp_ntz column (timestamp[us] parquet — the regenerated
+    round-4 testdata) is cast directly (session pinned UTC, so ntz
+    values pass through verbatim)."""
+    dt = dict(events.dtypes).get("ts", "bigint")
+    if dt == "bigint":
+        ts = F.timestamp_micros((F.col("ts") / F.lit(1000)).cast("long"))
+    else:
+        ts = F.col("ts").cast("timestamp")
+    return events.withColumn("ts_ts", ts)
 
 
 def batch_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -40,10 +40,25 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
-def event_ts(col="ts"):
-    """events.ts (long nanoseconds) → TimestampType, truncated to
-    microseconds (Spark timestamp precision)."""
-    return F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long"))
+def event_ts(ev, col="ts"):
+    """events.<col> → TimestampType, whatever the physical encoding:
+
+    - long nanoseconds (TIMESTAMP(NANOS) parquet read under
+      nanosAsLong=true — the pre-round-4 testdata): divide to micros
+      (truncating, matching the oracle's CAST-to-TIMESTAMP) and
+      timestamp_micros();
+    - native timestamp/timestamp_ntz (timestamp[us] parquet — the
+      regenerated round-4 testdata): plain cast (the session is
+      pinned UTC, so ntz values are preserved verbatim, matching
+      DuckDB's tz-naive semantics).
+
+    Schema-adaptive (takes the DataFrame, not just a column name), so
+    the suite runs identically against either generation of
+    /root/testdata."""
+    dt = dict(ev.dtypes).get(col, "bigint")
+    if dt == "bigint":
+        return F.timestamp_micros((F.col(col) / F.lit(1000)).cast("long"))
+    return F.col(col).cast("timestamp")
 
 
 def r4(c):
@@ -690,7 +705,7 @@ def q_union_conform(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_extendedprice").alias("reach"),
         F.col("l_quantity").alias("engage"),
     )
-    ts = event_ts("ts")
+    ts = event_ts(ev)
     b3 = ev.select(
         F.lit("events").alias("src"),
         F.year(ts).cast("int").alias("year"),
@@ -797,7 +812,7 @@ def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     Streaming upgrade path (same F.window logic is used by
     streaming/windowed.py with readStream + watermark)."""
     ev = _t(spark, sf_dir, "events")
-    ts = event_ts("ts")
+    ts = event_ts(ev)
     win = F.window(ts, "1 hour")
     return (
         ev.groupBy(win.alias("w"), F.col("event_type"))
@@ -831,7 +846,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sessionize import sessionize_batch
 
     ev = _t(spark, sf_dir, "events")
-    return sessionize_batch(ev.withColumn("ts_ts", event_ts("ts")))
+    return sessionize_batch(ev.withColumn("ts_ts", event_ts(ev)))
 
 
 ORACLE_SESSIONIZE = """
@@ -890,7 +905,7 @@ def q_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..streaming.sessionize import sessionize_native
 
     ev = _t(spark, sf_dir, "events")
-    return sessionize_native(ev.withColumn("ts_ts", event_ts("ts")))
+    return sessionize_native(ev.withColumn("ts_ts", event_ts(ev)))
 
 
 QUERIES = {
