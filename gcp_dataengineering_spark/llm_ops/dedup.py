@@ -343,19 +343,40 @@ def resolve_dup_groups(
     id_col: str = "doc_id",
     max_iter: int = 25,
     materialize: str | MaterializeFn | bool | None = None,
+    algorithm: str = "twohop",
 ) -> DataFrame:
     """Connected components over near-dup pairs → one keeper per
     duplicate group: (doc_id, group_id) where group_id is the minimum
     doc id reachable through the pair graph (the canonical keeper).
 
-    Iterative min-label propagation: each round every node adopts the
-    smallest label among itself and its neighbors; converges in
-    O(component diameter) rounds. The driver loop iterates ROUNDS,
-    not rows — each round is one distributed join+groupBy, so the
-    pattern scales (this is how large dedup pipelines and GraphX'
-    connected components work). Near-dup components are shallow
-    (diameter ≲ 10), so max_iter=25 is generous; raises if not
-    converged."""
+    Two algorithms, both iterating ROUNDS (one distributed join+agg
+    chain per round), never rows — the driver loop count is the only
+    sequential part, so each round parallelizes across the cluster:
+
+    - ``twohop`` (default): min-label propagation with pointer
+      doubling. Each round every node takes the min of (its label,
+      its label's label, its neighbors' labels). The ``L(L(v))``
+      self-join is the pointer-doubling step of the classic
+      Shiloach-Vishkin / large-star–small-star family: the hop
+      distance covered per round doubles, so a component of diameter
+      d converges in O(log d) rounds — a 1M-node pathological chain
+      needs ~20 rounds, not 1M. This is the 100 TB insurance for
+      adversarial dup graphs.
+    - ``propagate``: plain one-hop min-label propagation,
+      O(diameter) rounds. One fewer join per round; fine for the
+      documented near-dup contract (shallow components, diameter
+      ≲ 10), pathological on long chains.
+
+    Both produce identical (doc_id, group_id) output. Correctness of
+    the fixpoint: labels only decrease and only ever take values of
+    in-component node ids; at the fixpoint every edge (u, v) has
+    L(u) ≤ L(v) and (edges are symmetrized) L(v) ≤ L(u), so labels
+    are constant per component, and the component's min node keeps
+    its own id. Raises if not converged in ``max_iter`` rounds."""
+    if algorithm not in ("twohop", "propagate"):
+        raise ValueError(
+            f"unknown CC algorithm {algorithm!r}: expected 'twohop' or 'propagate'"
+        )
     # Materialize the edge list ONCE before iterating: `pairs` is
     # typically the most expensive subplan in the module (a full
     # shingle posting-list join), and every propagation round consumes
@@ -375,30 +396,47 @@ def resolve_dup_groups(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-            .select(
-                "node",
-                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+        stepped = labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+        if algorithm == "twohop":
+            # Pointer doubling: L(L(v)). Every label value is itself a
+            # node id present in `labels` (labels start as own-id and
+            # only ever adopt other in-component node ids), so the
+            # self-join on label == node is total; the left join is
+            # belt-and-braces for callers whose `pairs` mention ids
+            # missing from `ids`.
+            hop = labels.select(
+                F.col("node").alias("h_node"), F.col("label").alias("hop_label")
             )
+            stepped = stepped.join(hop, F.col("label") == F.col("h_node"), "left")
+            best = F.least(
+                F.col("label"),
+                F.coalesce(F.col("hop_label"), F.col("label")),
+                F.coalesce(F.col("nbr_label"), F.col("label")),
+            )
+        else:
+            best = F.least(
+                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
+            )
+        # The convergence flag is computed INSIDE the round's own
+        # projection (new < old), so the materialized result carries
+        # it — the check below is a filter+limit over the just-
+        # materialized (tiny) labels table, not the extra
+        # new-vs-old join + action the round-3 version paid per
+        # iteration. Materialize FIRST (truncates the growing
+        # lineage — without it the plan doubles per round); with a
+        # durable strategy ('checkpoint' / 'parquet:<dir>') an
+        # executor loss mid-loop resumes from the last round's
+        # labels instead of killing the job.
+        new_labels = _materialize(
+            stepped.select(
+                "node",
+                best.alias("label"),
+                (best < F.col("label")).alias("_chg"),
+            ),
+            materialize,
         )
-        # Materialize FIRST (truncates the growing lineage — without
-        # it the plan doubles per iteration), THEN derive the
-        # convergence check from the materialized result, so the
-        # round's join+agg executes exactly once instead of once for
-        # `changed` and again for the checkpoint. With a durable
-        # strategy ('checkpoint' / 'parquet:<dir>') an executor loss
-        # mid-loop resumes from the last round's labels instead of
-        # killing the job.
-        new_labels = _materialize(new_labels, materialize)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter(F.col("_chg")).limit(1).count()
+        labels = new_labels.select("node", "label")
         if changed == 0:
             break
     else:
