@@ -151,12 +151,19 @@ def with_gaussian_buckets(
     id_out: str,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    vec_out: str = "vec",
+    vec_out: str | None = None,
 ) -> DataFrame:
-    """(id, vec, tbl, bucket) — one row per LSH table, bucket =
-    gaussian sign key for that table's planes. The multi-table
-    explode shape: candidate generation downstream is an equi-join on
-    (tbl, bucket), and a pair is a candidate if ANY table agrees.
+    """(id, tbl, bucket) — one row per LSH table, bucket = gaussian
+    sign key for that table's planes. The multi-table explode shape:
+    candidate generation downstream is an equi-join on (tbl, bucket),
+    and a pair is a candidate if ANY table agrees.
+
+    IDS-ONLY by default: the explode multiplies rows ×n_tables, so
+    carrying the vector through it would duplicate every embedding 8×
+    through the candidate join (the round-3 shape — ~8× the shuffle
+    bytes at corpus-×-corpus scale). Callers re-join vectors AFTER
+    candidate dedup instead; pass ``vec_out`` to opt back into
+    carrying the vector (single-table / tiny-side uses).
 
     The bucket arithmetic is tables×planes×dim multiply-adds per row
     through higher-order-function lambdas (interpreted, not codegen),
@@ -166,9 +173,10 @@ def with_gaussian_buckets(
     par = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
+    carry = [vec_out] if vec_out else []
     base = df.select(
         F.col(id_col).alias(id_out),
-        F.col(vec_col).alias(vec_out),
+        *([F.col(vec_col).alias(vec_out)] if vec_out else []),
         quantize_fixed(F.col(vec_col)).alias("_vq"),
     )
     per_table = F.array(
@@ -181,8 +189,8 @@ def with_gaussian_buckets(
         ]
     )
     return (
-        base.select(id_out, vec_out, F.explode(per_table).alias("tb"))
-        .select(id_out, vec_out, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        base.select(id_out, *carry, F.explode(per_table).alias("tb"))
+        .select(id_out, *carry, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
     )
 
 
@@ -231,17 +239,35 @@ def cosine_topk_lsh(
         if planes_q is None:
             flat = gaussian_planes_q(n_tables * n_planes, dim, seed)
             planes_q = [flat[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
-        qx = with_gaussian_buckets(queries, planes_q, "query_id", id_col, vec_col, "q_vec")
-        cx = with_gaussian_buckets(corpus, planes_q, "neighbor_id", id_col, vec_col, "c_vec")
-        # score per (tbl, bucket) hit, then collapse duplicate hits
-        # across tables (identical cos) with a hash agg — cheaper than
-        # a distinct-then-rejoin of the vectors.
-        scored = (
+        # Ids-only bucketing → candidate dedup → ONE vector re-join
+        # for scoring. The round-3 shape carried the full embedding on
+        # both sides of the ×n_tables explode, duplicating every
+        # vector 8× through the candidate join and computing the
+        # cosine once per (tbl, bucket) hit; this shape ships 3 longs
+        # per exploded row, collapses duplicate cross-table hits
+        # FIRST, then scans each side's vectors exactly once and
+        # scores each candidate pair exactly once (same shape as the
+        # DuckDB oracle's DISTINCT-candidates CTE).
+        qx = with_gaussian_buckets(queries, planes_q, "query_id", id_col, vec_col)
+        cx = with_gaussian_buckets(corpus, planes_q, "neighbor_id", id_col, vec_col)
+        cands = (
             cx.join(F.broadcast(qx), ["tbl", "bucket"])
             .filter(F.col("neighbor_id") != F.col("query_id"))
+            .select("query_id", "neighbor_id")
+            .distinct()
+        )
+        q = queries.select(
+            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        )
+        c = corpus.select(
+            F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        )
+        # candidates are O(|queries| × bucket-mates) — broadcast them
+        # so the corpus-side vector scan stays shuffle-free
+        scored = (
+            c.join(F.broadcast(cands), "neighbor_id")
+            .join(F.broadcast(q), "query_id")
             .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
-            .groupBy("query_id", "neighbor_id")
-            .agg(F.max("cos").alias("cos"))
         )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id").asc()
@@ -361,6 +387,11 @@ def ivf_index(
     per the ``materialize`` strategy (llm_ops.materialize)."""
     from .corpus import hash_bucket
 
+    if n_iter < 1:
+        raise ValueError(
+            f"n_iter ({n_iter}) must be >= 1: zero iterations would leave "
+            "no centroids to return (assignments alone are the seeded hash init)"
+        )
     vq_df = corpus.select(
         F.col(id_col).alias("vec_id"), quantize_fixed(F.col(vec_col)).alias("vq")
     )
