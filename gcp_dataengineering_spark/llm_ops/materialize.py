@@ -62,16 +62,70 @@ def reliable_checkpoint(df: DataFrame) -> DataFrame:
     return df.checkpoint(eager=True)
 
 
-def parquet_spill(spill_dir: str) -> MaterializeFn:
-    """Strategy factory: write the DataFrame to a fresh parquet table
-    under ``spill_dir`` and read it back — durable AND inspectable."""
+class ParquetSpill:
+    """Spill strategy: write the DataFrame to a fresh parquet table
+    under ``spill_dir`` and read it back — durable AND inspectable.
 
-    def _spill(df: DataFrame) -> DataFrame:
-        path = f"{spill_dir}/mat-{uuid.uuid4().hex}.parquet"
+    Every spill path is registered on the instance so the caller can
+    reclaim the space: call :meth:`cleanup` when the downstream
+    consumers are done, or use the :func:`parquet_spill_dir` context
+    manager to scope the whole lifetime. Retention contract: spill
+    tables live until ``cleanup()`` (or the context exit) — an
+    iterative job like ``resolve_dup_groups`` writes one table per
+    round, so an uncleaned multi-hour run would otherwise accumulate
+    unbounded storage (the round-3 behavior this class replaces).
+
+    NOTE: cleanup() invalidates the returned DataFrames — only call
+    it after every consumer has finished (collected / written out).
+    """
+
+    def __init__(self, spill_dir: str):
+        self.spill_dir = spill_dir
+        self.paths: list[str] = []
+
+    def __call__(self, df: DataFrame) -> DataFrame:
+        path = f"{self.spill_dir}/mat-{uuid.uuid4().hex}.parquet"
         df.write.mode("errorifexists").parquet(path)
+        self.paths.append(path)
         return df.sparkSession.read.parquet(path)
 
-    return _spill
+    def cleanup(self) -> int:
+        """Delete every spill table written so far; returns the number
+        of tables removed. Idempotent."""
+        import shutil
+
+        removed = 0
+        while self.paths:
+            path = self.paths.pop()
+            shutil.rmtree(path, ignore_errors=True)
+            removed += 1
+        return removed
+
+
+def parquet_spill(spill_dir: str) -> ParquetSpill:
+    """Strategy factory (see :class:`ParquetSpill`). The returned
+    instance is a ``MaterializeFn`` with ``.cleanup()``."""
+    return ParquetSpill(spill_dir)
+
+
+@contextmanager
+def parquet_spill_dir(spill_dir: str):
+    """Scoped spill strategy: sets ``parquet:<dir>`` as the module
+    default for the block and deletes every spill table on exit::
+
+        with parquet_spill_dir('/durable/tmp') as spill:
+            keepers = dedup_pipeline(...)
+            keepers.write.parquet(out)   # consume BEFORE exit
+        # all mat-*.parquet under /durable/tmp are gone
+    """
+    spill = ParquetSpill(spill_dir)
+    old = _current[0]
+    _current[0] = spill
+    try:
+        yield spill
+    finally:
+        _current[0] = old
+        spill.cleanup()
 
 
 def passthrough(df: DataFrame) -> DataFrame:
