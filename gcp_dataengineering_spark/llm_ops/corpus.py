@@ -80,6 +80,7 @@ def shard_by_token_budget(
     part_col: str | list[str] = "lang",
     order_col: str = "doc_id",
     text_col: str = "text",
+    max_partition_rows: int | None = None,
 ) -> DataFrame:
     """Assigns each document a `shard_id` so consecutive documents
     (ordered by `order_col` within `part_col`) fill shards of
@@ -89,11 +90,58 @@ def shard_by_token_budget(
     Scale note: a greedy sequential fill is inherently ordered, so
     each `part_col` value is ONE window partition processed by one
     task. With a low-cardinality part_col (e.g. language alone) that
-    is a straggler at 100 TB — pass a composite like
-    ``["lang", hash-bucket column]`` (see `hash_bucket`) so partitions
-    are bounded; shard ids then stay unique per (part, shard_id)
-    tuple, which is what a sharded writer keys on anyway."""
+    is a straggler at 100 TB. Two escapes:
+
+    - pass a composite like ``["lang", hash-bucket column]`` (see
+      `hash_bucket`) yourself, or
+    - set ``max_partition_rows``: the ENFORCED straggler guard. One
+      cheap count per part value sizes a deterministic per-part
+      bucket count ``ceil(rows / max_partition_rows)``; a
+      ``_shard_bucket`` column (seeded hash of ``order_col`` mod
+      that count) is injected into the window partitioning, bounding
+      every window partition to ~max_partition_rows rows — a
+      single-language 100 TB corpus fans out instead of serializing
+      on one task. The sizing join broadcasts (part cardinality is
+      low by premise).
+
+    Either way shard ids stay unique per (part..., [_shard_bucket,]
+    shard_id) tuple, which is what a sharded writer keys on anyway."""
     parts = [part_col] if isinstance(part_col, str) else list(part_col)
+    if max_partition_rows is not None:
+        if max_partition_rows < 1:
+            raise ValueError(
+                f"max_partition_rows ({max_partition_rows}) must be >= 1"
+            )
+        sizes = (
+            df.groupBy(*parts)
+            .agg(F.count(F.lit(1)).alias("_part_rows"))
+            .select(
+                *parts,
+                F.greatest(
+                    F.ceil(F.col("_part_rows") / F.lit(max_partition_rows)),
+                    F.lit(1),
+                )
+                .cast("int")
+                .alias("_n_buckets"),
+            )
+        )
+        df = (
+            df.join(F.broadcast(sizes), parts)
+            .withColumn(
+                "_shard_bucket",
+                (
+                    md5_60bit(
+                        F.concat(
+                            F.lit("shardbucket\x1f"),
+                            F.col(order_col).cast("string"),
+                        )
+                    )
+                    % F.col("_n_buckets")
+                ).cast("int"),
+            )
+            .drop("_n_buckets")
+        )
+        parts = parts + ["_shard_bucket"]
     toks = whitespace_token_count(text_col).cast("long")
     w = Window.partitionBy(*parts).orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0
