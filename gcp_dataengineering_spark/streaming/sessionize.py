@@ -292,7 +292,15 @@ def sessionize_stream_event_time(
         keep = [i for sess in sessions[n_final:] for i in sess]
         if keep:
             state.update((sid, [buf_ts[i] for i in keep], [buf_val[i] for i in keep]))
-            fire = int((buf_ts[keep[-1]] + gap_seconds) * 1000) + 1
+            # Timeout from the FIRST remaining session's last event:
+            # that session is the earliest that can become closeable,
+            # so it flushes at exactly watermark > its end + gap. The
+            # round-3 version armed from the LAST open session's end,
+            # delaying earlier sessions' flush until that later
+            # deadline (or the next data batch) — eventually correct,
+            # but not the promised flush latency for every session.
+            first_open_end = buf_ts[sessions[n_final][-1]]
+            fire = int((first_open_end + gap_seconds) * 1000) + 1
             state.setTimeoutTimestamp(max(fire, wm_ms + 1))
         elif state.hasTimedOut and not closed:
             # tombstone fired again with nothing left to flush: evict.
