@@ -241,6 +241,191 @@ def synth_image_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(gen, schema="media_id long, media_type string, payload binary")
 
 
+# ------------------------------------------------------------ audio/video headers
+AV_META_SCHEMA = (
+    "media_id long, media_type string, n_bytes long, format string, "
+    "sample_rate int, channels int, duration_ms long, width int, height int"
+)
+
+
+def parse_av_header(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None, int | None, int | None]:
+    """(format, sample_rate, channels, duration_ms, width, height)
+    from raw audio/video container bytes, pure Python — the image-
+    metadata trick (parse_image_header) extended to A/V containers:
+
+    - WAV: 'RIFF' + size + 'WAVE', then a chunk walk —
+      'fmt ' carries channels (u16 LE @ +2), sample_rate (u32 LE @ +4)
+      and byte_rate (u32 LE @ +8); 'data' carries the payload size;
+      duration_ms = data_bytes * 1000 // byte_rate (exact int math).
+    - MP4 (ISO BMFF): top-level box walk ([u32 BE size][4cc]) to
+      'moov', then its children — 'mvhd' (v0) carries timescale
+      (@ +12 in content) and duration (@ +16), duration_ms =
+      duration * 1000 // timescale; 'trak'/'tkhd' (v0) carries
+      width/height as 16.16 fixed point (@ +76 / +80 in content).
+
+    Unknown/truncated payloads → all-None; a recognized container
+    with missing inner chunks degrades per-field to None."""
+    none6 = (None, None, None, None, None, None)
+    if not payload or len(payload) < 12:
+        return none6
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        sr = ch = byte_rate = data_bytes = None
+        i = 12
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            csz = int.from_bytes(payload[i + 4 : i + 8], "little")
+            body = payload[i + 8 : i + 8 + csz]
+            if cid == b"fmt " and len(body) >= 12:
+                ch = int.from_bytes(body[2:4], "little")
+                sr = int.from_bytes(body[4:8], "little")
+                byte_rate = int.from_bytes(body[8:12], "little")
+            elif cid == b"data":
+                data_bytes = csz
+            i += 8 + csz + (csz & 1)  # RIFF chunks are word-aligned
+        dur = (
+            data_bytes * 1000 // byte_rate
+            if data_bytes is not None and byte_rate
+            else None
+        )
+        return ("wav", sr, ch, dur, None, None)
+
+    def _boxes(buf: bytes, start: int, end: int):
+        i = start
+        while i + 8 <= end:
+            size = int.from_bytes(buf[i : i + 4], "big")
+            typ = buf[i + 4 : i + 8]
+            if size == 0:
+                size = end - i  # box extends to end
+            if size < 8 or i + size > end:
+                return  # size==1 (64-bit largesize) unsupported; bail
+            yield typ, i + 8, i + size
+            i += size
+
+    is_mp4 = any(t == b"moov" for t, _, _ in _boxes(payload, 0, len(payload))) or (
+        payload[4:8] == b"ftyp"
+    )
+    if is_mp4:
+        dur_ms = w = h = None
+        for typ, cs, ce in _boxes(payload, 0, len(payload)):
+            if typ != b"moov":
+                continue
+            for t2, s2, e2 in _boxes(payload, cs, ce):
+                if t2 == b"mvhd" and e2 - s2 >= 20 and payload[s2] == 0:
+                    timescale = int.from_bytes(payload[s2 + 12 : s2 + 16], "big")
+                    duration = int.from_bytes(payload[s2 + 16 : s2 + 20], "big")
+                    if timescale:
+                        dur_ms = duration * 1000 // timescale
+                elif t2 == b"trak":
+                    for t3, s3, e3 in _boxes(payload, s2, e2):
+                        if t3 == b"tkhd" and e3 - s3 >= 84 and payload[s3] == 0:
+                            w = int.from_bytes(payload[s3 + 76 : s3 + 80], "big") >> 16
+                            h = int.from_bytes(payload[s3 + 80 : s3 + 84], "big") >> 16
+        return ("mp4", None, None, dur_ms, w, h)
+    return none6
+
+
+def decode_av_headers(df: DataFrame, batch_rows: int = 1024) -> DataFrame:
+    """REAL audio/video metadata decode over binary payloads via
+    mapInPandas: (media_id, media_type, n_bytes, format, sample_rate,
+    channels, duration_ms, width, height). Header bytes only — no
+    media libraries (parse_av_header)."""
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_rows):
+                chunk = pdf.iloc[start : start + batch_rows]
+                metas = [parse_av_header(p) for p in chunk["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": chunk["media_id"].values,
+                        "media_type": chunk["media_type"].values,
+                        "n_bytes": [len(p) if p is not None else 0 for p in chunk["payload"]],
+                        "format": [m[0] for m in metas],
+                        "sample_rate": pd.array([m[1] for m in metas], dtype="Int32"),
+                        "channels": pd.array([m[2] for m in metas], dtype="Int32"),
+                        "duration_ms": pd.array([m[3] for m in metas], dtype="Int64"),
+                        "width": pd.array([m[4] for m in metas], dtype="Int32"),
+                        "height": pd.array([m[5] for m in metas], dtype="Int32"),
+                    }
+                )
+
+    return df.mapInPandas(decode, schema=AV_META_SCHEMA)
+
+
+def synth_av_payload(doc_id: int) -> tuple[str, bytes]:
+    """Deterministic spec-valid WAV / MP4 container bytes per id
+    (format = id % 2), with closed-form metadata a SQL oracle can
+    recompute from the id alone:
+
+    - WAV (id even): sample_rate = 8000 + (id % 5)*4000, channels =
+      2 if id % 4 == 0 else 1, n_samples = id % 100 + 50, 16-bit PCM
+      → data_bytes = n_samples*channels*2, n_bytes = 44 + data_bytes,
+      duration_ms = n_samples * 1000 // sample_rate.
+    - MP4 (id odd): timescale 1000, duration_ms = id % 5000 + 100,
+      width = id % 640 + 16, height = (id*3) % 480 + 16, n_bytes =
+      232 (ftyp 16 + moov{mvhd 108 + trak{tkhd 92}})."""
+    if doc_id % 2 == 0:
+        sr = 8000 + (doc_id % 5) * 4000
+        ch = 2 if doc_id % 4 == 0 else 1
+        n_samples = doc_id % 100 + 50
+        data_bytes = n_samples * ch * 2
+        byte_rate = sr * ch * 2
+        hdr = (
+            b"RIFF" + struct.pack("<I", 36 + data_bytes) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr, byte_rate, ch * 2, 16)
+            + b"data" + struct.pack("<I", data_bytes)
+        )
+        return "audio/wav", hdr + b"\x00" * data_bytes
+    dur = doc_id % 5000 + 100
+    w = doc_id % 640 + 16
+    h = (doc_id * 3) % 480 + 16
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    mvhd = (
+        struct.pack(">I", 108) + b"mvhd" + b"\x00\x00\x00\x00"
+        + struct.pack(">II", 0, 0)              # creation, modification
+        + struct.pack(">II", 1000, dur)          # timescale, duration
+        + struct.pack(">I", 0x00010000)          # rate 1.0
+        + struct.pack(">H", 0x0100) + b"\x00" * 10  # volume + reserved
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2)    # predefined, next_track
+    )
+    tkhd = (
+        struct.pack(">I", 92) + b"tkhd" + b"\x00\x00\x00\x07"  # v0, flags: enabled|in-movie|in-preview
+        + struct.pack(">III", 0, 0, 1)           # creation, modification, track id
+        + struct.pack(">I", 0)                   # reserved
+        + struct.pack(">I", dur)                 # duration (movie timescale)
+        + b"\x00" * 8                            # reserved
+        + struct.pack(">HHHH", 0, 0, 0, 0)       # layer, alt group, volume, reserved
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
+        + struct.pack(">II", w << 16, h << 16)
+    )
+    trak = struct.pack(">I", 100) + b"trak" + tkhd
+    moov = struct.pack(">I", 216) + b"moov" + mvhd + trak
+    return "video/mp4", ftyp + moov
+
+
+def synth_av_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, media_type, payload) with deterministic real WAV/MP4
+    container bytes per id (synth_av_payload) — the fixture generator
+    for the A/V real-decode oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            made = [synth_av_payload(int(i)) for i in ids]
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.values,
+                    "media_type": [m[0] for m in made],
+                    "payload": [m[1] for m in made],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(gen, schema="media_id long, media_type string, payload binary")
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: expands each media row into frame
     descriptors (frame_idx) without decoding — the decode of selected

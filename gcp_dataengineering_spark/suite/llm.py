@@ -946,6 +946,39 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------- multimodal A/V decode
+def q_multimodal_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio/video container-metadata decode, differentially
+    checked: for every document id, synth_av_corpus emits spec-valid
+    WAV (even ids) / MP4 (odd ids) container bytes with closed-form
+    metadata, and decode_av_headers parses sample_rate/channels/
+    duration/dimensions back OUT of the raw bytes in pure Python
+    (RIFF chunk walk / ISO-BMFF box walk). The oracle recomputes
+    every field from the id formulas alone — one misread header
+    byte and the hash diverges."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.synth_av_corpus(docs, id_col="doc_id")
+    return M.decode_av_headers(media)
+
+
+ORACLE_MULTIMODAL_AV_META = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN 44 + (doc_id % 100 + 50) * (CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END) * 2
+                 ELSE 232 END AS BIGINT) AS n_bytes,
+       CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS format,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 5) * 4000 END AS INTEGER) AS sample_rate,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END END AS INTEGER) AS channels,
+       CAST(CASE WHEN doc_id % 2 = 0
+                 THEN (doc_id % 100 + 50) * 1000 // (8000 + (doc_id % 5) * 4000)
+                 ELSE doc_id % 5000 + 100 END AS BIGINT) AS duration_ms,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 640 + 16 END AS INTEGER) AS width,
+       CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id * 3) % 480 + 16 END AS INTEGER) AS height
+FROM documents
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
@@ -967,6 +1000,7 @@ QUERIES = {
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     "multimodal_meta": q_multimodal_meta,
     "multimodal_real_meta": q_multimodal_real_meta,
+    "multimodal_av_meta": q_multimodal_av_meta,
     "dedup_pipeline": q_dedup_pipeline,
     "dataset_split": q_dataset_split,
     "shard_plan": q_shard_plan,
@@ -998,6 +1032,7 @@ ORACLES = {
     "embedding_neardup_lsh": ORACLE_EMBEDDING_NEARDUP_LSH,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_real_meta": ORACLE_MULTIMODAL_REAL_META,
+    "multimodal_av_meta": ORACLE_MULTIMODAL_AV_META,
     "dedup_pipeline": ORACLE_DEDUP_PIPELINE,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "shard_plan": ORACLE_SHARD_PLAN,
