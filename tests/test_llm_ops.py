@@ -85,6 +85,45 @@ def test_resolve_dup_groups(spark):
     assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 4, 5: 4, 6: 6}
 
 
+def test_resolve_dup_groups_long_chain_twohop_vs_propagate(spark):
+    """100 TB insurance: a pathological chain component (diameter 120,
+    far beyond max_iter=25) converges under the default pointer-
+    doubling algorithm in O(log d) rounds, while plain one-hop
+    propagation provably cannot within the same budget."""
+    from gcp_dataengineering_spark.llm_ops.dedup import resolve_dup_groups
+
+    n = 121  # path 0-1-2-...-120: diameter 120 >> 25
+    ids = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    got = {
+        r["doc_id"]: r["group_id"]
+        for r in resolve_dup_groups(ids, pairs, max_iter=25).collect()
+    }
+    assert got == {i: 0 for i in range(n)}
+    with pytest.raises(RuntimeError, match="did not converge"):
+        resolve_dup_groups(ids, pairs, max_iter=25, algorithm="propagate").collect()
+
+
+def test_resolve_dup_groups_algorithms_agree(spark):
+    """Both CC algorithms produce identical labels on a mixed graph
+    (small components where one-hop CAN converge)."""
+    from gcp_dataengineering_spark.llm_ops.dedup import resolve_dup_groups
+
+    ids = spark.createDataFrame([(i,) for i in range(12)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 3), (5, 7), (7, 9), (10, 11)],
+        "id_a long, id_b long",
+    )
+    a = {r["doc_id"]: r["group_id"]
+         for r in resolve_dup_groups(ids, pairs, algorithm="twohop").collect()}
+    b = {r["doc_id"]: r["group_id"]
+         for r in resolve_dup_groups(ids, pairs, algorithm="propagate").collect()}
+    assert a == b
+    assert a[3] == 0 and a[9] == 5 and a[11] == 10 and a[4] == 4
+
+
 def test_simhash_near_dups_close_in_hamming(docs):
     h = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
     def ham(a, b):
@@ -229,6 +268,43 @@ def test_shard_by_token_budget_fills_sequentially(spark):
     assert all(r["shard_id"] == r["doc_id"] // 4 for r in got)
     totals = sh.groupBy("shard_id").agg(F.sum("n_tokens").alias("t")).collect()
     assert all(r["t"] == 200 for r in totals)
+
+
+def test_shard_straggler_guard_bounds_partitions(spark):
+    """max_partition_rows fans a single-language corpus out into
+    bounded window partitions: every (lang, _shard_bucket) group stays
+    ~<= the bound (hash buckets wobble, so allow 2x), tokens are
+    conserved, and shard ids are the greedy fill within each bucket."""
+    import pyspark.sql.functions as F
+
+    from gcp_dataengineering_spark.llm_ops.corpus import shard_by_token_budget
+
+    rows = [(i, "en", "tok " * 10) for i in range(400)]  # one language only
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    sh = shard_by_token_budget(docs, budget_tokens=50, max_partition_rows=50)
+    per_bucket = sh.groupBy("lang", "_shard_bucket").agg(
+        F.count(F.lit(1)).alias("n")
+    ).collect()
+    assert len(per_bucket) >= 4  # 400/50 = 8 buckets planned; hash spread
+    assert all(r["n"] <= 2 * 50 for r in per_bucket)
+    assert sh.count() == 400  # no row lost or duplicated by the sizing join
+    # greedy fill holds within each bucket: 10 tokens/doc, 50/shard ->
+    # every non-final shard in a bucket has exactly 5 docs
+    fills = sh.groupBy("lang", "_shard_bucket", "shard_id").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.max("shard_id").alias("sid"),
+    ).collect()
+    max_sid = {}
+    for r in fills:
+        key = (r["lang"], r["_shard_bucket"])
+        max_sid[key] = max(max_sid.get(key, -1), r["shard_id"])
+    for r in fills:
+        if r["shard_id"] < max_sid[(r["lang"], r["_shard_bucket"])]:
+            assert r["docs"] == 5
+    with pytest.raises(ValueError, match="max_partition_rows"):
+        shard_by_token_budget(docs, budget_tokens=50, max_partition_rows=0)
+    # default path unchanged: no _shard_bucket column
+    assert "_shard_bucket" not in shard_by_token_budget(docs, budget_tokens=50).columns
 
 
 def test_apply_dedup_keepers_one_per_group(spark):
@@ -422,13 +498,106 @@ def test_materializer_module_default_scoped(spark, docs, tmp_path):
         M.set_materializer("bogus")
     assert M.get_materializer() is M.local_checkpoint
 
-    with _pytest.raises(RuntimeError, match="checkpoint dir"):
-        fresh_df = docs.limit(1)
-        ctx_dir = spark.sparkContext.getCheckpointDir()
-        if ctx_dir is None:
-            M.reliable_checkpoint(fresh_df)
-        else:
-            raise RuntimeError("checkpoint dir already set by a prior test")
+
+def test_reliable_checkpoint_guard_without_dir():
+    """reliable_checkpoint's missing-checkpoint-dir guard, exercised
+    via a unit-level stub so it holds regardless of whether an earlier
+    test set a checkpoint dir on the shared session (the round-3
+    version raised its own fallback RuntimeError whose message ALSO
+    matched the pattern — vacuous either way)."""
+    from gcp_dataengineering_spark.llm_ops import materialize as M
+
+    class _FakeSC:
+        def __init__(self, ckpt_dir):
+            self._d = ckpt_dir
+
+        def getCheckpointDir(self):
+            return self._d
+
+    class _FakeDF:
+        def __init__(self, ckpt_dir):
+            self.sparkSession = type(
+                "S", (), {"sparkContext": _FakeSC(ckpt_dir)}
+            )()
+            self.checkpointed = False
+
+        def checkpoint(self, eager=True):
+            self.checkpointed = True
+            return self
+
+    with pytest.raises(RuntimeError, match="requires a checkpoint dir"):
+        M.reliable_checkpoint(_FakeDF(None))
+
+    ok = _FakeDF("/durable/ckpt")
+    assert M.reliable_checkpoint(ok) is ok and ok.checkpointed
+
+
+def test_parquet_spill_cleanup_and_context_manager(spark, docs, tmp_path):
+    """ParquetSpill registers every spill table and cleanup() (or the
+    parquet_spill_dir context exit) removes them — the round-3
+    strategy leaked one mat-*.parquet dir per materialize call."""
+    import os
+
+    from gcp_dataengineering_spark.llm_ops import materialize as M
+
+    d = str(tmp_path / "spill_explicit")
+    spill = M.parquet_spill(d)
+    out1 = spill(docs.limit(3))
+    out2 = spill(docs.limit(2))
+    assert out1.count() == 3 and out2.count() == 2
+    assert len(spill.paths) == 2
+    assert sorted(os.listdir(d)) == sorted(os.path.basename(p) for p in spill.paths)
+    assert spill.cleanup() == 2
+    assert os.listdir(d) == [] and spill.paths == []
+    assert spill.cleanup() == 0  # idempotent
+
+    d2 = str(tmp_path / "spill_scoped")
+    with M.parquet_spill_dir(d2) as scoped:
+        assert M.get_materializer() is scoped
+        # ngram_jaccard_pairs materializes its shingle table through
+        # the module default -> at least one spill table appears
+        pairs = {
+            (r["id_a"], r["id_b"]) for r in ngram_jaccard_pairs(docs, min_jaccard=0.3).collect()
+        }
+        assert (0, 1) in pairs
+        assert len(scoped.paths) >= 1
+        assert sorted(os.listdir(d2)) == sorted(os.path.basename(p) for p in scoped.paths)
+    assert M.get_materializer() is M.local_checkpoint
+    assert os.listdir(d2) == []
+
+
+def test_durable_strategies_full_dedup_pipeline(spark, tmp_path):
+    """The COMPOSED dedup pipeline (jaccard pairs → CC groups →
+    keepers → per-lang rollup) — what a cluster user actually runs —
+    under each durable materialization strategy, end-to-end at
+    sf0.01, must equal the localCheckpoint result exactly. The
+    per-operator equivalence test covers operators in isolation; this
+    covers the composition, where a strategy bug would compound
+    across the chain."""
+    from gcp_dataengineering_spark.llm_ops import materialize as M
+    from gcp_dataengineering_spark.suite.llm import q_dedup_pipeline
+
+    sf_dir = "/root/testdata/sf0.01"
+
+    def run():
+        return {
+            r["lang"]: (r["n_kept"], r["kept_tokens"])
+            for r in q_dedup_pipeline(spark, sf_dir).collect()
+        }
+
+    baseline = run()
+    assert baseline and sum(v[0] for v in baseline.values()) > 0
+
+    spark.sparkContext.setCheckpointDir(str(tmp_path / "ckpt"))
+    with M.materializer("checkpoint"):
+        assert run() == baseline
+
+    with M.parquet_spill_dir(str(tmp_path / "spill")) as spill:
+        assert run() == baseline
+        assert len(spill.paths) >= 3  # shingles + edges + >=1 CC round
+    import os
+
+    assert os.listdir(str(tmp_path / "spill")) == []
 
 
 def test_spread_guard_skips_well_partitioned_input(spark, tmp_path):
@@ -483,6 +652,53 @@ def test_image_header_parser_real_formats(spark):
     assert len(out) == 30
     for i, r in out.items():
         assert r["width"] == i % 300 + 16 and r["height"] == (i * 7) % 200 + 16
+
+
+def test_av_header_parser_real_formats(spark):
+    """parse_av_header reads true sample_rate/channels/duration and
+    dimensions out of spec-valid WAV/MP4 container bytes and degrades
+    safely on garbage/truncation; decode_av_headers runs it over
+    Arrow batches end-to-end."""
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        decode_av_headers,
+        parse_av_header,
+        synth_av_corpus,
+        synth_av_payload,
+    )
+
+    for i in [0, 1, 2, 3, 4, 16, 99, 4999, 5000, 12345]:
+        mt, payload = synth_av_payload(i)
+        fmt, sr, ch, dur, w, h = parse_av_header(payload)
+        if i % 2 == 0:
+            exp_sr = 8000 + (i % 5) * 4000
+            assert mt == "audio/wav" and fmt == "wav"
+            assert sr == exp_sr and ch == (2 if i % 4 == 0 else 1)
+            assert dur == (i % 100 + 50) * 1000 // exp_sr
+            assert (w, h) == (None, None)
+        else:
+            assert mt == "video/mp4" and fmt == "mp4"
+            assert (sr, ch) == (None, None)
+            assert dur == i % 5000 + 100
+            assert (w, h) == (i % 640 + 16, (i * 3) % 480 + 16)
+
+    assert parse_av_header(None) == (None,) * 6
+    assert parse_av_header(b"") == (None,) * 6
+    assert parse_av_header(b"RIFFxxxxWAVE") == ("wav", None, None, None, None, None)
+    assert parse_av_header(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00") == (
+        "mp4", None, None, None, None, None,
+    )
+    assert parse_av_header(b"random garbage bytes here") == (None,) * 6
+
+    ids = spark.range(0, 30).withColumnRenamed("id", "doc_id")
+    out = {r["media_id"]: r for r in decode_av_headers(synth_av_corpus(ids)).collect()}
+    assert len(out) == 30
+    for i, r in out.items():
+        if i % 2 == 0:
+            assert r["sample_rate"] == 8000 + (i % 5) * 4000
+            assert r["n_bytes"] == 44 + (i % 100 + 50) * (2 if i % 4 == 0 else 1) * 2
+        else:
+            assert (r["width"], r["height"]) == (i % 640 + 16, (i * 3) % 480 + 16)
+            assert r["n_bytes"] == 232
 
 
 def test_gaussian_lsh_recall_bound(spark):

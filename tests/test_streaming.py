@@ -238,7 +238,72 @@ def test_dedup_stream_drops_watermark_window_dups(spark, tmp_path):
     assert got == {"a": "doc-a", "b": "doc-b", "c": "doc-c"}
 
 
-def test_sessionize_timeout_tombstone_preserves_session_ids(spark):
+def test_sessionize_event_time_timeout_armed_from_first_open_session(spark):
+    """With 2+ open sessions buffered, the event-time timeout must be
+    armed from the FIRST remaining session's end + gap (the earliest
+    watermark that can close anything) — arming from the LAST session's
+    end (the round-3 behavior) delays earlier sessions' flush until
+    that later deadline or the next data batch."""
+    import pandas as pd
+
+    from gcp_dataengineering_spark.streaming import sessionize as SZ
+
+    captured = {}
+
+    class Probe:
+        def withWatermark(self, *a):
+            return self
+
+        def select(self, *a):
+            return self
+
+        def groupBy(self, *a):
+            return self
+
+        def applyInPandasWithState(self, fn, *a, **k):
+            captured["fn"] = fn
+            return None
+
+    class FakeState:
+        def __init__(self, wm_ms):
+            self._v, self.hasTimedOut, self._wm = None, False, wm_ms
+            self.armed = None
+
+        @property
+        def exists(self):
+            return self._v is not None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+
+        def remove(self):
+            self._v = None
+
+        def getCurrentWatermarkMs(self):
+            return self._wm
+
+        def setTimeoutTimestamp(self, ts):
+            self.armed = ts
+
+    SZ.sessionize_stream_event_time(Probe(), gap_seconds=300)
+    fn = captured["fn"]
+
+    # two sessions: A = [1000, 1010], B = [5000]; watermark 900 s —
+    # neither closeable yet, both stay buffered
+    st = FakeState(wm_ms=900_000)
+    out = list(
+        fn(
+            (1,),
+            iter([pd.DataFrame({"ts_sec": [1000.0, 1010.0, 5000.0], "value": [2.0, 3.0, 1.0]})]),
+            st,
+        )
+    )
+    assert out == [] and st.exists
+    assert st.armed == (1010 + 300) * 1000 + 1  # session A's deadline, NOT B's 5300001
     """Deterministic check of the two-phase eviction logic: after a
     timeout flush the session counter survives as a tombstone, so a
     returning user continues ordinal ids instead of reusing one; a
