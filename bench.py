@@ -7,12 +7,23 @@ Prints ONE JSON line:
 Each query is forced to full execution with the noop sink (no
 driver-side collect — the data path stays distributed, as it must at
 100 TB).
+
+Pass ordering: the TIMED sf pass runs FIRST in a fresh JVM, and the
+sf/10 scaling-slope pass runs AFTER it — so the slope pass can never
+perturb the headline numbers via accumulated JVM/GC/codegen-cache
+state (the round-3 bench ran lo-before-hi and the iterative dedup
+queries regressed ~1.5-2× from exactly that).
+
+BENCH_ISOLATE=1 goes further: each set (hi, lo) runs in its own
+subprocess JVM, so the two are fully independent — the
+attribution/A-B mode for harness-effect questions.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -76,23 +87,49 @@ def _time_set(spark, qs, sf_dir: str, warm_dir: str, runs: int) -> dict[str, flo
     return times
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
-
+def _run_one_set(sf_dir: str, runs: int) -> dict[str, float]:
+    """Time the headline set at sf_dir in THIS process's Spark session."""
     import __spark_entry__ as e
     from gcp_dataengineering_spark.session import get_spark
 
     spark = get_spark("bench")
     qs = e.queries()
-
     # JVM/codegen warmup on a trivial action so q1 isn't charged for it
     spark.range(1000).selectExpr("sum(id)").collect()
+    times = _time_set(spark, qs, sf_dir, "/root/testdata/sf0.001", runs)
+    spark.stop()
+    return times
 
-    warm_dir = "/root/testdata/sf0.001"
+
+def _run_set_isolated(sf_dir: str, runs: int) -> dict[str, float]:
+    """Fork a fresh python+JVM to time one set — zero shared state."""
+    env = dict(os.environ)
+    env["BENCH_CHILD_SF_DIR"] = sf_dir
+    env["BENCH_RUNS"] = str(runs)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--child"],
+        env=env,
+        capture_output=True,
+        text=True,
+        check=True,
+    )
+    # child prints exactly one JSON line on its last stdout line
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    if "--child" in sys.argv:
+        times = _run_one_set(os.environ["BENCH_CHILD_SF_DIR"], int(os.environ.get("BENCH_RUNS", "2")))
+        print(json.dumps(times))
+        return
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     runs = int(os.environ.get("BENCH_RUNS", "2"))
+    isolate = os.environ.get("BENCH_ISOLATE", "0") != "0"
 
-    # Scaling-slope check: time the same set one decade smaller first.
+    # Scaling-slope pass: the same set one decade smaller, run AFTER
+    # the timed pass (or in its own JVM under BENCH_ISOLATE).
     # slope[q] = t(sf) / t(sf/10); linear scaling gives <= ~10 (usually
     # far less here, where fixed scheduler latency dominates small
     # queries) — a ratio > 10 flags hidden super-linear behavior a
@@ -103,11 +140,33 @@ def main() -> None:
         and os.path.isdir(lo_dir)
         and os.path.realpath(lo_dir) != os.path.realpath(sf_dir)
     )
-    times_lo: dict[str, float] = {}
-    if do_slope:
-        times_lo = _time_set(spark, qs, lo_dir, warm_dir, runs)
 
-    times = _time_set(spark, qs, sf_dir, warm_dir, runs)
+    # BENCH_LO_FIRST=1 restores the round-3 ordering (slope pass
+    # before the timed pass, same JVM) — the A/B control for
+    # attributing harness-ordering effects; never the default.
+    lo_first = os.environ.get("BENCH_LO_FIRST", "0") != "0"
+
+    if isolate:
+        times = _run_set_isolated(sf_dir, runs)
+        times_lo = _run_set_isolated(lo_dir, runs) if do_slope else {}
+    else:
+        # Single JVM: timed hi pass FIRST (fresh JVM ≈ clean state),
+        # slope pass after — it reuses the warm JVM but cannot feed
+        # back into the published headline numbers.
+        import __spark_entry__ as e
+        from gcp_dataengineering_spark.session import get_spark
+
+        spark = get_spark("bench")
+        qs = e.queries()
+        spark.range(1000).selectExpr("sum(id)").collect()
+        warm_dir = "/root/testdata/sf0.001"
+        times_lo = {}
+        if do_slope and lo_first:
+            times_lo = _time_set(spark, qs, lo_dir, warm_dir, runs)
+        times = _time_set(spark, qs, sf_dir, warm_dir, runs)
+        if do_slope and not lo_first:
+            times_lo = _time_set(spark, qs, lo_dir, warm_dir, runs)
+        spark.stop()
 
     out = {
         "metric": "headline_queries_total_wall",
@@ -130,7 +189,6 @@ def main() -> None:
             k for k, r in slope.items() if r > (sf / sf_lo) * 1.2
         )
     print(json.dumps(out))
-    spark.stop()
 
 
 if __name__ == "__main__":
