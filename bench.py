@@ -61,10 +61,15 @@ def _time_set(spark, qs, sf_dir: str, warm_dir: str, runs: int) -> dict[str, flo
     across scale factors, so compile cost (5-20 s/query on this VM) is
     charged to warmup, not to the timed run — the steady-state number is
     the signal that scales to 100 TB."""
+    only = {
+        k.strip()
+        for k in os.environ.get("BENCH_ONLY", "").split(",")
+        if k.strip()
+    }
     times: dict[str, float] = {}
     for key in HEADLINE:
         fn = qs.get(key)
-        if fn is None:
+        if fn is None or (only and key not in only):
             continue
         if os.path.isdir(warm_dir) and warm_dir != sf_dir:
             try:
