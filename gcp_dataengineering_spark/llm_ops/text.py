@@ -112,6 +112,83 @@ def lang_id(col: Column | str, default: str = "und") -> Column:
     return best.otherwise(default) if best is not None else F.lit(default)
 
 
+def repetition_features(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``dup_word_frac``: 1 − distinct words / total words (0 for
+      empty docs) — a high value marks keyword-stuffed / looping
+      text;
+    - ``top_bigram_frac`` / ``top_trigram_frac``: the most frequent
+      word n-gram's share of all n-gram occurrences (0 when the doc
+      has fewer than n words) — the published repeated-phrase
+      filters (Gopher §A1.2 uses exactly these fractions).
+
+    Shape at scale: the word-level stats are a pure projection (no
+    explode, scan speed); the n-gram fractions are ONE explode of
+    tagged (n, gram) rows → count per (doc, n, gram) → max/sum per
+    (doc, n) → conditional-pivot back to columns. Both aggregations
+    hash-partition on doc_id — no skew (a document's grams land in
+    one partition, and documents are the natural unit of work).
+    Returns (id, n_words, dup_word_frac, top_bigram_frac,
+    top_trigram_frac), fractions rounded to 4 decimals."""
+    words = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
+    w = F.col("_w")
+
+    def grams(n: int) -> Column:
+        k = F.size(w) - F.lit(n - 1)
+        return F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", F.slice(w, i, n)).alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+
+    word_stats = base.select(
+        "doc_id",
+        F.size(w).cast("long").alias("n_words"),
+        F.round(
+            F.when(
+                F.size(w) > 0,
+                F.lit(1.0)
+                - F.size(F.array_distinct(w)).cast("double") / F.size(w).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            4,
+        ).alias("dup_word_frac"),
+    )
+    exploded = base.select(
+        "doc_id", F.explode(F.concat(grams(2), grams(3))).alias("g")
+    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
+    per_n = (
+        exploded.groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id", "n")
+        .agg((F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias("frac"))
+    )
+    fracs = per_n.groupBy("doc_id").agg(
+        F.round(F.coalesce(F.max(F.when(F.col("n") == 2, F.col("frac"))), F.lit(0.0)), 4)
+        .alias("top_bigram_frac"),
+        F.round(F.coalesce(F.max(F.when(F.col("n") == 3, F.col("frac"))), F.lit(0.0)), 4)
+        .alias("top_trigram_frac"),
+    )
+    return (
+        word_stats.join(fracs, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias(id_col),
+            "n_words",
+            "dup_word_frac",
+            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
+            F.coalesce("top_trigram_frac", F.lit(0.0)).alias("top_trigram_frac"),
+        )
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text. (Content-defined rolling

@@ -18,6 +18,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..llm_ops import corpus as C
+from ..llm_ops import decontam as DC
 from ..llm_ops import dedup as D
 from ..llm_ops import multimodal as M
 from ..llm_ops import similarity as S
@@ -946,6 +947,92 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------- repetition quality
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: duplicate-word
+    fraction and top-2/3-gram occupancy — the repeated-phrase quality
+    filters. One explode of tagged (n, gram) rows, two hash aggs."""
+    return T.repetition_features(_t(spark, sf_dir, "documents"))
+
+
+ORACLE_TEXT_REPETITION = """
+WITH words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+    FROM documents
+), word_stats AS (
+    SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words,
+           ROUND(CASE WHEN len(w) > 0
+                      THEN 1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)
+                      ELSE 0.0 END, 4) AS dup_word_frac
+    FROM words
+), grams AS (
+    SELECT doc_id, 2 AS n, array_to_string(w[i+1:i+2], ' ') AS gram
+    FROM words, unnest(range(greatest(len(w) - 1, 0))) AS r(i)
+    UNION ALL
+    SELECT doc_id, 3 AS n, array_to_string(w[i+1:i+3], ' ') AS gram
+    FROM words, unnest(range(greatest(len(w) - 2, 0))) AS r(i)
+), counts AS (
+    SELECT doc_id, n, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3
+), per_n AS (
+    SELECT doc_id, n, CAST(MAX(cnt) AS DOUBLE) / SUM(cnt) AS frac
+    FROM counts GROUP BY 1, 2
+), fracs AS (
+    SELECT doc_id,
+           ROUND(COALESCE(MAX(CASE WHEN n = 2 THEN frac END), 0.0), 4) AS top_bigram_frac,
+           ROUND(COALESCE(MAX(CASE WHEN n = 3 THEN frac END), 0.0), 4) AS top_trigram_frac
+    FROM per_n GROUP BY 1
+)
+SELECT s.doc_id, s.n_words, s.dup_word_frac,
+       COALESCE(f.top_bigram_frac, 0.0) AS top_bigram_frac,
+       COALESCE(f.top_trigram_frac, 0.0) AS top_trigram_frac
+FROM word_stats s LEFT JOIN fracs f USING (doc_id)
+"""
+
+
+# ---------------------------------------------------------------- decontamination
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Eval-set decontamination: the content-stable hash split carves
+    train (80%) and test (10%) from the documents table, then every
+    train doc sharing a distinct word 3-gram with any test doc is
+    flagged with its shared-gram and eval-doc counts. Posting-list
+    equi-join on the gram — the eval side broadcasts at scale.
+    (Production uses 8-13-grams; the fixture docs are short, so n=3
+    exercises the same plan with non-empty output.)"""
+    docs = C.hash_split(_t(spark, sf_dir, "documents"))
+    train = docs.filter(F.col("split") == "train").drop("split")
+    ev = docs.filter(F.col("split") == "test").drop("split")
+    return DC.contamination_hits(train, ev, n=3)
+
+
+ORACLE_DECONTAMINATE = """
+WITH split AS (
+    SELECT doc_id, text,
+           ('0x' || substring(md5('split' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bk
+    FROM documents
+), words_tr AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+    FROM split WHERE bk < 80
+), sh_tr AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+    FROM words_tr, unnest(range(greatest(len(w) - 2, 0))) AS r(i)
+), words_ev AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+    FROM split WHERE bk >= 90
+), sh_ev AS (
+    SELECT DISTINCT doc_id AS eval_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+    FROM words_ev, unnest(range(greatest(len(w) - 2, 0))) AS r(i)
+)
+SELECT t.doc_id,
+       CAST(COUNT(DISTINCT t.shingle) AS BIGINT) AS n_shared_grams,
+       CAST(COUNT(DISTINCT e.eval_id) AS BIGINT) AS n_eval_docs
+FROM sh_tr t JOIN sh_ev e ON t.shingle = e.shingle
+GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------- multimodal A/V decode
 def q_multimodal_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio/video container-metadata decode, differentially
@@ -1001,6 +1088,8 @@ QUERIES = {
     "multimodal_meta": q_multimodal_meta,
     "multimodal_real_meta": q_multimodal_real_meta,
     "multimodal_av_meta": q_multimodal_av_meta,
+    "text_repetition": q_text_repetition,
+    "decontaminate": q_decontaminate,
     "dedup_pipeline": q_dedup_pipeline,
     "dataset_split": q_dataset_split,
     "shard_plan": q_shard_plan,
@@ -1033,6 +1122,8 @@ ORACLES = {
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_real_meta": ORACLE_MULTIMODAL_REAL_META,
     "multimodal_av_meta": ORACLE_MULTIMODAL_AV_META,
+    "text_repetition": ORACLE_TEXT_REPETITION,
+    "decontaminate": ORACLE_DECONTAMINATE,
     "dedup_pipeline": ORACLE_DEDUP_PIPELINE,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "shard_plan": ORACLE_SHARD_PLAN,

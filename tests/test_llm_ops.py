@@ -654,6 +654,83 @@ def test_image_header_parser_real_formats(spark):
         assert r["width"] == i % 300 + 16 and r["height"] == (i * 7) % 200 + 16
 
 
+def test_repetition_features_flags_looping_text(spark):
+    """A keyword-stuffed doc scores high on every repetition signal;
+    diverse text scores low; degenerate docs (empty / 1-2 words) get
+    0.0 fractions instead of nulls or crashes."""
+    from gcp_dataengineering_spark.llm_ops.text import repetition_features
+
+    looped = "buy cheap pills " * 40
+    diverse = " ".join(f"w{i}" for i in range(120))
+    rows = [(0, looped), (1, diverse), (2, ""), (3, "one"), (4, "one two")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+
+    assert got[0]["n_words"] == 120
+    assert got[0]["dup_word_frac"] == round(1 - 3 / 120, 4)
+    # 'cheap pills'/'pills buy'/'buy cheap' each ~40/119 of bigrams
+    assert got[0]["top_bigram_frac"] > 0.3
+    assert got[0]["top_trigram_frac"] > 0.3
+
+    assert got[1]["dup_word_frac"] == 0.0
+    assert got[1]["top_bigram_frac"] == round(1 / 119, 4)
+
+    assert got[2]["n_words"] == 0 and got[2]["dup_word_frac"] == 0.0
+    assert got[2]["top_bigram_frac"] == 0.0 and got[2]["top_trigram_frac"] == 0.0
+    assert got[3]["top_bigram_frac"] == 0.0  # 1 word: no bigrams
+    assert got[4]["top_bigram_frac"] == 1.0 and got[4]["top_trigram_frac"] == 0.0
+
+
+def test_decontamination_flags_and_removes_leaked_docs(spark):
+    """A train doc embedding an eval doc's exact phrasing is flagged
+    (with correct gram/eval-doc counts) and removed by decontaminate;
+    clean train docs survive; the stop-gram cap drops boilerplate-only
+    hits."""
+    from gcp_dataengineering_spark.llm_ops.decontam import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    eval_rows = [
+        (100, "the capital of france is paris obviously"),
+        (101, "two plus two equals four in base ten"),
+    ]
+    train_rows = [
+        (0, "filler text then the capital of france is paris obviously end"),  # leaked 100
+        (1, "totally unrelated prose about spark shuffles and joins"),
+        (2, "two plus two equals four in base ten copied verbatim"),           # leaked 101
+        (3, "short clean doc"),
+    ]
+    train = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+
+    hits = {r["doc_id"]: r for r in contamination_hits(train, ev, n=5).collect()}
+    assert set(hits) == {0, 2}
+    assert hits[0]["n_eval_docs"] == 1 and hits[0]["n_shared_grams"] == 3  # 7-word overlap -> 3 5-grams
+    assert hits[2]["n_eval_docs"] == 1 and hits[2]["n_shared_grams"] == 4  # 8-word overlap -> 4 5-grams
+
+    kept = sorted(r["doc_id"] for r in decontaminate(train, ev, n=5).collect())
+    assert kept == [1, 3]
+
+    # min_shared raises the bar: requiring >=4 shared grams clears doc 0
+    strict = {r["doc_id"] for r in contamination_hits(train, ev, n=5, min_shared=4).collect()}
+    assert strict == {2}
+
+    # stop-gram cap: a gram present in BOTH eval docs is boilerplate;
+    # with max_gram_freq=1 a train doc sharing only that gram is clean
+    ev2 = spark.createDataFrame(
+        [(200, "standard header line alpha beta gamma delta"),
+         (201, "standard header line alpha beta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    tr2 = spark.createDataFrame(
+        [(10, "prefix standard header line alpha beta suffix")],
+        "doc_id long, text string",
+    )
+    assert contamination_hits(tr2, ev2, n=5).count() == 1
+    assert contamination_hits(tr2, ev2, n=5, max_gram_freq=1).count() == 0
+
+
 def test_av_header_parser_real_formats(spark):
     """parse_av_header reads true sample_rate/channels/duration and
     dimensions out of spec-valid WAV/MP4 container bytes and degrades
