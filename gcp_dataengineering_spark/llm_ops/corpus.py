@@ -152,6 +152,43 @@ def shard_by_token_budget(
     )
 
 
+def stratified_sample(
+    df: DataFrame,
+    fractions: dict[str, float] | float,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+    salt: str = "sample",
+) -> DataFrame:
+    """Content-stable stratified sampling: keep a row iff its seeded
+    hash bucket (0-9999) falls under ``fraction × 10000`` for its
+    stratum. ``fractions`` is either one float or a per-stratum-value
+    dict (missing strata default to 0.0 — dropped).
+
+    Unlike ``df.sample()``, membership is a pure function of
+    (salt, id): re-running over a grown corpus never flips an old
+    row's membership, samples are reproducible across engines
+    (the bucket is the md5 arithmetic DuckDB replays exactly), and
+    upstream/downstream order or partitioning cannot change the
+    result. This is the sampling you can audit at 100 TB — a filter
+    at scan speed, no shuffle, no RNG state."""
+    b = hash_bucket(id_col, salt, buckets=10000)
+    if isinstance(fractions, dict):
+        for k, v in fractions.items():
+            if not 0.0 <= v <= 1.0:
+                raise ValueError(f"fraction for {k!r} must be in [0, 1], got {v}")
+        thresh = None
+        for value, frac in fractions.items():
+            cond = F.col(strata_col) == value
+            expr = F.when(cond, F.lit(int(round(frac * 10000))))
+            thresh = expr if thresh is None else thresh.when(cond, F.lit(int(round(frac * 10000))))
+        thresh = thresh.otherwise(F.lit(0)) if thresh is not None else F.lit(0)
+    else:
+        if not 0.0 <= fractions <= 1.0:
+            raise ValueError(f"fraction must be in [0, 1], got {fractions}")
+        thresh = F.lit(int(round(fractions * 10000)))
+    return df.filter(b < thresh)
+
+
 def apply_dedup_keepers(
     df: DataFrame, groups: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

@@ -189,6 +189,43 @@ def repetition_features(
     )
 
 
+# PII patterns — RE2-compatible (DuckDB) AND Java-regex-compatible
+# (Spark): character classes, bounded repeats, \\b word boundaries,
+# non-capturing groups only. Order matters: emails are scrubbed
+# before phones so a phone-like local-part can't double-count.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def scrub_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "text_clean"
+) -> DataFrame:
+    """Redact emails / phone numbers / IPv4 addresses with typed
+    placeholders and count each kind: adds ``n_emails``, ``n_phones``,
+    ``n_ipv4`` and ``out_col`` (the redacted text). Pure
+    regexp_extract_all/regexp_replace expressions — codegen'd, scan
+    speed, no UDF; the patterns are deliberately in the common subset
+    of Java regex (Spark) and RE2 (DuckDB/ripgrep) so an external
+    engine replays the redaction byte-identically."""
+    t = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
+        for name, pat in PII_PATTERNS.items()
+    }
+    clean = t
+    for name, pat in PII_PATTERNS.items():
+        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+    return (
+        df.withColumn("n_emails", counts["email"])
+        .withColumn("n_phones", counts["phone"])
+        .withColumn("n_ipv4", counts["ipv4"])
+        .withColumn(out_col, clean)
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text. (Content-defined rolling

@@ -1033,6 +1033,96 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------- PII scrubbing
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction, differentially checked: deterministic synthetic
+    PII (closed-form email/phone/IPv4 from the doc id) is appended to
+    every document, then scrub_pii counts and redacts each kind with
+    pure regexp expressions. The oracle rebuilds the same augmented
+    text and replays the same RE2/Java-common patterns — one
+    divergent redaction byte and the clean-text md5 diverges."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-"),
+            (F.col("doc_id") % 900 + 100).cast("string"),
+            F.lit("-"),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+            F.lit(" from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            ((F.col("doc_id") * 7) % 256).cast("string"),
+        ).alias("text"),
+    )
+    out = T.scrub_pii(aug)
+    return out.select(
+        "doc_id", "n_emails", "n_phones", "n_ipv4",
+        F.md5(F.col("text_clean").cast("binary")).alias("clean_fp"),
+    )
+
+
+_PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+_PII_PHONE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+_PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+ORACLE_PII_SCRUB = f"""
+WITH aug AS (
+    SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-'
+                || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+                || CAST(doc_id % 9000 + 1000 AS VARCHAR)
+                || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
+                || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+       md5(regexp_replace(regexp_replace(regexp_replace(t,
+           '{_PII_EMAIL}', '<EMAIL>', 'g'),
+           '{_PII_PHONE}', '<PHONE>', 'g'),
+           '{_PII_IPV4}', '<IPV4>', 'g')) AS clean_fp
+FROM aug
+"""
+
+
+# ---------------------------------------------------------------- stratified sampling
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-stable stratified sampling: per-language keep
+    fractions via seeded hash buckets (no RNG — membership is a pure
+    function of the id, so the oracle replays the exact sample).
+    Returns per-language kept counts + token totals; zh has no
+    configured fraction and must vanish."""
+    docs = _t(spark, sf_dir, "documents")
+    samp = C.stratified_sample(
+        docs, {"en": 0.5, "es": 0.25, "de": 1.0, "fr": 0.1}, strata_col="lang"
+    )
+    return samp.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(T.whitespace_token_count("text")).cast("long").alias("total_tokens"),
+    )
+
+
+ORACLE_STRATIFIED_SAMPLE = """
+WITH b AS (
+    SELECT lang, text,
+           ('0x' || substring(md5('sample' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000 AS bk
+    FROM documents
+), kept AS (
+    SELECT lang, text FROM b
+    WHERE bk < CASE lang WHEN 'en' THEN 5000 WHEN 'es' THEN 2500
+                         WHEN 'de' THEN 10000 WHEN 'fr' THEN 1000 ELSE 0 END
+)
+SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))) AS BIGINT) AS total_tokens
+FROM kept GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------- multimodal A/V decode
 def q_multimodal_av_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL audio/video container-metadata decode, differentially
@@ -1090,6 +1180,8 @@ QUERIES = {
     "multimodal_av_meta": q_multimodal_av_meta,
     "text_repetition": q_text_repetition,
     "decontaminate": q_decontaminate,
+    "pii_scrub": q_pii_scrub,
+    "stratified_sample": q_stratified_sample,
     "dedup_pipeline": q_dedup_pipeline,
     "dataset_split": q_dataset_split,
     "shard_plan": q_shard_plan,
@@ -1124,6 +1216,8 @@ ORACLES = {
     "multimodal_av_meta": ORACLE_MULTIMODAL_AV_META,
     "text_repetition": ORACLE_TEXT_REPETITION,
     "decontaminate": ORACLE_DECONTAMINATE,
+    "pii_scrub": ORACLE_PII_SCRUB,
+    "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "dedup_pipeline": ORACLE_DEDUP_PIPELINE,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "shard_plan": ORACLE_SHARD_PLAN,

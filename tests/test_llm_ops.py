@@ -731,6 +731,50 @@ def test_decontamination_flags_and_removes_leaked_docs(spark):
     assert contamination_hits(tr2, ev2, n=5, max_gram_freq=1).count() == 0
 
 
+def test_scrub_pii_redacts_and_counts(spark):
+    from gcp_dataengineering_spark.llm_ops.text import scrub_pii
+
+    rows = [
+        (0, "mail alice.smith+x@corp.example.org and bob@ex.io today"),
+        (1, "call 555-123-4567 or 555.987.6543 from 192.168.0.1"),
+        (2, "no pii here at all"),
+        (3, "edge 1.2.3.4 10.20.30.40 end"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
+    assert (got[0]["n_emails"], got[0]["n_phones"], got[0]["n_ipv4"]) == (2, 0, 0)
+    assert got[0]["text_clean"] == "mail <EMAIL> and <EMAIL> today"
+    assert (got[1]["n_emails"], got[1]["n_phones"], got[1]["n_ipv4"]) == (0, 2, 1)
+    assert got[1]["text_clean"] == "call <PHONE> or <PHONE> from <IPV4>"
+    assert got[2]["text_clean"] == "no pii here at all"
+    assert got[3]["n_ipv4"] == 2
+    assert got[3]["text_clean"] == "edge <IPV4> <IPV4> end"
+
+
+def test_stratified_sample_stable_and_proportional(spark):
+    """Membership is a pure function of (salt, id): the sample of a
+    grown corpus extends the sample of the smaller one row-for-row;
+    per-stratum rates land near the configured fractions; an
+    unlisted stratum is dropped; fraction validation raises."""
+    from gcp_dataengineering_spark.llm_ops.corpus import stratified_sample
+
+    rows = [(i, "en" if i % 3 else "zh") for i in range(600)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string")
+    fr = {"en": 0.5}
+    small = {r["doc_id"] for r in stratified_sample(docs.filter(F.col("doc_id") < 300), fr).collect()}
+    big = {r["doc_id"] for r in stratified_sample(docs, fr).collect()}
+    assert small == {i for i in big if i < 300}  # content-stable growth
+    n_en = sum(1 for i, l in rows if l == "en")
+    assert abs(len(big) / n_en - 0.5) < 0.1  # ~half of en kept
+    assert not any(i % 3 == 0 for i in big)  # zh unlisted -> dropped
+    flat = {r["doc_id"] for r in stratified_sample(docs, 0.25).collect()}
+    assert abs(len(flat) / 600 - 0.25) < 0.1
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(docs, {"en": 1.5})
+    with pytest.raises(ValueError, match="fraction"):
+        stratified_sample(docs, -0.1)
+
+
 def test_av_header_parser_real_formats(spark):
     """parse_av_header reads true sample_rate/channels/duration and
     dimensions out of spec-valid WAV/MP4 container bytes and degrades
