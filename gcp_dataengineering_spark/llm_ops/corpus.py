@@ -152,6 +152,66 @@ def shard_by_token_budget(
     )
 
 
+def pack_sequences(
+    df: DataFrame,
+    seq_len: int,
+    part_col: str | list[str] = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Training-sequence packing plan: documents are concatenated in
+    ``order_col`` order within each ``part_col`` value and the token
+    stream is chopped into fixed ``seq_len`` windows — a document
+    spanning a window boundary contributes one CHUNK row to each
+    sequence it overlaps (what a pretraining loader does when packing
+    samples into fixed context windows, boundary-agnostic variant).
+
+    Output: one row per (document, sequence) chunk with
+    ``seq_id``            — the fixed-length window index,
+    ``seq_offset``        — where the chunk starts inside the window,
+    ``doc_offset``        — where the chunk starts inside the doc,
+    ``n_tokens_in_seq``   — the chunk length.
+    Invariants: every window except each partition's last is exactly
+    full; a document's chunks partition its tokens contiguously.
+
+    Shape: one window prefix-sum per partition value (same Exchange
+    as shard_by_token_budget — compose with its ``max_partition_rows``
+    bucket column for the straggler guard), then a per-row
+    sequence() explode of ≤ ceil(doc_tokens / seq_len) + 1 chunk
+    descriptors — no shuffle after the window, scan-sized output.
+    Zero-token documents yield no chunks."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len ({seq_len}) must be >= 1")
+    parts = [part_col] if isinstance(part_col, str) else list(part_col)
+    toks = whitespace_token_count(text_col).cast("long")
+    w = Window.partitionBy(*parts).orderBy(order_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    end = F.sum(toks).over(w)
+    based = df.withColumn("n_tokens", toks).withColumn("_end", end).withColumn(
+        "_start", F.col("_end") - F.col("n_tokens")
+    )
+    first_seq = F.floor(F.col("_start") / F.lit(seq_len))
+    last_seq = F.floor((F.col("_end") - 1) / F.lit(seq_len))
+    chunks = based.filter(F.col("n_tokens") > 0).select(
+        *parts,
+        order_col,
+        "_start",
+        "_end",
+        F.explode(F.sequence(first_seq, last_seq)).alias("seq_id"),
+    )
+    chunk_start = F.greatest(F.col("_start"), F.col("seq_id") * seq_len)
+    chunk_end = F.least(F.col("_end"), (F.col("seq_id") + 1) * seq_len)
+    return chunks.select(
+        *parts,
+        order_col,
+        F.col("seq_id").cast("long").alias("seq_id"),
+        (chunk_start - F.col("seq_id") * seq_len).cast("long").alias("seq_offset"),
+        (chunk_start - F.col("_start")).cast("long").alias("doc_offset"),
+        (chunk_end - chunk_start).cast("long").alias("n_tokens_in_seq"),
+    )
+
+
 def stratified_sample(
     df: DataFrame,
     fractions: dict[str, float] | float,

@@ -1033,6 +1033,40 @@ GROUP BY 1
 """
 
 
+# ---------------------------------------------------------------- sequence packing
+def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing: per-language token streams chopped
+    into 512-token context windows, documents splitting across window
+    boundaries into chunk rows — the pretraining-loader packing plan
+    as one window prefix-sum + a bounded explode."""
+    docs = _t(spark, sf_dir, "documents")
+    return C.pack_sequences(docs, seq_len=512)
+
+
+ORACLE_PACK_PLAN = """
+WITH toks AS (
+    SELECT lang, doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+), spans AS (
+    SELECT lang, doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e
+    FROM toks
+), chunks AS (
+    SELECT lang, doc_id, n_tokens, e - n_tokens AS s, e,
+           unnest(range((e - n_tokens) // 512, (e - 1) // 512 + 1)) AS seq_id
+    FROM spans WHERE n_tokens > 0
+)
+SELECT lang, doc_id,
+       CAST(seq_id AS BIGINT) AS seq_id,
+       CAST(greatest(s, seq_id * 512) - seq_id * 512 AS BIGINT) AS seq_offset,
+       CAST(greatest(s, seq_id * 512) - s AS BIGINT) AS doc_offset,
+       CAST(least(e, (seq_id + 1) * 512) - greatest(s, seq_id * 512) AS BIGINT) AS n_tokens_in_seq
+FROM chunks
+"""
+
+
 # ---------------------------------------------------------------- PII scrubbing
 def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PII redaction, differentially checked: deterministic synthetic
@@ -1182,6 +1216,7 @@ QUERIES = {
     "decontaminate": q_decontaminate,
     "pii_scrub": q_pii_scrub,
     "stratified_sample": q_stratified_sample,
+    "pack_plan": q_pack_plan,
     "dedup_pipeline": q_dedup_pipeline,
     "dataset_split": q_dataset_split,
     "shard_plan": q_shard_plan,
@@ -1218,6 +1253,7 @@ ORACLES = {
     "decontaminate": ORACLE_DECONTAMINATE,
     "pii_scrub": ORACLE_PII_SCRUB,
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
+    "pack_plan": ORACLE_PACK_PLAN,
     "dedup_pipeline": ORACLE_DEDUP_PIPELINE,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "shard_plan": ORACLE_SHARD_PLAN,

@@ -731,6 +731,47 @@ def test_decontamination_flags_and_removes_leaked_docs(spark):
     assert contamination_hits(tr2, ev2, n=5, max_gram_freq=1).count() == 0
 
 
+def test_pack_sequences_invariants(spark):
+    """Fixed-length packing: every window except the partition's last
+    is exactly full; a document's chunks partition its tokens
+    contiguously; zero-token docs vanish; a doc longer than seq_len
+    splits across multiple windows."""
+    from gcp_dataengineering_spark.llm_ops.corpus import pack_sequences
+
+    def words(n):
+        return " ".join(f"t{j}" for j in range(n))
+
+    rows = [(0, "en", words(7)), (1, "en", words(25)), (2, "en", ""),
+            (3, "en", words(10)), (4, "en", words(3))]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = pack_sequences(docs, seq_len=10).collect()
+    assert {r["doc_id"] for r in out} == {0, 1, 3, 4}  # empty doc 2 gone
+
+    per_doc = {}
+    per_seq = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+        per_seq[r["seq_id"]] = per_seq.get(r["seq_id"], 0) + r["n_tokens_in_seq"]
+    # stream = 7 + 25 + 10 + 3 = 45 tokens -> windows 0..3 full, 4 holds 5
+    assert per_seq == {0: 10, 1: 10, 2: 10, 3: 10, 4: 5}
+    # doc 1 (25 tokens, starts at offset 7) spans windows 0-3
+    d1 = sorted(per_doc[1], key=lambda r: r["seq_id"])
+    assert [(r["seq_id"], r["seq_offset"], r["doc_offset"], r["n_tokens_in_seq"]) for r in d1] == [
+        (0, 7, 0, 3), (1, 0, 3, 10), (2, 0, 13, 10), (3, 0, 23, 2),
+    ]
+    for doc_id, chunks in per_doc.items():
+        chunks = sorted(chunks, key=lambda r: r["doc_offset"])
+        total = sum(r["n_tokens_in_seq"] for r in chunks)
+        n_tok = {0: 7, 1: 25, 3: 10, 4: 3}[doc_id]
+        assert total == n_tok
+        off = 0
+        for c in chunks:
+            assert c["doc_offset"] == off
+            off += c["n_tokens_in_seq"]
+    with pytest.raises(ValueError, match="seq_len"):
+        pack_sequences(docs, seq_len=0)
+
+
 def test_scrub_pii_redacts_and_counts(spark):
     from gcp_dataengineering_spark.llm_ops.text import scrub_pii
 
