@@ -135,6 +135,11 @@ def main() -> None:
 
     # Scaling-slope pass: the same set one decade smaller, run AFTER
     # the timed pass (or in its own JVM under BENCH_ISOLATE).
+    # Known bias of the non-isolated ordering: the lo pass runs in a
+    # JVM warmed by the hi pass, deflating t_lo and INFLATING slope =
+    # t_hi / t_lo — a conservative bias (false superlinear alarms are
+    # possible; hidden superlinearity is not masked). BENCH_ISOLATE=1
+    # gives the unbiased slope at the cost of a second JVM start.
     # slope[q] = t(sf) / t(sf/10); linear scaling gives <= ~10 (usually
     # far less here, where fixed scheduler latency dominates small
     # queries) — a ratio > 10 flags hidden super-linear behavior a

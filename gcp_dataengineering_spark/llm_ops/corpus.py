@@ -116,7 +116,7 @@ def shard_by_token_budget(
             df.groupBy(*parts)
             .agg(F.count(F.lit(1)).alias("_part_rows"))
             .select(
-                *parts,
+                *[F.col(p).alias(f"_k{i}") for i, p in enumerate(parts)],
                 F.greatest(
                     F.ceil(F.col("_part_rows") / F.lit(max_partition_rows)),
                     F.lit(1),
@@ -125,8 +125,18 @@ def shard_by_token_budget(
                 .alias("_n_buckets"),
             )
         )
+        # eqNullSafe, not a bare equi-join on the names: a NULL part
+        # value (e.g. lang unset after a failed lang-ID) groups into a
+        # NULL row in `sizes`, and NULL == NULL is never true — a
+        # plain join would silently drop every such document from the
+        # shard plan. (The default, guardless path keeps them:
+        # Window.partitionBy treats NULL as a partition value.)
+        cond = F.lit(True)
+        for i, p in enumerate(parts):
+            cond = cond & F.col(p).eqNullSafe(F.col(f"_k{i}"))
         df = (
-            df.join(F.broadcast(sizes), parts)
+            df.join(F.broadcast(sizes), cond)
+            .drop(*[f"_k{i}" for i in range(len(parts))])
             .withColumn(
                 "_shard_bucket",
                 (

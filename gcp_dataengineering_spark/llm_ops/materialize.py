@@ -82,8 +82,10 @@ class ParquetSpill:
     def __init__(self, spill_dir: str):
         self.spill_dir = spill_dir
         self.paths: list[str] = []
+        self._spark = None
 
     def __call__(self, df: DataFrame) -> DataFrame:
+        self._spark = df.sparkSession
         path = f"{self.spill_dir}/mat-{uuid.uuid4().hex}.parquet"
         df.write.mode("errorifexists").parquet(path)
         self.paths.append(path)
@@ -91,21 +93,57 @@ class ParquetSpill:
 
     def cleanup(self) -> int:
         """Delete every spill table written so far; returns the number
-        of tables removed. Idempotent."""
+        of tables actually removed. Local paths go through
+        shutil.rmtree; scheme'd paths (hdfs://, s3a://, gs://) go
+        through Hadoop's FileSystem via the writing session — a plain
+        rmtree cannot touch object storage, and pretending it did
+        would leak every cluster spill silently. Paths that could not
+        be removed stay registered (so a retry is possible) and are
+        not counted."""
+        import os
         import shutil
 
         removed = 0
+        remaining: list[str] = []
         while self.paths:
             path = self.paths.pop()
-            shutil.rmtree(path, ignore_errors=True)
-            removed += 1
+            if os.path.isdir(path):
+                shutil.rmtree(path, ignore_errors=True)
+                if os.path.isdir(path):
+                    remaining.append(path)
+                else:
+                    removed += 1
+            elif self._spark is not None:
+                try:
+                    jvm = self._spark._jvm
+                    jpath = jvm.org.apache.hadoop.fs.Path(path)
+                    fs = jpath.getFileSystem(self._spark._jsc.hadoopConfiguration())
+                    if fs.delete(jpath, True):
+                        removed += 1
+                    # delete() False = already gone: neither removed nor kept
+                except Exception:
+                    remaining.append(path)
+            # no local dir and no session: nothing to do (already gone)
+        self.paths = remaining
         return removed
 
 
+_SPILL_INSTANCES: dict[str, ParquetSpill] = {}
+
+
 def parquet_spill(spill_dir: str) -> ParquetSpill:
-    """Strategy factory (see :class:`ParquetSpill`). The returned
-    instance is a ``MaterializeFn`` with ``.cleanup()``."""
-    return ParquetSpill(spill_dir)
+    """Strategy factory (see :class:`ParquetSpill`). Returns the SAME
+    registered instance per ``spill_dir`` — string-configured call
+    sites (``materialize='parquet:<dir>'`` coerces through here on
+    every call) would otherwise each write through a throwaway
+    instance whose path registry is immediately lost, making their
+    spills unreclaimable. With the registry,
+    ``parquet_spill(dir).cleanup()`` reclaims everything any strategy
+    pointed at that dir has written."""
+    inst = _SPILL_INSTANCES.get(spill_dir)
+    if inst is None:
+        inst = _SPILL_INSTANCES[spill_dir] = ParquetSpill(spill_dir)
+    return inst
 
 
 @contextmanager

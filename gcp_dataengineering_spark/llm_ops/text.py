@@ -132,8 +132,13 @@ def repetition_features(
     hash-partition on doc_id — no skew (a document's grams land in
     one partition, and documents are the natural unit of work).
     Returns (id, n_words, dup_word_frac, top_bigram_frac,
-    top_trigram_frac), fractions rounded to 4 decimals."""
-    words = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    top_trigram_frac), fractions rounded to 4 decimals. NULL text is
+    treated as empty (coalesce before split — size(NULL) would
+    otherwise yield the -1 sentinel under non-ANSI Spark)."""
+    words = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "\\s+"),
+        lambda t: t != "",
+    )
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
     w = F.col("_w")
 
@@ -210,19 +215,23 @@ def scrub_pii(
     speed, no UDF; the patterns are deliberately in the common subset
     of Java regex (Spark) and RE2 (DuckDB/ripgrep) so an external
     engine replays the redaction byte-identically."""
-    t = F.col(text_col)
-    counts = {
-        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0))).cast("long")
-        for name, pat in PII_PATTERNS.items()
-    }
-    clean = t
+    # Counts are taken on the PROGRESSIVELY redacted text, in the same
+    # order as the redactions, so counts always agree with the
+    # placeholders actually present in out_col: a phone-shaped email
+    # local-part ('555-123-4567@mail.com') is one email and zero
+    # phones, not one of each.
+    stage = F.col(text_col)
+    counts: dict[str, Column] = {}
     for name, pat in PII_PATTERNS.items():
-        clean = F.regexp_replace(clean, pat, f"<{name.upper()}>")
+        counts[name] = F.size(
+            F.regexp_extract_all(stage, F.lit(pat), F.lit(0))
+        ).cast("long")
+        stage = F.regexp_replace(stage, pat, f"<{name.upper()}>")
     return (
         df.withColumn("n_emails", counts["email"])
         .withColumn("n_phones", counts["phone"])
         .withColumn("n_ipv4", counts["ipv4"])
-        .withColumn(out_col, clean)
+        .withColumn(out_col, stage)
     )
 
 

@@ -1112,15 +1112,19 @@ WITH aug AS (
                 || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
     FROM documents
 )
+, r1 AS (
+    SELECT doc_id, t, regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM aug
+), r2 AS (
+    SELECT doc_id, t, t1, regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS t2 FROM r1
+)
+-- counts on the progressively redacted text, matching scrub_pii:
+-- phones counted after email redaction, IPs after phone redaction
 SELECT doc_id,
        CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(t, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
-       CAST(len(regexp_extract_all(t, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
-       md5(regexp_replace(regexp_replace(regexp_replace(t,
-           '{_PII_EMAIL}', '<EMAIL>', 'g'),
-           '{_PII_PHONE}', '<PHONE>', 'g'),
-           '{_PII_IPV4}', '<IPV4>', 'g')) AS clean_fp
-FROM aug
+       CAST(len(regexp_extract_all(t1, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t2, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+       md5(regexp_replace(t2, '{_PII_IPV4}', '<IPV4>', 'g')) AS clean_fp
+FROM r2
 """
 
 

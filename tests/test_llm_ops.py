@@ -305,6 +305,15 @@ def test_shard_straggler_guard_bounds_partitions(spark):
         shard_by_token_budget(docs, budget_tokens=50, max_partition_rows=0)
     # default path unchanged: no _shard_bucket column
     assert "_shard_bucket" not in shard_by_token_budget(docs, budget_tokens=50).columns
+    # NULL partition values survive the sizing join (eqNullSafe): a
+    # lang-less doc must not be silently dropped from the shard plan
+    with_null = spark.createDataFrame(
+        [(i, None if i < 10 else "en", "tok " * 10) for i in range(100)],
+        "doc_id long, lang string, text string",
+    )
+    guarded = shard_by_token_budget(with_null, budget_tokens=50, max_partition_rows=20)
+    assert guarded.count() == 100
+    assert guarded.filter(F.col("lang").isNull()).count() == 10
 
 
 def test_apply_dedup_keepers_one_per_group(spark):
@@ -662,9 +671,10 @@ def test_repetition_features_flags_looping_text(spark):
 
     looped = "buy cheap pills " * 40
     diverse = " ".join(f"w{i}" for i in range(120))
-    rows = [(0, looped), (1, diverse), (2, ""), (3, "one"), (4, "one two")]
+    rows = [(0, looped), (1, diverse), (2, ""), (3, "one"), (4, "one two"), (5, None)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in repetition_features(docs).collect()}
+    assert got[5]["n_words"] == 0 and got[5]["dup_word_frac"] == 0.0  # NULL text, not -1
 
     assert got[0]["n_words"] == 120
     assert got[0]["dup_word_frac"] == round(1 - 3 / 120, 4)
@@ -780,6 +790,7 @@ def test_scrub_pii_redacts_and_counts(spark):
         (1, "call 555-123-4567 or 555.987.6543 from 192.168.0.1"),
         (2, "no pii here at all"),
         (3, "edge 1.2.3.4 10.20.30.40 end"),
+        (4, "reach me at 555-123-4567@mail.com ok"),  # phone-shaped local part
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
@@ -790,6 +801,10 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert got[2]["text_clean"] == "no pii here at all"
     assert got[3]["n_ipv4"] == 2
     assert got[3]["text_clean"] == "edge <IPV4> <IPV4> end"
+    # counts agree with the redactions actually applied: the whole
+    # token is one email, NOT also a phone (counts are sequential)
+    assert (got[4]["n_emails"], got[4]["n_phones"], got[4]["n_ipv4"]) == (1, 0, 0)
+    assert got[4]["text_clean"] == "reach me at <EMAIL> ok"
 
 
 def test_stratified_sample_stable_and_proportional(spark):

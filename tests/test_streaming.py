@@ -304,6 +304,9 @@ def test_sessionize_event_time_timeout_armed_from_first_open_session(spark):
     )
     assert out == [] and st.exists
     assert st.armed == (1010 + 300) * 1000 + 1  # session A's deadline, NOT B's 5300001
+
+
+def test_sessionize_timeout_tombstone_preserves_session_ids(spark):
     """Deterministic check of the two-phase eviction logic: after a
     timeout flush the session counter survives as a tombstone, so a
     returning user continues ordinal ids instead of reusing one; a
