@@ -929,8 +929,13 @@ QUERIES = {
     "agg_ordinals": q_agg_ordinals,
     "events_hourly": q_events_hourly,
     "sessionize": q_sessionize,
-    "sessionize_native": q_sessionize_native,
-    "salted_agg": q_salted_agg,
+    # Demoted from the driver-oracle registry (round 5) to keep the
+    # registry <= the driver's 50-key check window; both retain full
+    # pytest coverage against oracle-gated twins:
+    #   sessionize_native — equals q_sessionize's ORACLE_SESSIONIZE by
+    #     construction; tests/test_streaming.py::test_sessionize_native_equals_batch
+    #   salted_agg — equals plain groupBy sum;
+    #     tests/test_scale_ops.py::test_salted_sum_equals_plain
 }
 
 ORACLES = {
@@ -954,6 +959,4 @@ ORACLES = {
     "agg_ordinals": ORACLE_AGG_ORDINALS,
     "events_hourly": ORACLE_EVENTS_HOURLY,
     "sessionize": ORACLE_SESSIONIZE,
-    "sessionize_native": ORACLE_SESSIONIZE,
-    "salted_agg": ORACLE_SALTED_AGG,
 }

@@ -116,3 +116,27 @@ def test_cli_default_section_keys_not_tables(tmp_path, spark):
     assert registry.paths.pop(OUT_ROOT_KEY) == "/tmp/shared_out"
     assert list(registry.paths) == ["orders"]
     assert registry.read(spark, "orders").count() > 0
+
+
+def test_registry_fits_driver_window():
+    """The driver's correctness gate checks only the FIRST 50
+    registered queries (round 4 registered 55 and the last 5 —
+    including both e2e pipelines — went silently unverified on
+    regenerated testdata). Two invariants keep that from recurring:
+    every registered key fits inside the window, every query has an
+    oracle, and the e2e pipeline reconstructions sit well inside the
+    first half of the registration order."""
+    from gcp_dataengineering_spark.suite import MAX_CHECKED, assemble
+
+    queries, oracles = assemble()
+    keys = list(queries)
+    assert len(keys) <= MAX_CHECKED, (
+        f"{len(keys)} queries registered but the driver checks only the "
+        f"first {MAX_CHECKED}; trim or demote to pytest-equality"
+    )
+    assert set(queries) == set(oracles)
+    for must in ("pipeline_tam_e2e", "pipeline_digital_e2e",
+                 "shard_plan", "corpus_rollup", "dedup_stats"):
+        assert must in keys
+    assert keys.index("pipeline_tam_e2e") < MAX_CHECKED // 2
+    assert keys.index("pipeline_digital_e2e") < MAX_CHECKED // 2

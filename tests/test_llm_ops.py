@@ -924,3 +924,18 @@ def test_gaussian_neardup_lsh_recall_of_blocked(spark):
     # bucketed pairs are a subset of the label-blocked truth's cosine
     # criterion; at least some truth pairs must survive the blocking
     assert got, "gaussian blocking lost every near-dup pair"
+
+
+def test_ngram_capped_equals_uncapped_when_cap_inactive(docs):
+    """dedup_ngram was demoted from the driver-oracle registry in
+    round 5 (subsumed by the oracle-gated dedup_ngram_capped); this
+    proves the subsumption: a cap above the corpus's max shingle
+    document-frequency is a no-op, so capped == uncapped exactly."""
+    key = lambda r: (r["id_a"], r["id_b"])
+    uncapped = {key(r): (r["common"], r["jaccard"])
+                for r in ngram_jaccard_pairs(docs, min_jaccard=0.1).collect()}
+    capped = {key(r): (r["common"], r["jaccard"])
+              for r in ngram_jaccard_pairs(
+                  docs, min_jaccard=0.1, max_shingle_freq=10**9).collect()}
+    assert len(uncapped) > 0
+    assert capped == uncapped

@@ -391,3 +391,22 @@ def test_sessionize_timeout_tombstone_preserves_session_ids(spark):
     st.hasTimedOut = True
     assert run_fn(st, []) == []
     assert st.removed and not st.exists
+
+
+def test_sessionize_native_equals_batch(spark):
+    """sessionize_native (session_window agg + per-user rank) was
+    demoted from the driver-oracle registry in round 5 to fit the
+    50-key check window; this equality against the oracle-gated
+    lag+cumsum batch form is its standing correctness gate."""
+    from gcp_dataengineering_spark.streaming.sessionize import (
+        sessionize_batch,
+        sessionize_native,
+    )
+    from gcp_dataengineering_spark.streaming.windowed import with_event_time
+
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ev = with_event_time(spark.read.parquet(f"{SF_DIR}/events.parquet"))
+    batch = sorted(tuple(r) for r in sessionize_batch(ev).collect())
+    native = sorted(tuple(r) for r in sessionize_native(ev).collect())
+    assert len(batch) > 0
+    assert native == batch
