@@ -74,6 +74,66 @@ def hash_split(
     )
 
 
+def _with_straggler_bucket(
+    df: DataFrame,
+    parts: list[str],
+    order_col: str,
+    max_partition_rows: int,
+    bucket_col: str = "_shard_bucket",
+    salt: str = "shardbucket",
+) -> DataFrame:
+    """Injects a deterministic ``bucket_col`` bounding every window
+    partition over ``parts + [bucket_col]`` to ~``max_partition_rows``
+    rows: one cheap count per part value sizes a per-part bucket count
+    ``ceil(rows / max_partition_rows)``; the bucket is a seeded hash of
+    ``order_col`` mod that count. The sizing join broadcasts (part
+    cardinality is low by premise) and is null-safe — a NULL part value
+    (e.g. lang unset after a failed lang-ID) must not be silently
+    dropped by the guard."""
+    if max_partition_rows < 1:
+        raise ValueError(
+            f"max_partition_rows ({max_partition_rows}) must be >= 1"
+        )
+    sizes = (
+        df.groupBy(*parts)
+        .agg(F.count(F.lit(1)).alias("_part_rows"))
+        .select(
+            *[F.col(p).alias(f"_k{i}") for i, p in enumerate(parts)],
+            F.greatest(
+                F.ceil(F.col("_part_rows") / F.lit(max_partition_rows)),
+                F.lit(1),
+            )
+            .cast("int")
+            .alias("_n_buckets"),
+        )
+    )
+    # eqNullSafe, not a bare equi-join on the names: a NULL part
+    # value groups into a NULL row in `sizes`, and NULL == NULL is
+    # never true — a plain join would silently drop every such
+    # document. (The guardless path keeps them: Window.partitionBy
+    # treats NULL as a partition value.)
+    cond = F.lit(True)
+    for i, p in enumerate(parts):
+        cond = cond & F.col(p).eqNullSafe(F.col(f"_k{i}"))
+    return (
+        df.join(F.broadcast(sizes), cond)
+        .drop(*[f"_k{i}" for i in range(len(parts))])
+        .withColumn(
+            bucket_col,
+            (
+                md5_60bit(
+                    F.concat(
+                        F.lit(salt + "\x1f"),
+                        F.col(order_col).cast("string"),
+                    )
+                )
+                % F.col("_n_buckets")
+            ).cast("int"),
+        )
+        .drop("_n_buckets")
+    )
+
+
 def shard_by_token_budget(
     df: DataFrame,
     budget_tokens: int,
@@ -108,49 +168,7 @@ def shard_by_token_budget(
     shard_id) tuple, which is what a sharded writer keys on anyway."""
     parts = [part_col] if isinstance(part_col, str) else list(part_col)
     if max_partition_rows is not None:
-        if max_partition_rows < 1:
-            raise ValueError(
-                f"max_partition_rows ({max_partition_rows}) must be >= 1"
-            )
-        sizes = (
-            df.groupBy(*parts)
-            .agg(F.count(F.lit(1)).alias("_part_rows"))
-            .select(
-                *[F.col(p).alias(f"_k{i}") for i, p in enumerate(parts)],
-                F.greatest(
-                    F.ceil(F.col("_part_rows") / F.lit(max_partition_rows)),
-                    F.lit(1),
-                )
-                .cast("int")
-                .alias("_n_buckets"),
-            )
-        )
-        # eqNullSafe, not a bare equi-join on the names: a NULL part
-        # value (e.g. lang unset after a failed lang-ID) groups into a
-        # NULL row in `sizes`, and NULL == NULL is never true — a
-        # plain join would silently drop every such document from the
-        # shard plan. (The default, guardless path keeps them:
-        # Window.partitionBy treats NULL as a partition value.)
-        cond = F.lit(True)
-        for i, p in enumerate(parts):
-            cond = cond & F.col(p).eqNullSafe(F.col(f"_k{i}"))
-        df = (
-            df.join(F.broadcast(sizes), cond)
-            .drop(*[f"_k{i}" for i in range(len(parts))])
-            .withColumn(
-                "_shard_bucket",
-                (
-                    md5_60bit(
-                        F.concat(
-                            F.lit("shardbucket\x1f"),
-                            F.col(order_col).cast("string"),
-                        )
-                    )
-                    % F.col("_n_buckets")
-                ).cast("int"),
-            )
-            .drop("_n_buckets")
-        )
+        df = _with_straggler_bucket(df, parts, order_col, max_partition_rows)
         parts = parts + ["_shard_bucket"]
     toks = whitespace_token_count(text_col).cast("long")
     w = Window.partitionBy(*parts).orderBy(order_col).rowsBetween(
@@ -168,6 +186,7 @@ def pack_sequences(
     part_col: str | list[str] = "lang",
     order_col: str = "doc_id",
     text_col: str = "text",
+    max_partition_rows: int | None = None,
 ) -> DataFrame:
     """Training-sequence packing plan: documents are concatenated in
     ``order_col`` order within each ``part_col`` value and the token
@@ -184,15 +203,37 @@ def pack_sequences(
     Invariants: every window except each partition's last is exactly
     full; a document's chunks partition its tokens contiguously.
 
-    Shape: one window prefix-sum per partition value (same Exchange
-    as shard_by_token_budget — compose with its ``max_partition_rows``
-    bucket column for the straggler guard), then a per-row
+    Shape: one window prefix-sum per partition value, then a per-row
     sequence() explode of ≤ ceil(doc_tokens / seq_len) + 1 chunk
     descriptors — no shuffle after the window, scan-sized output.
-    Zero-token documents yield no chunks."""
+    Zero-token documents yield no chunks.
+
+    Scale note — ``max_partition_rows`` is the ENFORCED straggler
+    guard (same mechanism as shard_by_token_budget's): a
+    ``_pack_bucket`` column (deterministic hash of ``order_col``,
+    sized per part value) is injected into the window partitioning,
+    bounding every prefix-sum partition to ~max_partition_rows rows so
+    a single-language 100 TB corpus fans out instead of serializing on
+    one task. SEMANTICS CAVEAT: the guard changes WHICH documents are
+    adjacent — each (part..., _pack_bucket) group packs its own token
+    stream in ``order_col`` order, so there is one partial tail window
+    PER BUCKET instead of per part value, and cross-bucket documents
+    never share a sequence. The packing invariants (full windows
+    except each stream's last; contiguous doc chunks) hold per bucket;
+    seq ids are unique per (part..., _pack_bucket, seq_id), which is
+    what a sharded loader keys on anyway. Leave unset when exact
+    whole-partition adjacency matters more than the straggler bound.
+    Bucket assignment is content-stable (seeded hash of order_col),
+    never RNG."""
     if seq_len < 1:
         raise ValueError(f"seq_len ({seq_len}) must be >= 1")
     parts = [part_col] if isinstance(part_col, str) else list(part_col)
+    if max_partition_rows is not None:
+        df = _with_straggler_bucket(
+            df, parts, order_col, max_partition_rows,
+            bucket_col="_pack_bucket", salt="packbucket",
+        )
+        parts = parts + ["_pack_bucket"]
     toks = whitespace_token_count(text_col).cast("long")
     w = Window.partitionBy(*parts).orderBy(order_col).rowsBetween(
         Window.unboundedPreceding, 0

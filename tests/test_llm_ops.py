@@ -939,3 +939,52 @@ def test_ngram_capped_equals_uncapped_when_cap_inactive(docs):
                   docs, min_jaccard=0.1, max_shingle_freq=10**9).collect()}
     assert len(uncapped) > 0
     assert capped == uncapped
+
+
+def test_pack_sequences_straggler_guard_bounds_partitions(spark):
+    """max_partition_rows fans a single-language corpus out into
+    bounded prefix-sum partitions: every (lang, _pack_bucket) group
+    stays ~<= the bound (hash buckets wobble, allow 2x), tokens are
+    conserved, and the packing invariants hold PER BUCKET — every
+    window except each bucket's last is exactly full, and a doc's
+    chunks partition its tokens contiguously."""
+    from gcp_dataengineering_spark.llm_ops.corpus import pack_sequences
+
+    rows = [(i, "en", " ".join(f"t{j}" for j in range(7))) for i in range(400)]
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    out = pack_sequences(docs, seq_len=10, max_partition_rows=50).collect()
+
+    per_bucket_docs = {}
+    for r in out:
+        per_bucket_docs.setdefault(r["_pack_bucket"], set()).add(r["doc_id"])
+    assert len(per_bucket_docs) >= 4  # 400/50 = 8 buckets planned; hash spread
+    assert all(len(d) <= 2 * 50 for d in per_bucket_docs.values())
+    assert {d for ds in per_bucket_docs.values() for d in ds} == set(range(400))
+
+    # per-bucket invariants: full windows except the bucket's last
+    seq_fill = {}
+    for r in out:
+        k = (r["_pack_bucket"], r["seq_id"])
+        seq_fill[k] = seq_fill.get(k, 0) + r["n_tokens_in_seq"]
+    last_seq = {}
+    for (b, s) in seq_fill:
+        last_seq[b] = max(last_seq.get(b, -1), s)
+    for (b, s), fill in seq_fill.items():
+        if s < last_seq[b]:
+            assert fill == 10, f"bucket {b} seq {s} under-filled: {fill}"
+    # token conservation + contiguous chunks per doc
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    assert sum(f for f in seq_fill.values()) == 400 * 7
+    for doc_id, chunks in per_doc.items():
+        chunks = sorted(chunks, key=lambda r: r["doc_offset"])
+        assert sum(c["n_tokens_in_seq"] for c in chunks) == 7
+        off = 0
+        for c in chunks:
+            assert c["doc_offset"] == off
+            off += c["n_tokens_in_seq"]
+    # default path unchanged: no _pack_bucket column
+    assert "_pack_bucket" not in pack_sequences(docs, seq_len=10).columns
+    with pytest.raises(ValueError, match="max_partition_rows"):
+        pack_sequences(docs, seq_len=10, max_partition_rows=0)
