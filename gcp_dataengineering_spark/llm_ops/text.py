@@ -196,11 +196,22 @@ def repetition_features(
 
 # PII patterns — RE2-compatible (DuckDB) AND Java-regex-compatible
 # (Spark): character classes, bounded repeats, \\b word boundaries,
-# non-capturing groups only. Order matters: emails are scrubbed
-# before phones so a phone-like local-part can't double-count.
+# non-capturing groups only (NO lookarounds — RE2 has none). Order
+# matters: emails are scrubbed before phones so a phone-like
+# local-part can't double-count.
+#
+# Phone covers the NANP shapes a real corpus scrub must catch:
+#   555-123-4567 / 555.123.4567 / 555 123 4567 (dash/dot/space seps)
+#   (555) 123-4567 / (555)123-4567 / (555)-123-4567
+#   +1 555-123-4567 / +1-(555) 123 4567 (optional +1 with separator)
+# Space separators admit number-triple false positives ("555 123
+# 4567" in running prose) — the standard recall/precision tradeoff
+# for regex scrubbing; callers needing precision post-filter on
+# context. A bare 10-digit run ("5551234567") is deliberately NOT
+# matched: unseparated digit runs are overwhelmingly ids, not phones.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"\b\d{3}[-.]\d{3}[-.]\d{4}\b",
+    "phone": r"(?:\+1[-. ])?(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
 

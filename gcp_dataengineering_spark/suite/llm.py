@@ -1089,6 +1089,20 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") % 256).cast("string"),
             F.lit("."),
             ((F.col("doc_id") * 7) % 256).cast("string"),
+            # round-5 widened phone shapes: parenthesized area code and
+            # +1 prefix with space separators
+            F.lit(" call ("),
+            (F.col("doc_id") % 800 + 100).cast("string"),
+            F.lit(") "),
+            (F.col("doc_id") % 900 + 100).cast("string"),
+            F.lit("-"),
+            ((F.col("doc_id") * 3) % 9000 + 1000).cast("string"),
+            F.lit(" or +1 "),
+            (F.col("doc_id") % 700 + 200).cast("string"),
+            F.lit(" "),
+            ((F.col("doc_id") * 11) % 900 + 100).cast("string"),
+            F.lit(" "),
+            ((F.col("doc_id") * 13) % 9000 + 1000).cast("string"),
         ).alias("text"),
     )
     out = T.scrub_pii(aug)
@@ -1099,7 +1113,9 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-_PII_PHONE = "\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b"
+_PII_PHONE = (
+    "(?:\\+1[-. ])?(?:\\(\\d{3}\\)[-. ]?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b"
+)
 _PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
 ORACLE_PII_SCRUB = f"""
@@ -1109,7 +1125,13 @@ WITH aug AS (
                 || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
                 || CAST(doc_id % 9000 + 1000 AS VARCHAR)
                 || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.'
-                || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+                || CAST((doc_id * 7) % 256 AS VARCHAR)
+                || ' call (' || CAST(doc_id % 800 + 100 AS VARCHAR) || ') '
+                || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+                || CAST((doc_id * 3) % 9000 + 1000 AS VARCHAR)
+                || ' or +1 ' || CAST(doc_id % 700 + 200 AS VARCHAR) || ' '
+                || CAST((doc_id * 11) % 900 + 100 AS VARCHAR) || ' '
+                || CAST((doc_id * 13) % 9000 + 1000 AS VARCHAR) AS t
     FROM documents
 )
 , r1 AS (

@@ -791,6 +791,11 @@ def test_scrub_pii_redacts_and_counts(spark):
         (2, "no pii here at all"),
         (3, "edge 1.2.3.4 10.20.30.40 end"),
         (4, "reach me at 555-123-4567@mail.com ok"),  # phone-shaped local part
+        # round-5 widened phone shapes
+        (5, "call (555) 123-4567 or (555)987-6543 now"),
+        (6, "dial +1 555-123-4567 or +1-(555) 987 6543 thanks"),
+        (7, "space sep 555 123 4567 works"),
+        (8, "bare 5551234567 run stays, year 123 4567 stays"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
@@ -805,6 +810,16 @@ def test_scrub_pii_redacts_and_counts(spark):
     # token is one email, NOT also a phone (counts are sequential)
     assert (got[4]["n_emails"], got[4]["n_phones"], got[4]["n_ipv4"]) == (1, 0, 0)
     assert got[4]["text_clean"] == "reach me at <EMAIL> ok"
+    # widened shapes: parenthesized area code, +1 prefix, space seps
+    assert got[5]["n_phones"] == 2
+    assert got[5]["text_clean"] == "call <PHONE> or <PHONE> now"
+    assert got[6]["n_phones"] == 2
+    assert got[6]["text_clean"] == "dial <PHONE> or <PHONE> thanks"
+    assert got[7]["n_phones"] == 1
+    assert got[7]["text_clean"] == "space sep <PHONE> works"
+    # unseparated 10-digit runs and 3+4 fragments are NOT phones
+    assert got[8]["n_phones"] == 0
+    assert got[8]["text_clean"] == "bare 5551234567 run stays, year 123 4567 stays"
 
 
 def test_stratified_sample_stable_and_proportional(spark):
