@@ -33,6 +33,13 @@ def r4(c):
     return F.round(c, 4)
 
 
+def _sql_hits(words: list[str]) -> str:
+    """DuckDB spelling of text.stopword_hits: padded-LIKE hit count."""
+    return "(" + " + ".join(
+        f"(CASE WHEN ' '||lower(text)||' ' LIKE '% {w} %' THEN 1 ELSE 0 END)" for w in words
+    ) + ")"
+
+
 # ---------------------------------------------------------------- exact dedup
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the normalized-text fingerprint;
@@ -63,24 +70,22 @@ def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ORACLE_TEXT_QUALITY = """
+# sw_hits generated from T.STOPWORDS['en'] (round 5 widened the lists;
+# a hardcoded copy here would silently desync the oracle).
+ORACLE_TEXT_QUALITY = f"""
 WITH base AS (
     SELECT doc_id, text,
            CAST(length(text) AS BIGINT) AS n_chars_calc,
            CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens,
            length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace,
            length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS n_punct,
-           ((CASE WHEN ' '||lower(text)||' ' LIKE '% the %' THEN 1 ELSE 0 END)
-          + (CASE WHEN ' '||lower(text)||' ' LIKE '% and %' THEN 1 ELSE 0 END)
-          + (CASE WHEN ' '||lower(text)||' ' LIKE '% of %' THEN 1 ELSE 0 END)
-          + (CASE WHEN ' '||lower(text)||' ' LIKE '% to %' THEN 1 ELSE 0 END)
-          + (CASE WHEN ' '||lower(text)||' ' LIKE '% a %' THEN 1 ELSE 0 END)) AS sw_hits
+           {_sql_hits(T.STOPWORDS['en'])} AS sw_hits
     FROM documents
 )
 SELECT doc_id, n_chars_calc, n_tokens,
        ROUND(CAST(n_nonspace AS DOUBLE) / greatest(n_tokens, 1), 4) AS avg_token_len,
        ROUND(CAST(n_punct AS DOUBLE) / greatest(length(text), 1), 4) AS punct_ratio,
-       ROUND(CAST(sw_hits AS DOUBLE) / 5, 4) AS stopword_ratio
+       ROUND(CAST(sw_hits AS DOUBLE) / {len(T.STOPWORDS['en'])}, 4) AS stopword_ratio
 FROM base
 """
 
@@ -177,26 +182,29 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_hits(words: list[str]) -> str:
-    return "(" + " + ".join(
-        f"(CASE WHEN ' '||lower(text)||' ' LIKE '% {w} %' THEN 1 ELSE 0 END)" for w in words
-    ) + ")"
-
+# Generated from T.STOPWORDS so the oracle can never desync from the
+# operator's lists or its first-match-wins tie-break order.
+_LID_LANGS = list(T.STOPWORDS)
+_LID_SCORED = ",\n           ".join(
+    f"{_sql_hits(T.STOPWORDS[l])} AS s_{l}" for l in _LID_LANGS
+)
+_LID_CASE = "\n                ".join(
+    "WHEN "
+    + " AND ".join(
+        [f"s_{l} > 0"] + [f"s_{l} >= s_{m}" for m in _LID_LANGS[i + 1:]]
+    )
+    + f" THEN '{l}'"
+    for i, l in enumerate(_LID_LANGS)
+)
 
 ORACLE_LANG_ID = f"""
 WITH scored AS (
     SELECT lang,
-           {_sql_hits(T.STOPWORDS['en'])} AS s_en,
-           {_sql_hits(T.STOPWORDS['es'])} AS s_es,
-           {_sql_hits(T.STOPWORDS['fr'])} AS s_fr,
-           {_sql_hits(T.STOPWORDS['de'])} AS s_de
+           {_LID_SCORED}
     FROM documents
 ), pred AS (
     SELECT lang,
-           CASE WHEN s_en > 0 AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
-                WHEN s_es > 0 AND s_es >= s_fr AND s_es >= s_de THEN 'es'
-                WHEN s_fr > 0 AND s_fr >= s_de THEN 'fr'
-                WHEN s_de > 0 THEN 'de'
+           CASE {_LID_CASE}
                 ELSE 'und' END AS lang_pred
     FROM scored
 )
