@@ -154,3 +154,48 @@ def test_hcp_all_shared_intermediates_persisted(spark, ref_tables):
         assert n_off == n_on
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_digital_plan_shape_at_scale(spark, ref_tables):
+    """Scale insurance for the e2e gate: the parity fixtures are tiny,
+    so a plan that only breaks when the fact side is big (e.g. a
+    literal-join broadcast degenerating into a cartesian product, or a
+    nested-loop join against a now-large feed) would pass every other
+    test. Replicate the feed tables x100 (dims stay small, as at
+    production scale), execute the full 6-channel union, and assert
+    the executed plan still contains zero CartesianProduct and at most
+    the two intended BroadcastNestedLoopJoins (the deliberate
+    literal-row/degenerate-key joins, which broadcast the SMALL side).
+
+    AQE is disabled for the assertion pass: under AQE the plan
+    toString echoes every cached subplan twice (Final + Initial
+    sections), so string-counting operators overcounts; the AQE-off
+    static plan is the deterministic receipt (same convention as
+    test_hcp_all_shared_intermediates_persisted). A second pass
+    re-executes with AQE on to confirm the production config yields
+    no CartesianProduct either."""
+    import pyspark.sql.functions as F
+
+    SCALE = 100
+    dims = {"mdm", "hcp_org", "demographics", "costs_wide", "costs_unpivot"}
+    scaled = {
+        name: df if name in dims
+        else df.withColumn(
+            "_rep", F.explode(F.sequence(F.lit(0), F.lit(SCALE - 1)))
+        ).drop("_rep")
+        for name, df in ref_tables.items()
+    }
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        out = nvs_digital(spark, scaled)
+        assert out.count() > 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("CartesianProduct") == 0, "cartesian product at scale"
+        n_bnlj = plan.count("BroadcastNestedLoopJoin")
+        assert n_bnlj <= 2, f"{n_bnlj} BroadcastNestedLoopJoins (2 intended)"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+    out_aqe = nvs_digital(spark, scaled)
+    assert out_aqe.count() > 0
+    assert "CartesianProduct" not in out_aqe._jdf.queryExecution().executedPlan().toString()
