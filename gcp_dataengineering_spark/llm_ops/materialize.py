@@ -155,8 +155,16 @@ def parquet_spill_dir(spill_dir: str):
             keepers = dedup_pipeline(...)
             keepers.write.parquet(out)   # consume BEFORE exit
         # all mat-*.parquet under /durable/tmp are gone
-    """
-    spill = ParquetSpill(spill_dir)
+
+    Uses the REGISTRY instance for ``spill_dir`` (not a private one):
+    a call site inside the block passing an explicit
+    ``materialize='parquet:<same dir>'`` coerces through
+    ``parquet_spill``'s registry, and with a private instance those
+    spill tables would silently survive the context exit — breaking
+    the "all gone" contract above. The flip side is documented scope:
+    spills registered against the same dir BEFORE the block are also
+    reclaimed on exit."""
+    spill = parquet_spill(spill_dir)
     old = _current[0]
     _current[0] = spill
     try:

@@ -1070,3 +1070,26 @@ def test_lang_id_accuracy_on_fixture_corpus(spark):
         r["p"] == "und"
         for r in other.select(lang_id("text").alias("p")).collect()
     )
+
+
+def test_parquet_spill_dir_scopes_explicit_same_dir_strategy(spark, docs, tmp_path):
+    """A call site inside a parquet_spill_dir block that passes an
+    EXPLICIT materialize='parquet:<same dir>' coerces through the
+    module registry; the context must reclaim those spills too on
+    exit, honoring its 'all mat-*.parquet under <dir> are gone'
+    contract (previously the context held a private instance and the
+    registry instance's spills leaked)."""
+    import os
+
+    from gcp_dataengineering_spark.llm_ops import materialize as M
+
+    d = str(tmp_path / "spill_shared")
+    with M.parquet_spill_dir(d) as scoped:
+        pairs = ngram_jaccard_pairs(
+            docs, min_jaccard=0.3, materialize=f"parquet:{d}"
+        )
+        assert (0, 1) in {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+        assert len(scoped.paths) >= 1
+        # the explicit string coerced to the SAME registry instance
+        assert M.parquet_spill(d) is scoped
+    assert os.listdir(d) == []
