@@ -52,6 +52,14 @@ HEADLINE = [
     "dataset_split",
     "shard_plan",
     "corpus_rollup",
+    # round-4 operators (added round 5 — oracle-green but previously
+    # perf-invisible; regex chains and explodes over long documents
+    # are exactly the costs that drift)
+    "pii_scrub",
+    "decontaminate",
+    "pack_plan",
+    "text_repetition",
+    "stratified_sample",
 ]
 
 
@@ -116,10 +124,29 @@ def _run_set_isolated(sf_dir: str, runs: int) -> dict[str, float]:
         env=env,
         capture_output=True,
         text=True,
-        check=True,
     )
+    if proc.returncode != 0:
+        # surface the child JVM/Spark failure, not an opaque
+        # CalledProcessError with hidden captured streams
+        raise RuntimeError(
+            f"bench child for {sf_dir} exited {proc.returncode}; "
+            f"stderr tail:\n{proc.stderr[-4000:]}"
+        )
     # child prints exactly one JSON line on its last stdout line
-    return json.loads(proc.stdout.strip().splitlines()[-1])
+    lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]
+    try:
+        parsed = json.loads(lines[-1]) if lines else None
+    except json.JSONDecodeError as ex:
+        raise RuntimeError(
+            f"bench child for {sf_dir} printed non-JSON last line "
+            f"{lines[-1]!r}: {ex}\nstderr tail:\n{proc.stderr[-2000:]}"
+        ) from ex
+    if not isinstance(parsed, dict):
+        raise RuntimeError(
+            f"bench child for {sf_dir} returned {type(parsed).__name__}, "
+            f"expected a dict of query times: {parsed!r}"
+        )
+    return parsed
 
 
 def main() -> None:
