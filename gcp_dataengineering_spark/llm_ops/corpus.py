@@ -300,6 +300,80 @@ def stratified_sample(
     return df.filter(b < thresh)
 
 
+def shuffle_plan(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    buckets: int = 1024,
+    salt: str = "shuffle",
+) -> DataFrame:
+    """Deterministic training-order shuffle plan: adds
+    ``shuffle_bucket`` (seeded hash of the id mod ``buckets``) and
+    ``pos_in_bucket`` (dense row number within the bucket, ordered by
+    a SECOND seeded hash with the id as tiebreak). Reading buckets in
+    order, positions in order, yields a pseudo-random but fully
+    reproducible global training order — what a data loader needs to
+    shuffle a corpus without materializing a global sort.
+
+    Scale shape: one shuffle on the bucket column, then ``buckets``
+    independent window partitions of ~N/buckets rows each — size
+    ``buckets`` so a partition fits an executor (there is no global
+    window). Unlike hash_split, the ORDER is corpus-dependent
+    (row numbers shift when documents are added); the BUCKET of a
+    given id is content-stable. No RNG state — two engines replay the
+    identical order (DuckDB: same md5 arithmetic + row_number)."""
+    if buckets < 1:
+        raise ValueError(f"buckets ({buckets}) must be >= 1")
+    bucket = hash_bucket(id_col, salt, buckets)
+    order = md5_60bit(
+        F.concat(F.lit(salt + "-order\x1f"), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("shuffle_bucket").orderBy(order, F.col(id_col))
+    return (
+        df.withColumn("shuffle_bucket", bucket.cast("int"))
+        .withColumn("pos_in_bucket", F.row_number().over(w).cast("long"))
+    )
+
+
+def mixture_fractions(
+    df: DataFrame,
+    targets: dict[str, float],
+    domain_col: str = "lang",
+    text_col: str = "text",
+) -> dict[str, float]:
+    """Per-domain keep fractions achieving a target TOKEN mixture
+    (domain weighting, the 'data recipe' step): scale every domain to
+    the largest feasible corpus with token shares proportional to
+    ``targets`` — the binding domain (smallest tokens/target ratio)
+    keeps fraction 1.0, every other domain downsamples to match.
+
+    One aggregation over the corpus (#domains result rows — collected
+    to the driver, contract-bounded like a broadcast dim); compose
+    with `stratified_sample(df, fractions, domain_col)` to apply at
+    scan speed. Domains absent from ``targets`` get fraction 0.0
+    (dropped). Raises if a targeted domain has no tokens."""
+    total = sum(targets.values())
+    if total <= 0:
+        raise ValueError("targets must have positive total weight")
+    toks = whitespace_token_count(text_col).cast("long")
+    counts = {
+        r["d"]: r["t"]
+        for r in df.select(F.col(domain_col).alias("d"), toks.alias("t"))
+        .groupBy("d")
+        .agg(F.sum("t").alias("t"))
+        .collect()
+    }
+    missing = [d for d in targets if not counts.get(d)]
+    if missing:
+        raise ValueError(f"targeted domains with no tokens: {missing}")
+    # largest feasible scaled-corpus size: every domain d must supply
+    # C * share_d tokens with keep_frac <= 1  =>  C = min tokens_d/share_d
+    c_max = min(counts[d] / (w / total) for d, w in targets.items() if w > 0)
+    return {
+        d: min(1.0, (c_max * (w / total)) / counts[d]) if w > 0 else 0.0
+        for d, w in targets.items()
+    }
+
+
 def apply_dedup_keepers(
     df: DataFrame, groups: DataFrame, id_col: str = "doc_id"
 ) -> DataFrame:

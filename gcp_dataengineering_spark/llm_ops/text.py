@@ -277,6 +277,31 @@ def scrub_pii(
     )
 
 
+def vocab_topk(
+    df: DataFrame, k: int = 1000, text_col: str = "text"
+) -> DataFrame:
+    """Top-k corpus vocabulary by token frequency (the BPE/vocab-prep
+    census): lowercase regex tokens → two-phase count per token →
+    global top-k with a DETERMINISTIC tiebreak (count desc, token
+    asc). Returns (token, n_occurrences).
+
+    Scale shape: one explode + one hash aggregation shuffle keyed on
+    the token, then the global top-k is TakeOrderedAndProject — every
+    partition ships only its local k candidates to the driver-side
+    merge, NOT a global sort. k rows is the contract-bounded output
+    (a vocabulary, not a table)."""
+    if k < 1:
+        raise ValueError(f"k ({k}) must be >= 1")
+    toks = tokens(F.lower(F.col(text_col)))
+    return (
+        df.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+        .limit(k)
+    )
+
+
 def fingerprint(col: Column | str) -> Column:
     """Deterministic document fingerprint: md5 of the
     whitespace-normalized, lowercased text. (Content-defined rolling

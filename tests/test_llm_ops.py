@@ -1093,3 +1093,123 @@ def test_parquet_spill_dir_scopes_explicit_same_dir_strategy(spark, docs, tmp_pa
         # the explicit string coerced to the SAME registry instance
         assert M.parquet_spill(d) is scoped
     assert os.listdir(d) == []
+
+
+def test_shuffle_plan_deterministic_and_duckdb_replayable(spark):
+    """Deterministic training-order shuffle: the (bucket, pos) plan
+    must replay byte-identically in DuckDB (same md5 arithmetic, same
+    row_number tiebreak) — the engine-portability property every
+    other corpus op in this repo carries — and be stable across
+    re-runs with no RNG."""
+    import duckdb
+
+    from gcp_dataengineering_spark.llm_ops.corpus import shuffle_plan
+
+    rows = [(i, f"doc {i}") for i in range(200)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["shuffle_bucket"], r["pos_in_bucket"])
+        for r in shuffle_plan(docs, buckets=8).collect()
+    }
+    again = {
+        r["doc_id"]: (r["shuffle_bucket"], r["pos_in_bucket"])
+        for r in shuffle_plan(docs, buckets=8).collect()
+    }
+    assert got == again  # no RNG anywhere
+    oracle = {
+        int(d): (int(b), int(p))
+        for d, b, p in duckdb.sql(
+            """
+            SELECT doc_id,
+                   ('0x' || substring(md5('shuffle' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8 AS b,
+                   row_number() OVER (
+                       PARTITION BY ('0x' || substring(md5('shuffle' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 8
+                       ORDER BY ('0x' || substring(md5('shuffle-order' || chr(31) || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT, doc_id
+                   ) AS p
+            FROM range(200) t(doc_id)
+            """
+        ).fetchall()
+    }
+    assert got == oracle
+    # every bucket's positions are 1..n_bucket with no gaps
+    by_bucket = {}
+    for b, p in got.values():
+        by_bucket.setdefault(b, []).append(p)
+    for b, ps in by_bucket.items():
+        assert sorted(ps) == list(range(1, len(ps) + 1))
+    with pytest.raises(ValueError, match="buckets"):
+        shuffle_plan(docs, buckets=0)
+
+
+def test_vocab_topk_counts_and_tiebreak_duckdb(spark):
+    """Top-k vocabulary census must match a DuckDB replay exactly,
+    including the deterministic count-desc/token-asc tiebreak, and
+    its plan must be TakeOrderedAndProject (per-partition top-k merge,
+    never a global sort)."""
+    import duckdb
+
+    from gcp_dataengineering_spark.llm_ops.text import vocab_topk
+
+    rows = [
+        (0, "apple banana apple Cherry cherry"),
+        (1, "banana! apple, date;date"),
+        (2, "elderberry fig fig"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = vocab_topk(docs, k=4)
+    got = [(r["token"], r["n_occurrences"]) for r in out.collect()]
+    oracle = duckdb.sql(
+        """
+        WITH t AS (
+            SELECT unnest(list_filter(
+                regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
+                x -> x <> '')) AS token
+            FROM (VALUES ('apple banana apple Cherry cherry'),
+                         ('banana! apple, date;date'),
+                         ('elderberry fig fig')) v(text)
+        )
+        SELECT token, CAST(COUNT(*) AS BIGINT) FROM t
+        GROUP BY 1 ORDER BY 2 DESC, 1 ASC LIMIT 4
+        """
+    ).fetchall()
+    assert got == [(t, int(n)) for t, n in oracle]
+    assert got[0] == ("apple", 3)  # 3 apples; cherry folded by lower()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    with pytest.raises(ValueError, match="k"):
+        vocab_topk(docs, k=0)
+
+
+def test_mixture_fractions_closed_form(spark):
+    """Domain-mixture weighting: the binding domain keeps 1.0 and the
+    rest downsample to the target token shares (closed form:
+    en=1000/es=500/de=250 tokens, targets 2:1:1 -> C=1000, fracs
+    0.5/0.5/1.0). Composes with stratified_sample for the scan-speed
+    apply."""
+    from gcp_dataengineering_spark.llm_ops.corpus import (
+        mixture_fractions,
+        stratified_sample,
+    )
+
+    def doc(n):
+        return " ".join("w" for _ in range(n))
+
+    rows = (
+        [(i, "en", doc(100)) for i in range(10)]        # 1000 tokens
+        + [(100 + i, "es", doc(100)) for i in range(5)]  # 500
+        + [(200 + i, "de", doc(50)) for i in range(5)]   # 250
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    fr = mixture_fractions(docs, {"en": 0.5, "es": 0.25, "de": 0.25})
+    assert fr == {"en": 0.5, "es": 0.5, "de": 1.0}
+    sampled = stratified_sample(docs, fr, "lang")
+    kept = {r["lang"]: r["n"] for r in
+            sampled.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert kept.get("de") == 5  # binding domain keeps everything
+    # untargeted domains drop; bad targets raise
+    fr2 = mixture_fractions(docs, {"en": 1.0})
+    assert fr2 == {"en": 1.0}
+    with pytest.raises(ValueError, match="no tokens"):
+        mixture_fractions(docs, {"xx": 1.0})
+    with pytest.raises(ValueError, match="positive total"):
+        mixture_fractions(docs, {"en": 0.0})
