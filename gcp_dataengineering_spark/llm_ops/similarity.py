@@ -176,7 +176,7 @@ def with_gaussian_buckets(
     carry = [vec_out] if vec_out else []
     base = df.select(
         F.col(id_col).alias(id_out),
-        *([F.col(vec_col).alias(vec_out)] if vec_out else []),
+        *[F.col(vec_col).alias(c) for c in carry],
         quantize_fixed(F.col(vec_col)).alias("_vq"),
     )
     per_table = F.array(
