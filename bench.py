@@ -128,9 +128,13 @@ def _run_set_isolated(sf_dir: str, runs: int) -> dict[str, float]:
     if proc.returncode != 0:
         # surface the child JVM/Spark failure, not an opaque
         # CalledProcessError with hidden captured streams
+        # Spark/py4j children often print the real traceback to STDOUT
+        # (py4j protocol errors especially) — include both tails or a
+        # real failure can surface with an empty diagnostic
         raise RuntimeError(
             f"bench child for {sf_dir} exited {proc.returncode}; "
-            f"stderr tail:\n{proc.stderr[-4000:]}"
+            f"stderr tail:\n{proc.stderr[-4000:]}\n"
+            f"stdout tail:\n{proc.stdout[-2000:]}"
         )
     # child prints exactly one JSON line on its last stdout line
     lines = [ln for ln in proc.stdout.strip().splitlines() if ln.strip()]

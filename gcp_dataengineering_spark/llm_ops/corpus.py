@@ -350,7 +350,12 @@ def mixture_fractions(
     to the driver, contract-bounded like a broadcast dim); compose
     with `stratified_sample(df, fractions, domain_col)` to apply at
     scan speed. Domains absent from ``targets`` get fraction 0.0
-    (dropped). Raises if a targeted domain has no tokens."""
+    (dropped), as do zero-weight targets — even when the domain has
+    no corpus rows. Raises on negative weights, and if a
+    POSITIVE-weight domain has no tokens."""
+    if any(w < 0 for w in targets.values()):
+        bad = sorted(d for d, w in targets.items() if w < 0)
+        raise ValueError(f"negative target weights for domains: {bad}")
     total = sum(targets.values())
     if total <= 0:
         raise ValueError("targets must have positive total weight")
@@ -362,7 +367,9 @@ def mixture_fractions(
         .agg(F.sum("t").alias("t"))
         .collect()
     }
-    missing = [d for d in targets if not counts.get(d)]
+    # only positive-weight domains must exist: a w=0 domain is dropped
+    # (fraction 0.0) whether or not the corpus contains it
+    missing = [d for d, w in targets.items() if w > 0 and not counts.get(d)]
     if missing:
         raise ValueError(f"targeted domains with no tokens: {missing}")
     # largest feasible scaled-corpus size: every domain d must supply

@@ -505,11 +505,24 @@ def embedding_near_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     block_col: str | None = "label",
+    allow_crossjoin: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: all (a < b) pairs with
-    cos ≥ threshold, optionally blocked on a cluster/label column so
-    the pair space is per-block, not global (at scale the block key
-    comes from LSH buckets or an ANN index)."""
+    cos ≥ threshold, blocked on a cluster/label column so the pair
+    space is per-block, not global (at scale the block key comes from
+    LSH buckets or an ANN index).
+
+    ``block_col=None`` is an ALL-PAIRS crossJoin — O(n²) pairs, a
+    scale-killer that silently works on fixtures and never finishes
+    on a cluster — so it must be opted into explicitly with
+    ``allow_crossjoin=True``; otherwise this raises."""
+    if block_col is None and not allow_crossjoin:
+        raise ValueError(
+            "block_col=None computes ALL-PAIRS cosine via crossJoin — "
+            "O(n²) and unusable beyond toy data. Pass a block column "
+            "(LSH bucket / cluster label), or opt in explicitly with "
+            "allow_crossjoin=True for small bounded inputs."
+        )
     a = df.select(
         F.col(id_col).alias("id_a"),
         F.col(vec_col).alias("vec_a"),

@@ -83,15 +83,20 @@ def punct_ratio(col: Column | str) -> Column:
 
 
 def stopword_hits(col: Column | str, words: list[str]) -> Column:
-    """How many of `words` appear as whitespace-delimited tokens.
-    Uses padded LIKE matches — one codegen'd expression, no explode."""
+    """How many DISTINCT `words` appear as whitespace-delimited tokens:
+    tokenize once, intersect with the word list — O(tokens) per doc.
+
+    (Until round 6 this was a padded-LIKE chain: one full-text scan
+    PER LIST WORD, O(tokens × |words|) — ~150+ scans per document
+    across quality_features + lang_id once the lists widened. The
+    intersect keeps identical hit semantics for every space-delimited
+    case and is strictly more correct on tab/newline delimiters,
+    which the space-padded LIKE missed. Both engines dedup the
+    intersection — Spark array_intersect == DuckDB list_intersect —
+    so per-list-word 0/1 counting is preserved.)"""
     c = F.col(col) if isinstance(col, str) else col
-    padded = F.concat(F.lit(" "), F.lower(c), F.lit(" "))
-    hit = None
-    for w in words:
-        h = F.when(padded.like(f"% {w} %"), 1).otherwise(0)
-        hit = h if hit is None else hit + h
-    return hit if hit is not None else F.lit(0)
+    toks = F.split(F.lower(F.coalesce(c, F.lit(""))), "\\s+")
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words])))
 
 
 def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -239,20 +244,46 @@ def repetition_features(
 # 4567" in running prose) — the standard recall/precision tradeoff
 # for regex scrubbing; callers needing precision post-filter on
 # context. A bare 10-digit run ("5551234567") is deliberately NOT
-# matched: unseparated digit runs are overwhelmingly ids, not phones.
+# matched: unseparated digit runs are overwhelmingly ids, not phones
+# — the same stance excludes unseparated 9-digit SSNs and 16-digit
+# cards.
+#
+# The separator after '+1' is OPTIONAL so '+1(555) 123-4567' redacts
+# whole (round-6 ADVICE fix). Safe against glued digits: in
+# '+1555-123-4567' the \b\d{3} alternative cannot match after a
+# consumed '+1' (digit-digit has no word boundary), so the bare run
+# stays unmatched as intended.
+#
+# SSN is the strict dash shape ddd-dd-dddd; card is 4×4 digits with
+# a required dash/dot/space between groups. The group shapes are
+# mutually exclusive with phone's 3-3-4 (no \b\d{3}[-. ] fits inside
+# a 4-4-4-4 or 3-2-4 run), so scrub order between them only matters
+# for the progressive counts, not the redactions.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    "phone": r"(?:\+1[-. ])?(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b",
+    "phone": r"(?:\+1[-. ]?)?(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b",
+    "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
+    "card": r"\b\d{4}[-. ]\d{4}[-. ]\d{4}[-. ]\d{4}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+# pattern key -> output count column
+_PII_COUNT_COLS = {
+    "email": "n_emails",
+    "phone": "n_phones",
+    "ssn": "n_ssn",
+    "card": "n_cards",
+    "ipv4": "n_ipv4",
 }
 
 
 def scrub_pii(
     df: DataFrame, text_col: str = "text", out_col: str = "text_clean"
 ) -> DataFrame:
-    """Redact emails / phone numbers / IPv4 addresses with typed
-    placeholders and count each kind: adds ``n_emails``, ``n_phones``,
-    ``n_ipv4`` and ``out_col`` (the redacted text). Pure
+    """Redact emails / phones / SSNs / 16-digit cards / IPv4
+    addresses with typed placeholders and count each kind: adds
+    ``n_emails``, ``n_phones``, ``n_ssn``, ``n_cards``, ``n_ipv4``
+    and ``out_col`` (the redacted text). Pure
     regexp_extract_all/regexp_replace expressions — codegen'd, scan
     speed, no UDF; the patterns are deliberately in the common subset
     of Java regex (Spark) and RE2 (DuckDB/ripgrep) so an external
@@ -269,12 +300,10 @@ def scrub_pii(
             F.regexp_extract_all(stage, F.lit(pat), F.lit(0))
         ).cast("long")
         stage = F.regexp_replace(stage, pat, f"<{name.upper()}>")
-    return (
-        df.withColumn("n_emails", counts["email"])
-        .withColumn("n_phones", counts["phone"])
-        .withColumn("n_ipv4", counts["ipv4"])
-        .withColumn(out_col, stage)
-    )
+    out = df
+    for name, col_name in _PII_COUNT_COLS.items():
+        out = out.withColumn(col_name, counts[name])
+    return out.withColumn(out_col, stage)
 
 
 def vocab_topk(

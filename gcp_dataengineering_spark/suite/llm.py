@@ -34,10 +34,14 @@ def r4(c):
 
 
 def _sql_hits(words: list[str]) -> str:
-    """DuckDB spelling of text.stopword_hits: padded-LIKE hit count."""
-    return "(" + " + ".join(
-        f"(CASE WHEN ' '||lower(text)||' ' LIKE '% {w} %' THEN 1 ELSE 0 END)" for w in words
-    ) + ")"
+    """DuckDB spelling of text.stopword_hits: distinct-word intersect
+    of the whitespace token array with the stopword list (list_intersect
+    dedups exactly like Spark's array_intersect)."""
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        "len(list_intersect(regexp_split_to_array("
+        f"lower(coalesce(text, '')), '\\s+'), [{lst}]))"
+    )
 
 
 # ---------------------------------------------------------------- exact dedup
@@ -1111,19 +1115,43 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("doc_id") * 11) % 900 + 100).cast("string"),
             F.lit(" "),
             ((F.col("doc_id") * 13) % 9000 + 1000).cast("string"),
+            # round-6 widened classes: +1( glued prefix (the ADVICE
+            # recall gap), SSN, 16-digit card
+            F.lit(" txt +1("),
+            (F.col("doc_id") % 600 + 200).cast("string"),
+            F.lit(") "),
+            ((F.col("doc_id") * 5) % 900 + 100).cast("string"),
+            F.lit("-"),
+            ((F.col("doc_id") * 17) % 9000 + 1000).cast("string"),
+            F.lit(" ssn "),
+            (F.col("doc_id") % 900 + 100).cast("string"),
+            F.lit("-"),
+            (F.col("doc_id") % 90 + 10).cast("string"),
+            F.lit("-"),
+            ((F.col("doc_id") * 19) % 9000 + 1000).cast("string"),
+            F.lit(" card "),
+            (F.col("doc_id") % 9000 + 1000).cast("string"),
+            F.lit("-"),
+            ((F.col("doc_id") * 3) % 9000 + 1000).cast("string"),
+            F.lit("-"),
+            ((F.col("doc_id") * 7) % 9000 + 1000).cast("string"),
+            F.lit("-"),
+            ((F.col("doc_id") * 9) % 9000 + 1000).cast("string"),
         ).alias("text"),
     )
     out = T.scrub_pii(aug)
     return out.select(
-        "doc_id", "n_emails", "n_phones", "n_ipv4",
+        "doc_id", "n_emails", "n_phones", "n_ssn", "n_cards", "n_ipv4",
         F.md5(F.col("text_clean").cast("binary")).alias("clean_fp"),
     )
 
 
 _PII_EMAIL = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PII_PHONE = (
-    "(?:\\+1[-. ])?(?:\\(\\d{3}\\)[-. ]?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b"
+    "(?:\\+1[-. ]?)?(?:\\(\\d{3}\\)[-. ]?|\\b\\d{3}[-. ])\\d{3}[-. ]\\d{4}\\b"
 )
+_PII_SSN = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+_PII_CARD = "\\b\\d{4}[-. ]\\d{4}[-. ]\\d{4}[-. ]\\d{4}\\b"
 _PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
 ORACLE_PII_SCRUB = f"""
@@ -1139,22 +1167,38 @@ WITH aug AS (
                 || CAST((doc_id * 3) % 9000 + 1000 AS VARCHAR)
                 || ' or +1 ' || CAST(doc_id % 700 + 200 AS VARCHAR) || ' '
                 || CAST((doc_id * 11) % 900 + 100 AS VARCHAR) || ' '
-                || CAST((doc_id * 13) % 9000 + 1000 AS VARCHAR) AS t
+                || CAST((doc_id * 13) % 9000 + 1000 AS VARCHAR)
+                || ' txt +1(' || CAST(doc_id % 600 + 200 AS VARCHAR) || ') '
+                || CAST((doc_id * 5) % 900 + 100 AS VARCHAR) || '-'
+                || CAST((doc_id * 17) % 9000 + 1000 AS VARCHAR)
+                || ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-'
+                || CAST(doc_id % 90 + 10 AS VARCHAR) || '-'
+                || CAST((doc_id * 19) % 9000 + 1000 AS VARCHAR)
+                || ' card ' || CAST(doc_id % 9000 + 1000 AS VARCHAR) || '-'
+                || CAST((doc_id * 3) % 9000 + 1000 AS VARCHAR) || '-'
+                || CAST((doc_id * 7) % 9000 + 1000 AS VARCHAR) || '-'
+                || CAST((doc_id * 9) % 9000 + 1000 AS VARCHAR) AS t
     FROM documents
 )
 , r1 AS (
     SELECT doc_id, t, regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM aug
 ), r2 AS (
     SELECT doc_id, t, t1, regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS t2 FROM r1
+), r3 AS (
+    SELECT doc_id, t, t1, t2, regexp_replace(t2, '{_PII_SSN}', '<SSN>', 'g') AS t3 FROM r2
+), r4 AS (
+    SELECT doc_id, t, t1, t2, t3, regexp_replace(t3, '{_PII_CARD}', '<CARD>', 'g') AS t4 FROM r3
 )
 -- counts on the progressively redacted text, matching scrub_pii:
--- phones counted after email redaction, IPs after phone redaction
+-- each class counted after every earlier class has been redacted
 SELECT doc_id,
        CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
        CAST(len(regexp_extract_all(t1, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
-       CAST(len(regexp_extract_all(t2, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
-       md5(regexp_replace(t2, '{_PII_IPV4}', '<IPV4>', 'g')) AS clean_fp
-FROM r2
+       CAST(len(regexp_extract_all(t2, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(t3, '{_PII_CARD}')) AS BIGINT) AS n_cards,
+       CAST(len(regexp_extract_all(t4, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
+       md5(regexp_replace(t4, '{_PII_IPV4}', '<IPV4>', 'g')) AS clean_fp
+FROM r4
 """
 
 

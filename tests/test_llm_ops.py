@@ -796,6 +796,11 @@ def test_scrub_pii_redacts_and_counts(spark):
         (6, "dial +1 555-123-4567 or +1-(555) 987 6543 thanks"),
         (7, "space sep 555 123 4567 works"),
         (8, "bare 5551234567 run stays, year 123 4567 stays"),
+        # round-6 widened classes
+        (9, "txt +1(555) 123-4567 now"),  # glued +1( — the ADVICE recall gap
+        (10, "my ssn is 123-45-6789 thanks"),
+        (11, "card 4111-1111-1111-1111 or 4111 1111 1111 1111 or 4111.1111.1111.1111"),
+        (12, "bare 123456789 and 4111111111111111 stay; 1234-5678-9012 stays"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     got = {r["doc_id"]: r for r in scrub_pii(docs).collect()}
@@ -820,6 +825,18 @@ def test_scrub_pii_redacts_and_counts(spark):
     # unseparated 10-digit runs and 3+4 fragments are NOT phones
     assert got[8]["n_phones"] == 0
     assert got[8]["text_clean"] == "bare 5551234567 run stays, year 123 4567 stays"
+    # '+1(' with no separator redacts WHOLE (no stray '+1' residue)
+    assert got[9]["n_phones"] == 1
+    assert got[9]["text_clean"] == "txt <PHONE> now"
+    # SSN: strict ddd-dd-dddd
+    assert got[10]["n_ssn"] == 1
+    assert got[10]["text_clean"] == "my ssn is <SSN> thanks"
+    # card: 4x4 digits with dash/space/dot separators, each shape whole
+    assert (got[11]["n_cards"], got[11]["n_phones"], got[11]["n_ssn"]) == (3, 0, 0)
+    assert got[11]["text_clean"] == "card <CARD> or <CARD> or <CARD>"
+    # unseparated digit runs and 3-group fragments are NOT ssn/cards
+    assert (got[12]["n_ssn"], got[12]["n_cards"], got[12]["n_phones"]) == (0, 0, 0)
+    assert got[12]["text_clean"] == "bare 123456789 and 4111111111111111 stay; 1234-5678-9012 stays"
 
 
 def test_stratified_sample_stable_and_proportional(spark):
@@ -939,6 +956,32 @@ def test_gaussian_neardup_lsh_recall_of_blocked(spark):
     # bucketed pairs are a subset of the label-blocked truth's cosine
     # criterion; at least some truth pairs must survive the blocking
     assert got, "gaussian blocking lost every near-dup pair"
+
+
+def test_neardup_allpairs_requires_explicit_optin(spark):
+    """block_col=None is an O(n²) crossJoin: it must RAISE unless the
+    caller opts in with allow_crossjoin=True (round-6 scale guard) —
+    and opted-in it must agree with itself under blocking by a
+    constant column (same pair space)."""
+    from gcp_dataengineering_spark.llm_ops.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").limit(40)
+    with pytest.raises(ValueError, match="crossJoin"):
+        embedding_near_dup_pairs(emb, threshold=0.4, block_col=None)
+    allp = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            emb, threshold=0.4, block_col=None, allow_crossjoin=True
+        ).collect()
+    }
+    one_block = emb.withColumn("_one", F.lit(1))
+    blocked = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup_pairs(
+            one_block, threshold=0.4, block_col="_one"
+        ).collect()
+    }
+    assert allp == blocked
 
 
 def test_ngram_capped_equals_uncapped_when_cap_inactive(docs):
@@ -1213,3 +1256,10 @@ def test_mixture_fractions_closed_form(spark):
         mixture_fractions(docs, {"xx": 1.0})
     with pytest.raises(ValueError, match="positive total"):
         mixture_fractions(docs, {"en": 0.0})
+    # a ZERO-weight domain absent from the corpus is dropped (0.0),
+    # not an error — the docstring's w=0 contract (round-6 ADVICE fix)
+    fr3 = mixture_fractions(docs, {"en": 1.0, "xx": 0.0})
+    assert fr3 == {"en": 1.0, "xx": 0.0}
+    # negative weights are rejected up front, not silently zeroed
+    with pytest.raises(ValueError, match="negative"):
+        mixture_fractions(docs, {"en": 1.0, "es": -0.5})
