@@ -336,6 +336,132 @@ def minhash_dedup_pairs(
     )
 
 
+# ------------------------------------------------------------ incremental dedup
+def minhash_band_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+) -> DataFrame:
+    """(doc_id, band) rows — the PERSISTABLE LSH index of a corpus.
+    ``band`` folds the band index into the key ('<idx>:<key>') so
+    candidate generation downstream is a single-column equi-join,
+    which a single-column bucketed sink can co-locate. Write it with
+    ``sources.io.write_bucketed(bands_df, table, 'band')`` once per
+    corpus; every future ingest batch then joins against the stored
+    index with NO corpus-side shuffle (the bucket metadata already
+    satisfies the join's clustering)."""
+    if num_hashes % bands != 0:
+        raise ValueError(
+            f"num_hashes ({num_hashes}) must be divisible by bands ({bands}); "
+            "a remainder would silently drop trailing signature components"
+        )
+    rows_per_band = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, n)
+    band_cols = [
+        F.concat_ws(
+            "|",
+            F.lit(f"{b}:"),
+            *[F.col(f"m{b * rows_per_band + r}") for r in range(rows_per_band)],
+        )
+        for b in range(bands)
+    ]
+    return sigs.select("doc_id", F.explode(F.array(*band_cols)).alias("band"))
+
+
+def dedup_exact_incremental(
+    batch: DataFrame,
+    corpus_fps: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact dedup of a NEW batch against an EXISTING deduped corpus:
+    returns the batch rows to APPEND — documents whose normalized-text
+    fingerprint is absent from ``corpus_fps`` (the corpus fingerprint
+    set, e.g. ``dedup_exact(corpus)`` or a maintained fp table with a
+    column ``fp``), keeping the min-id winner of each batch-internal
+    duplicate group.
+
+    Scale shape: the corpus contributes ONLY its 32-byte fingerprints
+    (never text) through a left_anti equi-join — the corpus is not
+    re-paired against itself, so ingest cost is O(batch) + one
+    fp-keyed shuffle, independent of corpus size beyond the fp scan.
+    With the fp table bucketed on ``fp`` the anti-join needs no
+    corpus-side shuffle either."""
+    from pyspark.sql.window import Window
+
+    fp = batch.withColumn("_fp", fingerprint(text_col))
+    novel = fp.join(
+        corpus_fps.select(F.col("fp").alias("_fp")).distinct(), "_fp", "left_anti"
+    )
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col))
+    return (
+        novel.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .drop("_fp", "_rk")
+    )
+
+
+def lsh_incremental_pairs(
+    batch: DataFrame,
+    corpus_bands: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    include_batch_internal: bool = True,
+    materialize: str | MaterializeFn | bool | None = None,
+) -> DataFrame:
+    """Near-dup candidate pairs of a NEW batch against an EXISTING
+    corpus LSH index (``corpus_bands`` = ``minhash_band_rows`` of the
+    corpus, ideally reloaded from a band-bucketed table) plus the
+    batch-internal pairs — WITHOUT re-pairing the corpus against
+    itself. Returns (id_a, id_b, shared_bands), ids normalized
+    id_a < id_b, identical to what ``lsh_candidate_pairs`` on the
+    full union would emit for every pair touching a batch document
+    (same hash family, same banding).
+
+    Scale shape: batch bands are computed once and materialized (both
+    the cross join and the self join consume them); the corpus index
+    is consumed by ONE equi-join on the band key — when the index
+    table is bucketed on ``band`` the join reuses the bucket
+    partitioning and only the (small) batch side shuffles."""
+    batch_bands = _materialize(
+        minhash_band_rows(batch, text_col, id_col, num_hashes, bands, n),
+        materialize,
+    )
+    b = batch_bands.alias("b")
+    c = corpus_bands.alias("c")
+    cross = (
+        b.join(c, F.col("b.band") == F.col("c.band"))
+        .filter(F.col("b.doc_id") != F.col("c.doc_id"))
+        .groupBy(
+            F.least(F.col("b.doc_id"), F.col("c.doc_id")).alias("id_a"),
+            F.greatest(F.col("b.doc_id"), F.col("c.doc_id")).alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_bands"))
+    )
+    if not include_batch_internal:
+        return cross
+    b2 = batch_bands.alias("b2")
+    internal = (
+        batch_bands.alias("b1")
+        .join(
+            b2,
+            (F.col("b1.band") == F.col("b2.band"))
+            & (F.col("b1.doc_id") < F.col("b2.doc_id")),
+        )
+        .groupBy(
+            F.col("b1.doc_id").alias("id_a"), F.col("b2.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("shared_bands"))
+    )
+    return cross.unionByName(internal)
+
+
 # ------------------------------------------------------------ dup-group resolution
 def resolve_dup_groups(
     ids: DataFrame,

@@ -798,6 +798,41 @@ GROUP BY d.lang
 """
 
 
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest dedup (round 6): even-id documents form the
+    EXISTING exact-deduped corpus, odd-id documents arrive as the new
+    batch. The batch is deduped against the corpus via fingerprint
+    anti-join (the corpus contributes only 32-byte fps, never text,
+    and is never re-paired against itself) plus in-batch min-id
+    keepers. Returns the appended rows' (doc_id, fp)."""
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 != 0)
+    out = D.dedup_exact_incremental(batch, D.dedup_exact(corpus))
+    return out.select("doc_id", T.fingerprint("text").alias("fp"))
+
+
+ORACLE_DEDUP_INCREMENTAL = """
+WITH fps AS (
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+), corpus AS (
+    SELECT * FROM fps WHERE doc_id % 2 = 0
+), batch AS (
+    SELECT * FROM fps WHERE doc_id % 2 <> 0
+), novel AS (
+    SELECT b.doc_id, b.fp FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.fp = b.fp)
+), ranked AS (
+    SELECT doc_id, fp,
+           ROW_NUMBER() OVER (PARTITION BY fp ORDER BY doc_id) AS rk
+    FROM novel
+)
+SELECT doc_id, fp FROM ranked WHERE rk = 1
+"""
+
+
 def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-stable train/val/test split (80/10/10 by
     salted md5 bucket of the id) — membership never changes as the
@@ -1274,28 +1309,31 @@ QUERIES = {
     "quality_filter": q_quality_filter,
     "dedup_ngram_capped": q_dedup_ngram_capped,
     "lang_id": q_lang_id,
-    "token_count": q_token_count,
+    # token_count rotated OUT for round 6 (stable green r1-r5; its
+    # operators remain under ORACLE_TEXT_QUALITY's n_tokens and the
+    # pytest suite) to make oracle-window room for the round-5-demoted
+    # keys' one-round revalidation — swap back in round 7.
     "doc_fingerprint": q_doc_fingerprint,
-    # dedup_ngram demoted from the driver-oracle registry (round 5, to
-    # fit the 50-key check window): strictly subsumed by
-    # dedup_ngram_capped; equality pytest at
-    # tests/test_llm_ops.py::test_ngram_capped_equals_uncapped_when_cap_inactive
+    # dedup_ngram: demoted round 5 (subsumed by dedup_ngram_capped,
+    # equality pytest), rotated back IN for round 6 so it revalidates
+    # against the external oracle on the current testdata.
+    "dedup_ngram": q_dedup_ngram,
     "dedup_containment": q_dedup_containment,
     "dedup_groups": q_dedup_groups,
     "dedup_minhash": q_dedup_minhash,
     "dedup_simhash": q_dedup_simhash,
     "embedding_topk": q_embedding_topk,
-    # embedding_topk_pandas demoted (round 5): shares ORACLE_EMBEDDING_TOPK
-    # with embedding_topk; equality pytest at
-    # tests/test_llm_ops.py::test_pandas_topk_equals_expression_topk
+    # embedding_topk_pandas: demoted round 5 (pytest-equal to
+    # embedding_topk), rotated back IN for round 6 revalidation under
+    # the shared ORACLE_EMBEDDING_TOPK.
+    "embedding_topk_pandas": q_embedding_topk_pandas,
     "embedding_ivf": q_embedding_ivf,
     "embedding_lsh": q_embedding_lsh,
     "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
-    # multimodal_meta (deterministic-fake decode) demoted (round 5):
-    # multimodal_real_meta exercises the REAL header parsers under its
-    # own oracle; the fake path keeps pytest coverage at
-    # tests/test_llm_ops.py::test_multimodal_stub_and_fake
+    # multimodal_meta: demoted round 5 (fake-decoder path,
+    # pytest-covered), rotated back IN for round 6 revalidation.
+    "multimodal_meta": q_multimodal_meta,
     "multimodal_real_meta": q_multimodal_real_meta,
     "multimodal_av_meta": q_multimodal_av_meta,
     "text_repetition": q_text_repetition,
@@ -1304,6 +1342,7 @@ QUERIES = {
     "stratified_sample": q_stratified_sample,
     "pack_plan": q_pack_plan,
     "dedup_pipeline": q_dedup_pipeline,
+    "dedup_incremental": q_dedup_incremental,
     "dataset_split": q_dataset_split,
     "shard_plan": q_shard_plan,
     "corpus_rollup": q_corpus_rollup,
@@ -1316,13 +1355,16 @@ ORACLES = {
     "quality_filter": ORACLE_QUALITY_FILTER,
     "dedup_ngram_capped": ORACLE_DEDUP_NGRAM_CAPPED,
     "lang_id": ORACLE_LANG_ID,
-    "token_count": ORACLE_TOKEN_COUNT,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "dedup_ngram": ORACLE_DEDUP_NGRAM,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "dedup_groups": ORACLE_DEDUP_GROUPS,
     "dedup_minhash": ORACLE_DEDUP_MINHASH,
     "dedup_simhash": ORACLE_DEDUP_SIMHASH,
     "embedding_topk": ORACLE_EMBEDDING_TOPK,
+    # the pandas GEMM path answers the same query as the expression
+    # path, under the same oracle
+    "embedding_topk_pandas": ORACLE_EMBEDDING_TOPK,
     # embedding_ivf: FULL oracle — deterministic Lloyd's k-means build
     # (quantized integer arithmetic) replayed iteration-by-iteration
     # in DuckDB, then probe/score/rank over the in-SQL index
@@ -1330,6 +1372,7 @@ ORACLES = {
     "embedding_lsh": ORACLE_EMBEDDING_LSH,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "embedding_neardup_lsh": ORACLE_EMBEDDING_NEARDUP_LSH,
+    "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_real_meta": ORACLE_MULTIMODAL_REAL_META,
     "multimodal_av_meta": ORACLE_MULTIMODAL_AV_META,
     "text_repetition": ORACLE_TEXT_REPETITION,
@@ -1338,6 +1381,7 @@ ORACLES = {
     "stratified_sample": ORACLE_STRATIFIED_SAMPLE,
     "pack_plan": ORACLE_PACK_PLAN,
     "dedup_pipeline": ORACLE_DEDUP_PIPELINE,
+    "dedup_incremental": ORACLE_DEDUP_INCREMENTAL,
     "dataset_split": ORACLE_DATASET_SPLIT,
     "shard_plan": ORACLE_SHARD_PLAN,
     "corpus_rollup": ORACLE_CORPUS_ROLLUP,

@@ -1263,3 +1263,118 @@ def test_mixture_fractions_closed_form(spark):
     # negative weights are rejected up front, not silently zeroed
     with pytest.raises(ValueError, match="negative"):
         mixture_fractions(docs, {"en": 1.0, "es": -0.5})
+
+
+# ---------------------------------------------------------------- incremental dedup
+def _inc_fixture(spark):
+    """Corpus/batch split of the real documents fixture with PLANTED
+    duplicates: two batch docs copy corpus text (cross dups), two
+    batch docs copy each other (in-batch dup). Corpus ids < batch ids
+    so min-id keeper semantics are decidable."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 400)
+    novel = docs.filter(F.col("doc_id") >= 400)
+    cross_dups = corpus.filter(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 1000).alias("doc_id"), "text"
+    )
+    in_batch_dup = novel.filter(F.col("doc_id") == 400).select(
+        (F.col("doc_id") + 2000).alias("doc_id"), "text"
+    )
+    batch = novel.unionByName(cross_dups).unionByName(in_batch_dup)
+    return corpus, batch
+
+
+def test_dedup_exact_incremental_equals_full_recompute(spark):
+    """Batch-vs-corpus exact dedup == full recompute on the union:
+    the survivors of the incremental path are exactly the union's
+    min-id keepers that live in the batch (corpus never re-paired)."""
+    from gcp_dataengineering_spark.llm_ops.dedup import (
+        dedup_exact,
+        dedup_exact_incremental,
+    )
+
+    corpus, batch = _inc_fixture(spark)
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+
+    inc_ids = {
+        r["doc_id"]
+        for r in dedup_exact_incremental(batch, dedup_exact(corpus)).select("doc_id").collect()
+    }
+    union_keepers = {
+        r["keep_id"] for r in dedup_exact(corpus.unionByName(batch)).collect()
+    }
+    assert inc_ids == {k for k in union_keepers if k in batch_ids}
+    # the planted cross dups lost to their corpus originals, and only
+    # one of the in-batch dup pair survived
+    assert 1000 not in inc_ids and 1001 not in inc_ids
+    assert (400 in inc_ids) and (2400 not in inc_ids)
+
+
+def test_lsh_incremental_pairs_equal_full_recompute(spark):
+    """Incremental LSH candidates (batch-vs-index + batch-internal)
+    == every pair of the full-union LSH that touches a batch doc,
+    with identical shared_bands counts."""
+    from gcp_dataengineering_spark.llm_ops.dedup import (
+        lsh_candidate_pairs,
+        lsh_incremental_pairs,
+        minhash_band_rows,
+        minhash_signatures,
+    )
+
+    corpus, batch = _inc_fixture(spark)
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+
+    inc = {
+        (r["id_a"], r["id_b"], r["shared_bands"])
+        for r in lsh_incremental_pairs(batch, minhash_band_rows(corpus)).collect()
+    }
+    full = {
+        (r["id_a"], r["id_b"], r["shared_bands"])
+        for r in lsh_candidate_pairs(
+            minhash_signatures(corpus.unionByName(batch))
+        ).collect()
+        if r["id_a"] in batch_ids or r["id_b"] in batch_ids
+    }
+    assert inc == full
+    # the planted exact copies must surface: cross (0,1000), (1,1001)
+    # and in-batch (400,2400), each sharing all 4 bands
+    assert (0, 1000, 4) in inc and (1, 1001, 4) in inc and (400, 2400, 4) in inc
+
+
+def test_lsh_incremental_bucketed_index_no_corpus_reshuffle(spark):
+    """The 100 TB ingest shape: with the corpus band index stored
+    band-bucketed (write_bucketed), candidate generation reuses the
+    bucket partitioning — the executed plan shuffles ONLY the batch
+    side (one Exchange on the band key); a plain-parquet index is the
+    control and shuffles both sides."""
+    from gcp_dataengineering_spark.llm_ops.dedup import (
+        lsh_incremental_pairs,
+        minhash_band_rows,
+    )
+    from gcp_dataengineering_spark.sources.io import write_bucketed
+
+    corpus, batch = _inc_fixture(spark)
+    bands = minhash_band_rows(corpus)
+    old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(bands, "corpus_band_index", "band", num_buckets=8, sort_col="band")
+        indexed = spark.table("corpus_band_index")
+        plan_idx = (
+            lsh_incremental_pairs(batch, indexed, include_batch_internal=False)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "Bucketed: true" in plan_idx
+        assert plan_idx.count("Exchange hashpartitioning(band#") == 1, plan_idx
+        # control: the same index as plain parquet shuffles both sides
+        plain = bands  # unbucketed lineage stands in for a plain reload
+        plan_plain = (
+            lsh_incremental_pairs(batch, plain, include_batch_internal=False)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert plan_plain.count("Exchange hashpartitioning(band#") == 2, plan_plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+        spark.sql("DROP TABLE IF EXISTS corpus_band_index")
