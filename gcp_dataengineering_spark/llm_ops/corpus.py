@@ -27,6 +27,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import md5_60bit, whitespace_token_count
 
@@ -261,6 +262,111 @@ def pack_sequences(
         (chunk_start - F.col("_start")).cast("long").alias("doc_offset"),
         (chunk_end - chunk_start).cast("long").alias("n_tokens_in_seq"),
     )
+
+
+def pack_sequences_no_split(
+    df: DataFrame,
+    seq_len: int,
+    part_col: str | list[str] = "lang",
+    order_col: str = "doc_id",
+    text_col: str = "text",
+    max_partition_rows: int | None = None,
+    overlong: str = "truncate",
+) -> DataFrame:
+    """BOUNDARY-RESPECTING packing plan — the other loader
+    convention (cf. :func:`pack_sequences`, which splits documents
+    across windows): documents are packed WHOLE, greedy first-fit in
+    ``order_col`` order within each ``part_col`` value — a document
+    that does not fit the current window's remaining space starts a
+    new window; documents never span windows.
+
+    Over-long documents (tokens > seq_len), per ``overlong``:
+    - ``'truncate'``: clamped to ``seq_len`` (always alone-filling a
+      window) and marked ``is_overlong`` — the loader drops the tail;
+    - ``'flag'``: emitted at full length in a window of their own,
+      marked ``is_overlong`` — every OTHER window obeys ≤ seq_len and
+      the caller decides (re-chunk via pack_sequences, drop, …).
+
+    Output: ONE row per non-empty document — (part…, order_col,
+    n_tokens, seq_id, seq_offset, n_tokens_in_seq, is_overlong);
+    ``seq_id`` is unique per part group, ``seq_offset`` is the doc's
+    start inside its window. Zero-token documents yield no rows
+    (matching pack_sequences).
+
+    Scale shape: greedy fill is inherently SEQUENTIAL state — not a
+    prefix-sum — so this is one of the few legitimate
+    ``applyInPandas`` operators: tokens are counted JVM-side first
+    and only (part…, order, n_tokens) rows — never text — cross into
+    Arrow, so the Python stage streams a few longs per document. Each
+    part value is one group; ``max_partition_rows`` injects the same
+    enforced straggler bucket as pack_sequences (one greedy stream
+    per bucket, content-stable hash of ``order_col``) so a
+    single-language corpus fans out. Same caveat: bucketing changes
+    adjacency — one partial tail window per bucket."""
+    if seq_len < 1:
+        raise ValueError(f"seq_len ({seq_len}) must be >= 1")
+    if overlong not in ("truncate", "flag"):
+        raise ValueError(f"overlong ({overlong!r}) must be 'truncate' or 'flag'")
+    parts = [part_col] if isinstance(part_col, str) else list(part_col)
+    if max_partition_rows is not None:
+        df = _with_straggler_bucket(
+            df, parts, order_col, max_partition_rows,
+            bucket_col="_pack_bucket", salt="packbucket",
+        )
+        parts = parts + ["_pack_bucket"]
+    toks = whitespace_token_count(text_col).cast("long")
+    slim = df.select(*parts, order_col, toks.alias("n_tokens")).filter(
+        F.col("n_tokens") > 0
+    )
+    out_fields = [slim.schema[c] for c in (*parts, order_col, "n_tokens")]
+    schema = T.StructType(
+        out_fields
+        + [
+            T.StructField("seq_id", T.LongType()),
+            T.StructField("seq_offset", T.LongType()),
+            T.StructField("n_tokens_in_seq", T.LongType()),
+            T.StructField("is_overlong", T.BooleanType()),
+        ]
+    )
+    truncate = overlong == "truncate"
+
+    def _pack(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        seq_ids, offsets, lens, flags = [], [], [], []
+        cur_seq, used = -1, 0  # no window open yet
+        for n in pdf["n_tokens"]:
+            over = n > seq_len
+            t = min(n, seq_len) if truncate else n
+            if over and not truncate:
+                # full-length doc fills a fresh window of its own
+                cur_seq += 1
+                seq_ids.append(cur_seq)
+                offsets.append(0)
+                lens.append(t)
+                flags.append(True)
+                used = seq_len  # window closed: next doc opens a new one
+                continue
+            if cur_seq < 0 or used + t > seq_len:
+                cur_seq += 1
+                used = 0
+            seq_ids.append(cur_seq)
+            offsets.append(used)
+            lens.append(t)
+            flags.append(over)
+            used += t
+        return pd.DataFrame(
+            {
+                **{c: pdf[c] for c in (*parts, order_col, "n_tokens")},
+                "seq_id": pd.Series(seq_ids, dtype="int64"),
+                "seq_offset": pd.Series(offsets, dtype="int64"),
+                "n_tokens_in_seq": pd.Series(lens, dtype="int64"),
+                "is_overlong": pd.Series(flags, dtype="bool"),
+            }
+        )
+
+    return slim.groupBy(*parts).applyInPandas(_pack, schema=schema)
 
 
 def stratified_sample(

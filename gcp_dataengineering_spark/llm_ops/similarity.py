@@ -455,6 +455,29 @@ def cosine_topk_ivf_from_index(
     lists, and scores only the vectors assigned to them — candidate
     selection is an equi-join on cluster id. Recall/latency trade via
     nprobe."""
+    assigned = assignments.select(F.col("vec_id").alias("neighbor_id"), "cluster").join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id",
+    )
+    return _search_posting(assigned, centroids, queries, k, nprobe, id_col, vec_col)
+
+
+def _search_posting(
+    posting: DataFrame,
+    centroids: DataFrame,
+    queries: DataFrame,
+    k: int,
+    nprobe: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over a materialized posting table
+    (neighbor_id, cluster, c_vec): probe selection is a tiny
+    centroid broadcast per query; candidate generation is a
+    broadcast join of the probes onto the posting table — the
+    posting/corpus side is never shuffled before the candidate
+    filter; the only exchange downstream is the per-query rank over
+    the (candidate-sized, not corpus-sized) scored set."""
     q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     wq = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cluster").asc())
     probes = (
@@ -464,12 +487,8 @@ def cosine_topk_ivf_from_index(
         .filter(F.col("c_rank") <= nprobe)
         .select("query_id", "q_vec", "cluster")
     )
-    assigned = assignments.select(F.col("vec_id").alias("neighbor_id"), "cluster").join(
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
-        "neighbor_id",
-    )
     scored = (
-        assigned.join(F.broadcast(probes), "cluster")
+        posting.join(F.broadcast(probes), "cluster")
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
     )
@@ -478,6 +497,70 @@ def cosine_topk_ivf_from_index(
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )
+
+
+def persist_ivf_index(
+    corpus: DataFrame,
+    table_prefix: str,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_iter: int = 3,
+    num_buckets: int = 16,
+) -> tuple[str, str]:
+    """Build the IVF index ONCE and persist it as two tables — the
+    'index built once, searched by every query batch' lifecycle:
+
+    - ``<prefix>_posting``: (neighbor_id, cluster, c_vec), the
+      assignments pre-joined with their vectors, bucketed by
+      ``cluster`` (posting lists co-located on disk) — the expensive
+      assignments⨝vectors id-join is paid at WRITE time, so no
+      search ever runs it again;
+    - ``<prefix>_centroids``: the k-row centroid table.
+
+    Returns (posting_table, centroids_table) for
+    :func:`cosine_topk_ivf_from_tables`."""
+    from ..sources.io import write_bucketed
+
+    assigned, centroids = ivf_index(
+        corpus, n_clusters, id_col, vec_col, seed, n_iter
+    )
+    posting = assigned.select(F.col("vec_id").alias("neighbor_id"), "cluster").join(
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")),
+        "neighbor_id",
+    )
+    posting_t = f"{table_prefix}_posting"
+    centroids_t = f"{table_prefix}_centroids"
+    write_bucketed(posting, posting_t, "cluster", num_buckets=num_buckets)
+    centroids.write.mode("overwrite").format("parquet").saveAsTable(centroids_t)
+    return posting_t, centroids_t
+
+
+def cosine_topk_ivf_from_tables(
+    spark,
+    posting_table: str,
+    centroids_table: str,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search over a PERSISTED index (see persist_ivf_index):
+    reads the posting and centroid tables and searches them directly
+    — identical results to the in-memory
+    ivf_index → cosine_topk_ivf_from_index composition, with zero
+    build work and no corpus-side exchange in the search plan."""
+    return _search_posting(
+        spark.table(posting_table),
+        spark.table(centroids_table),
+        queries,
+        k,
+        nprobe,
+        id_col,
+        vec_col,
     )
 
 

@@ -1378,3 +1378,135 @@ def test_lsh_incremental_bucketed_index_no_corpus_reshuffle(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         spark.sql("DROP TABLE IF EXISTS corpus_band_index")
+
+
+# ---------------------------------------------------------------- persisted IVF index
+def test_persisted_ivf_index_reuse_no_corpus_exchange(spark):
+    """The 'index built once, used by every query batch' lifecycle:
+    persist_ivf_index → cosine_topk_ivf_from_tables must return
+    byte-identical results to the one-shot in-memory composition,
+    and the reloaded-index search plan must contain NO corpus-side
+    exchange (no id-join, no cluster shuffle, no sort-merge) — the
+    only exchange is the per-query rank over the candidate set."""
+    from gcp_dataengineering_spark.llm_ops.similarity import (
+        cosine_topk_ivf,
+        cosine_topk_ivf_from_tables,
+        persist_ivf_index,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    try:
+        posting_t, centroids_t = persist_ivf_index(emb, "ivf_test", n_clusters=8)
+        stored = cosine_topk_ivf_from_tables(
+            spark, posting_t, centroids_t, queries, k=5, nprobe=3
+        )
+        plan = stored._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan
+        assert "Exchange hashpartitioning(cluster" not in plan, plan
+        assert "Exchange hashpartitioning(neighbor_id" not in plan, plan
+        assert "Exchange hashpartitioning(vec_id" not in plan, plan
+        assert "BroadcastHashJoin" in plan
+        got = sorted(map(tuple, stored.collect()))
+        want = sorted(
+            map(tuple, cosine_topk_ivf(emb, queries, k=5, n_clusters=8, nprobe=3).collect())
+        )
+        assert got == want and len(got) > 0
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ivf_test_posting")
+        spark.sql("DROP TABLE IF EXISTS ivf_test_centroids")
+
+
+# ---------------------------------------------------------------- no-split packing
+def test_pack_no_split_invariants_and_duckdb_replay(spark):
+    """Boundary-respecting greedy packing: every doc lands WHOLE in
+    exactly one window, windows never exceed seq_len, first-fit is
+    tight (a doc opens a new window only when it truly didn't fit),
+    seq ids are dense per group — and the whole plan is replayed
+    row-for-row by an external DuckDB recursive CTE on the same
+    parquet."""
+    import duckdb
+
+    from gcp_dataengineering_spark.llm_ops.corpus import pack_sequences_no_split
+
+    L = 128
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = pack_sequences_no_split(docs, seq_len=L).collect()
+    assert out, "empty packing plan"
+
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault(r["lang"], []).append(r)
+    for lang, rows in by_group.items():
+        rows.sort(key=lambda r: r["doc_id"])
+        # one row per doc; chunk never exceeds window; offsets in range
+        for r in rows:
+            assert 1 <= r["n_tokens_in_seq"] <= L
+            assert 0 <= r["seq_offset"] <= L - r["n_tokens_in_seq"]
+            assert r["is_overlong"] == (r["n_tokens"] > L)
+        # per-window: no overlap, total <= L
+        wins: dict = {}
+        for r in rows:
+            wins.setdefault(r["seq_id"], []).append(r)
+        assert sorted(wins) == list(range(len(wins))), "seq ids not dense"
+        for seq, members in wins.items():
+            members.sort(key=lambda r: r["seq_offset"])
+            pos = 0
+            for m in members:
+                assert m["seq_offset"] == pos, "gap/overlap inside window"
+                pos += m["n_tokens_in_seq"]
+            assert pos <= L
+        # first-fit tightness: doc at offset 0 of window s>0 did not fit
+        # the remaining space of window s-1
+        fill = {s: sum(m["n_tokens_in_seq"] for m in ms) for s, ms in wins.items()}
+        for r in rows:
+            if r["seq_id"] > 0 and r["seq_offset"] == 0:
+                assert fill[r["seq_id"] - 1] + r["n_tokens_in_seq"] > L
+
+    con = duckdb.connect()
+    con.sql(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.001/documents.parquet')"
+    )
+    oracle = con.sql(f"""
+WITH RECURSIVE toks AS (
+    SELECT lang, doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+    FROM documents
+), docs AS (
+    SELECT lang, doc_id, n_tokens,
+           ROW_NUMBER() OVER (PARTITION BY lang ORDER BY doc_id) AS rn
+    FROM toks WHERE n_tokens > 0
+), packed AS (
+    SELECT lang, doc_id, n_tokens, rn,
+           CAST(0 AS BIGINT) AS seq_id, CAST(0 AS BIGINT) AS seq_offset,
+           least(n_tokens, {L}) AS t
+    FROM docs WHERE rn = 1
+    UNION ALL
+    SELECT d.lang, d.doc_id, d.n_tokens, d.rn,
+           CASE WHEN p.seq_offset + p.t + least(d.n_tokens, {L}) <= {L}
+                THEN p.seq_id ELSE p.seq_id + 1 END,
+           CASE WHEN p.seq_offset + p.t + least(d.n_tokens, {L}) <= {L}
+                THEN p.seq_offset + p.t ELSE CAST(0 AS BIGINT) END,
+           least(d.n_tokens, {L})
+    FROM packed p JOIN docs d ON d.lang = p.lang AND d.rn = p.rn + 1
+)
+SELECT lang, doc_id, n_tokens, seq_id, seq_offset, t AS n_tokens_in_seq,
+       n_tokens > {L} AS is_overlong
+FROM packed
+""").fetchall()
+    want = sorted(map(tuple, oracle))
+    got = sorted(
+        (r["lang"], r["doc_id"], r["n_tokens"], r["seq_id"], r["seq_offset"],
+         r["n_tokens_in_seq"], r["is_overlong"])
+        for r in out
+    )
+    assert got == want
+
+    # overlong handling: 'flag' keeps full length alone in a window;
+    # bad mode rejected
+    flagged = pack_sequences_no_split(docs, seq_len=10, overlong="flag")
+    solo = flagged.filter(F.col("is_overlong")).collect()
+    assert solo and all(r["seq_offset"] == 0 and r["n_tokens_in_seq"] == r["n_tokens"] > 10 for r in solo)
+    with pytest.raises(ValueError, match="overlong"):
+        pack_sequences_no_split(docs, seq_len=10, overlong="drop")
