@@ -462,6 +462,98 @@ def lsh_incremental_pairs(
     return cross.unionByName(internal)
 
 
+def ingest_batch(
+    batch: DataFrame,
+    corpus_fps: DataFrame,
+    corpus_bands: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 8,
+    bands: int = 4,
+    n: int = 3,
+    min_shared_bands: int = 1,
+    materialize: str | MaterializeFn | bool | None = None,
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """The composed incremental-ingest flow a real pipeline runs per
+    arriving batch: exact-dedup the batch against the corpus
+    (:func:`dedup_exact_incremental`), then — when a ``corpus_bands``
+    LSH index is supplied — drop batch documents that are near-dup
+    candidates of the EXISTING corpus (≥ ``min_shared_bands`` shared
+    bands) or of an earlier-id surviving batch doc.
+
+    Returns ``(appendable, new_fps, new_bands)``:
+    - ``appendable``  — the batch rows to append to the corpus;
+    - ``new_fps``     — their (fp) rows, to be unioned into the
+      maintained fingerprint table;
+    - ``new_bands``   — their (doc_id, band) rows for the band index
+      (None when no index was supplied).
+
+    The corpus is never re-paired against itself; each maintained
+    index is read by exactly one equi-join (anti on fp, band join on
+    the bucketed band table) — per-batch cost is O(batch) plus the
+    batch-sized CC loop, not O(corpus).
+
+    Near-dup drop policy — 'CORPUS WINS, then min-id within the
+    batch': batch-internal pairs are resolved to connected-component
+    groups (the same O(log d) resolve_dup_groups the full pipeline
+    uses, here over the batch-only graph); a group ANY member of
+    which is a candidate of the corpus is dropped whole (its docs
+    are transitively near-dups of existing content), and each
+    surviving group keeps its min-id doc. When corpus ids all
+    precede batch ids this is EXACTLY what full-corpus
+    resolve_dup_groups + apply_dedup_keepers keep (pytest-proven);
+    with interleaved ids it deviates only where full recompute would
+    have dropped an existing corpus doc in favor of a new batch doc
+    — which an append-only ingest cannot do."""
+    exact = _materialize(
+        dedup_exact_incremental(batch, corpus_fps, text_col, id_col), materialize
+    )
+    if corpus_bands is None:
+        new_fps = exact.select(fingerprint(text_col).alias("fp"))
+        return exact, new_fps, None
+    pairs = _materialize(
+        lsh_incremental_pairs(
+            exact, corpus_bands, text_col, id_col, num_hashes, bands, n,
+            include_batch_internal=True, materialize=materialize,
+        ).filter(F.col("shared_bands") >= min_shared_bands),
+        materialize,
+    )
+    batch_ids = exact.select(F.col(id_col).alias("_bid"))
+    # split candidate pairs: both-in-batch (internal graph) vs
+    # touching-the-corpus (taint)
+    internal = pairs.join(
+        batch_ids, pairs.id_a == batch_ids._bid, "left_semi"
+    ).join(batch_ids, pairs.id_b == batch_ids._bid, "left_semi")
+    crossed = (
+        pairs.join(batch_ids, pairs.id_a == batch_ids._bid, "left_anti")
+        .select(F.col("id_b").alias(id_col))
+        .unionByName(
+            pairs.join(batch_ids, pairs.id_b == batch_ids._bid, "left_anti")
+            .select(F.col("id_a").alias(id_col))
+        )
+        .distinct()
+    )
+    groups = resolve_dup_groups(
+        exact.select(id_col), internal, id_col, materialize=materialize
+    )
+    tainted = (
+        groups.join(crossed, id_col, "left_semi")
+        .select("group_id")
+        .distinct()
+    )
+    keeper_ids = (
+        groups.filter(F.col(id_col) == F.col("group_id"))
+        .join(tainted, "group_id", "left_anti")
+        .select(id_col)
+    )
+    appendable = _materialize(
+        exact.join(keeper_ids, id_col, "left_semi"), materialize
+    )
+    new_fps = appendable.select(fingerprint(text_col).alias("fp"))
+    new_bands = minhash_band_rows(appendable, text_col, id_col, num_hashes, bands, n)
+    return appendable, new_fps, new_bands
+
+
 # ------------------------------------------------------------ dup-group resolution
 def resolve_dup_groups(
     ids: DataFrame,

@@ -1510,3 +1510,65 @@ FROM packed
     assert solo and all(r["seq_offset"] == 0 and r["n_tokens_in_seq"] == r["n_tokens"] > 10 for r in solo)
     with pytest.raises(ValueError, match="overlong"):
         pack_sequences_no_split(docs, seq_len=10, overlong="drop")
+
+
+def test_ingest_batch_composed_flow_equals_full_recompute(spark):
+    """The composed per-batch ingest (exact anti-join → LSH-vs-index
+    taint → batch-internal CC keepers) must keep EXACTLY the batch
+    docs that full-corpus LSH + connected components +
+    apply_dedup_keepers would keep on the union (corpus ids precede
+    batch ids, so corpus-wins == min-id), and return consistent
+    fp/band index deltas."""
+    from gcp_dataengineering_spark.llm_ops.corpus import apply_dedup_keepers
+    from gcp_dataengineering_spark.llm_ops.dedup import (
+        dedup_exact,
+        ingest_batch,
+        lsh_candidate_pairs,
+        minhash_band_rows,
+        minhash_signatures,
+        resolve_dup_groups,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    corpus = docs.filter(F.col("doc_id") < 400)
+    novel = docs.filter(F.col("doc_id") >= 400)
+    # near- (not exact-) copies: perturbed texts keep most shingles
+    near_corpus = corpus.filter(F.col("doc_id") < 2).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq extra tail")).alias("text"),
+    )
+    near_internal = novel.filter(F.col("doc_id") == 400).select(
+        (F.col("doc_id") + 2000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq other tail")).alias("text"),
+    )
+    exact_cross = corpus.filter(F.col("doc_id") == 5).select(
+        (F.col("doc_id") + 3000).alias("doc_id"), "text"
+    )
+    batch = (
+        novel.unionByName(near_corpus)
+        .unionByName(near_internal)
+        .unionByName(exact_cross)
+    )
+    batch_ids = {r["doc_id"] for r in batch.select("doc_id").collect()}
+
+    app, new_fps, new_bands = ingest_batch(
+        batch, dedup_exact(corpus), minhash_band_rows(corpus)
+    )
+    app_ids = {r["doc_id"] for r in app.select("doc_id").collect()}
+
+    union = corpus.unionByName(batch)
+    pairs_full = lsh_candidate_pairs(minhash_signatures(union))
+    groups = resolve_dup_groups(union.select("doc_id"), pairs_full)
+    kept_full = {
+        r["doc_id"] for r in apply_dedup_keepers(union, groups).select("doc_id").collect()
+    }
+    assert app_ids == {i for i in kept_full if i in batch_ids}
+    # planted shapes actually fired: exact and near corpus-dups gone,
+    # internal near-pair kept only its lower id
+    assert 3005 not in app_ids and 1000 not in app_ids and 1001 not in app_ids
+    assert 400 in app_ids and 2400 not in app_ids
+    # index deltas describe exactly the appendable rows
+    assert new_fps.count() == len(app_ids)
+    assert {r["doc_id"] for r in new_bands.select("doc_id").distinct().collect()} == app_ids
