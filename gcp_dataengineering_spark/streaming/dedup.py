@@ -28,3 +28,44 @@ def dedup_stream(
     return stream.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
         key_cols
     )
+
+
+def dedup_stream_against_corpus(
+    stream: DataFrame,
+    corpus_fps: DataFrame,
+    text_col: str = "text",
+    event_time_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming half of the incremental-ingest contract
+    (cf. llm_ops.dedup.dedup_exact_incremental): drop arriving
+    documents whose content fingerprint already exists in a STATIC
+    corpus fingerprint table, then drop intra-stream re-arrivals.
+
+    ``corpus_fps`` is a plain batch DataFrame with a column ``fp``
+    (e.g. ``spark.read.parquet(fp_table)``) — Structured Streaming
+    executes the stream-static LEFT ANTI join per micro-batch
+    without any stream-side state for the corpus part: the corpus
+    side is a static relation (re-read per batch when backed by
+    files), never re-paired against itself, and only 32-byte
+    fingerprints flow through the join. Intra-stream duplicates use
+    the state store exactly like :func:`dedup_stream` — keyed on the
+    fingerprint, watermark-bounded when ``event_time_col`` is given,
+    unbounded (exact, state grows with distinct keys) otherwise.
+
+    Adds the ``fp`` column to the output so a sink can append the
+    survivors' fingerprints to the corpus fp table, closing the loop
+    for the next ingest window."""
+    from pyspark.sql import functions as F
+
+    from ..llm_ops.text import fingerprint
+
+    with_fp = stream.withColumn("fp", fingerprint(text_col))
+    novel = with_fp.join(
+        corpus_fps.select(F.col("fp")).distinct(), "fp", "left_anti"
+    )
+    if event_time_col is not None:
+        return novel.withWatermark(event_time_col, watermark).dropDuplicatesWithinWatermark(
+            ["fp"]
+        )
+    return novel.dropDuplicates(["fp"])

@@ -410,3 +410,60 @@ def test_sessionize_native_equals_batch(spark):
     native = sorted(tuple(r) for r in sessionize_native(ev).collect())
     assert len(batch) > 0
     assert native == batch
+
+
+def test_dedup_stream_against_corpus_static_anti_join(spark, tmp_path):
+    """Streaming incremental ingest: arriving docs whose fingerprint
+    already exists in the STATIC corpus fp table are dropped by a
+    stream-static anti join (no corpus-side state), intra-stream
+    re-arrivals are dropped by the state store, and the emitted rows
+    carry the fp column so the sink can extend the corpus table —
+    results equal the batch dedup_exact_incremental survivors on the
+    same data."""
+    from gcp_dataengineering_spark.llm_ops.dedup import (
+        dedup_exact,
+        dedup_exact_incremental,
+    )
+    from gcp_dataengineering_spark.streaming.dedup import dedup_stream_against_corpus
+
+    corpus = spark.createDataFrame(
+        [(0, "alpha beta gamma"), (1, "delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    batch_rows = [
+        (10, "alpha  beta   gamma"),   # normalizes to corpus doc 0 -> dropped
+        (11, "eta theta iota"),        # novel -> kept
+        (12, "eta theta iota"),        # intra-stream dup of 11 -> dropped
+        (13, "kappa lambda mu"),       # novel -> kept
+    ]
+    batch = spark.createDataFrame(batch_rows, "doc_id long, text string")
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    batch.coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    corpus_fps = dedup_exact(corpus)
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src) + "/*.parquet"
+    )
+    name = f"ddc_{uuid.uuid4().hex[:8]}"
+    q = (
+        dedup_stream_against_corpus(stream, corpus_fps)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.sql(f"SELECT doc_id, fp FROM {name}").collect()
+    finally:
+        q.stop()
+    got_ids = {r["doc_id"] for r in got}
+    want_ids = {
+        r["doc_id"]
+        for r in dedup_exact_incremental(batch, corpus_fps).select("doc_id").collect()
+    }
+    assert got_ids == want_ids == {11, 13}
+    # fp column rides along, non-null, distinct per survivor
+    fps = {r["fp"] for r in got}
+    assert len(fps) == 2 and all(fps)
