@@ -60,6 +60,9 @@ HEADLINE = [
     "pack_plan",
     "text_repetition",
     "stratified_sample",
+    # round-6 operator (new row — the 26 rows above stay 1:1
+    # comparable with BASELINE_r4.md)
+    "dedup_incremental",
 ]
 
 
@@ -163,6 +166,30 @@ def main() -> None:
     sf = float(os.path.basename(sf_dir.rstrip("/")).replace("sf", "") or 0.1)
     runs = int(os.environ.get("BENCH_RUNS", "2"))
     isolate = os.environ.get("BENCH_ISOLATE", "0") != "0"
+
+    # BENCH_MEDIAN_RUNS=N: the RECORDED-bench protocol (round 6+) —
+    # N fully isolated full-set runs (fresh subprocess JVM each),
+    # per-query MEDIANS published. Single full-set runs on this VM
+    # carry 2-3x per-query scheduler noise (BENCH_ATTRIBUTION.md);
+    # only isolated medians are evidence. Raw runs ride along so the
+    # medians are auditable.
+    median_runs = int(os.environ.get("BENCH_MEDIAN_RUNS", "0"))
+    if median_runs > 0:
+        import statistics
+
+        all_runs = [_run_set_isolated(sf_dir, runs) for _ in range(median_runs)]
+        keys = [k for k in HEADLINE if all(k in r for r in all_runs)]
+        med = {k: round(statistics.median(r[k] for r in all_runs), 3) for k in keys}
+        print(json.dumps({
+            "metric": "headline_queries_total_wall",
+            "value": round(sum(med.values()), 3),
+            "unit": "sec",
+            "queries": med,
+            "sf": sf,
+            "protocol": f"isolated-median-x{median_runs}",
+            "runs": all_runs,
+        }))
+        return
 
     # Scaling-slope pass: the same set one decade smaller, run AFTER
     # the timed pass (or in its own JVM under BENCH_ISOLATE).
