@@ -60,9 +60,13 @@ HEADLINE = [
     "pack_plan",
     "text_repetition",
     "stratified_sample",
-    # round-6 operator (new row — the 26 rows above stay 1:1
+    # round-6 operators (new rows — the 26 rows above stay 1:1
     # comparable with BASELINE_r4.md)
     "dedup_incremental",
+    "chunk_plan",
+    "source_filter",
+    "compact_latest",
+    "embedding_pq",
 ]
 
 

@@ -502,3 +502,104 @@ def apply_dedup_keepers(
     labeled = df.join(groups, on=id_col, how="left")
     effective = F.coalesce(F.col("group_id"), F.col(id_col))
     return labeled.filter(F.col(id_col) == effective).drop("group_id")
+
+
+def chunk_docs(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Sliding-window RAG/retrieval chunking: whitespace tokens cut
+    into windows of ``chunk_tokens`` with ``overlap_tokens`` carried
+    between consecutive windows (stride = chunk - overlap). Returns
+    one row per chunk: (id, chunk_id, start_tok, n_chunk_tokens,
+    chunk_text).
+
+    Window-count rule: ``greatest(1, ceil((n - overlap) / stride))``
+    — every token is covered (the last window always reaches the end)
+    and no window is fully contained in its predecessor (a start
+    inside the final overlap would re-emit already-covered tokens).
+    Empty/whitespace-only docs produce one empty chunk rather than
+    disappearing (callers filter on n_chunk_tokens if they want
+    drops to be explicit).
+
+    Scale shape: pure projection + explode — no shuffle, no UDF; the
+    token array is built once per row and sliced per chunk
+    (``slice``/``array_join`` are codegen'd). Output size is
+    n_tokens × (1 + overlap/stride) per doc — the overlap tax is the
+    only amplification, and it is bounded by the parameters, not the
+    data."""
+    if chunk_tokens <= overlap_tokens:
+        raise ValueError(
+            f"chunk_tokens ({chunk_tokens}) must exceed overlap_tokens "
+            f"({overlap_tokens}): stride would be <= 0"
+        )
+    stride = chunk_tokens - overlap_tokens
+    toks = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda x: x != ""
+    )
+    base = df.select(
+        F.col(id_col),
+        toks.alias("_toks"),
+        F.size(toks).cast("bigint").alias("_n"),
+    ).withColumn(
+        "_n_chunks",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.expr(f"(_n - {overlap_tokens} + {stride} - 1) div {stride}"),
+        ),
+    )
+    exploded = base.select(
+        id_col,
+        "_toks",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), F.col("_n_chunks") - 1)).alias(
+            "chunk_id"
+        ),
+    )
+    ctoks = F.slice(
+        F.col("_toks"), (F.col("chunk_id") * stride + 1).cast("int"), chunk_tokens
+    )
+    return exploded.select(
+        id_col,
+        "chunk_id",
+        (F.col("chunk_id") * stride).cast("bigint").alias("start_tok"),
+        F.size(ctoks).cast("bigint").alias("n_chunk_tokens"),
+        F.array_join(ctoks, " ").alias("chunk_text"),
+    )
+
+
+def source_reputation_filter(
+    df: DataFrame,
+    pass_col: str,
+    source_col: str = "source",
+    min_pass_pct: int = 50,
+    min_docs: int = 1,
+) -> DataFrame:
+    """Domain/source-level reputation gate (the RefinedWeb-style
+    "judge the site, not just the page" filter): a source survives iff
+    at least ``min_pass_pct`` percent of its documents pass the
+    per-document quality policy (``pass_col``, a boolean the caller
+    computed — e.g. the quality_filter thresholds) and it has at
+    least ``min_docs`` documents. Returns the input rows from
+    surviving sources (all of them — page-level filtering is a
+    separate, composable step).
+
+    The keep decision is exact integer arithmetic
+    (``n_pass * 100 >= min_pass_pct * n_docs``) — no float ratio, so
+    the verdict is reproducible bit-for-bit in any engine.
+
+    Scale shape: the reputation table is one row per source — a
+    map-side-combined aggregation whose shuffle is #sources rows,
+    then a broadcast LEFT SEMI join back; the corpus itself is never
+    shuffled."""
+    rep = df.groupBy(source_col).agg(
+        F.count(F.lit(1)).cast("bigint").alias("_n_docs"),
+        F.sum(F.col(pass_col).cast("bigint")).alias("_n_pass"),
+    )
+    keep = rep.filter(
+        (F.col("_n_pass") * 100 >= F.lit(min_pass_pct) * F.col("_n_docs"))
+        & (F.col("_n_docs") >= min_docs)
+    ).select(source_col)
+    return df.join(F.broadcast(keep), source_col, "left_semi")

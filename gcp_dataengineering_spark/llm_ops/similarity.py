@@ -624,3 +624,224 @@ def embedding_near_dup_pairs(
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 4).alias("cos"))
     )
+
+
+# ---------------------------------------------------------------- product quantization
+def pq_subvectors(
+    df: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(vec_id, sub, svq): each quantized vector cut into ``m``
+    contiguous subvectors (sub ∈ [0, m)). Trailing dims when
+    ``dim % m != 0`` go to the LAST subspace, so every component is
+    covered exactly once. Quantization first (quantize_fixed) makes
+    everything downstream exact integer math."""
+    base = df.select(
+        F.col(id_col).alias("vec_id"),
+        quantize_fixed(F.col(vec_col)).alias("_vq"),
+    ).select(
+        "vec_id",
+        "_vq",
+        F.size("_vq").alias("_n"),
+        F.expr(f"size(_vq) div {m}").alias("_ds"),
+    )
+    exploded = base.select(
+        "vec_id",
+        "_vq",
+        "_n",
+        "_ds",
+        F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("sub"),
+    )
+    length = F.when(
+        F.col("sub") == m - 1, F.col("_n") - (m - 1) * F.col("_ds")
+    ).otherwise(F.col("_ds"))
+    return exploded.select(
+        "vec_id",
+        "sub",
+        F.slice(F.col("_vq"), (F.col("sub") * F.col("_ds") + 1).cast("int"),
+                length.cast("int")).alias("svq"),
+    )
+
+
+def pq_index(
+    corpus: DataFrame,
+    m: int = 4,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_iter: int = 2,
+    materialize: MaterializeFn | str = "localCheckpoint",
+) -> tuple[DataFrame, DataFrame]:
+    """Product-quantization codebooks + codes: ``m`` independent
+    deterministic Lloyd's k-means runs, one per subspace (the same
+    quantized-integer machinery as :func:`ivf_index`, with ``sub``
+    added to every group key — a subspace is just a k-means problem
+    over shorter vectors). Returns
+
+    - codes:     (vec_id, sub, cluster) — the corpus compressed to
+                 m small ints per vector (m bytes at k<=256): a
+                 768-dim float32 corpus shrinks ~384× before any
+                 search touches it;
+    - codebooks: (sub, cluster, cq_arr) — m × n_clusters quantized
+                 centroids (array<bigint>), KBs total.
+
+    Fully deterministic (seeded hash init, BIGINT sums, single-IEEE-op
+    mean), so an external engine replays the build bit-for-bit — the
+    same property the IVF oracle exploits.
+
+    Scale shape per iteration: mean step shuffles m × k × ds partial
+    sums (never N×d); assign step is an m×k-row broadcast join scored
+    by a codegen'd integer fold. Build once, persist codes bucketed by
+    (sub, cluster) alongside the table."""
+    from .text import md5_60bit
+
+    if m < 1 or n_clusters < 2 or n_iter < 1:
+        raise ValueError(f"bad PQ params: m={m} n_clusters={n_clusters} n_iter={n_iter}")
+    sv = pq_subvectors(corpus, m, id_col, vec_col)
+    sv = _materialize(sv, materialize)
+    assign = sv.select(
+        "vec_id",
+        "sub",
+        (
+            md5_60bit(
+                F.concat(
+                    F.lit(f"pq{seed}"), F.lit("\x1f"),
+                    F.col("vec_id").cast("string"), F.lit("\x1f"),
+                    F.col("sub").cast("string"),
+                )
+            )
+            % n_clusters
+        ).cast("int").alias("cluster"),
+    )
+    codebook = None
+    for _ in range(n_iter):
+        exploded = assign.join(sv, ["vec_id", "sub"]).select(
+            "sub", "cluster", F.posexplode("svq").alias("j", "val")
+        )
+        cent_long = exploded.groupBy("sub", "cluster", "j").agg(
+            F.floor(F.sum("val").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
+            .cast("bigint")
+            .alias("cq")
+        )
+        codebook = cent_long.groupBy("sub", "cluster").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("j", "cq"))), lambda s: s["cq"]
+            ).alias("cq_arr")
+        )
+        dist = F.aggregate(
+            F.zip_with(F.col("svq"), F.col("cq_arr"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        assign = (
+            sv.join(F.broadcast(codebook), "sub")
+            .withColumn("dist", dist)
+            .groupBy("vec_id", "sub")
+            .agg(F.min(F.struct(F.col("dist"), F.col("cluster"))).alias("best"))
+            .select("vec_id", "sub", F.col("best.cluster").alias("cluster"))
+        )
+        assign = _materialize(assign, materialize)
+    return assign, codebook
+
+
+def pq_topk_adc(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    m: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes: each query
+    precomputes an m × n_clusters lookup table of exact integer
+    squared-L2 partials against the codebooks (KBs — broadcast), then
+    every corpus CODE row (never the vector) picks up its partial via
+    an equi-join on (sub, cluster) and a per-(query, vec) sum
+    reassembles the approximate distance. Rank ascending; ties break
+    on neighbor id.
+
+    Returns (query_id, neighbor_id, rank, adc) with adc the exact
+    integer quantized squared-L2 approximation — bit-stable across
+    engines, no float anywhere.
+
+    Scale shape: the corpus side is codes only (m rows of 3 small
+    ints per vector); the only shuffle is the per-(query, vec)
+    partial-sum aggregation (map-side combined) and the per-query
+    rank over the scored set. Vectors are never read at search time —
+    the whole point of PQ at 100 TB."""
+    qsub = pq_subvectors(queries, m, id_col, vec_col).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    lut = (
+        qsub.join(F.broadcast(codebooks), "sub")
+        .withColumn(
+            "part",
+            F.aggregate(
+                F.zip_with(F.col("svq"), F.col("cq_arr"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .select("query_id", "sub", "cluster", "part")
+    )
+    scored = (
+        codes.withColumnRenamed("vec_id", "neighbor_id")
+        .join(F.broadcast(lut), ["sub", "cluster"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("part").alias("adc"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )
+
+
+def pq_topk_rerank(
+    corpus: DataFrame,
+    codes: DataFrame,
+    codebooks: DataFrame,
+    queries: DataFrame,
+    m: int,
+    k: int = 5,
+    shortlist: int = 50,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The production PQ pattern: ADC over codes produces a cheap
+    ``shortlist`` of candidates per query (vectors untouched), then
+    ONLY those candidates' true vectors are fetched (equi-join on id)
+    and reranked by exact cosine. Returns (query_id, neighbor_id,
+    rank, cos) like cosine_topk_bruteforce — same schema, a fraction
+    of the vector reads: corpus vectors are read for
+    queries × shortlist rows instead of queries × corpus."""
+    cands = pq_topk_adc(
+        codes, codebooks, queries, m=m, k=shortlist, id_col=id_col, vec_col=vec_col
+    ).select("query_id", "neighbor_id")
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = (
+        cands.join(c, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn("cos", cosine(F.col("q_vec"), F.col("c_vec")))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
+    )

@@ -1303,17 +1303,198 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------- RAG chunking
+def q_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window retrieval chunking (32-token windows, 8-token
+    overlap): one row per chunk with its offset arithmetic and an
+    md5 of the reassembled chunk text — the full chunk content is
+    hash-gated without shipping it through the compare."""
+    docs = _t(spark, sf_dir, "documents")
+    ch = C.chunk_docs(docs, chunk_tokens=32, overlap_tokens=8)
+    return ch.select(
+        "doc_id",
+        "chunk_id",
+        "start_tok",
+        "n_chunk_tokens",
+        F.md5(F.col("chunk_text")).alias("chunk_md5"),
+    )
+
+
+# stride = 32 - 8 = 24; n_chunks = greatest(1, ceil((n - 8) / 24))
+ORACLE_CHUNK_PLAN = """
+WITH t AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(coalesce(text, ''), '\\s+'),
+                       x -> x <> '') AS toks
+    FROM documents
+), n AS (
+    SELECT doc_id, toks,
+           GREATEST(1, (len(toks) - 8 + 24 - 1) // 24) AS n_chunks
+    FROM t
+), e AS (
+    SELECT doc_id, toks, unnest(range(n_chunks)) AS chunk_id FROM n
+)
+SELECT doc_id, chunk_id,
+       CAST(chunk_id * 24 AS BIGINT) AS start_tok,
+       CAST(len(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32)) AS BIGINT)
+           AS n_chunk_tokens,
+       md5(array_to_string(list_slice(toks, chunk_id * 24 + 1, chunk_id * 24 + 32), ' '))
+           AS chunk_md5
+FROM e
+"""
+
+
+# ---------------------------------------------------------------- source reputation
+def q_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-reputation gate: a source survives iff >= 55% of its
+    documents pass the page policy (here: >= 50 whitespace tokens) —
+    exact integer verdict arithmetic, broadcast semi-join back.
+    Output: per surviving source, doc + token totals."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("n_tokens", T.whitespace_token_count("text").cast("long"))
+    d = d.withColumn("pass", F.col("n_tokens") >= 50)
+    kept = C.source_reputation_filter(d, "pass", min_pass_pct=55)
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+    )
+
+
+ORACLE_SOURCE_FILTER = """
+WITH t AS (
+    SELECT source,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                AS BIGINT) AS n_tokens
+    FROM documents
+), rep AS (
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(CASE WHEN n_tokens >= 50 THEN 1 ELSE 0 END) AS n_pass
+    FROM t GROUP BY source
+), keep AS (
+    SELECT source FROM rep WHERE n_pass * 100 >= 55 * n_docs AND n_docs >= 1
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+FROM t WHERE source IN (SELECT source FROM keep)
+GROUP BY source
+"""
+
+
+# ---------------------------------------------------------------- embedding: PQ ANN
+def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ADC top-5 with a FULL oracle: the m=4 ×
+    16-centroid codebook build is m independent deterministic Lloyd's
+    runs (quantized integers, seeded hash init — similarity.pq_index,
+    the same discipline as embedding_ivf), and the ADC distances are
+    exact BIGINT sums — so DuckDB replays build, encode, lookup-table
+    and ranking bit-for-bit, floats nowhere."""
+    emb = _t(spark, sf_dir, "embeddings")
+    codes, cb = S.pq_index(emb, m=4, n_clusters=16, n_iter=2, seed=42)
+    return S.pq_topk_adc(codes, cb, emb.filter(F.col("vec_id") < 20), m=4, k=5)
+
+
+def _pq_build_ctes(m: int = 4, n_clusters: int = 16, n_iter: int = 2,
+                   seed: int = 42) -> str:
+    """DuckDB CTE chain replaying similarity.pq_index exactly: it is
+    _ivf_build_ctes with `sub` added to every key — quantize, slice
+    into m subvectors (trailing dims to the last), seeded hash init
+    per (vec, sub), then n_iter × (integer mean, exact integer
+    squared-L2 argmin per subspace)."""
+    s = S.KMEANS_SCALE
+    ctes = [
+        f"""vq AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {s} + 0.5) AS BIGINT)) AS vq
+    FROM embeddings
+)""",
+        f"""sv AS (
+    SELECT vec_id, s.sub,
+           list_slice(vq, s.sub * ds + 1,
+                      CASE WHEN s.sub = {m - 1} THEN n ELSE (s.sub + 1) * ds END) AS svq
+    FROM (SELECT vec_id, vq, len(vq) AS n, len(vq) // {m} AS ds FROM vq),
+         unnest(range({m})) AS s(sub)
+)""",
+        f"""assign0 AS (
+    SELECT vec_id, sub,
+           CAST(('0x' || substring(md5('pq{seed}' || chr(31) || CAST(vec_id AS VARCHAR)
+                || chr(31) || CAST(sub AS VARCHAR)), 1, 15))::BIGINT % {n_clusters}
+                AS INTEGER) AS cluster
+    FROM sv
+)""",
+    ]
+    prev = "assign0"
+    for t in range(1, n_iter + 1):
+        ctes.append(f"""cent{t}_long AS (
+    SELECT sub, cluster, j,
+           CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
+    FROM (
+        SELECT a.sub, a.cluster, r.j, v.svq[r.j + 1] AS val
+        FROM {prev} a JOIN sv v USING (vec_id, sub),
+             unnest(range(len(v.svq))) AS r(j)
+    ) GROUP BY sub, cluster, j
+)""")
+        ctes.append(f"""cent{t} AS (
+    SELECT sub, cluster, array_agg(cq ORDER BY j) AS cq_arr
+    FROM cent{t}_long GROUP BY sub, cluster
+)""")
+        ctes.append(f"""dist{t} AS (
+    SELECT v.vec_id, v.sub, c.cluster,
+           (SELECT SUM((a - b) * (a - b))
+            FROM (SELECT unnest(v.svq) AS a, unnest(c.cq_arr) AS b) z) AS dist
+    FROM sv v JOIN cent{t} c ON v.sub = c.sub
+)""")
+        ctes.append(f"""assign{t} AS (
+    SELECT vec_id, sub, cluster FROM (
+        SELECT vec_id, sub, cluster,
+               ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+                                  ORDER BY dist ASC, cluster ASC) AS rn
+        FROM dist{t}
+    ) WHERE rn = 1
+)""")
+        prev = f"assign{t}"
+    ctes.append(f"codes AS (SELECT vec_id, sub, cluster FROM {prev})")
+    ctes.append(f"codebook AS (SELECT sub, cluster, cq_arr FROM cent{n_iter})")
+    return ",\n".join(ctes)
+
+
+ORACLE_EMBEDDING_PQ = f"""
+WITH {_pq_build_ctes()}, qsub AS (
+    SELECT vec_id AS qid, sub, svq FROM sv WHERE vec_id < 20
+), lut AS (
+    SELECT q.qid, q.sub, c.cluster,
+           (SELECT SUM((a - b) * (a - b))
+            FROM (SELECT unnest(q.svq) AS a, unnest(c.cq_arr) AS b) z) AS part
+    FROM qsub q JOIN codebook c ON q.sub = c.sub
+), scored AS (
+    SELECT l.qid, a.vec_id AS nid, SUM(l.part) AS adc
+    FROM codes a JOIN lut l ON a.sub = l.sub AND a.cluster = l.cluster
+    WHERE a.vec_id <> l.qid
+    GROUP BY l.qid, a.vec_id
+), ranked AS (
+    SELECT qid, nid, adc,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS rank
+    FROM scored
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       CAST(adc AS BIGINT) AS adc
+FROM ranked WHERE rank <= 5
+"""
+
+
 QUERIES = {
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,
     "dedup_ngram_capped": q_dedup_ngram_capped,
     "lang_id": q_lang_id,
-    # token_count rotated OUT for round 6 (stable green r1-r5; its
-    # operators remain under ORACLE_TEXT_QUALITY's n_tokens and the
-    # pytest suite) to make oracle-window room for the round-5-demoted
-    # keys' one-round revalidation — swap back in round 7.
-    "doc_fingerprint": q_doc_fingerprint,
+    # token_count / doc_fingerprint / embedding_neardup rotated OUT
+    # for round 6 (stable green since r1/r3; token counting remains
+    # under ORACLE_TEXT_QUALITY's n_tokens, the fingerprint expression
+    # is hash-gated inside dedup_exact + dedup_stats, and the blocked
+    # near-dup scale form embedding_neardup_lsh stays in-window) to
+    # make room for the round-6 ops (chunk_plan, source_filter,
+    # embedding_pq here; compact_latest in core). All three remain
+    # externally checked every round via ROTATED_OUT_* below.
     # dedup_ngram: demoted round 5 (subsumed by dedup_ngram_capped,
     # equality pytest), rotated back IN for round 6 so it revalidates
     # against the external oracle on the current testdata.
@@ -1328,8 +1509,8 @@ QUERIES = {
     # the shared ORACLE_EMBEDDING_TOPK.
     "embedding_topk_pandas": q_embedding_topk_pandas,
     "embedding_ivf": q_embedding_ivf,
+    "embedding_pq": q_embedding_pq,
     "embedding_lsh": q_embedding_lsh,
-    "embedding_neardup": q_embedding_neardup,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     # multimodal_meta: demoted round 5 (fake-decoder path,
     # pytest-covered), rotated back IN for round 6 revalidation.
@@ -1347,6 +1528,8 @@ QUERIES = {
     "shard_plan": q_shard_plan,
     "corpus_rollup": q_corpus_rollup,
     "dedup_stats": q_dedup_stats,
+    "chunk_plan": q_chunk_plan,
+    "source_filter": q_source_filter,
 }
 
 ORACLES = {
@@ -1355,7 +1538,6 @@ ORACLES = {
     "quality_filter": ORACLE_QUALITY_FILTER,
     "dedup_ngram_capped": ORACLE_DEDUP_NGRAM_CAPPED,
     "lang_id": ORACLE_LANG_ID,
-    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "dedup_ngram": ORACLE_DEDUP_NGRAM,
     "dedup_containment": ORACLE_DEDUP_CONTAINMENT,
     "dedup_groups": ORACLE_DEDUP_GROUPS,
@@ -1369,8 +1551,10 @@ ORACLES = {
     # (quantized integer arithmetic) replayed iteration-by-iteration
     # in DuckDB, then probe/score/rank over the in-SQL index
     "embedding_ivf": ORACLE_EMBEDDING_IVF,
+    # embedding_pq: FULL oracle — m × k codebook build replayed
+    # subspace-by-subspace, then integer-exact ADC lookup/sum/rank
+    "embedding_pq": ORACLE_EMBEDDING_PQ,
     "embedding_lsh": ORACLE_EMBEDDING_LSH,
-    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "embedding_neardup_lsh": ORACLE_EMBEDDING_NEARDUP_LSH,
     "multimodal_meta": ORACLE_MULTIMODAL_META,
     "multimodal_real_meta": ORACLE_MULTIMODAL_REAL_META,
@@ -1386,4 +1570,22 @@ ORACLES = {
     "shard_plan": ORACLE_SHARD_PLAN,
     "corpus_rollup": ORACLE_CORPUS_ROLLUP,
     "dedup_stats": ORACLE_DEDUP_STATS,
+    "chunk_plan": ORACLE_CHUNK_PLAN,
+    "source_filter": ORACLE_SOURCE_FILTER,
+}
+
+
+# See suite/core.py ROTATED_OUT_QUERIES: rotated-out pairs stay under
+# the external DuckDB oracle every round via
+# tests/test_config_and_job.py::test_rotated_out_keys_still_match_duckdb.
+ROTATED_OUT_QUERIES = {
+    "token_count": q_token_count,
+    "doc_fingerprint": q_doc_fingerprint,
+    "embedding_neardup": q_embedding_neardup,
+}
+
+ROTATED_OUT_ORACLES = {
+    "token_count": ORACLE_TOKEN_COUNT,
+    "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
+    "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
 }

@@ -140,3 +140,46 @@ def test_registry_fits_driver_window():
         assert must in keys
     assert keys.index("pipeline_tam_e2e") < MAX_CHECKED // 2
     assert keys.index("pipeline_digital_e2e") < MAX_CHECKED // 2
+
+
+def test_rotated_out_keys_still_match_duckdb(spark):
+    """Rotation out of the driver's 50-key oracle window must not end
+    external checking: every ROTATED_OUT pair (suite/core.py +
+    suite/llm.py) runs here against DuckDB at sf0.001 with the same
+    row-count / schema / order-insensitive value-hash compare the
+    driver applies — rotation changes which harness runs the check,
+    never whether it runs."""
+    import duckdb
+
+    from gcp_dataengineering_spark.suite import core, llm
+    from tools.compare import TABLES, table_hash
+
+    sf_dir = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    pairs = [
+        (key, mod.ROTATED_OUT_QUERIES[key], mod.ROTATED_OUT_ORACLES[key])
+        for mod in (core, llm)
+        for key in mod.ROTATED_OUT_QUERIES
+    ]
+    assert len(pairs) >= 9
+    failures = []
+    for key, q, sql in pairs:
+        df = q(spark, sf_dir)
+        s_rows = [tuple(r) for r in df.collect()]
+        s_cols = list(df.columns)
+        cur = con.execute(sql)
+        o_cols = [d[0] for d in cur.description]
+        o_rows = cur.fetchall()
+        if len(s_rows) != len(o_rows):
+            failures.append(f"{key}: rows {len(s_rows)} vs {len(o_rows)}")
+            continue
+        if sorted(s_cols) != sorted(o_cols):
+            failures.append(f"{key}: cols {sorted(s_cols)} vs {sorted(o_cols)}")
+            continue
+        if table_hash(s_rows, s_cols) != table_hash(o_rows, o_cols):
+            failures.append(f"{key}: value hash mismatch")
+    assert not failures, failures

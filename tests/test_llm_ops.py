@@ -1572,3 +1572,223 @@ def test_ingest_batch_composed_flow_equals_full_recompute(spark):
     # index deltas describe exactly the appendable rows
     assert new_fps.count() == len(app_ids)
     assert {r["doc_id"] for r in new_bands.select("doc_id").distinct().collect()} == app_ids
+
+
+# ---------------------------------------------------------------- round 6: chunking
+def test_chunk_docs_covers_every_token_without_gaps(spark):
+    """Concatenating each chunk's NEW tokens (positions past the
+    overlap carried from the previous chunk) reconstructs the doc's
+    token stream exactly — full coverage, no gaps, no spillover."""
+    from gcp_dataengineering_spark.llm_ops.corpus import chunk_docs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    ch = chunk_docs(docs, chunk_tokens=32, overlap_tokens=8).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    raw = {r.doc_id: r.text.split() for r in docs.collect()}
+    assert set(by_doc) == set(raw)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        toks = raw[doc_id]
+        rebuilt = []
+        for r in rows:
+            assert r.start_tok == r.chunk_id * 24
+            assert 0 < r.n_chunk_tokens <= 32 or (not toks and r.n_chunk_tokens == 0)
+            new_from = 0 if r.chunk_id == 0 else 8
+            chunk_toks = toks[r.start_tok : r.start_tok + r.n_chunk_tokens]
+            # overlap prefix must equal the tail of what's been built
+            assert rebuilt[r.start_tok :] == chunk_toks[:new_from]
+            rebuilt.extend(chunk_toks[new_from:])
+        assert rebuilt == toks
+
+
+def test_chunk_docs_edge_cases(spark):
+    from gcp_dataengineering_spark.llm_ops.corpus import chunk_docs
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "one two three"), (4, None)],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.chunk_id): r
+        for r in chunk_docs(df, chunk_tokens=4, overlap_tokens=1).collect()
+    }
+    # empty / whitespace-only / null docs each produce ONE empty chunk
+    for d in (1, 2, 4):
+        assert rows[(d, 0)].n_chunk_tokens == 0 and rows[(d, 0)].chunk_text == ""
+    # a doc shorter than one window is a single chunk
+    assert rows[(3, 0)].chunk_text == "one two three"
+    assert len([k for k in rows if k[0] == 3]) == 1
+    with pytest.raises(ValueError):
+        chunk_docs(df, chunk_tokens=4, overlap_tokens=4)
+
+
+def test_chunk_docs_no_fully_contained_chunk(spark):
+    """A doc whose tail would start inside the final overlap must NOT
+    emit a redundant chunk: n = 33, chunk 32/overlap 8 → the 1 token
+    past the window fits in chunk 1 (starts at 24), not a chunk 2."""
+    from gcp_dataengineering_spark.llm_ops.corpus import chunk_docs
+
+    df = spark.createDataFrame(
+        [(1, " ".join(f"t{i}" for i in range(33)))], "doc_id long, text string"
+    )
+    rows = chunk_docs(df, chunk_tokens=32, overlap_tokens=8).collect()
+    assert sorted(r.chunk_id for r in rows) == [0, 1]
+    last = max(rows, key=lambda r: r.chunk_id)
+    assert last.start_tok == 24 and last.n_chunk_tokens == 9
+
+
+# ---------------------------------------------------------------- round 6: source reputation
+def test_source_reputation_filter_integer_verdicts(spark):
+    from gcp_dataengineering_spark.llm_ops.corpus import source_reputation_filter
+
+    rows = []
+    # srcA: 3/4 pass (75%), srcB: 1/4 (25%), srcC: exactly 2/4 (50%)
+    for i, (src, ok) in enumerate(
+        [("a", True), ("a", True), ("a", True), ("a", False),
+         ("b", True), ("b", False), ("b", False), ("b", False),
+         ("c", True), ("c", True), ("c", False), ("c", False),
+         ("d", True)]
+    ):
+        rows.append((i, src, ok))
+    df = spark.createDataFrame(rows, "doc_id long, source string, ok boolean")
+
+    kept = source_reputation_filter(df, "ok", min_pass_pct=50)
+    srcs = {r.source for r in kept.select("source").distinct().collect()}
+    # 50% is inclusive (integer >=): c survives at exactly half
+    assert srcs == {"a", "c", "d"}
+
+    kept51 = source_reputation_filter(df, "ok", min_pass_pct=51)
+    assert {r.source for r in kept51.select("source").distinct().collect()} == {"a", "d"}
+
+    # min_docs drops the single-doc source regardless of pass rate
+    kept_min = source_reputation_filter(df, "ok", min_pass_pct=50, min_docs=2)
+    assert {r.source for r in kept_min.select("source").distinct().collect()} == {"a", "c"}
+
+    # row passthrough: surviving sources keep ALL their rows (page-level
+    # filtering is a separate step)
+    assert kept.filter(F.col("source") == "a").count() == 4
+
+
+# ---------------------------------------------------------------- round 6: PQ
+def test_pq_subvectors_cover_all_dims_even_when_indivisible(spark):
+    from gcp_dataengineering_spark.llm_ops.similarity import (
+        pq_subvectors,
+        quantize_fixed,
+    )
+
+    df = spark.createDataFrame(
+        [(1, [float(i) / 7 for i in range(10)])],
+        "vec_id long, embedding array<float>",
+    )
+    rows = pq_subvectors(df, m=4).collect()
+    assert len(rows) == 4
+    lens = {r.sub: len(r.svq) for r in rows}
+    # dim 10, m=4 → ds=2; trailing 4 dims all land in the last subspace
+    assert lens == {0: 2, 1: 2, 2: 2, 3: 4}
+    flat = [v for sub in range(4) for v in dict((r.sub, r.svq) for r in rows)[sub]]
+    full = df.select(quantize_fixed(F.col("embedding")).alias("vq")).first().vq
+    assert flat == full
+
+
+def test_pq_codes_complete_and_deterministic(spark):
+    from gcp_dataengineering_spark.llm_ops.similarity import pq_index
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    codes1, cb1 = pq_index(emb, m=4, n_clusters=8, n_iter=2)
+    codes2, _ = pq_index(emb, m=4, n_clusters=8, n_iter=2)
+    assert codes1.count() == n * 4
+    assert codes1.exceptAll(codes2).count() == 0 and codes2.exceptAll(codes1).count() == 0
+    cb = cb1.collect()
+    assert len(cb) <= 4 * 8
+    assert all(len({len(r.cq_arr) for r in cb if r.sub == s}) == 1 for s in range(4))
+    with pytest.raises(ValueError):
+        pq_index(emb, m=0)
+
+
+def test_pq_adc_shortlist_beats_random_and_rerank_recovers(spark):
+    """The honest PQ claim on near-random synthetic embeddings: the
+    ADC shortlist concentrates true neighbors far above chance, and
+    exact rerank over the shortlist recovers most of the brute-force
+    cosine top-5 while reading vectors for only shortlist × queries
+    candidates. (Absolute ADC-top-5 recall is low on unclusterable
+    data — that is a property of the data, not the operator, and the
+    shortlist+rerank composition is how PQ is deployed anyway.)"""
+    from gcp_dataengineering_spark.llm_ops.similarity import (
+        cosine_topk_bruteforce,
+        pq_index,
+        pq_topk_rerank,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = cosine_topk_bruteforce(emb, queries, k=5).collect()
+    truth = {}
+    for r in exact:
+        truth.setdefault(r.query_id, set()).add(r.neighbor_id)
+
+    codes, cb = pq_index(emb, m=8, n_clusters=16, n_iter=2)
+    rr = pq_topk_rerank(emb, codes, cb, queries, m=8, k=5, shortlist=50).collect()
+    got = {}
+    for r in rr:
+        got.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recall = sum(len(got[q] & truth[q]) for q in truth) / (5 * len(truth))
+    # random 50-of-499 shortlist would keep ~10% of the true top-5;
+    # ADC measured ~0.68 — the bar is 4x chance with slack for seed
+    # sensitivity, not a tuned number
+    assert recall >= 0.40, f"shortlist+rerank recall {recall:.2f}"
+    # rerank output is exact cosine over its candidates: every hit it
+    # shares with brute force reports the identical rounded cosine
+    exact_cos = {(r.query_id, r.neighbor_id): r.cos for r in exact}
+    for r in rr:
+        if (r.query_id, r.neighbor_id) in exact_cos:
+            assert abs(r.cos - exact_cos[(r.query_id, r.neighbor_id)]) < 1e-9
+
+
+# ---------------------------------------------------------------- round 6: plan receipts
+def test_round6_operator_plan_shapes(spark):
+    """Plan receipts for the round-6 operators (re-verified every
+    run): chunking is shuffle-free; the source gate's join back is a
+    broadcast left-semi (the corpus never shuffles for the verdict);
+    compaction's agg form shuffles ONCE with a map-side partial max;
+    PQ ADC search has no sort-merge join and no cartesian product —
+    codes meet the lookup table by broadcast."""
+    from gcp_dataengineering_spark.llm_ops.corpus import (
+        chunk_docs,
+        source_reputation_filter,
+    )
+    from gcp_dataengineering_spark.llm_ops.similarity import pq_index, pq_topk_adc
+    from gcp_dataengineering_spark.ops.compaction import latest_by_key_agg
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+
+    def planstr(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    p = planstr(chunk_docs(docs, 32, 8))
+    assert "Exchange" not in p and "Join" not in p, p
+
+    flagged = docs.withColumn("ok", F.length("text") >= 100)
+    p = planstr(source_reputation_filter(flagged, "ok"))
+    assert "BroadcastHashJoin" in p and "LeftSemi" in p, p
+    assert "SortMergeJoin" not in p, p
+    # the corpus-side scan feeds the semi join without an exchange:
+    # the only exchange in the plan belongs to the tiny verdict agg
+    assert p.count("Exchange hashpartitioning") == 1, p
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    p = planstr(latest_by_key_agg(ev, ["user_id"], ["event_id"]))
+    assert p.count("Exchange hashpartitioning") == 1, p
+    # struct-max lowers to SortAggregate (struct isn't a mutable agg
+    # buffer), but the scale property holds: a partial_max collapses
+    # each task's rows BEFORE the exchange
+    assert "partial_max(struct" in p, p
+    assert p.index("partial_max") > p.index("Exchange"), p  # partial below exchange in tree
+
+    codes, cb = pq_index(emb, m=4, n_clusters=8, n_iter=1)
+    p = planstr(pq_topk_adc(codes, cb, emb.filter(F.col("vec_id") < 5), m=4, k=3))
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
+    assert "BroadcastHashJoin" in p, p

@@ -138,3 +138,42 @@ def test_unpivot(spark):
     df = spark.createDataFrame([("2022-01", "10", "20")], "m string, a string, b string")
     out = unpivot(df, ["m"], ["a", "b"], var_name="ch", value_name="v")
     assert sorted(map(tuple, out.collect())) == [("2022-01", "a", "10"), ("2022-01", "b", "20")]
+
+
+# ---------------------------------------------------------------- round 6: compaction
+def test_latest_by_key_forms_agree_on_events(spark):
+    """The max(struct(...)) aggregation form (map-side-combinable —
+    the scale shape) and the row_number window form produce the same
+    compacted table on real event data with a total version order."""
+    from gcp_dataengineering_spark.ops.compaction import (
+        latest_by_key_agg,
+        latest_by_key_window,
+    )
+    from gcp_dataengineering_spark.suite.core import _t, event_ts
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    ev = ev.withColumn("ts_ts", event_ts(ev)).drop("ts")
+    a = latest_by_key_agg(ev, ["user_id"], ["ts_ts", "event_id"])
+    w = latest_by_key_window(ev, ["user_id"], ["ts_ts", "event_id"])
+    assert a.columns == ev.columns and w.columns == ev.columns
+    assert a.count() == ev.select("user_id").distinct().count()
+    assert a.exceptAll(w).count() == 0 and w.exceptAll(a).count() == 0
+
+
+def test_latest_by_key_total_order_tiebreak(spark):
+    """Equal primary versions resolve by the secondary column in both
+    forms — the caller-supplied total order is what makes compaction
+    deterministic."""
+    from gcp_dataengineering_spark.ops.compaction import (
+        latest_by_key_agg,
+        latest_by_key_window,
+    )
+
+    df = spark.createDataFrame(
+        [(1, 10, 3, "a"), (1, 10, 7, "b"), (1, 9, 99, "c"), (2, 5, 1, "d")],
+        "k long, v long, seq long, payload string",
+    )
+    for fn in (latest_by_key_agg, latest_by_key_window):
+        rows = {r.k: r for r in fn(df, ["k"], ["v", "seq"]).collect()}
+        assert rows[1].payload == "b" and rows[1].seq == 7
+        assert rows[2].payload == "d"
