@@ -603,3 +603,28 @@ def source_reputation_filter(
         & (F.col("_n_docs") >= min_docs)
     ).select(source_col)
     return df.join(F.broadcast(keep), source_col, "left_semi")
+
+
+def approx_distinct_stats(
+    df: DataFrame,
+    group_cols: list[str],
+    col: str,
+    rsd: float = 0.02,
+) -> DataFrame:
+    """Per-group cardinality at sketch cost: (group..., n_rows,
+    approx_distinct) via HyperLogLog++ (approx_count_distinct).
+
+    The scale rationale: exact countDistinct physically expands to a
+    two-phase distinct (every distinct VALUE crosses the wire before
+    the count); the HLL sketch is a few KB per group, merged
+    map-side, so the shuffle is #groups × sketch-size no matter how
+    many distinct values exist. At 100 TB corpus fingerprint counts,
+    exact is a full-table shuffle, the sketch is a rounding error —
+    and dedup-rate dashboards tolerate ±2% by construction. The
+    exact twin (suite q_dedup_stats) stays the oracle-gated truth;
+    this is the monitoring path. Plan + accuracy receipts:
+    tests/test_scale_ops.py::test_approx_distinct_stats."""
+    return df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.approx_count_distinct(col, rsd).cast("bigint").alias("approx_distinct"),
+    )

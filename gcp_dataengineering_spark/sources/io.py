@@ -148,3 +148,33 @@ def csv_dir_to_parquet(
         spark.read.csv(src, header=header, inferSchema=True).write.mode(
             "overwrite"
         ).parquet(dst)
+
+
+def write_sorted_layout(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+) -> None:
+    """Range-partitioned, sorted parquet layout: rows are range-split
+    across files on ``sort_cols`` (repartitionByRange — sampled range
+    boundaries, so files get disjoint key ranges) and sorted within
+    each file (sortWithinPartitions — row groups get tight min/max).
+
+    This is the data-layout lever for scan-heavy access: parquet
+    footers carry per-row-group min/max for the sort columns, so a
+    point or range predicate on them skips every file/row-group whose
+    range doesn't overlap — the reader does the pruning for free, no
+    index service needed. (The single-dimension cousin of Z-ordering;
+    for one predicate column it strictly dominates.) Pay one range
+    shuffle at write time; every later selective scan reads only the
+    overlapping fraction — at 100 TB the difference between a full
+    scan and a few files.
+
+    ``num_files`` bounds the file count (and thus the minimum
+    prunable granule); default leaves the session's shuffle
+    parallelism in charge."""
+    part = df.repartitionByRange(
+        *([num_files] if num_files else []), *[F.col(c) for c in sort_cols]
+    )
+    part.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)

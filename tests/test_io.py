@@ -74,3 +74,56 @@ def test_csv_dir_to_parquet(spark, tmp_path):
     assert sorted(map(tuple, a.collect())) == [(1, "foo"), (2, "bar")]
     assert spark.read.parquet(str(out / "b.parquet")).count() == 1
     assert not os.path.exists(out / "ignore.parquet")
+
+
+def test_write_sorted_layout_enables_minmax_pruning(spark, tmp_path):
+    """Range-partitioned sorted layout: parquet footers carry DISJOINT
+    per-file min/max ranges on the sort key (the property row-group /
+    file pruning needs), where the naive write's files all span the
+    full key range; and a range predicate on the key reaches the scan
+    as a pushed filter."""
+    import pyarrow.parquet as papq
+
+    from gcp_dataengineering_spark.sources.io import write_sorted_layout
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    sorted_dir = str(tmp_path / "sorted")
+    naive_dir = str(tmp_path / "naive")
+    write_sorted_layout(ev, sorted_dir, ["user_id"], num_files=4)
+    ev.repartition(4).write.mode("overwrite").parquet(naive_dir)
+
+    def ranges(d):
+        out = []
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".parquet"):
+                continue
+            md = papq.ParquetFile(os.path.join(d, name)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo = min(
+                md.row_group(g).column(idx["user_id"]).statistics.min
+                for g in range(md.num_row_groups)
+            )
+            hi = max(
+                md.row_group(g).column(idx["user_id"]).statistics.max
+                for g in range(md.num_row_groups)
+            )
+            out.append((lo, hi))
+        return out
+
+    sr = sorted(ranges(sorted_dir))
+    nr = ranges(naive_dir)
+    assert len(sr) == 4
+    # sorted layout: file ranges are pairwise disjoint (each file is
+    # prunable for predicates outside its range)
+    for (l1, h1), (l2, h2) in zip(sr, sr[1:]):
+        assert h1 <= l2, sr
+    # naive layout: every file spans ~the whole key range → nothing prunes
+    glo, ghi = min(l for l, _ in nr), max(h for _, h in nr)
+    assert all(h - l > (ghi - glo) * 0.5 for l, h in nr), nr
+
+    # the range predicate reaches the parquet scan (file+row-group
+    # pruning is the reader's job once both halves are in place)
+    back = spark.read.parquet(sorted_dir).filter(F.col("user_id") == 3)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,3)" in plan, plan
+    assert back.count() == ev.filter(F.col("user_id") == 3).count()

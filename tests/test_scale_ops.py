@@ -183,3 +183,44 @@ def test_lsh_majority_clone_bucket_correct(spark):
     expect_keys = {(a, b) for a in range(30) for b in range(a + 1, 30)}
     assert set(got) == expect_keys
     assert all(v == (4, 1.0) for v in got.values())
+
+
+# ---------------------------------------------------------------- round 6: sketch stats
+def test_approx_distinct_stats(spark):
+    """HLL corpus stats: within the advertised error band of the
+    exact distinct count on real fingerprints, and the plan is ONE
+    exchange with a partial sketch below it — vs the exact
+    countDistinct plan, whose distinct expansion needs two exchanges
+    (every distinct value crosses the wire)."""
+    from gcp_dataengineering_spark.llm_ops.corpus import approx_distinct_stats
+    from gcp_dataengineering_spark.llm_ops.text import fingerprint
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    fp = docs.select("lang", fingerprint("text").alias("fp"))
+
+    approx = approx_distinct_stats(fp, ["lang"], "fp", rsd=0.02)
+    exact = fp.groupBy("lang").agg(
+        F.countDistinct("fp").alias("n_exact"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    a = {r.lang: r for r in approx.collect()}
+    e = {r.lang: r for r in exact.collect()}
+    assert set(a) == set(e)
+    for lang in a:
+        assert a[lang].n_rows == e[lang].n_rows
+        err = abs(a[lang].approx_distinct - e[lang].n_exact) / max(e[lang].n_exact, 1)
+        assert err <= 0.10, f"{lang}: {err:.3f}"  # 5x the 2% rsd — generous, not tuned
+
+    # executedPlan() after an action renders Final + Initial sections;
+    # count exchanges in the final section only
+    ap = (
+        approx._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    ep = (
+        exact._jdf.queryExecution().executedPlan().toString()
+        .split("== Initial Plan ==")[0]
+    )
+    assert ap.count("Exchange hashpartitioning") == 1, ap
+    assert "partial_approx_count_distinct" in ap, ap
+    assert ep.count("Exchange hashpartitioning") == 2, ep
