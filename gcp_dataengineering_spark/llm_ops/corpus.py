@@ -628,3 +628,34 @@ def approx_distinct_stats(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
         F.approx_count_distinct(col, rsd).cast("bigint").alias("approx_distinct"),
     )
+
+
+def cap_source_tokens(
+    df: DataFrame,
+    max_tokens: int,
+    source_col: str = "source",
+    order_col: str = "doc_id",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Per-source token-budget cap (anti-overrepresentation: no
+    domain may contribute more than ``max_tokens`` to the corpus).
+    Deterministic greedy prefix: docs taken in ``order_col`` order
+    until the source's cumulative tokens would exceed the cap — an
+    INCLUSIVE prefix sum compare (the doc that crosses the cap is
+    dropped, everything before it kept), so membership is stable
+    under corpus growth *within* the kept prefix.
+
+    One window over (source / order) — a single shuffle on source,
+    same partitioning the downstream per-source aggregation reuses.
+    Skewed giant sources cost one window pass, not a collect."""
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = F.sum(F.col(token_col)).over(w)
+    return (
+        df.withColumn("_cum_tokens", cum)
+        .filter(F.col("_cum_tokens") <= max_tokens)
+        .drop("_cum_tokens")
+    )

@@ -178,3 +178,29 @@ def write_sorted_layout(
         *([num_files] if num_files else []), *[F.col(c) for c in sort_cols]
     )
     part.sortWithinPartitions(*sort_cols).write.mode("overwrite").parquet(path)
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """JSONL (one JSON object per line) source — the lingua franca of
+    LLM corpus interchange. ALWAYS pass ``schema`` in production: with
+    it the read is a single streaming pass (and corrupt lines land in
+    the ``_corrupt_record`` column instead of failing the job); without
+    it Spark runs a full inference scan over the data first — at
+    100 TB that is two reads of the corpus, one of them wasted."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.json(path)
+
+
+def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> None:
+    """JSONL sink, gzip-compressed by default (line-oriented gzip
+    members split poorly — for re-ingestion at scale prefer many
+    moderate files over few huge ones; the writer emits one file per
+    partition, so partition count IS the file-count knob)."""
+    w = df.write.mode("overwrite")
+    if compression:
+        w = w.option("compression", compression)
+    w.json(path)

@@ -127,3 +127,30 @@ def test_write_sorted_layout_enables_minmax_pruning(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(user_id), EqualTo(user_id,3)" in plan, plan
     assert back.count() == ev.filter(F.col("user_id") == 3).count()
+
+
+def test_jsonl_roundtrip_and_corrupt_line_capture(spark, tmp_path):
+    """JSONL source/sink: schema-first read round-trips the data, and
+    a corrupt line lands in _corrupt_record instead of failing."""
+    from gcp_dataengineering_spark.sources.io import read_jsonl, write_jsonl
+
+    df = spark.createDataFrame(
+        [(1, "hello world", "en"), (2, 'quote " and \\ slash', "de")],
+        "doc_id long, text string, lang string",
+    )
+    d = str(tmp_path / "docs_jsonl")
+    write_jsonl(df, d, compression=None)
+    back = read_jsonl(spark, d, schema="doc_id long, text string, lang string")
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+    bad = str(tmp_path / "bad.jsonl")
+    with open(bad, "w") as f:
+        f.write('{"doc_id": 1, "text": "ok"}\n')
+        f.write("NOT JSON AT ALL\n")
+    got = read_jsonl(
+        spark, bad, schema="doc_id long, text string, _corrupt_record string"
+    )
+    rows = got.collect()
+    assert len(rows) == 2
+    corrupt = [r for r in rows if r._corrupt_record is not None]
+    assert len(corrupt) == 1 and "NOT JSON" in corrupt[0]._corrupt_record

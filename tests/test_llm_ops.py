@@ -1792,3 +1792,38 @@ def test_round6_operator_plan_shapes(spark):
     p = planstr(pq_topk_adc(codes, cb, emb.filter(F.col("vec_id") < 5), m=4, k=3))
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p, p
     assert "BroadcastHashJoin" in p, p
+
+
+# ---------------------------------------------------------------- round 6: source caps
+def test_cap_source_tokens_greedy_prefix_and_duckdb_replay(spark):
+    """Per-source token cap: kept set is exactly the greedy doc_id
+    prefix whose inclusive cumulative sum fits the cap — replayed in
+    DuckDB over the real documents table — and a source under the cap
+    keeps everything."""
+    import duckdb
+
+    from gcp_dataengineering_spark.llm_ops.corpus import cap_source_tokens
+    from gcp_dataengineering_spark.llm_ops.text import whitespace_token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = docs.withColumn("n_tokens", whitespace_token_count("text").cast("long"))
+    capped = cap_source_tokens(d, max_tokens=600)
+    got = sorted(r.doc_id for r in capped.select("doc_id").collect())
+
+    want = [
+        r[0]
+        for r in duckdb.sql("""
+            SELECT doc_id FROM (
+                SELECT doc_id,
+                       SUM(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                           x -> x <> '')))
+                           OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+                FROM '/root/testdata/sf0.001/documents.parquet'
+            ) WHERE cum <= 600 ORDER BY doc_id
+        """).fetchall()
+    ]
+    assert got == want and 0 < len(got) < docs.count()
+
+    # a generous cap is a no-op
+    assert cap_source_tokens(d, max_tokens=10**9).count() == docs.count()
