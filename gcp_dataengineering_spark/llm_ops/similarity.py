@@ -845,3 +845,64 @@ def pq_topk_rerank(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank", F.round("cos", 4).alias("cos"))
     )
+
+
+def persist_pq_index(
+    corpus: DataFrame,
+    table_prefix: str,
+    m: int = 8,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_iter: int = 2,
+    num_buckets: int = 16,
+) -> tuple[str, str]:
+    """Build the PQ index ONCE and persist it as two tables — the
+    compressed-corpus lifecycle (mirrors persist_ivf_index):
+
+    - ``<prefix>_codes``: (vec_id, sub, cluster), bucketed by
+      ``sub`` with a ``cluster`` sort — the whole corpus reduced to
+      m small ints per vector; every later ADC search scans codes
+      only, vectors stay cold until a rerank asks for a shortlist;
+    - ``<prefix>_codebook``: the m × n_clusters quantized centroid
+      table (KBs).
+
+    Returns (codes_table, codebook_table) for
+    :func:`pq_topk_adc_from_tables`."""
+    from ..sources.io import write_bucketed
+
+    codes, codebook = pq_index(
+        corpus, m, n_clusters, id_col, vec_col, seed, n_iter
+    )
+    codes_t = f"{table_prefix}_codes"
+    codebook_t = f"{table_prefix}_codebook"
+    write_bucketed(codes, codes_t, "sub", num_buckets=num_buckets, sort_col="cluster")
+    codebook.write.mode("overwrite").format("parquet").saveAsTable(codebook_t)
+    return codes_t, codebook_t
+
+
+def pq_topk_adc_from_tables(
+    spark,
+    codes_table: str,
+    codebook_table: str,
+    queries: DataFrame,
+    m: int,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ADC top-k over a PERSISTED PQ index: identical results to the
+    in-memory pq_index → pq_topk_adc composition with zero build
+    work; the stored code table meets the per-query-batch lookup
+    table by broadcast, so the search plan has no code-side exchange
+    before the partial-summed score aggregation."""
+    return pq_topk_adc(
+        spark.table(codes_table),
+        spark.table(codebook_table),
+        queries,
+        m=m,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+    )

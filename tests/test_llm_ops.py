@@ -1827,3 +1827,34 @@ def test_cap_source_tokens_greedy_prefix_and_duckdb_replay(spark):
 
     # a generous cap is a no-op
     assert cap_source_tokens(d, max_tokens=10**9).count() == docs.count()
+
+
+def test_persisted_pq_index_matches_inmemory_and_plan(spark):
+    """PQ lifecycle: persist_pq_index → pq_topk_adc_from_tables must
+    equal the in-memory composition exactly (the build is
+    deterministic, so stored and fresh codes are the same rows), and
+    the stored-index search plan must stay broadcast-shaped: no
+    sort-merge join, no cartesian product, no exchange of the code
+    table before the score aggregation."""
+    from gcp_dataengineering_spark.llm_ops.similarity import (
+        persist_pq_index,
+        pq_index,
+        pq_topk_adc,
+        pq_topk_adc_from_tables,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 10)
+    try:
+        codes_t, cb_t = persist_pq_index(emb, "pq_test", m=4, n_clusters=8, n_iter=1)
+        stored = pq_topk_adc_from_tables(spark, codes_t, cb_t, queries, m=4, k=5)
+        plan = stored._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan, plan
+        assert "BroadcastHashJoin" in plan, plan
+        got = sorted(map(tuple, stored.collect()))
+        codes, cb = pq_index(emb, m=4, n_clusters=8, n_iter=1)
+        want = sorted(map(tuple, pq_topk_adc(codes, cb, queries, m=4, k=5).collect()))
+        assert got == want and len(got) == 50
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pq_test_codes")
+        spark.sql("DROP TABLE IF EXISTS pq_test_codebook")
