@@ -659,3 +659,59 @@ def cap_source_tokens(
         .filter(F.col("_cum_tokens") <= max_tokens)
         .drop("_cum_tokens")
     )
+
+
+def keep_top_fraction_by_score(
+    df: DataFrame,
+    score_col: str,
+    keep_pct: int,
+    min_score: int | None = None,
+) -> DataFrame:
+    """Adaptive quality gate: keep (at least) the top ``keep_pct``
+    percent of rows by an INTEGER score, threshold derived from the
+    data — the "keep the best 30% of the crawl" policy where the
+    cutoff must float with the corpus, not be hand-tuned.
+
+    Exact and engine-replayable (no approx_percentile, no floats):
+    build the score histogram (one aggregation — shuffle is
+    #distinct-scores rows), take the descending cumulative count, and
+    pick the LARGEST score t with cum(>= t) >= ceil(n * keep_pct /
+    100) — integer arithmetic throughout. Rows with score >= t are
+    kept; ties at the threshold keep everything tied (so the kept
+    fraction can exceed keep_pct — deterministic, never a random
+    tie-break).
+
+    Scale note: the cumulative step is a window over the HISTOGRAM
+    (#distinct integer scores — token counts, hit counts: thousands),
+    not the corpus, so its single-partition sort is bounded by the
+    score domain. The corpus itself is scanned once and filtered
+    against a 1-row broadcast threshold.
+
+    ``min_score`` optionally floors the threshold (policy minimum
+    even when the corpus is bad enough that the quantile dips
+    lower)."""
+    if not (0 < keep_pct <= 100):
+        raise ValueError(f"keep_pct must be in (0, 100], got {keep_pct}")
+    hist = df.groupBy(score_col).agg(F.count(F.lit(1)).alias("_cnt"))
+    w = (
+        Window.orderBy(F.col(score_col).desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hist.withColumn("_cum", F.sum("_cnt").over(w)).withColumn(
+        "_total", F.sum("_cnt").over(Window.partitionBy())
+    )
+    # target = ceil(total * keep_pct / 100), all BIGINT
+    target = F.expr(f"(_total * {keep_pct} + 99) div 100")
+    thresh = (
+        cum.filter(F.col("_cum") >= target)
+        .agg(F.max(score_col).alias("_threshold"))
+    )
+    if min_score is not None:
+        thresh = thresh.select(
+            F.greatest(F.col("_threshold"), F.lit(min_score)).alias("_threshold")
+        )
+    return (
+        df.crossJoin(F.broadcast(thresh))
+        .filter(F.col(score_col) >= F.col("_threshold"))
+        .drop("_threshold")
+    )

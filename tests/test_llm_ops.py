@@ -1858,3 +1858,57 @@ def test_persisted_pq_index_matches_inmemory_and_plan(spark):
     finally:
         spark.sql("DROP TABLE IF EXISTS pq_test_codes")
         spark.sql("DROP TABLE IF EXISTS pq_test_codebook")
+
+
+def test_keep_top_fraction_by_score_duckdb_replay(spark):
+    """Adaptive integer-quantile gate: the kept set equals DuckDB's
+    replay of the same histogram arithmetic on the real documents
+    table, the kept fraction is >= the request, ties at the
+    threshold all survive, and min_score floors the cutoff."""
+    import duckdb
+    import math
+
+    from gcp_dataengineering_spark.llm_ops.corpus import keep_top_fraction_by_score
+    from gcp_dataengineering_spark.llm_ops.text import whitespace_token_count
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    d = docs.withColumn("score", whitespace_token_count("text").cast("long"))
+    n = d.count()
+    kept = keep_top_fraction_by_score(d, "score", keep_pct=30)
+    got = sorted(r.doc_id for r in kept.select("doc_id").collect())
+
+    want = [
+        r[0]
+        for r in duckdb.sql("""
+            WITH s AS (
+                SELECT doc_id,
+                       len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                       x -> x <> '')) AS score
+                FROM '/root/testdata/sf0.001/documents.parquet'
+            ), h AS (
+                SELECT score, COUNT(*) AS cnt FROM s GROUP BY score
+            ), c AS (
+                SELECT score,
+                       SUM(cnt) OVER (ORDER BY score DESC
+                                      ROWS UNBOUNDED PRECEDING) AS cum,
+                       SUM(cnt) OVER () AS total
+                FROM h
+            ), t AS (
+                SELECT MAX(score) AS thr FROM c
+                WHERE cum >= (total * 30 + 99) // 100
+            )
+            SELECT doc_id FROM s, t WHERE score >= thr ORDER BY doc_id
+        """).fetchall()
+    ]
+    assert got == want
+    assert len(got) >= math.ceil(n * 0.30)
+    # every row tied with the threshold survives
+    thr = min(r.score for r in kept.select("score").collect())
+    assert kept.filter(F.col("score") == thr).count() == d.filter(
+        F.col("score") == thr
+    ).count()
+    # floor overrides a low data-derived cutoff
+    floored = keep_top_fraction_by_score(d, "score", keep_pct=100, min_score=10**6)
+    assert floored.count() == 0
+    with pytest.raises(ValueError):
+        keep_top_fraction_by_score(d, "score", keep_pct=0)
