@@ -1,0 +1,79 @@
+"""Streaming document ingest: the composed online half of the corpus
+pipeline (beyond-reference). A raw document stream passes, in order:
+
+1. quality features + the corpus gate policy (stateless projections
+   — identical expressions to the batch llm_ops.text forms, so the
+   stream and a batch replay of the same rows agree row-for-row);
+2. PII scrubbing (stateless regex projection);
+3. language tagging (stateless);
+4. exact dedup against the static corpus fingerprint table plus
+   intra-stream dedup (streaming/dedup.dedup_stream_against_corpus —
+   the only stateful stage, watermark-bounded when an event-time
+   column exists).
+
+Every stage is a per-row transformation except the final dedup, so
+the whole flow runs under Structured Streaming with no custom state
+beyond the dedup store — the design point: keep ingest stateless as
+long as possible, concentrate state in one watermark-bounded spot.
+
+The default gate mirrors the batch quality_filter policy
+(suite/llm.py) so a document admitted online is the same document a
+batch rebuild would admit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..llm_ops.text import lang_id, quality_features, scrub_pii
+from .dedup import dedup_stream_against_corpus
+
+
+def default_quality_gate() -> Column:
+    """The batch corpus gate (suite q_quality_filter) as a boolean
+    column over quality_features output."""
+    return (
+        (F.col("n_chars_calc") >= 100)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("punct_ratio") <= 0.1)
+        & (F.col("avg_token_len") >= 2.0)
+    )
+
+
+def ingest_stream(
+    stream: DataFrame,
+    corpus_fps: DataFrame,
+    text_col: str = "text",
+    gate: Column | None = None,
+    event_time_col: str | None = None,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Quality-gated, PII-scrubbed, language-tagged, corpus-deduped
+    document stream. Returns the admitted rows with `lang_pred`,
+    scrubbed ``text``, the PII counts, and ``fp`` (the post-scrub
+    fingerprint — what the sink should append to the corpus fp table
+    to close the loop for the next window).
+
+    Order matters and is deliberate: the gate runs FIRST (cheap
+    arithmetic drops junk before regex-heavy scrubbing), scrubbing
+    runs BEFORE fingerprinting (two docs differing only in their PII
+    literals dedup to one — and the fingerprint of record matches
+    what the corpus actually stores)."""
+    feats = quality_features(stream, text_col)
+    gated = feats.filter(gate if gate is not None else default_quality_gate()).drop(
+        "n_chars_calc", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio"
+    )
+    scrubbed = (
+        scrub_pii(gated, text_col, out_col="_text_scrubbed")
+        .withColumn(text_col, F.col("_text_scrubbed"))
+        .drop("_text_scrubbed")
+    )
+    tagged = scrubbed.withColumn("lang_pred", lang_id(F.col(text_col)))
+    return dedup_stream_against_corpus(
+        tagged,
+        corpus_fps,
+        text_col=text_col,
+        event_time_col=event_time_col,
+        watermark=watermark,
+    )

@@ -467,3 +467,71 @@ def test_dedup_stream_against_corpus_static_anti_join(spark, tmp_path):
     # fp column rides along, non-null, distinct per survivor
     fps = {r["fp"] for r in got}
     assert len(fps) == 2 and all(fps)
+
+
+def test_ingest_stream_equals_batch_composition(spark, tmp_path):
+    """The composed streaming ingest (gate → scrub → lang → corpus
+    dedup) admits exactly the rows the equivalent batch composition
+    admits, with identical scrubbed text, language tags and
+    fingerprints — stateless stages are expression-identical, so
+    stream == batch row-for-row."""
+    from gcp_dataengineering_spark.llm_ops.dedup import dedup_exact
+    from gcp_dataengineering_spark.llm_ops.text import lang_id, quality_features, scrub_pii
+    from gcp_dataengineering_spark.streaming.ingest import (
+        default_quality_gate,
+        ingest_stream,
+    )
+
+    filler = " ".join(f"word{i}" for i in range(30))
+    rows = [
+        (1, f"the and of a to {filler} call me at 555-123-4567 ok"),  # kept, phone scrubbed
+        (2, "too short"),                                             # gated out
+        (3, f"el la los de que {filler} correo bob@x.com aqui"),      # kept, email scrubbed
+        (4, f"the and of a to {filler} call me at 555-123-4567 ok"),  # dup of 1 post-scrub
+        (5, f"dup of corpus {filler} the and stays out"),             # corpus dup
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(100, f"dup of corpus {filler} the and stays out")], "doc_id long, text string"
+    )
+    corpus_fps = dedup_exact(corpus)
+
+    src = tmp_path / "ingest_src"
+    src.mkdir()
+    batch.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src) + "/*.parquet"
+    )
+    name = f"ing_{uuid.uuid4().hex[:8]}"
+    q = (
+        ingest_stream(stream, corpus_fps)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {r["doc_id"]: r for r in spark.sql(f"SELECT * FROM {name}").collect()}
+    finally:
+        q.stop()
+
+    # batch replay of the same stages
+    feats = quality_features(batch)
+    gated = feats.filter(default_quality_gate())
+    scrubbed = (
+        scrub_pii(gated, "text", out_col="_s")
+        .withColumn("text", F.col("_s"))
+        .drop("_s")
+        .withColumn("lang_pred", lang_id(F.col("text")))
+    )
+    want = {r["doc_id"]: r for r in scrubbed.collect()}
+
+    assert set(got) == {1, 3}  # 2 gated, 4 deduped vs 1, 5 deduped vs corpus
+    for d in got:
+        assert got[d]["text"] == want[d]["text"]
+        assert got[d]["lang_pred"] == want[d]["lang_pred"]
+        assert got[d]["fp"] is not None
+    assert got[1]["n_phones"] == 1 and "<PHONE>" in got[1]["text"]
+    assert got[3]["n_emails"] == 1 and "<EMAIL>" in got[3]["text"]
+    assert got[3]["lang_pred"] == "es" and got[1]["lang_pred"] == "en"
