@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import uuid
 
+from pyspark.sql import functions as F
+
 from gcp_dataengineering_spark.streaming.windowed import batch_hourly, stream_hourly
 
 SF_DIR = "/root/testdata/sf0.001"
