@@ -339,3 +339,118 @@ def fingerprint(col: Column | str) -> Column:
     fixed 32-byte shuffle key instead of the full text.)"""
     c = F.col(col) if isinstance(col, str) else col
     return F.md5(F.trim(F.regexp_replace(F.lower(c), "\\s+", " ")).cast("binary"))
+
+
+def vocab_table(df: DataFrame, k: int = 1000, text_col: str = "text") -> DataFrame:
+    """(token, token_id, n_occurrences): the top-k census
+    (vocab_topk) enumerated into a contiguous id space, ids assigned
+    by (count desc, token asc) — fully deterministic, so two builds
+    over the same corpus produce the identical mapping. The id
+    assignment is a row_number over k rows (the census output), not
+    the corpus."""
+    from pyspark.sql import Window
+
+    top = vocab_topk(df, k, text_col)
+    w = Window.orderBy(F.col("n_occurrences").desc(), F.col("token").asc())
+    return top.withColumn("token_id", F.row_number().over(w) - 1).select(
+        "token", "token_id", "n_occurrences"
+    )
+
+
+def tokens_to_ids(
+    df: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    oov_id: int = -1,
+) -> DataFrame:
+    """Vocabulary application — text to an id sequence: whitespace
+    tokens looked up in the (token, token_id) table, out-of-vocab
+    tokens mapped to ``oov_id``. Returns (id, token_ids, n_tokens,
+    n_oov).
+
+    Shape: posexplode the tokens, BROADCAST-join the vocab (a top-k
+    vocab is KBs–MBs — never shuffle the corpus for it), then
+    reassemble per document ordered by position (array_sort on
+    (pos, id) structs — the shuffle is one hash partition on the doc
+    id). This is the id-ification step feeding pack_sequences /
+    shuffle_plan, which plan over token counts."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    exploded = df.select(
+        F.col(id_col), F.posexplode_outer(toks).alias("pos", "token")
+    )
+    joined = exploded.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    tid = F.when(F.col("token").isNull(), None).otherwise(
+        F.coalesce(F.col("token_id"), F.lit(oov_id))
+    )
+    per_tok = joined.select(id_col, "pos", tid.alias("tid"))
+    return (
+        per_tok.groupBy(id_col)
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("tid").isNotNull(), F.struct("pos", "tid"))
+                    )
+                ),
+                lambda s: s["tid"],
+            ).alias("token_ids"),
+            F.count(F.col("tid")).cast("long").alias("n_tokens"),
+            F.sum((F.col("tid") == oov_id).cast("long")).cast("long").alias("n_oov"),
+        )
+        .na.fill({"n_oov": 0})
+    )
+
+
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    vocab_size: int | None = None,
+) -> DataFrame:
+    """Statistical fluency score (the CCNet-style perplexity signal,
+    with the corpus itself as the LM): per-document mean token
+    log-probability under the corpus unigram distribution, Laplace
+    smoothing ln((count+1)/(total+V)). Unusual token mixes (spam,
+    keyboard mash, wrong-language fragments) score low; typical prose
+    scores high — threshold with keep_top_fraction_by_score (after
+    integer-scaling the score) or a plain filter.
+
+    Two passes, both cheap: the unigram table is one token-count
+    aggregation (shuffle = vocabulary size), then docs explode once
+    and BROADCAST-join it; the per-doc mean is one hash aggregation.
+    Float log sums are summed per-document (tiny groups), so
+    cross-engine drift is at the ulp level — comparisons belong on
+    rounded values."""
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    tok_rows = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    freq = tok_rows.groupBy("token").agg(F.count(F.lit(1)).alias("tf"))
+    totals = freq.agg(
+        F.sum("tf").alias("total_tf"), F.count(F.lit(1)).alias("n_vocab")
+    )
+    v = (
+        F.lit(float(vocab_size))
+        if vocab_size is not None
+        else F.col("n_vocab").cast("double")
+    )
+    scored = (
+        tok_rows.join(F.broadcast(freq), "token")
+        .crossJoin(F.broadcast(totals))
+        .select(
+            id_col,
+            F.log(
+                (F.col("tf").cast("double") + 1.0)
+                / (F.col("total_tf").cast("double") + v)
+            ).alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.avg("lp").alias("mean_logprob"),
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+    )

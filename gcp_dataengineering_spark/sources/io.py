@@ -204,3 +204,38 @@ def write_jsonl(df: DataFrame, path: str, compression: str | None = "gzip") -> N
     if compression:
         w = w.option("compression", compression)
     w.json(path)
+
+
+def compact_small_files(
+    spark: SparkSession, path: str, target_mb: int = 128
+) -> int:
+    """Small-files maintenance: rewrite a parquet dataset into
+    ~target_mb files and atomically swap it in. Streaming appends,
+    per-batch ingest and over-parallel writes all accrete kilobyte
+    files; at scale the file COUNT (driver listing, task scheduling,
+    open/seek overhead) dominates long before the bytes do.
+
+    Reads the dataset, coalesces to ceil(bytes / target) partitions
+    (coalesce, not repartition — shrinking file counts needs no
+    shuffle), writes next to the original, then swaps via rename.
+    Returns the new file count.
+
+    This is the local-filesystem form (os.walk sizing, os.rename
+    swap); on an object store the sizing comes from the store's
+    listing API and the swap is a manifest/metastore pointer flip —
+    the Spark plan (scan → coalesce → write) is identical."""
+    total = 0
+    for root, _dirs, files in os.walk(path):
+        for fname in files:
+            if fname.endswith(".parquet"):
+                total += os.path.getsize(os.path.join(root, fname))
+    n_files = max(1, -(-total // (target_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "._compact_tmp"
+    old = path.rstrip("/") + "._compact_old"
+    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(tmp)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    import shutil
+
+    shutil.rmtree(old)
+    return n_files

@@ -154,3 +154,25 @@ def test_jsonl_roundtrip_and_corrupt_line_capture(spark, tmp_path):
     assert len(rows) == 2
     corrupt = [r for r in rows if r._corrupt_record is not None]
     assert len(corrupt) == 1 and "NOT JSON" in corrupt[0]._corrupt_record
+
+
+def test_compact_small_files(spark, tmp_path):
+    """Many tiny appended files compact to the computed target count
+    with identical data, and the swap leaves no temp dirs behind."""
+    from gcp_dataengineering_spark.sources.io import compact_small_files
+
+    d = str(tmp_path / "accreted")
+    df = spark.range(0, 1000).withColumn("v", F.col("id") * 2)
+    for _ in range(6):
+        df.coalesce(2).write.mode("append").parquet(d)
+    before_files = len(glob.glob(d + "/*.parquet"))
+    assert before_files >= 12
+    before = spark.read.parquet(d).groupBy().sum("v").collect()[0][0]
+
+    n = compact_small_files(spark, d, target_mb=128)
+    assert n == 1  # tiny dataset → one file
+    after_files = glob.glob(d + "/*.parquet")
+    assert len(after_files) == 1
+    assert spark.read.parquet(d).groupBy().sum("v").collect()[0][0] == before
+    assert spark.read.parquet(d).count() == 6000
+    assert not glob.glob(str(tmp_path) + "/*_compact*")

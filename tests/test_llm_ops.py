@@ -1912,3 +1912,85 @@ def test_keep_top_fraction_by_score_duckdb_replay(spark):
     assert floored.count() == 0
     with pytest.raises(ValueError):
         keep_top_fraction_by_score(d, "score", keep_pct=0)
+
+
+# ---------------------------------------------------------------- round 6: vocab apply + LM score
+def test_tokens_to_ids_duckdb_replay_and_oov(spark):
+    """Id-ification: sequences match a DuckDB replay of the same
+    vocab join on the real documents table (order preserved, OOV →
+    -1), and empty docs yield empty sequences."""
+    import duckdb
+
+    from gcp_dataengineering_spark.llm_ops.text import tokens_to_ids, vocab_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab = vocab_table(docs, k=20)
+    vrows = vocab.collect()
+    assert [r.token_id for r in sorted(vrows, key=lambda r: r.token_id)] == list(range(20))
+
+    out = tokens_to_ids(docs, vocab)
+    got = {r.doc_id: (list(r.token_ids), r.n_tokens, r.n_oov) for r in out.collect()}
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE v AS SELECT * FROM (VALUES "
+        + ", ".join(f"('{r.token}', {r.token_id})" for r in vrows)
+        + ") t(token, token_id)"
+    )
+    want = {
+        r[0]: (list(r[1]), r[2], r[3])
+        for r in con.execute("""
+            WITH t AS (
+                SELECT doc_id, r.i AS pos, toks[r.i + 1] AS token
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                         x -> x <> '') AS toks
+                      FROM '/root/testdata/sf0.001/documents.parquet'),
+                     unnest(range(len(toks))) AS r(i)
+            )
+            SELECT doc_id,
+                   array_agg(coalesce(token_id, -1) ORDER BY pos) AS ids,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(CASE WHEN token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+            FROM t LEFT JOIN v USING (token)
+            GROUP BY doc_id
+        """).fetchall()
+    }
+    # DuckDB's group-by drops zero-token docs; Spark's posexplode_outer keeps them
+    for d, vals in want.items():
+        assert got[d] == vals, (d, got[d], vals)
+    for d in set(got) - set(want):
+        assert got[d] == ([], 0, 0)
+
+    empty = spark.createDataFrame([(99, "")], "doc_id long, text string")
+    r = tokens_to_ids(empty, vocab).collect()[0]
+    assert list(r.token_ids) == [] and r.n_tokens == 0 and r.n_oov == 0
+
+
+def test_unigram_logprob_orders_fluency(spark):
+    """The corpus-LM score: a doc of the corpus's most common tokens
+    outscores a doc of rare/unseen tokens; values match a numpy
+    replay of the Laplace-smoothed unigram model."""
+    import math
+
+    from gcp_dataengineering_spark.llm_ops.text import unigram_logprob
+
+    rows = [
+        (1, "the the the cat cat"),
+        (2, "the cat sat"),
+        (3, "zyzzyva qwfp xkcd"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in unigram_logprob(df).collect()}
+
+    # numpy replay
+    toks = {d: t.split() for d, t in rows}
+    from collections import Counter
+
+    tf = Counter(t for ts in toks.values() for t in ts)
+    total, v = sum(tf.values()), len(tf)
+    for d, ts in toks.items():
+        want = sum(math.log((tf[t] + 1) / (total + v)) for t in ts) / len(ts)
+        assert abs(got[d].mean_logprob - want) < 1e-9
+        assert got[d].n_tokens == len(ts)
+    assert got[1].mean_logprob > got[2].mean_logprob > got[3].mean_logprob
