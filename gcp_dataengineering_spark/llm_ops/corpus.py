@@ -715,3 +715,30 @@ def keep_top_fraction_by_score(
         .filter(F.col(score_col) >= F.col("_threshold"))
         .drop("_threshold")
     )
+
+
+def sample_k_per_group(
+    df: DataFrame,
+    k: int,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "samplek",
+) -> DataFrame:
+    """Exactly min(k, group size) rows per group, chosen by seeded
+    content hash — the deterministic, RNG-free cousin of per-group
+    reservoir sampling (inspection sets, eval slices, "give me 100
+    docs per domain"). Membership depends only on (salt, id, the
+    group's other members' hashes), so re-runs reproduce the sample
+    bit-for-bit; unlike the fraction-based stratified_sample the
+    count contract is exact.
+
+    One window over (group / hash, id): a single shuffle on the
+    group column; rank ≤ k. The hash orders rows uniformly within
+    the group, the id tiebreak makes the order total."""
+    h = hash_bucket(F.col(id_col), salt=salt, buckets=2**60)
+    w = Window.partitionBy(group_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .drop("_rk")
+    )

@@ -454,3 +454,54 @@ def unigram_logprob(
         F.avg("lp").alias("mean_logprob"),
         F.count(F.lit(1)).cast("long").alias("n_tokens"),
     )
+
+
+def tfidf_keywords(
+    df: DataFrame,
+    top_j: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document keyword extraction by tf-idf: for each document,
+    the ``top_j`` tokens ranked by tf × ln(N / df) (df = #docs
+    containing the token; ties break on the token string). Returns
+    (id, token, tf, df_docs, tfidf rounded to 4).
+
+    Shape: one explode to per-(doc, token) counts (tf), one
+    distinct-doc aggregation for df (both map-side combined), idf
+    re-attached by BROADCAST join (vocabulary-sized), and a per-doc
+    rank window that reuses the tf aggregation's doc partitioning.
+    No floats cross an aggregation — tf and df are exact ints, the
+    single log/multiply happens per row — so an external engine
+    replays the scores bit-for-bit before rounding."""
+    from pyspark.sql import Window
+
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
+        lambda t: t != "",
+    )
+    tok_rows = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    tf = tok_rows.groupBy(id_col, "token").agg(
+        F.count(F.lit(1)).cast("long").alias("tf")
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df_docs")
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.col("tf").cast("double")
+            * F.log(F.col("n_docs").cast("double") / F.col("df_docs").cast("double")),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("tfidf").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= top_j)
+        .select(id_col, "token", "tf", "df_docs", F.round("tfidf", 4).alias("tfidf"))
+    )

@@ -1994,3 +1994,77 @@ def test_unigram_logprob_orders_fluency(spark):
         assert abs(got[d].mean_logprob - want) < 1e-9
         assert got[d].n_tokens == len(ts)
     assert got[1].mean_logprob > got[2].mean_logprob > got[3].mean_logprob
+
+
+def test_sample_k_per_group_exact_and_stable(spark):
+    """Exactly min(k, group size) per group, deterministic across
+    runs, stable for survivors when the corpus grows (a kept doc can
+    drop out only by being out-ranked, never by reshuffling)."""
+    from gcp_dataengineering_spark.llm_ops.corpus import sample_k_per_group
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    s = sample_k_per_group(docs, k=7)
+    per = {r.source: r.n for r in s.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {r.source: r.n for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per == {src: min(7, n) for src, n in sizes.items()}
+    ids1 = sorted(r.doc_id for r in s.select("doc_id").collect())
+    ids2 = sorted(r.doc_id for r in sample_k_per_group(docs, k=7).select("doc_id").collect())
+    assert ids1 == ids2
+
+    # sample from half the corpus: every sampled doc that is also
+    # sampled from the full corpus has the same hash rank path — the
+    # half-corpus sample of a group is a superset of the full-corpus
+    # sample restricted to that half's members only when ranks allow;
+    # the invariant we pin: full-corpus survivors present in the half
+    # corpus are still sampled there (rank can only improve)
+    half = docs.filter(F.col("doc_id") % 2 == 0)
+    half_ids = {r.doc_id for r in sample_k_per_group(half, k=7).select("doc_id").collect()}
+    full_even = {i for i in ids1 if i % 2 == 0}
+    assert full_even <= half_ids
+
+
+def test_tfidf_keywords_duckdb_replay(spark):
+    """Per-doc top-5 tf-idf keywords equal a DuckDB replay (same
+    integer tf/df, same single-float score, same tiebreak) on the
+    real documents table."""
+    import duckdb
+
+    from gcp_dataengineering_spark.llm_ops.text import tfidf_keywords
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(
+        (r.doc_id, r.token, r.tf, r.df_docs, r.tfidf)
+        for r in tfidf_keywords(docs, top_j=5).collect()
+    )
+    want = sorted(
+        (r[0], r[1], r[2], r[3], r[4])
+        for r in duckdb.sql("""
+            WITH tok AS (
+                SELECT doc_id, u.token
+                FROM (SELECT doc_id,
+                             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                                         x -> x <> '') AS toks
+                      FROM '/root/testdata/sf0.001/documents.parquet'),
+                     unnest(toks) AS u(token)
+            ), tf AS (
+                SELECT doc_id, token, CAST(COUNT(*) AS BIGINT) AS tf
+                FROM tok GROUP BY 1, 2
+            ), dfq AS (
+                SELECT token, CAST(COUNT(*) AS BIGINT) AS df_docs FROM tf GROUP BY 1
+            ), n AS (
+                SELECT COUNT(*) AS n_docs
+                FROM '/root/testdata/sf0.001/documents.parquet'
+            ), scored AS (
+                SELECT doc_id, token, tf, df_docs,
+                       tf * ln(CAST(n_docs AS DOUBLE) / df_docs) AS tfidf
+                FROM tf JOIN dfq USING (token), n
+            )
+            SELECT doc_id, token, tf, df_docs, ROUND(tfidf, 4) AS tfidf
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                             ORDER BY tfidf DESC, token ASC) AS rk
+                FROM scored
+            ) WHERE rk <= 5
+        """).fetchall()
+    )
+    assert got == want and len(got) > 0
