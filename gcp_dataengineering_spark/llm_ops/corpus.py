@@ -742,3 +742,33 @@ def sample_k_per_group(
         .filter(F.col("_rk") <= k)
         .drop("_rk")
     )
+
+
+def corpus_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Snapshot diff between two corpus versions: one row per doc id
+    present in either, with status 'added' / 'removed' / 'changed' /
+    'unchanged' (changed = same id, different content fingerprint).
+    The governance step between corpus releases — what moved, and
+    how much, before retraining on it.
+
+    Both sides reduce to (id, fp) BEFORE the full outer join, so the
+    only thing shuffled is ids + 32-byte md5 fingerprints — never
+    text. Aggregate downstream as needed
+    (``.groupBy("status").count()`` is the release report)."""
+    from .text import fingerprint
+
+    o = old.select(F.col(id_col).alias("_id"), fingerprint(text_col).alias("_fp_old"))
+    n = new.select(F.col(id_col).alias("_id"), fingerprint(text_col).alias("_fp_new"))
+    joined = o.join(n, "_id", "full_outer")
+    status = (
+        F.when(F.col("_fp_old").isNull(), "added")
+        .when(F.col("_fp_new").isNull(), "removed")
+        .when(F.col("_fp_old") != F.col("_fp_new"), "changed")
+        .otherwise("unchanged")
+    )
+    return joined.select(F.col("_id").alias(id_col), status.alias("status"))

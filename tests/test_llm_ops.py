@@ -2068,3 +2068,20 @@ def test_tfidf_keywords_duckdb_replay(spark):
         """).fetchall()
     )
     assert got == want and len(got) > 0
+
+
+def test_corpus_diff_statuses(spark):
+    from gcp_dataengineering_spark.llm_ops.corpus import corpus_diff
+
+    old = spark.createDataFrame(
+        [(1, "alpha"), (2, "beta"), (3, "gamma")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(2, "beta"), (3, "gamma prime"), (4, "delta")], "doc_id long, text string"
+    )
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "removed", 2: "unchanged", 3: "changed", 4: "added"}
+    # whitespace-normalized equality (the fingerprint contract)
+    new2 = spark.createDataFrame([(2, "  beta  ")], "doc_id long, text string")
+    got2 = {r.doc_id: r.status for r in corpus_diff(old.filter(F.col("doc_id") == 2), new2).collect()}
+    assert got2 == {2: "unchanged"}
