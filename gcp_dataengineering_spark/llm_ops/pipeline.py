@@ -1,0 +1,176 @@
+"""The composed training-corpus pipeline: raw documents in, training
+splits + shard plan out — every stage an operator this package
+already oracle- or pytest-gates individually, chained in the order a
+production pretraining-data build runs them:
+
+1. page quality gate (quality_features + the corpus policy),
+2. source reputation gate (judge the site, not just the page),
+3. PII scrubbing (before fingerprinting, so PII-only variants
+   collapse and the stored fingerprint matches the stored text),
+4. exact dedup (md5 fingerprint, min-id keeper),
+5. near-dup dedup (MinHash → LSH bands → connected components →
+   keeper per group),
+6. eval-set decontamination (13-gram overlap anti-join; skipped when
+   no eval sets given),
+7. per-source token cap (anti-overrepresentation; optional),
+8. content-stable train/val/test split,
+9. token-budget shard planning per (split, lang).
+
+Laziness contract: the returned DataFrames are plans, not results —
+`corpus` is the cleaned corpus, `shards` the shard plan; nothing is
+collected here. `stage_counts` triggers one count per stage and is
+the release report (each count is a cheap aggregate over an
+already-planned stage).
+
+Scale shape: every stage is the shape its own module documents —
+scan-speed projections for gates/scrub, fingerprint-only shuffles
+for dedup, capped posting joins for near-dup/decontam, a reputation
+broadcast, one window per cap/shard stage. Composing them adds no
+new shuffle: consecutive stages either reuse partitioning or are
+narrow."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .corpus import (
+    cap_source_tokens,
+    hash_split,
+    shard_by_token_budget,
+    source_reputation_filter,
+)
+from .decontam import decontaminate
+from .dedup import (
+    dedup_exact,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    resolve_dup_groups,
+)
+from .text import quality_features, scrub_pii, whitespace_token_count
+
+
+def corpus_quality_gate() -> Column:
+    """The standard pretraining page policy (same thresholds the
+    quality_filter oracle checks)."""
+    return (
+        (F.col("n_chars_calc") >= 100)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("punct_ratio") <= 0.1)
+        & (F.col("avg_token_len") >= 2.0)
+    )
+
+
+@dataclass
+class PipelineConfig:
+    gate: Column | None = None          # page policy (default corpus_quality_gate)
+    min_source_pass_pct: int = 50       # source reputation bar
+    min_source_docs: int = 1
+    minhash_hashes: int = 8
+    lsh_bands: int = 4
+    decontam_ngram: int = 13
+    max_tokens_per_source: int | None = None
+    shard_budget_tokens: int = 2_000_000
+    extra: dict = field(default_factory=dict)
+
+
+def build_training_corpus(
+    docs: DataFrame,
+    eval_df: DataFrame | None = None,
+    config: PipelineConfig | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    lang_col: str = "lang",
+) -> dict[str, DataFrame]:
+    """Run the full build. Returns a dict of stage outputs:
+    ``gated`` → ``reputable`` → ``scrubbed`` → ``exact_deduped`` →
+    ``near_deduped`` → ``decontaminated`` → ``capped`` → ``corpus``
+    (with `split`), plus ``shards`` (the shard plan). Each value is
+    a lazy DataFrame; see `stage_counts` for the report."""
+    cfg = config or PipelineConfig()
+
+    feats = quality_features(docs, text_col)
+    gate = cfg.gate if cfg.gate is not None else corpus_quality_gate()
+    flagged = feats.withColumn("_page_pass", gate)
+    reputable_src = source_reputation_filter(
+        flagged,
+        "_page_pass",
+        source_col=source_col,
+        min_pass_pct=cfg.min_source_pass_pct,
+        min_docs=cfg.min_source_docs,
+    )
+    gated = flagged.filter(F.col("_page_pass"))
+    reputable = reputable_src.filter(F.col("_page_pass")).drop("_page_pass").drop(
+        "n_chars_calc", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio"
+    )
+
+    scrubbed = (
+        scrub_pii(reputable, text_col, out_col="_scrubbed")
+        .withColumn(text_col, F.col("_scrubbed"))
+        .drop("_scrubbed")
+    )
+
+    fps = dedup_exact(scrubbed, text_col, id_col)
+    exact_deduped = scrubbed.join(
+        fps.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
+    )
+
+    sigs = minhash_signatures(
+        exact_deduped, text_col, id_col, num_hashes=cfg.minhash_hashes
+    )
+    pairs = lsh_candidate_pairs(sigs, num_hashes=cfg.minhash_hashes, bands=cfg.lsh_bands)
+    groups = resolve_dup_groups(exact_deduped.select(id_col), pairs, id_col)
+    keepers = groups.filter(F.col(id_col) == F.col("group_id")).select(id_col)
+    # docs with no near-dup pair never appear in `groups`; they are
+    # their own keepers — anti-join the DROPPED ids instead of
+    # semi-joining keepers so uniques survive (apply_dedup_keepers
+    # semantics, spelled for the pairs-only label table)
+    dropped = groups.filter(F.col(id_col) != F.col("group_id")).select(id_col)
+    near_deduped = exact_deduped.join(dropped, id_col, "left_anti")
+
+    decontaminated = (
+        decontaminate(near_deduped, eval_df, text_col, id_col, n=cfg.decontam_ngram)
+        if eval_df is not None
+        else near_deduped
+    )
+
+    with_tokens = decontaminated.withColumn(
+        "n_tokens", whitespace_token_count(text_col).cast("long")
+    )
+    capped = (
+        cap_source_tokens(
+            with_tokens, cfg.max_tokens_per_source, source_col=source_col,
+            order_col=id_col,
+        )
+        if cfg.max_tokens_per_source is not None
+        else with_tokens
+    )
+
+    corpus = hash_split(capped, id_col)
+    shards = shard_by_token_budget(
+        corpus.withColumn("_shard_part", F.concat_ws("|", "split", lang_col)),
+        budget_tokens=cfg.shard_budget_tokens,
+        part_col="_shard_part",
+    )
+
+    return {
+        "gated": gated,
+        "reputable": reputable,
+        "scrubbed": scrubbed,
+        "exact_deduped": exact_deduped,
+        "near_deduped": near_deduped,
+        "decontaminated": decontaminated,
+        "capped": capped,
+        "corpus": corpus,
+        "shards": shards,
+    }
+
+
+def stage_counts(stages: dict[str, DataFrame]) -> dict[str, int]:
+    """The release report: row count per stage, in pipeline order —
+    how many documents each gate removed is the difference between
+    adjacent entries."""
+    return {name: df.count() for name, df in stages.items()}

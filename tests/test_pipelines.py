@@ -11,6 +11,8 @@ the same strings against parquet-materialized fixtures).
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
 from gcp_dataengineering_spark.pipelines.digital import (
     dtc_display,
     dtc_paid_search,
@@ -199,3 +201,100 @@ def test_digital_plan_shape_at_scale(spark, ref_tables):
     out_aqe = nvs_digital(spark, scaled)
     assert out_aqe.count() > 0
     assert "CartesianProduct" not in out_aqe._jdf.queryExecution().executedPlan().toString()
+
+
+# ---------------------------------------------------------------- round 6: composed LLM pipeline
+def test_build_training_corpus_composition(spark):
+    """The end-to-end training-corpus build: every planted defect is
+    removed by exactly the stage that owns it, survivors flow
+    through unchanged, the split column lands on the final corpus,
+    and the shard plan covers every surviving doc within (split,
+    lang) budgets."""
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+        stage_counts,
+    )
+
+    def fill(tag):
+        return " ".join(f"{tag}{j}" for j in range(40))
+
+    rows = [
+        # good source (srcA): plenty of passing docs, each with its
+        # OWN filler vocabulary (shared filler would make everything
+        # a near-dup of everything)
+        (1, f"alpha {fill('a')} one", "en", "srcA"),
+        (2, f"beta {fill('b')} two", "en", "srcA"),
+        (3, "junk", "en", "srcA"),                       # page-gated (short)
+        (4, f"gamma {fill('c')} three", "en", "srcA"),
+        # PII variants: identical after scrubbing → exact dedup keeps 5
+        (5, f"delta {fill('d')} mail bob@x.com end", "en", "srcA"),
+        (6, f"delta {fill('d')} mail eve@y.org end", "en", "srcA"),
+        # exact dup of 1 → dropped
+        (7, f"alpha {fill('a')} one", "en", "srcA"),
+        # near dup of 2 (one token differs) → dropped by LSH+CC
+        (8, f"beta {fill('b')} twoX", "en", "srcA"),
+        # contaminated: contains the eval text verbatim
+        (9, f"epsilon {fill('f')} THE EVAL SENTENCE IS HERE NOW OK " + " ".join(f"e{i}" for i in range(13)), "en", "srcA"),
+        # bad source (srcB): most docs fail the page gate → reputation drops ALL of it
+        (20, f"zeta {fill('g')} ok", "en", "srcB"),
+        (21, "tiny", "en", "srcB"),
+        (22, "small", "en", "srcB"),
+        (23, "short", "en", "srcB"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string")
+    eval_df = spark.createDataFrame(
+        [(900, " ".join(f"e{i}" for i in range(13)))], "doc_id long, text string"
+    )
+    stages = build_training_corpus(
+        docs, eval_df, PipelineConfig(min_source_pass_pct=60, decontam_ngram=13)
+    )
+    counts = stage_counts(stages)
+
+    # page gate: drops 3 (short) and srcB's three shorts
+    gated_ids = {r.doc_id for r in stages["gated"].select("doc_id").collect()}
+    assert gated_ids == {1, 2, 4, 5, 6, 7, 8, 9, 20}
+    # reputation: srcB passes 1/4 (25% < 60%) → 20 gone too
+    rep_ids = {r.doc_id for r in stages["reputable"].select("doc_id").collect()}
+    assert rep_ids == {1, 2, 4, 5, 6, 7, 8, 9}
+    # scrub: text changed, count unchanged
+    assert counts["scrubbed"] == len(rep_ids)
+    scrub5 = stages["scrubbed"].filter(F.col("doc_id").isin(5, 6)).collect()
+    assert all("<EMAIL>" in r.text for r in scrub5)
+    # exact dedup: 7 (dup of 1) and 6 (scrub-identical to 5) drop
+    ex_ids = {r.doc_id for r in stages["exact_deduped"].select("doc_id").collect()}
+    assert ex_ids == {1, 2, 4, 5, 8, 9}
+    # near dedup: 8 collapses into 2
+    near_ids = {r.doc_id for r in stages["near_deduped"].select("doc_id").collect()}
+    assert near_ids == {1, 2, 4, 5, 9}
+    # decontam: 9 carries the eval 13-gram
+    dec_ids = {r.doc_id for r in stages["decontaminated"].select("doc_id").collect()}
+    assert dec_ids == {1, 2, 4, 5}
+
+    corpus = stages["corpus"].collect()
+    assert {r.doc_id for r in corpus} == dec_ids
+    assert all(r.split in ("train", "val", "test") for r in corpus)
+
+    shards = stages["shards"].collect()
+    assert {r.doc_id for r in shards} == dec_ids
+    assert all(r.shard_id >= 0 for r in shards)
+
+
+def test_build_training_corpus_runs_on_real_documents(spark):
+    """Smoke at sf0.001: the composition runs end-to-end on the real
+    documents table and the stage counts are monotone after the
+    branch point (each stage only removes)."""
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        build_training_corpus,
+        stage_counts,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    stages = build_training_corpus(docs)
+    counts = stage_counts(stages)
+    order = ["reputable", "scrubbed", "exact_deduped", "near_deduped",
+             "decontaminated", "capped", "corpus"]
+    for a, b in zip(order, order[1:]):
+        assert counts[b] <= counts[a], counts
+    assert counts["corpus"] > 0
+    assert counts["shards"] == counts["corpus"]
