@@ -2085,3 +2085,54 @@ def test_corpus_diff_statuses(spark):
     new2 = spark.createDataFrame([(2, "  beta  ")], "doc_id long, text string")
     got2 = {r.doc_id: r.status for r in corpus_diff(old.filter(F.col("doc_id") == 2), new2).collect()}
     assert got2 == {2: "unchanged"}
+
+
+def test_chunk_docs_param_grid_invariants(spark):
+    """Window-arithmetic invariants over a (doc-length × chunk ×
+    overlap) grid: chunk count matches the closed form, every token
+    covered exactly once outside overlaps, offsets stride correctly,
+    and the final chunk always reaches the end of the doc."""
+    from gcp_dataengineering_spark.llm_ops.corpus import chunk_docs
+
+    lengths = [0, 1, 7, 8, 9, 16, 17, 31, 32, 33, 63, 64, 65, 100]
+    docs = spark.createDataFrame(
+        [(n, " ".join(f"t{i}" for i in range(n))) for n in lengths],
+        "doc_id long, text string",
+    )
+    for chunk, overlap in [(8, 0), (8, 2), (16, 8), (32, 8), (32, 31)]:
+        stride = chunk - overlap
+        rows = chunk_docs(docs, chunk, overlap).collect()
+        by_doc = {}
+        for r in rows:
+            by_doc.setdefault(r.doc_id, []).append(r)
+        for n in lengths:
+            got = sorted(by_doc[n], key=lambda r: r.chunk_id)
+            want_chunks = max(1, -(-max(n - overlap, 0) // stride)) if n > 0 else 1
+            assert len(got) == want_chunks, (n, chunk, overlap, len(got))
+            for j, r in enumerate(got):
+                assert r.chunk_id == j and r.start_tok == j * stride
+                assert r.n_chunk_tokens == max(0, min(chunk, n - j * stride))
+            last = got[-1]
+            assert last.start_tok + last.n_chunk_tokens == n or n == 0
+
+
+def test_text_ops_broadcast_plan_shapes(spark):
+    """tokens_to_ids and tfidf_keywords must meet their small side by
+    broadcast: the corpus never shuffles for the vocab/idf lookup (no
+    sort-merge join anywhere in either plan)."""
+    from gcp_dataengineering_spark.llm_ops.text import (
+        tfidf_keywords,
+        tokens_to_ids,
+        vocab_table,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    p = (
+        tokens_to_ids(docs, vocab_table(docs, k=50))
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SortMergeJoin" not in p, p
+    assert "BroadcastHashJoin" in p, p
+    p2 = tfidf_keywords(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in p2, p2
+    assert "BroadcastHashJoin" in p2, p2
