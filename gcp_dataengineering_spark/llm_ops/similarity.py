@@ -906,3 +906,54 @@ def pq_topk_adc_from_tables(
         id_col=id_col,
         vec_col=vec_col,
     )
+
+
+def split_leakage_report(
+    df: DataFrame,
+    split_col: str = "split",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 7,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-level train/eval leakage audit — the semantic
+    complement of n-gram decontamination (decontam.py catches copied
+    TEXT; this catches paraphrases/near-copies that embed together):
+    near-dup pairs whose members sit in DIFFERENT splits, found via
+    the LSH-bucketed candidate path (equi-join on gaussian sign
+    buckets — never all-pairs). Returns (id_a, id_b, split_a,
+    split_b, cos) for pairs with cosine >= threshold and
+    split_a != split_b.
+
+    Scale shape is embedding_near_dup_pairs': ids+buckets explode
+    ×n_tables, DISTINCT candidate collapse, one vector re-join per
+    side; the cross-split filter happens before scoring, so
+    same-split near-dups (fine for training) cost nothing."""
+    tables = [
+        gaussian_planes_q(n_planes, dim, seed=seed + t) for t in range(n_tables)
+    ]
+    b = with_gaussian_buckets(df, tables, "id", id_col=id_col, vec_col=vec_col)
+    cands = (
+        b.alias("x")
+        .join(b.alias("y"), ["tbl", "bucket"])
+        .filter(F.col("x.id") < F.col("y.id"))
+        .select(F.col("x.id").alias("id_a"), F.col("y.id").alias("id_b"))
+        .distinct()
+    )
+    side = lambda suffix: df.select(
+        F.col(id_col).alias(f"id_{suffix}"),
+        F.col(vec_col).alias(f"vec_{suffix}"),
+        F.col(split_col).alias(f"split_{suffix}"),
+    )
+    pairs = (
+        cands.join(side("a"), "id_a")
+        .join(side("b"), "id_b")
+        .filter(F.col("split_a") != F.col("split_b"))
+        .withColumn("cos", cosine(F.col("vec_a"), F.col("vec_b")))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "split_a", "split_b", F.round("cos", 4).alias("cos"))
+    )
+    return pairs

@@ -116,3 +116,31 @@ def yrwk_to_year(yrwk_col: Column | str) -> Column:
     quirk preserved for output parity."""
     c = F.col(yrwk_col) if isinstance(yrwk_col, str) else yrwk_col
     return F.substring(c.cast("string"), 1, 4)
+
+
+def conform_schema(df: DataFrame, schema: str | "StructType") -> DataFrame:
+    """Conform a heterogeneous ingest batch to a target schema: cast
+    columns that exist, add typed NULLs for columns the batch lacks,
+    drop extras, and emit the target column ORDER — so any two
+    conformed batches union cleanly (`unionByName` never sees a
+    mismatch). The multi-vendor-feed version of what the digital
+    pipeline does by hand per channel.
+
+    Pure projection — casts and typed nulls, no shuffle, no data
+    rewrite. Casts are try_cast: under ANSI mode (Spark 4 default) a
+    plain cast THROWS on the first malformed vendor value and kills
+    the whole ingest; try_cast lands it as NULL so the batch loads
+    and a downstream quality gate can count/quarantine the nulls."""
+    from pyspark.sql import types as _T
+
+    target = (
+        _T._parse_datatype_string(schema) if isinstance(schema, str) else schema
+    )
+    cols = []
+    have = dict(df.dtypes)
+    for f in target.fields:
+        if f.name in have:
+            cols.append(F.col(f.name).try_cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+    return df.select(*cols)

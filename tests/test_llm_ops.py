@@ -2136,3 +2136,34 @@ def test_text_ops_broadcast_plan_shapes(spark):
     p2 = tfidf_keywords(docs)._jdf.queryExecution().executedPlan().toString()
     assert "SortMergeJoin" not in p2, p2
     assert "BroadcastHashJoin" in p2, p2
+
+
+def test_split_leakage_report_catches_cross_split_dups(spark):
+    """Embedding-level leakage audit: an eval vector identical to a
+    train vector is reported (identical vectors share every LSH
+    bucket — guaranteed candidate), a same-split duplicate is NOT
+    (not leakage), and nothing below the threshold appears (numpy
+    cross-check on the full cross-split pair set)."""
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.similarity import split_leakage_report
+
+    rng = np.random.default_rng(3)
+    vecs = rng.standard_normal((12, 16)).astype("float32")
+    vecs[7] = vecs[1]   # eval copy of a train vector  -> leakage
+    vecs[11] = vecs[10] # two train twins              -> not leakage
+    rows = [
+        (i, [float(x) for x in vecs[i]], "train" if i < 7 or i >= 10 else "test")
+        for i in range(12)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, split string")
+    rep = split_leakage_report(df, threshold=0.95, dim=16).collect()
+    pairs = {(r.id_a, r.id_b) for r in rep}
+    assert (1, 7) in pairs
+    assert (10, 11) not in pairs
+    # no false positives: every reported pair really is cross-split
+    # with cosine >= threshold
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    for r in rep:
+        assert r.split_a != r.split_b
+        assert float(norm[r.id_a] @ norm[r.id_b]) >= 0.95 - 1e-6

@@ -177,3 +177,27 @@ def test_latest_by_key_total_order_tiebreak(spark):
         rows = {r.k: r for r in fn(df, ["k"], ["v", "seq"]).collect()}
         assert rows[1].payload == "b" and rows[1].seq == 7
         assert rows[2].payload == "d"
+
+
+def test_conform_schema_cast_null_drop_order(spark):
+    from gcp_dataengineering_spark.ops.conform import conform_schema
+
+    batch = spark.createDataFrame(
+        [("1", "x", 2.5, "extra")],
+        "id string, name string, score double, junk string",
+    )
+    out = conform_schema(batch, "id bigint, score string, missing date, name string")
+    assert out.columns == ["id", "score", "missing", "name"]
+    assert dict(out.dtypes) == {
+        "id": "bigint", "score": "string", "missing": "date", "name": "string"
+    }
+    r = out.collect()[0]
+    assert (r.id, r.score, r.missing, r.name) == (1, "2.5", None, "x")
+    # two differently-shaped batches conform then union cleanly
+    b2 = spark.createDataFrame([(7,)], "id long")
+    u = out.unionByName(conform_schema(b2, "id bigint, score string, missing date, name string"))
+    assert u.count() == 2
+    # permissive cast: a bad cast lands as NULL, not an error
+    bad = conform_schema(spark.createDataFrame([("notanum",)], "id string"),
+                         "id bigint")
+    assert bad.collect()[0].id is None
