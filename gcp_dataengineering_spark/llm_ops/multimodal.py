@@ -437,3 +437,74 @@ def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
         "media_id",
         F.explode(F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)))).alias("frame_idx"),
     ).withColumn("byte_offset", F.col("frame_idx") * every_n)
+
+
+def _fit_within(w: int, h: int, max_side: int) -> tuple[int, int]:
+    """Aspect-preserving fit: scale so max(w', h') == max_side when
+    the image exceeds it; never upscale; floor with a 1px minimum.
+    Pure integer-in/integer-out arithmetic — this is the REAL part of
+    the resize plan (the pixel resample is the stubbed part)."""
+    if w <= 0 or h <= 0 or max(w, h) <= max_side:
+        return w, h
+    if w >= h:
+        return max_side, max(1, (h * max_side) // w)
+    return max(1, (w * max_side) // h), max_side
+
+
+def resize_images(
+    df: DataFrame,
+    max_side: int = 224,
+    fake: bool = False,
+    batch_rows: int = 1024,
+) -> DataFrame:
+    """Image resize pass: parse each payload's REAL header
+    (parse_image_header — PNG/JPEG/GIF), compute the aspect-preserving
+    target dims for ``max_side``, and emit the resized payload.
+
+    The Spark-side plumbing is real and tested — Arrow-batched
+    mapInPandas over (media_id, fmt, width, height, out_width,
+    out_height, payload_out), binary column in/out, bounded batches —
+    while the pixel resample itself is STUBBED (this container ships
+    no image codec): ``fake=True`` emits a deterministic placeholder
+    payload derived from the input bytes + target dims;
+    ``fake=False`` raises NotImplementedError at the exact point a
+    real deployment drops in PIL/libvips. Rows whose header doesn't
+    parse pass through with fmt NULL and untouched dims — quarantine
+    downstream, don't kill the job."""
+    out_schema = (
+        "media_id long, fmt string, width int, height int, "
+        "out_width int, out_height int, payload_out binary"
+    )
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                fmt, w, h = parse_image_header(b)
+                if fmt is None or w is None or h is None:
+                    rows.append((mid, None, None, None, None, None, b))
+                    continue
+                ow, oh = _fit_within(w, h, max_side)
+                if not fake:
+                    raise NotImplementedError(
+                        "real pixel resample needs an image codec (PIL/libvips); "
+                        "run with fake=True for the deterministic placeholder path"
+                    )
+                stamp = hashlib.md5(
+                    b + ow.to_bytes(4, "big") + oh.to_bytes(4, "big")
+                ).digest()
+                rows.append((mid, fmt, w, h, ow, oh, stamp))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "fmt", "width", "height",
+                         "out_width", "out_height", "payload_out"],
+            )
+
+    cols = df.select(F.col("media_id").cast("long"), F.col("payload"))
+    df.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
+    )
+    return cols.mapInPandas(resize_batches, out_schema)

@@ -2167,3 +2167,46 @@ def test_split_leakage_report_catches_cross_split_dups(spark):
     for r in rep:
         assert r.split_a != r.split_b
         assert float(norm[r.id_a] @ norm[r.id_b]) >= 0.95 - 1e-6
+
+
+def test_resize_images_plan_arithmetic_and_stub(spark):
+    """Resize plumbing: real header parse + exact aspect-preserving
+    target dims over spec-valid synthesized images; garbage rows pass
+    through quarantined; the real-codec path raises at execution, not
+    at plan time."""
+    import pytest as _pytest
+
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        _fit_within,
+        resize_images,
+        synth_image_corpus,
+    )
+
+    assert _fit_within(1000, 500, 224) == (224, 112)
+    assert _fit_within(500, 1000, 224) == (112, 224)
+    assert _fit_within(100, 50, 224) == (100, 50)      # never upscale
+    assert _fit_within(10000, 3, 224) == (224, 1)      # 1px floor
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(24)
+    media = synth_image_corpus(docs)
+    out = {r.media_id: r for r in resize_images(media, max_side=64, fake=True).collect()}
+    assert len(out) == 24
+    for r in out.values():
+        assert r.fmt in ("png", "jpeg", "gif")
+        assert max(r.out_width, r.out_height) <= max(64, 1)
+        if max(r.width, r.height) > 64:
+            assert max(r.out_width, r.out_height) == 64
+        else:
+            assert (r.out_width, r.out_height) == (r.width, r.height)
+        assert r.payload_out is not None and len(r.payload_out) == 16  # md5 stamp
+
+    garbage = spark.createDataFrame(
+        [(99, bytearray(b"not an image"))], "media_id long, payload binary"
+    )
+    g = resize_images(garbage, fake=True).collect()[0]
+    assert g.fmt is None and bytes(g.payload_out) == b"not an image"
+
+    lazy = resize_images(media, max_side=64, fake=False)  # planning is fine
+    with _pytest.raises(Exception) as ei:
+        lazy.collect()
+    assert "NotImplementedError" in str(ei.value) or "image codec" in str(ei.value)
