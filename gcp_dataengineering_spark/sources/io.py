@@ -239,3 +239,77 @@ def compact_small_files(
 
     shutil.rmtree(old)
     return n_files
+
+
+def read_history_version(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Time travel over the versioned history: read one version's
+    rows (default: the latest). The history is partitioned by
+    ``version`` (write_versioned_history), so the equality filter is
+    a PARTITION filter — Spark lists and reads only that version's
+    directory; every other snapshot costs nothing. The poor-man's
+    table format: append-only versions + partition pruning give you
+    reproducible as-of reads without a transaction log."""
+    v = version if version is not None else read_max_version(spark, path)
+    return spark.read.parquet(path).filter(F.col("version") == v)
+
+
+def zorder_code(col_x, col_y, bits: int = 12):
+    """Morton/Z-order interleave of two RANGE-NORMALIZED integer
+    columns (each already in [0, 2^bits)): bit i of x lands at bit
+    2i, bit i of y at 2i+1. Pure bitwise expression — codegen'd, no
+    UDF."""
+    code = F.lit(0).cast("bigint")
+    for i in range(bits):
+        code = (
+            code
+            + F.shiftleft(F.shiftright(col_x, i).bitwiseAND(F.lit(1)), 2 * i).cast("bigint")
+            + F.shiftleft(F.shiftright(col_y, i).bitwiseAND(F.lit(1)), 2 * i + 1).cast("bigint")
+        )
+    return code
+
+
+def write_zorder_layout(
+    df: DataFrame,
+    path: str,
+    col_x: str,
+    col_y: str,
+    bits: int = 12,
+    num_files: int = 16,
+) -> None:
+    """Two-dimensional data clustering: range-normalize both integer
+    columns into 2^bits buckets (min/max from a 1-row broadcast agg —
+    stays in the plan, no driver action), compute the Morton
+    interleave, range-partition + sort files by it. Each output file
+    then covers a RECTANGLE of (x, y) space instead of a stripe, so
+    parquet min/max footers prune selective predicates on EITHER
+    column (or both) — the multi-column generalization of
+    write_sorted_layout, and the reason warehouse engines Z-ORDER
+    their fact tables. One range shuffle at write time."""
+    stats = df.agg(
+        F.min(col_x).alias("_xmin"), F.max(col_x).alias("_xmax"),
+        F.min(col_y).alias("_ymin"), F.max(col_y).alias("_ymax"),
+    )
+    top = (1 << bits) - 1
+    norm = lambda c, lo, hi: (
+        ((F.col(c).cast("bigint") - F.col(lo)) * top)
+        / F.greatest(F.col(hi) - F.col(lo), F.lit(1))
+    ).cast("bigint")
+    coded = (
+        df.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "_z",
+            zorder_code(
+                norm(col_x, "_xmin", "_xmax"), norm(col_y, "_ymin", "_ymax"), bits
+            ),
+        )
+        .drop("_xmin", "_xmax", "_ymin", "_ymax")
+    )
+    (
+        coded.repartitionByRange(num_files, F.col("_z"))
+        .sortWithinPartitions("_z")
+        .drop("_z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

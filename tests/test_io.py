@@ -176,3 +176,66 @@ def test_compact_small_files(spark, tmp_path):
     assert spark.read.parquet(d).groupBy().sum("v").collect()[0][0] == before
     assert spark.read.parquet(d).count() == 6000
     assert not glob.glob(str(tmp_path) + "/*_compact*")
+
+
+def test_read_history_version_time_travel_and_pruning(spark, ref_tables, tmp_path):
+    """As-of reads over the versioned history: each version's rows
+    come back exactly, default is the latest, and the executed plan
+    carries the version equality as a PartitionFilter (only that
+    version's directory is read)."""
+    from gcp_dataengineering_spark.sources.io import (
+        read_history_version,
+        write_versioned_history,
+    )
+
+    path = str(tmp_path / "hist")
+    df1 = spark.range(0, 10).withColumn("v", F.lit("a"))
+    df2 = spark.range(0, 25).withColumn("v", F.lit("b"))
+    assert write_versioned_history(df1, spark, path) == 1
+    assert write_versioned_history(df2, spark, path) == 2
+
+    v1 = read_history_version(spark, path, 1)
+    assert v1.count() == 10 and {r.v for r in v1.collect()} == {"a"}
+    latest = read_history_version(spark, path)
+    assert latest.count() == 25 and {r.v for r in latest.collect()} == {"b"}
+
+    plan = v1._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(version" in plan and "(version" in plan, plan
+
+
+def test_write_zorder_layout_clusters_both_dimensions(spark, tmp_path):
+    """Z-ordered files cover rectangles, not stripes: per-file
+    footer min/max ranges shrink on BOTH columns (naive layout files
+    span ~the full range of each), so predicates on either column
+    prune."""
+    import pyarrow.parquet as papq
+
+    from gcp_dataengineering_spark.sources.io import write_zorder_layout
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    zdir, ndir = str(tmp_path / "z"), str(tmp_path / "naive")
+    write_zorder_layout(ev, zdir, "user_id", "event_id", bits=8, num_files=8)
+    ev.repartition(8).write.mode("overwrite").parquet(ndir)
+
+    def mean_frac(d, col):
+        spans, glo, ghi = [], None, None
+        for name in sorted(os.listdir(d)):
+            if not name.endswith(".parquet"):
+                continue
+            md = papq.ParquetFile(os.path.join(d, name)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            lo = min(md.row_group(g).column(idx[col]).statistics.min
+                     for g in range(md.num_row_groups))
+            hi = max(md.row_group(g).column(idx[col]).statistics.max
+                     for g in range(md.num_row_groups))
+            spans.append((lo, hi))
+            glo = lo if glo is None else min(glo, lo)
+            ghi = hi if ghi is None else max(ghi, hi)
+        width = max(ghi - glo, 1)
+        return sum(h - l for l, h in spans) / (len(spans) * width)
+
+    assert spark.read.parquet(zdir).count() == ev.count()
+    for col in ("user_id", "event_id"):
+        zf, nf = mean_frac(zdir, col), mean_frac(ndir, col)
+        assert nf > 0.85, (col, nf)          # naive: every file spans ~everything
+        assert zf < 0.7 * nf, (col, zf, nf)  # z-order: rectangles, both dims shrink
