@@ -1,0 +1,77 @@
+"""Executable entry for the composed training-corpus build (the
+beyond-reference product surface; the reference pipelines keep their
+own ``python -m gcp_dataengineering_spark`` entry):
+
+    python -m gcp_dataengineering_spark.llm_build \\
+        --docs /data/documents.parquet \\
+        --out /data/corpus_v2 \\
+        [--eval /data/eval.parquet] [--max-tokens-per-source N] \\
+        [--shard-budget 2000000] [--cpus 8]
+
+Writes under --out:
+  corpus/   the cleaned, split corpus (parquet, partitioned by split)
+  shards/   the shard plan (doc_id → split/lang shard assignment)
+  report.json  one JSON object of per-stage row counts
+
+and prints the report JSON to stdout (one line — scriptable)."""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from .llm_ops.pipeline import PipelineConfig, build_training_corpus, stage_counts
+from .session import get_spark
+
+
+def build_arg_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="gcp_dataengineering_spark.llm_build",
+        description="Run the composed training-corpus build.",
+    )
+    p.add_argument("--docs", required=True, help="input documents parquet")
+    p.add_argument("--out", required=True, help="output root directory")
+    p.add_argument("--eval", default=None, help="eval-set parquet for decontamination")
+    p.add_argument("--max-tokens-per-source", type=int, default=None)
+    p.add_argument("--shard-budget", type=int, default=2_000_000)
+    p.add_argument("--min-source-pass-pct", type=int, default=50)
+    p.add_argument("--cpus", default=None)
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_arg_parser().parse_args(argv)
+    spark = get_spark("llm_build", cpus=args.cpus)
+    docs = spark.read.parquet(args.docs)
+    eval_df = spark.read.parquet(args.eval) if args.eval else None
+    stages = build_training_corpus(
+        docs,
+        eval_df,
+        PipelineConfig(
+            min_source_pass_pct=args.min_source_pass_pct,
+            max_tokens_per_source=args.max_tokens_per_source,
+            shard_budget_tokens=args.shard_budget,
+        ),
+    )
+    corpus_dir = os.path.join(args.out, "corpus")
+    shards_dir = os.path.join(args.out, "shards")
+    stages["corpus"].write.mode("overwrite").partitionBy("split").parquet(corpus_dir)
+    stages["shards"].select(
+        "doc_id", "_shard_part", "shard_id", "n_tokens"
+    ).write.mode("overwrite").parquet(shards_dir)
+    # count the WRITTEN artifacts for corpus/shards (cheap metadata
+    # scans) and the lazy stages for the rest
+    report = stage_counts({k: v for k, v in stages.items() if k not in ("corpus", "shards")})
+    report["corpus"] = spark.read.parquet(corpus_dir).count()
+    report["shards"] = spark.read.parquet(shards_dir).count()
+    with open(os.path.join(args.out, "report.json"), "w") as f:
+        json.dump(report, f)
+    print(json.dumps(report))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

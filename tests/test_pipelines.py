@@ -298,3 +298,38 @@ def test_build_training_corpus_runs_on_real_documents(spark):
         assert counts[b] <= counts[a], counts
     assert counts["corpus"] > 0
     assert counts["shards"] == counts["corpus"]
+
+
+def test_llm_build_cli(spark, tmp_path):
+    """The llm_build executable: runs the composed build end-to-end
+    in a subprocess, writes corpus (partitioned by split), shards and
+    report.json, and prints the report as one JSON line."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").write.parquet(docs_path)
+    out = str(tmp_path / "build_out")
+    proc = subprocess.run(
+        [sys.executable, "-m", "gcp_dataengineering_spark.llm_build",
+         "--docs", docs_path, "--out", out, "--cpus", "4",
+         "--shard-budget", "2000"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:] + proc.stdout[-500:]
+    line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    report = json.loads(line)
+    assert report == json.load(open(out + "/report.json"))
+    assert report["corpus"] > 0 and report["shards"] == report["corpus"]
+    assert report["corpus"] <= report["reputable"]
+
+    corpus = spark.read.parquet(out + "/corpus")
+    assert set(corpus.select("split").distinct().toPandas()["split"]) <= {"train", "val", "test"}
+    assert sorted(os.listdir(out + "/corpus"))[0].startswith("split=") or any(
+        d.startswith("split=") for d in os.listdir(out + "/corpus")
+    )
+    shards = spark.read.parquet(out + "/shards")
+    assert shards.count() == report["corpus"]
