@@ -601,8 +601,13 @@ def source_reputation_filter(
     keep = rep.filter(
         (F.col("_n_pass") * 100 >= F.lit(min_pass_pct) * F.col("_n_docs"))
         & (F.col("_n_docs") >= min_docs)
-    ).select(source_col)
-    return df.join(F.broadcast(keep), source_col, "left_semi")
+    ).select(F.col(source_col).alias("_keep_src"))
+    # eqNullSafe: a NULL source is a legitimate group (groupBy put it
+    # in one) — an equality semi-join would silently drop every
+    # NULL-source row regardless of the group's verdict
+    return df.join(
+        F.broadcast(keep), F.col(source_col).eqNullSafe(F.col("_keep_src")), "left_semi"
+    )
 
 
 def approx_distinct_stats(
@@ -762,13 +767,26 @@ def corpus_diff(
     (``.groupBy("status").count()`` is the release report)."""
     from .text import fingerprint
 
-    o = old.select(F.col(id_col).alias("_id"), fingerprint(text_col).alias("_fp_old"))
-    n = new.select(F.col(id_col).alias("_id"), fingerprint(text_col).alias("_fp_new"))
+    # presence is tracked with explicit marker columns, NOT by fp
+    # nullability: fingerprint(NULL text) is NULL, and conflating
+    # "absent from this side" with "present with NULL text" would
+    # mislabel NULL-text docs (an anticipated input — chunk_docs /
+    # tokens_to_ids both coalesce it)
+    o = old.select(
+        F.col(id_col).alias("_id"),
+        fingerprint(text_col).alias("_fp_old"),
+        F.lit(True).alias("_in_old"),
+    )
+    n = new.select(
+        F.col(id_col).alias("_id"),
+        fingerprint(text_col).alias("_fp_new"),
+        F.lit(True).alias("_in_new"),
+    )
     joined = o.join(n, "_id", "full_outer")
     status = (
-        F.when(F.col("_fp_old").isNull(), "added")
-        .when(F.col("_fp_new").isNull(), "removed")
-        .when(F.col("_fp_old") != F.col("_fp_new"), "changed")
+        F.when(F.col("_in_old").isNull(), "added")
+        .when(F.col("_in_new").isNull(), "removed")
+        .when(~F.col("_fp_old").eqNullSafe(F.col("_fp_new")), "changed")
         .otherwise("unchanged")
     )
     return joined.select(F.col("_id").alias(id_col), status.alias("status"))

@@ -479,7 +479,17 @@ def resize_images(
     def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import hashlib
 
-        for pdf in batches:
+        # bound memory by sub-slicing INSIDE the UDF rather than
+        # mutating the session-wide Arrow batch conf: a conf set at
+        # plan-construction time is read at execution (last caller
+        # wins for every concurrently-built plan) and would leak to
+        # all other Arrow operations in the session
+        def sliced():
+            for pdf in batches:
+                for lo in range(0, len(pdf), max(batch_rows, 1)):
+                    yield pdf.iloc[lo : lo + max(batch_rows, 1)]
+
+        for pdf in sliced():
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = bytes(payload) if payload is not None else b""
@@ -504,7 +514,4 @@ def resize_images(
             )
 
     cols = df.select(F.col("media_id").cast("long"), F.col("payload"))
-    df.sparkSession.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(batch_rows)
-    )
     return cols.mapInPandas(resize_batches, out_schema)

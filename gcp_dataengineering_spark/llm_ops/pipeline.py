@@ -18,9 +18,9 @@ production pretraining-data build runs them:
 
 Laziness contract: the returned DataFrames are plans, not results —
 `corpus` is the cleaned corpus, `shards` the shard plan; nothing is
-collected here. `stage_counts` triggers one count per stage and is
-the release report (each count is a cheap aggregate over an
-already-planned stage).
+collected here. `stage_counts` is the release report; it persists
+each stage around its count so the report costs one pipeline pass,
+not one per stage.
 
 Scale shape: every stage is the shape its own module documents —
 scan-speed projections for gates/scrub, fingerprint-only shuffles
@@ -37,6 +37,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .corpus import (
+    apply_dedup_keepers,
     cap_source_tokens,
     hash_split,
     shard_by_token_budget,
@@ -49,18 +50,12 @@ from .dedup import (
     minhash_signatures,
     resolve_dup_groups,
 )
-from .text import quality_features, scrub_pii, whitespace_token_count
-
-
-def corpus_quality_gate() -> Column:
-    """The standard pretraining page policy (same thresholds the
-    quality_filter oracle checks)."""
-    return (
-        (F.col("n_chars_calc") >= 100)
-        & (F.col("n_tokens") >= 20)
-        & (F.col("punct_ratio") <= 0.1)
-        & (F.col("avg_token_len") >= 2.0)
-    )
+from .text import (
+    corpus_quality_gate,
+    quality_features,
+    scrub_pii,
+    whitespace_token_count,
+)
 
 
 @dataclass
@@ -123,13 +118,7 @@ def build_training_corpus(
     )
     pairs = lsh_candidate_pairs(sigs, num_hashes=cfg.minhash_hashes, bands=cfg.lsh_bands)
     groups = resolve_dup_groups(exact_deduped.select(id_col), pairs, id_col)
-    keepers = groups.filter(F.col(id_col) == F.col("group_id")).select(id_col)
-    # docs with no near-dup pair never appear in `groups`; they are
-    # their own keepers — anti-join the DROPPED ids instead of
-    # semi-joining keepers so uniques survive (apply_dedup_keepers
-    # semantics, spelled for the pairs-only label table)
-    dropped = groups.filter(F.col(id_col) != F.col("group_id")).select(id_col)
-    near_deduped = exact_deduped.join(dropped, id_col, "left_anti")
+    near_deduped = apply_dedup_keepers(exact_deduped, groups, id_col)
 
     decontaminated = (
         decontaminate(near_deduped, eval_df, text_col, id_col, n=cfg.decontam_ngram)
@@ -172,5 +161,16 @@ def build_training_corpus(
 def stage_counts(stages: dict[str, DataFrame]) -> dict[str, int]:
     """The release report: row count per stage, in pipeline order —
     how many documents each gate removed is the difference between
-    adjacent entries."""
-    return {name: df.count() for name, df in stages.items()}
+    adjacent entries.
+
+    Stages share lineage, so naive counting would re-execute the
+    whole upstream pipeline once per stage (regexes, fingerprints,
+    dedup joins × #stages). Each stage is persisted before its count
+    and released afterwards: one pipeline pass total, each count
+    reading its own (and its parent's) cache."""
+    cached = {name: df.persist() for name, df in stages.items()}
+    try:
+        return {name: df.count() for name, df in cached.items()}
+    finally:
+        for df in cached.values():
+            df.unpersist()

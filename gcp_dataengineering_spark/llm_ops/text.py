@@ -505,3 +505,18 @@ def tfidf_keywords(
         .filter(F.col("_rk") <= top_j)
         .select(id_col, "token", "tf", "df_docs", F.round("tfidf", 4).alias("tfidf"))
     )
+
+
+def corpus_quality_gate() -> Column:
+    """THE page-quality policy (single definition — the batch
+    pipeline, the streaming ingest and the quality_filter oracle all
+    import this, so the 'a document admitted online is the document a
+    batch rebuild admits' contract is held by construction, not by
+    keeping copies in sync): long enough, token-dense, not
+    punctuation-heavy, over quality_features columns."""
+    return (
+        (F.col("n_chars_calc") >= 100)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("punct_ratio") <= 0.1)
+        & (F.col("avg_token_len") >= 2.0)
+    )

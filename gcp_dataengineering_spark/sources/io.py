@@ -220,25 +220,76 @@ def compact_small_files(
     shuffle), writes next to the original, then swaps via rename.
     Returns the new file count.
 
+    Partition-aware: a hive-partitioned layout (``key=value``
+    subdirectories — e.g. write_versioned_history's ``version=N``)
+    is compacted LEAF BY LEAF, preserving the directory structure —
+    rewriting it flat would both break partition pruning and, after
+    the next partitioned append, make readers silently drop the
+    compacted rows (mixed flat+partitioned layouts resolve to the
+    partitioned files only).
+
     This is the local-filesystem form (os.walk sizing, os.rename
     swap); on an object store the sizing comes from the store's
     listing API and the swap is a manifest/metastore pointer flip —
     the Spark plan (scan → coalesce → write) is identical."""
-    total = 0
-    for root, _dirs, files in os.walk(path):
-        for fname in files:
-            if fname.endswith(".parquet"):
-                total += os.path.getsize(os.path.join(root, fname))
-    n_files = max(1, -(-total // (target_mb * 1024 * 1024)))
-    tmp = path.rstrip("/") + "._compact_tmp"
-    old = path.rstrip("/") + "._compact_old"
-    spark.read.parquet(path).coalesce(n_files).write.mode("overwrite").parquet(tmp)
-    os.rename(path, old)
-    os.rename(tmp, path)
     import shutil
 
-    shutil.rmtree(old)
-    return n_files
+    def _recover(p: str) -> None:
+        # crash hygiene: a leftover tmp is garbage (rewrite never
+        # finished — remove); a leftover old with the dataset missing
+        # means we crashed between the two renames — roll back; a
+        # leftover old WITH the dataset present means only the final
+        # cleanup was missed — finish it.
+        tmp, old = p.rstrip("/") + "._compact_tmp", p.rstrip("/") + "._compact_old"
+        if os.path.exists(tmp):
+            shutil.rmtree(tmp)
+        if os.path.exists(old):
+            if os.path.exists(p):
+                shutil.rmtree(old)
+            else:
+                os.rename(old, p)
+
+    def _leaf_dirs(p: str) -> list[str]:
+        subs = [
+            d for d in sorted(os.listdir(p))
+            if os.path.isdir(os.path.join(p, d)) and "=" in d
+            and "._compact" not in d
+        ]
+        if not subs:
+            return [p]
+        out: list[str] = []
+        for d in subs:
+            out.extend(_leaf_dirs(os.path.join(p, d)))
+        return out
+
+    def _compact_leaf(leaf: str) -> int:
+        total = sum(
+            os.path.getsize(os.path.join(leaf, f))
+            for f in os.listdir(leaf)
+            if f.endswith(".parquet")
+        )
+        n = max(1, -(-total // (target_mb * 1024 * 1024)))
+        tmp = leaf.rstrip("/") + "._compact_tmp"
+        old = leaf.rstrip("/") + "._compact_old"
+        spark.read.parquet(leaf).coalesce(n).write.mode("overwrite").parquet(tmp)
+        os.rename(leaf, old)
+        os.rename(tmp, leaf)
+        shutil.rmtree(old)
+        return n
+
+    # recover the whole tree first: a crashed LEAF compaction leaves
+    # only `<leaf>._compact_old` behind (the leaf itself was renamed
+    # away), so the orphan must be found by walking, not by listing
+    # surviving leaves
+    _recover(path)
+    for root, dirs, _files in os.walk(path):
+        for d in list(dirs):
+            if d.endswith("._compact_old") or d.endswith("._compact_tmp"):
+                _recover(os.path.join(root, d.rsplit("._compact_", 1)[0]))
+    total_files = 0
+    for leaf in _leaf_dirs(path):
+        total_files += _compact_leaf(leaf)
+    return total_files
 
 
 def read_history_version(

@@ -26,19 +26,17 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..llm_ops.text import lang_id, quality_features, scrub_pii
+from ..llm_ops.text import corpus_quality_gate, lang_id, quality_features, scrub_pii
 from .dedup import dedup_stream_against_corpus
 
 
 def default_quality_gate() -> Column:
-    """The batch corpus gate (suite q_quality_filter) as a boolean
-    column over quality_features output."""
-    return (
-        (F.col("n_chars_calc") >= 100)
-        & (F.col("n_tokens") >= 20)
-        & (F.col("punct_ratio") <= 0.1)
-        & (F.col("avg_token_len") >= 2.0)
-    )
+    """The batch corpus gate — the SAME expression object the batch
+    pipeline uses (llm_ops.text.corpus_quality_gate), re-exported
+    under the streaming name: the stream/batch admission parity the
+    module docstring promises is held by a shared definition, not by
+    keeping two copies in sync."""
+    return corpus_quality_gate()
 
 
 def ingest_stream(

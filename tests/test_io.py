@@ -239,3 +239,32 @@ def test_write_zorder_layout_clusters_both_dimensions(spark, tmp_path):
         zf, nf = mean_frac(zdir, col), mean_frac(ndir, col)
         assert nf > 0.85, (col, nf)          # naive: every file spans ~everything
         assert zf < 0.7 * nf, (col, zf, nf)  # z-order: rectangles, both dims shrink
+
+
+def test_compact_small_files_preserves_partitioned_layout(spark, tmp_path):
+    """Compacting a hive-partitioned history must compact leaf by
+    leaf: the version= directories survive, a subsequent partitioned
+    append still reads ALL versions, and partition pruning still
+    works."""
+    from gcp_dataengineering_spark.sources.io import (
+        compact_small_files,
+        read_history_version,
+        write_versioned_history,
+    )
+
+    path = str(tmp_path / "hist")
+    df = spark.range(0, 50).withColumn("v", F.col("id") % 5)
+    assert write_versioned_history(df.repartition(6), spark, path, num_files=6) == 1
+    assert write_versioned_history(df.repartition(6), spark, path, num_files=6) == 2
+
+    n = compact_small_files(spark, path, target_mb=128)
+    assert n == 2  # one file per version leaf
+    assert sorted(d for d in os.listdir(path) if d.startswith("version=")) == [
+        "version=1", "version=2",
+    ]
+    assert spark.read.parquet(path).count() == 100
+
+    # the next append still coexists with the compacted layout
+    assert write_versioned_history(df, spark, path) == 3
+    assert spark.read.parquet(path).count() == 150
+    assert read_history_version(spark, path, 1).count() == 50

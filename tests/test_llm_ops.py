@@ -2210,3 +2210,31 @@ def test_resize_images_plan_arithmetic_and_stub(spark):
     with _pytest.raises(Exception) as ei:
         lazy.collect()
     assert "NotImplementedError" in str(ei.value) or "image codec" in str(ei.value)
+
+
+def test_source_reputation_filter_null_source_group(spark):
+    """A NULL source is a legitimate reputation group: its rows
+    survive when the group passes the bar and are dropped when it
+    fails — not silently dropped by join-on-equality semantics."""
+    from gcp_dataengineering_spark.llm_ops.corpus import source_reputation_filter
+
+    df = spark.createDataFrame(
+        [(1, None, True), (2, None, True), (3, "a", False), (4, "a", False)],
+        "doc_id long, source string, ok boolean",
+    )
+    kept = {r.doc_id for r in source_reputation_filter(df, "ok", min_pass_pct=50).collect()}
+    assert kept == {1, 2}
+    none_pass = df.withColumn("ok", F.lit(False))
+    assert source_reputation_filter(none_pass, "ok", min_pass_pct=50).count() == 0
+
+
+def test_corpus_diff_null_text(spark):
+    """NULL-text docs diff by PRESENCE, not by fingerprint
+    nullability: unchanged when on both sides, removed when only in
+    old, changed when text appears."""
+    from gcp_dataengineering_spark.llm_ops.corpus import corpus_diff
+
+    old = spark.createDataFrame([(1, None), (2, None), (3, "x")], "doc_id long, text string")
+    new = spark.createDataFrame([(1, None), (3, None)], "doc_id long, text string")
+    got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
+    assert got == {1: "unchanged", 2: "removed", 3: "changed"}
