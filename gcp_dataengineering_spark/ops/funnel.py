@@ -1,0 +1,84 @@
+"""Ordered-funnel analysis over event streams (beyond-reference
+analytics on the events table): how far did each user get through a
+REQUIRED SEQUENCE of steps (step k counts only if it happened after
+an occurrence of step k-1), and what are the per-step conversion
+counts.
+
+Implementation is a per-user ordered fold, expressed with
+aggregation + array functions rather than a UDF or a self-join
+chain:
+
+- one groupBy(user) collects (ts, type) structs; array_sort orders
+  them by time (ties break on event_type — callers wanting total
+  determinism include a unique id in the order);
+- an `aggregate` fold walks the ordered array once, advancing a
+  step counter when the current event matches the next wanted step
+  — O(events-per-user), all codegen'd.
+
+Scale shape: ONE shuffle (the per-user groupBy with map-side
+partial collect). The fold is linear per user; the collected array
+is bounded by a user's own event count — the same per-key-bounded
+state assumption every sessionizer makes. The funnel report is a
+#steps-row aggregate on top.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """(user, max_step): the number of funnel steps the user
+    completed IN ORDER (0 = never did step one; len(steps) = full
+    conversion). Repeats are fine; out-of-order occurrences of later
+    steps are ignored until their turn."""
+    if not steps:
+        raise ValueError("steps must be a non-empty ordered list")
+    ordered = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))
+    )
+    step_arr = F.array(*[F.lit(s) for s in steps])
+    fold: Column = F.aggregate(
+        ordered,
+        F.lit(0),
+        lambda acc, ev: F.when(
+            (acc < len(steps)) & (ev["et"] == F.element_at(step_arr, acc + 1)),
+            acc + 1,
+        ).otherwise(acc),
+    )
+    return events.groupBy(F.col(user_col).alias("user_id")).agg(
+        fold.cast("int").alias("max_step")
+    )
+
+
+def funnel_report(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-step conversion: (step, step_name, n_users) where n_users
+    counted users reaching AT LEAST that step — the classic funnel
+    chart input (monotone non-increasing by construction)."""
+    per_user = funnel_steps(events, steps, user_col, type_col, ts_col)
+    tiers = F.explode(
+        F.sequence(F.lit(1), F.col("max_step"))
+    )
+    reached = per_user.filter(F.col("max_step") >= 1).select(
+        tiers.alias("step")
+    )
+    names = F.array(*[F.lit(s) for s in steps])
+    return (
+        reached.groupBy("step")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .withColumn("step_name", F.element_at(names, F.col("step")))
+        .select("step", "step_name", "n_users")
+    )

@@ -201,3 +201,60 @@ def test_conform_schema_cast_null_drop_order(spark):
     bad = conform_schema(spark.createDataFrame([("notanum",)], "id string"),
                          "id bigint")
     assert bad.collect()[0].id is None
+
+
+# ---------------------------------------------------------------- round 6: funnel
+def test_funnel_steps_ordered_semantics(spark):
+    from gcp_dataengineering_spark.ops.funnel import funnel_report, funnel_steps
+
+    rows = [
+        # u1: full ordered conversion
+        (1, "2024-01-01 00:00:00", "view"), (1, "2024-01-01 00:01:00", "click"),
+        (1, "2024-01-01 00:02:00", "buy"),
+        # u2: buy BEFORE view/click → only counts steps after order
+        (2, "2024-01-01 00:00:00", "buy"), (2, "2024-01-01 00:01:00", "view"),
+        (2, "2024-01-01 00:02:00", "click"),
+        # u3: repeats + noise, converts on the late buy
+        (3, "2024-01-01 00:00:00", "view"), (3, "2024-01-01 00:00:30", "view"),
+        (3, "2024-01-01 00:01:00", "noise"), (3, "2024-01-01 00:02:00", "click"),
+        (3, "2024-01-01 00:03:00", "buy"),
+        # u4: never starts
+        (4, "2024-01-01 00:00:00", "noise"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id long, ts string, event_type string").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = {r.user_id: r.max_step for r in funnel_steps(ev, ["view", "click", "buy"]).collect()}
+    assert got == {1: 3, 2: 2, 3: 3, 4: 0}
+
+    rep = {r.step: (r.step_name, r.n_users) for r in funnel_report(ev, ["view", "click", "buy"]).collect()}
+    assert rep == {1: ("view", 3), 2: ("click", 3), 3: ("buy", 2)}
+
+
+def test_funnel_python_replay_on_real_events(spark):
+    """max_step matches a pure-Python replay of the same ordered walk
+    over the real events table; the report is monotone."""
+    from gcp_dataengineering_spark.ops.funnel import funnel_report, funnel_steps
+    from gcp_dataengineering_spark.suite.core import _t, event_ts
+
+    steps = ["view", "click", "signup", "purchase"]
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    ev = ev.withColumn("ts_ts", event_ts(ev))
+    got = {r.user_id: r.max_step
+           for r in funnel_steps(ev, steps, ts_col="ts_ts").collect()}
+
+    raw = ev.select("user_id", "ts_ts", "event_type").collect()
+    by_user = {}
+    for r in raw:
+        by_user.setdefault(r.user_id, []).append((r.ts_ts, r.event_type))
+    want = {}
+    for u, evs in by_user.items():
+        k = 0
+        for _, et in sorted(evs, key=lambda x: (x[0], x[1])):
+            if k < len(steps) and et == steps[k]:
+                k += 1
+        want[u] = k
+    assert got == want
+
+    rep = [r.n_users for r in funnel_report(ev, steps, ts_col="ts_ts").orderBy("step").collect()]
+    assert all(a >= b for a, b in zip(rep, rep[1:]))

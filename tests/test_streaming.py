@@ -537,3 +537,46 @@ def test_ingest_stream_equals_batch_composition(spark, tmp_path):
     assert got[1]["n_phones"] == 1 and "<PHONE>" in got[1]["text"]
     assert got[3]["n_emails"] == 1 and "<EMAIL>" in got[3]["text"]
     assert got[3]["lang_pred"] == "es" and got[1]["lang_pred"] == "en"
+
+
+def test_upsert_stream_maintains_latest_snapshot(spark, tmp_path):
+    """Two arriving micro-batches of key updates → the snapshot holds
+    exactly the latest version per key (idempotent merge: re-applying
+    the last batch changes nothing)."""
+    from gcp_dataengineering_spark.streaming.upsert import (
+        upsert_batch_into_snapshot,
+        upsert_stream,
+    )
+
+    snap = str(tmp_path / "snapshot")
+    src = tmp_path / "upsert_src"
+    src.mkdir()
+    b1 = spark.createDataFrame(
+        [(1, 1, "a"), (2, 1, "b"), (1, 2, "a2")], "k long, ver long, payload string"
+    )
+    b1.coalesce(1).write.parquet(str(src / "b1.parquet"))
+
+    stream = spark.readStream.schema("k long, ver long, payload string").parquet(
+        str(src) + "/*.parquet"
+    )
+    q = upsert_stream(stream, snap, ["k"], ["ver"],
+                      checkpoint_dir=str(tmp_path / "ckpt"))
+    try:
+        q.processAllAvailable()
+        got1 = {r.k: (r.ver, r.payload) for r in spark.read.parquet(snap).collect()}
+        assert got1 == {1: (2, "a2"), 2: (1, "b")}
+        # second batch: update k=2, stale row for k=1 must NOT win
+        b2 = spark.createDataFrame(
+            [(2, 5, "b5"), (1, 1, "stale")], "k long, ver long, payload string"
+        )
+        b2.coalesce(1).write.parquet(str(src / "b2.parquet"))
+        q.processAllAvailable()
+        got2 = {r.k: (r.ver, r.payload) for r in spark.read.parquet(snap).collect()}
+        assert got2 == {1: (2, "a2"), 2: (5, "b5")}
+    finally:
+        q.stop()
+
+    # idempotence: re-merging the last batch by hand is a no-op
+    upsert_batch_into_snapshot(b2, snap, ["k"], ["ver"])
+    got3 = {r.k: (r.ver, r.payload) for r in spark.read.parquet(snap).collect()}
+    assert got3 == got2
