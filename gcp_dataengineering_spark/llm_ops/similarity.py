@@ -957,3 +957,86 @@ def split_leakage_report(
         .select("id_a", "id_b", "split_a", "split_b", F.round("cos", 4).alias("cos"))
     )
     return pairs
+
+
+def cosine_topk_ivf_pq(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    n_clusters: int = 16,
+    m: int = 4,
+    pq_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the composed billion-scale ANN shape — IVF restricts
+    WHICH vectors are considered (each query scores only its nprobe
+    nearest posting lists), PQ decides HOW candidates are scored
+    (integer ADC over m-byte codes; full vectors never read at search
+    time). This is the FAISS IVFPQ layout expressed as joins:
+
+      probes     = queries × broadcast(ivf centroids)  (tiny)
+      candidates = probes  ⋈ posting lists             (equi-join on cluster)
+      scored     = candidates ⋈ codes ⋈ broadcast(LUT) (equi-join + sum)
+
+    Returns (query_id, neighbor_id, rank, adc) like pq_topk_adc but
+    ranked within the probed subset only. Recall is bounded by IVF's
+    probe recall × ADC's ranking fidelity — the standard trade, both
+    knobs (nprobe, m) exposed.
+
+    Both index builds are the deterministic quantized Lloyd's, so the
+    whole composition remains engine-replayable."""
+    assigned, centroids = ivf_index(
+        corpus, n_clusters, id_col, vec_col, seed=seed
+    )
+    codes, codebook = pq_index(
+        corpus, m=m, n_clusters=pq_clusters, id_col=id_col, vec_col=vec_col,
+        seed=seed,
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    wq = Window.partitionBy("query_id").orderBy(
+        F.col("c_cos").desc(), F.col("cluster").asc()
+    )
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("c_cos", cosine(F.col("q_vec"), F.col("centroid")))
+        .withColumn("c_rank", F.row_number().over(wq))
+        .filter(F.col("c_rank") <= nprobe)
+        .select("query_id", "cluster")
+    )
+    cands = (
+        assigned.join(F.broadcast(probes), "cluster")
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+    )
+    qsub = pq_subvectors(queries, m, id_col, vec_col).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    lut = (
+        qsub.join(F.broadcast(codebook), "sub")
+        .withColumn(
+            "part",
+            F.aggregate(
+                F.zip_with(F.col("svq"), F.col("cq_arr"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .select("query_id", "sub", "cluster", "part")
+    )
+    scored = (
+        cands.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(lut), ["query_id", "sub", "cluster"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("part").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "adc")
+    )

@@ -2238,3 +2238,54 @@ def test_corpus_diff_null_text(spark):
     new = spark.createDataFrame([(1, None), (3, None)], "doc_id long, text string")
     got = {r.doc_id: r.status for r in corpus_diff(old, new).collect()}
     assert got == {1: "unchanged", 2: "removed", 3: "changed"}
+
+
+def test_ivf_pq_equals_adc_over_probed_subset(spark):
+    """IVF-PQ is exactly 'ADC ranking restricted to the probed
+    posting lists': recompute the candidate sets and the full ADC
+    scores independently and check the composition returns the
+    top-k of their intersection, bit-for-bit (both builds are
+    deterministic)."""
+    from gcp_dataengineering_spark.llm_ops.similarity import (
+        cosine,
+        cosine_topk_ivf_pq,
+        ivf_index,
+        pq_index,
+        pq_topk_adc,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = cosine_topk_ivf_pq(
+        emb, queries, k=5, nprobe=3, n_clusters=8, m=4, pq_clusters=8
+    ).collect()
+
+    # reference: candidates per query via the same IVF build
+    assigned, centroids = ivf_index(emb, 8)
+    from pyspark.sql import Window
+
+    q = queries.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+    wq = Window.partitionBy("query_id").orderBy(F.col("c_cos").desc(), F.col("cluster").asc())
+    probes = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("c_cos", cosine(F.col("q_vec"), F.col("centroid")))
+        .withColumn("c_rank", F.row_number().over(wq))
+        .filter(F.col("c_rank") <= 3)
+        .select("query_id", "cluster")
+    )
+    cand = {
+        (r.query_id, r.vec_id)
+        for r in assigned.join(probes, "cluster").select("query_id", "vec_id").collect()
+    }
+    # full ADC scores from the same PQ build
+    codes, cb = pq_index(emb, m=4, n_clusters=8)
+    full = pq_topk_adc(codes, cb, queries, m=4, k=10**6).collect()
+    best = {}
+    for r in full:
+        if (r.query_id, r.neighbor_id) in cand and r.neighbor_id != r.query_id:
+            best.setdefault(r.query_id, []).append((r.adc, r.neighbor_id))
+    want = []
+    for qid, lst in best.items():
+        for rank, (adc, nid) in enumerate(sorted(lst)[:5], 1):
+            want.append((qid, nid, rank, adc))
+    assert sorted(map(tuple, got)) == sorted(want) and len(got) > 0
