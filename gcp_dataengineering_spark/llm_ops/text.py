@@ -364,10 +364,14 @@ def tokens_to_ids(
     id_col: str = "doc_id",
     oov_id: int = -1,
 ) -> DataFrame:
-    """Vocabulary application — text to an id sequence: whitespace
-    tokens looked up in the (token, token_id) table, out-of-vocab
-    tokens mapped to ``oov_id``. Returns (id, token_ids, n_tokens,
-    n_oov).
+    """Vocabulary application — text to an id sequence: tokens looked
+    up in the (token, token_id) table, out-of-vocab tokens mapped to
+    ``oov_id``. Returns (id, token_ids, n_tokens, n_oov).
+
+    Tokenization is the SAME lowercase regex split vocab_table uses
+    (tokens(lower(text))) — applying a vocab with a different
+    tokenizer than built it would turn every punctuation-adjacent
+    word into silent OOV.
 
     Shape: posexplode the tokens, BROADCAST-join the vocab (a top-k
     vocab is KBs–MBs — never shuffle the corpus for it), then
@@ -375,10 +379,7 @@ def tokens_to_ids(
     (pos, id) structs — the shuffle is one hash partition on the doc
     id). This is the id-ification step feeding pack_sequences /
     shuffle_plan, which plan over token counts."""
-    toks = F.filter(
-        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), r"\s+"),
-        lambda t: t != "",
-    )
+    toks = tokens(F.lower(F.coalesce(F.col(text_col), F.lit(""))))
     exploded = df.select(
         F.col(id_col), F.posexplode_outer(toks).alias("pos", "token")
     )

@@ -1003,12 +1003,62 @@ ORACLES = {
 }
 
 
+# ---------------------------------------------------------------- funnel (window candidate)
+def q_funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered-funnel fold over events (ops/funnel.funnel_steps):
+    per-user max step reached through view → click → signup →
+    purchase, steps counted only in order. The Spark side is an
+    array_sort + aggregate fold; the oracle replays it as greedy
+    subsequence matching over the identically-ordered event list
+    (the fold IS greedy subsequence matching)."""
+    from ..ops.funnel import funnel_steps
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ts", event_ts(ev))
+    return funnel_steps(ev, ["view", "click", "signup", "purchase"], ts_col="ts_ts")
+
+
+ORACLE_FUNNEL_STEPS = """
+WITH l AS (
+    SELECT user_id,
+           array_agg(event_type ORDER BY CAST(ts AS TIMESTAMP), event_type) AS ets
+    FROM events GROUP BY user_id
+), s1 AS (
+    SELECT user_id, ets, list_position(ets, 'view') AS p1 FROM l
+), s2 AS (
+    SELECT user_id, ets, p1,
+           CASE WHEN p1 = 0 THEN 0
+                ELSE list_position(ets[p1+1:], 'click') END AS d2
+    FROM s1
+), s3 AS (
+    SELECT user_id, ets, p1, d2,
+           CASE WHEN p1 = 0 OR d2 = 0 THEN 0
+                ELSE list_position(ets[p1+d2+1:], 'signup') END AS d3
+    FROM s2
+), s4 AS (
+    SELECT user_id, p1, d2, d3,
+           CASE WHEN p1 = 0 OR d2 = 0 OR d3 = 0 THEN 0
+                ELSE list_position(ets[p1+d2+d3+1:], 'purchase') END AS d4
+    FROM s3
+)
+SELECT user_id,
+       CAST(CASE WHEN p1 = 0 THEN 0
+                 WHEN d2 = 0 THEN 1
+                 WHEN d3 = 0 THEN 2
+                 WHEN d4 = 0 THEN 3
+                 ELSE 4 END AS INTEGER) AS max_step
+FROM s4
+"""
+
+
 # Keys rotated out of the driver's 50-key oracle window (the window
 # is a cap, not the universe of external checks): every pair here is
 # still run against the DuckDB oracle EVERY round by
 # tests/test_config_and_job.py::test_rotated_out_keys_still_match_duckdb
 # at sf0.001 — rotation changes which harness runs the check, never
-# whether it runs.
+# whether it runs. The registry also holds WINDOW CANDIDATES (new
+# pairs that have never been in-window, e.g. funnel_steps): same
+# external check, queued for a future rotation slot.
 ROTATED_OUT_QUERIES = {
     "filter_predicates": q_filter_predicates,
     "case_recode": q_case_recode,
@@ -1018,6 +1068,7 @@ ROTATED_OUT_QUERIES = {
     # sessionize_native answers the same query as sessionize — checked
     # against the SAME oracle text (interchangeability proof).
     "sessionize_native": q_sessionize_native,
+    "funnel_steps": q_funnel_steps,
 }
 
 ROTATED_OUT_ORACLES = {
@@ -1027,4 +1078,5 @@ ROTATED_OUT_ORACLES = {
     "dim_dedup_join": ORACLE_DIM_DEDUP_JOIN,
     "week_to_month": ORACLE_WEEK_TO_MONTH,
     "sessionize_native": ORACLE_SESSIONIZE,
+    "funnel_steps": ORACLE_FUNNEL_STEPS,
 }

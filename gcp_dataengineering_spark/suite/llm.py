@@ -1575,17 +1575,68 @@ ORACLES = {
 }
 
 
+# ------------------------------------------------- vocab apply (window candidate)
+def q_tokens_to_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Id-ification under a top-20 corpus vocabulary: BOTH the vocab
+    build (count desc / token asc enumeration) and the positional
+    lookup are replayed in the oracle — the sequences are md5-gated
+    via their string form to keep the payload array-free."""
+    docs = _t(spark, sf_dir, "documents")
+    out = T.tokens_to_ids(docs, T.vocab_table(docs, k=20))
+    return out.select(
+        "doc_id",
+        F.md5(F.concat_ws(",", F.transform(F.col("token_ids"), lambda x: x.cast("string"))))
+            .alias("ids_md5"),
+        "n_tokens",
+        "n_oov",
+    )
+
+
+ORACLE_TOKENS_TO_IDS = """
+WITH tok AS (
+    SELECT doc_id, r.i AS pos, toks[r.i + 1] AS token
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-zA-Z0-9]+'),
+                             x -> x <> '') AS toks
+          FROM documents),
+         unnest(range(len(toks))) AS r(i)
+), vocab AS (
+    SELECT token,
+           CAST(ROW_NUMBER() OVER (ORDER BY n DESC, token ASC) - 1 AS INTEGER) AS token_id
+    FROM (SELECT token, COUNT(*) AS n FROM tok GROUP BY token
+          ORDER BY n DESC, token ASC LIMIT 20)
+), agg AS (
+    SELECT doc_id,
+           array_to_string(array_agg(CAST(coalesce(v.token_id, -1) AS VARCHAR) ORDER BY pos), ',') AS ids_str,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+    FROM tok LEFT JOIN vocab v USING (token)
+    GROUP BY doc_id
+)
+SELECT d.doc_id,
+       md5(coalesce(a.ids_str, '')) AS ids_md5,
+       coalesce(a.n_tokens, 0) AS n_tokens,
+       coalesce(a.n_oov, 0) AS n_oov
+FROM (SELECT DISTINCT doc_id FROM documents) d
+LEFT JOIN agg a USING (doc_id)
+"""
+
+
 # See suite/core.py ROTATED_OUT_QUERIES: rotated-out pairs stay under
 # the external DuckDB oracle every round via
-# tests/test_config_and_job.py::test_rotated_out_keys_still_match_duckdb.
+# tests/test_config_and_job.py::test_rotated_out_keys_still_match_duckdb,
+# and the registry also carries WINDOW CANDIDATES (tokens_to_ids)
+# queued for a future rotation slot.
 ROTATED_OUT_QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_neardup": q_embedding_neardup,
+    "tokens_to_ids": q_tokens_to_ids,
 }
 
 ROTATED_OUT_ORACLES = {
     "token_count": ORACLE_TOKEN_COUNT,
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
+    "tokens_to_ids": ORACLE_TOKENS_TO_IDS,
 }

@@ -1943,7 +1943,7 @@ def test_tokens_to_ids_duckdb_replay_and_oov(spark):
             WITH t AS (
                 SELECT doc_id, r.i AS pos, toks[r.i + 1] AS token
                 FROM (SELECT doc_id,
-                             list_filter(regexp_split_to_array(lower(text), '\\s+'),
+                             list_filter(regexp_split_to_array(lower(text), '[^a-zA-Z0-9]+'),
                                          x -> x <> '') AS toks
                       FROM '/root/testdata/sf0.001/documents.parquet'),
                      unnest(range(len(toks))) AS r(i)
