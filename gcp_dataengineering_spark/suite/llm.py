@@ -509,7 +509,8 @@ def q_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_build_ctes(n_clusters: int = 16, n_iter: int = 3, seed: int = 42) -> str:
+def _ivf_build_ctes(n_clusters: int = 16, n_iter: int = 3, seed: int = 42,
+                    p: str = "") -> str:
     """DuckDB CTE chain replaying similarity.ivf_index exactly:
     quantize → seeded hash init → n_iter × (integer mean, re-quantize,
     exact integer squared-L2 argmin). All sums are BIGINT (order-
@@ -517,47 +518,47 @@ def _ivf_build_ctes(n_clusters: int = 16, n_iter: int = 3, seed: int = 42) -> st
     single IEEE ops identical in both engines."""
     s = S.KMEANS_SCALE
     ctes = [
-        f"""vq AS (
+        f"""{p}vq AS (
     SELECT vec_id,
            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {s} + 0.5) AS BIGINT)) AS vq
     FROM embeddings
 )""",
-        f"""assign0 AS (
+        f"""{p}assign0 AS (
     SELECT vec_id,
            CAST(('0x' || substring(md5('ivf{seed}' || chr(31) || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT % {n_clusters} AS INTEGER) AS cluster
-    FROM vq
+    FROM {p}vq
 )""",
     ]
-    prev = "assign0"
+    prev = f"{p}assign0"
     for t in range(1, n_iter + 1):
-        ctes.append(f"""cent{t}_long AS (
+        ctes.append(f"""{p}cent{t}_long AS (
     SELECT cluster, j, CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
     FROM (
         SELECT a.cluster, r.j, v.vq[r.j + 1] AS val
-        FROM {prev} a JOIN vq v USING (vec_id), unnest(range(len(v.vq))) AS r(j)
+        FROM {prev} a JOIN {p}vq v USING (vec_id), unnest(range(len(v.vq))) AS r(j)
     ) GROUP BY cluster, j
 )""")
-        ctes.append(f"""cent{t} AS (
-    SELECT cluster, array_agg(cq ORDER BY j) AS cq_arr FROM cent{t}_long GROUP BY cluster
+        ctes.append(f"""{p}cent{t} AS (
+    SELECT cluster, array_agg(cq ORDER BY j) AS cq_arr FROM {p}cent{t}_long GROUP BY cluster
 )""")
-        ctes.append(f"""dist{t} AS (
+        ctes.append(f"""{p}dist{t} AS (
     SELECT v.vec_id, c.cluster,
            (SELECT SUM((a - b) * (a - b)) FROM (SELECT unnest(v.vq) AS a, unnest(c.cq_arr) AS b) z) AS dist
-    FROM vq v CROSS JOIN cent{t} c
+    FROM {p}vq v CROSS JOIN {p}cent{t} c
 )""")
-        ctes.append(f"""assign{t} AS (
+        ctes.append(f"""{p}assign{t} AS (
     SELECT vec_id, cluster FROM (
         SELECT vec_id, cluster,
                ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist ASC, cluster ASC) AS rn
-        FROM dist{t}
+        FROM {p}dist{t}
     ) WHERE rn = 1
 )""")
-        prev = f"assign{t}"
-    ctes.append(f"assigned AS (SELECT vec_id, cluster FROM {prev})")
+        prev = f"{p}assign{t}"
+    ctes.append(f"{p}assigned AS (SELECT vec_id, cluster FROM {prev})")
     ctes.append(
-        f"""centroids AS (
+        f"""{p}centroids AS (
     SELECT cluster, list_transform(cq_arr, q -> CAST(q AS DOUBLE) / {s}) AS centroid
-    FROM cent{n_iter}
+    FROM {p}cent{n_iter}
 )"""
     )
     return ",\n".join(ctes)
@@ -1394,7 +1395,7 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_build_ctes(m: int = 4, n_clusters: int = 16, n_iter: int = 2,
-                   seed: int = 42) -> str:
+                   seed: int = 42, p: str = "") -> str:
     """DuckDB CTE chain replaying similarity.pq_index exactly: it is
     _ivf_build_ctes with `sub` added to every key — quantize, slice
     into m subvectors (trailing dims to the last), seeded hash init
@@ -1402,58 +1403,58 @@ def _pq_build_ctes(m: int = 4, n_clusters: int = 16, n_iter: int = 2,
     squared-L2 argmin per subspace)."""
     s = S.KMEANS_SCALE
     ctes = [
-        f"""vq AS (
+        f"""{p}vq AS (
     SELECT vec_id,
            list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {s} + 0.5) AS BIGINT)) AS vq
     FROM embeddings
 )""",
-        f"""sv AS (
+        f"""{p}sv AS (
     SELECT vec_id, s.sub,
            list_slice(vq, s.sub * ds + 1,
                       CASE WHEN s.sub = {m - 1} THEN n ELSE (s.sub + 1) * ds END) AS svq
-    FROM (SELECT vec_id, vq, len(vq) AS n, len(vq) // {m} AS ds FROM vq),
+    FROM (SELECT vec_id, vq, len(vq) AS n, len(vq) // {m} AS ds FROM {p}vq),
          unnest(range({m})) AS s(sub)
 )""",
-        f"""assign0 AS (
+        f"""{p}assign0 AS (
     SELECT vec_id, sub,
            CAST(('0x' || substring(md5('pq{seed}' || chr(31) || CAST(vec_id AS VARCHAR)
                 || chr(31) || CAST(sub AS VARCHAR)), 1, 15))::BIGINT % {n_clusters}
                 AS INTEGER) AS cluster
-    FROM sv
+    FROM {p}sv
 )""",
     ]
-    prev = "assign0"
+    prev = f"{p}assign0"
     for t in range(1, n_iter + 1):
-        ctes.append(f"""cent{t}_long AS (
+        ctes.append(f"""{p}cent{t}_long AS (
     SELECT sub, cluster, j,
            CAST(floor(CAST(SUM(val) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS cq
     FROM (
         SELECT a.sub, a.cluster, r.j, v.svq[r.j + 1] AS val
-        FROM {prev} a JOIN sv v USING (vec_id, sub),
+        FROM {prev} a JOIN {p}sv v USING (vec_id, sub),
              unnest(range(len(v.svq))) AS r(j)
     ) GROUP BY sub, cluster, j
 )""")
-        ctes.append(f"""cent{t} AS (
+        ctes.append(f"""{p}cent{t} AS (
     SELECT sub, cluster, array_agg(cq ORDER BY j) AS cq_arr
-    FROM cent{t}_long GROUP BY sub, cluster
+    FROM {p}cent{t}_long GROUP BY sub, cluster
 )""")
-        ctes.append(f"""dist{t} AS (
+        ctes.append(f"""{p}dist{t} AS (
     SELECT v.vec_id, v.sub, c.cluster,
            (SELECT SUM((a - b) * (a - b))
             FROM (SELECT unnest(v.svq) AS a, unnest(c.cq_arr) AS b) z) AS dist
-    FROM sv v JOIN cent{t} c ON v.sub = c.sub
+    FROM {p}sv v JOIN {p}cent{t} c ON v.sub = c.sub
 )""")
-        ctes.append(f"""assign{t} AS (
+        ctes.append(f"""{p}assign{t} AS (
     SELECT vec_id, sub, cluster FROM (
         SELECT vec_id, sub, cluster,
                ROW_NUMBER() OVER (PARTITION BY vec_id, sub
                                   ORDER BY dist ASC, cluster ASC) AS rn
-        FROM dist{t}
+        FROM {p}dist{t}
     ) WHERE rn = 1
 )""")
-        prev = f"assign{t}"
-    ctes.append(f"codes AS (SELECT vec_id, sub, cluster FROM {prev})")
-    ctes.append(f"codebook AS (SELECT sub, cluster, cq_arr FROM cent{n_iter})")
+        prev = f"{p}assign{t}"
+    ctes.append(f"{p}codes AS (SELECT vec_id, sub, cluster FROM {prev})")
+    ctes.append(f"{p}codebook AS (SELECT sub, cluster, cq_arr FROM {p}cent{n_iter})")
     return ",\n".join(ctes)
 
 
@@ -1622,16 +1623,77 @@ LEFT JOIN agg a USING (doc_id)
 """
 
 
+# ------------------------------------------------- IVF-PQ (window candidate)
+def q_embedding_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed IVF-PQ ANN (similarity.cosine_topk_ivf_pq) with a
+    FULL oracle: BOTH deterministic index builds (IVF Lloyd's +
+    m-subspace PQ Lloyd's) replayed CTE-prefixed side by side, then
+    probe selection, candidate generation and integer ADC scoring —
+    the entire FAISS-IVFPQ analogue reproduced in SQL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cosine_topk_ivf_pq(
+        emb, emb.filter(F.col("vec_id") < 20), k=5, nprobe=3,
+        n_clusters=16, m=4, pq_clusters=16,
+    )
+
+
+# builds use the Spark-side defaults: ivf_index(n_iter=3), pq_index(n_iter=2)
+ORACLE_EMBEDDING_IVFPQ = f"""
+WITH {_ivf_build_ctes(n_clusters=16, n_iter=3, p="ivf_")},
+{_pq_build_ctes(m=4, n_clusters=16, n_iter=2, p="pq_")}, q AS (
+    SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 20
+), probe_scored AS (
+    SELECT qid, cluster,
+        (SELECT SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE))
+         FROM (SELECT unnest(qv) AS x, unnest(centroid) AS y) t) /
+        (sqrt((SELECT SUM(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)) FROM (SELECT unnest(qv) AS x) t2)) *
+         sqrt((SELECT SUM(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)) FROM (SELECT unnest(centroid) AS y) t3))) AS c_cos
+    FROM q, ivf_centroids
+), probes AS (
+    SELECT qid, cluster FROM (
+        SELECT qid, cluster,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY c_cos DESC, cluster ASC) AS c_rank
+        FROM probe_scored
+    ) WHERE c_rank <= 3
+), cands AS (
+    SELECT p.qid, a.vec_id AS nid
+    FROM probes p JOIN ivf_assigned a USING (cluster)
+    WHERE a.vec_id <> p.qid
+), qsub AS (
+    SELECT vec_id AS qid, sub, svq FROM pq_sv WHERE vec_id < 20
+), lut AS (
+    SELECT s.qid, s.sub, c.cluster,
+           (SELECT SUM((a - b) * (a - b))
+            FROM (SELECT unnest(s.svq) AS a, unnest(c.cq_arr) AS b) z) AS part
+    FROM qsub s JOIN pq_codebook c ON s.sub = c.sub
+), scored AS (
+    SELECT cd.qid, cd.nid, SUM(l.part) AS adc
+    FROM cands cd
+    JOIN pq_codes pc ON pc.vec_id = cd.nid
+    JOIN lut l ON l.qid = cd.qid AND l.sub = pc.sub AND l.cluster = pc.cluster
+    GROUP BY cd.qid, cd.nid
+), ranked AS (
+    SELECT qid, nid, adc,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS rank
+    FROM scored
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       CAST(adc AS BIGINT) AS adc
+FROM ranked WHERE rank <= 5
+"""
+
+
 # See suite/core.py ROTATED_OUT_QUERIES: rotated-out pairs stay under
 # the external DuckDB oracle every round via
 # tests/test_config_and_job.py::test_rotated_out_keys_still_match_duckdb,
-# and the registry also carries WINDOW CANDIDATES (tokens_to_ids)
-# queued for a future rotation slot.
+# and the registry also carries WINDOW CANDIDATES (tokens_to_ids,
+# embedding_ivfpq) queued for a future rotation slot.
 ROTATED_OUT_QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_neardup": q_embedding_neardup,
     "tokens_to_ids": q_tokens_to_ids,
+    "embedding_ivfpq": q_embedding_ivfpq,
 }
 
 ROTATED_OUT_ORACLES = {
@@ -1639,4 +1701,5 @@ ROTATED_OUT_ORACLES = {
     "doc_fingerprint": ORACLE_DOC_FINGERPRINT,
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "tokens_to_ids": ORACLE_TOKENS_TO_IDS,
+    "embedding_ivfpq": ORACLE_EMBEDDING_IVFPQ,
 }
