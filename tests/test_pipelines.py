@@ -333,3 +333,35 @@ def test_llm_build_cli(spark, tmp_path):
     )
     shards = spark.read.parquet(out + "/shards")
     assert shards.count() == report["corpus"]
+
+
+def test_llm_pipeline_plan_shape_at_scale(spark):
+    """Scale insurance for the composed corpus build (same convention
+    as test_digital_plan_shape_at_scale): replicate the documents
+    fixture ×20 and assert the full pipeline's executed plan contains
+    no CartesianProduct and no BroadcastNestedLoopJoin — every join
+    in the build (reputation semi, fingerprint semi, band self-join,
+    CC label joins, decontam posting join, split/shard windows) must
+    stay an equi-join at any scale."""
+    from gcp_dataengineering_spark.llm_ops.pipeline import build_training_corpus
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    big = (
+        docs.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(19))))
+        .withColumn("doc_id", F.col("doc_id") * 100 + F.col("_rep"))
+        .withColumn(
+            "text", F.concat_ws(" ", F.col("text"), F.concat(F.lit("rep"), F.col("_rep")))
+        )
+        .drop("_rep")
+    )
+    old_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        stages = build_training_corpus(big)
+        out = stages["shards"]
+        assert out.count() > 0
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("CartesianProduct") == 0, "cartesian product at scale"
+        assert plan.count("BroadcastNestedLoopJoin") == 0, "non-equi join at scale"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
