@@ -1683,17 +1683,79 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ------------------------------------------- adaptive gate (window candidate)
+def q_quality_gate_adaptive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-derived keep-the-top-30% gate
+    (corpus.keep_top_fraction_by_score over the whitespace token
+    count): exact integer histogram-quantile threshold, ties
+    inclusive."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("score", T.whitespace_token_count("text").cast("long"))
+    kept = C.keep_top_fraction_by_score(d, "score", keep_pct=30)
+    return kept.select("doc_id", "score")
+
+
+ORACLE_QUALITY_GATE_ADAPTIVE = """
+WITH s AS (
+    SELECT doc_id,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                x -> x <> '')) AS BIGINT) AS score
+    FROM documents
+), h AS (
+    SELECT score, COUNT(*) AS cnt FROM s GROUP BY score
+), c AS (
+    SELECT score,
+           SUM(cnt) OVER (ORDER BY score DESC ROWS UNBOUNDED PRECEDING) AS cum,
+           SUM(cnt) OVER () AS total
+    FROM h
+), t AS (
+    SELECT MAX(score) AS thr FROM c WHERE cum >= (total * 30 + 99) // 100
+)
+SELECT doc_id, score FROM s, t WHERE score >= thr
+"""
+
+
+# ------------------------------------------- source token cap (window candidate)
+def q_source_token_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-budget cap (corpus.cap_source_tokens,
+    6000-token budget): the greedy doc_id-order prefix whose
+    INCLUSIVE cumulative token sum fits the cap."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.withColumn("n_tokens", T.whitespace_token_count("text").cast("long"))
+    return C.cap_source_tokens(d, max_tokens=6000).select(
+        "doc_id", "source", "n_tokens"
+    )
+
+
+ORACLE_SOURCE_TOKEN_CAP = """
+SELECT doc_id, source, n_tokens FROM (
+    SELECT doc_id, source, n_tokens,
+           SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum
+    FROM (
+        SELECT doc_id, source,
+               CAST(len(list_filter(regexp_split_to_array(text, '\\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    )
+) WHERE cum <= 6000
+"""
+
+
 # See suite/core.py ROTATED_OUT_QUERIES: rotated-out pairs stay under
 # the external DuckDB oracle every round via
 # tests/test_config_and_job.py::test_rotated_out_keys_still_match_duckdb,
 # and the registry also carries WINDOW CANDIDATES (tokens_to_ids,
-# embedding_ivfpq) queued for a future rotation slot.
+# embedding_ivfpq, quality_gate_adaptive, source_token_cap) queued
+# for a future rotation slot.
 ROTATED_OUT_QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
     "embedding_neardup": q_embedding_neardup,
     "tokens_to_ids": q_tokens_to_ids,
     "embedding_ivfpq": q_embedding_ivfpq,
+    "quality_gate_adaptive": q_quality_gate_adaptive,
+    "source_token_cap": q_source_token_cap,
 }
 
 ROTATED_OUT_ORACLES = {
@@ -1702,4 +1764,6 @@ ROTATED_OUT_ORACLES = {
     "embedding_neardup": ORACLE_EMBEDDING_NEARDUP,
     "tokens_to_ids": ORACLE_TOKENS_TO_IDS,
     "embedding_ivfpq": ORACLE_EMBEDDING_IVFPQ,
+    "quality_gate_adaptive": ORACLE_QUALITY_GATE_ADAPTIVE,
+    "source_token_cap": ORACLE_SOURCE_TOKEN_CAP,
 }
