@@ -1051,6 +1051,28 @@ FROM s4
 """
 
 
+def q_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-step funnel conversion counts (ops/funnel.funnel_report):
+    users reaching AT LEAST each step of view → click → signup →
+    purchase — monotone by construction."""
+    from ..ops.funnel import funnel_report
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ts", event_ts(ev))
+    return funnel_report(ev, ["view", "click", "signup", "purchase"], ts_col="ts_ts")
+
+
+ORACLE_FUNNEL_REPORT = f"""
+WITH ms AS ({ORACLE_FUNNEL_STEPS})
+SELECT CAST(r.step AS BIGINT) AS step,
+       (['view', 'click', 'signup', 'purchase'])[r.step] AS step_name,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM ms, unnest(range(1, 5)) AS r(step)
+WHERE ms.max_step >= r.step
+GROUP BY r.step
+"""
+
+
 # Keys rotated out of the driver's 50-key oracle window (the window
 # is a cap, not the universe of external checks): every pair here is
 # still run against the DuckDB oracle EVERY round by
@@ -1069,6 +1091,7 @@ ROTATED_OUT_QUERIES = {
     # against the SAME oracle text (interchangeability proof).
     "sessionize_native": q_sessionize_native,
     "funnel_steps": q_funnel_steps,
+    "funnel_report": q_funnel_report,
 }
 
 ROTATED_OUT_ORACLES = {
@@ -1079,4 +1102,5 @@ ROTATED_OUT_ORACLES = {
     "week_to_month": ORACLE_WEEK_TO_MONTH,
     "sessionize_native": ORACLE_SESSIONIZE,
     "funnel_steps": ORACLE_FUNNEL_STEPS,
+    "funnel_report": ORACLE_FUNNEL_REPORT,
 }
