@@ -521,3 +521,26 @@ def corpus_quality_gate() -> Column:
         & (F.col("punct_ratio") <= 0.1)
         & (F.col("avg_token_len") >= 2.0)
     )
+
+
+def normalize_text(
+    col: Column | str,
+    lower: bool = True,
+    collapse_ws: bool = True,
+    strip_punct: bool = False,
+) -> Column:
+    """Composable text normalization (the public form of what
+    fingerprint() does internally): lowercase, collapse all
+    whitespace runs to single spaces + trim, optionally strip
+    non-alphanumeric characters. Pure codegen'd projection; the
+    default (lower + collapse) is exactly the fingerprint contract,
+    so `md5(normalize_text(c))` == `fingerprint(c)` by
+    construction."""
+    c = F.col(col) if isinstance(col, str) else col
+    if lower:
+        c = F.lower(c)
+    if strip_punct:
+        c = F.regexp_replace(c, "[^a-z0-9\\s]" if lower else "[^a-zA-Z0-9\\s]", " ")
+    if collapse_ws:
+        c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    return c

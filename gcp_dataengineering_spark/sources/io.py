@@ -364,3 +364,42 @@ def write_zorder_layout(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
+    """One-pass data profile: per column — null count, approximate
+    distinct (HLL), and min/max rendered as strings (so every type
+    fits one output schema). The ingest-acceptance check you run on a
+    new feed before trusting it.
+
+    ALL columns' aggregates evaluate in a SINGLE aggregation pass
+    (one job, map-side combined, no shuffle beyond the 1-row
+    reduction), then the 1×(4·n_cols) row is unpivoted driver-side —
+    profiling a 100 TB table costs exactly one scan."""
+    aggs = [F.count(F.lit(1)).alias("_n_rows")]
+    for c in df.columns:
+        aggs += [
+            F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nulls_{c}"),
+            F.approx_count_distinct(c, rsd).alias(f"_dist_{c}"),
+            F.min(F.col(c).cast("string")).alias(f"_min_{c}"),
+            F.max(F.col(c).cast("string")).alias(f"_max_{c}"),
+        ]
+    row = df.agg(*aggs).first()
+    dtypes = dict(df.dtypes)
+    out = [
+        (
+            c,
+            dtypes[c],
+            int(row["_n_rows"]),
+            int(row[f"_nulls_{c}"]),
+            int(row[f"_dist_{c}"]),
+            row[f"_min_{c}"],
+            row[f"_max_{c}"],
+        )
+        for c in df.columns
+    ]
+    return df.sparkSession.createDataFrame(
+        out,
+        "column string, dtype string, n_rows bigint, n_nulls bigint, "
+        "approx_distinct bigint, min_str string, max_str string",
+    )

@@ -268,3 +268,24 @@ def test_compact_small_files_preserves_partitioned_layout(spark, tmp_path):
     assert write_versioned_history(df, spark, path) == 3
     assert spark.read.parquet(path).count() == 150
     assert read_history_version(spark, path, 1).count() == 50
+
+
+def test_profile_table_one_pass(spark):
+    from gcp_dataengineering_spark.sources.io import profile_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    prof = {r.column: r for r in profile_table(docs).collect()}
+    assert set(prof) == set(docs.columns)
+    n = docs.count()
+    for c in docs.columns:
+        assert prof[c].n_rows == n and prof[c].n_nulls == 0
+    exact_langs = docs.select("lang").distinct().count()
+    assert abs(prof["lang"].approx_distinct - exact_langs) <= max(1, exact_langs // 4)
+    assert prof["doc_id"].min_str == "0"
+    assert prof["lang"].dtype == "string" and prof["doc_id"].dtype == "bigint"
+
+    with_nulls = docs.withColumn(
+        "maybe", F.when(F.col("doc_id") % 3 == 0, F.col("lang"))
+    )
+    p2 = {r.column: r for r in profile_table(with_nulls).collect()}
+    assert p2["maybe"].n_nulls == with_nulls.filter(F.col("maybe").isNull()).count()

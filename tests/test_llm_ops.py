@@ -2289,3 +2289,21 @@ def test_ivf_pq_equals_adc_over_probed_subset(spark):
         for rank, (adc, nid) in enumerate(sorted(lst)[:5], 1):
             want.append((qid, nid, rank, adc))
     assert sorted(map(tuple, got)) == sorted(want) and len(got) > 0
+
+
+def test_normalize_text_matches_fingerprint_contract(spark):
+    from gcp_dataengineering_spark.llm_ops.text import fingerprint, normalize_text
+
+    df = spark.createDataFrame(
+        [(1, "  Hello,   WORLD!  \t new"), (2, None)], "doc_id long, text string"
+    )
+    r = df.select(
+        normalize_text("text").alias("norm"),
+        F.md5(normalize_text("text").cast("binary")).alias("h"),
+        fingerprint("text").alias("fp"),
+        normalize_text("text", strip_punct=True).alias("np"),
+    ).collect()
+    assert r[0].norm == "hello, world! new"
+    assert r[0].h == r[0].fp  # default normalize == the fingerprint contract
+    assert r[0].np == "hello world new"
+    assert r[1].norm is None and r[1].fp is None
