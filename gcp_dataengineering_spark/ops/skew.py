@@ -58,3 +58,28 @@ def salted_broadcast_join(
     salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias(SALT)
     replicated = small.select("*", salts)
     return salted_big.join(F.broadcast(replicated), [key, SALT], "inner").drop(SALT)
+
+
+def skew_report(
+    df: DataFrame, keys: list[str], top_n: int = 20
+) -> DataFrame:
+    """Partition-key skew diagnosis: the ``top_n`` heaviest key
+    groups with row counts and their share of the table in ppm
+    (integer — no float agg drift). Run it BEFORE choosing a join/agg
+    strategy: a top key holding >5-10% of a 100 TB table is the
+    signal to reach for salted_sum / salted_broadcast_join or AQE
+    skew handling.
+
+    One map-side-combined aggregation; the global top-n is
+    TakeOrderedAndProject (each partition ships only its local n).
+    The total rides along via a 1-row broadcast, not a second
+    scan."""
+    counts = df.groupBy(*keys).agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .withColumn("share_ppm", F.expr("n_rows * 1000000 div _total"))
+        .drop("_total")
+        .orderBy(F.col("n_rows").desc(), *[F.col(k).asc() for k in keys])
+        .limit(top_n)
+    )

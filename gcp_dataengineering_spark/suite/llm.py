@@ -1748,6 +1748,44 @@ SELECT doc_id, source, n_tokens FROM (
 # and the registry also carries WINDOW CANDIDATES (tokens_to_ids,
 # embedding_ivfpq, quality_gate_adaptive, source_token_cap) queued
 # for a future rotation slot.
+# ------------------------------------------- corpus diff (window candidate)
+def q_corpus_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Release diff between two corpus versions DERIVED from the
+    documents table (old = ids not divisible by 5; new = ids not
+    divisible by 3, with ' v2' appended where id % 4 == 0): exercises
+    all four statuses with a deterministic fixture both engines can
+    rebuild."""
+    docs = _t(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 5 != 0)
+    new = docs.filter(F.col("doc_id") % 3 != 0).withColumn(
+        "text",
+        F.when(F.col("doc_id") % 4 == 0, F.concat(F.col("text"), F.lit(" v2")))
+        .otherwise(F.col("text")),
+    )
+    return C.corpus_diff(old, new)
+
+
+ORACLE_CORPUS_DIFF = """
+WITH o AS (
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE doc_id % 5 <> 0
+), n0 AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 3 <> 0
+), n AS (
+    SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM n0
+)
+SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN o.doc_id IS NULL THEN 'added'
+            WHEN n.doc_id IS NULL THEN 'removed'
+            WHEN o.fp <> n.fp THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
+"""
+
+
 ROTATED_OUT_QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1756,6 +1794,7 @@ ROTATED_OUT_QUERIES = {
     "embedding_ivfpq": q_embedding_ivfpq,
     "quality_gate_adaptive": q_quality_gate_adaptive,
     "source_token_cap": q_source_token_cap,
+    "corpus_diff": q_corpus_diff,
 }
 
 ROTATED_OUT_ORACLES = {
@@ -1766,4 +1805,5 @@ ROTATED_OUT_ORACLES = {
     "embedding_ivfpq": ORACLE_EMBEDDING_IVFPQ,
     "quality_gate_adaptive": ORACLE_QUALITY_GATE_ADAPTIVE,
     "source_token_cap": ORACLE_SOURCE_TOKEN_CAP,
+    "corpus_diff": ORACLE_CORPUS_DIFF,
 }

@@ -224,3 +224,17 @@ def test_approx_distinct_stats(spark):
     assert ap.count("Exchange hashpartitioning") == 1, ap
     assert "partial_approx_count_distinct" in ap, ap
     assert ep.count("Exchange hashpartitioning") == 2, ep
+
+
+def test_skew_report_identifies_heavy_keys(spark):
+    from gcp_dataengineering_spark.ops.skew import skew_report
+
+    rows = [(i, "hot" if i % 10 != 9 else f"cold{i}") for i in range(1000)]
+    df = spark.createDataFrame(rows, "id long, k string")
+    rep = skew_report(df, ["k"], top_n=3).collect()
+    assert rep[0].k == "hot" and rep[0].n_rows == 900
+    assert rep[0].share_ppm == 900000
+    assert all(r.n_rows <= rep[0].n_rows for r in rep)
+    # top-n is TakeOrderedAndProject, not a global sort
+    plan = skew_report(df, ["k"])._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
