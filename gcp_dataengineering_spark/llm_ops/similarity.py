@@ -747,6 +747,34 @@ def pq_index(
     return assign, codebook
 
 
+def _pq_query_lut(
+    queries: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-query ADC lookup table: (query_id, sub, cluster, part)
+    with part the exact BIGINT squared-L2 between the query's
+    subvector and each codebook centroid — the single definition both
+    pq_topk_adc and cosine_topk_ivf_pq score with."""
+    qsub = pq_subvectors(queries, m, id_col, vec_col).withColumnRenamed(
+        "vec_id", "query_id"
+    )
+    return (
+        qsub.join(F.broadcast(codebooks), "sub")
+        .withColumn(
+            "part",
+            F.aggregate(
+                F.zip_with(F.col("svq"), F.col("cq_arr"), lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("bigint"),
+                lambda acc, x: acc + x,
+            ),
+        )
+        .select("query_id", "sub", "cluster", "part")
+    )
+
+
 def pq_topk_adc(
     codes: DataFrame,
     codebooks: DataFrame,
@@ -773,21 +801,7 @@ def pq_topk_adc(
     partial-sum aggregation (map-side combined) and the per-query
     rank over the scored set. Vectors are never read at search time —
     the whole point of PQ at 100 TB."""
-    qsub = pq_subvectors(queries, m, id_col, vec_col).withColumnRenamed(
-        "vec_id", "query_id"
-    )
-    lut = (
-        qsub.join(F.broadcast(codebooks), "sub")
-        .withColumn(
-            "part",
-            F.aggregate(
-                F.zip_with(F.col("svq"), F.col("cq_arr"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ),
-        )
-        .select("query_id", "sub", "cluster", "part")
-    )
+    lut = _pq_query_lut(queries, codebooks, m, id_col, vec_col)
     scored = (
         codes.withColumnRenamed("vec_id", "neighbor_id")
         .join(F.broadcast(lut), ["sub", "cluster"])
@@ -1011,21 +1025,7 @@ def cosine_topk_ivf_pq(
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
     )
-    qsub = pq_subvectors(queries, m, id_col, vec_col).withColumnRenamed(
-        "vec_id", "query_id"
-    )
-    lut = (
-        qsub.join(F.broadcast(codebook), "sub")
-        .withColumn(
-            "part",
-            F.aggregate(
-                F.zip_with(F.col("svq"), F.col("cq_arr"), lambda a, b: (a - b) * (a - b)),
-                F.lit(0).cast("bigint"),
-                lambda acc, x: acc + x,
-            ),
-        )
-        .select("query_id", "sub", "cluster", "part")
-    )
+    lut = _pq_query_lut(queries, codebook, m, id_col, vec_col)
     scored = (
         cands.join(codes.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
         .join(F.broadcast(lut), ["query_id", "sub", "cluster"])

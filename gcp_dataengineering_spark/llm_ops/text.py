@@ -337,8 +337,10 @@ def fingerprint(col: Column | str) -> Column:
     hashes are only needed for partial-overlap detection; for whole-
     doc identity a strong hash is the right primitive at scale —
     fixed 32-byte shuffle key instead of the full text.)"""
-    c = F.col(col) if isinstance(col, str) else col
-    return F.md5(F.trim(F.regexp_replace(F.lower(c), "\\s+", " ")).cast("binary"))
+    # defined THROUGH normalize_text so the advertised
+    # md5(normalize_text(c)) == fingerprint(c) contract is structural,
+    # not test-enforced: one normalization expression, two consumers
+    return F.md5(normalize_text(col).cast("binary"))
 
 
 def vocab_table(df: DataFrame, k: int = 1000, text_col: str = "text") -> DataFrame:

@@ -67,7 +67,10 @@ def funnel_report(
 ) -> DataFrame:
     """Per-step conversion: (step, step_name, n_users) where n_users
     counted users reaching AT LEAST that step — the classic funnel
-    chart input (monotone non-increasing by construction)."""
+    chart input (monotone non-increasing by construction). Every
+    declared step gets a row: a tier no user reached reports
+    n_users = 0 rather than vanishing (a chart iterating the step
+    list must not silently render a shorter funnel)."""
     per_user = funnel_steps(events, steps, user_col, type_col, ts_col)
     tiers = F.explode(
         F.sequence(F.lit(1), F.col("max_step"))
@@ -75,10 +78,14 @@ def funnel_report(
     reached = per_user.filter(F.col("max_step") >= 1).select(
         tiers.alias("step")
     )
-    names = F.array(*[F.lit(s) for s in steps])
+    counts = reached.groupBy("step").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    all_steps = events.sparkSession.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step bigint, step_name string"
+    )
     return (
-        reached.groupBy("step")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-        .withColumn("step_name", F.element_at(names, F.col("step")))
+        all_steps.join(counts, "step", "left")
+        .na.fill({"n_users": 0})
         .select("step", "step_name", "n_users")
     )

@@ -381,8 +381,11 @@ def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
         aggs += [
             F.sum(F.col(c).isNull().cast("bigint")).alias(f"_nulls_{c}"),
             F.approx_count_distinct(c, rsd).alias(f"_dist_{c}"),
-            F.min(F.col(c).cast("string")).alias(f"_min_{c}"),
-            F.max(F.col(c).cast("string")).alias(f"_max_{c}"),
+            # aggregate on the NATIVE type, render to string after —
+            # min/max over a string cast would be lexicographic
+            # ('10' < '2', '-5' < '-10') on every numeric column
+            F.min(F.col(c)).cast("string").alias(f"_min_{c}"),
+            F.max(F.col(c)).cast("string").alias(f"_max_{c}"),
         ]
     row = df.agg(*aggs).first()
     dtypes = dict(df.dtypes)
@@ -391,8 +394,10 @@ def profile_table(df: DataFrame, rsd: float = 0.05) -> DataFrame:
             c,
             dtypes[c],
             int(row["_n_rows"]),
-            int(row[f"_nulls_{c}"]),
-            int(row[f"_dist_{c}"]),
+            # sum over zero rows is NULL (count is 0) — an empty feed
+            # must profile as zeros, not crash
+            int(row[f"_nulls_{c}"] or 0),
+            int(row[f"_dist_{c}"] or 0),
             row[f"_min_{c}"],
             row[f"_max_{c}"],
         )

@@ -39,14 +39,26 @@ def upsert_batch_into_snapshot(
     with the existing snapshot (if any), keep the latest per key,
     atomically replace the snapshot."""
     spark = batch.sparkSession
+    tmp = snapshot_dir.rstrip("/") + "._upsert_tmp"
+    old = snapshot_dir.rstrip("/") + "._upsert_old"
+    # crash recovery BEFORE reading state (same hygiene as
+    # io.compact_small_files): a leftover tmp is an unfinished
+    # rewrite (garbage); a leftover old with the snapshot missing
+    # means we crashed between the two renames — the old dir IS the
+    # current state, roll it back rather than merging against nothing
+    # and then deleting it; old alongside a live snapshot just missed
+    # its final cleanup.
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)
+    if os.path.exists(old):
+        if os.path.exists(snapshot_dir):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, snapshot_dir)
     merged = latest_by_key_agg(batch, keys, version_cols)
     if os.path.exists(snapshot_dir):
         current = spark.read.parquet(snapshot_dir).select(*merged.columns)
         merged = latest_by_key_agg(current.unionByName(merged), keys, version_cols)
-    tmp = snapshot_dir.rstrip("/") + "._upsert_tmp"
-    old = snapshot_dir.rstrip("/") + "._upsert_old"
-    if os.path.exists(tmp):
-        shutil.rmtree(tmp)
     merged.write.mode("overwrite").parquet(tmp)
     if os.path.exists(snapshot_dir):
         os.rename(snapshot_dir, old)

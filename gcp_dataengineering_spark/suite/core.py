@@ -1024,21 +1024,21 @@ WITH l AS (
            array_agg(event_type ORDER BY CAST(ts AS TIMESTAMP), event_type) AS ets
     FROM events GROUP BY user_id
 ), s1 AS (
-    SELECT user_id, ets, list_position(ets, 'view') AS p1 FROM l
+    SELECT user_id, ets, coalesce(list_position(ets, 'view'), 0) AS p1 FROM l
 ), s2 AS (
     SELECT user_id, ets, p1,
            CASE WHEN p1 = 0 THEN 0
-                ELSE list_position(ets[p1+1:], 'click') END AS d2
+                ELSE coalesce(list_position(ets[p1+1:], 'click'), 0) END AS d2
     FROM s1
 ), s3 AS (
     SELECT user_id, ets, p1, d2,
            CASE WHEN p1 = 0 OR d2 = 0 THEN 0
-                ELSE list_position(ets[p1+d2+1:], 'signup') END AS d3
+                ELSE coalesce(list_position(ets[p1+d2+1:], 'signup'), 0) END AS d3
     FROM s2
 ), s4 AS (
     SELECT user_id, p1, d2, d3,
            CASE WHEN p1 = 0 OR d2 = 0 OR d3 = 0 THEN 0
-                ELSE list_position(ets[p1+d2+d3+1:], 'purchase') END AS d4
+                ELSE coalesce(list_position(ets[p1+d2+d3+1:], 'purchase'), 0) END AS d4
     FROM s3
 )
 SELECT user_id,
@@ -1063,13 +1063,18 @@ def q_funnel_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ORACLE_FUNNEL_REPORT = f"""
-WITH ms AS ({ORACLE_FUNNEL_STEPS})
-SELECT CAST(r.step AS BIGINT) AS step,
-       (['view', 'click', 'signup', 'purchase'])[r.step] AS step_name,
-       CAST(COUNT(*) AS BIGINT) AS n_users
-FROM ms, unnest(range(1, 5)) AS r(step)
-WHERE ms.max_step >= r.step
-GROUP BY r.step
+WITH ms AS ({ORACLE_FUNNEL_STEPS}),
+steps(step, step_name) AS (
+    VALUES (1, 'view'), (2, 'click'), (3, 'signup'), (4, 'purchase')
+), counts AS (
+    SELECT r.step, COUNT(*) AS n
+    FROM ms, unnest(range(1, 5)) AS r(step)
+    WHERE ms.max_step >= r.step
+    GROUP BY r.step
+)
+SELECT CAST(s.step AS BIGINT) AS step, s.step_name,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_users
+FROM steps s LEFT JOIN counts c USING (step)
 """
 
 

@@ -258,3 +258,16 @@ def test_funnel_python_replay_on_real_events(spark):
 
     rep = [r.n_users for r in funnel_report(ev, steps, ts_col="ts_ts").orderBy("step").collect()]
     assert all(a >= b for a, b in zip(rep, rep[1:]))
+
+
+def test_funnel_report_emits_zero_tiers(spark):
+    """A declared step no user reached still gets its row with
+    n_users = 0 — a chart iterating the step list must never see a
+    shorter funnel than it declared."""
+    from gcp_dataengineering_spark.ops.funnel import funnel_report
+
+    ev = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "view")], "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    rep = {r.step: (r.step_name, r.n_users) for r in funnel_report(ev, ["view", "click", "buy"]).collect()}
+    assert rep == {1: ("view", 1), 2: ("click", 0), 3: ("buy", 0)}
