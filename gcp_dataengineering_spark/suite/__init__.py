@@ -1,25 +1,30 @@
 """Query suite: fixture-bound (spark, sf_dir) callables + DuckDB oracle SQL.
 
 Each module exposes ``QUERIES: dict[str, callable]`` and
-``ORACLES: dict[str, str]``; ``__spark_entry__.py`` assembles them.
+``ORACLES: dict[str, str]`` plus ``ROTATED_OUT_*`` siblings; together
+they form the full pair universe. Which pairs face the driver's
+50-key external oracle window THIS round is decided by
+``rotation.window_keys()`` (see rotation.py and ROTATION.md) —
+``__spark_entry__.py`` registers exactly that window, in order.
+Out-of-window pairs still run against DuckDB every round via
+tests/test_config_and_job.py::test_rotated_out_keys_still_match_duckdb.
 Keys are stable operator ids tied to SURVEY.md §2 rows.
 """
 
 from __future__ import annotations
 
-
 # The driver's correctness gate checks the FIRST 50 registered keys in
 # order. Round 4 registered 55 and silently lost the last 5 (the e2e
-# pipelines among them). Two defenses, both enforced by pytest
+# pipelines among them). Defenses, enforced by pytest
 # (tests/test_config_and_job.py::test_registry_fits_driver_window):
-#   1. total registered keys <= MAX_CHECKED, so nothing can fall off;
-#   2. e2e registers BEFORE llm, so the end-to-end pipeline
-#      reconstructions (the reference's actual product) sit well inside
-#      the window even if the count ever creeps up.
+#   1. the assembled window is <= MAX_CHECKED keys, so nothing falls off;
+#   2. rotation.RESIDENT puts the e2e pipeline reconstructions at fixed
+#      positions well inside the window's first half;
+#   3. rotation partition tests prove window + external == universe.
 MAX_CHECKED = 50
 
 
-def assemble():
+def _all_pairs():
     from . import core, e2e, llm
 
     queries: dict = {}
@@ -27,4 +32,31 @@ def assemble():
     for mod in (core, e2e, llm):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLES)
+        queries.update(getattr(mod, "ROTATED_OUT_QUERIES", {}))
+        oracles.update(getattr(mod, "ROTATED_OUT_ORACLES", {}))
     return queries, oracles
+
+
+def assemble(round_no: int | None = None):
+    """The driver-facing window for this round, in rotation order."""
+    from . import rotation
+
+    queries, oracles = _all_pairs()
+    keys = rotation.window_keys(round_no)
+    return (
+        {k: queries[k] for k in keys},
+        {k: oracles[k] for k in keys},
+    )
+
+
+def assemble_external(round_no: int | None = None):
+    """Pairs NOT in this round's driver window — pytest checks these
+    against DuckDB with the driver's own compare."""
+    from . import rotation
+
+    queries, oracles = _all_pairs()
+    keys = rotation.external_keys(round_no)
+    return (
+        {k: queries[k] for k in keys},
+        {k: oracles[k] for k in keys},
+    )

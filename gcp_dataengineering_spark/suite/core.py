@@ -1078,6 +1078,70 @@ FROM steps s LEFT JOIN counts c USING (step)
 """
 
 
+def q_funnel_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conversion-window funnel (ops/funnel.funnel_steps_windowed):
+    step k counts only within 86400 s of reaching step k-1. The
+    Spark side folds struct(step, last_ts) over the time-sorted
+    event array; the oracle replays it as greedy positional matching
+    over parallel (event_type, epoch) arrays with the same window
+    check — both freeze the funnel at the first out-of-window
+    candidate (later candidates are even later, the array is
+    time-sorted)."""
+    from ..ops.funnel import funnel_steps_windowed
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ts", event_ts(ev))
+    return funnel_steps_windowed(
+        ev, ["view", "click", "signup", "purchase"], 86400.0, ts_col="ts_ts"
+    )
+
+
+ORACLE_FUNNEL_WINDOWED = """
+WITH l AS (
+    SELECT user_id,
+           array_agg(event_type ORDER BY CAST(ts AS TIMESTAMP), event_type) AS ets,
+           array_agg(epoch(CAST(ts AS TIMESTAMP)) ORDER BY CAST(ts AS TIMESTAMP), event_type) AS tss
+    FROM events GROUP BY user_id
+), s1 AS (
+    SELECT user_id, ets, tss, coalesce(list_position(ets, 'view'), 0) AS p1 FROM l
+), s2 AS (
+    SELECT user_id, ets, tss, p1,
+           CASE WHEN p1 = 0 THEN 0
+                ELSE coalesce(list_position(ets[p1+1:], 'click'), 0) END AS d2
+    FROM s1
+), s2b AS (
+    SELECT user_id, ets, tss, p1,
+           CASE WHEN d2 = 0 THEN 0
+                WHEN tss[p1+d2] - tss[p1] <= 86400 THEN p1+d2 ELSE 0 END AS p2
+    FROM s2
+), s3 AS (
+    SELECT user_id, ets, tss, p1, p2,
+           CASE WHEN p2 = 0 THEN 0
+                ELSE coalesce(list_position(ets[p2+1:], 'signup'), 0) END AS d3
+    FROM s2b
+), s3b AS (
+    SELECT user_id, ets, tss, p1, p2,
+           CASE WHEN d3 = 0 THEN 0
+                WHEN tss[p2+d3] - tss[p2] <= 86400 THEN p2+d3 ELSE 0 END AS p3
+    FROM s3
+), s4 AS (
+    SELECT user_id, ets, tss, p1, p2, p3,
+           CASE WHEN p3 = 0 THEN 0
+                ELSE coalesce(list_position(ets[p3+1:], 'purchase'), 0) END AS d4
+    FROM s3b
+), s4b AS (
+    SELECT user_id, p1, p2, p3,
+           CASE WHEN d4 = 0 THEN 0
+                WHEN tss[p3+d4] - tss[p3] <= 86400 THEN p3+d4 ELSE 0 END AS p4
+    FROM s4
+)
+SELECT user_id,
+       CAST(CASE WHEN p1 = 0 THEN 0 WHEN p2 = 0 THEN 1 WHEN p3 = 0 THEN 2
+                 WHEN p4 = 0 THEN 3 ELSE 4 END AS INTEGER) AS max_step
+FROM s4b
+"""
+
+
 # Keys rotated out of the driver's 50-key oracle window (the window
 # is a cap, not the universe of external checks): every pair here is
 # still run against the DuckDB oracle EVERY round by
@@ -1097,6 +1161,7 @@ ROTATED_OUT_QUERIES = {
     "sessionize_native": q_sessionize_native,
     "funnel_steps": q_funnel_steps,
     "funnel_report": q_funnel_report,
+    "funnel_windowed": q_funnel_windowed,
 }
 
 ROTATED_OUT_ORACLES = {
@@ -1108,4 +1173,5 @@ ROTATED_OUT_ORACLES = {
     "sessionize_native": ORACLE_SESSIONIZE,
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "funnel_report": ORACLE_FUNNEL_REPORT,
+    "funnel_windowed": ORACLE_FUNNEL_WINDOWED,
 }

@@ -1,0 +1,158 @@
+"""Rotation schedule for the driver's 50-key oracle window.
+
+The external correctness gate checks only the FIRST
+``MAX_CHECKED`` (50) registered query keys, but the suite defines
+more pairs than fit. Rotation policy (see ROTATION.md):
+
+- ``RESIDENT`` keys are in-window EVERY round: the pinned flagship +
+  both e2e pipeline reconstructions (the reference's actual product)
+  and the operators whose plans are still actively evolving.
+- ``GROUP_A`` / ``GROUP_B`` alternate: A is in-window on odd rounds,
+  B on even rounds, so every non-resident key gets an external
+  CORRECTNESS row at least every 2 rounds.
+- ``PERMANENT_EXTERNAL`` keys never enter the window: they are
+  alternate implementations checked against the SAME oracle text as
+  an in-window key (interchangeability proofs), so a driver row
+  would be redundant. They still run against DuckDB every round via
+  tests/test_config_and_job.py::test_rotated_out_keys_still_match_duckdb
+  — as does whichever of A/B is out-of-window. Rotation changes
+  which harness runs the check, never whether it runs.
+
+The round number is DERIVED, not maintained: the driver writes
+``CORRECTNESS_r{N}.json`` into the repo root after round N, so the
+round currently being built/graded is max(N) + 1. No constant to
+forget to bump; the window flips by itself when a round completes.
+"""
+
+from __future__ import annotations
+
+import re
+from pathlib import Path
+
+_REPO_ROOT = Path(__file__).resolve().parents[2]
+
+# Fallback when no CORRECTNESS_r*.json is visible (e.g. the suite
+# imported from an installed copy outside the build checkout).
+_FALLBACK_ROUND = 7
+
+
+def current_round() -> int:
+    """max N over CORRECTNESS_r{N}.json in the repo root, + 1."""
+    best = 0
+    for p in _REPO_ROOT.glob("CORRECTNESS_r*.json"):
+        m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
+        if m:
+            best = max(best, int(m.group(1)))
+    return best + 1 if best else _FALLBACK_ROUND
+
+
+# Always in-window. Order matters: the driver checks registration
+# order, and the e2e pipelines must sit inside the first half of the
+# window (test_registry_fits_driver_window).
+PINNED = [
+    "tam_flagship",
+    "pipeline_tam_e2e",
+    "pipeline_digital_e2e",
+]
+
+RESIDENT = [
+    # core reference-surface operators (SURVEY.md §2)
+    "tam_flagship",
+    "vintage_union",
+    "window_allocation",
+    "grouped_total_join",
+    "conditional_pivot",
+    "left_join_costs",
+    "missing_cost_full_join",
+    "expr_key_join",
+    "multi_key_join",
+    "scalar_funcs",
+    "union_conform",
+    "array_ops",
+    "agg_ordinals",
+    "events_hourly",
+    "sessionize",
+    "compact_latest",
+    # end-to-end reference reconstructions — always externally gated
+    "pipeline_tam_e2e",
+    "pipeline_digital_e2e",
+    # llm ops whose plans/semantics are newest or heaviest
+    "dedup_exact",
+    "text_quality",
+    "dedup_ngram_capped",
+    "dedup_groups",
+    "embedding_pq",
+    "embedding_lsh",
+    "embedding_neardup_lsh",
+    "multimodal_real_meta",
+    "decontaminate",
+    "pii_scrub",
+    "dedup_pipeline",
+    "dedup_incremental",
+    "corpus_rollup",
+    "chunk_plan",
+    "source_filter",
+]
+
+# In-window on ODD rounds (r7, r9, ...). Front-loaded with the keys
+# round 6's verdict flagged as never-oracle-checked or stale-since-r5.
+GROUP_A = [
+    "filter_predicates",
+    "case_recode",
+    "typed_nulls",
+    "dim_dedup_join",
+    "week_to_month",
+    "funnel_steps",
+    "funnel_report",
+    "funnel_windowed",
+    "token_count",
+    "doc_fingerprint",
+    "embedding_neardup",
+    "tokens_to_ids",
+    "embedding_ivfpq",
+    "quality_gate_adaptive",
+    "source_token_cap",
+    "corpus_diff",
+    "pack_plan",
+]
+
+# In-window on EVEN rounds (r8, r10, ...). All green in r6.
+GROUP_B = [
+    "dedup_ngram",
+    "embedding_topk_pandas",
+    "multimodal_meta",
+    "lang_id",
+    "quality_filter",
+    "dedup_containment",
+    "dedup_stats",
+    "dedup_minhash",
+    "dedup_simhash",
+    "embedding_topk",
+    "embedding_ivf",
+    "multimodal_av_meta",
+    "text_repetition",
+    "stratified_sample",
+    "dataset_split",
+    "shard_plan",
+]
+
+# Alternate implementations sharing an in-window key's oracle text.
+PERMANENT_EXTERNAL = [
+    "sessionize_native",
+]
+
+
+def window_keys(round_no: int | None = None) -> list[str]:
+    """Ordered key list for the driver window this round."""
+    r = current_round() if round_no is None else round_no
+    return list(RESIDENT) + list(GROUP_A if r % 2 == 1 else GROUP_B)
+
+
+def external_keys(round_no: int | None = None) -> list[str]:
+    """Keys checked by pytest against DuckDB instead of the driver."""
+    r = current_round() if round_no is None else round_no
+    return list(GROUP_B if r % 2 == 1 else GROUP_A) + list(PERMANENT_EXTERNAL)
+
+
+def all_keys() -> list[str]:
+    return list(RESIDENT) + list(GROUP_A) + list(GROUP_B) + list(PERMANENT_EXTERNAL)

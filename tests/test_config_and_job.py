@@ -126,20 +126,89 @@ def test_registry_fits_driver_window():
     every registered key fits inside the window, every query has an
     oracle, and the e2e pipeline reconstructions sit well inside the
     first half of the registration order."""
-    from gcp_dataengineering_spark.suite import MAX_CHECKED, assemble
+    from gcp_dataengineering_spark.suite import MAX_CHECKED, assemble, rotation
 
-    queries, oracles = assemble()
-    keys = list(queries)
-    assert len(keys) <= MAX_CHECKED, (
-        f"{len(keys)} queries registered but the driver checks only the "
-        f"first {MAX_CHECKED}; trim or demote to pytest-equality"
+    for round_no in (7, 8):  # both window parities
+        queries, oracles = assemble(round_no)
+        keys = list(queries)
+        assert len(keys) <= MAX_CHECKED, (
+            f"{len(keys)} queries registered but the driver checks only the "
+            f"first {MAX_CHECKED}; trim or demote to pytest-equality"
+        )
+        assert set(queries) == set(oracles)
+        for must in rotation.PINNED:
+            assert must in keys
+        assert keys.index("pipeline_tam_e2e") < MAX_CHECKED // 2
+        assert keys.index("pipeline_digital_e2e") < MAX_CHECKED // 2
+
+
+def test_rotation_schedule_partitions_universe():
+    """ROTATION.md contract: RESIDENT + GROUP_A + GROUP_B +
+    PERMANENT_EXTERNAL partition the full pair universe with no
+    duplicates, the window fits the driver cap in BOTH parities, and
+    every non-resident key is in exactly one alternating group — so
+    no key can go more than 2 rounds without an external oracle row."""
+    from collections import Counter
+
+    from gcp_dataengineering_spark.suite import MAX_CHECKED, _all_pairs, rotation
+
+    allk = rotation.all_keys()
+    dup = [k for k, c in Counter(allk).items() if c > 1]
+    assert not dup, f"keys in more than one rotation group: {dup}"
+    queries, oracles = _all_pairs()
+    assert set(allk) == set(queries) == set(oracles), (
+        sorted(set(allk) ^ set(queries))
     )
-    assert set(queries) == set(oracles)
-    for must in ("pipeline_tam_e2e", "pipeline_digital_e2e",
-                 "shard_plan", "corpus_rollup", "dedup_stats"):
-        assert must in keys
-    assert keys.index("pipeline_tam_e2e") < MAX_CHECKED // 2
-    assert keys.index("pipeline_digital_e2e") < MAX_CHECKED // 2
+    assert set(rotation.PINNED) <= set(rotation.RESIDENT)
+    for round_no in (7, 8):
+        assert len(rotation.window_keys(round_no)) <= MAX_CHECKED
+        # window + external == universe each round
+        cover = set(rotation.window_keys(round_no)) | set(
+            rotation.external_keys(round_no)
+        )
+        assert cover == set(allk)
+    # alternation: every non-resident, non-permanent key is in-window
+    # in one of any two consecutive rounds
+    rotating = set(allk) - set(rotation.RESIDENT) - set(rotation.PERMANENT_EXTERNAL)
+    for k in rotating:
+        assert (
+            k in rotation.window_keys(7)) != (k in rotation.window_keys(8)
+        ), f"{k} not alternating"
+
+
+def test_rotation_round_is_derived_from_driver_artifacts():
+    """The round number drives which window the driver sees; it must
+    track the CORRECTNESS_r*.json artifacts automatically (no manual
+    constant to forget to bump between rounds)."""
+    import re
+    from pathlib import Path
+
+    from gcp_dataengineering_spark.suite import rotation
+
+    root = Path(rotation.__file__).resolve().parents[2]
+    rounds = [
+        int(m.group(1))
+        for p in root.glob("CORRECTNESS_r*.json")
+        if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name))
+    ]
+    if rounds:
+        assert rotation.current_round() == max(rounds) + 1
+    else:
+        assert rotation.current_round() >= 1
+
+
+def test_rotation_schedule_documented():
+    """Every key in the rotation universe appears in ROTATION.md, so
+    the schedule on disk and the schedule in code cannot drift."""
+    from pathlib import Path
+
+    from gcp_dataengineering_spark.suite import rotation
+
+    doc = (
+        Path(rotation.__file__).resolve().parents[2] / "ROTATION.md"
+    ).read_text()
+    missing = [k for k in rotation.all_keys() if f"`{k}`" not in doc]
+    assert not missing, f"keys absent from ROTATION.md: {missing}"
 
 
 def test_rotated_out_keys_still_match_duckdb(spark):
@@ -151,7 +220,7 @@ def test_rotated_out_keys_still_match_duckdb(spark):
     never whether it runs."""
     import duckdb
 
-    from gcp_dataengineering_spark.suite import core, llm
+    from gcp_dataengineering_spark.suite import assemble_external
     from tools.compare import TABLES, table_hash
 
     sf_dir = "/root/testdata/sf0.001"
@@ -160,11 +229,8 @@ def test_rotated_out_keys_still_match_duckdb(spark):
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
         )
-    pairs = [
-        (key, mod.ROTATED_OUT_QUERIES[key], mod.ROTATED_OUT_ORACLES[key])
-        for mod in (core, llm)
-        for key in mod.ROTATED_OUT_QUERIES
-    ]
+    ext_q, ext_o = assemble_external()
+    pairs = [(key, ext_q[key], ext_o[key]) for key in ext_q]
     assert len(pairs) >= 9
     failures = []
     for key, q, sql in pairs:

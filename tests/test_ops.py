@@ -260,6 +260,92 @@ def test_funnel_python_replay_on_real_events(spark):
     assert all(a >= b for a, b in zip(rep, rep[1:]))
 
 
+def test_funnel_windowed_semantics(spark):
+    """Conversion-window funnel: step k counts only within max_gap_s
+    of reaching step k-1; entry is unconstrained; an out-of-window
+    candidate freezes the funnel (later candidates are even later)."""
+    from gcp_dataengineering_spark.ops.funnel import (
+        funnel_report,
+        funnel_steps,
+        funnel_steps_windowed,
+    )
+
+    rows = [
+        # u1: converts fully, every gap 60 s
+        (1, "2024-01-01 00:00:00", "view"), (1, "2024-01-01 00:01:00", "click"),
+        (1, "2024-01-01 00:02:00", "buy"),
+        # u2: click arrives 2 h after view → frozen at step 1 even
+        # though a buy follows in-window of the click
+        (2, "2024-01-01 00:00:00", "view"), (2, "2024-01-01 02:00:00", "click"),
+        (2, "2024-01-01 02:01:00", "buy"),
+        # u3: first click out-of-window, but the fold freezes — the
+        # later in-window-of-nothing click can never rescue it
+        (3, "2024-01-01 00:00:00", "view"), (3, "2024-01-01 03:00:00", "click"),
+        (3, "2024-01-01 03:00:30", "click"),
+        # u4: entry (view) very late is still step 1 — no window on entry
+        (4, "2024-01-05 00:00:00", "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    got = {
+        r.user_id: r.max_step
+        for r in funnel_steps_windowed(ev, ["view", "click", "buy"], 3600.0).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 1, 4: 1}
+
+    # with a window wider than any gap, it degenerates to funnel_steps
+    wide = {
+        r.user_id: r.max_step
+        for r in funnel_steps_windowed(ev, ["view", "click", "buy"], 1e9).collect()
+    }
+    plain = {
+        r.user_id: r.max_step
+        for r in funnel_steps(ev, ["view", "click", "buy"]).collect()
+    }
+    assert wide == plain
+
+    # report routes through the windowed fold when max_gap_s given
+    rep = {
+        r.step: r.n_users
+        for r in funnel_report(ev, ["view", "click", "buy"], max_gap_s=3600.0).collect()
+    }
+    assert rep == {1: 4, 2: 1, 3: 1}
+
+
+def test_funnel_windowed_python_replay_on_real_events(spark):
+    """Windowed max_step matches a pure-Python replay of the same
+    fold over the real events table at the suite's 86400 s gap."""
+    from gcp_dataengineering_spark.ops.funnel import funnel_steps_windowed
+    from gcp_dataengineering_spark.suite.core import _t, event_ts
+
+    steps = ["view", "click", "signup", "purchase"]
+    gap = 86400.0
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    ev = ev.withColumn("ts_ts", event_ts(ev))
+    got = {
+        r.user_id: r.max_step
+        for r in funnel_steps_windowed(ev, steps, gap, ts_col="ts_ts").collect()
+    }
+
+    raw = ev.select("user_id", "ts_ts", "event_type").collect()
+    by_user = {}
+    for r in raw:
+        by_user.setdefault(r.user_id, []).append((r.ts_ts, r.event_type))
+    want = {}
+    for u, evs in by_user.items():
+        k, last = 0, None
+        for ts, et in sorted(evs, key=lambda x: (x[0], x[1])):
+            if (
+                k < len(steps)
+                and et == steps[k]
+                and (k == 0 or (ts - last).total_seconds() <= gap)
+            ):
+                k, last = k + 1, ts
+        want[u] = k
+    assert got == want
+
+
 def test_funnel_report_emits_zero_tiers(spark):
     """A declared step no user reached still gets its row with
     n_users = 0 — a chart iterating the step list must never see a
