@@ -233,8 +233,9 @@ def repetition_features(
 # PII patterns — RE2-compatible (DuckDB) AND Java-regex-compatible
 # (Spark): character classes, bounded repeats, \\b word boundaries,
 # non-capturing groups only (NO lookarounds — RE2 has none). Order
-# matters: emails are scrubbed before phones so a phone-like
-# local-part can't double-count.
+# matters: email precedes phone in the combined alternation, so a
+# phone-like local-part can't double-count (leftmost-first
+# alternation priority — identical in Java and RE2).
 #
 # Phone covers the NANP shapes a real corpus scrub must catch:
 #   555-123-4567 / 555.123.4567 / 555 123 4567 (dash/dot/space seps)
@@ -255,10 +256,12 @@ def repetition_features(
 # stays unmatched as intended.
 #
 # SSN is the strict dash shape ddd-dd-dddd; card is 4×4 digits with
-# a required dash/dot/space between groups. The group shapes are
-# mutually exclusive with phone's 3-3-4 (no \b\d{3}[-. ] fits inside
-# a 4-4-4-4 or 3-2-4 run), so scrub order between them only matters
-# for the progressive counts, not the redactions.
+# a required dash/dot/space between groups. The class shapes are
+# mutually exclusive on FULL snippets (no \b\d{3}[-. ] phone fits a
+# 4-4-4-4 or 3-2-4 run, only email contains '@', ipv4 needs three
+# dots with 1-3-digit octets) — which is what lets _pii_tag recover
+# the class of an extracted snippet by anchored re-match, and makes
+# alternation order between the digit classes cosmetic.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"(?:\+1[-. ]?)?(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b",
@@ -276,6 +279,30 @@ _PII_COUNT_COLS = {
     "ipv4": "n_ipv4",
 }
 
+# One alternation over all classes, in PII_PATTERNS order. Java and
+# RE2 both use leftmost-first (PCRE-style) alternation priority, so
+# at any position the EARLIER class wins — the same precedence the
+# old per-class sequential passes encoded (a phone-shaped email
+# local-part is one email, zero phones), but decided on the ORIGINAL
+# text in a single scan instead of 2 full-text regex passes per
+# class (the r6 verdict's ~5× cost-of-floor watch item).
+_PII_COMBINED = "|".join(f"(?:{p})" for p in PII_PATTERNS.values())
+
+
+def _pii_tag(match: Column) -> Column:
+    """Class placeholder for one extracted snippet. The snippet is
+    exactly what one alternative matched, and the class shapes are
+    mutually exclusive on full snippets (argued pattern-by-pattern in
+    the PII_PATTERNS comment), so an anchored re-match in class order
+    recovers which alternative it was."""
+    tag = None
+    for name, pat in PII_PATTERNS.items():
+        cond = match.rlike(f"^(?:{pat})$")
+        tag = F.when(cond, f"<{name.upper()}>") if tag is None else tag.when(
+            cond, f"<{name.upper()}>"
+        )
+    return tag.otherwise("<PII>")  # unreachable: snippet came from the alternation
+
 
 def scrub_pii(
     df: DataFrame, text_col: str = "text", out_col: str = "text_clean"
@@ -283,27 +310,44 @@ def scrub_pii(
     """Redact emails / phones / SSNs / 16-digit cards / IPv4
     addresses with typed placeholders and count each kind: adds
     ``n_emails``, ``n_phones``, ``n_ssn``, ``n_cards``, ``n_ipv4``
-    and ``out_col`` (the redacted text). Pure
-    regexp_extract_all/regexp_replace expressions — codegen'd, scan
-    speed, no UDF; the patterns are deliberately in the common subset
-    of Java regex (Spark) and RE2 (DuckDB/ripgrep) so an external
-    engine replays the redaction byte-identically."""
-    # Counts are taken on the PROGRESSIVELY redacted text, in the same
-    # order as the redactions, so counts always agree with the
-    # placeholders actually present in out_col: a phone-shaped email
-    # local-part ('555-123-4567@mail.com') is one email and zero
-    # phones, not one of each.
-    stage = F.col(text_col)
-    counts: dict[str, Column] = {}
-    for name, pat in PII_PATTERNS.items():
-        counts[name] = F.size(
-            F.regexp_extract_all(stage, F.lit(pat), F.lit(0))
-        ).cast("long")
-        stage = F.regexp_replace(stage, pat, f"<{name.upper()}>")
-    out = df
+    and ``out_col`` (the redacted text).
+
+    Shared-pass design: the full text is scanned exactly TWICE
+    (regexp_extract_all + split on the combined alternation) no
+    matter how many PII classes are defined; classification and
+    counting then run on the extracted snippets only (bytes of PII,
+    not bytes of corpus). The redacted text is rebuilt by
+    interleaving the split segments with the per-snippet
+    placeholders — pure array expressions, codegen'd, no UDF. The
+    patterns are deliberately in the common subset of Java regex
+    (Spark) and RE2 (DuckDB/ripgrep), and both engines use
+    leftmost-first alternation, so an external engine replays the
+    redaction byte-identically."""
+    txt = F.col(text_col)
+    matches = F.regexp_extract_all(txt, F.lit(_PII_COMBINED), F.lit(0))
+    tags = F.transform(matches, _pii_tag)
+    out = df.withColumn("_pii_tags", tags)
     for name, col_name in _PII_COUNT_COLS.items():
-        out = out.withColumn(col_name, counts[name])
-    return out.withColumn(out_col, stage)
+        out = out.withColumn(
+            col_name,
+            F.size(
+                F.filter(F.col("_pii_tags"), lambda t: t == f"<{name.upper()}>")
+            ).cast("long"),
+        )
+    # segments (n+1) interleaved with placeholders (n): zip_with pads
+    # the shorter side with null, coalesce turns that into ''
+    segs = F.split(txt, _PII_COMBINED)
+    rebuilt = F.concat_ws(
+        "",
+        F.zip_with(
+            segs,
+            F.col("_pii_tags"),
+            lambda s, t: F.concat(s, F.coalesce(t, F.lit(""))),
+        ),
+    )
+    return out.withColumn(
+        out_col, F.when(txt.isNull(), F.lit(None).cast("string")).otherwise(rebuilt)
+    ).drop("_pii_tags")
 
 
 def vocab_topk(

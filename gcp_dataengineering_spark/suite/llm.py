@@ -1189,6 +1189,9 @@ _PII_PHONE = (
 _PII_SSN = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
 _PII_CARD = "\\b\\d{4}[-. ]\\d{4}[-. ]\\d{4}[-. ]\\d{4}\\b"
 _PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+_PII_COMBINED = "|".join(
+    f"(?:{p})" for p in (_PII_EMAIL, _PII_PHONE, _PII_SSN, _PII_CARD, _PII_IPV4)
+)
 
 ORACLE_PII_SCRUB = f"""
 WITH aug AS (
@@ -1216,25 +1219,38 @@ WITH aug AS (
                 || CAST((doc_id * 9) % 9000 + 1000 AS VARCHAR) AS t
     FROM documents
 )
-, r1 AS (
-    SELECT doc_id, t, regexp_replace(t, '{_PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM aug
-), r2 AS (
-    SELECT doc_id, t, t1, regexp_replace(t1, '{_PII_PHONE}', '<PHONE>', 'g') AS t2 FROM r1
-), r3 AS (
-    SELECT doc_id, t, t1, t2, regexp_replace(t2, '{_PII_SSN}', '<SSN>', 'g') AS t3 FROM r2
-), r4 AS (
-    SELECT doc_id, t, t1, t2, t3, regexp_replace(t3, '{_PII_CARD}', '<CARD>', 'g') AS t4 FROM r3
+-- combined-scan replay, mirroring scrub_pii's shared-pass design:
+-- ONE alternation over all classes (leftmost-first in both RE2 and
+-- Java, so the earlier class wins at any position), matches
+-- classified by anchored re-match, clean text rebuilt by
+-- interleaving the split segments with the placeholders
+, m AS (
+    SELECT doc_id,
+           regexp_extract_all(t, '{_PII_COMBINED}') AS ms,
+           string_split_regex(t, '{_PII_COMBINED}') AS segs
+    FROM aug
+), tagged AS (
+    SELECT doc_id, segs,
+           list_transform(ms, x -> CASE
+               WHEN regexp_full_match(x, '{_PII_EMAIL}') THEN '<EMAIL>'
+               WHEN regexp_full_match(x, '{_PII_PHONE}') THEN '<PHONE>'
+               WHEN regexp_full_match(x, '{_PII_SSN}') THEN '<SSN>'
+               WHEN regexp_full_match(x, '{_PII_CARD}') THEN '<CARD>'
+               WHEN regexp_full_match(x, '{_PII_IPV4}') THEN '<IPV4>'
+               ELSE '<PII>' END) AS tags
+    FROM m
 )
--- counts on the progressively redacted text, matching scrub_pii:
--- each class counted after every earlier class has been redacted
 SELECT doc_id,
-       CAST(len(regexp_extract_all(t, '{_PII_EMAIL}')) AS BIGINT) AS n_emails,
-       CAST(len(regexp_extract_all(t1, '{_PII_PHONE}')) AS BIGINT) AS n_phones,
-       CAST(len(regexp_extract_all(t2, '{_PII_SSN}')) AS BIGINT) AS n_ssn,
-       CAST(len(regexp_extract_all(t3, '{_PII_CARD}')) AS BIGINT) AS n_cards,
-       CAST(len(regexp_extract_all(t4, '{_PII_IPV4}')) AS BIGINT) AS n_ipv4,
-       md5(regexp_replace(t4, '{_PII_IPV4}', '<IPV4>', 'g')) AS clean_fp
-FROM r4
+       CAST(len(list_filter(tags, x -> x = '<EMAIL>')) AS BIGINT) AS n_emails,
+       CAST(len(list_filter(tags, x -> x = '<PHONE>')) AS BIGINT) AS n_phones,
+       CAST(len(list_filter(tags, x -> x = '<SSN>')) AS BIGINT) AS n_ssn,
+       CAST(len(list_filter(tags, x -> x = '<CARD>')) AS BIGINT) AS n_cards,
+       CAST(len(list_filter(tags, x -> x = '<IPV4>')) AS BIGINT) AS n_ipv4,
+       md5(list_aggregate(
+           flatten(list_transform(range(1, len(segs) + 1),
+                                  i -> [segs[i], coalesce(tags[i], '')])),
+           'string_agg', '')) AS clean_fp
+FROM tagged
 """
 
 
