@@ -580,3 +580,144 @@ def test_upsert_stream_maintains_latest_snapshot(spark, tmp_path):
     upsert_batch_into_snapshot(b2, snap, ["k"], ["ver"])
     got3 = {r.k: (r.ver, r.payload) for r in spark.read.parquet(snap).collect()}
     assert got3 == got2
+
+
+def _file_states(root):
+    """path -> (size, mtime_ns) for every data file under root."""
+    import os
+
+    out = {}
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            p = os.path.join(dirpath, f)
+            st = os.stat(p)
+            out[os.path.relpath(p, root)] = (st.st_size, st.st_mtime_ns)
+    return out
+
+
+def test_bucketed_upsert_equals_full_rewrite_and_prunes(spark, tmp_path):
+    """The bucket-pruned sink and the flat full-rewrite sink produce
+    identical snapshots over the same batch sequence; a batch
+    touching a few keys leaves every untouched bucket's files
+    BYTE-IDENTICAL on disk (size+mtime receipt — the O(snapshot/
+    n_buckets) claim is about what is rewritten, so the proof is
+    what was NOT rewritten); and the merge's read of current state
+    partition-prunes to the touched bucket directories."""
+    from gcp_dataengineering_spark.streaming.upsert import (
+        BUCKET_COL,
+        _bucket_expr,
+        read_bucketed_snapshot,
+        upsert_batch_into_bucketed_snapshot,
+        upsert_batch_into_snapshot,
+    )
+
+    flat = str(tmp_path / "flat")
+    buck = str(tmp_path / "buck")
+    n_buckets = 8
+    # batch 1: 200 keys spread over all buckets
+    b1 = spark.createDataFrame(
+        [(i, 1, f"p{i}") for i in range(200)], "k long, ver long, payload string"
+    )
+    # batch 2: update 3 keys, insert 1, plus a stale row that must lose
+    b2 = spark.createDataFrame(
+        [(7, 9, "u7"), (8, 9, "u8"), (9, 9, "u9"), (1000, 1, "new"), (7, 2, "stale")],
+        "k long, ver long, payload string",
+    )
+    for b in (b1, b2):
+        upsert_batch_into_snapshot(b, flat, ["k"], ["ver"])
+    upsert_batch_into_bucketed_snapshot(b1, buck, ["k"], ["ver"], n_buckets)
+
+    before = _file_states(buck)
+    upsert_batch_into_bucketed_snapshot(b2, buck, ["k"], ["ver"], n_buckets)
+    after = _file_states(buck)
+
+    # equality with the flat sink
+    want = sorted(tuple(r) for r in spark.read.parquet(flat).collect())
+    got = sorted(tuple(r) for r in read_bucketed_snapshot(spark, buck).collect())
+    assert got == want
+
+    # byte-identity of untouched buckets
+    touched = {
+        r[0]
+        for r in b2.select(_bucket_expr(["k"], n_buckets).alias("b"))
+        .distinct()
+        .collect()
+    }
+    assert 0 < len(touched) < n_buckets  # the fixture must leave some untouched
+    untouched_files = {
+        p: s
+        for p, s in before.items()
+        if p.startswith(f"{BUCKET_COL}=")
+        and int(p.split("=")[1].split("/")[0]) not in touched
+    }
+    assert untouched_files  # some buckets genuinely untouched
+    for p, s in untouched_files.items():
+        assert after[p] == s, f"untouched bucket file rewritten: {p}"
+    # and the touched buckets WERE rewritten
+    changed = [
+        p
+        for p, s in before.items()
+        if p.startswith(f"{BUCKET_COL}=") and after.get(p) != s
+    ]
+    assert changed
+
+    # pruning receipt: the merge-time read shape lists only touched dirs
+    plan = (
+        spark.read.parquet(buck)
+        .filter(F.col(BUCKET_COL).isin(list(touched)))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PartitionFilters" in plan and BUCKET_COL in plan.split(
+        "PartitionFilters"
+    )[1].split("]")[0]
+
+    # layout contract: wrong n_buckets or keys must refuse to merge
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_buckets"):
+        upsert_batch_into_bucketed_snapshot(b2, buck, ["k"], ["ver"], 16)
+    with _pytest.raises(ValueError, match="keys"):
+        upsert_batch_into_bucketed_snapshot(
+            b2.withColumnRenamed("k", "kk"), buck, ["kk"], ["ver"], n_buckets
+        )
+
+
+def test_bucketed_upsert_crash_recovery(spark, tmp_path):
+    """Crash between the per-bucket renames: the bucket dir sits under
+    ._upsert_old and is missing from the snapshot — the next merge
+    must roll it back (the old dir IS the state), then merge, losing
+    nothing."""
+    import os
+    import shutil
+
+    from gcp_dataengineering_spark.streaming.upsert import (
+        BUCKET_COL,
+        read_bucketed_snapshot,
+        upsert_batch_into_bucketed_snapshot,
+    )
+
+    buck = str(tmp_path / "snap")
+    b1 = spark.createDataFrame(
+        [(i, 1, f"p{i}") for i in range(50)], "k long, ver long, payload string"
+    )
+    upsert_batch_into_bucketed_snapshot(b1, buck, ["k"], ["ver"], 4)
+    want = sorted(tuple(r) for r in read_bucketed_snapshot(spark, buck).collect())
+
+    # simulate the torn state: one bucket moved to old, not replaced
+    old_root = buck + "._upsert_old"
+    os.makedirs(old_root)
+    victim = next(n for n in sorted(os.listdir(buck)) if n.startswith(BUCKET_COL))
+    os.rename(os.path.join(buck, victim), os.path.join(old_root, victim))
+    # plus an unfinished tmp write that must be discarded
+    os.makedirs(buck + "._upsert_tmp/" + victim)
+
+    b2 = spark.createDataFrame([(0, 2, "upd")], "k long, ver long, payload string")
+    upsert_batch_into_bucketed_snapshot(b2, buck, ["k"], ["ver"], 4)
+    got = {r.k: (r.ver, r.payload) for r in read_bucketed_snapshot(spark, buck).collect()}
+    wantd = {r[0]: (r[1], r[2]) for r in want}
+    wantd[0] = (2, "upd")
+    assert got == wantd
+    assert not os.path.exists(old_root)
+    assert not os.path.exists(buck + "._upsert_tmp")
