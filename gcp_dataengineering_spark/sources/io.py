@@ -292,8 +292,41 @@ def compact_small_files(
     return total_files
 
 
+def read_history(
+    spark: SparkSession, path: str, schema: str | None = None
+) -> DataFrame:
+    """Schema-drift-tolerant read of the whole versioned history.
+
+    The reference's crawler runs ``UpdateBehavior: UPDATE_IN_DATABASE``
+    (``stage_1:1163``): vintages are EXPECTED to drift — new columns
+    appear, ints widen to longs. A plain ``spark.read.parquet`` over
+    such a history fails at execution time (INT64 file vs the int
+    schema inferred from an older file), and ``mergeSchema`` refuses
+    int-vs-bigint outright (CANNOT_MERGE_SCHEMAS). Two supported
+    modes:
+
+    - ``schema`` given (the CURRENT contract, e.g. conform.py's
+      target): the parquet reader is driven by the contract —
+      old-vintage int32 columns upcast to long at scan time, columns
+      a vintage lacks come back as typed NULLs, extras are ignored.
+      This handles every drift the crawler's UPDATE_IN_DATABASE can
+      produce. The ``version`` partition column may be included in
+      the contract or omitted (Spark appends partition columns).
+    - ``schema`` None: ``mergeSchema`` read — handles added/removed
+      columns (union schema, NULL-filled) but NOT type widening;
+      fine for histories whose vintages only grew columns.
+    """
+    reader = spark.read
+    if schema is not None:
+        return reader.schema(schema).parquet(path)
+    return reader.option("mergeSchema", "true").parquet(path)
+
+
 def read_history_version(
-    spark: SparkSession, path: str, version: int | None = None
+    spark: SparkSession,
+    path: str,
+    version: int | None = None,
+    schema: str | None = None,
 ) -> DataFrame:
     """Time travel over the versioned history: read one version's
     rows (default: the latest). The history is partitioned by
@@ -301,9 +334,11 @@ def read_history_version(
     a PARTITION filter — Spark lists and reads only that version's
     directory; every other snapshot costs nothing. The poor-man's
     table format: append-only versions + partition pruning give you
-    reproducible as-of reads without a transaction log."""
+    reproducible as-of reads without a transaction log. Pass
+    ``schema`` (the current contract) to read cleanly across drifted
+    vintages — see read_history."""
     v = version if version is not None else read_max_version(spark, path)
-    return spark.read.parquet(path).filter(F.col("version") == v)
+    return read_history(spark, path, schema).filter(F.col("version") == v)
 
 
 def zorder_code(col_x, col_y, bits: int = 12):

@@ -203,6 +203,69 @@ def test_read_history_version_time_travel_and_pruning(spark, ref_tables, tmp_pat
     assert "PartitionFilters: [isnotnull(version" in plan and "(version" in plan, plan
 
 
+def test_read_history_drifted_vintages(spark, tmp_path):
+    """The reference's crawler updates table schemas in place
+    (UpdateBehavior UPDATE_IN_DATABASE, stage_1:1163) — vintages
+    drift. A history whose later vintage widened int->long AND added
+    a column must read clean at EVERY version when driven by the
+    current contract: old int32 files upcast at scan time, missing
+    columns come back as typed NULLs; max-version probing stays
+    correct throughout; and added-column-only drift works even
+    without a contract (mergeSchema path)."""
+    from gcp_dataengineering_spark.sources.io import (
+        read_history,
+        read_history_version,
+        read_max_version,
+        write_versioned_history,
+    )
+
+    path = str(tmp_path / "hist")
+    # vintage 1: narrow schema (id int, amount int)
+    v1 = spark.createDataFrame([(1, 10), (2, 20)], "id int, amount int")
+    assert write_versioned_history(v1, spark, path) == 1
+    # vintage 2: id widened to long, amount to long, channel added
+    v2 = spark.createDataFrame(
+        [(3_000_000_000, 30, "web")], "id long, amount long, channel string"
+    )
+    assert write_versioned_history(v2, spark, path) == 2
+
+    # the version probe never touches drifted data columns
+    assert read_max_version(spark, path) == 2
+
+    contract = "id long, amount long, channel string"
+    got1 = read_history_version(spark, path, 1, schema=contract)
+    assert got1.dtypes[:3] == [
+        ("id", "bigint"), ("amount", "bigint"), ("channel", "string")
+    ]
+    assert sorted((r.id, r.amount, r.channel) for r in got1.collect()) == [
+        (1, 10, None), (2, 20, None)
+    ]
+    got2 = read_history_version(spark, path, 2, schema=contract)
+    assert [(r.id, r.amount, r.channel) for r in got2.collect()] == [
+        (3_000_000_000, 30, "web")
+    ]
+    # latest-by-default still works under the contract
+    latest = read_history_version(spark, path, schema=contract)
+    assert latest.count() == 1
+    # full-history read under the contract: both vintages, one schema
+    allv = read_history(spark, path, schema=contract)
+    assert allv.count() == 3
+
+    # added-column-only drift (no widening) needs no contract
+    path2 = str(tmp_path / "hist2")
+    write_versioned_history(
+        spark.createDataFrame([(1, 10)], "id long, amount long"), spark, path2
+    )
+    write_versioned_history(
+        spark.createDataFrame([(2, 20, "x")], "id long, amount long, note string"),
+        spark,
+        path2,
+    )
+    merged = read_history(spark, path2)
+    assert set(merged.columns) == {"id", "amount", "note", "version"}
+    assert {r.note for r in merged.collect()} == {None, "x"}
+
+
 def test_write_zorder_layout_clusters_both_dimensions(spark, tmp_path):
     """Z-ordered files cover rectangles, not stripes: per-file
     footer min/max ranges shrink on BOTH columns (naive layout files
