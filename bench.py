@@ -67,7 +67,34 @@ HEADLINE = [
     "source_filter",
     "compact_latest",
     "embedding_pq",
+    # round-7: the COMPOSED corpus build as its own row — regressions
+    # in the composition (stage chaining, the branch-point persist,
+    # shuffle reuse between stages), not just in its member
+    # operators, must show up here
+    "corpus_e2e",
 ]
+
+
+def _corpus_e2e(spark, sf_dir: str):
+    """The composed build_training_corpus at fixed params; forcing
+    the shard plan forces every upstream stage (gate -> reputation ->
+    scrub -> exact dedup -> near-dup -> split -> shards). Not a
+    driver-window key (the composition's pieces are each oracle-gated
+    individually; the composition itself is plan-gated at x20 scale
+    in pytest) — a bench-only entry."""
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    stages = build_training_corpus(
+        docs, config=PipelineConfig(shard_budget_tokens=200_000)
+    )
+    return stages["shards"]
+
+
+BENCH_EXTRA = {"corpus_e2e": _corpus_e2e}
 
 
 def _time_set(spark, qs, sf_dir: str, warm_dir: str, runs: int) -> dict[str, float]:
@@ -113,7 +140,8 @@ def _run_one_set(sf_dir: str, runs: int) -> dict[str, float]:
     from gcp_dataengineering_spark.session import get_spark
 
     spark = get_spark("bench")
-    qs = e.queries()
+    qs = dict(e.queries())
+    qs.update(BENCH_EXTRA)
     # JVM/codegen warmup on a trivial action so q1 isn't charged for it
     spark.range(1000).selectExpr("sum(id)").collect()
     times = _time_set(spark, qs, sf_dir, "/root/testdata/sf0.001", runs)
