@@ -1,0 +1,159 @@
+"""Temporal joins Spark lacks as built-ins, re-expressed as
+compositions of shuffle-bounded DataFrame ops (reference gap noted
+in SURVEY.md §2.4 "Not present: range/as-of/interval joins"; the
+composition patterns are the standard ones used by time-series
+engines on top of sort-merge machinery).
+
+- ``asof_join``: for each left row, the LATEST right row with
+  ``right.ts <= left.ts`` per key (DuckDB/pandas "backward" ASOF).
+  NOT a join in the executed plan at all: both sides are tagged and
+  unioned, and one window pass per key carries the most recent
+  right-side payload forward (last_value ignoreNulls). ONE shuffle
+  on the key, no row explosion, no per-row probe — the sort-merge
+  an ASOF needs, done by the window machinery Spark already has.
+
+- ``interval_join``: match points to [start, end] intervals without
+  a cross join: both sides are bucketed on a fixed time grid, the
+  interval explodes to the (bounded) buckets it spans, and an
+  equi-join on the bucket id does the pairing, refined by the exact
+  range predicate. A point lives in exactly ONE bucket, so each
+  matching (point, interval) pair is produced exactly once — no
+  post-join dedup. Explosion factor = interval_span / bucket_width
+  + 1, so choose the width near the typical interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance_s: float | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """Backward as-of join: every left row picks the latest right row
+    at-or-before its timestamp within the same key group (ties on the
+    exact same timestamp match, like ``r.ts <= l.ts``). With
+    ``tolerance_s``, matches older than the tolerance are nulled out.
+    ``how='left'`` keeps unmatched left rows with NULL right columns;
+    ``how='inner'`` drops them.
+
+    Output: all left columns, plus each requested right column as
+    ``<name>`` (must not collide with a left column name), plus
+    ``_asof_ts`` (the matched right row's timestamp, NULL when no
+    match).
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if how not in ("left", "inner"):
+        raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    rcols = right_cols if right_cols is not None else [
+        c for c in right.columns if c not in keys and c != right_ts
+    ]
+    clash = set(rcols) & set(left.columns)
+    if clash:
+        raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+
+    # tag and union: right rows carry payload, left rows carry NULLs.
+    # _side orders right (0) before left (1) at the same timestamp so
+    # an exact-tie right row is visible to the left row (<= semantics).
+    lt = left.select(
+        *[F.col(k) for k in keys],
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        F.lit(None).cast("timestamp").alias("_asof_ts_in"),
+        *[F.lit(None).cast(dict(right.dtypes)[c]).alias(f"_r_{c}") for c in rcols],
+    )
+    rt = right.select(
+        *[F.col(k) for k in keys],
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
+        F.col(right_ts).cast("timestamp").alias("_asof_ts_in"),
+        *[F.col(c).alias(f"_r_{c}") for c in rcols],
+    )
+    u = lt.unionByName(rt)
+
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col("_ts").asc(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = u.select(
+        "*",
+        F.last("_asof_ts_in", ignorenulls=True).over(w).alias("_asof_ts"),
+        *[
+            F.last(f"_r_{c}", ignorenulls=True).over(w).alias(f"_m_{c}")
+            for c in rcols
+        ],
+    ).filter(F.col("_side") == 1)
+
+    in_tol = (
+        F.lit(True)
+        if tolerance_s is None
+        else (
+            F.col("_ts").cast("double") - F.col("_asof_ts").cast("double")
+            <= F.lit(float(tolerance_s))
+        )
+    )
+    matched = F.col("_asof_ts").isNotNull() & in_tol
+    out = carried.select(
+        *[F.col("_lrow")[c].alias(c) for c in left.columns],
+        F.when(matched, F.col("_asof_ts")).alias("_asof_ts"),
+        *[F.when(matched, F.col(f"_m_{c}")).alias(c) for c in rcols],
+    )
+    if how == "inner":
+        out = out.filter(F.col("_asof_ts").isNotNull())
+    return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str | list[str] | None,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_width_s: int = 3600,
+) -> DataFrame:
+    """Match point rows to the [start, end] CLOSED intervals that
+    contain them (optionally also keyed on ``on``). Produces one row
+    per matching (point, interval) pair: all point columns + all
+    interval columns (names must not collide).
+
+    Plan shape: interval explodes to its covered grid buckets
+    (sequence over ints — bounded by span/width), point maps to its
+    single bucket, then one equi-join on (keys..., bucket) + the
+    exact range refine. No CartesianProduct at any size; the join is
+    a plain shuffled/broadcast hash join on the bucket id.
+    """
+    keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
+    clash = set(points.columns) & set(intervals.columns) - set(keys)
+    if clash:
+        raise ValueError(f"column collision between sides: {sorted(clash)}")
+    if bucket_width_s < 1:
+        raise ValueError(f"bucket_width_s ({bucket_width_s}) must be >= 1")
+
+    bw = F.lit(int(bucket_width_s))
+    p_bucket = F.floor(F.col(point_ts).cast("double") / bw).cast("long")
+    iv_lo = F.floor(F.col(start_col).cast("double") / bw).cast("long")
+    iv_hi = F.floor(F.col(end_col).cast("double") / bw).cast("long")
+
+    p = points.withColumn("_bucket", p_bucket)
+    iv = intervals.filter(
+        F.col(start_col) <= F.col(end_col)
+    ).withColumn("_bucket", F.explode(F.sequence(iv_lo, iv_hi)))
+
+    joined = p.join(iv, [*keys, "_bucket"]).filter(
+        (F.col(point_ts) >= F.col(start_col))
+        & (F.col(point_ts) <= F.col(end_col))
+    )
+    return joined.drop("_bucket")

@@ -1142,6 +1142,77 @@ FROM s4b
 """
 
 
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Backward as-of join (ops/temporal.asof_join): every purchase
+    event picks the user's latest view at-or-before it. The Spark
+    side is the tag-union-window composition (one shuffle, no row
+    explosion); the oracle is DuckDB's NATIVE ASOF LEFT JOIN — an
+    independent implementation of the same semantics (deterministic
+    on this fixture: no duplicate (user, ts) view rows)."""
+    from ..ops.temporal import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ts", event_ts(ev))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_ts", F.col("value").alias("view_value")
+    )
+    out = asof_join(
+        purchases, views, "user_id", "ts_ts", "ts_ts", right_cols=["view_value"]
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("_asof_ts").alias("view_ts"),
+        "view_value",
+    )
+
+
+ORACLE_ASOF_JOIN = """
+SELECT l.event_id, l.user_id, r.ts AS view_ts, r.value AS view_value
+FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+  ON l.user_id = r.user_id AND r.ts <= l.ts
+"""
+
+
+def q_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bucketed interval join (ops/temporal.interval_join): events
+    matched to per-(user, day) activity windows [first event, +4 h]
+    by grid-bucket equi-join + exact range refine — no
+    CartesianProduct at any size. The oracle is the plain range
+    predicate join."""
+    from ..ops.temporal import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ts", event_ts(ev))
+    iv = (
+        ev.groupBy("user_id", F.to_date("ts_ts").alias("day"))
+        .agg(F.min("ts_ts").alias("start_ts"))
+        .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 4 HOURS"))
+    )
+    pts = ev.select("event_id", "user_id", "ts_ts")
+    out = interval_join(
+        pts, iv, "user_id", "ts_ts", "start_ts", "end_ts", bucket_width_s=3600
+    )
+    return out.select("event_id", "user_id", "day", "start_ts")
+
+
+ORACLE_INTERVAL_JOIN = """
+WITH iv AS (
+    SELECT user_id, CAST(ts AS DATE) AS day, MIN(ts) AS start_ts,
+           MIN(ts) + INTERVAL 4 HOUR AS end_ts
+    FROM events GROUP BY 1, 2
+)
+SELECT p.event_id, p.user_id, iv.day, iv.start_ts
+FROM events p
+JOIN iv ON p.user_id = iv.user_id
+       AND p.ts >= iv.start_ts AND p.ts <= iv.end_ts
+"""
+
+
 # Keys rotated out of the driver's 50-key oracle window (the window
 # is a cap, not the universe of external checks): every pair here is
 # still run against the DuckDB oracle EVERY round by
@@ -1162,6 +1233,8 @@ ROTATED_OUT_QUERIES = {
     "funnel_steps": q_funnel_steps,
     "funnel_report": q_funnel_report,
     "funnel_windowed": q_funnel_windowed,
+    "asof_join": q_asof_join,
+    "interval_join": q_interval_join,
 }
 
 ROTATED_OUT_ORACLES = {
@@ -1174,4 +1247,6 @@ ROTATED_OUT_ORACLES = {
     "funnel_steps": ORACLE_FUNNEL_STEPS,
     "funnel_report": ORACLE_FUNNEL_REPORT,
     "funnel_windowed": ORACLE_FUNNEL_WINDOWED,
+    "asof_join": ORACLE_ASOF_JOIN,
+    "interval_join": ORACLE_INTERVAL_JOIN,
 }

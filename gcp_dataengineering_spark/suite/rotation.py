@@ -85,11 +85,9 @@ RESIDENT = [
     "embedding_lsh",
     "embedding_neardup_lsh",
     "multimodal_real_meta",
-    "decontaminate",
     "pii_scrub",
     "dedup_pipeline",
     "dedup_incremental",
-    "corpus_rollup",
     "chunk_plan",
     "source_filter",
 ]
@@ -114,6 +112,10 @@ GROUP_A = [
     "source_token_cap",
     "corpus_diff",
     "pack_plan",
+    # demoted from RESIDENT in r7 (stable since r4/r5) to make window
+    # capacity for the r7 temporal-join keys in GROUP_B
+    "decontaminate",
+    "corpus_rollup",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). All green in r6.
@@ -134,6 +136,11 @@ GROUP_B = [
     "stratified_sample",
     "dataset_split",
     "shard_plan",
+    # new in r7: temporal joins (asof via tag-union-window, interval
+    # via grid-bucket equi-join) — externally pytest-checked in r7,
+    # first driver rows in r8
+    "asof_join",
+    "interval_join",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.

@@ -346,6 +346,158 @@ def test_funnel_windowed_python_replay_on_real_events(spark):
     assert got == want
 
 
+def test_asof_join_semantics(spark):
+    """Backward as-of: latest right at-or-before each left ts per
+    key; exact-tie matches; tolerance nulls stale matches; inner
+    drops unmatched; left keeps them as NULLs."""
+    from gcp_dataengineering_spark.ops.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "p1"),   # matches r@09:59
+            (1, "2024-01-01 12:00:00", "p2"),   # matches r@12:00 (exact tie)
+            (2, "2024-01-01 08:00:00", "p3"),   # before any right -> NULL
+            (3, "2024-01-01 09:00:00", "p4"),   # key with no right rows
+        ],
+        "k long, ts string, pid string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    right = spark.createDataFrame(
+        [
+            (1, "2024-01-01 09:00:00", 10.0),
+            (1, "2024-01-01 09:59:00", 20.0),
+            (1, "2024-01-01 12:00:00", 30.0),
+            (2, "2024-01-01 09:00:00", 40.0),
+        ],
+        "k long, ts string, v double",
+    ).withColumn("ts", F.to_timestamp("ts"))
+
+    got = {
+        r.pid: (r.v, str(r._asof_ts) if r._asof_ts else None)
+        for r in asof_join(left, right, "k", right_cols=["v"]).collect()
+    }
+    assert got == {
+        "p1": (20.0, "2024-01-01 09:59:00"),
+        "p2": (30.0, "2024-01-01 12:00:00"),
+        "p3": (None, None),
+        "p4": (None, None),
+    }
+
+    # tolerance: p1's match is 1 min old (in tol), a 30 s tol kills it
+    tight = {
+        r.pid: r.v
+        for r in asof_join(
+            left, right, "k", right_cols=["v"], tolerance_s=30
+        ).collect()
+    }
+    assert tight["p1"] is None and tight["p2"] == 30.0
+
+    inner = {r.pid for r in asof_join(left, right, "k", right_cols=["v"], how="inner").collect()}
+    assert inner == {"p1", "p2"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collide"):
+        asof_join(left, right.withColumnRenamed("v", "pid"), "k", right_cols=["pid"])
+
+
+def test_asof_join_one_shuffle_no_join_in_plan(spark):
+    """The as-of is a window pass, not a join: the executed plan has
+    exactly one Exchange (the key partition) and no join operator —
+    the shape that scales to fact-fact as-of at 100 TB."""
+    from gcp_dataengineering_spark.ops.temporal import asof_join
+
+    left = spark.range(100).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 60).alias("ts"),
+        F.col("id").alias("lid"),
+    )
+    right = spark.range(50).select(
+        (F.col("id") % 5).alias("k"),
+        F.timestamp_seconds(F.col("id") * 97).alias("ts"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    out = asof_join(left, right, "k", right_cols=["v"])
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") <= 2  # union partitions + window partition
+
+
+def test_interval_join_semantics_and_plan(spark):
+    """Closed-interval containment, exactly one output row per
+    matching pair even when the interval spans many buckets; no
+    cartesian in the plan; degenerate/invalid intervals drop."""
+    from gcp_dataengineering_spark.ops.temporal import interval_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:30:00", 100),
+            (1, "2024-01-01 13:00:00", 101),  # outside
+            (2, "2024-01-01 10:30:00", 102),  # other key
+            (1, "2024-01-01 12:00:00", 103),  # exact end boundary
+            (1, "2024-01-01 10:00:00", 104),  # exact start boundary
+        ],
+        "k long, ts string, pid long",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    iv = spark.createDataFrame(
+        [
+            (1, "2024-01-01 10:00:00", "2024-01-01 12:00:00", "w1"),
+            (2, "2024-01-01 11:00:00", "2024-01-01 12:00:00", "w2"),
+            (1, "2024-01-01 09:00:00", "2024-01-01 08:00:00", "bad"),  # start>end
+        ],
+        "k long, s string, e string, ivid string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+
+    out = interval_join(pts, iv, "k", "ts", "s", "e", bucket_width_s=900)
+    rows = [(r.pid, r.ivid) for r in out.collect()]
+    assert sorted(rows) == [(100, "w1"), (103, "w1"), (104, "w1")]
+    # each pair exactly once despite the interval spanning 9 buckets
+    assert len(rows) == len(set(rows))
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collision"):
+        interval_join(pts, iv.withColumnRenamed("ivid", "pid"), "k", "ts", "s", "e")
+
+
+def test_temporal_python_replay_on_real_events(spark):
+    """asof_join over the real events table matches a pure-Python
+    replay (latest view <= each purchase per user)."""
+    from gcp_dataengineering_spark.ops.temporal import asof_join
+    from gcp_dataengineering_spark.suite.core import _t, event_ts
+
+    ev = _t(spark, "/root/testdata/sf0.001", "events")
+    ev = ev.withColumn("ts_ts", event_ts(ev))
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts_ts"
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "ts_ts", F.col("value").alias("v")
+    )
+    got = {
+        r.event_id: r.v
+        for r in asof_join(
+            purchases, views, "user_id", "ts_ts", "ts_ts", right_cols=["v"]
+        ).collect()
+    }
+
+    vrows = sorted(
+        ((r.user_id, r.ts_ts, r.v) for r in views.collect()),
+        key=lambda x: (x[0], x[1]),
+    )
+    want = {}
+    for p in purchases.collect():
+        best = None
+        for u, ts, v in vrows:
+            if u == p.user_id and ts <= p.ts_ts:
+                best = v
+        want[p.event_id] = best
+    assert got == want
+
+
 def test_funnel_report_emits_zero_tiers(spark):
     """A declared step no user reached still gets its row with
     n_users = 0 — a chart iterating the step list must never see a
