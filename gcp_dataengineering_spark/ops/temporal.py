@@ -115,6 +115,42 @@ def asof_join(
     return out
 
 
+def rolling_aggregate(
+    df: DataFrame,
+    on: str | list[str],
+    ts_col: str,
+    value_col: str,
+    window_s: float,
+) -> DataFrame:
+    """Trailing time-RANGE rolling stats per key: for every row, the
+    count and sum of ``value_col`` over that key's rows in the
+    CLOSED trailing window ``[ts - window_s, ts]`` (time-based, not
+    row-based — gaps and bursts are handled correctly, and rows with
+    equal timestamps are peers that always see each other).
+
+    Adds ``n_in_window`` and ``sum_in_window``. One shuffle (the key
+    partition); per-key state is bounded by the rows inside the time
+    window — the same bound a streaming windowed agg would hold.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    if window_s <= 0:
+        raise ValueError(f"window_s ({window_s}) must be positive")
+    # rangeBetween takes integer bounds; the ORDER BY value stays
+    # fractional-seconds double, so sub-second timestamps still order
+    # and frame correctly against the integer window edge
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(ts_col).cast("double"))
+        .rangeBetween(-int(window_s), 0)
+    )
+    return df.withColumns(
+        {
+            "n_in_window": F.count(F.lit(1)).over(w).cast("long"),
+            "sum_in_window": F.sum(F.col(value_col).cast("double")).over(w),
+        }
+    )
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

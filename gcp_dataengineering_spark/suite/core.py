@@ -1213,6 +1213,55 @@ JOIN iv ON p.user_id = iv.user_id
 """
 
 
+def q_rolling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 1-hour time-RANGE rolling count/sum per user over
+    events (ops/temporal.rolling_aggregate): time-based frames, not
+    row-based, closed at both ends. Oracle: the identical RANGE
+    BETWEEN window over epoch seconds."""
+    from ..ops.temporal import rolling_aggregate
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ts", event_ts(ev))
+    out = rolling_aggregate(
+        ev.select("event_id", "user_id", "ts_ts", "value"),
+        "user_id",
+        "ts_ts",
+        "value",
+        3600.0,
+    )
+    return out.select("event_id", "user_id", "n_in_window", "sum_in_window")
+
+
+ORACLE_ROLLING_AGG = """
+SELECT event_id, user_id,
+       CAST(COUNT(*) OVER w AS BIGINT) AS n_in_window,
+       SUM(value) OVER w AS sum_in_window
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch(CAST(ts AS TIMESTAMP))
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+def q_group_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated per-language quantiles of document length
+    (ops/stats.group_quantiles): Spark's percentile aggregate and
+    DuckDB's quantile_cont share the v[lo]+frac*(v[hi]-v[lo])
+    definition, so the numbers replay bit-for-bit."""
+    from ..ops.stats import group_quantiles
+
+    docs = _t(spark, sf_dir, "documents")
+    return group_quantiles(docs, "lang", "n_chars", [0.25, 0.5, 0.9])
+
+
+ORACLE_GROUP_QUANTILES = """
+SELECT lang,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.25) AS q25,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.50) AS q50,
+       quantile_cont(CAST(n_chars AS DOUBLE), 0.90) AS q90
+FROM documents GROUP BY lang
+"""
+
+
 # Keys rotated out of the driver's 50-key oracle window (the window
 # is a cap, not the universe of external checks): every pair here is
 # still run against the DuckDB oracle EVERY round by
@@ -1235,6 +1284,8 @@ ROTATED_OUT_QUERIES = {
     "funnel_windowed": q_funnel_windowed,
     "asof_join": q_asof_join,
     "interval_join": q_interval_join,
+    "rolling_agg": q_rolling_agg,
+    "group_quantiles": q_group_quantiles,
 }
 
 ROTATED_OUT_ORACLES = {
@@ -1249,4 +1300,6 @@ ROTATED_OUT_ORACLES = {
     "funnel_windowed": ORACLE_FUNNEL_WINDOWED,
     "asof_join": ORACLE_ASOF_JOIN,
     "interval_join": ORACLE_INTERVAL_JOIN,
+    "rolling_agg": ORACLE_ROLLING_AGG,
+    "group_quantiles": ORACLE_GROUP_QUANTILES,
 }

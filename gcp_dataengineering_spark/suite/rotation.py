@@ -83,8 +83,6 @@ RESIDENT = [
     "dedup_groups",
     "embedding_pq",
     "embedding_lsh",
-    "embedding_neardup_lsh",
-    "multimodal_real_meta",
     "pii_scrub",
     "dedup_pipeline",
     "dedup_incremental",
@@ -116,6 +114,10 @@ GROUP_A = [
     # capacity for the r7 temporal-join keys in GROUP_B
     "decontaminate",
     "corpus_rollup",
+    # new in r7: time-range rolling window + exact group quantiles —
+    # in-window immediately (GROUP_A is the r7 window)
+    "rolling_agg",
+    "group_quantiles",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). All green in r6.
@@ -141,6 +143,10 @@ GROUP_B = [
     # first driver rows in r8
     "asof_join",
     "interval_join",
+    # demoted from RESIDENT in r7 (green r6, stable) for GROUP_A's
+    # r7 additions
+    "embedding_neardup_lsh",
+    "multimodal_real_meta",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.

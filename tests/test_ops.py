@@ -463,6 +463,62 @@ def test_interval_join_semantics_and_plan(spark):
         interval_join(pts, iv.withColumnRenamed("ivid", "pid"), "k", "ts", "s", "e")
 
 
+def test_rolling_aggregate_time_range_semantics(spark):
+    """Time-RANGE frames, not row frames: a burst inside the window
+    counts fully, a gap larger than the window resets, equal
+    timestamps are peers (both see each other)."""
+    from gcp_dataengineering_spark.ops.temporal import rolling_aggregate
+
+    rows = [
+        (1, "2024-01-01 10:00:00", 1.0),
+        (1, "2024-01-01 10:30:00", 2.0),   # sees 10:00 (1h window)
+        (1, "2024-01-01 12:30:00", 4.0),   # gap > 1h: alone
+        (2, "2024-01-01 10:00:00", 8.0),   # tie peers...
+        (2, "2024-01-01 10:00:00", 16.0),  # ...see each other
+    ]
+    ev = spark.createDataFrame(rows, "k long, ts string, v double").withColumn(
+        "ts", F.to_timestamp("ts")
+    )
+    got = sorted(
+        (r.k, str(r.ts), r.n_in_window, r.sum_in_window)
+        for r in rolling_aggregate(ev, "k", "ts", "v", 3600.0).collect()
+    )
+    assert got == [
+        (1, "2024-01-01 10:00:00", 1, 1.0),
+        (1, "2024-01-01 10:30:00", 2, 3.0),
+        (1, "2024-01-01 12:30:00", 1, 4.0),
+        (2, "2024-01-01 10:00:00", 2, 24.0),
+        (2, "2024-01-01 10:00:00", 2, 24.0),
+    ]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="window_s"):
+        rolling_aggregate(ev, "k", "ts", "v", 0)
+
+
+def test_group_quantiles_exact_interpolation(spark):
+    """Exact linear interpolation, deterministic, one row per group;
+    a single-value group returns that value at every fraction."""
+    from gcp_dataengineering_spark.ops.stats import group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", v) for v in (10, 20, 30, 40)] + [("b", 7)], "g string, v long"
+    )
+    got = {r.g: (r.q25, r.q50, r.q90) for r in
+           group_quantiles(df, "g", "v", [0.25, 0.5, 0.9]).collect()}
+    # numpy-style linear interpolation over [10,20,30,40]
+    assert got["a"] == (17.5, 25.0, 37.0)
+    assert got["b"] == (7.0, 7.0, 7.0)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fraction"):
+        group_quantiles(df, "g", "v", [1.5])
+    with _pytest.raises(ValueError, match="non-empty"):
+        group_quantiles(df, "g", "v", [])
+
+
 def test_temporal_python_replay_on_real_events(spark):
     """asof_join over the real events table matches a pure-Python
     replay (latest view <= each purchase per user)."""
