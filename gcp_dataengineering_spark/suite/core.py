@@ -1262,6 +1262,99 @@ FROM documents GROUP BY lang
 """
 
 
+def q_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """left_semi / left_anti joins (SURVEY §2.3 'not present' gap):
+    customers WITH at least one order vs customers with none, tagged
+    and unioned. Semi/anti ship only the left side out of the join —
+    no right-side columns, no duplication from multiple matches."""
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    cond = cust["c_custkey"] == orders["o_custkey"]
+    semi = cust.join(orders, cond, "left_semi").select(
+        "c_custkey", F.lit("has_orders").alias("status")
+    )
+    anti = cust.join(orders, cond, "left_anti").select(
+        "c_custkey", F.lit("no_orders").alias("status")
+    )
+    return semi.unionByName(anti)
+
+
+ORACLE_SEMI_ANTI_JOIN = """
+SELECT c_custkey, 'has_orders' AS status FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+UNION ALL
+SELECT c_custkey, 'no_orders' AS status FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+def q_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT (SURVEY §2.5 'not present' gap), DISTINCT
+    set semantics: nation keys present in both customer and supplier
+    vs customer-only, tagged and unioned."""
+    cust = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust.intersect(supp).select(
+        "nationkey", F.lit("both").alias("side")
+    )
+    cust_only = cust.subtract(supp).select(
+        "nationkey", F.lit("cust_only").alias("side")
+    )
+    return both.unionByName(cust_only)
+
+
+ORACLE_SET_OPS = """
+SELECT nationkey, 'both' AS side FROM (
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+)
+UNION ALL
+SELECT nationkey, 'cust_only' AS side FROM (
+    SELECT DISTINCT c_nationkey AS nationkey FROM customer
+    EXCEPT
+    SELECT DISTINCT s_nationkey AS nationkey FROM supplier
+)
+"""
+
+
+def q_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation with grouping flags (SURVEY §2.4 'not
+    present' gap; complements the ROLLUP in corpus_rollup): event
+    counts and value sums over every subset of (event_type, day),
+    grouping() flags distinguishing aggregated-out NULLs from real
+    NULLs. One Expand + one exchange — the cube multiplies rows
+    map-side, not shuffles."""
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ts", event_ts(ev)).withColumn(
+        "day", F.to_date("ts_ts")
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+            F.grouping("event_type").cast("int").alias("g_type"),
+            F.grouping("day").cast("int").alias("g_day"),
+        )
+    )
+
+
+ORACLE_CUBE_AGG = """
+SELECT event_type, CAST(ts AS DATE) AS day,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value,
+       CAST(GROUPING(event_type) AS INTEGER) AS g_type,
+       CAST(GROUPING(CAST(ts AS DATE)) AS INTEGER) AS g_day
+FROM events
+GROUP BY CUBE (event_type, CAST(ts AS DATE))
+"""
+
+
 # Keys rotated out of the driver's 50-key oracle window (the window
 # is a cap, not the universe of external checks): every pair here is
 # still run against the DuckDB oracle EVERY round by
@@ -1286,6 +1379,9 @@ ROTATED_OUT_QUERIES = {
     "interval_join": q_interval_join,
     "rolling_agg": q_rolling_agg,
     "group_quantiles": q_group_quantiles,
+    "semi_anti_join": q_semi_anti_join,
+    "set_ops": q_set_ops,
+    "cube_agg": q_cube_agg,
 }
 
 ROTATED_OUT_ORACLES = {
@@ -1302,4 +1398,7 @@ ROTATED_OUT_ORACLES = {
     "interval_join": ORACLE_INTERVAL_JOIN,
     "rolling_agg": ORACLE_ROLLING_AGG,
     "group_quantiles": ORACLE_GROUP_QUANTILES,
+    "semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
+    "set_ops": ORACLE_SET_OPS,
+    "cube_agg": ORACLE_CUBE_AGG,
 }

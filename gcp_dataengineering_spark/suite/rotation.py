@@ -65,14 +65,11 @@ RESIDENT = [
     "left_join_costs",
     "missing_cost_full_join",
     "expr_key_join",
-    "multi_key_join",
     "scalar_funcs",
     "union_conform",
     "array_ops",
     "agg_ordinals",
-    "events_hourly",
     "sessionize",
-    "compact_latest",
     # end-to-end reference reconstructions — always externally gated
     "pipeline_tam_e2e",
     "pipeline_digital_e2e",
@@ -118,6 +115,10 @@ GROUP_A = [
     # in-window immediately (GROUP_A is the r7 window)
     "rolling_agg",
     "group_quantiles",
+    # new in r7: §2 'not present' gap closers, in-window immediately
+    "semi_anti_join",
+    "set_ops",
+    "cube_agg",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). All green in r6.
@@ -147,6 +148,9 @@ GROUP_B = [
     # r7 additions
     "embedding_neardup_lsh",
     "multimodal_real_meta",
+    "events_hourly",
+    "compact_latest",
+    "multi_key_join",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.
