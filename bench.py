@@ -67,6 +67,12 @@ HEADLINE = [
     "source_filter",
     "compact_latest",
     "embedding_pq",
+    # round-7 operators (new rows; the 26 rows above BASELINE_r4
+    # stay 1:1 comparable)
+    "asof_join",
+    "interval_join",
+    "rolling_agg",
+    "cube_agg",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member
@@ -134,14 +140,30 @@ def _time_set(spark, qs, sf_dir: str, warm_dir: str, runs: int) -> dict[str, flo
     return times
 
 
+def _bench_queries(entry_mod) -> dict:
+    """The FULL pair universe, not the driver's rotating 50-key
+    window: headline perf rows must stay 1:1 comparable with the
+    baseline anchor regardless of which keys the rotation shows the
+    driver this round (entry queries() kept as fallback for older
+    checkouts), plus the bench-only composed entries."""
+    try:
+        from gcp_dataengineering_spark.suite import _all_pairs
+
+        qs, _ = _all_pairs()
+        qs = dict(qs)
+    except ImportError:
+        qs = dict(entry_mod.queries())
+    qs.update(BENCH_EXTRA)
+    return qs
+
+
 def _run_one_set(sf_dir: str, runs: int) -> dict[str, float]:
     """Time the headline set at sf_dir in THIS process's Spark session."""
     import __spark_entry__ as e
     from gcp_dataengineering_spark.session import get_spark
 
     spark = get_spark("bench")
-    qs = dict(e.queries())
-    qs.update(BENCH_EXTRA)
+    qs = _bench_queries(e)
     # JVM/codegen warmup on a trivial action so q1 isn't charged for it
     spark.range(1000).selectExpr("sum(id)").collect()
     times = _time_set(spark, qs, sf_dir, "/root/testdata/sf0.001", runs)
@@ -257,7 +279,7 @@ def main() -> None:
         from gcp_dataengineering_spark.session import get_spark
 
         spark = get_spark("bench")
-        qs = e.queries()
+        qs = _bench_queries(e)
         spark.range(1000).selectExpr("sum(id)").collect()
         warm_dir = "/root/testdata/sf0.001"
         times_lo = {}

@@ -211,6 +211,25 @@ def test_rotation_schedule_documented():
     assert not missing, f"keys absent from ROTATION.md: {missing}"
 
 
+def test_bench_headline_keys_resolve_regardless_of_rotation():
+    """bench.py must time every HEADLINE key no matter which rotation
+    group is in the driver window this round — a rotated-out key
+    silently skipping would break baseline comparability (it DID,
+    r7: eight headline keys left the window and vanished from the
+    bench until the lookup moved to the full pair universe)."""
+    import importlib
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+    bench = importlib.import_module("bench")
+    import __spark_entry__ as e
+
+    qs = bench._bench_queries(e)
+    missing = [k for k in bench.HEADLINE if k not in qs]
+    assert not missing, f"headline keys not resolvable: {missing}"
+
+
 def test_rotated_out_keys_still_match_duckdb(spark):
     """Rotation out of the driver's 50-key oracle window must not end
     external checking: every ROTATED_OUT pair (suite/core.py +
