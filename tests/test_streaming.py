@@ -582,6 +582,90 @@ def test_upsert_stream_maintains_latest_snapshot(spark, tmp_path):
     assert got3 == got2
 
 
+def test_time_bounded_join_stream_equals_batch(spark, tmp_path):
+    """Stream-stream time-range join: the SAME join code over two
+    real event streams (views joined to the user's clicks within the
+    next 30 min) produces exactly the batch result — and handcrafted
+    boundary rows prove the closed range edges."""
+    from gcp_dataengineering_spark.streaming.join import time_bounded_join
+
+    # handcrafted edges: click exactly at +0 s and exactly at +600 s
+    # are IN; +601 s is OUT; other users never match
+    lrows = [(1, "2024-01-01 10:00:00", "v1"), (2, "2024-01-01 10:00:00", "v2")]
+    rrows = [
+        (1, "2024-01-01 10:00:00", "c0"),
+        (1, "2024-01-01 10:10:00", "c600"),
+        (1, "2024-01-01 10:10:01", "c601"),
+        (3, "2024-01-01 10:00:30", "cx"),
+    ]
+    lb = spark.createDataFrame(lrows, "user_id long, vts string, vid string").withColumn(
+        "vts", F.to_timestamp("vts")
+    )
+    rb = spark.createDataFrame(rrows, "user_id long, cts string, cid string").withColumn(
+        "cts", F.to_timestamp("cts")
+    )
+    got = sorted(
+        (r.vid, r.cid)
+        for r in time_bounded_join(
+            lb, rb, "user_id", "vts", "cts", before_s=0, after_s=600
+        ).collect()
+    )
+    assert got == [("v1", "c0"), ("v1", "c600")]
+
+    # stream==batch over the real events table
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    views_b = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("view_id")
+    )
+    clicks_b = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    want = sorted(
+        (r.view_id, r.click_id)
+        for r in time_bounded_join(
+            views_b, clicks_b, "user_id", "vts", "cts", before_s=0, after_s=1800
+        ).collect()
+    )
+    assert want  # fixture must produce matches
+
+    src = tmp_path / "ev_src"
+    src.mkdir()
+    ev.coalesce(1).write.parquet(str(src / "all.parquet"))
+    schema = ev.schema
+    stream = spark.readStream.schema(schema).parquet(str(src) + "/*.parquet")
+    views_s = stream.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("ts").alias("vts"), F.col("event_id").alias("view_id")
+    )
+    clicks_s = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("cts"), F.col("event_id").alias("click_id")
+    )
+    out = time_bounded_join(
+        views_s, clicks_s, "user_id", "vts", "cts", before_s=0, after_s=1800
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tbj")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt_tbj"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got_s = sorted(
+            (r.view_id, r.click_id) for r in spark.sql("SELECT * FROM tbj").collect()
+        )
+    finally:
+        q.stop()
+    assert got_s == want
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="collision"):
+        time_bounded_join(
+            lb, rb.withColumnRenamed("cid", "vid"), "user_id", "vts", "cts"
+        )
+
+
 def _file_states(root):
     """path -> (size, mtime_ns) for every data file under root."""
     import os
