@@ -1355,6 +1355,65 @@ GROUP BY CUBE (event_type, CAST(ts AS DATE))
 """
 
 
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON functions (SURVEY §2.8 'not present' gap): parse the
+    events.props JSON payload with get_json_object, bucket the
+    extracted field, aggregate. JSON path extraction is a projection
+    — stays in whole-stage codegen, no UDF."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (
+        ev.select((k % 10).alias("k_bucket"), "value")
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )
+
+
+ORACLE_JSON_EXTRACT = """
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(value), 4) AS sum_value
+FROM events GROUP BY 1
+"""
+
+
+def q_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math scalar functions (SURVEY §2.8 'not present' gap):
+    round/abs/ln/log10/sqrt/power/floor/ceil over lineitem money
+    columns — all JVM-side codegen'd expressions with IEEE-defined
+    results, so the oracle replays them bit-for-bit."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.col("l_extendedprice") * 0.07, 2).alias("tax7"),
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.log(F.col("l_extendedprice") + 1.0), 6).alias("ln_price"),
+        F.round(F.log10(F.col("l_extendedprice") + 1.0), 6).alias("log10_price"),
+        F.round(F.sqrt(F.col("l_quantity").cast("double")), 6).alias("sqrt_qty"),
+        F.round(F.pow(F.lit(1.0) + F.col("l_discount"), 2), 6).alias("disc_sq"),
+        F.floor(F.col("l_extendedprice")).cast("long").alias("price_floor"),
+        F.ceil(F.col("l_extendedprice")).cast("long").alias("price_ceil"),
+    )
+
+
+ORACLE_MATH_FUNCS = """
+SELECT l_orderkey, l_linenumber,
+       ROUND(l_extendedprice * 0.07, 2) AS tax7,
+       ABS(l_discount - 0.05) AS disc_dev,
+       ROUND(LN(l_extendedprice + 1.0), 6) AS ln_price,
+       ROUND(LOG10(l_extendedprice + 1.0), 6) AS log10_price,
+       ROUND(SQRT(CAST(l_quantity AS DOUBLE)), 6) AS sqrt_qty,
+       ROUND(POWER(1.0 + l_discount, 2), 6) AS disc_sq,
+       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+       CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil
+FROM lineitem
+"""
+
+
 # Keys rotated out of the driver's 50-key oracle window (the window
 # is a cap, not the universe of external checks): every pair here is
 # still run against the DuckDB oracle EVERY round by
@@ -1382,6 +1441,8 @@ ROTATED_OUT_QUERIES = {
     "semi_anti_join": q_semi_anti_join,
     "set_ops": q_set_ops,
     "cube_agg": q_cube_agg,
+    "json_extract": q_json_extract,
+    "math_funcs": q_math_funcs,
 }
 
 ROTATED_OUT_ORACLES = {
@@ -1401,4 +1462,6 @@ ROTATED_OUT_ORACLES = {
     "semi_anti_join": ORACLE_SEMI_ANTI_JOIN,
     "set_ops": ORACLE_SET_OPS,
     "cube_agg": ORACLE_CUBE_AGG,
+    "json_extract": ORACLE_JSON_EXTRACT,
+    "math_funcs": ORACLE_MATH_FUNCS,
 }

@@ -62,8 +62,6 @@ RESIDENT = [
     "window_allocation",
     "grouped_total_join",
     "conditional_pivot",
-    "left_join_costs",
-    "missing_cost_full_join",
     "expr_key_join",
     "scalar_funcs",
     "union_conform",
@@ -119,6 +117,8 @@ GROUP_A = [
     "semi_anti_join",
     "set_ops",
     "cube_agg",
+    "json_extract",
+    "math_funcs",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). All green in r6.
@@ -151,6 +151,8 @@ GROUP_B = [
     "events_hourly",
     "compact_latest",
     "multi_key_join",
+    "left_join_costs",
+    "missing_cost_full_join",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.
