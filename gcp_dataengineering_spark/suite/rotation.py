@@ -59,9 +59,6 @@ RESIDENT = [
     # core reference-surface operators (SURVEY.md §2)
     "tam_flagship",
     "vintage_union",
-    "window_allocation",
-    "grouped_total_join",
-    "conditional_pivot",
     "expr_key_join",
     "scalar_funcs",
     "union_conform",
@@ -119,6 +116,11 @@ GROUP_A = [
     "cube_agg",
     "json_extract",
     "math_funcs",
+    # new in r7: classic OLAP join/agg patterns over the TPC-H-shaped
+    # fixture tables, in-window immediately
+    "pricing_summary",
+    "shipping_priority",
+    "local_supplier_volume",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). All green in r6.
@@ -153,6 +155,9 @@ GROUP_B = [
     "multi_key_join",
     "left_join_costs",
     "missing_cost_full_join",
+    "window_allocation",
+    "grouped_total_join",
+    "conditional_pivot",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.

@@ -554,6 +554,39 @@ def test_temporal_python_replay_on_real_events(spark):
     assert got == want
 
 
+def test_tpch_pattern_plan_shapes(spark):
+    """The classic OLAP suite keys must carry their scale properties
+    in the executed plan: the Q1-pattern scan pushes the date filter
+    and prunes to exactly the needed columns; the Q3/Q5-pattern
+    multi-way joins broadcast every filtered dimension (zero
+    SortMergeJoin — the fact table shuffles only for the final
+    aggregate) and never fall into a cartesian."""
+    import re
+
+    from gcp_dataengineering_spark.suite.core import (
+        q_local_supplier_volume,
+        q_pricing_summary,
+        q_shipping_priority,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    df = q_pricing_summary(spark, sf)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    m = re.search(r"ReadSchema: ([^\n]*)", plan)
+    assert m and "l_orderkey" not in m.group(1), m and m.group(1)  # pruned
+    assert "l_tax" in m.group(1)
+
+    for qf in (q_shipping_priority, q_local_supplier_volume):
+        df = qf(spark, sf)
+        df.collect()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" not in plan, plan
+        assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+        assert plan.count("BroadcastHashJoin") >= 2
+
+
 def test_funnel_report_emits_zero_tiers(spark):
     """A declared step no user reached still gets its row with
     n_users = 0 — a chart iterating the step list must never see a
