@@ -95,7 +95,11 @@ def _corpus_e2e(spark, sf_dir: str):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     stages = build_training_corpus(
-        docs, config=PipelineConfig(shard_budget_tokens=200_000)
+        docs,
+        config=PipelineConfig(shard_budget_tokens=200_000),
+        # the realistic production configuration: branch points pinned
+        # so the corpus is scanned once, not 4x (see pipeline.py)
+        materialize=None,
     )
     return stages["shards"]
 

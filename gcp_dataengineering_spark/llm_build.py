@@ -55,6 +55,10 @@ def main(argv: list[str] | None = None) -> int:
             max_tokens_per_source=args.max_tokens_per_source,
             shard_budget_tokens=args.shard_budget,
         ),
+        # CLI writes corpus AND shards (two actions) and runs
+        # stage_counts: pin the branch points so the corpus is
+        # scanned once per action instead of 4x
+        materialize=None,
     )
     corpus_dir = os.path.join(args.out, "corpus")
     shards_dir = os.path.join(args.out, "shards")

@@ -79,12 +79,28 @@ def build_training_corpus(
     id_col: str = "doc_id",
     source_col: str = "source",
     lang_col: str = "lang",
+    materialize=False,
 ) -> dict[str, DataFrame]:
     """Run the full build. Returns a dict of stage outputs:
     ``gated`` → ``reputable`` → ``scrubbed`` → ``exact_deduped`` →
     ``near_deduped`` → ``decontaminated`` → ``capped`` → ``corpus``
     (with `split`), plus ``shards`` (the shard plan). Each value is
-    a lazy DataFrame; see `stage_counts` for the report."""
+    a lazy DataFrame; see `stage_counts` for the report.
+
+    ``materialize`` pins the two corpus-wide branch points
+    (``scrubbed`` fans out to the exact-dedup fingerprint join AND
+    everything downstream; ``exact_deduped`` to the minhash / CC /
+    keeper trio): without it, executing ``shards`` alone scans the
+    raw corpus 4× and runs the PII scrub twice (measured on the
+    executed plan), because lineage re-runs per consumer. At 100 TB
+    that is 4 corpus scans instead of 1 — pass ``None`` for the
+    module-wide strategy (localCheckpoint locally,
+    checkpoint/parquet-spill on a cluster; see llm_ops.materialize)
+    or keep the default ``False`` to stay fully lazy (the
+    stage_counts path persists every stage itself, and one-stage
+    consumers don't pay for materialization they don't need)."""
+    from .materialize import materialize as _materialize
+
     cfg = config or PipelineConfig()
 
     feats = quality_features(docs, text_col)
@@ -107,11 +123,15 @@ def build_training_corpus(
         .withColumn(text_col, F.col("_scrubbed"))
         .drop("_scrubbed")
     )
+    if materialize is not False:
+        scrubbed = _materialize(scrubbed, materialize)
 
     fps = dedup_exact(scrubbed, text_col, id_col)
     exact_deduped = scrubbed.join(
         fps.select(F.col("keep_id").alias(id_col)), id_col, "left_semi"
     )
+    if materialize is not False:
+        exact_deduped = _materialize(exact_deduped, materialize)
 
     sigs = minhash_signatures(
         exact_deduped, text_col, id_col, num_hashes=cfg.minhash_hashes
