@@ -82,8 +82,16 @@ def funnel_steps_windowed(
         raise ValueError("steps must be a non-empty ordered list")
     if max_gap_s <= 0:
         raise ValueError("max_gap_s must be positive")
+    # ts normalizes through TIMESTAMP so the fold's double cast works
+    # on timestamp_ntz inputs too (parquet sources produce ntz; ANSI
+    # refuses ntz -> double directly)
     ordered = F.array_sort(
-        F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("et")))
+        F.collect_list(
+            F.struct(
+                F.col(ts_col).cast("timestamp").alias("ts"),
+                F.col(type_col).alias("et"),
+            )
+        )
     )
     step_arr = F.array(*[F.lit(s) for s in steps])
     init = F.struct(

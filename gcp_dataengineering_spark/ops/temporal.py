@@ -64,9 +64,11 @@ def asof_join(
     # tag and union: right rows carry payload, left rows carry NULLs.
     # _side orders right (0) before left (1) at the same timestamp so
     # an exact-tie right row is visible to the left row (<= semantics).
+    # _ts normalizes through TIMESTAMP: parquet sources commonly read
+    # as timestamp_ntz, which ANSI refuses to cast straight to double
     lt = left.select(
         *[F.col(k) for k in keys],
-        F.col(left_ts).alias("_ts"),
+        F.col(left_ts).cast("timestamp").alias("_ts"),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
         F.lit(None).cast("timestamp").alias("_asof_ts_in"),
@@ -74,7 +76,7 @@ def asof_join(
     )
     rt = right.select(
         *[F.col(k) for k in keys],
-        F.col(right_ts).alias("_ts"),
+        F.col(right_ts).cast("timestamp").alias("_ts"),
         F.lit(0).alias("_side"),
         F.lit(None).cast(lt.schema["_lrow"].dataType).alias("_lrow"),
         F.col(right_ts).cast("timestamp").alias("_asof_ts_in"),
@@ -137,10 +139,12 @@ def rolling_aggregate(
         raise ValueError(f"window_s ({window_s}) must be positive")
     # rangeBetween takes integer bounds; the ORDER BY value stays
     # fractional-seconds double, so sub-second timestamps still order
-    # and frame correctly against the integer window edge
+    # and frame correctly against the integer window edge. The double
+    # goes through TIMESTAMP first: parquet sources commonly read as
+    # timestamp_ntz, which ANSI refuses to cast straight to double.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_col).cast("double"))
+        .orderBy(F.col(ts_col).cast("timestamp").cast("double"))
         .rangeBetween(-int(window_s), 0)
     )
     return df.withColumns(
@@ -179,9 +183,12 @@ def interval_join(
         raise ValueError(f"bucket_width_s ({bucket_width_s}) must be >= 1")
 
     bw = F.lit(int(bucket_width_s))
-    p_bucket = F.floor(F.col(point_ts).cast("double") / bw).cast("long")
-    iv_lo = F.floor(F.col(start_col).cast("double") / bw).cast("long")
-    iv_hi = F.floor(F.col(end_col).cast("double") / bw).cast("long")
+    # double goes through TIMESTAMP (timestamp_ntz has no direct
+    # double cast under ANSI; parquet sources commonly produce ntz)
+    _sec = lambda c: F.col(c).cast("timestamp").cast("double")  # noqa: E731
+    p_bucket = F.floor(_sec(point_ts) / bw).cast("long")
+    iv_lo = F.floor(_sec(start_col) / bw).cast("long")
+    iv_hi = F.floor(_sec(end_col) / bw).cast("long")
 
     p = points.withColumn("_bucket", p_bucket)
     iv = intervals.filter(

@@ -554,6 +554,70 @@ def test_temporal_python_replay_on_real_events(spark):
     assert got == want
 
 
+def test_temporal_ops_accept_timestamp_ntz(spark):
+    """Parquet event sources read as timestamp_ntz, which ANSI mode
+    refuses to cast straight to double — every time-based operator
+    must normalize through TIMESTAMP and produce the same result on
+    raw-ntz input as on converted input (the session is pinned UTC,
+    so the instant round-trips)."""
+    from gcp_dataengineering_spark.ops.funnel import funnel_steps_windowed
+    from gcp_dataengineering_spark.ops.temporal import (
+        asof_join,
+        interval_join,
+        rolling_aggregate,
+    )
+    from gcp_dataengineering_spark.suite.core import event_ts
+
+    raw = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    assert dict(raw.dtypes)["ts"].startswith("timestamp")  # ntz or tz
+    conv = raw.withColumn("ts", event_ts(raw))
+
+    def run_all(ev):
+        purchases = ev.filter(F.col("event_type") == "purchase").select(
+            "event_id", "user_id", F.col("ts").alias("pts")
+        )
+        views = ev.filter(F.col("event_type") == "view").select(
+            "user_id", F.col("ts").alias("vts"), F.col("value").alias("v")
+        )
+        a = sorted(
+            (r.event_id, r.v)
+            for r in asof_join(
+                purchases, views, "user_id", "pts", "vts", right_cols=["v"]
+            ).collect()
+        )
+        iv = (
+            ev.groupBy("user_id")
+            .agg(F.min("ts").alias("start_ts"))
+            .withColumn("end_ts", F.col("start_ts") + F.expr("INTERVAL 2 HOURS"))
+        )
+        b = sorted(
+            r.event_id
+            for r in interval_join(
+                ev.select("event_id", "user_id", "ts"),
+                iv, "user_id", "ts", "start_ts", "end_ts",
+            ).collect()
+        )
+        c = sorted(
+            (r.event_id, r.n_in_window)
+            for r in rolling_aggregate(
+                ev.select("event_id", "user_id", "ts", "value"),
+                "user_id", "ts", "value", 3600.0,
+            ).collect()
+        )
+        d = sorted(
+            (r.user_id, r.max_step)
+            for r in funnel_steps_windowed(
+                ev, ["view", "click", "signup", "purchase"], 86400.0
+            ).collect()
+        )
+        return a, b, c, d
+
+    got_raw = run_all(raw)
+    got_conv = run_all(conv)
+    assert got_raw == got_conv
+    assert all(len(x) > 0 for x in got_raw)
+
+
 def test_tpch_pattern_plan_shapes(spark):
     """The classic OLAP suite keys must carry their scale properties
     in the executed plan: the Q1-pattern scan pushes the date filter
