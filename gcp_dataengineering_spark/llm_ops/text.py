@@ -264,28 +264,51 @@ def repetition_features(
 # alternation order between the digit classes cosmetic.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    # orphan-domain tail: a single scan resolves overlapping matches
+    # by leftmost START, so a phone glued to an email local-part
+    # ('(555) 123-4567@mail.com') lets the phone win and would strand
+    # '@mail.com' in the "clean" text. This class catches exactly
+    # that residue (nothing else starts with '@'); it tags and counts
+    # as an email.
+    "email_tail": r"@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"(?:\+1[-. ]?)?(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "card": r"\b\d{4}[-. ]\d{4}[-. ]\d{4}[-. ]\d{4}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
 }
 
-# pattern key -> output count column
+# pattern key -> placeholder written into the text (email_tail merges
+# into <EMAIL>: one visible class, two match shapes)
+_PII_PLACEHOLDERS = {
+    "email": "<EMAIL>",
+    "email_tail": "<EMAIL>",
+    "phone": "<PHONE>",
+    "ssn": "<SSN>",
+    "card": "<CARD>",
+    "ipv4": "<IPV4>",
+}
+
+# placeholder -> output count column (counts are per PLACEHOLDER, so
+# both email shapes land in n_emails)
 _PII_COUNT_COLS = {
-    "email": "n_emails",
-    "phone": "n_phones",
-    "ssn": "n_ssn",
-    "card": "n_cards",
-    "ipv4": "n_ipv4",
+    "<EMAIL>": "n_emails",
+    "<PHONE>": "n_phones",
+    "<SSN>": "n_ssn",
+    "<CARD>": "n_cards",
+    "<IPV4>": "n_ipv4",
 }
 
 # One alternation over all classes, in PII_PATTERNS order. Java and
 # RE2 both use leftmost-first (PCRE-style) alternation priority, so
-# at any position the EARLIER class wins — the same precedence the
-# old per-class sequential passes encoded (a phone-shaped email
-# local-part is one email, zero phones), but decided on the ORIGINAL
-# text in a single scan instead of 2 full-text regex passes per
-# class (the r6 verdict's ~5× cost-of-floor watch item).
+# at the SAME start position the earlier class wins (a phone-shaped
+# email local-part is one email, zero phones). Across DIFFERENT start
+# positions the scan is leftmost-first — standard single-scan
+# semantics, which differs from the pre-r7 sequential passes when an
+# earlier-class match starts INSIDE a later-starting other-class
+# match; the email_tail class exists precisely to keep that case
+# redacted. Decided on the ORIGINAL text in a single scan instead of
+# 2 full-text regex passes per class (the r6 verdict's ~5×
+# cost-of-floor watch item).
 _PII_COMBINED = "|".join(f"(?:{p})" for p in PII_PATTERNS.values())
 
 
@@ -293,14 +316,15 @@ def _pii_tag(match: Column) -> Column:
     """Class placeholder for one extracted snippet. The snippet is
     exactly what one alternative matched, and the class shapes are
     mutually exclusive on full snippets (argued pattern-by-pattern in
-    the PII_PATTERNS comment), so an anchored re-match in class order
-    recovers which alternative it was."""
+    the PII_PATTERNS comment; email_tail's leading '@' separates it
+    from everything, including full emails whose local part cannot be
+    empty), so an anchored re-match in class order recovers which
+    alternative it was."""
     tag = None
     for name, pat in PII_PATTERNS.items():
         cond = match.rlike(f"^(?:{pat})$")
-        tag = F.when(cond, f"<{name.upper()}>") if tag is None else tag.when(
-            cond, f"<{name.upper()}>"
-        )
+        ph = _PII_PLACEHOLDERS[name]
+        tag = F.when(cond, ph) if tag is None else tag.when(cond, ph)
     return tag.otherwise("<PII>")  # unreachable: snippet came from the alternation
 
 
@@ -327,12 +351,15 @@ def scrub_pii(
     matches = F.regexp_extract_all(txt, F.lit(_PII_COMBINED), F.lit(0))
     tags = F.transform(matches, _pii_tag)
     out = df.withColumn("_pii_tags", tags)
-    for name, col_name in _PII_COUNT_COLS.items():
+    def _is(placeholder):
+        # a closure factory, NOT a default-arg lambda: F.filter treats
+        # a 2-parameter lambda as (element, index)
+        return lambda t: t == placeholder
+
+    for placeholder, col_name in _PII_COUNT_COLS.items():
         out = out.withColumn(
             col_name,
-            F.size(
-                F.filter(F.col("_pii_tags"), lambda t: t == f"<{name.upper()}>")
-            ).cast("long"),
+            F.size(F.filter(F.col("_pii_tags"), _is(placeholder))).cast("long"),
         )
     # segments (n+1) interleaved with placeholders (n): zip_with pads
     # the shorter side with null, coalesce turns that into ''

@@ -36,10 +36,23 @@ def group_quantiles(
     for q in qs:
         if not (0.0 <= q <= 1.0):
             raise ValueError(f"quantile fraction {q} outside [0, 1]")
+
+    def _name(q: float) -> str:
+        # clean percents name as q25; anything finer keeps the full
+        # fraction with '.' -> '_' (q0_125) so nearby fractions can
+        # never collide into duplicate column names
+        pct = q * 100
+        if pct == int(pct):
+            return f"{prefix}{int(pct)}"
+        return f"{prefix}{str(q).replace('.', '_')}"
+
+    names = [_name(q) for q in qs]
+    if len(set(names)) != len(names):
+        raise ValueError(f"duplicate quantile fractions in qs: {qs}")
     arr = F.percentile(F.col(value_col).cast("double"), F.array(*[F.lit(float(q)) for q in qs]))
     named = [
-        F.element_at(F.col("_qarr"), i + 1).alias(f"{prefix}{int(round(q * 100))}")
-        for i, q in enumerate(qs)
+        F.element_at(F.col("_qarr"), i + 1).alias(name)
+        for i, name in enumerate(names)
     ]
     return (
         df.groupBy(*keys)

@@ -60,6 +60,12 @@ def asof_join(
     clash = set(rcols) & set(left.columns)
     if clash:
         raise ValueError(f"right_cols collide with left columns: {sorted(clash)}")
+    reserved = {"_ts", "_side", "_lrow", "_asof_ts", "_asof_ts_in"}
+    hit = (set(left.columns) | set(right.columns)) & reserved
+    if hit:
+        raise ValueError(
+            f"input columns collide with asof_join internals: {sorted(hit)}"
+        )
 
     # tag and union: right rows carry payload, left rows carry NULLs.
     # _side orders right (0) before left (1) at the same timestamp so
@@ -137,6 +143,12 @@ def rolling_aggregate(
     keys = [on] if isinstance(on, str) else list(on)
     if window_s <= 0:
         raise ValueError(f"window_s ({window_s}) must be positive")
+    if window_s != int(window_s):
+        # int() truncation would silently shrink the window (0.5 -> a
+        # zero-length frame); whole seconds are the supported grain
+        raise ValueError(
+            f"window_s ({window_s}) must be a whole number of seconds"
+        )
     # rangeBetween takes integer bounds; the ORDER BY value stays
     # fractional-seconds double, so sub-second timestamps still order
     # and frame correctly against the integer window edge. The double
@@ -179,6 +191,10 @@ def interval_join(
     clash = set(points.columns) & set(intervals.columns) - set(keys)
     if clash:
         raise ValueError(f"column collision between sides: {sorted(clash)}")
+    if "_bucket" in points.columns or "_bucket" in intervals.columns:
+        raise ValueError(
+            "input columns collide with interval_join internals: ['_bucket']"
+        )
     if bucket_width_s < 1:
         raise ValueError(f"bucket_width_s ({bucket_width_s}) must be >= 1")
 

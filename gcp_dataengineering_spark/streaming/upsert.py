@@ -51,6 +51,15 @@ def upsert_batch_into_snapshot(
     with the existing snapshot (if any), keep the latest per key,
     atomically replace the snapshot."""
     spark = batch.sparkSession
+    if _read_meta(snapshot_dir.rstrip("/")) is not None:
+        # a bucketed snapshot's _ub=<i> layout would be silently
+        # flattened by this sink (and the mixed layout would poison
+        # later bucketed merges) — refuse instead
+        raise ValueError(
+            f"{snapshot_dir} is a BUCKETED snapshot (_upsert_meta.json "
+            "present): use upsert_batch_into_bucketed_snapshot / "
+            "upsert_stream(n_buckets=...) with the pinned n_buckets"
+        )
     tmp = snapshot_dir.rstrip("/") + "._upsert_tmp"
     old = snapshot_dir.rstrip("/") + "._upsert_old"
     # crash recovery BEFORE reading state (same hygiene as
@@ -151,19 +160,47 @@ def upsert_batch_into_bucketed_snapshot(
             raise ValueError(
                 f"snapshot was bucketed on keys={meta['keys']}, got {keys}"
             )
+    if meta is None and os.path.isdir(snapshot_dir) and any(
+        not name.startswith((BUCKET_COL + "=", "_", "."))
+        for name in os.listdir(snapshot_dir)
+    ):
+        # a FLAT snapshot (plain part files, no meta): bucketing on
+        # top would produce a mixed layout that reads wrong — refuse
+        raise ValueError(
+            f"{snapshot_dir} holds a flat (non-bucketed) snapshot: "
+            "use upsert_batch_into_snapshot, or start the bucketed "
+            "layout in a fresh directory"
+        )
     _recover_buckets(snapshot_dir)
     tmp = snapshot_dir + "._upsert_tmp"
     old_root = snapshot_dir + "._upsert_old"
 
-    merged = latest_by_key_agg(batch, keys, version_cols).withColumn(
-        BUCKET_COL, _bucket_expr(keys, n_buckets)
+    # persisted: the touched-bucket collect below and the final write
+    # would otherwise each re-execute the batch aggregation
+    merged = (
+        latest_by_key_agg(batch, keys, version_cols)
+        .withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
+        .persist()
     )
-    # touched bucket ids: bounded by n_buckets, a scalar-sized collect
-    touched = sorted(
-        r[0] for r in merged.select(BUCKET_COL).distinct().collect()
-    )
-    if not touched:
-        return
+    try:
+        # touched bucket ids: bounded by n_buckets, a scalar collect
+        touched = sorted(
+            r[0] for r in merged.select(BUCKET_COL).distinct().collect()
+        )
+        if not touched:
+            return
+        _merge_touched_buckets(
+            spark, merged, snapshot_dir, tmp, old_root, keys, version_cols,
+            n_buckets, touched, meta,
+        )
+    finally:
+        merged.unpersist()
+
+
+def _merge_touched_buckets(
+    spark, merged, snapshot_dir, tmp, old_root, keys, version_cols,
+    n_buckets, touched, meta,
+) -> None:
     # pin the layout contract BEFORE any data lands: a crash after the
     # first swap but before a late meta write would let a future call
     # silently treat existing buckets as a fresh snapshot
@@ -195,9 +232,6 @@ def upsert_batch_into_bucketed_snapshot(
         os.rename(os.path.join(tmp, name), live)
     shutil.rmtree(old_root)
     shutil.rmtree(tmp)
-    if meta is None:
-        with open(os.path.join(snapshot_dir, _META_FILE), "w") as fh:
-            json.dump({"n_buckets": n_buckets, "keys": keys}, fh)
 
 
 def read_bucketed_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:

@@ -1189,8 +1189,18 @@ _PII_PHONE = (
 _PII_SSN = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
 _PII_CARD = "\\b\\d{4}[-. ]\\d{4}[-. ]\\d{4}[-. ]\\d{4}\\b"
 _PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+# orphan-domain tail (counts/redacts as email) — see llm_ops/text.py
+_PII_EMAIL_TAIL = "@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
 _PII_COMBINED = "|".join(
-    f"(?:{p})" for p in (_PII_EMAIL, _PII_PHONE, _PII_SSN, _PII_CARD, _PII_IPV4)
+    f"(?:{p})"
+    for p in (
+        _PII_EMAIL,
+        _PII_EMAIL_TAIL,
+        _PII_PHONE,
+        _PII_SSN,
+        _PII_CARD,
+        _PII_IPV4,
+    )
 )
 
 ORACLE_PII_SCRUB = f"""
@@ -1233,6 +1243,7 @@ WITH aug AS (
     SELECT doc_id, segs,
            list_transform(ms, x -> CASE
                WHEN regexp_full_match(x, '{_PII_EMAIL}') THEN '<EMAIL>'
+               WHEN regexp_full_match(x, '{_PII_EMAIL_TAIL}') THEN '<EMAIL>'
                WHEN regexp_full_match(x, '{_PII_PHONE}') THEN '<PHONE>'
                WHEN regexp_full_match(x, '{_PII_SSN}') THEN '<SSN>'
                WHEN regexp_full_match(x, '{_PII_CARD}') THEN '<CARD>'

@@ -799,6 +799,10 @@ def test_scrub_pii_redacts_and_counts(spark):
         # round-6 widened classes
         (9, "txt +1(555) 123-4567 now"),  # glued +1( — the ADVICE recall gap
         (10, "my ssn is 123-45-6789 thanks"),
+        # round-7 review finding: phone glued to an email local-part —
+        # leftmost-first gives the phone the overlap, and the orphan
+        # @domain tail must STILL be redacted (as an email)
+        (13, "reach (555) 123-4567@mail.com ok"),
         (11, "card 4111-1111-1111-1111 or 4111 1111 1111 1111 or 4111.1111.1111.1111"),
         (12, "bare 123456789 and 4111111111111111 stay; 1234-5678-9012 stays"),
     ]
@@ -837,6 +841,11 @@ def test_scrub_pii_redacts_and_counts(spark):
     # unseparated digit runs and 3-group fragments are NOT ssn/cards
     assert (got[12]["n_ssn"], got[12]["n_cards"], got[12]["n_phones"]) == (0, 0, 0)
     assert got[12]["text_clean"] == "bare 123456789 and 4111111111111111 stay; 1234-5678-9012 stays"
+    # overlapping phone/email starts: the earlier-starting phone wins
+    # the overlap, the stranded @domain tail redacts as an email —
+    # nothing PII-shaped survives into the clean text
+    assert (got[13]["n_phones"], got[13]["n_emails"]) == (1, 1)
+    assert got[13]["text_clean"] == "reach <PHONE><EMAIL> ok"
 
 
 def test_stratified_sample_stable_and_proportional(spark):

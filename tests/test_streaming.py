@@ -768,6 +768,31 @@ def test_bucketed_upsert_equals_full_rewrite_and_prunes(spark, tmp_path):
         )
 
 
+def test_upsert_layout_mode_guards(spark, tmp_path):
+    """Mixing the two snapshot layouts must refuse loudly: the flat
+    sink on a bucketed snapshot would flatten it (and poison later
+    bucketed merges); the bucketed sink on a flat snapshot would
+    produce a mixed directory that reads wrong."""
+    import pytest as _pytest
+
+    from gcp_dataengineering_spark.streaming.upsert import (
+        upsert_batch_into_bucketed_snapshot,
+        upsert_batch_into_snapshot,
+    )
+
+    b = spark.createDataFrame([(1, 1, "a")], "k long, ver long, payload string")
+
+    bucketed = str(tmp_path / "bucketed")
+    upsert_batch_into_bucketed_snapshot(b, bucketed, ["k"], ["ver"], 4)
+    with _pytest.raises(ValueError, match="BUCKETED"):
+        upsert_batch_into_snapshot(b, bucketed, ["k"], ["ver"])
+
+    flat = str(tmp_path / "flat")
+    upsert_batch_into_snapshot(b, flat, ["k"], ["ver"])
+    with _pytest.raises(ValueError, match="flat"):
+        upsert_batch_into_bucketed_snapshot(b, flat, ["k"], ["ver"], 4)
+
+
 def test_bucketed_upsert_crash_recovery(spark, tmp_path):
     """Crash between the per-bucket renames: the bucket dir sits under
     ._upsert_old and is missing from the snapshot — the next merge
