@@ -167,6 +167,36 @@ def rolling_aggregate(
     )
 
 
+def scd2_build(
+    changes: DataFrame,
+    on: str | list[str],
+    ts_col: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """Type-2 slowly-changing-dimension intervals from a change log:
+    one row per change with ``[valid_from, valid_to)`` — valid_to is
+    the NEXT change's timestamp for the key (NULL = current row).
+    Pair with interval_join / asof_join for as-of dimension lookups.
+
+    Caller contract: (key, ts) unique per change (collapse with
+    ops/compaction.latest_by_key_agg first if the feed can emit two
+    versions at one instant). One shuffle (the key-partition window);
+    lead() is O(1) per row.
+    """
+    keys = [on] if isinstance(on, str) else list(on)
+    for c in (valid_from, valid_to):
+        if c in changes.columns:
+            raise ValueError(f"output column {c!r} already exists in changes")
+    ts = F.col(ts_col).cast("timestamp")
+    w = Window.partitionBy(*keys).orderBy(ts.asc())
+    return changes.select(
+        *[F.col(c) for c in changes.columns if c != ts_col],
+        ts.alias(valid_from),
+        F.lead(ts).over(w).alias(valid_to),
+    )
+
+
 def interval_join(
     points: DataFrame,
     intervals: DataFrame,

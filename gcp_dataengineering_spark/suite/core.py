@@ -1551,6 +1551,71 @@ GROUP BY n_name
 """
 
 
+def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 SCD intervals (ops/temporal.scd2_build) from the events
+    change log: per (user, event_type='signup'|'purchase'... use the
+    full per-user event stream as the change feed) — each event's
+    value becomes the dimension state valid until the user's next
+    event. Oracle: the identical LEAD window."""
+    from ..ops.temporal import scd2_build
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ts", event_ts(ev))
+    changes = ev.select("user_id", "event_id", "value", "ts_ts")
+    return scd2_build(changes, "user_id", "ts_ts")
+
+
+ORACLE_SCD2_BUILD = """
+SELECT user_id, event_id, value,
+       CAST(ts AS TIMESTAMP) AS valid_from,
+       LEAD(CAST(ts AS TIMESTAMP)) OVER (
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC
+       ) AS valid_to
+FROM events
+"""
+
+
+def q_window_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function breadth (§2.5 beyond the reference's two sum
+    windows): row_number / rank / dense_rank / lead / lag / ntile per
+    user over the time-ordered event stream, tie-broken on event_id
+    for full determinism."""
+    from pyspark.sql import Window
+
+    ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("ts_ts", event_ts(ev))
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts_ts").asc(), F.col("event_id").asc()
+    )
+    wv = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.rank().over(wv).cast("long").alias("rnk"),
+        F.dense_rank().over(wv).cast("long").alias("drnk"),
+        F.lead("value", 1).over(w).alias("next_value"),
+        F.lag("value", 1, -1.0).over(w).alias("prev_value"),
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+    )
+
+
+ORACLE_WINDOW_FUNCS = """
+SELECT event_id, user_id,
+       CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+       CAST(RANK() OVER wv AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER wv AS BIGINT) AS drnk,
+       LEAD(value, 1) OVER w AS next_value,
+       LAG(value, 1, -1.0) OVER w AS prev_value,
+       CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC),
+       wv AS (PARTITION BY user_id ORDER BY value DESC, event_id ASC)
+"""
+
+
 # Keys rotated out of the driver's 50-key oracle window (the window
 # is a cap, not the universe of external checks): every pair here is
 # still run against the DuckDB oracle EVERY round by
@@ -1583,6 +1648,8 @@ ROTATED_OUT_QUERIES = {
     "pricing_summary": q_pricing_summary,
     "shipping_priority": q_shipping_priority,
     "local_supplier_volume": q_local_supplier_volume,
+    "scd2_build": q_scd2_build,
+    "window_funcs": q_window_funcs,
 }
 
 ROTATED_OUT_ORACLES = {
@@ -1607,4 +1674,6 @@ ROTATED_OUT_ORACLES = {
     "pricing_summary": ORACLE_PRICING_SUMMARY,
     "shipping_priority": ORACLE_SHIPPING_PRIORITY,
     "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
+    "scd2_build": ORACLE_SCD2_BUILD,
+    "window_funcs": ORACLE_WINDOW_FUNCS,
 }

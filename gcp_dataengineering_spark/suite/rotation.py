@@ -62,7 +62,6 @@ RESIDENT = [
     "expr_key_join",
     "scalar_funcs",
     "union_conform",
-    "array_ops",
     "agg_ordinals",
     "sessionize",
     # end-to-end reference reconstructions — always externally gated
@@ -121,6 +120,8 @@ GROUP_A = [
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
+    # demoted from RESIDENT late-r7 (stable r6) for GROUP_B's additions
+    "array_ops",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). All green in r6.
@@ -158,6 +159,10 @@ GROUP_B = [
     "window_allocation",
     "grouped_total_join",
     "conditional_pivot",
+    # new late-r7: SCD2 interval builder + window-function breadth —
+    # externally pytest-checked now, first driver rows in r8
+    "scd2_build",
+    "window_funcs",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.

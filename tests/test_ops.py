@@ -463,6 +463,57 @@ def test_interval_join_semantics_and_plan(spark):
         interval_join(pts, iv.withColumnRenamed("ivid", "pid"), "k", "ts", "s", "e")
 
 
+def test_scd2_build_intervals_and_asof_lookup(spark):
+    """SCD2 intervals: valid_to = next change per key, NULL for the
+    current row; half-open [from, to) — an as-of lookup via asof_join
+    at any probe instant returns exactly the version whose interval
+    contains it."""
+    from gcp_dataengineering_spark.ops.temporal import asof_join, scd2_build
+
+    changes = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", "bronze"),
+            (1, "2024-02-01 00:00:00", "silver"),
+            (1, "2024-03-01 00:00:00", "gold"),
+            (2, "2024-01-15 00:00:00", "bronze"),
+        ],
+        "k long, ts string, tier string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    dim = scd2_build(changes, "k", "ts")
+    rows = {(r.k, r.tier): (str(r.valid_from), str(r.valid_to) if r.valid_to else None)
+            for r in dim.collect()}
+    assert rows == {
+        (1, "bronze"): ("2024-01-01 00:00:00", "2024-02-01 00:00:00"),
+        (1, "silver"): ("2024-02-01 00:00:00", "2024-03-01 00:00:00"),
+        (1, "gold"): ("2024-03-01 00:00:00", None),
+        (2, "bronze"): ("2024-01-15 00:00:00", None),
+    }
+
+    # as-of lookup: probe instants resolve to the containing version
+    probes = spark.createDataFrame(
+        [
+            (1, "2024-01-20 00:00:00", "p1"),  # bronze
+            (1, "2024-02-01 00:00:00", "p2"),  # exactly at change -> silver
+            (1, "2024-12-01 00:00:00", "p3"),  # current -> gold
+            (2, "2024-01-01 00:00:00", "p4"),  # before first change -> none
+        ],
+        "k long, pts string, pid string",
+    ).withColumn("pts", F.to_timestamp("pts"))
+    got = {
+        r.pid: r.tier
+        for r in asof_join(
+            probes, dim.select("k", F.col("valid_from").alias("vf"), "tier"),
+            "k", "pts", "vf", right_cols=["tier"],
+        ).collect()
+    }
+    assert got == {"p1": "bronze", "p2": "silver", "p3": "gold", "p4": None}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="valid_from"):
+        scd2_build(changes.withColumnRenamed("tier", "valid_from"), "k", "ts")
+
+
 def test_rolling_aggregate_time_range_semantics(spark):
     """Time-RANGE frames, not row frames: a burst inside the window
     counts fully, a gap larger than the window resets, equal
