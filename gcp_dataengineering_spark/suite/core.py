@@ -1616,6 +1616,63 @@ WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id A
 """
 
 
+def q_top_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global top-N with deterministic tiebreak (SURVEY §2.6 — the
+    reference has no sorts/limits at all): the 20 highest-value
+    orders. The plan must be TakeOrderedAndProject — each partition
+    ships only its local top 20 to the driver-side merge, never a
+    global sort (the 100 TB difference between a LIMIT and a
+    catastrophe)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (
+        orders.select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(20)
+    )
+
+
+ORACLE_TOP_N = """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+def q_string_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-function breadth beyond the reference's F1-F8 surface:
+    levenshtein / lpad / reverse / repeat / trim / instr / translate
+    / split_part over customer names — all in the Java∩DuckDB-
+    identical subset, all scan-speed projections."""
+    cust = _t(spark, sf_dir, "customer")
+    name = F.col("c_name")
+    return cust.select(
+        "c_custkey",
+        F.levenshtein(name, F.lit("Customer#000000001")).cast("long").alias("lev"),
+        F.lpad(F.col("c_custkey").cast("string"), 12, "0").alias("padded"),
+        F.reverse(name).alias("rev"),
+        F.repeat(F.substring(name, 1, 2), 3).alias("rep"),
+        F.trim(F.concat(F.lit("  "), name, F.lit("  "))).alias("trimmed"),
+        F.instr(name, F.lit("#")).cast("long").alias("hash_pos"),
+        F.translate(name, "Ce0", "XY_").alias("translated"),
+        F.split_part(name, F.lit("#"), F.lit(2)).alias("num_part"),
+    )
+
+
+ORACLE_STRING_EXTRAS = """
+SELECT c_custkey,
+       CAST(levenshtein(c_name, 'Customer#000000001') AS BIGINT) AS lev,
+       lpad(CAST(c_custkey AS VARCHAR), 12, '0') AS padded,
+       reverse(c_name) AS rev,
+       repeat(substring(c_name, 1, 2), 3) AS rep,
+       trim('  ' || c_name || '  ') AS trimmed,
+       CAST(instr(c_name, '#') AS BIGINT) AS hash_pos,
+       translate(c_name, 'Ce0', 'XY_') AS translated,
+       split_part(c_name, '#', 2) AS num_part
+FROM customer
+"""
+
+
 # Keys rotated out of the driver's 50-key oracle window (the window
 # is a cap, not the universe of external checks): every pair here is
 # still run against the DuckDB oracle EVERY round by
@@ -1650,6 +1707,8 @@ ROTATED_OUT_QUERIES = {
     "local_supplier_volume": q_local_supplier_volume,
     "scd2_build": q_scd2_build,
     "window_funcs": q_window_funcs,
+    "top_n": q_top_n,
+    "string_extras": q_string_extras,
 }
 
 ROTATED_OUT_ORACLES = {
@@ -1676,4 +1735,6 @@ ROTATED_OUT_ORACLES = {
     "local_supplier_volume": ORACLE_LOCAL_SUPPLIER_VOLUME,
     "scd2_build": ORACLE_SCD2_BUILD,
     "window_funcs": ORACLE_WINDOW_FUNCS,
+    "top_n": ORACLE_TOP_N,
+    "string_extras": ORACLE_STRING_EXTRAS,
 }

@@ -61,8 +61,6 @@ RESIDENT = [
     "vintage_union",
     "expr_key_join",
     "scalar_funcs",
-    "union_conform",
-    "agg_ordinals",
     "sessionize",
     # end-to-end reference reconstructions — always externally gated
     "pipeline_tam_e2e",
@@ -122,6 +120,9 @@ GROUP_A = [
     "local_supplier_volume",
     # demoted from RESIDENT late-r7 (stable r6) for GROUP_B's additions
     "array_ops",
+    # new late-r7: §2.6 sorts/limits + string breadth, in-window now
+    "top_n",
+    "string_extras",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). All green in r6.
@@ -163,6 +164,10 @@ GROUP_B = [
     # externally pytest-checked now, first driver rows in r8
     "scd2_build",
     "window_funcs",
+    # demoted from RESIDENT late-r7 (stable since r2/r6) for GROUP_A's
+    # late additions
+    "union_conform",
+    "agg_ordinals",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.
