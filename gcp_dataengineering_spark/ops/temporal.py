@@ -205,6 +205,7 @@ def interval_join(
     start_col: str,
     end_col: str,
     bucket_width_s: int = 3600,
+    max_buckets_per_interval: int = 10_000,
 ) -> DataFrame:
     """Match point rows to the [start, end] CLOSED intervals that
     contain them (optionally also keyed on ``on``). Produces one row
@@ -216,6 +217,13 @@ def interval_join(
     single bucket, then one equi-join on (keys..., bucket) + the
     exact range refine. No CartesianProduct at any size; the join is
     a plain shuffled/broadcast hash join on the bucket id.
+
+    ``max_buckets_per_interval`` is the malformed-data guard: one
+    corrupt interval reaching into year 2100 would otherwise explode
+    to millions of grid rows and take the stage down. Intervals over
+    the cap FAIL THE JOB with a clear message (runtime
+    raise_error, since the data isn't known at plan time) — choose a
+    wider bucket_width_s or pre-filter if such spans are legitimate.
     """
     keys = [] if on is None else ([on] if isinstance(on, str) else list(on))
     clash = set(points.columns) & set(intervals.columns) - set(keys)
@@ -237,9 +245,24 @@ def interval_join(
     iv_hi = F.floor(_sec(end_col) / bw).cast("long")
 
     p = points.withColumn("_bucket", p_bucket)
+    span_ok = (iv_hi - iv_lo) < F.lit(int(max_buckets_per_interval))
+    guarded_hi = F.when(span_ok, iv_hi).otherwise(
+        F.raise_error(
+            F.concat(
+                F.lit(
+                    f"interval_join: interval spans >= {max_buckets_per_interval} "
+                    f"buckets of {bucket_width_s}s (start="
+                ),
+                F.col(start_col).cast("string"),
+                F.lit(", end="),
+                F.col(end_col).cast("string"),
+                F.lit("); widen bucket_width_s or pre-filter malformed intervals"),
+            )
+        ).cast("long")
+    )
     iv = intervals.filter(
         F.col(start_col) <= F.col(end_col)
-    ).withColumn("_bucket", F.explode(F.sequence(iv_lo, iv_hi)))
+    ).withColumn("_bucket", F.explode(F.sequence(iv_lo, guarded_hi)))
 
     joined = p.join(iv, [*keys, "_bucket"]).filter(
         (F.col(point_ts) >= F.col(start_col))

@@ -462,6 +462,15 @@ def test_interval_join_semantics_and_plan(spark):
     with _pytest.raises(ValueError, match="collision"):
         interval_join(pts, iv.withColumnRenamed("ivid", "pid"), "k", "ts", "s", "e")
 
+    # malformed-data guard: a far-future end would explode to
+    # millions of grid rows — the job must fail with a clear message
+    bad = spark.createDataFrame(
+        [(1, "2024-01-01 00:00:00", "2124-01-01 00:00:00", "wbad")],
+        "k long, s string, e string, ivid string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    with _pytest.raises(Exception, match="interval_join: interval spans"):
+        interval_join(pts, bad, "k", "ts", "s", "e", bucket_width_s=900).collect()
+
 
 def test_scd2_build_intervals_and_asof_lookup(spark):
     """SCD2 intervals: valid_to = next change per key, NULL for the
