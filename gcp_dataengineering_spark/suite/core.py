@@ -1673,6 +1673,36 @@ FROM customer
 """
 
 
+def q_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions (the last §2.8 'not present' class):
+    create_map / element_at / size / map_keys over customer
+    attributes, reduced to scalar outputs so the cross-engine hash
+    compare stays type-stable."""
+    cust = _t(spark, sf_dir, "customer")
+    m = F.create_map(
+        F.lit("seg"), F.col("c_mktsegment"),
+        F.lit("name"), F.col("c_name"),
+    )
+    return cust.select(
+        "c_custkey",
+        F.element_at(m, "seg").alias("seg_val"),
+        F.size(m).cast("long").alias("n_entries"),
+        F.array_join(F.map_keys(m), ",").alias("keys_joined"),
+    )
+
+
+ORACLE_MAP_FUNCS = """
+SELECT c_custkey,
+       m['seg'][1] AS seg_val,
+       CAST(cardinality(m) AS BIGINT) AS n_entries,
+       array_to_string(map_keys(m), ',') AS keys_joined
+FROM (
+    SELECT c_custkey, MAP {'seg': c_mktsegment, 'name': c_name} AS m
+    FROM customer
+)
+"""
+
+
 # Keys rotated out of the driver's 50-key oracle window (the window
 # is a cap, not the universe of external checks): every pair here is
 # still run against the DuckDB oracle EVERY round by
@@ -1709,6 +1739,7 @@ ROTATED_OUT_QUERIES = {
     "window_funcs": q_window_funcs,
     "top_n": q_top_n,
     "string_extras": q_string_extras,
+    "map_funcs": q_map_funcs,
 }
 
 ROTATED_OUT_ORACLES = {
@@ -1737,4 +1768,5 @@ ROTATED_OUT_ORACLES = {
     "window_funcs": ORACLE_WINDOW_FUNCS,
     "top_n": ORACLE_TOP_N,
     "string_extras": ORACLE_STRING_EXTRAS,
+    "map_funcs": ORACLE_MAP_FUNCS,
 }

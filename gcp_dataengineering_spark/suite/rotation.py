@@ -58,7 +58,6 @@ PINNED = [
 RESIDENT = [
     # core reference-surface operators (SURVEY.md §2)
     "tam_flagship",
-    "vintage_union",
     "expr_key_join",
     "scalar_funcs",
     "sessionize",
@@ -123,6 +122,9 @@ GROUP_A = [
     # new late-r7: §2.6 sorts/limits + string breadth, in-window now
     "top_n",
     "string_extras",
+    # demoted from RESIDENT late-r7 (stable since r2) for GROUP_B's
+    # map_funcs addition
+    "vintage_union",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). All green in r6.
@@ -160,10 +162,11 @@ GROUP_B = [
     "window_allocation",
     "grouped_total_join",
     "conditional_pivot",
-    # new late-r7: SCD2 interval builder + window-function breadth —
-    # externally pytest-checked now, first driver rows in r8
+    # new late-r7: SCD2 interval builder + window-function breadth +
+    # map functions — externally pytest-checked now, driver rows in r8
     "scd2_build",
     "window_funcs",
+    "map_funcs",
     # demoted from RESIDENT late-r7 (stable since r2/r6) for GROUP_A's
     # late additions
     "union_conform",
