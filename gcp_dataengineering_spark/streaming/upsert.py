@@ -144,6 +144,16 @@ def upsert_batch_into_bucketed_snapshot(
     swap renames only the touched bucket directories. n_buckets is
     pinned in ``_upsert_meta.json`` at first write; later calls must
     agree or the key→bucket mapping would split keys across buckets.
+
+    Isolation honesty: the flat sink's single directory rename was
+    atomic for concurrent readers; the bucketed swap renames bucket
+    directories one at a time, so a reader overlapping a merge can
+    observe some buckets new and some old (each bucket individually
+    consistent; cross-bucket skew bounded by one batch). Writers are
+    safe at any torn point (recovery restores), but readers needing
+    a cross-bucket-consistent view should read between merges or
+    adopt a table format's transaction log — the caveat every
+    multi-file-swap scheme carries.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets ({n_buckets}) must be >= 1")
