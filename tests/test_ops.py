@@ -614,6 +614,100 @@ def test_temporal_python_replay_on_real_events(spark):
     assert got == want
 
 
+def test_asof_join_matches_python_reference_property(spark):
+    """Property check of the tag-union-window as-of against a brute
+    Python reference across generated key/timestamp shapes: sparse
+    and dense keys, exact ties (left==right ts must match), keys
+    with no right rows, duplicate left timestamps."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gcp_dataengineering_spark.ops.temporal import asof_join
+
+    ts = st.integers(min_value=0, max_value=50)
+    key = st.integers(min_value=0, max_value=3)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(st.tuples(key, ts), min_size=1, max_size=12),
+        st.lists(st.tuples(key, ts), min_size=0, max_size=12),
+    )
+    def check(lrows, rrows):
+        left = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(lrows)],
+            "k long, sec long, lid long",
+        ).withColumn("lts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+        # right needs unique (k, ts) for a deterministic answer
+        rset = sorted(set(rrows))
+        right = spark.createDataFrame(
+            [(k, t, float(i)) for i, (k, t) in enumerate(rset)] or [(99, 0, 0.0)],
+            "k long, sec long, v double",
+        ).withColumn("rts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+        got = {
+            r.lid: r.v
+            for r in asof_join(
+                left, right, "k", "lts", "rts", right_cols=["v"]
+            ).collect()
+        }
+        rlist = [(k, t, float(i)) for i, (k, t) in enumerate(rset)] or [(99, 0, 0.0)]
+        want = {}
+        for i, (k, t) in enumerate(lrows):
+            best = None
+            for rk, rt, rv in rlist:
+                if rk == k and rt <= t and (best is None or rt > best[0]):
+                    best = (rt, rv)
+            want[i] = best[1] if best else None
+        assert got == want
+
+    check()
+
+
+def test_interval_join_matches_python_reference_property(spark):
+    """Property check of the grid-bucket interval join against a
+    brute-force double loop: every matching (point, interval) pair
+    exactly once, closed boundaries, across bucket widths that do
+    and don't divide the interval lengths."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gcp_dataengineering_spark.ops.temporal import interval_join
+
+    ts = st.integers(min_value=0, max_value=120)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        st.lists(st.tuples(st.integers(0, 2), ts), min_size=1, max_size=10),
+        st.lists(st.tuples(st.integers(0, 2), ts, st.integers(0, 60)), min_size=1, max_size=6),
+        st.sampled_from([7, 30, 60]),
+    )
+    def check(prows, ivrows, width):
+        pts = spark.createDataFrame(
+            [(k, t, i) for i, (k, t) in enumerate(prows)],
+            "k long, sec long, pid long",
+        ).withColumn("pts", F.timestamp_seconds(F.col("sec"))).drop("sec")
+        iv = spark.createDataFrame(
+            [(k, s, s + d, i) for i, (k, s, d) in enumerate(ivrows)],
+            "k long, s long, e long, ivid long",
+        ).withColumn("sts", F.timestamp_seconds(F.col("s"))).withColumn(
+            "ets", F.timestamp_seconds(F.col("e"))
+        ).drop("s", "e")
+        got = sorted(
+            (r.pid, r.ivid)
+            for r in interval_join(
+                pts, iv, "k", "pts", "sts", "ets", bucket_width_s=width
+            ).collect()
+        )
+        want = sorted(
+            (pi, ii)
+            for pi, (pk, pt) in enumerate(prows)
+            for ii, (ik, s, d) in enumerate(ivrows)
+            if pk == ik and s <= pt <= s + d
+        )
+        assert got == want
+
+    check()
+
+
 def test_temporal_ops_accept_timestamp_ntz(spark):
     """Parquet event sources read as timestamp_ntz, which ANSI mode
     refuses to cast straight to double — every time-based operator
