@@ -790,3 +790,93 @@ def corpus_diff(
         .otherwise("unchanged")
     )
     return joined.select(F.col("_id").alias(id_col), status.alias("status"))
+
+
+def remove_boilerplate(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n",
+    max_doc_frac: float = 0.05,
+    min_docs: int = 2,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Corpus-frequency boilerplate removal (the CCNet/RefinedWeb
+    dedup-at-paragraph-granularity step): a SEGMENT (``sep``-split
+    line/paragraph) that appears in more than ``max_doc_frac`` of the
+    corpus (and at least ``min_docs`` documents) is navigation/footer
+    chrome, not content — strip it from every document and reassemble
+    the rest in original order. Documents reduced to nothing come
+    back as empty strings, not dropped (the caller's length filter
+    owns that policy).
+
+    Scale shape (3 bounded shuffles, no UDF):
+
+    - explode segments with position, group by the segment's md5
+      (32-byte shuffle key, never long text) counting DISTINCT
+      documents — one exchange;
+    - the frequent set is tiny BY CONSTRUCTION (each member occupies
+      >= max_doc_frac of the corpus, so there are at most
+      1/max_doc_frac of them) → broadcast LEFT ANTI join; the corpus
+      re-enters without shuffling;
+    - reassembly is one groupBy(id) collecting (pos, segment) structs
+      — bounded per document by its own segment count, the same
+      per-key bound every sessionizer carries.
+
+    The corpus total used for the threshold is a 1-row broadcast
+    (same pattern as keep_top_fraction_by_score), not a collect.
+    """
+    if not sep:
+        raise ValueError("sep must be a non-empty delimiter")
+    if not (0.0 < max_doc_frac <= 1.0):
+        raise ValueError(f"max_doc_frac ({max_doc_frac}) must be in (0, 1]")
+    if min_docs < 1:
+        raise ValueError(f"min_docs ({min_docs}) must be >= 1")
+    out_col = out_col or text_col
+
+    segs = df.select(
+        F.col(id_col).alias("_bp_id"),
+        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+            "_bp_pos", "_bp_seg"
+        ),
+    )
+    total = df.select(
+        F.count(F.lit(1)).cast("long").alias("_bp_total")
+    )
+    freq = (
+        segs.filter(F.trim("_bp_seg") != "")
+        .groupBy(F.md5(F.col("_bp_seg").cast("binary")).alias("_bp_h"))
+        .agg(F.count_distinct("_bp_id").alias("_bp_nd"))
+    )
+    frequent = (
+        freq.crossJoin(F.broadcast(total))
+        .filter(
+            (F.col("_bp_nd") >= F.lit(int(min_docs)))
+            & (
+                F.col("_bp_nd")
+                >= F.ceil(F.col("_bp_total") * F.lit(float(max_doc_frac)))
+            )
+        )
+        .select("_bp_h")
+    )
+    kept = segs.join(
+        F.broadcast(frequent),
+        F.md5(F.col("_bp_seg").cast("binary")) == F.col("_bp_h"),
+        "left_anti",
+    )
+    rebuilt = kept.groupBy("_bp_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("_bp_pos", "_bp_seg"))
+                ),
+                lambda s: s["_bp_seg"],
+            ),
+            sep,
+        ).alias("_bp_clean")
+    )
+    return (
+        df.join(rebuilt, df[id_col] == rebuilt["_bp_id"], "left")
+        .withColumn(out_col, F.coalesce(F.col("_bp_clean"), F.lit("")))
+        .drop("_bp_id", "_bp_clean")
+    )

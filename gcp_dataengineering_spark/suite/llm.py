@@ -1813,6 +1813,74 @@ FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id
 """
 
 
+# ------------------------------------------- boilerplate removal (window candidate)
+def q_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency boilerplate removal
+    (corpus.remove_boilerplate), differentially checked over planted
+    chrome: every document gains a universal footer line (100% doc
+    frequency -> stripped), every third document a store banner
+    (~33% -> stripped), and every document a unique ref line (doc
+    frequency 1 -> kept). The oracle replays the same
+    split/count/anti/reassemble in SQL; one divergent byte in any
+    reassembled document flips its md5."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit("\nfollow us on social media"),
+            F.when(
+                F.col("doc_id") % 3 == 0, F.lit("\nvisit our online store today")
+            ).otherwise(F.lit("")),
+            F.lit("\nref id "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    out = C.remove_boilerplate(aug, max_doc_frac=0.05, min_docs=2)
+    return out.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("clean_fp"),
+        F.length("text").cast("long").alias("clean_len"),
+    )
+
+
+ORACLE_BOILERPLATE = """
+WITH aug AS (
+    SELECT doc_id,
+           text || chr(10) || 'follow us on social media'
+                || CASE WHEN doc_id % 3 = 0
+                        THEN chr(10) || 'visit our online store today'
+                        ELSE '' END
+                || chr(10) || 'ref id ' || CAST(doc_id AS VARCHAR) AS t
+    FROM documents
+), segs AS (
+    -- parallel unnests zip in DuckDB: element + its 1-based position
+    SELECT doc_id,
+           unnest(string_split(t, chr(10))) AS seg,
+           unnest(range(1, len(string_split(t, chr(10))) + 1)) AS ord
+    FROM aug
+), total AS (
+    SELECT COUNT(*) AS n FROM aug
+), frequent AS (
+    SELECT seg FROM segs, total
+    WHERE trim(seg) <> ''
+    GROUP BY seg, total.n
+    HAVING COUNT(DISTINCT doc_id) >= 2
+       AND COUNT(DISTINCT doc_id) >= CEIL(total.n * 0.05)
+), kept AS (
+    SELECT s.doc_id, s.seg, s.ord FROM segs s
+    WHERE NOT EXISTS (SELECT 1 FROM frequent f WHERE f.seg = s.seg)
+), rebuilt AS (
+    SELECT doc_id, string_agg(seg, chr(10) ORDER BY ord) AS clean
+    FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       md5(coalesce(r.clean, '')) AS clean_fp,
+       CAST(length(coalesce(r.clean, '')) AS BIGINT) AS clean_len
+FROM aug a LEFT JOIN rebuilt r ON a.doc_id = r.doc_id
+"""
+
+
 ROTATED_OUT_QUERIES = {
     "token_count": q_token_count,
     "doc_fingerprint": q_doc_fingerprint,
@@ -1822,6 +1890,7 @@ ROTATED_OUT_QUERIES = {
     "quality_gate_adaptive": q_quality_gate_adaptive,
     "source_token_cap": q_source_token_cap,
     "corpus_diff": q_corpus_diff,
+    "boilerplate": q_boilerplate,
 }
 
 ROTATED_OUT_ORACLES = {
@@ -1833,4 +1902,5 @@ ROTATED_OUT_ORACLES = {
     "quality_gate_adaptive": ORACLE_QUALITY_GATE_ADAPTIVE,
     "source_token_cap": ORACLE_SOURCE_TOKEN_CAP,
     "corpus_diff": ORACLE_CORPUS_DIFF,
+    "boilerplate": ORACLE_BOILERPLATE,
 }

@@ -74,7 +74,6 @@ RESIDENT = [
     "pii_scrub",
     "dedup_pipeline",
     "dedup_incremental",
-    "chunk_plan",
     "source_filter",
 ]
 
@@ -122,9 +121,10 @@ GROUP_A = [
     # new late-r7: §2.6 sorts/limits + string breadth, in-window now
     "top_n",
     "string_extras",
-    # demoted from RESIDENT late-r7 (stable since r2) for GROUP_B's
-    # map_funcs addition
+    # demoted from RESIDENT late-r7 (stable since r2/r6) for GROUP_B's
+    # map_funcs / boilerplate additions
     "vintage_union",
+    "chunk_plan",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). All green in r6.
@@ -167,6 +167,7 @@ GROUP_B = [
     "scd2_build",
     "window_funcs",
     "map_funcs",
+    "boilerplate",
     # demoted from RESIDENT late-r7 (stable since r2/r6) for GROUP_A's
     # late additions
     "union_conform",

@@ -848,6 +848,47 @@ def test_scrub_pii_redacts_and_counts(spark):
     assert got[13]["text_clean"] == "reach <PHONE><EMAIL> ok"
 
 
+def test_remove_boilerplate_strips_frequent_segments(spark):
+    """Segments above the doc-frequency threshold vanish from every
+    document; rare segments and intra-doc structure (order, empty
+    lines) survive; fully-boilerplate docs come back empty, not
+    dropped; validation raises."""
+    from gcp_dataengineering_spark.llm_ops.corpus import remove_boilerplate
+
+    footer = "subscribe to our newsletter"
+    rows = [
+        (0, f"alpha beta\n{footer}\nunique zero"),
+        (1, f"{footer}\ngamma delta"),
+        (2, f"epsilon\n\nzeta\n{footer}"),   # empty line preserved
+        (3, footer),                          # only boilerplate -> ''
+        (4, "no chrome here at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r.text for r in
+           remove_boilerplate(docs, max_doc_frac=0.5, min_docs=2).collect()}
+    assert out == {
+        0: "alpha beta\nunique zero",
+        1: "gamma delta",
+        2: "epsilon\n\nzeta",
+        3: "",
+        4: "no chrome here at all",
+    }
+
+    # below min_docs, even a 100%-frequency segment in a tiny corpus
+    # survives (two docs, min_docs=3)
+    two = spark.createDataFrame(rows[:2], "doc_id long, text string")
+    kept = {r.doc_id: r.text for r in
+            remove_boilerplate(two, max_doc_frac=0.5, min_docs=3).collect()}
+    assert footer in kept[0] and footer in kept[1]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="sep"):
+        remove_boilerplate(docs, sep="")
+    with _pytest.raises(ValueError, match="max_doc_frac"):
+        remove_boilerplate(docs, max_doc_frac=0.0)
+
+
 def test_stratified_sample_stable_and_proportional(spark):
     """Membership is a pure function of (salt, id): the sample of a
     grown corpus extends the sample of the smaller one row-for-row;
