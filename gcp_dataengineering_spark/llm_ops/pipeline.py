@@ -5,6 +5,8 @@ production pretraining-data build runs them:
 
 1. page quality gate (quality_features + the corpus policy),
 2. source reputation gate (judge the site, not just the page),
+2b. optional boilerplate removal (corpus-frequency repeated-segment
+   strip, judged on raw text — config.boilerplate_max_doc_frac),
 3. PII scrubbing (before fingerprinting, so PII-only variants
    collapse and the stored fingerprint matches the stored text),
 4. exact dedup (md5 fingerprint, min-id keeper),
@@ -40,6 +42,7 @@ from .corpus import (
     apply_dedup_keepers,
     cap_source_tokens,
     hash_split,
+    remove_boilerplate,
     shard_by_token_budget,
     source_reputation_filter,
 )
@@ -68,6 +71,11 @@ class PipelineConfig:
     decontam_ngram: int = 13
     max_tokens_per_source: int | None = None
     shard_budget_tokens: int = 2_000_000
+    # strip sep-split segments appearing in more than this fraction
+    # of documents (None = stage off); runs BEFORE the PII scrub so
+    # segment identity is judged on raw text
+    boilerplate_max_doc_frac: float | None = None
+    boilerplate_sep: str = "\n"
     extra: dict = field(default_factory=dict)
 
 
@@ -117,6 +125,15 @@ def build_training_corpus(
     reputable = reputable_src.filter(F.col("_page_pass")).drop("_page_pass").drop(
         "n_chars_calc", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio"
     )
+
+    if cfg.boilerplate_max_doc_frac is not None:
+        reputable = remove_boilerplate(
+            reputable,
+            text_col,
+            id_col,
+            sep=cfg.boilerplate_sep,
+            max_doc_frac=cfg.boilerplate_max_doc_frac,
+        )
 
     scrubbed = (
         scrub_pii(reputable, text_col, out_col="_scrubbed")

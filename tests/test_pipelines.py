@@ -280,6 +280,34 @@ def test_build_training_corpus_composition(spark):
     assert all(r.shard_id >= 0 for r in shards)
 
 
+def test_build_training_corpus_boilerplate_stage(spark):
+    """With boilerplate_max_doc_frac set, the composed build strips
+    corpus-frequent segments before the scrub (so fingerprints and
+    dedup see clean text); off by default."""
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+
+    footer = "subscribe to our newsletter"
+    rows = [
+        (i, f"real content number {i} with enough words to pass the "
+            f"quality gate and more words here\n{footer}", "s1", "en")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+
+    on = build_training_corpus(
+        docs, config=PipelineConfig(boilerplate_max_doc_frac=0.5)
+    )
+    texts_on = [r.text for r in on["corpus"].collect()]
+    assert texts_on and all(footer not in t for t in texts_on)
+
+    off = build_training_corpus(docs)
+    texts_off = [r.text for r in off["corpus"].collect()]
+    assert texts_off and all(footer in t for t in texts_off)
+
+
 def test_build_training_corpus_runs_on_real_documents(spark):
     """Smoke at sf0.001: the composition runs end-to-end on the real
     documents table and the stage counts are monotone after the
