@@ -1703,6 +1703,47 @@ FROM (
 """
 
 
+def q_pivot_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE pivot operator (conditional_pivot shows the
+    hand-rolled CASE form; this is df.groupBy().pivot() with an
+    explicit value list — the list keeps the output schema static so
+    the plan needs no extra values-discovery job): per-user event
+    counts and value sums by event type."""
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", types)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("v"),
+        )
+    )
+    # pivot emits <type>_n / <type>_v; NULL-fill counts for types a
+    # user never produced so the contract is "0 events", not NULL
+    cols = [F.col("user_id")]
+    for t in types:
+        cols.append(F.coalesce(F.col(f"{t}_n"), F.lit(0)).cast("long").alias(f"{t}_n"))
+        cols.append(F.col(f"{t}_v"))
+    return out.select(*cols)
+
+
+ORACLE_PIVOT_NATIVE = """
+SELECT user_id,
+       CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT) AS click_n,
+       ROUND(SUM(value) FILTER (event_type = 'click'), 4) AS click_v,
+       CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT) AS error_n,
+       ROUND(SUM(value) FILTER (event_type = 'error'), 4) AS error_v,
+       CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase_n,
+       ROUND(SUM(value) FILTER (event_type = 'purchase'), 4) AS purchase_v,
+       CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT) AS signup_n,
+       ROUND(SUM(value) FILTER (event_type = 'signup'), 4) AS signup_v,
+       CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view_n,
+       ROUND(SUM(value) FILTER (event_type = 'view'), 4) AS view_v
+FROM events GROUP BY user_id
+"""
+
+
 # Keys rotated out of the driver's 50-key oracle window (the window
 # is a cap, not the universe of external checks): every pair here is
 # still run against the DuckDB oracle EVERY round by
@@ -1740,6 +1781,7 @@ ROTATED_OUT_QUERIES = {
     "top_n": q_top_n,
     "string_extras": q_string_extras,
     "map_funcs": q_map_funcs,
+    "pivot_native": q_pivot_native,
 }
 
 ROTATED_OUT_ORACLES = {
@@ -1769,4 +1811,5 @@ ROTATED_OUT_ORACLES = {
     "top_n": ORACLE_TOP_N,
     "string_extras": ORACLE_STRING_EXTRAS,
     "map_funcs": ORACLE_MAP_FUNCS,
+    "pivot_native": ORACLE_PIVOT_NATIVE,
 }

@@ -58,7 +58,6 @@ PINNED = [
 RESIDENT = [
     # core reference-surface operators (SURVEY.md §2)
     "tam_flagship",
-    "expr_key_join",
     "scalar_funcs",
     "sessionize",
     # end-to-end reference reconstructions — always externally gated
@@ -116,15 +115,16 @@ GROUP_A = [
     "pricing_summary",
     "shipping_priority",
     "local_supplier_volume",
-    # demoted from RESIDENT late-r7 (stable r6) for GROUP_B's additions
-    "array_ops",
     # new late-r7: §2.6 sorts/limits + string breadth, in-window now
     "top_n",
     "string_extras",
-    # demoted from RESIDENT late-r7 (stable since r2/r6) for GROUP_B's
-    # map_funcs / boilerplate additions
+    # demoted from RESIDENT late-r7 (stable since r2/r6) to fund the
+    # late GROUP_B additions — still in-window this round via A
     "vintage_union",
     "chunk_plan",
+    "expr_key_join",
+    # new late-r7: native pivot operator, in-window immediately
+    "pivot_native",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). All green in r6.
@@ -141,6 +141,9 @@ GROUP_B = [
     "embedding_topk",
     "embedding_ivf",
     "multimodal_av_meta",
+    # moved from GROUP_A late-r7 for parity balance (green r6, so the
+    # r8 row keeps 2-round staleness)
+    "array_ops",
     "text_repetition",
     "stratified_sample",
     "dataset_split",
