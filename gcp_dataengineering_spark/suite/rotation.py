@@ -76,8 +76,14 @@ RESIDENT = [
     "source_filter",
 ]
 
-# In-window on ODD rounds (r7, r9, ...). Front-loaded with the keys
-# round 6's verdict flagged as never-oracle-checked or stale-since-r5.
+# In-window on ODD rounds (r7, r9, ...). Originally the keys round
+# 6's verdict flagged as never-oracle-checked or stale-since-r5;
+# grew through r7 with the round's new operators (added to the
+# ACTIVE parity group so they faced the driver immediately) and
+# resident demotions that funded GROUP_B capacity. Membership
+# history is per-entry comments + ROTATION.md; the invariants that
+# matter are enforced by tests (partition, ≤50 both parities,
+# alternation, documentation).
 GROUP_A = [
     "filter_predicates",
     "case_recode",
@@ -127,7 +133,10 @@ GROUP_A = [
     "pivot_native",
 ]
 
-# In-window on EVEN rounds (r8, r10, ...). All green in r6.
+# In-window on EVEN rounds (r8, r10, ...). The r6-green core plus
+# r7 operators added late enough to take their first driver row in
+# r8 (each already externally DuckDB-checked by pytest since the
+# round it landed).
 GROUP_B = [
     "dedup_ngram",
     "embedding_topk_pandas",
