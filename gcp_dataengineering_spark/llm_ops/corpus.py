@@ -803,9 +803,9 @@ def remove_boilerplate(
 ) -> DataFrame:
     """Corpus-frequency boilerplate removal (the CCNet/RefinedWeb
     dedup-at-paragraph-granularity step): a SEGMENT (``sep``-split
-    line/paragraph) that appears in more than ``max_doc_frac`` of the
-    corpus (and at least ``min_docs`` documents) is navigation/footer
-    chrome, not content — strip it from every document and reassemble
+    line/paragraph) that appears in AT LEAST ``ceil(total *
+    max_doc_frac)`` documents (and at least ``min_docs``) is
+    navigation/footer chrome, not content — strip it from every document and reassemble
     the rest in original order. Documents reduced to nothing come
     back as empty strings, not dropped (the caller's length filter
     owns that policy).
@@ -826,17 +826,29 @@ def remove_boilerplate(
     The corpus total used for the threshold is a 1-row broadcast
     (same pattern as keep_top_fraction_by_score), not a collect.
     """
+    import re as _re
+
     if not sep:
         raise ValueError("sep must be a non-empty delimiter")
     if not (0.0 < max_doc_frac <= 1.0):
         raise ValueError(f"max_doc_frac ({max_doc_frac}) must be in (0, 1]")
     if min_docs < 1:
         raise ValueError(f"min_docs ({min_docs}) must be >= 1")
+    reserved = {"_bp_id", "_bp_pos", "_bp_seg", "_bp_h", "_bp_nd", "_bp_total", "_bp_clean"}
+    hit = set(df.columns) & reserved
+    if hit:
+        raise ValueError(
+            f"input columns collide with remove_boilerplate internals: {sorted(hit)}"
+        )
     out_col = out_col or text_col
 
+    # F.split takes a REGEX while array_join rejoins literally — the
+    # separator is escaped so both sides agree for metacharacter
+    # separators like '|' or '.'
+    sep_pattern = _re.escape(sep)
     segs = df.select(
         F.col(id_col).alias("_bp_id"),
-        F.posexplode(F.split(F.col(text_col), F.lit(sep), -1)).alias(
+        F.posexplode(F.split(F.col(text_col), F.lit(sep_pattern), -1)).alias(
             "_bp_pos", "_bp_seg"
         ),
     )

@@ -71,9 +71,9 @@ class PipelineConfig:
     decontam_ngram: int = 13
     max_tokens_per_source: int | None = None
     shard_budget_tokens: int = 2_000_000
-    # strip sep-split segments appearing in more than this fraction
-    # of documents (None = stage off); runs BEFORE the PII scrub so
-    # segment identity is judged on raw text
+    # strip sep-split segments appearing in at least ceil(total *
+    # frac) documents (None = stage off); runs BEFORE the PII scrub
+    # so segment identity is judged on raw text
     boilerplate_max_doc_frac: float | None = None
     boilerplate_sep: str = "\n"
     extra: dict = field(default_factory=dict)
@@ -127,13 +127,22 @@ def build_training_corpus(
     )
 
     if cfg.boilerplate_max_doc_frac is not None:
+        # remove_boilerplate's plan references its input 4x (total,
+        # frequency, kept segments, final join) — pin the gated
+        # corpus first or the quality/reputation gates re-run 4x
+        # per downstream execution (the documented branch-point rule)
+        if materialize is not False:
+            reputable = _materialize(reputable, materialize)
         reputable = remove_boilerplate(
             reputable,
             text_col,
             id_col,
             sep=cfg.boilerplate_sep,
             max_doc_frac=cfg.boilerplate_max_doc_frac,
-        )
+        ).filter(F.trim(F.col(text_col)) != "")
+        # ^ re-gate: a document that was ALL chrome passes the quality
+        # gate on its raw text but is empty after the strip — an empty
+        # string has no place in a training corpus
 
     scrubbed = (
         scrub_pii(reputable, text_col, out_col="_scrubbed")

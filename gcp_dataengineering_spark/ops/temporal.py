@@ -173,23 +173,32 @@ def scd2_build(
     ts_col: str,
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
+    tiebreak: str | None = None,
 ) -> DataFrame:
     """Type-2 slowly-changing-dimension intervals from a change log:
-    one row per change with ``[valid_from, valid_to)`` — valid_to is
-    the NEXT change's timestamp for the key (NULL = current row).
-    Pair with interval_join / asof_join for as-of dimension lookups.
+    one row per change with HALF-OPEN ``[valid_from, valid_to)`` —
+    valid_to is the NEXT change's timestamp for the key (NULL =
+    current row). For as-of dimension lookups pair with
+    ``asof_join`` on ``valid_from`` (backward-latest IS the
+    half-open containment, and NULL-ended current rows resolve
+    correctly); do NOT feed the intervals to ``interval_join``,
+    whose CLOSED [start, end] would double-match probes landing
+    exactly on a change instant and drop every current row.
 
-    Caller contract: (key, ts) unique per change (collapse with
-    ops/compaction.latest_by_key_agg first if the feed can emit two
-    versions at one instant). One shuffle (the key-partition window);
-    lead() is O(1) per row.
+    ``tiebreak`` orders changes sharing an exact timestamp (e.g. a
+    sequence/id column) so interval chaining is deterministic;
+    without it the caller contract is unique (key, ts) per change
+    (collapse with ops/compaction.latest_by_key_agg first if the
+    feed can emit two versions at one instant). One shuffle (the
+    key-partition window); lead() is O(1) per row.
     """
     keys = [on] if isinstance(on, str) else list(on)
     for c in (valid_from, valid_to):
         if c in changes.columns:
             raise ValueError(f"output column {c!r} already exists in changes")
     ts = F.col(ts_col).cast("timestamp")
-    w = Window.partitionBy(*keys).orderBy(ts.asc())
+    order = [ts.asc()] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
     return changes.select(
         *[F.col(c) for c in changes.columns if c != ts_col],
         ts.alias(valid_from),

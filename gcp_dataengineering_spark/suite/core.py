@@ -1562,14 +1562,14 @@ def q_scd2_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _t(spark, sf_dir, "events")
     ev = ev.withColumn("ts_ts", event_ts(ev))
     changes = ev.select("user_id", "event_id", "value", "ts_ts")
-    return scd2_build(changes, "user_id", "ts_ts")
+    return scd2_build(changes, "user_id", "ts_ts", tiebreak="event_id")
 
 
 ORACLE_SCD2_BUILD = """
 SELECT user_id, event_id, value,
        CAST(ts AS TIMESTAMP) AS valid_from,
        LEAD(CAST(ts AS TIMESTAMP)) OVER (
-           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC
+           PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP) ASC, event_id ASC
        ) AS valid_to
 FROM events
 """

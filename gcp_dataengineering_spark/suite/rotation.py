@@ -150,8 +150,8 @@ GROUP_B = [
     "embedding_topk",
     "embedding_ivf",
     "multimodal_av_meta",
-    # moved from GROUP_A late-r7 for parity balance (green r6, so the
-    # r8 row keeps 2-round staleness)
+    # demoted from RESIDENT late-r7 for parity balance (green r6, so
+    # the r8 row keeps 2-round staleness)
     "array_ops",
     "text_repetition",
     "stratified_sample",

@@ -881,12 +881,25 @@ def test_remove_boilerplate_strips_frequent_segments(spark):
             remove_boilerplate(two, max_doc_frac=0.5, min_docs=3).collect()}
     assert footer in kept[0] and footer in kept[1]
 
+    # regex-metacharacter separator: split must treat sep literally
+    # (review finding: '|' as a regex alternation exploded every
+    # character) — round-trips exactly
+    pdocs = spark.createDataFrame(
+        [(0, f"alpha|{footer}|zed"), (1, f"{footer}|beta")],
+        "doc_id long, text string",
+    )
+    pout = {r.doc_id: r.text for r in
+            remove_boilerplate(pdocs, sep="|", max_doc_frac=0.5, min_docs=2).collect()}
+    assert pout == {0: "alpha|zed", 1: "beta"}
+
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="sep"):
         remove_boilerplate(docs, sep="")
     with _pytest.raises(ValueError, match="max_doc_frac"):
         remove_boilerplate(docs, max_doc_frac=0.0)
+    with _pytest.raises(ValueError, match="internals"):
+        remove_boilerplate(docs.withColumn("_bp_id", F.lit(1)))
 
 
 def test_stratified_sample_stable_and_proportional(spark):

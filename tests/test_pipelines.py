@@ -307,6 +307,22 @@ def test_build_training_corpus_boilerplate_stage(spark):
     texts_off = [r.text for r in off["corpus"].collect()]
     assert texts_off and all(footer in t for t in texts_off)
 
+    # a document that is ALL chrome passes the quality gate on raw
+    # text but must NOT reach the corpus as an empty string
+    chrome_only = docs.union(
+        spark.createDataFrame(
+            [(99, f"{footer}\n{footer}\n{footer}\n{footer}\n{footer}\n{footer}",
+              "s1", "en")],
+            "doc_id long, text string, source string, lang string",
+        )
+    )
+    on2 = build_training_corpus(
+        chrome_only, config=PipelineConfig(boilerplate_max_doc_frac=0.5)
+    )
+    ids = {r.doc_id for r in on2["corpus"].collect()}
+    assert 99 not in ids
+    assert all(r.text.strip() for r in on2["corpus"].collect())
+
 
 def test_build_training_corpus_runs_on_real_documents(spark):
     """Smoke at sf0.001: the composition runs end-to-end on the real
