@@ -902,6 +902,26 @@ def test_remove_boilerplate_strips_frequent_segments(spark):
         remove_boilerplate(docs.withColumn("_bp_id", F.lit(1)))
 
 
+def test_remove_boilerplate_plan_shape(spark):
+    """Scale receipt: the corpus re-enters through a BROADCAST anti
+    join (the frequent set is tiny by construction — at most
+    1/max_doc_frac members), never a SortMergeJoin on segments, and
+    the whole op carries no cartesian."""
+    from gcp_dataengineering_spark.llm_ops.corpus import remove_boilerplate
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = remove_boilerplate(
+        docs.selectExpr("doc_id", "concat(text, '\\nfooter line') AS text"),
+        max_doc_frac=0.05,
+    )
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    seg_joins = [ln for ln in plan.splitlines() if "SortMergeJoin" in ln]
+    assert not seg_joins, seg_joins
+    assert "CartesianProduct" not in plan
+
+
 def test_stratified_sample_stable_and_proportional(spark):
     """Membership is a pure function of (salt, id): the sample of a
     grown corpus extends the sample of the smaller one row-for-row;
