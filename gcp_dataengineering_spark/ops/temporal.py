@@ -50,6 +50,14 @@ def asof_join(
     ``<name>`` (must not collide with a left column name), plus
     ``_asof_ts`` (the matched right row's timestamp, NULL when no
     match).
+
+    PRECONDITION: the right side must be unique on (keys..., right_ts).
+    With duplicate (key, ts) right rows the carried payload is
+    NONDETERMINISTIC — the tag-union window orders by (_ts, _side)
+    only, so ``last(...ignorenulls)`` picks an arbitrary one of the
+    tied rows (ADVICE r7). Deduplicate first (e.g. a row_number over
+    (keys, ts, <tiebreak>) like ``scd2_build``'s tiebreak column) if
+    the source can carry same-timestamp versions.
     """
     keys = [on] if isinstance(on, str) else list(on)
     if how not in ("left", "inner"):
@@ -215,11 +223,20 @@ def interval_join(
     end_col: str,
     bucket_width_s: int = 3600,
     max_buckets_per_interval: int = 10_000,
+    reversed_policy: str = "drop",
 ) -> DataFrame:
     """Match point rows to the [start, end] CLOSED intervals that
     contain them (optionally also keyed on ``on``). Produces one row
     per matching (point, interval) pair: all point columns + all
     interval columns (names must not collide).
+
+    Malformed-interval policy (both knobs, one data-quality class):
+    a REVERSED interval (start > end) matches no point by the closed
+    -range definition; under the default ``reversed_policy="drop"``
+    it is excluded up front (documented contract, not an accident).
+    Pass ``reversed_policy="strict"`` to route reversed intervals
+    through the same runtime ``raise_error`` path as over-long spans
+    so corrupt data fails the job instead of vanishing (ADVICE r7).
 
     Plan shape: interval explodes to its covered grid buckets
     (sequence over ints — bounded by span/width), point maps to its
@@ -244,6 +261,10 @@ def interval_join(
         )
     if bucket_width_s < 1:
         raise ValueError(f"bucket_width_s ({bucket_width_s}) must be >= 1")
+    if reversed_policy not in ("drop", "strict"):
+        raise ValueError(
+            f"reversed_policy ({reversed_policy!r}) must be 'drop' or 'strict'"
+        )
 
     bw = F.lit(int(bucket_width_s))
     # double goes through TIMESTAMP (timestamp_ntz has no direct
@@ -269,9 +290,28 @@ def interval_join(
             )
         ).cast("long")
     )
-    iv = intervals.filter(
-        F.col(start_col) <= F.col(end_col)
-    ).withColumn("_bucket", F.explode(F.sequence(iv_lo, guarded_hi)))
+    if reversed_policy == "strict":
+        # No pre-filter here: reversed rows must REACH the guard to
+        # fail the job (a filter would silently drop them first).
+        rev_ok = F.col(start_col) <= F.col(end_col)
+        guarded_hi = F.when(rev_ok, guarded_hi).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit("interval_join: reversed interval (start="),
+                    F.col(start_col).cast("string"),
+                    F.lit(" > end="),
+                    F.col(end_col).cast("string"),
+                    F.lit(") under reversed_policy='strict'"),
+                )
+            ).cast("long")
+        )
+        iv = intervals.withColumn(
+            "_bucket", F.explode(F.sequence(iv_lo, guarded_hi))
+        )
+    else:
+        iv = intervals.filter(
+            F.col(start_col) <= F.col(end_col)
+        ).withColumn("_bucket", F.explode(F.sequence(iv_lo, guarded_hi)))
 
     joined = p.join(iv, [*keys, "_bucket"]).filter(
         (F.col(point_ts) >= F.col(start_col))

@@ -6,27 +6,36 @@ Structured Streaming has no built-in mutable sink for plain parquet,
 so the standard pattern is ``foreachBatch``: each micro-batch is a
 small BATCH DataFrame, merged against the current snapshot with the
 same deterministic `latest_by_key_agg` used offline, and the result
-swapped in atomically (write aside + rename — the local-FS stand-in
-for a table format's transactional commit; on Delta/Iceberg the
-foreachBatch body becomes a MERGE INTO and the swap disappears).
+published atomically (on Delta/Iceberg the foreachBatch body becomes
+a MERGE INTO and all the mechanics below disappear).
 
 Two snapshot layouts:
 
 - ``upsert_batch_into_snapshot`` — flat directory, full rewrite per
-  batch. O(snapshot) per micro-batch: correct and simple, fine for
-  dimension-sized state, wrong for fact-scale state.
+  batch, two-rename atomic swap. O(snapshot) per micro-batch:
+  correct and simple, fine for dimension-sized state, wrong for
+  fact-scale state.
 - ``upsert_batch_into_bucketed_snapshot`` — the snapshot is laid out
   as key-hash bucket partitions (``_ub=<i>`` directories) and each
   micro-batch rewrites ONLY the buckets its keys land in. Cost per
   batch drops from O(snapshot) to O(snapshot / n_buckets ×
   touched_buckets): a batch touching few keys leaves every other
-  bucket's files byte-identical on disk. This is the step toward a
-  log-structured merge without adopting a table format — on
-  Delta/Iceberg the foreachBatch body becomes MERGE INTO and the
-  bucket dance disappears.
+  bucket's files byte-identical on disk.
 
-Either way the batch collapse (`latest_by_key_agg` before the
-merge) keeps each micro-batch's contribution minimal.
+Bucketed publication protocol (round 8 — manifest isolation): data
+files are immutable once written and are NEVER renamed or deleted at
+publish time. A merge writes the touched buckets' new part files
+alongside the old ones, then atomically publishes
+``_upsert_manifest.json`` (write-aside + ``os.replace``) listing
+exactly the live file set. Readers resolve through the manifest, so
+a reader overlapping a merge sees either the old or the new COMPLETE
+snapshot, never a mix — the replaced ("retired") files stay on disk
+until the NEXT merge garbage-collects them, giving any in-flight
+reader a full merge cycle of grace. This is the object-store-native
+design (immutable objects + manifest pointer); the local-FS renames
+here are only for staging files into place under unique names.
+Crash at ANY point leaves the previous manifest intact; un-published
+part files are swept as orphans by the next merge's GC.
 """
 
 from __future__ import annotations
@@ -37,6 +46,7 @@ import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..ops.compaction import latest_by_key_agg
 
@@ -51,17 +61,26 @@ def upsert_batch_into_snapshot(
     with the existing snapshot (if any), keep the latest per key,
     atomically replace the snapshot."""
     spark = batch.sparkSession
-    if _read_meta(snapshot_dir.rstrip("/")) is not None:
-        # a bucketed snapshot's _ub=<i> layout would be silently
-        # flattened by this sink (and the mixed layout would poison
-        # later bucketed merges) — refuse instead
-        raise ValueError(
-            f"{snapshot_dir} is a BUCKETED snapshot (_upsert_meta.json "
-            "present): use upsert_batch_into_bucketed_snapshot / "
-            "upsert_stream(n_buckets=...) with the pinned n_buckets"
-        )
-    tmp = snapshot_dir.rstrip("/") + "._upsert_tmp"
-    old = snapshot_dir.rstrip("/") + "._upsert_old"
+    root = snapshot_dir.rstrip("/")
+    if _read_meta(root) is not None:
+        if _is_orphan_meta_only(root):
+            # torn first BUCKETED write (meta landed, no data, no
+            # manifest): recoverable garbage, not a claimed layout —
+            # sweep it instead of demanding manual cleanup (ADVICE r7)
+            os.remove(os.path.join(root, _META_FILE))
+            if not os.listdir(root):
+                os.rmdir(root)  # an empty dir is not a readable snapshot
+        else:
+            # a bucketed snapshot's _ub=<i> layout would be silently
+            # flattened by this sink (and the mixed layout would
+            # poison later bucketed merges) — refuse instead
+            raise ValueError(
+                f"{snapshot_dir} is a BUCKETED snapshot (_upsert_meta.json "
+                "present): use upsert_batch_into_bucketed_snapshot / "
+                "upsert_stream(n_buckets=...) with the pinned n_buckets"
+            )
+    tmp = root + "._upsert_tmp"
+    old = root + "._upsert_old"
     # crash recovery BEFORE reading state (same hygiene as
     # io.compact_small_files): a leftover tmp is an unfinished
     # rewrite (garbage); a leftover old with the snapshot missing
@@ -90,6 +109,7 @@ def upsert_batch_into_snapshot(
 
 BUCKET_COL = "_ub"  # reserved partition column of bucketed snapshots
 _META_FILE = "_upsert_meta.json"  # leading '_' → invisible to Spark readers
+_MANIFEST_FILE = "_upsert_manifest.json"
 
 
 def _bucket_expr(keys: list[str], n_buckets: int):
@@ -108,12 +128,52 @@ def _read_meta(snapshot_dir: str) -> dict | None:
     return None
 
 
-def _recover_buckets(snapshot_dir: str) -> None:
-    """Crash hygiene for the per-bucket two-rename swap, same contract
-    as the flat sink's recovery: leftover tmp = unfinished rewrite
+def _read_manifest(snapshot_dir: str) -> dict | None:
+    p = os.path.join(snapshot_dir, _MANIFEST_FILE)
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return None
+
+
+def _write_manifest(snapshot_dir: str, manifest: dict) -> None:
+    """Atomic publish: readers see the old manifest or the new one,
+    never a partial write (os.replace is atomic on POSIX)."""
+    tmp = os.path.join(snapshot_dir, _MANIFEST_FILE + ".tmp")
+    with open(tmp, "w") as fh:
+        json.dump(manifest, fh)
+        fh.flush()
+        os.fsync(fh.fileno())
+    os.replace(tmp, os.path.join(snapshot_dir, _MANIFEST_FILE))
+
+
+def _bucket_dirs(snapshot_dir: str) -> list[str]:
+    if not os.path.isdir(snapshot_dir):
+        return []
+    return sorted(
+        n for n in os.listdir(snapshot_dir) if n.startswith(BUCKET_COL + "=")
+    )
+
+
+def _is_orphan_meta_only(snapshot_dir: str) -> bool:
+    """A meta file with no manifest and no bucket data is the residue
+    of a first merge that died before publishing anything — an empty
+    snapshot, not a claimed layout (ADVICE r7)."""
+    return (
+        _read_meta(snapshot_dir) is not None
+        and _read_manifest(snapshot_dir) is None
+        and not _bucket_dirs(snapshot_dir)
+    )
+
+
+def _recover_legacy_buckets(snapshot_dir: str) -> None:
+    """Crash hygiene for PRE-MANIFEST snapshots only (the old
+    per-bucket two-rename swap): leftover tmp = unfinished rewrite
     (garbage); a bucket dir present under old but missing in the
     snapshot = crashed between its two renames, the old dir IS the
-    state; old alongside a live bucket just missed final cleanup."""
+    state; old alongside a live bucket just missed final cleanup.
+    Manifest-era merges never rename live directories, so this only
+    runs while adopting a legacy layout."""
     tmp = snapshot_dir.rstrip("/") + "._upsert_tmp"
     old_root = snapshot_dir.rstrip("/") + "._upsert_old"
     if os.path.exists(tmp):
@@ -129,6 +189,37 @@ def _recover_buckets(snapshot_dir: str) -> None:
         shutil.rmtree(old_root)
 
 
+def _adopt_legacy_manifest(snapshot_dir: str) -> dict:
+    """Build a generation-0 manifest from a pre-manifest bucketed
+    layout: every parquet file currently in a bucket dir is live."""
+    buckets: dict[str, list[str]] = {}
+    for name in _bucket_dirs(snapshot_dir):
+        bucket_id = name.split("=", 1)[1]
+        files = sorted(
+            os.path.join(name, f)
+            for f in os.listdir(os.path.join(snapshot_dir, name))
+            if f.endswith(".parquet")
+        )
+        if files:
+            buckets[bucket_id] = files
+    return {"generation": 0, "buckets": buckets, "retired": []}
+
+
+def _gc_unreferenced(snapshot_dir: str, live: set[str]) -> None:
+    """Delete every parquet file in a bucket dir that the manifest
+    does not reference: last generation's retirees (their one-merge
+    reader grace has expired — this runs at the START of the next
+    merge) plus orphans from torn writes that never got published."""
+    for name in _bucket_dirs(snapshot_dir):
+        bdir = os.path.join(snapshot_dir, name)
+        for f in os.listdir(bdir):
+            rel = os.path.join(name, f)
+            if f.endswith(".parquet") and rel not in live:
+                os.remove(os.path.join(bdir, f))
+        if not os.listdir(bdir):
+            os.rmdir(bdir)
+
+
 def upsert_batch_into_bucketed_snapshot(
     batch: DataFrame,
     snapshot_dir: str,
@@ -138,22 +229,22 @@ def upsert_batch_into_bucketed_snapshot(
 ) -> None:
     """One merge that rewrites only the key-hash buckets the batch
     touches. The snapshot lives as ``snapshot_dir/_ub=<i>/`` parquet
-    partitions; the current state for the merge is read with a
-    partition filter on the touched bucket ids (directory pruning —
-    untouched buckets are never opened, let alone rewritten), and the
-    swap renames only the touched bucket directories. n_buckets is
-    pinned in ``_upsert_meta.json`` at first write; later calls must
-    agree or the key→bucket mapping would split keys across buckets.
+    partitions; the current state for the merge is resolved through
+    ``_upsert_manifest.json`` and read file-by-file for the touched
+    bucket ids only (untouched buckets are never opened, let alone
+    rewritten). n_buckets is pinned in ``_upsert_meta.json`` at first
+    write; later calls must agree or the key→bucket mapping would
+    split keys across buckets.
 
-    Isolation honesty: the flat sink's single directory rename was
-    atomic for concurrent readers; the bucketed swap renames bucket
-    directories one at a time, so a reader overlapping a merge can
-    observe some buckets new and some old (each bucket individually
-    consistent; cross-bucket skew bounded by one batch). Writers are
-    safe at any torn point (recovery restores), but readers needing
-    a cross-bucket-consistent view should read between merges or
-    adopt a table format's transaction log — the caveat every
-    multi-file-swap scheme carries.
+    Reader isolation: new files land under unique names next to the
+    old ones, and the manifest is published LAST with an atomic
+    rename — a reader that resolved the manifest at any instant sees
+    a complete, consistent snapshot. Replaced files are retired (kept
+    on disk, listed in the new manifest's ``retired``) and deleted
+    only by the NEXT merge, so an in-flight reader has a full merge
+    cycle to finish. Writers are single at a time (foreachBatch
+    serializes micro-batches); a crash anywhere leaves the previous
+    manifest as the live snapshot.
     """
     if n_buckets < 1:
         raise ValueError(f"n_buckets ({n_buckets}) must be >= 1")
@@ -181,9 +272,15 @@ def upsert_batch_into_bucketed_snapshot(
             "use upsert_batch_into_snapshot, or start the bucketed "
             "layout in a fresh directory"
         )
-    _recover_buckets(snapshot_dir)
+    manifest = _read_manifest(snapshot_dir)
+    if manifest is None and meta is not None and _bucket_dirs(snapshot_dir):
+        # pre-manifest layout: finish any torn two-rename swap, then
+        # adopt the directory listing as generation 0
+        _recover_legacy_buckets(snapshot_dir)
+        manifest = _adopt_legacy_manifest(snapshot_dir)
     tmp = snapshot_dir + "._upsert_tmp"
-    old_root = snapshot_dir + "._upsert_old"
+    if os.path.exists(tmp):
+        shutil.rmtree(tmp)  # unfinished write-aside: never published
 
     # persisted: the touched-bucket collect below and the final write
     # would otherwise each re-execute the batch aggregation
@@ -200,54 +297,125 @@ def upsert_batch_into_bucketed_snapshot(
         if not touched:
             return
         _merge_touched_buckets(
-            spark, merged, snapshot_dir, tmp, old_root, keys, version_cols,
-            n_buckets, touched, meta,
+            spark, merged, snapshot_dir, tmp, keys, version_cols,
+            n_buckets, touched, meta, manifest,
         )
     finally:
         merged.unpersist()
 
 
 def _merge_touched_buckets(
-    spark, merged, snapshot_dir, tmp, old_root, keys, version_cols,
-    n_buckets, touched, meta,
+    spark, merged, snapshot_dir, tmp, keys, version_cols,
+    n_buckets, touched, meta, manifest,
 ) -> None:
-    # pin the layout contract BEFORE any data lands: a crash after the
-    # first swap but before a late meta write would let a future call
-    # silently treat existing buckets as a fresh snapshot
+    # pin the layout contract BEFORE any data lands: a crash after
+    # data lands but before a late meta write would let a future call
+    # silently treat existing buckets as a fresh snapshot. The meta
+    # also records the row schema so a torn-first-write directory
+    # (meta only, nothing published) still READS as an empty snapshot.
     os.makedirs(snapshot_dir, exist_ok=True)
-    if meta is None:
+    if meta is None or "schema" not in meta:
         with open(os.path.join(snapshot_dir, _META_FILE), "w") as fh:
-            json.dump({"n_buckets": n_buckets, "keys": keys}, fh)
-    has_state = any(
-        name.startswith(BUCKET_COL + "=") for name in os.listdir(snapshot_dir)
-    )
-    if has_state:
-        current = (
-            spark.read.parquet(snapshot_dir)
-            # partition filter → only the touched _ub=<i> directories
-            # are listed/scanned (receipt: PartitionFilters in explain)
-            .filter(F.col(BUCKET_COL).isin([int(b) for b in touched]))
-            .select(*merged.columns)
+            json.dump(
+                {
+                    "n_buckets": n_buckets,
+                    "keys": keys,
+                    "schema": merged.drop(BUCKET_COL).schema.json(),
+                },
+                fh,
+            )
+    if manifest is None:
+        manifest = {"generation": 0, "buckets": {}, "retired": []}
+    # GC: last merge's retirees have had their one-merge reader grace;
+    # sweep them together with any never-published orphan files
+    live_now = {f for fs in manifest["buckets"].values() for f in fs}
+    _gc_unreferenced(snapshot_dir, live_now)
+
+    touched_set = {str(b) for b in touched}
+    current_files = [
+        os.path.join(snapshot_dir, f)
+        for b in sorted(touched_set)
+        for f in manifest["buckets"].get(b, [])
+    ]
+    if current_files:
+        current = spark.read.parquet(*current_files).select(
+            *[c for c in merged.columns if c != BUCKET_COL]
         )
         merged = latest_by_key_agg(
-            current.unionByName(merged).drop(BUCKET_COL), keys, version_cols
+            current.unionByName(merged.drop(BUCKET_COL)), keys, version_cols
         ).withColumn(BUCKET_COL, _bucket_expr(keys, n_buckets))
+    # write aside, then stage each part file into its live bucket dir
+    # under its unique Spark-generated name — existing files untouched
     merged.write.partitionBy(BUCKET_COL).mode("overwrite").parquet(tmp)
-    os.makedirs(old_root, exist_ok=True)
-    for b in touched:
-        name = f"{BUCKET_COL}={b}"
-        live = os.path.join(snapshot_dir, name)
-        if os.path.exists(live):
-            os.rename(live, os.path.join(old_root, name))
-        os.rename(os.path.join(tmp, name), live)
-    shutil.rmtree(old_root)
+    new_buckets: dict[str, list[str]] = {}
+    for name in _bucket_dirs(tmp):
+        bucket_id = name.split("=", 1)[1]
+        dst_dir = os.path.join(snapshot_dir, name)
+        os.makedirs(dst_dir, exist_ok=True)
+        files = []
+        for f in sorted(os.listdir(os.path.join(tmp, name))):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, name, f), os.path.join(dst_dir, f)
+                )
+                files.append(os.path.join(name, f))
+        new_buckets[bucket_id] = files
     shutil.rmtree(tmp)
+    # publish: touched buckets point at the new files, untouched carry
+    # over; the files just replaced are retired until the next merge
+    retired = [
+        f
+        for b in sorted(touched_set)
+        for f in manifest["buckets"].get(b, [])
+    ]
+    buckets = {
+        b: fs for b, fs in manifest["buckets"].items() if b not in touched_set
+    }
+    buckets.update(new_buckets)
+    _write_manifest(
+        snapshot_dir,
+        {
+            "generation": int(manifest.get("generation", 0)) + 1,
+            "buckets": buckets,
+            "retired": retired,
+        },
+    )
 
 
 def read_bucketed_snapshot(spark: SparkSession, snapshot_dir: str) -> DataFrame:
     """The current state of a bucketed snapshot, bucket column
-    dropped (it is an implementation detail of the layout)."""
+    dropped (it is an implementation detail of the layout). Resolves
+    through the manifest when one exists, so a concurrent merge can
+    never expose a half-swapped view; a meta-only directory (torn
+    first write) reads as an EMPTY snapshot with the recorded schema."""
+    snapshot_dir = snapshot_dir.rstrip("/")
+    manifest = _read_manifest(snapshot_dir)
+    if manifest is not None:
+        files = [
+            os.path.join(snapshot_dir, f)
+            for fs in manifest["buckets"].values()
+            for f in fs
+        ]
+        if files:
+            return spark.read.parquet(*files)
+        return _empty_from_meta(spark, snapshot_dir)
+    meta = _read_meta(snapshot_dir)
+    if meta is not None and not _bucket_dirs(snapshot_dir):
+        return _empty_from_meta(spark, snapshot_dir)
+    # pre-manifest layout (or plain directory): directory listing read
     return spark.read.parquet(snapshot_dir).drop(BUCKET_COL)
+
+
+def _empty_from_meta(spark: SparkSession, snapshot_dir: str) -> DataFrame:
+    meta = _read_meta(snapshot_dir) or {}
+    if "schema" not in meta:
+        raise ValueError(
+            f"{snapshot_dir}: empty bucketed snapshot with a pre-r8 meta "
+            "(no recorded schema) — re-run a merge to repair, or delete "
+            f"{_META_FILE} to start fresh"
+        )
+    schema = T.StructType.fromJson(json.loads(meta["schema"]))
+    return spark.createDataFrame([], schema)
 
 
 def upsert_stream(

@@ -26,24 +26,46 @@ forget to bump; the window flips by itself when a round completes.
 
 from __future__ import annotations
 
+import os
 import re
+import warnings
 from pathlib import Path
 
 _REPO_ROOT = Path(__file__).resolve().parents[2]
 
-# Fallback when no CORRECTNESS_r*.json is visible (e.g. the suite
-# imported from an installed copy outside the build checkout).
+# Env override for running the suite outside the build checkout
+# (installed copy, artifacts moved): set the round explicitly instead
+# of trusting a silent guess.
+_ROUND_ENV = "SPARK_GRAFT_ROUND"
+
+# Last-resort fallback when no CORRECTNESS_r*.json is visible AND no
+# env override is set. Loudly warned about: assemble() would register
+# the wrong 50-key window with no other signal (ADVICE r7).
 _FALLBACK_ROUND = 7
 
 
 def current_round() -> int:
-    """max N over CORRECTNESS_r{N}.json in the repo root, + 1."""
+    """Round being built: ``SPARK_GRAFT_ROUND`` env override if set,
+    else max N over CORRECTNESS_r{N}.json in the repo root, + 1."""
+    env = os.environ.get(_ROUND_ENV)
+    if env is not None:
+        return int(env)
     best = 0
     for p in _REPO_ROOT.glob("CORRECTNESS_r*.json"):
         m = re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name)
         if m:
             best = max(best, int(m.group(1)))
-    return best + 1 if best else _FALLBACK_ROUND
+    if not best:
+        warnings.warn(
+            f"rotation.current_round(): no CORRECTNESS_r*.json under "
+            f"{_REPO_ROOT} and no ${_ROUND_ENV} override — falling back "
+            f"to round {_FALLBACK_ROUND}; the 50-key window may be the "
+            f"wrong parity",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        return _FALLBACK_ROUND
+    return best + 1
 
 
 # Always in-window. Order matters: the driver checks registration

@@ -191,10 +191,30 @@ def test_rotation_round_is_derived_from_driver_artifacts():
         for p in root.glob("CORRECTNESS_r*.json")
         if (m := re.fullmatch(r"CORRECTNESS_r(\d+)\.json", p.name))
     ]
+    # The build checkout always has driver artifacts, so the silent
+    # round-7 fallback must never fire here (ADVICE r7) — any
+    # RuntimeWarning from current_round() is a failure.
+    import warnings as _warnings
+
+    with _warnings.catch_warnings():
+        _warnings.simplefilter("error", RuntimeWarning)
+        got = rotation.current_round()
     if rounds:
-        assert rotation.current_round() == max(rounds) + 1
+        assert got == max(rounds) + 1
     else:
-        assert rotation.current_round() >= 1
+        assert got >= 1
+
+
+def test_rotation_round_env_override(monkeypatch):
+    """SPARK_GRAFT_ROUND pins the round when the suite runs outside
+    the build checkout (no CORRECTNESS artifacts to derive from)."""
+    from gcp_dataengineering_spark.suite import rotation
+
+    monkeypatch.setenv(rotation._ROUND_ENV, "11")
+    assert rotation.current_round() == 11
+    assert rotation.window_keys() == rotation.window_keys(11)
+    monkeypatch.setenv(rotation._ROUND_ENV, "12")
+    assert rotation.current_round() == 12
 
 
 def test_rotation_schedule_documented():

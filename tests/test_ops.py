@@ -471,6 +471,30 @@ def test_interval_join_semantics_and_plan(spark):
     with _pytest.raises(Exception, match="interval_join: interval spans"):
         interval_join(pts, bad, "k", "ts", "s", "e", bucket_width_s=900).collect()
 
+    # reversed_policy: 'drop' (default, asserted above — the 'bad'
+    # reversed interval vanished by documented contract); 'strict'
+    # routes the SAME row through the runtime guard instead of a
+    # silent filter (ADVICE r7 — one malformed-data policy, two knobs)
+    with _pytest.raises(Exception, match="interval_join: reversed interval"):
+        interval_join(
+            pts, iv, "k", "ts", "s", "e", bucket_width_s=900,
+            reversed_policy="strict",
+        ).collect()
+    # strict on clean data behaves exactly like drop
+    clean = iv.filter(F.col("s") <= F.col("e"))
+    strict_rows = [
+        (r.pid, r.ivid)
+        for r in interval_join(
+            pts, clean, "k", "ts", "s", "e", bucket_width_s=900,
+            reversed_policy="strict",
+        ).collect()
+    ]
+    assert sorted(strict_rows) == sorted(rows)
+    with _pytest.raises(ValueError, match="reversed_policy"):
+        interval_join(
+            pts, iv, "k", "ts", "s", "e", reversed_policy="explode"
+        )
+
 
 def test_scd2_build_intervals_and_asof_lookup(spark):
     """SCD2 intervals: valid_to = next change per key, NULL for the

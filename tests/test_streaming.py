@@ -685,8 +685,8 @@ def test_bucketed_upsert_equals_full_rewrite_and_prunes(spark, tmp_path):
     touching a few keys leaves every untouched bucket's files
     BYTE-IDENTICAL on disk (size+mtime receipt — the O(snapshot/
     n_buckets) claim is about what is rewritten, so the proof is
-    what was NOT rewritten); and the merge's read of current state
-    partition-prunes to the touched bucket directories."""
+    what was NOT rewritten); and the manifest receipt shows the merge
+    resolved current state from the touched buckets' files only."""
     from gcp_dataengineering_spark.streaming.upsert import (
         BUCKET_COL,
         _bucket_expr,
@@ -694,6 +694,8 @@ def test_bucketed_upsert_equals_full_rewrite_and_prunes(spark, tmp_path):
         upsert_batch_into_bucketed_snapshot,
         upsert_batch_into_snapshot,
     )
+
+    from gcp_dataengineering_spark.streaming.upsert import _read_manifest
 
     flat = str(tmp_path / "flat")
     buck = str(tmp_path / "buck")
@@ -712,15 +714,19 @@ def test_bucketed_upsert_equals_full_rewrite_and_prunes(spark, tmp_path):
     upsert_batch_into_bucketed_snapshot(b1, buck, ["k"], ["ver"], n_buckets)
 
     before = _file_states(buck)
+    m1 = _read_manifest(buck)
     upsert_batch_into_bucketed_snapshot(b2, buck, ["k"], ["ver"], n_buckets)
     after = _file_states(buck)
+    m2 = _read_manifest(buck)
 
     # equality with the flat sink
     want = sorted(tuple(r) for r in spark.read.parquet(flat).collect())
     got = sorted(tuple(r) for r in read_bucketed_snapshot(spark, buck).collect())
     assert got == want
 
-    # byte-identity of untouched buckets
+    # byte-identity of untouched buckets (manifest protocol: nothing
+    # in an untouched bucket — or even a touched bucket's OLD files,
+    # which are retired, not rewritten — may change on disk)
     touched = {
         r[0]
         for r in b2.select(_bucket_expr(["k"], n_buckets).alias("b"))
@@ -728,34 +734,22 @@ def test_bucketed_upsert_equals_full_rewrite_and_prunes(spark, tmp_path):
         .collect()
     }
     assert 0 < len(touched) < n_buckets  # the fixture must leave some untouched
-    untouched_files = {
-        p: s
-        for p, s in before.items()
-        if p.startswith(f"{BUCKET_COL}=")
-        and int(p.split("=")[1].split("/")[0]) not in touched
-    }
-    assert untouched_files  # some buckets genuinely untouched
-    for p, s in untouched_files.items():
-        assert after[p] == s, f"untouched bucket file rewritten: {p}"
-    # and the touched buckets WERE rewritten
-    changed = [
-        p
-        for p, s in before.items()
-        if p.startswith(f"{BUCKET_COL}=") and after.get(p) != s
-    ]
-    assert changed
-
-    # pruning receipt: the merge-time read shape lists only touched dirs
-    plan = (
-        spark.read.parquet(buck)
-        .filter(F.col(BUCKET_COL).isin(list(touched)))
-        ._jdf.queryExecution()
-        .executedPlan()
-        .toString()
+    for p, s in before.items():
+        if p.startswith(f"{BUCKET_COL}="):
+            assert after[p] == s, f"pre-existing file rewritten in place: {p}"
+    # touched buckets got NEW live files; untouched manifest entries
+    # carried over verbatim (pruning receipt: the merge resolves
+    # current state from the manifest's touched-bucket files only)
+    for b, fs in m1["buckets"].items():
+        if int(b) in touched:
+            assert m2["buckets"][b] != fs
+            assert all(f in m2["retired"] for f in fs)
+        else:
+            assert m2["buckets"][b] == fs
+    assert m2["generation"] == m1["generation"] + 1
+    assert sorted(m2["retired"]) == sorted(
+        f for b, fs in m1["buckets"].items() if int(b) in touched for f in fs
     )
-    assert "PartitionFilters" in plan and BUCKET_COL in plan.split(
-        "PartitionFilters"
-    )[1].split("]")[0]
 
     # layout contract: wrong n_buckets or keys must refuse to merge
     import pytest as _pytest
@@ -793,16 +787,17 @@ def test_upsert_layout_mode_guards(spark, tmp_path):
         upsert_batch_into_bucketed_snapshot(b, flat, ["k"], ["ver"], 4)
 
 
-def test_bucketed_upsert_crash_recovery(spark, tmp_path):
-    """Crash between the per-bucket renames: the bucket dir sits under
-    ._upsert_old and is missing from the snapshot — the next merge
-    must roll it back (the old dir IS the state), then merge, losing
-    nothing."""
+def test_bucketed_upsert_legacy_adoption_and_crash_recovery(spark, tmp_path):
+    """A PRE-MANIFEST snapshot (two-rename era) torn mid-swap — one
+    bucket dir under ._upsert_old and missing from the snapshot, plus
+    an unfinished tmp — must be rolled back, adopted into a
+    generation-0 manifest, and merged, losing nothing."""
     import os
-    import shutil
 
     from gcp_dataengineering_spark.streaming.upsert import (
+        _MANIFEST_FILE,
         BUCKET_COL,
+        _read_manifest,
         read_bucketed_snapshot,
         upsert_batch_into_bucketed_snapshot,
     )
@@ -814,7 +809,9 @@ def test_bucketed_upsert_crash_recovery(spark, tmp_path):
     upsert_batch_into_bucketed_snapshot(b1, buck, ["k"], ["ver"], 4)
     want = sorted(tuple(r) for r in read_bucketed_snapshot(spark, buck).collect())
 
-    # simulate the torn state: one bucket moved to old, not replaced
+    # rewind to the pre-manifest era: drop the manifest, then simulate
+    # the old protocol's torn state (bucket moved to old, not replaced)
+    os.remove(os.path.join(buck, _MANIFEST_FILE))
     old_root = buck + "._upsert_old"
     os.makedirs(old_root)
     victim = next(n for n in sorted(os.listdir(buck)) if n.startswith(BUCKET_COL))
@@ -830,3 +827,107 @@ def test_bucketed_upsert_crash_recovery(spark, tmp_path):
     assert got == wantd
     assert not os.path.exists(old_root)
     assert not os.path.exists(buck + "._upsert_tmp")
+    assert _read_manifest(buck)["generation"] == 1  # adopted at 0, merged to 1
+
+
+def test_bucketed_upsert_reader_isolation(spark, tmp_path):
+    """The r7 sink documented that a reader overlapping a merge could
+    see some buckets new and some old. The manifest protocol closes
+    that: a reader that resolved the manifest at ANY instant reads a
+    complete consistent snapshot — replaced files stay on disk (as
+    manifest 'retired') until the NEXT merge, so mid-merge there is
+    no moment where the old view is unreadable or mixed."""
+    import os
+
+    from gcp_dataengineering_spark.streaming.upsert import (
+        _read_manifest,
+        read_bucketed_snapshot,
+        upsert_batch_into_bucketed_snapshot,
+    )
+
+    buck = str(tmp_path / "snap")
+    b1 = spark.createDataFrame(
+        [(i, 1, f"p{i}") for i in range(100)], "k long, ver long, payload string"
+    )
+    upsert_batch_into_bucketed_snapshot(b1, buck, ["k"], ["ver"], 8)
+    # a reader resolves the generation-1 manifest...
+    m1 = _read_manifest(buck)
+    m1_files = [
+        os.path.join(buck, f) for fs in m1["buckets"].values() for f in fs
+    ]
+    want_old = sorted(
+        tuple(r) for r in spark.read.parquet(*m1_files).collect()
+    )
+
+    # ...then a merge publishes generation 2 while the reader is
+    # "in flight": every gen-1 file must still be present and the
+    # resolved view must still be the complete OLD snapshot
+    b2 = spark.createDataFrame(
+        [(3, 9, "u3"), (4, 9, "u4")], "k long, ver long, payload string"
+    )
+    upsert_batch_into_bucketed_snapshot(b2, buck, ["k"], ["ver"], 8)
+    assert all(os.path.exists(p) for p in m1_files)
+    got_old = sorted(tuple(r) for r in spark.read.parquet(*m1_files).collect())
+    assert got_old == want_old  # old COMPLETE snapshot, no mix
+    # a fresh resolve sees the new complete snapshot
+    got_new = {
+        r.k: r.payload for r in read_bucketed_snapshot(spark, buck).collect()
+    }
+    assert got_new[3] == "u3" and got_new[4] == "u4" and got_new[5] == "p5"
+
+    # the THIRD merge garbage-collects gen 1's retirees (grace over)
+    m2 = _read_manifest(buck)
+    b3 = spark.createDataFrame([(3, 10, "v3")], "k long, ver long, payload string")
+    upsert_batch_into_bucketed_snapshot(b3, buck, ["k"], ["ver"], 8)
+    for f in m2["retired"]:
+        assert not os.path.exists(os.path.join(buck, f)), f
+    # while gen 2's own retirees (just replaced) still hold their grace
+    m3 = _read_manifest(buck)
+    assert m3["retired"]
+    for f in m3["retired"]:
+        assert os.path.exists(os.path.join(buck, f)), f
+
+
+def test_bucketed_upsert_orphan_meta_reads_empty_and_is_swept(spark, tmp_path):
+    """A crash after the meta write but before any data/manifest lands
+    used to leave an unreadable directory that both sinks refused
+    (ADVICE r7). Now: readers see an EMPTY snapshot with the recorded
+    schema, the bucketed sink just proceeds, and the flat sink sweeps
+    the orphan meta instead of demanding manual cleanup."""
+    import os
+    import shutil
+
+    from gcp_dataengineering_spark.streaming.upsert import (
+        _META_FILE,
+        read_bucketed_snapshot,
+        upsert_batch_into_bucketed_snapshot,
+        upsert_batch_into_snapshot,
+    )
+
+    b = spark.createDataFrame([(1, 1, "a")], "k long, ver long, payload string")
+    donor = str(tmp_path / "donor")
+    upsert_batch_into_bucketed_snapshot(b, donor, ["k"], ["ver"], 4)
+
+    def _orphan(name):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        shutil.copy(os.path.join(donor, _META_FILE), os.path.join(d, _META_FILE))
+        return d
+
+    # reader: empty snapshot, correct schema
+    df = read_bucketed_snapshot(spark, _orphan("o1"))
+    assert df.count() == 0
+    assert df.columns == ["k", "ver", "payload"]
+
+    # bucketed sink: first merge proceeds and publishes normally
+    o2 = _orphan("o2")
+    upsert_batch_into_bucketed_snapshot(b, o2, ["k"], ["ver"], 4)
+    assert [tuple(r) for r in read_bucketed_snapshot(spark, o2).collect()] == [
+        (1, 1, "a")
+    ]
+
+    # flat sink: orphan meta swept, snapshot written flat
+    o3 = _orphan("o3")
+    upsert_batch_into_snapshot(b, o3, ["k"], ["ver"])
+    assert not os.path.exists(os.path.join(o3, _META_FILE))
+    assert [tuple(r) for r in spark.read.parquet(o3).collect()] == [(1, 1, "a")]
