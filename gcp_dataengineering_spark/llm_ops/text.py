@@ -264,12 +264,13 @@ def repetition_features(
 # alternation order between the digit classes cosmetic.
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
-    # orphan-domain tail: a single scan resolves overlapping matches
+    # orphan-domain tail: the main scan resolves overlapping matches
     # by leftmost START, so a phone glued to an email local-part
     # ('(555) 123-4567@mail.com') lets the phone win and would strand
     # '@mail.com' in the "clean" text. This class catches exactly
-    # that residue (nothing else starts with '@'); it tags and counts
-    # as an email.
+    # that residue (nothing else starts with '@') in a SECOND pass
+    # over the rebuilt text, gated on contains('@') — see scrub_pii;
+    # it tags and counts as an email.
     "email_tail": r"@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     "phone": r"(?:\+1[-. ]?)?(?:\(\d{3}\)[-. ]?|\b\d{3}[-. ])\d{3}[-. ]\d{4}\b",
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
@@ -298,30 +299,39 @@ _PII_COUNT_COLS = {
     "<IPV4>": "n_ipv4",
 }
 
-# One alternation over all classes, in PII_PATTERNS order. Java and
-# RE2 both use leftmost-first (PCRE-style) alternation priority, so
-# at the SAME start position the earlier class wins (a phone-shaped
-# email local-part is one email, zero phones). Across DIFFERENT start
-# positions the scan is leftmost-first — standard single-scan
-# semantics, which differs from the pre-r7 sequential passes when an
-# earlier-class match starts INSIDE a later-starting other-class
-# match; the email_tail class exists precisely to keep that case
-# redacted. Decided on the ORIGINAL text in a single scan instead of
-# 2 full-text regex passes per class (the r6 verdict's ~5×
-# cost-of-floor watch item).
-_PII_COMBINED = "|".join(f"(?:{p})" for p in PII_PATTERNS.values())
+# One alternation over the MAIN classes (everything but email_tail),
+# in PII_PATTERNS order. Java and RE2 both use leftmost-first
+# (PCRE-style) alternation priority, so at the SAME start position
+# the earlier class wins (a phone-shaped email local-part is one
+# email, zero phones). Across DIFFERENT start positions the scan is
+# leftmost-first — standard single-scan semantics.
+#
+# email_tail runs as a SECOND pass over the REBUILT text, gated by a
+# cheap contains('@') (r7 verdict item 2: the tail alternative in the
+# main alternation billed its full-text scan to every row; as a
+# residue-only pass it bills regex cost only to rows that still hold
+# an '@' after the main scan). Equivalence with the old
+# tail-in-alternation form: a tail can only start at an '@' the main
+# scan left unconsumed (full-email matches swallow theirs, and no
+# placeholder contains '@'), and no main class can start at '@', so
+# pass order never flips a same-position priority. The ONE divergence
+# is an overlap pathology: a bare domain whose text itself embeds a
+# full digit-class shape ('@555-123-4567.com', '@1.2.3.4.net') now
+# redacts the embedded phone/ipv4 (leaving '@<PHONE>.com') instead of
+# the whole tail as <EMAIL> — the PII bytes are redacted either way.
+_PII_MAIN = {k: v for k, v in PII_PATTERNS.items() if k != "email_tail"}
+_PII_COMBINED = "|".join(f"(?:{p})" for p in _PII_MAIN.values())
+_PII_TAIL = PII_PATTERNS["email_tail"]
 
 
 def _pii_tag(match: Column) -> Column:
     """Class placeholder for one extracted snippet. The snippet is
     exactly what one alternative matched, and the class shapes are
     mutually exclusive on full snippets (argued pattern-by-pattern in
-    the PII_PATTERNS comment; email_tail's leading '@' separates it
-    from everything, including full emails whose local part cannot be
-    empty), so an anchored re-match in class order recovers which
-    alternative it was."""
+    the PII_PATTERNS comment), so an anchored re-match in class order
+    recovers which alternative it was."""
     tag = None
-    for name, pat in PII_PATTERNS.items():
+    for name, pat in _PII_MAIN.items():
         cond = match.rlike(f"^(?:{pat})$")
         ph = _PII_PLACEHOLDERS[name]
         tag = F.when(cond, ph) if tag is None else tag.when(cond, ph)
@@ -337,13 +347,16 @@ def scrub_pii(
     and ``out_col`` (the redacted text).
 
     Shared-pass design: the full text is scanned exactly TWICE
-    (regexp_extract_all + split on the combined alternation) no
+    (regexp_extract_all + split on the combined MAIN alternation) no
     matter how many PII classes are defined; classification and
     counting then run on the extracted snippets only (bytes of PII,
     not bytes of corpus). The redacted text is rebuilt by
     interleaving the split segments with the per-snippet
     placeholders — pure array expressions, codegen'd, no UDF. The
-    patterns are deliberately in the common subset of Java regex
+    orphan-domain email_tail class then runs as a residue pass over
+    the rebuilt text, gated by contains('@') — rows without a
+    leftover '@' (the overwhelming majority) never pay its regex.
+    The patterns are deliberately in the common subset of Java regex
     (Spark) and RE2 (DuckDB/ripgrep), and both engines use
     leftmost-first alternation, so an external engine replays the
     redaction byte-identically."""
@@ -372,9 +385,27 @@ def scrub_pii(
             lambda s, t: F.concat(s, F.coalesce(t, F.lit(""))),
         ),
     )
-    return out.withColumn(
-        out_col, F.when(txt.isNull(), F.lit(None).cast("string")).otherwise(rebuilt)
-    ).drop("_pii_tags")
+    out = out.withColumn("_pii_rb", rebuilt)
+    # email_tail residue pass: a tail can only start at an '@' the
+    # main scan left behind (full emails consumed theirs, placeholders
+    # contain none), so contains('@') is an exact cheap gate for the
+    # regex — conditional branches are codegen'd lazily per row
+    rb = F.col("_pii_rb")
+    has_at = rb.contains("@")
+    n_tail = F.when(
+        has_at, F.regexp_count(rb, F.lit(_PII_TAIL))
+    ).otherwise(F.lit(0)).cast("long")
+    cleaned = F.when(
+        has_at, F.regexp_replace(rb, _PII_TAIL, "<EMAIL>")
+    ).otherwise(rb)
+    return (
+        out.withColumn("n_emails", F.col("n_emails") + n_tail)
+        .withColumn(
+            out_col,
+            F.when(txt.isNull(), F.lit(None).cast("string")).otherwise(cleaned),
+        )
+        .drop("_pii_tags", "_pii_rb")
+    )
 
 
 def vocab_topk(

@@ -1191,11 +1191,12 @@ _PII_CARD = "\\b\\d{4}[-. ]\\d{4}[-. ]\\d{4}[-. ]\\d{4}\\b"
 _PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 # orphan-domain tail (counts/redacts as email) — see llm_ops/text.py
 _PII_EMAIL_TAIL = "@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+# main alternation: email_tail is NOT here — it replays as the same
+# residue second pass scrub_pii runs (r8 two-pass design)
 _PII_COMBINED = "|".join(
     f"(?:{p})"
     for p in (
         _PII_EMAIL,
-        _PII_EMAIL_TAIL,
         _PII_PHONE,
         _PII_SSN,
         _PII_CARD,
@@ -1229,11 +1230,12 @@ WITH aug AS (
                 || CAST((doc_id * 9) % 9000 + 1000 AS VARCHAR) AS t
     FROM documents
 )
--- combined-scan replay, mirroring scrub_pii's shared-pass design:
--- ONE alternation over all classes (leftmost-first in both RE2 and
--- Java, so the earlier class wins at any position), matches
--- classified by anchored re-match, clean text rebuilt by
--- interleaving the split segments with the placeholders
+-- two-pass replay, mirroring scrub_pii's r8 design: ONE alternation
+-- over the MAIN classes (leftmost-first in both RE2 and Java, so the
+-- earlier class wins at any position), matches classified by
+-- anchored re-match, clean text rebuilt by interleaving the split
+-- segments with the placeholders — then the email_tail residue pass
+-- over the REBUILT text (counts and redacts as an email)
 , m AS (
     SELECT doc_id,
            regexp_extract_all(t, '{_PII_COMBINED}') AS ms,
@@ -1243,25 +1245,29 @@ WITH aug AS (
     SELECT doc_id, segs,
            list_transform(ms, x -> CASE
                WHEN regexp_full_match(x, '{_PII_EMAIL}') THEN '<EMAIL>'
-               WHEN regexp_full_match(x, '{_PII_EMAIL_TAIL}') THEN '<EMAIL>'
                WHEN regexp_full_match(x, '{_PII_PHONE}') THEN '<PHONE>'
                WHEN regexp_full_match(x, '{_PII_SSN}') THEN '<SSN>'
                WHEN regexp_full_match(x, '{_PII_CARD}') THEN '<CARD>'
                WHEN regexp_full_match(x, '{_PII_IPV4}') THEN '<IPV4>'
                ELSE '<PII>' END) AS tags
     FROM m
+), rebuilt AS (
+    SELECT doc_id, tags,
+           list_aggregate(
+               flatten(list_transform(range(1, len(segs) + 1),
+                                      i -> [segs[i], coalesce(tags[i], '')])),
+               'string_agg', '') AS rb
+    FROM tagged
 )
 SELECT doc_id,
-       CAST(len(list_filter(tags, x -> x = '<EMAIL>')) AS BIGINT) AS n_emails,
+       CAST(len(list_filter(tags, x -> x = '<EMAIL>'))
+            + len(regexp_extract_all(rb, '{_PII_EMAIL_TAIL}')) AS BIGINT) AS n_emails,
        CAST(len(list_filter(tags, x -> x = '<PHONE>')) AS BIGINT) AS n_phones,
        CAST(len(list_filter(tags, x -> x = '<SSN>')) AS BIGINT) AS n_ssn,
        CAST(len(list_filter(tags, x -> x = '<CARD>')) AS BIGINT) AS n_cards,
        CAST(len(list_filter(tags, x -> x = '<IPV4>')) AS BIGINT) AS n_ipv4,
-       md5(list_aggregate(
-           flatten(list_transform(range(1, len(segs) + 1),
-                                  i -> [segs[i], coalesce(tags[i], '')])),
-           'string_agg', '')) AS clean_fp
-FROM tagged
+       md5(regexp_replace(rb, '{_PII_EMAIL_TAIL}', '<EMAIL>', 'g')) AS clean_fp
+FROM rebuilt
 """
 
 
