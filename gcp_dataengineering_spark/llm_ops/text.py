@@ -259,9 +259,10 @@ def repetition_features(
 # a required dash/dot/space between groups. The class shapes are
 # mutually exclusive on FULL snippets (no \b\d{3}[-. ] phone fits a
 # 4-4-4-4 or 3-2-4 run, only email contains '@', ipv4 needs three
-# dots with 1-3-digit octets) — which is what lets _pii_tag recover
-# the class of an extracted snippet by anchored re-match, and makes
-# alternation order between the digit classes cosmetic.
+# dots with 1-3-digit octets) — which makes alternation order
+# between the digit classes cosmetic (classification itself is
+# structural since r8: the capturing group that participated IS the
+# class).
 PII_PATTERNS = {
     "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
     # orphan-domain tail: the main scan resolves overlapping matches
@@ -276,27 +277,6 @@ PII_PATTERNS = {
     "ssn": r"\b\d{3}-\d{2}-\d{4}\b",
     "card": r"\b\d{4}[-. ]\d{4}[-. ]\d{4}[-. ]\d{4}\b",
     "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
-}
-
-# pattern key -> placeholder written into the text (email_tail merges
-# into <EMAIL>: one visible class, two match shapes)
-_PII_PLACEHOLDERS = {
-    "email": "<EMAIL>",
-    "email_tail": "<EMAIL>",
-    "phone": "<PHONE>",
-    "ssn": "<SSN>",
-    "card": "<CARD>",
-    "ipv4": "<IPV4>",
-}
-
-# placeholder -> output count column (counts are per PLACEHOLDER, so
-# both email shapes land in n_emails)
-_PII_COUNT_COLS = {
-    "<EMAIL>": "n_emails",
-    "<PHONE>": "n_phones",
-    "<SSN>": "n_ssn",
-    "<CARD>": "n_cards",
-    "<IPV4>": "n_ipv4",
 }
 
 # One alternation over the MAIN classes (everything but email_tail),
@@ -320,22 +300,54 @@ _PII_COUNT_COLS = {
 # redacts the embedded phone/ipv4 (leaving '@<PHONE>.com') instead of
 # the whole tail as <EMAIL> — the PII bytes are redacted either way.
 _PII_MAIN = {k: v for k, v in PII_PATTERNS.items() if k != "email_tail"}
-_PII_COMBINED = "|".join(f"(?:{p})" for p in _PII_MAIN.values())
 _PII_TAIL = PII_PATTERNS["email_tail"]
 
+# Single-scan machinery (r8): each main class wrapped in ONE capturing
+# group (the class patterns themselves use only (?:...), so group i is
+# class i), and one regexp_replace rewrites every match into a
+# class-tagged sentinel block
+#   \x01E<email>\x02P<phone>\x02S<ssn>\x02C<card>\x02I<ipv4>\x03
+# where exactly the matching class's span is non-empty (Java and RE2
+# both substitute "" for a non-participating group). Classification is
+# then STRUCTURAL: counting and placeholder rebuild run as literal-
+# anchored cheap scans over the sentinel text instead of a second
+# heavy-alternation pass — the full text meets the big alternation
+# exactly ONCE for any class count. Sentinel safety: \x01-\x03 are
+# stripped from the input up front (a translate scan — part of the
+# scrub contract; control chars in a training corpus are junk bytes).
+_PII_S1, _PII_S2, _PII_S3 = "\x01", "\x02", "\x03"
+_PII_CAPTURE = "|".join(f"({p})" for p in _PII_MAIN.values())
+# class tag letters, in group order (email, phone, ssn, card, ipv4)
+_PII_CLS = [
+    ("E", "<EMAIL>", "n_emails"),
+    ("P", "<PHONE>", "n_phones"),
+    ("S", "<SSN>", "n_ssn"),
+    ("C", "<CARD>", "n_cards"),
+    ("I", "<IPV4>", "n_ipv4"),
+]
+_PII_SENTINEL_REPL = (
+    f"{_PII_S1}E$1{_PII_S2}P$2{_PII_S2}S$3{_PII_S2}C$4{_PII_S2}I$5{_PII_S3}"
+)
 
-def _pii_tag(match: Column) -> Column:
-    """Class placeholder for one extracted snippet. The snippet is
-    exactly what one alternative matched, and the class shapes are
-    mutually exclusive on full snippets (argued pattern-by-pattern in
-    the PII_PATTERNS comment), so an anchored re-match in class order
-    recovers which alternative it was."""
-    tag = None
-    for name, pat in _PII_MAIN.items():
-        cond = match.rlike(f"^(?:{pat})$")
-        ph = _PII_PLACEHOLDERS[name]
-        tag = F.when(cond, ph) if tag is None else tag.when(cond, ph)
-    return tag.otherwise("<PII>")  # unreachable: snippet came from the alternation
+
+def _pii_block_pattern(cls: str) -> str:
+    """Regex matching a whole sentinel block whose non-empty span is
+    class ``cls`` — literal-anchored at \\x01, no backtracking."""
+    spans = "".join(
+        (f"{c}[^{_PII_S2}{_PII_S3}]+" if c == cls else c)
+        + (_PII_S3 if c == "I" else _PII_S2)
+        for c, _, _ in _PII_CLS
+    )
+    return f"{_PII_S1}{spans}"
+
+
+def _pii_count_pattern(cls: str) -> str:
+    """Regex whose match count over the sentinel text equals the
+    number of ``cls`` matches: the class tag followed by a non-empty
+    span (two-char literal-anchored probe)."""
+    lead = _PII_S1 if cls == "E" else _PII_S2
+    end = _PII_S3 if cls == "I" else _PII_S2
+    return f"{lead}{cls}[^{end}]"
 
 
 def scrub_pii(
@@ -346,45 +358,36 @@ def scrub_pii(
     ``n_emails``, ``n_phones``, ``n_ssn``, ``n_cards``, ``n_ipv4``
     and ``out_col`` (the redacted text).
 
-    Shared-pass design: the full text is scanned exactly TWICE
-    (regexp_extract_all + split on the combined MAIN alternation) no
-    matter how many PII classes are defined; classification and
-    counting then run on the extracted snippets only (bytes of PII,
-    not bytes of corpus). The redacted text is rebuilt by
-    interleaving the split segments with the per-snippet
-    placeholders — pure array expressions, codegen'd, no UDF. The
-    orphan-domain email_tail class then runs as a residue pass over
-    the rebuilt text, gated by contains('@') — rows without a
+    Single-heavy-scan design (r8): the full text meets the combined
+    class alternation exactly ONCE, as a capturing regexp_replace
+    that rewrites each match into a class-tagged sentinel block; the
+    per-class counts and the placeholder rebuild are then literal-
+    anchored cheap scans over the sentinel text (classification is
+    structural — which group participated — not a re-match). The
+    orphan-domain email_tail class runs as a residue pass over the
+    rebuilt text, gated by contains('@') — rows without a
     leftover '@' (the overwhelming majority) never pay its regex.
-    The patterns are deliberately in the common subset of Java regex
-    (Spark) and RE2 (DuckDB/ripgrep), and both engines use
-    leftmost-first alternation, so an external engine replays the
-    redaction byte-identically."""
+    Contract: working sentinels \\x01-\\x03 are stripped from the
+    input first (junk bytes in any text corpus). The patterns are
+    deliberately in the common subset of Java regex (Spark) and RE2
+    (DuckDB/ripgrep), both engines use leftmost-first alternation and
+    substitute "" for non-participating groups, so an external engine
+    replays the redaction byte-identically."""
     txt = F.col(text_col)
-    matches = F.regexp_extract_all(txt, F.lit(_PII_COMBINED), F.lit(0))
-    tags = F.transform(matches, _pii_tag)
-    out = df.withColumn("_pii_tags", tags)
-    def _is(placeholder):
-        # a closure factory, NOT a default-arg lambda: F.filter treats
-        # a 2-parameter lambda as (element, index)
-        return lambda t: t == placeholder
-
-    for placeholder, col_name in _PII_COUNT_COLS.items():
+    sentinel_text = F.regexp_replace(
+        F.translate(txt, _PII_S1 + _PII_S2 + _PII_S3, ""),
+        _PII_CAPTURE,
+        _PII_SENTINEL_REPL,
+    )
+    out = df.withColumn("_pii_s", sentinel_text)
+    s = F.col("_pii_s")
+    rebuilt = s
+    for cls, placeholder, col_name in _PII_CLS:
         out = out.withColumn(
             col_name,
-            F.size(F.filter(F.col("_pii_tags"), _is(placeholder))).cast("long"),
+            F.regexp_count(s, F.lit(_pii_count_pattern(cls))).cast("long"),
         )
-    # segments (n+1) interleaved with placeholders (n): zip_with pads
-    # the shorter side with null, coalesce turns that into ''
-    segs = F.split(txt, _PII_COMBINED)
-    rebuilt = F.concat_ws(
-        "",
-        F.zip_with(
-            segs,
-            F.col("_pii_tags"),
-            lambda s, t: F.concat(s, F.coalesce(t, F.lit(""))),
-        ),
-    )
+        rebuilt = F.regexp_replace(rebuilt, _pii_block_pattern(cls), placeholder)
     out = out.withColumn("_pii_rb", rebuilt)
     # email_tail residue pass: a tail can only start at an '@' the
     # main scan left behind (full emails consumed theirs, placeholders
@@ -404,7 +407,7 @@ def scrub_pii(
             out_col,
             F.when(txt.isNull(), F.lit(None).cast("string")).otherwise(cleaned),
         )
-        .drop("_pii_tags", "_pii_rb")
+        .drop("_pii_s", "_pii_rb")
     )
 
 

@@ -1191,18 +1191,43 @@ _PII_CARD = "\\b\\d{4}[-. ]\\d{4}[-. ]\\d{4}[-. ]\\d{4}\\b"
 _PII_IPV4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 # orphan-domain tail (counts/redacts as email) — see llm_ops/text.py
 _PII_EMAIL_TAIL = "@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-# main alternation: email_tail is NOT here — it replays as the same
-# residue second pass scrub_pii runs (r8 two-pass design)
-_PII_COMBINED = "|".join(
-    f"(?:{p})"
-    for p in (
-        _PII_EMAIL,
-        _PII_PHONE,
-        _PII_SSN,
-        _PII_CARD,
-        _PII_IPV4,
-    )
+# r8 single-heavy-scan replay: each main class in ONE capturing group
+# (email_tail is NOT here — it replays as the residue second pass),
+# matches rewritten to class-tagged sentinel blocks
+#   \x01E<email>\x02P<phone>\x02S<ssn>\x02C<card>\x02I<ipv4>\x03
+# (RE2 substitutes '' for non-participating groups, same as Java),
+# then literal-anchored cheap scans count and rebuild.
+_PII_CAPTURE = "|".join(
+    f"({p})" for p in (_PII_EMAIL, _PII_PHONE, _PII_SSN, _PII_CARD, _PII_IPV4)
 )
+_S1, _S2, _S3 = "\x01", "\x02", "\x03"
+_PII_DUCK_REPL = f"{_S1}E\\1{_S2}P\\2{_S2}S\\3{_S2}C\\4{_S2}I\\5{_S3}"
+_PII_CLS_ORDER = [
+    ("E", "<EMAIL>"), ("P", "<PHONE>"), ("S", "<SSN>"),
+    ("C", "<CARD>"), ("I", "<IPV4>"),
+]
+
+
+def _pii_block_pat(cls: str) -> str:
+    spans = "".join(
+        (f"{c}[^{_S2}{_S3}]+" if c == cls else c) + (_S3 if c == "I" else _S2)
+        for c, _ in _PII_CLS_ORDER
+    )
+    return f"{_S1}{spans}"
+
+
+def _pii_count_pat(cls: str) -> str:
+    lead = _S1 if cls == "E" else _S2
+    end = _S3 if cls == "I" else _S2
+    return f"{lead}{cls}[^{end}]"
+
+
+# nested 5-deep rebuild: sentinel blocks -> typed placeholders
+_PII_RB_EXPR = "s"
+for _cls, _ph in _PII_CLS_ORDER:
+    _PII_RB_EXPR = (
+        f"regexp_replace({_PII_RB_EXPR}, '{_pii_block_pat(_cls)}', '{_ph}', 'g')"
+    )
 
 ORACLE_PII_SCRUB = f"""
 WITH aug AS (
@@ -1230,42 +1255,30 @@ WITH aug AS (
                 || CAST((doc_id * 9) % 9000 + 1000 AS VARCHAR) AS t
     FROM documents
 )
--- two-pass replay, mirroring scrub_pii's r8 design: ONE alternation
--- over the MAIN classes (leftmost-first in both RE2 and Java, so the
--- earlier class wins at any position), matches classified by
--- anchored re-match, clean text rebuilt by interleaving the split
--- segments with the placeholders — then the email_tail residue pass
--- over the REBUILT text (counts and redacts as an email)
-, m AS (
+-- single-heavy-scan replay, mirroring scrub_pii's r8 design: strip
+-- working sentinels, ONE capturing regexp_replace rewrites every
+-- match into a class-tagged sentinel block (leftmost-first in both
+-- RE2 and Java, '' for non-participating groups), then literal-
+-- anchored cheap scans count per class and rebuild the placeholders
+-- — then the email_tail residue pass over the REBUILT text (counts
+-- and redacts as an email)
+, sent AS (
     SELECT doc_id,
-           regexp_extract_all(t, '{_PII_COMBINED}') AS ms,
-           string_split_regex(t, '{_PII_COMBINED}') AS segs
+           regexp_replace(
+               translate(t, chr(1) || chr(2) || chr(3), ''),
+               '{_PII_CAPTURE}', '{_PII_DUCK_REPL}', 'g') AS s
     FROM aug
-), tagged AS (
-    SELECT doc_id, segs,
-           list_transform(ms, x -> CASE
-               WHEN regexp_full_match(x, '{_PII_EMAIL}') THEN '<EMAIL>'
-               WHEN regexp_full_match(x, '{_PII_PHONE}') THEN '<PHONE>'
-               WHEN regexp_full_match(x, '{_PII_SSN}') THEN '<SSN>'
-               WHEN regexp_full_match(x, '{_PII_CARD}') THEN '<CARD>'
-               WHEN regexp_full_match(x, '{_PII_IPV4}') THEN '<IPV4>'
-               ELSE '<PII>' END) AS tags
-    FROM m
 ), rebuilt AS (
-    SELECT doc_id, tags,
-           list_aggregate(
-               flatten(list_transform(range(1, len(segs) + 1),
-                                      i -> [segs[i], coalesce(tags[i], '')])),
-               'string_agg', '') AS rb
-    FROM tagged
+    SELECT doc_id, s, {_PII_RB_EXPR} AS rb
+    FROM sent
 )
 SELECT doc_id,
-       CAST(len(list_filter(tags, x -> x = '<EMAIL>'))
+       CAST(len(regexp_extract_all(s, '{_pii_count_pat("E")}'))
             + len(regexp_extract_all(rb, '{_PII_EMAIL_TAIL}')) AS BIGINT) AS n_emails,
-       CAST(len(list_filter(tags, x -> x = '<PHONE>')) AS BIGINT) AS n_phones,
-       CAST(len(list_filter(tags, x -> x = '<SSN>')) AS BIGINT) AS n_ssn,
-       CAST(len(list_filter(tags, x -> x = '<CARD>')) AS BIGINT) AS n_cards,
-       CAST(len(list_filter(tags, x -> x = '<IPV4>')) AS BIGINT) AS n_ipv4,
+       CAST(len(regexp_extract_all(s, '{_pii_count_pat("P")}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(s, '{_pii_count_pat("S")}')) AS BIGINT) AS n_ssn,
+       CAST(len(regexp_extract_all(s, '{_pii_count_pat("C")}')) AS BIGINT) AS n_cards,
+       CAST(len(regexp_extract_all(s, '{_pii_count_pat("I")}')) AS BIGINT) AS n_ipv4,
        md5(regexp_replace(rb, '{_PII_EMAIL_TAIL}', '<EMAIL>', 'g')) AS clean_fp
 FROM rebuilt
 """
