@@ -253,16 +253,24 @@ def test_bench_headline_keys_resolve_regardless_of_rotation():
 def test_rotated_out_keys_still_match_duckdb(spark):
     """Rotation out of the driver's 50-key oracle window must not end
     external checking: every ROTATED_OUT pair (suite/core.py +
-    suite/llm.py) runs here against DuckDB at sf0.001 with the same
-    row-count / schema / order-insensitive value-hash compare the
-    driver applies — rotation changes which harness runs the check,
-    never whether it runs."""
+    suite/llm.py) runs here against DuckDB at sf0.01 — the SAME scale
+    the driver gates at (r7 verdict item 3: the sf0.001 default gave
+    tie- and cap-sensitive semantics less exercise in their
+    off-rounds) — with the same row-count / schema / order-insensitive
+    value-hash compare the driver applies. Rotation changes which
+    harness runs the check, never whether it runs, and now not at what
+    scale either. SPARK_GRAFT_EXTERNAL_SF_DIR overrides for a quick
+    local iteration loop."""
+    import os
+
     import duckdb
 
     from gcp_dataengineering_spark.suite import assemble_external
     from tools.compare import TABLES, table_hash
 
-    sf_dir = "/root/testdata/sf0.001"
+    sf_dir = os.environ.get(
+        "SPARK_GRAFT_EXTERNAL_SF_DIR", "/root/testdata/sf0.01"
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
