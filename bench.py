@@ -73,6 +73,10 @@ HEADLINE = [
     "interval_join",
     "rolling_agg",
     "cube_agg",
+    # round-8: real BPE merge application (iterative parallel-round
+    # engine — the rounds loop is exactly the cost that needs a
+    # perf row)
+    "bpe_encode",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..llm_ops import bpe as BPE
 from ..llm_ops import corpus as C
 from ..llm_ops import decontam as DC
 from ..llm_ops import dedup as D
@@ -1528,7 +1529,116 @@ FROM ranked WHERE rank <= 5
 """
 
 
+# ---------------------------------------------------------------- BPE encode
+def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real BPE merge application, differentially checked end to end:
+    a 20-rule merge table is DERIVED from the corpus itself (top-20
+    character bigrams over lowercase-alpha word occurrences,
+    deterministic (count desc, bigram asc) tiebreak), then
+    llm_ops.bpe.bpe_encode applies it — the engine's parallel
+    local-minimum rounds over (word, pos, sym) state. The oracle
+    re-derives the same rules and replays them rank-by-rank to
+    fixpoint over separator-encoded words in a recursive CTE, which
+    equals the classic lowest-rank-first algorithm because every
+    rule's symbols are single characters (a valid merge list: no rule
+    can newly create a char-char adjacency). Output is hash-gated per
+    document: token count + md5 of the \\x01-joined token stream in
+    word order. Multi-LEVEL merge rules are exercised by the pytest
+    classic-reference replay (tests/test_llm_ops.py::test_bpe_*)."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.col("text")), "[^a-z]+"),
+                lambda t: (t != "") & (F.length(t) <= 64),
+            )
+        ).alias("word")
+    )
+    bigrams = words.filter(F.length("word") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, length(word) - 1),"
+                " i -> substring(word, i, 2))"
+            )
+        ).alias("b")
+    )
+    top = (
+        bigrams.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("b").asc())
+        .limit(20)
+    )
+    merges = top.withColumn(
+        "rank",
+        F.row_number().over(W.orderBy(F.col("n").desc(), F.col("b").asc())),
+    ).select(
+        F.substring("b", 1, 1).alias("left"),
+        F.substring("b", 2, 1).alias("right"),
+        "rank",
+    )
+    out = BPE.bpe_encode(docs, merges, max_word_len=64)
+    return out.select(
+        "doc_id",
+        F.size("tokens").cast("long").alias("n_tokens"),
+        F.md5(F.array_join("tokens", "\x01").cast("binary")).alias("tokens_fp"),
+    )
+
+
+ORACLE_BPE_ENCODE = r"""
+WITH RECURSIVE w AS (
+    SELECT doc_id, unnest(l) AS word, unnest(range(len(l))) AS wpos
+    FROM (SELECT doc_id,
+                 list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),
+                             x -> x <> '' AND len(x) <= 64) AS l
+          FROM documents)
+), bg AS (
+    SELECT unnest(list_transform(range(1, len(word)),
+                                 i -> substring(word, i, 2))) AS b
+    FROM w WHERE len(word) >= 2
+), merges AS (
+    SELECT b, row_number() OVER (ORDER BY count(*) DESC, b ASC) AS rank
+    FROM bg GROUP BY b ORDER BY count(*) DESC, b ASC LIMIT 20
+), rules AS (
+    SELECT rank - 1 AS idx,
+           '\|' || substring(b, 1, 1) || '\|' || substring(b, 2, 1) || '\|' AS pat,
+           '|' || b || '|' AS rep
+    FROM merges
+), dw AS (SELECT DISTINCT word FROM w
+), enc0 AS (
+    -- '|'-separated symbol encoding: 'the' -> '|t|h|e|'
+    SELECT word, '|' || regexp_replace(word, '(.)', '\1|', 'g') AS s FROM dw
+), apply AS (
+    -- rank-by-rank fixpoint: apply rule ridx globally until the
+    -- string stops changing (the 'g' pass misses overlapping
+    -- same-pair runs, so repeat), then move to the next rule;
+    -- equals classic BPE for a valid single-char-component list
+    SELECT word, s, 0 AS ridx FROM enc0
+    UNION ALL
+    SELECT a.word,
+           regexp_replace(a.s, r.pat, r.rep, 'g') AS s,
+           CASE WHEN regexp_replace(a.s, r.pat, r.rep, 'g') = a.s
+                THEN a.ridx + 1 ELSE a.ridx END AS ridx
+    FROM apply a JOIN rules r ON r.idx = a.ridx
+), toks AS (
+    SELECT word, list_filter(string_split(s, '|'), x -> x <> '') AS tokens
+    FROM apply WHERE ridx = 20
+)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(sum(len(wt.tokens)), 0) AS BIGINT) AS n_tokens,
+       md5(coalesce(string_agg(list_aggregate(wt.tokens, 'string_agg', chr(1)),
+                               chr(1) ORDER BY wt.wpos), '')) AS tokens_fp
+FROM documents d
+LEFT JOIN (SELECT w.doc_id, w.wpos, t.tokens
+           FROM w JOIN toks t USING (word)) wt
+  ON wt.doc_id = d.doc_id
+GROUP BY d.doc_id
+"""
+
+
 QUERIES = {
+    "bpe_encode": q_bpe_encode,
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,
@@ -1580,6 +1690,7 @@ QUERIES = {
 }
 
 ORACLES = {
+    "bpe_encode": ORACLE_BPE_ENCODE,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "text_quality": ORACLE_TEXT_QUALITY,
     "quality_filter": ORACLE_QUALITY_FILTER,

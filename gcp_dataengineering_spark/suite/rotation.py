@@ -95,7 +95,6 @@ RESIDENT = [
     "pii_scrub",
     "dedup_pipeline",
     "dedup_incremental",
-    "source_filter",
 ]
 
 # In-window on ODD rounds (r7, r9, ...). Originally the keys round
@@ -153,6 +152,10 @@ GROUP_A = [
     "expr_key_join",
     # new late-r7: native pivot operator, in-window immediately
     "pivot_native",
+    # new in r8: real BPE merge application (the r7 verdict's named
+    # missing LLM primitive) — externally pytest-checked at sf0.01
+    # now, first driver row in r9
+    "bpe_encode",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). The r6-green core plus
@@ -206,6 +209,9 @@ GROUP_B = [
     # late additions
     "union_conform",
     "agg_ordinals",
+    # demoted from RESIDENT in r8 (stable green since r6) to fund the
+    # GROUP_A slot for bpe_encode — still in the r8 window via B
+    "source_filter",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.

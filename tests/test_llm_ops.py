@@ -2390,3 +2390,169 @@ def test_normalize_text_matches_fingerprint_contract(spark):
     assert r[0].h == r[0].fp  # default normalize == the fingerprint contract
     assert r[0].np == "hello world new"
     assert r[1].norm is None and r[1].fp is None
+
+
+# ---------------------------------------------------------------- BPE apply
+def _classic_bpe(word, ranks):
+    """The classic sequential algorithm (Sennrich-style apply): merge
+    ALL non-overlapping occurrences of the lowest-ranked applicable
+    pair, leftmost first, until no rule applies. The engine's
+    parallel local-minimum rounds must reach the identical fixpoint."""
+    syms = list(word)
+    while len(syms) > 1:
+        best = None
+        for i in range(len(syms) - 1):
+            r = ranks.get((syms[i], syms[i + 1]))
+            if r is not None and (best is None or r < best):
+                best = r
+        if best is None:
+            break
+        out, i = [], 0
+        while i < len(syms):
+            if (
+                i < len(syms) - 1
+                and ranks.get((syms[i], syms[i + 1])) == best
+            ):
+                out.append(syms[i] + syms[i + 1])
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms
+
+
+def _merge_word(syms, pair):
+    out, i = [], 0
+    while i < len(syms):
+        if i < len(syms) - 1 and (syms[i], syms[i + 1]) == pair:
+            out.append(syms[i] + syms[i + 1])
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def _train_bpe(word_counts, n_merges):
+    """Tiny classic BPE trainer (most frequent pair wins, tiebreak
+    lexicographic) — produces a VALID multi-level merge list."""
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pair_counts = {}
+        for w, c in word_counts.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        best = min(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((best[0], best[1], rank))
+        for w in vocab:
+            vocab[w] = _merge_word(vocab[w], best)
+    return merges
+
+
+def test_bpe_apply_words_matches_classic_reference(spark):
+    """Handcrafted MULTI-LEVEL vocabulary (rules consuming outputs of
+    lower-ranked rules) over edge-shaped words: same-pair runs
+    ('aaa', 'aaaa'), alternations, single chars, rule chains."""
+    from gcp_dataengineering_spark.llm_ops.bpe import bpe_apply_words
+
+    merges = [
+        ("a", "a", 1),
+        ("l", "o", 2),
+        ("lo", "w", 3),
+        ("e", "r", 4),
+        ("low", "er", 5),
+        ("aa", "b", 6),
+    ]
+    ranks = {(l, r): k for l, r, k in merges}
+    words = [
+        "lower", "lowest", "low", "newer", "wider", "l", "aaa", "aaaa",
+        "aaab", "abab", "aab", "baaab", "lowerlower", "ooo",
+    ]
+    wdf = spark.createDataFrame([(w,) for w in words], "word string")
+    mdf = spark.createDataFrame(merges, "left string, right string, rank long")
+    got = {
+        r["word"]: list(r["tokens"])
+        for r in bpe_apply_words(wdf, mdf).collect()
+    }
+    for w in words:
+        assert got[w] == _classic_bpe(w, ranks), w
+    # sanity: multi-level rules actually fired
+    assert got["lower"] == ["lower"]
+    assert got["aaaa"] == ["aa", "aa"]
+    assert got["aab"] == ["aab"]  # (a,a) then the LEVEL-2 rule (aa,b)
+
+
+def test_bpe_encode_real_corpus_matches_python(spark):
+    """Train a 40-rule multi-level vocabulary on the real sf0.001
+    documents with a classic Python trainer, apply the engine, and
+    replay every document with the classic sequential encoder —
+    token-for-token equality."""
+    from collections import Counter
+
+    from gcp_dataengineering_spark.llm_ops.bpe import bpe_encode
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = docs.select("doc_id", "text").collect()
+    import re as _re
+
+    def words_of(text):
+        return [
+            w
+            for w in _re.split("[^a-z]+", (text or "").lower())
+            if w and len(w) <= 64
+        ]
+
+    counts = Counter(w for r in rows for w in words_of(r["text"]))
+    merges = _train_bpe(counts, 40)
+    ranks = {(l, r): k for l, r, k in merges}
+    assert any(len(l) > 1 or len(r) > 1 for l, r, _ in merges), (
+        "fixture must exercise multi-level merges"
+    )
+    mdf = spark.createDataFrame(merges, "left string, right string, rank long")
+    got = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(docs, mdf).collect()
+    }
+    assert len(got) == len(rows)
+    for r in rows:
+        want = [
+            t for w in words_of(r["text"]) for t in _classic_bpe(w, ranks)
+        ]
+        assert got[r["doc_id"]] == want, r["doc_id"]
+
+
+def test_bpe_convergence_guard_and_empty_docs(spark):
+    from gcp_dataengineering_spark.llm_ops.bpe import bpe_apply_words, bpe_encode
+
+    mdf = spark.createDataFrame(
+        [("a", "a", 1)], "left string, right string, rank long"
+    )
+    # same-pair runs merge one head per round under the leftmost-wins
+    # tiebreak: 'a'*9 needs several rounds; a tight cap must fail loud
+    wdf = spark.createDataFrame([("a" * 9,)], "word string")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="max_rounds"):
+        bpe_apply_words(wdf, mdf, max_rounds=2).collect()
+
+    # empty / no-letter docs come back with EMPTY (not null) tokens;
+    # over-long words are dropped by the straggler cap
+    docs = spark.createDataFrame(
+        [(1, "aa bb aa"), (2, "123 !!!"), (3, None), (4, "x" * 100 + " aa")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(docs, mdf, max_word_len=64).collect()
+    }
+    assert out[1] == ["aa", "b", "b", "aa"]  # only (a,a) is a rule
+    assert out[2] == [] and out[3] == []
+    assert out[4] == ["aa"]
+    with _pytest.raises(ValueError, match="max_word_len"):
+        bpe_encode(docs, mdf, max_word_len=0)
