@@ -60,6 +60,28 @@ def salted_broadcast_join(
     return salted_big.join(F.broadcast(replicated), [key, SALT], "inner").drop(SALT)
 
 
+def salted_shuffle_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    salt_buckets: int = 8,
+) -> DataFrame:
+    """Inner equi-join for the case the broadcast variant cannot
+    cover: the small side is NOT broadcastable (too big / driver
+    memory-capped) and the big side's key distribution is
+    pathological. Salt the big side randomly, replicate the small
+    side across every salt value (its shuffle grows ×salt_buckets —
+    the price), and shuffle-join on (key, salt): the hot key's rows
+    land on ``salt_buckets`` reducers instead of one. Result equals
+    big ⋈ small on key (verified by test_salted_joins_equal_plain).
+    With AQE available, prefer spark.sql.adaptive.skewJoin — see the
+    round-8 receipt in BENCH_ATTRIBUTION.md for when each wins."""
+    salted_big = big.withColumn(SALT, (F.rand(seed=42) * salt_buckets).cast("int"))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias(SALT)
+    replicated = small.select("*", salts)
+    return salted_big.join(replicated, [key, SALT], "inner").drop(SALT)
+
+
 def skew_report(
     df: DataFrame, keys: list[str], top_n: int = 20
 ) -> DataFrame:

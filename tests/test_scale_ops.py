@@ -44,6 +44,107 @@ def test_salted_broadcast_join_equals_plain(spark):
     assert plain == salted
 
 
+def test_salted_shuffle_join_equals_plain(spark):
+    from gcp_dataengineering_spark.ops.skew import salted_shuffle_join
+
+    big = spark.range(2000).select(
+        F.when(F.col("id") % 3 < 2, 0).otherwise(F.col("id") % 10).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [(i, f"dim{i}") for i in range(10)], "k long, name string"
+    )
+    plain = sorted(map(tuple, big.join(small, "k").select("k", "v", "name").collect()))
+    salted = sorted(
+        map(
+            tuple,
+            salted_shuffle_join(big, small, "k").select("k", "v", "name").collect(),
+        )
+    )
+    assert plain == salted
+
+
+def test_aqe_skew_join_receipt_on_hot_key_fixture(spark):
+    """The round-8 skew receipt (BENCH_ATTRIBUTION.md): on a hot-key
+    lineitem variant (~80% of rows on one key) with MULTIPLE shuffle
+    mappers, Spark 4's AQE skew-join splits the hot partition
+    (plan shows skew=true) — and with a SINGLE mapper it provably
+    cannot (the split unit is per-mapper shuffle blocks), which is
+    when the manual salted_shuffle_join remains the remedy. Also
+    gates skew_report's top-n on the same fixture: the planted hot
+    key leads with ~800000 ppm."""
+    from gcp_dataengineering_spark.ops.skew import skew_report
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    rep = F.explode(F.sequence(F.lit(1), F.lit(16))).alias("r")
+    shaped = li.select("l_orderkey", "l_linenumber", "l_extendedprice", rep)
+    hot_key = (
+        F.when(
+            F.xxhash64("l_orderkey", "l_linenumber", "r") % 5 < 3, F.lit(0)
+        )
+        .otherwise(F.pmod(F.xxhash64("l_orderkey", "r"), F.lit(10000)) + 1)
+        .cast("long")
+        .alias("k")
+    )
+    small = spark.range(0, 10001).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("pay")
+    )
+
+    # skew_report gate: the planted key dominates with the exact share
+    big1 = shaped.select(hot_key, F.col("l_extendedprice").alias("v"))
+    top = skew_report(big1, ["k"], top_n=3).collect()
+    n = big1.count()
+    n_hot = big1.filter("k = 0").count()
+    assert top[0]["k"] == 0 and top[0]["n_rows"] == n_hot
+    assert top[0]["share_ppm"] == n_hot * 1_000_000 // n
+    assert 700_000 < top[0]["share_ppm"] < 900_000
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.adaptive.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64k"
+        )
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64k")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.2")
+
+        def final_plan(big):
+            df = big.join(small, "k")
+            qe = df._jdf.queryExecution()
+            qe.executedPlan().execute().count()
+            return qe.executedPlan().toString()
+
+        # multiple mappers -> AQE splits the hot partition
+        multi = shaped.repartition(8).select(
+            hot_key, F.col("l_extendedprice").alias("v")
+        )
+        assert "skew=true" in final_plan(multi)
+        # single mapper -> nothing to split, marker absent (the
+        # documented limit that keeps salted_shuffle_join in the kit)
+        single = shaped.coalesce(1).select(
+            hot_key, F.col("l_extendedprice").alias("v")
+        )
+        assert "skew=true" not in final_plan(single)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def test_write_bucketed_roundtrip(spark):
     # warehouse dir is a static conf — uses the session default
     # (./spark-warehouse, gitignored)
