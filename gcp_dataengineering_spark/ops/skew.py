@@ -35,7 +35,16 @@ def salted_sum(
 ) -> DataFrame:
     """Two-phase salted aggregation: sum() per (keys, salt) then per
     keys. Equivalent to a plain groupBy-sum (sums are associative);
-    verified by test_salted_sum_equals_plain."""
+    verified by test_salted_sum_equals_plain.
+
+    When to use — narrower than it looks (round-8 receipt,
+    BENCH_ATTRIBUTION.md): for ALGEBRAIC aggregates (sum/count/min/
+    max/avg) and for distinct counts, Spark's built-in partial
+    aggregation already combines map-side and a hot key never
+    concentrates work on one reducer — the measured salted form is
+    strictly SLOWER (0.51 s plain vs 1.81 s salted on an 80%-hot
+    fixture). Reach for salting only when per-key holistic state
+    (collect_list-scale) genuinely must be split across reducers."""
     salted = df.withColumn(SALT, (F.rand(seed=42) * salt_buckets).cast("int"))
     partial = salted.groupBy(*group_by, SALT).agg(
         *[F.sum(src).alias(out) for src, out in agg_cols.items()]
