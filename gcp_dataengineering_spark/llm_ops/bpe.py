@@ -44,7 +44,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-__all__ = ["bpe_apply_words", "bpe_encode"]
+__all__ = ["bpe_apply_words", "bpe_encode", "bpe_train"]
 
 
 def bpe_apply_words(
@@ -209,3 +209,133 @@ def bpe_encode(
             ).alias("tokens")
         )
     )
+
+
+def _apply_one_pair(state: DataFrame, left: str, right: str) -> DataFrame:
+    """One classic trainer step on (word, cnt, pos, sym) state: merge
+    ALL non-overlapping leftmost occurrences of exactly (left, right)
+    in one pass. Overlap only exists when left == right (runs like
+    'aaaa'); there the leftmost-nonoverlap rule keeps the EVEN
+    offsets within each maximal run of consecutive candidates —
+    computed with running-count window arithmetic, no loop. Merging
+    never creates a new (left, right) candidate (new pairs involve
+    the merged symbol, which differs from both), so one pass IS the
+    fixpoint."""
+    w = Window.partitionBy("word").orderBy("pos")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    s = state.withColumn("_nxt", F.lead("sym").over(w))
+    cand = (F.col("_nxt").isNotNull()
+            & (F.col("sym") == F.lit(left)) & (F.col("_nxt") == F.lit(right)))
+    s = s.withColumn("_cand", cand)
+    # islands of CONSECUTIVE candidate state rows; offset within the
+    # island via running candidate count minus the island's first
+    s = s.withColumn(
+        "_grp", F.count(F.when(~F.col("_cand"), F.lit(1))).over(run)
+    ).withColumn(
+        "_crn", F.sum(F.when(F.col("_cand"), 1).otherwise(0)).over(run)
+    )
+    island_first = F.min(F.when(F.col("_cand"), F.col("_crn"))).over(
+        Window.partitionBy("word", "_grp")
+    )
+    s = s.withColumn(
+        "_merge",
+        F.col("_cand") & (((F.col("_crn") - island_first) % 2) == 0),
+    )
+    s = s.withColumn(
+        "_merged_prev", F.coalesce(F.lag("_merge").over(w), F.lit(False))
+    )
+    return (
+        s.filter(~F.col("_merged_prev"))
+        .select(
+            "word",
+            "cnt",
+            "pos",
+            F.when(F.col("_merge"), F.concat("sym", "_nxt"))
+            .otherwise(F.col("sym"))
+            .alias("sym"),
+        )
+    )
+
+
+def bpe_train(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    word_pattern: str = "[^a-z]+",
+    max_word_len: int = 64,
+) -> list[tuple[str, str, int]]:
+    """Learn a rank-ordered BPE merge list from the corpus — the
+    classic trainer (count every adjacent symbol pair weighted by
+    word frequency, merge the most frequent, repeat), exact to the
+    sequential reference including the (count desc, pair asc)
+    tiebreak. Returns ``[(left, right, rank), ...]`` — feed it to
+    :func:`bpe_encode` via ``spark.createDataFrame(..., "left
+    string, right string, rank long")``.
+
+    Scale contract: the CORPUS is scanned exactly once (the word
+    histogram); the training loop runs over character-exploded
+    DISTINCT words weighted by count — vocabulary-sized state, which
+    is what makes 100 TB training feasible (a trillion-token corpus
+    has a ~1e7-row word histogram). Each of the ``n_merges``
+    iterations is one aggregation + a 1-row TakeOrdered collect +
+    one window pass over that small state, so wall time is
+    O(n_merges) small Spark jobs; for 50k-merge production vocabs,
+    batch acceptance of symbol-disjoint pairs is the known
+    optimization (counts of symbol-disjoint pairs are invariant
+    under each other's merges) — not implemented here because exact
+    classic tie order across batches is subtle, and the exactness IS
+    this function's contract (pytest replays the Python trainer)."""
+    if n_merges < 1:
+        raise ValueError(f"n_merges ({n_merges}) must be >= 1")
+    if max_word_len < 1:
+        raise ValueError(f"max_word_len ({max_word_len}) must be >= 1")
+    word_counts = (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), word_pattern),
+                    lambda t: (t != "") & (F.length(t) <= max_word_len),
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from .materialize import materialize as _materialize
+
+    # localCheckpoint (module default) rather than persist: persist
+    # caches BLOCKS but leaves the logical plan growing by several
+    # window operators per iteration, and Catalyst re-analyzes the
+    # whole cumulative plan on every action — O(n_merges²) planning
+    # time (measured: the 25-merge corpus test ran 10+ min on
+    # persist, seconds on checkpoint). Checkpointing truncates
+    # lineage, which is the materialize module's documented job for
+    # iterative loops.
+    state = _materialize(
+        word_counts.select(
+            "word",
+            "cnt",
+            F.posexplode(F.split(F.col("word"), "(?!^)")).alias("pos", "sym"),
+        ).filter(F.col("sym") != ""),
+        None,
+    )
+    w = Window.partitionBy("word").orderBy("pos")
+    merges: list[tuple[str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        top = (
+            state.withColumn("_nxt", F.lead("sym").over(w))
+            .filter(F.col("_nxt").isNotNull())
+            .groupBy("sym", "_nxt")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(
+                F.col("n").desc(), F.col("sym").asc(), F.col("_nxt").asc()
+            )
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        left, right = top[0]["sym"], top[0]["_nxt"]
+        merges.append((left, right, rank))
+        state = _materialize(_apply_one_pair(state, left, right), None)
+    return merges

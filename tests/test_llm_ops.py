@@ -2556,3 +2556,59 @@ def test_bpe_convergence_guard_and_empty_docs(spark):
     assert out[4] == ["aa"]
     with _pytest.raises(ValueError, match="max_word_len"):
         bpe_encode(docs, mdf, max_word_len=0)
+
+
+def test_bpe_train_matches_python_trainer(spark):
+    """The distributed trainer must learn the IDENTICAL rank-ordered
+    merge list as the classic sequential Python trainer — same pair
+    counts (weighted, overlapping occurrences included), same
+    (count desc, pair asc) tiebreak, same one-step non-overlapping
+    merge semantics (incl. the 'aaaa' run parity)."""
+    from collections import Counter
+
+    from gcp_dataengineering_spark.llm_ops.bpe import bpe_encode, bpe_train
+
+    # handcrafted: runs + ties exercise the one-step parity and the
+    # lexicographic tiebreak
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa aaaa banana"),
+            (2, "banana bandana"),
+            (3, "aa abab"),
+        ],
+        "doc_id long, text string",
+    )
+    got = bpe_train(docs, 6)
+    counts = Counter()
+    import re as _re
+
+    for _, t in [(1, "aaaa aaaa banana"), (2, "banana bandana"), (3, "aa abab")]:
+        for w in _re.split("[^a-z]+", t.lower()):
+            if w and len(w) <= 64:
+                counts[w] += 1
+    assert got == _train_bpe(counts, 6)
+
+    # real corpus, multi-level depth
+    rdocs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rows = rdocs.select("text").collect()
+    rcounts = Counter(
+        w
+        for r in rows
+        for w in _re.split("[^a-z]+", (r["text"] or "").lower())
+        if w and len(w) <= 64
+    )
+    want = _train_bpe(rcounts, 25)
+    learned = bpe_train(rdocs, 25)
+    assert learned == want
+    assert any(len(l) > 1 or len(r) > 1 for l, r, _ in learned)
+
+    # the learned list is a VALID merge table for the apply engine:
+    # train -> encode round-trips through bpe_encode without error
+    mdf = spark.createDataFrame(learned, "left string, right string, rank long")
+    out = bpe_encode(rdocs.limit(20), mdf)
+    assert out.count() == 20
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="n_merges"):
+        bpe_train(docs, 0)
