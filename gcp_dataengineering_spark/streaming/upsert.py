@@ -281,6 +281,9 @@ def upsert_batch_into_bucketed_snapshot(
     tmp = snapshot_dir + "._upsert_tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)  # unfinished write-aside: never published
+    stray = os.path.join(snapshot_dir, _MANIFEST_FILE + ".tmp")
+    if os.path.exists(stray):
+        os.remove(stray)  # torn manifest publish: the old manifest won
 
     # persisted: the touched-bucket collect below and the final write
     # would otherwise each re-execute the batch aggregation

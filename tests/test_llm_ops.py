@@ -2612,3 +2612,44 @@ def test_bpe_train_matches_python_trainer(spark):
 
     with _pytest.raises(ValueError, match="n_merges"):
         bpe_train(docs, 0)
+
+
+def test_bpe_apply_matches_classic_property(spark):
+    """Property check: a VALID merge list (trained by the classic
+    Python trainer on one random word set — validity is a property
+    of the list, independent of what it is later applied to) applied
+    by the engine to a DIFFERENT random word set must equal the
+    classic sequential encoder word-for-word. Alphabet of 3 letters
+    maximizes run/overlap/tie collisions."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gcp_dataengineering_spark.llm_ops.bpe import bpe_apply_words
+
+    word = st.text(alphabet="abc", min_size=1, max_size=10)
+
+    @settings(max_examples=8, deadline=None)
+    @given(
+        st.lists(word, min_size=1, max_size=8),
+        st.lists(word, min_size=1, max_size=10),
+        st.integers(min_value=1, max_value=8),
+    )
+    def check(train_words, apply_words, n_merges):
+        merges = _train_bpe(Counter(train_words), n_merges)
+        if not merges:
+            return
+        ranks = {(l, r): k for l, r, k in merges}
+        mdf = spark.createDataFrame(
+            merges, "left string, right string, rank long"
+        )
+        wdf = spark.createDataFrame([(w,) for w in set(apply_words)], "word string")
+        got = {
+            r["word"]: list(r["tokens"])
+            for r in bpe_apply_words(wdf, mdf).collect()
+        }
+        for w in set(apply_words):
+            assert got[w] == _classic_bpe(w, ranks), (w, merges)
+
+    check()

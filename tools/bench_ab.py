@@ -38,7 +38,16 @@ def main() -> None:
     from gcp_dataengineering_spark.session import get_spark
 
     spark = get_spark("bench-ab")
-    qs = dict(e.queries())
+    # full pair universe when the checkout has it (same reasoning as
+    # bench.py: rotation must not hide keys); entry queries() for
+    # older checkouts that predate the suite registry
+    try:
+        from gcp_dataengineering_spark.suite import _all_pairs
+
+        qs, _ = _all_pairs()
+        qs = dict(qs)
+    except ImportError:
+        qs = dict(e.queries())
     spark.range(1000).selectExpr("sum(id)").collect()
     out: dict[str, dict] = {}
     for key in keys:
