@@ -76,6 +76,12 @@ class PipelineConfig:
     # so segment identity is judged on raw text
     boilerplate_max_doc_frac: float | None = None
     boilerplate_sep: str = "\n"
+    # learned BPE merge table (left, right, rank) — e.g. from
+    # bpe.bpe_train. When set, documents are BPE-encoded after
+    # decontamination: token budgets (max_tokens_per_source,
+    # shard_budget_tokens) switch from whitespace words to real
+    # tokenizer counts and the `tokens` sequences ride to the shards.
+    bpe_merges: object | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -172,9 +178,30 @@ def build_training_corpus(
         else near_deduped
     )
 
-    with_tokens = decontaminated.withColumn(
-        "n_tokens", whitespace_token_count(text_col).cast("long")
-    )
+    if cfg.bpe_merges is not None:
+        # real-tokenizer accounting: every downstream budget (source
+        # cap, shard plan) is denominated in LEARNED BPE tokens, not
+        # whitespace words, and the token sequences ride to the
+        # shards. bpe_encode references its input three times (word
+        # census, distinct-word encode, rejoin) — pin the branch
+        # point first per the documented rule.
+        from .bpe import bpe_encode
+
+        if materialize is not False:
+            decontaminated = _materialize(decontaminated, materialize)
+        tok = bpe_encode(
+            decontaminated.select(id_col, text_col),
+            cfg.bpe_merges,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        with_tokens = decontaminated.join(tok, id_col).withColumn(
+            "n_tokens", F.size("tokens").cast("long")
+        )
+    else:
+        with_tokens = decontaminated.withColumn(
+            "n_tokens", whitespace_token_count(text_col).cast("long")
+        )
     capped = (
         cap_source_tokens(
             with_tokens, cfg.max_tokens_per_source, source_col=source_col,

@@ -409,3 +409,72 @@ def test_llm_pipeline_plan_shape_at_scale(spark):
         assert plan.count("BroadcastNestedLoopJoin") == 0, "non-equi join at scale"
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", old_aqe)
+
+
+def test_build_training_corpus_bpe_tokenized_budgets(spark):
+    """With cfg.bpe_merges set, the composed build's token accounting
+    switches from whitespace words to LEARNED BPE tokens: n_tokens
+    equals the classic sequential encoder's per-doc count, the token
+    sequences ride to the shards, and the shard budget is
+    denominated in those counts."""
+    import re as _re
+    from collections import Counter
+
+    from gcp_dataengineering_spark.llm_ops.bpe import bpe_train
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+    from tests.test_llm_ops import _classic_bpe
+
+    def fill(tag):
+        return " ".join(f"{tag}{j}" for j in range(40))
+
+    rows = [
+        (1, f"alpha {fill('a')} one", "en", "srcA"),
+        (2, f"beta {fill('b')} two", "en", "srcA"),
+        (4, f"gamma {fill('c')} three", "en", "srcA"),
+        (5, f"delta {fill('d')} four", "en", "srcA"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    merges = bpe_train(docs, 12)
+    assert merges
+    ranks = {(l, r): k for l, r, k in merges}
+    mdf = spark.createDataFrame(merges, "left string, right string, rank long")
+
+    stages = build_training_corpus(
+        docs,
+        config=PipelineConfig(bpe_merges=mdf, shard_budget_tokens=120),
+        materialize=None,
+    )
+    corpus = {r.doc_id: r for r in stages["corpus"].collect()}
+    assert set(corpus) == {1, 2, 4, 5}
+
+    def words_of(text):
+        return [
+            w
+            for w in _re.split("[^a-z]+", text.lower())
+            if w and len(w) <= 64
+        ]
+
+    for doc_id, text, _, _ in rows:
+        want = [t for w in words_of(text) for t in _classic_bpe(w, ranks)]
+        assert list(corpus[doc_id].tokens) == want, doc_id
+        assert corpus[doc_id].n_tokens == len(want)
+
+    # shard plan: budgeted in BPE tokens, sequences present
+    shards = stages["shards"].collect()
+    assert {r.doc_id for r in shards} == {1, 2, 4, 5}
+    per_shard = {}
+    for r in sorted(shards, key=lambda r: r.doc_id):
+        assert list(r.tokens)  # sequences ride through
+        per_shard.setdefault((r.split, r.lang, r.shard_id), []).append(r.n_tokens)
+    for toks in per_shard.values():
+        # the documented fill rule: every member's EXCLUSIVE prefix
+        # sum is under the budget (the closing doc may overflow)
+        run = 0
+        for t in toks:
+            assert run < 120
+            run += t
