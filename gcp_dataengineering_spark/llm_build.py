@@ -38,15 +38,49 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--max-tokens-per-source", type=int, default=None)
     p.add_argument("--shard-budget", type=int, default=2_000_000)
     p.add_argument("--min-source-pass-pct", type=int, default=50)
+    p.add_argument(
+        "--bpe-train",
+        type=int,
+        default=None,
+        metavar="N_MERGES",
+        help="train an N-rule BPE vocabulary on the input documents, "
+        "tokenize the corpus with it (budgets switch to real token "
+        "counts), and write it to <out>/merges.parquet",
+    )
+    p.add_argument(
+        "--bpe-merges",
+        default=None,
+        metavar="PARQUET",
+        help="pre-trained (left, right, rank) merge table to tokenize "
+        "with (mutually exclusive with --bpe-train)",
+    )
     p.add_argument("--cpus", default=None)
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_arg_parser().parse_args(argv)
+    if args.bpe_train is not None and args.bpe_merges is not None:
+        raise SystemExit("--bpe-train and --bpe-merges are mutually exclusive")
     spark = get_spark("llm_build", cpus=args.cpus)
     docs = spark.read.parquet(args.docs)
     eval_df = spark.read.parquet(args.eval) if args.eval else None
+    merges_df = None
+    if args.bpe_train is not None:
+        from .llm_ops.bpe import bpe_train
+
+        learned = bpe_train(docs, args.bpe_train)
+        merges_df = spark.createDataFrame(
+            learned, "left string, right string, rank long"
+        )
+        # persist the vocabulary next to the corpus: a release without
+        # its tokenizer is not reproducible
+        os.makedirs(args.out, exist_ok=True)
+        merges_df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.out, "merges.parquet")
+        )
+    elif args.bpe_merges is not None:
+        merges_df = spark.read.parquet(args.bpe_merges)
     stages = build_training_corpus(
         docs,
         eval_df,
@@ -54,6 +88,7 @@ def main(argv: list[str] | None = None) -> int:
             min_source_pass_pct=args.min_source_pass_pct,
             max_tokens_per_source=args.max_tokens_per_source,
             shard_budget_tokens=args.shard_budget,
+            bpe_merges=merges_df,
         ),
         # CLI writes corpus AND shards (two actions) and runs
         # stage_counts: pin the branch points so the corpus is

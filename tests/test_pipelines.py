@@ -379,6 +379,56 @@ def test_llm_build_cli(spark, tmp_path):
     assert shards.count() == report["corpus"]
 
 
+def test_llm_build_cli_bpe_train(spark, tmp_path):
+    """--bpe-train N: the CLI trains an N-rule vocabulary on the
+    input, persists it next to the corpus (a release without its
+    tokenizer is not reproducible), and the written corpus carries
+    BPE token sequences whose counts drive the budgets."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (i, " ".join(f"w{j} banana band" for j in range(30)), "en", "srcA")
+            for i in range(8)
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "build_out")
+    proc = subprocess.run(
+        [sys.executable, "-m", "gcp_dataengineering_spark.llm_build",
+         "--docs", docs_path, "--out", out, "--cpus", "4",
+         "--shard-budget", "500", "--bpe-train", "6"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:] + proc.stdout[-500:]
+    report = json.loads(
+        [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert report["corpus"] > 0
+    merges = spark.read.parquet(out + "/merges.parquet")
+    # the trainer stops early if the tiny vocabulary exhausts its pairs
+    assert 1 <= merges.count() <= 6
+    assert set(merges.columns) == {"left", "right", "rank"}
+    corpus = spark.read.parquet(out + "/corpus")
+    row = corpus.first()
+    assert row.n_tokens == len(row.tokens) and len(row.tokens) > 0
+    # mutual exclusion guard
+    proc2 = subprocess.run(
+        [sys.executable, "-m", "gcp_dataengineering_spark.llm_build",
+         "--docs", docs_path, "--out", out,
+         "--bpe-train", "4", "--bpe-merges", out + "/merges.parquet"],
+        capture_output=True, text=True, timeout=120,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc2.returncode != 0
+    assert "mutually exclusive" in proc2.stderr
+
+
 def test_llm_pipeline_plan_shape_at_scale(spark):
     """Scale insurance for the composed corpus build (same convention
     as test_digital_plan_shape_at_scale): replicate the documents
