@@ -33,7 +33,9 @@ Scale design (100 TB):
   corpus to hold that equivalence.
 - **Convergence by row count.** Each applied merge removes exactly
   one state row, so the loop stops when the count stops falling — no
-  extra action per round beyond the persist-materializing count.
+  extra action per round beyond the materializing count (rounds are
+  lineage-truncated via llm_ops.materialize, not persist: Catalyst
+  re-analysis of an ever-growing plan is quadratic in rounds).
   Rounds on natural text are bounded by the merge-tree depth of the
   longest token (~log of its length per wave); ``max_rounds`` guards
   against a pathological/corrupt merge table taking the stage down.
@@ -69,16 +71,23 @@ def bpe_apply_words(
             F.col("rank").cast("long"),
         )
     )
+    from .materialize import materialize as _materialize
+
     # char explode: one row per character occurrence (the split
     # pattern matches between every pair of chars AND at the end —
-    # drop the trailing empty string)
-    state = (
+    # drop the trailing empty string). Rounds use the module's
+    # lineage-TRUNCATING materializer, not persist: each round adds
+    # a join + several window operators to the logical plan and
+    # Catalyst re-analyzes the whole cumulative plan per action —
+    # quadratic in rounds (bpe_train measured 10+ min vs seconds);
+    # truncated intermediates are also released by the
+    # ContextCleaner instead of needing explicit unpersist.
+    state = _materialize(
         distinct_words.select(
             "word",
             F.posexplode(F.split(F.col("word"), "(?!^)")).alias("pos", "sym"),
-        )
-        .filter(F.col("sym") != "")
-        .persist()
+        ).filter(F.col("sym") != ""),
+        None,
     )
     n = state.count()
     w = Window.partitionBy("word").orderBy("pos")
@@ -87,7 +96,6 @@ def bpe_apply_words(
     while True:
         rounds += 1
         if rounds > max_rounds:
-            state.unpersist()
             raise RuntimeError(
                 f"bpe_apply_words: no fixpoint after {max_rounds} rounds — "
                 "merge table is likely invalid (a rule's symbols never "
@@ -124,19 +132,17 @@ def bpe_apply_words(
             & (L2.isNull() | (L < L2))
             & (r.isNull() | (L <= r))
         )
-        new_state = (
-            lagged.filter(~merged_into_prev)
-            .select(
+        new_state = _materialize(
+            lagged.filter(~merged_into_prev).select(
                 "word",
                 "pos",
                 F.when(merge_here, F.concat("sym", "_nxt"))
                 .otherwise(F.col("sym"))
                 .alias("sym"),
-            )
-            .persist()
+            ),
+            None,
         )
         new_n = new_state.count()
-        state.unpersist()
         state = new_state
         if new_n == n:
             break
@@ -151,8 +157,10 @@ def bpe_apply_words(
             ).alias("tokens")
         )
     )
-    # leave `state` cached: `out` is lazy and downstream consumers
-    # (the join back to documents) execute it, possibly more than once
+    # `state` is a truncated (checkpointed) relation: `out` is lazy
+    # and downstream consumers (the join back to documents) read the
+    # materialized blocks; the ContextCleaner releases them once the
+    # result is no longer referenced
     return out
 
 

@@ -81,7 +81,13 @@ class PipelineConfig:
     # decontamination: token budgets (max_tokens_per_source,
     # shard_budget_tokens) switch from whitespace words to real
     # tokenizer counts and the `tokens` sequences ride to the shards.
+    # bpe_word_pattern MUST match the corpus's scripts: the
+    # lowercase-Latin default tokenizes non-Latin text to ZERO tokens,
+    # which would silently un-cap those documents' budgets — widen it
+    # (e.g. r"[^\p{L}]+") for multilingual builds.
     bpe_merges: object | None = None
+    bpe_word_pattern: str = "[^a-z]+"
+    bpe_max_word_len: int = 64
     extra: dict = field(default_factory=dict)
 
 
@@ -194,6 +200,8 @@ def build_training_corpus(
             cfg.bpe_merges,
             text_col=text_col,
             id_col=id_col,
+            word_pattern=cfg.bpe_word_pattern,
+            max_word_len=cfg.bpe_max_word_len,
         )
         with_tokens = decontaminated.join(tok, id_col).withColumn(
             "n_tokens", F.size("tokens").cast("long")

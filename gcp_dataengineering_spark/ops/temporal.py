@@ -230,13 +230,19 @@ def interval_join(
     per matching (point, interval) pair: all point columns + all
     interval columns (names must not collide).
 
-    Malformed-interval policy (both knobs, one data-quality class):
-    a REVERSED interval (start > end) matches no point by the closed
-    -range definition; under the default ``reversed_policy="drop"``
-    it is excluded up front (documented contract, not an accident).
-    Pass ``reversed_policy="strict"`` to route reversed intervals
-    through the same runtime ``raise_error`` path as over-long spans
-    so corrupt data fails the job instead of vanishing (ADVICE r7).
+    Malformed-interval policy: a REVERSED interval (start > end)
+    matches no point by the closed-range definition; under the
+    default ``reversed_policy="drop"`` it is excluded up front
+    (documented contract, not an accident). Pass
+    ``reversed_policy="strict"`` to route reversed intervals through
+    the same runtime ``raise_error`` path as over-long spans so
+    corrupt data fails the job instead of vanishing (ADVICE r7).
+    NULL-bounded intervals are ALWAYS dropped, under both policies:
+    they satisfy no closed-range predicate, and Catalyst's constraint
+    inference derives IsNotNull(start)/IsNotNull(end) from the
+    containment refine and prunes such rows below any in-plan guard —
+    a runtime raise for them is unreachable by construction (pre-
+    validate with a separate query if null bounds must be fatal).
 
     Plan shape: interval explodes to its covered grid buckets
     (sequence over ints — bounded by span/width), point maps to its
@@ -291,22 +297,32 @@ def interval_join(
         ).cast("long")
     )
     if reversed_policy == "strict":
-        # No pre-filter here: reversed rows must REACH the guard to
+        # No pre-filter here: malformed rows must REACH the guard to
         # fail the job (a filter would silently drop them first).
-        rev_ok = F.col(start_col) <= F.col(end_col)
-        guarded_hi = F.when(rev_ok, guarded_hi).otherwise(
+        # NULL bounds are the same data-quality class as reversed
+        # spans (a closed range with no bound matches nothing) and
+        # fail with an accurate message — coalesce keeps the error
+        # text itself from going NULL. The guard lives on sequence's
+        # FIRST argument: codegen short-circuits the whole sequence to
+        # NULL when arg1 is NULL, so a guard on the second argument
+        # would silently never run for a NULL start.
+        ok = F.col(start_col) <= F.col(end_col)  # null => malformed
+        _s = F.coalesce(F.col(start_col).cast("string"), F.lit("NULL"))
+        _e = F.coalesce(F.col(end_col).cast("string"), F.lit("NULL"))
+        guarded_lo = F.when(ok, iv_lo).otherwise(
             F.raise_error(
                 F.concat(
-                    F.lit("interval_join: reversed interval (start="),
-                    F.col(start_col).cast("string"),
-                    F.lit(" > end="),
-                    F.col(end_col).cast("string"),
+                    F.lit("interval_join: reversed or null-bounded "
+                          "interval (start="),
+                    _s,
+                    F.lit(", end="),
+                    _e,
                     F.lit(") under reversed_policy='strict'"),
                 )
             ).cast("long")
         )
         iv = intervals.withColumn(
-            "_bucket", F.explode(F.sequence(iv_lo, guarded_hi))
+            "_bucket", F.explode(F.sequence(guarded_lo, guarded_hi))
         )
     else:
         iv = intervals.filter(

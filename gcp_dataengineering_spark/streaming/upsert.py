@@ -275,9 +275,13 @@ def upsert_batch_into_bucketed_snapshot(
     manifest = _read_manifest(snapshot_dir)
     if manifest is None and meta is not None and _bucket_dirs(snapshot_dir):
         # pre-manifest layout: finish any torn two-rename swap, then
-        # adopt the directory listing as generation 0
+        # adopt the directory listing as generation 0 and PUBLISH the
+        # adoption immediately — from here on every file not in a
+        # manifest is an orphan, so a crash mid-merge can never let a
+        # later adoption bless half-staged files as live (r8 review)
         _recover_legacy_buckets(snapshot_dir)
         manifest = _adopt_legacy_manifest(snapshot_dir)
+        _write_manifest(snapshot_dir, manifest)
     tmp = snapshot_dir + "._upsert_tmp"
     if os.path.exists(tmp):
         shutil.rmtree(tmp)  # unfinished write-aside: never published
@@ -328,7 +332,12 @@ def _merge_touched_buckets(
                 fh,
             )
     if manifest is None:
+        # first manifest-era merge on a fresh directory: pin the empty
+        # generation 0 BEFORE any data lands, so a crash mid-staging
+        # leaves orphans under a live manifest (swept by the next
+        # merge's GC) instead of an ambiguous no-manifest directory
         manifest = {"generation": 0, "buckets": {}, "retired": []}
+        _write_manifest(snapshot_dir, manifest)
     # GC: last merge's retirees have had their one-merge reader grace;
     # sweep them together with any never-published orphan files
     live_now = {f for fs in manifest["buckets"].values() for f in fs}

@@ -1610,20 +1610,23 @@ WITH RECURSIVE w AS (
     -- '|'-separated symbol encoding: 'the' -> '|t|h|e|'
     SELECT word, '|' || regexp_replace(word, '(.)', '\1|', 'g') AS s FROM dw
 ), apply AS (
-    -- rank-by-rank fixpoint: apply rule ridx globally until the
-    -- string stops changing (the 'g' pass misses overlapping
-    -- same-pair runs, so repeat), then move to the next rule;
-    -- equals classic BPE for a valid single-char-component list
+    -- rank-by-rank fixpoint, ONE LEFTMOST replacement per step (no
+    -- 'g': a global pass consumes the '|' shared between adjacent
+    -- same-char pairs and mis-groups runs of 5+ — 'aaaaa' must be
+    -- aa,aa,a, not aa,a,aa; repeated leftmost-single replacement is
+    -- exactly classic greedy non-overlapping order), then move to
+    -- the next rule; equals classic BPE for a valid
+    -- single-char-component list
     SELECT word, s, 0 AS ridx FROM enc0
     UNION ALL
     SELECT a.word,
-           regexp_replace(a.s, r.pat, r.rep, 'g') AS s,
-           CASE WHEN regexp_replace(a.s, r.pat, r.rep, 'g') = a.s
+           regexp_replace(a.s, r.pat, r.rep) AS s,
+           CASE WHEN regexp_replace(a.s, r.pat, r.rep) = a.s
                 THEN a.ridx + 1 ELSE a.ridx END AS ridx
     FROM apply a JOIN rules r ON r.idx = a.ridx
 ), toks AS (
     SELECT word, list_filter(string_split(s, '|'), x -> x <> '') AS tokens
-    FROM apply WHERE ridx = 20
+    FROM apply WHERE ridx = (SELECT count(*) FROM rules)
 )
 SELECT d.doc_id AS doc_id,
        CAST(coalesce(sum(len(wt.tokens)), 0) AS BIGINT) AS n_tokens,

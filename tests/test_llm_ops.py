@@ -2653,3 +2653,40 @@ def test_bpe_apply_matches_classic_property(spark):
             assert got[w] == _classic_bpe(w, ranks), (w, merges)
 
     check()
+
+
+def test_bpe_oracle_mechanism_on_pathological_runs(spark, tmp_path):
+    """r8 review finding: a GLOBAL regexp pass over the separator
+    encoding mis-groups same-char runs of 5+ ('aaaaa' must tokenize
+    aa,aa,a — not aa,a,aa). The oracle now iterates leftmost-single
+    replacements; this pins the full differential on a crafted corpus
+    whose top bigrams include doubled letters and whose words carry
+    5..9-char runs."""
+    import duckdb
+
+    from gcp_dataengineering_spark.suite import _all_pairs
+    from tools.compare import table_hash
+
+    rows = [
+        (
+            i,
+            f"ll lll lllll {'l' * (5 + i % 5)} hello ball tall small "
+            f"{'s' * 7} press mess",
+        )
+        for i in range(40)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    docs.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    q, o = _all_pairs()
+    df = q["bpe_encode"](spark, str(tmp_path))
+    s_rows = [tuple(r) for r in df.collect()]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/documents.parquet/*.parquet')"
+    )
+    cur = con.execute(o["bpe_encode"])
+    o_rows = cur.fetchall()
+    o_cols = [d[0] for d in cur.description]
+    assert len(s_rows) == len(o_rows) == 40
+    assert table_hash(s_rows, df.columns) == table_hash(o_rows, o_cols)

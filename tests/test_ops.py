@@ -475,11 +475,28 @@ def test_interval_join_semantics_and_plan(spark):
     # reversed interval vanished by documented contract); 'strict'
     # routes the SAME row through the runtime guard instead of a
     # silent filter (ADVICE r7 — one malformed-data policy, two knobs)
-    with _pytest.raises(Exception, match="interval_join: reversed interval"):
+    with _pytest.raises(Exception, match="interval_join: reversed or null"):
         interval_join(
             pts, iv, "k", "ts", "s", "e", bucket_width_s=900,
             reversed_policy="strict",
         ).collect()
+    # NULL-bounded intervals: ALWAYS dropped, both policies — the
+    # documented contract (Catalyst infers IsNotNull from the
+    # containment refine and prunes them below any in-plan guard, so
+    # a strict-mode raise for nulls is unreachable by construction)
+    nullish = spark.createDataFrame(
+        [(1, None, "2024-01-01 12:00:00", "wnull")],
+        "k long, s string, e string, ivid string",
+    ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+    for policy in ("drop", "strict"):
+        assert (
+            interval_join(
+                pts, nullish, "k", "ts", "s", "e", bucket_width_s=900,
+                reversed_policy=policy,
+            ).count()
+            == 0
+        )
+
     # strict on clean data behaves exactly like drop
     clean = iv.filter(F.col("s") <= F.col("e"))
     strict_rows = [

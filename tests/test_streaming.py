@@ -931,3 +931,66 @@ def test_bucketed_upsert_orphan_meta_reads_empty_and_is_swept(spark, tmp_path):
     upsert_batch_into_snapshot(b, o3, ["k"], ["ver"])
     assert not os.path.exists(os.path.join(o3, _META_FILE))
     assert [tuple(r) for r in spark.read.parquet(o3).collect()] == [(1, 1, "a")]
+
+
+def test_bucketed_upsert_crash_before_publish_never_blesses_orphans(
+    spark, tmp_path, monkeypatch
+):
+    """r8 review finding: a crash between staging part files and the
+    manifest publish must leave the staged files as ORPHANS — never
+    visible to readers, never adopted as live by a later merge. The
+    fix pins generation 0 (fresh or adopted) before any data lands."""
+    import os
+
+    from gcp_dataengineering_spark.streaming import upsert as U
+
+    buck = str(tmp_path / "snap")
+    b1 = spark.createDataFrame(
+        [(i, 1, f"p{i}") for i in range(40)], "k long, ver long, payload string"
+    )
+    U.upsert_batch_into_bucketed_snapshot(b1, buck, ["k"], ["ver"], 4)
+    # rewind to the legacy era (no manifest), as the worst case
+    os.remove(os.path.join(buck, U._MANIFEST_FILE))
+    want = {(r.k, r.ver, r.payload) for r in U.read_bucketed_snapshot(spark, buck).collect()}
+
+    # crash injection: adoption publish (1st call) succeeds, the
+    # post-merge publish (2nd call) dies after files are staged
+    real_write = U._write_manifest
+    calls = {"n": 0}
+
+    def dying_write(snapshot_dir, manifest):
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("simulated crash before manifest publish")
+        real_write(snapshot_dir, manifest)
+
+    monkeypatch.setattr(U, "_write_manifest", dying_write)
+    b2 = spark.createDataFrame([(0, 2, "upd")], "k long, ver long, payload string")
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="simulated crash"):
+        U.upsert_batch_into_bucketed_snapshot(b2, buck, ["k"], ["ver"], 4)
+    monkeypatch.setattr(U, "_write_manifest", real_write)
+
+    # the reader sees EXACTLY the pre-crash snapshot: no duplicate
+    # keys from the staged-but-unpublished files
+    got = [
+        (r.k, r.ver, r.payload)
+        for r in U.read_bucketed_snapshot(spark, buck).collect()
+    ]
+    assert len(got) == len(want) and set(got) == want
+
+    # the next merge completes normally and sweeps the orphans: one
+    # live file set, the update applied exactly once
+    U.upsert_batch_into_bucketed_snapshot(b2, buck, ["k"], ["ver"], 4)
+    final = {r.k: (r.ver, r.payload) for r in U.read_bucketed_snapshot(spark, buck).collect()}
+    assert final[0] == (2, "upd") and len(final) == 40
+    m = U._read_manifest(buck)
+    live = {f for fs in m["buckets"].values() for f in fs}
+    on_disk = {
+        os.path.join(d, f)
+        for d in U._bucket_dirs(buck)
+        for f in os.listdir(os.path.join(buck, d))
+        if f.endswith(".parquet")
+    }
+    assert on_disk - live == set(m["retired"])  # orphans gone
