@@ -2690,3 +2690,29 @@ def test_bpe_oracle_mechanism_on_pathological_runs(spark, tmp_path):
     o_cols = [d[0] for d in cur.description]
     assert len(s_rows) == len(o_rows) == 40
     assert table_hash(s_rows, df.columns) == table_hash(o_rows, o_cols)
+
+
+def test_bpe_encode_plan_shape_at_scale(spark):
+    """Scale insurance (same convention as the pipeline ×20 gate):
+    ×20-replicated documents through bpe_encode must execute with no
+    CartesianProduct / BroadcastNestedLoopJoin anywhere — the rule
+    lookup is a broadcast equi-join, the doc reassembly a shuffled
+    equi-join on the word."""
+    from gcp_dataengineering_spark.llm_ops.bpe import bpe_encode
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    big = (
+        docs.withColumn("_rep", F.explode(F.sequence(F.lit(0), F.lit(19))))
+        .withColumn("doc_id", F.col("doc_id") * 100 + F.col("_rep"))
+        .drop("_rep")
+    )
+    merges = spark.createDataFrame(
+        [("e", "r", 1), ("t", "h", 2), ("th", "e", 3), ("a", "n", 4)],
+        "left string, right string, rank long",
+    )
+    out = bpe_encode(big, merges)
+    out.write.format("noop").mode("overwrite").save()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert out.count() == big.count()
