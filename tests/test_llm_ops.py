@@ -2716,3 +2716,67 @@ def test_bpe_encode_plan_shape_at_scale(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert out.count() == big.count()
+
+
+def test_bpe_apply_words_cached_incremental(spark, tmp_path):
+    """The disk-memoized apply: batch 2 runs the iterative loop only
+    for never-seen words (cache grows by exactly the novel distinct
+    words), results equal the uncached form, replays are idempotent,
+    and a cache is pinned to ONE merge table."""
+    from gcp_dataengineering_spark.llm_ops.bpe import (
+        bpe_apply_words,
+        bpe_apply_words_cached,
+    )
+
+    cache = str(tmp_path / "bpe_cache")
+    merges = spark.createDataFrame(
+        [("l", "o", 1), ("lo", "w", 2), ("e", "r", 3)],
+        "left string, right string, rank long",
+    )
+    b1 = spark.createDataFrame(
+        [("lower",), ("low",), ("water",)], "word string"
+    )
+    got1 = {
+        r["word"]: list(r["tokens"])
+        for r in bpe_apply_words_cached(b1, merges, cache).collect()
+    }
+    want1 = {
+        r["word"]: list(r["tokens"])
+        for r in bpe_apply_words(b1, merges).collect()
+    }
+    assert got1 == want1
+    cached_words = {
+        r["word"] for r in spark.read.parquet(f"{cache}/words").collect()
+    }
+    assert cached_words == {"lower", "low", "water"}
+
+    # batch 2: two known words + one new; only the new word appended
+    b2 = spark.createDataFrame(
+        [("lower",), ("water",), ("slower",)], "word string"
+    )
+    got2 = {
+        r["word"]: list(r["tokens"])
+        for r in bpe_apply_words_cached(b2, merges, cache).collect()
+    }
+    assert set(got2) == {"lower", "water", "slower"}
+    assert got2["lower"] == got1["lower"]
+    assert got2["slower"] == ["s", "low", "er"]
+    rows_after = spark.read.parquet(f"{cache}/words").collect()
+    assert {r["word"] for r in rows_after} == {"lower", "low", "water", "slower"}
+    assert len(rows_after) == 4  # known words NOT re-appended
+
+    # replay idempotence: same batch again, read path dedupes
+    got2b = {
+        r["word"]: list(r["tokens"])
+        for r in bpe_apply_words_cached(b2, merges, cache).collect()
+    }
+    assert got2b == got2
+
+    # one cache == one tokenizer
+    other = spark.createDataFrame(
+        [("x", "y", 1)], "left string, right string, rank long"
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="different merge table"):
+        bpe_apply_words_cached(b2, other, cache)
