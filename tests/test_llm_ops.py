@@ -2780,3 +2780,70 @@ def test_bpe_apply_words_cached_incremental(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="different merge table"):
         bpe_apply_words_cached(b2, other, cache)
+
+
+def test_warc_records_roundtrip_and_quarantine(spark, tmp_path):
+    """Real WARC parsing over binaryFile: spec-valid synthetic
+    records (plain + record-per-member .warc.gz) round-trip with
+    exact headers, HTTP split, and text decode; non-text payloads
+    report metadata only; a corrupt record quarantines with
+    parse_error and the parser resynchronizes on the next record."""
+    import gzip
+
+    from gcp_dataengineering_spark.llm_ops.warc import (
+        parse_warc_members,
+        synth_warc,
+        warc_records,
+    )
+
+    recs = [
+        dict(record_id="r1", warc_type="response",
+             target_uri="http://a.example/x", http_body="hello <b>web</b>",
+             http_content_type="text/html; charset=utf-8"),
+        dict(record_id="r2", warc_type="response",
+             target_uri="http://a.example/img", http_body=b"\x89PNG...",
+             http_content_type="image/png"),
+        dict(record_id="r3", warc_type="warcinfo",
+             payload=b"software: synth", content_type="application/warc-fields"),
+    ]
+    plain = synth_warc(recs)
+    gz = synth_warc(recs, gzip_members=True)
+    (tmp_path / "a.warc").write_bytes(plain)
+    (tmp_path / "b.warc.gz").write_bytes(gz)
+    # corrupt file: good record + garbage + another good record
+    corrupt = (
+        synth_warc([recs[0]])
+        + b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: oops\r\n\r\n"
+        + synth_warc([recs[2]])
+    )
+    (tmp_path / "c.warc").write_bytes(corrupt)
+
+    files = spark.read.format("binaryFile").load(str(tmp_path) + "/*")
+    out = warc_records(files).collect()
+    by = {}
+    for r in out:
+        by.setdefault(r.path.split("/")[-1], []).append(r)
+
+    for name in ("a.warc", "b.warc.gz"):
+        rows = sorted(by[name], key=lambda r: r.record_id or "")
+        assert [r.record_id for r in rows] == [
+            "<urn:uuid:r1>", "<urn:uuid:r2>", "<urn:uuid:r3>"
+        ]
+        r1, r2, r3 = rows
+        assert r1.text == "hello <b>web</b>" and r1.http_status == 200
+        assert r1.http_content_type.startswith("text/html")
+        assert r1.target_uri == "http://a.example/x"
+        assert r2.text is None and r2.http_content_type == "image/png"
+        assert r2.n_payload_bytes == len(b"\x89PNG...")
+        assert r3.warc_type == "warcinfo" and r3.text is None
+        assert all(r.parse_error is None for r in rows)
+
+    crows = by["c.warc"]
+    errs = [r for r in crows if r.parse_error]
+    good = [r for r in crows if not r.parse_error]
+    assert len(errs) == 1 and "Content-Length" in errs[0].parse_error
+    assert {r.record_id for r in good} == {"<urn:uuid:r1>", "<urn:uuid:r3>"}
+
+    # multi-member gzip really is multi-member
+    assert gz.count(b"\x1f\x8b\x08") >= 3
+    assert len(list(parse_warc_members(gz))) == 3
