@@ -18,19 +18,23 @@ Scale design (100 TB):
   table. The iterative part of the job is sized by the vocabulary,
   not the corpus.
 - **Bounded DataFrame rounds, state = (word, pos, sym).** Each round
-  merges every LOCALLY-MINIMAL pair (rank strictly below the left
-  overlapping pair's, at-or-below the right's — the leftmost-wins
-  tiebreak for equal-rank runs like 'aaa'): one broadcast join to the
-  merge table for ranks + one window pass (lead/lag over pos within
-  word) to decide merges, no shuffle beyond the word_id partitioning
-  the window reuses. A locally-minimal occurrence is exactly one that
-  sequential lowest-rank-first BPE would merge before anything
-  overlapping it changes (overlap neighbors hold HIGHER ranks and
-  merges only ever create pairs involving the new symbol, whose rules
-  rank even higher in a valid list), so the fixpoint equals the
-  classic algorithm — pytest replays a pure-Python sequential
-  reference over handcrafted multi-level vocabularies and the real
-  corpus to hold that equivalence.
+  performs exactly ONE classic step per word, for every word in
+  parallel: merge all non-overlapping leftmost occurrences of the
+  word's lowest-ranked present pair (run-parity window arithmetic
+  handles same-char runs like 'aaaa'). One broadcast join to the
+  merge table for ranks + window passes over (word, pos) — no
+  shuffle beyond the word partitioning the windows share. The round
+  IS the classic algorithm applied per word, so the fixpoint equals
+  the sequential reference by construction; rounds are bounded by
+  the deepest word's merge count (< max word length). A
+  plausible-looking shortcut — merging every pair whose rank is a
+  local minimum among its overlapping neighbors — is UNSOUND for
+  multi-level vocabularies (a neighbor's cascade can create a
+  lower-ranked overlapping pair later: rules (c,b)=1, (a,cb)=2,
+  (a,a)=3 on 'aacb'); the hypothesis property test that found that
+  counterexample pins the equivalence, alongside the classic-
+  reference replays over handcrafted vocabularies and the real
+  corpus.
 - **Convergence by row count.** Each applied merge removes exactly
   one state row, so the loop stops when the count stops falling — no
   extra action per round beyond the materializing count (rounds are
@@ -107,36 +111,46 @@ def bpe_apply_words(
             (paired["sym"] == rules["left"]) & (paired["_nxt"] == rules["right"]),
             "left",
         ).select("word", "pos", "sym", "_nxt", "rank")
-        # L/L2/R: ranks of the overlapping pairs one/two left and one
-        # right; merge_i needs (r, L, R); the row DROPPED by a merge is
-        # the right member, decided by the same formula shifted left
-        # (merge_{i-1} from L, L2, r) — one window pass, no second sort
-        lagged = ranked.select(
-            "word",
-            "pos",
-            "sym",
-            "_nxt",
-            "rank",
-            F.lag("rank", 1).over(w).alias("_L"),
-            F.lag("rank", 2).over(w).alias("_L2"),
-            F.lead("rank", 1).over(w).alias("_R"),
+        # Per round, each word merges ALL non-overlapping leftmost
+        # occurrences of ITS lowest-ranked present pair — exactly one
+        # classic step per word per round, parallel across the whole
+        # vocabulary. (A plain "rank below both overlapping
+        # neighbors" local minimum is UNSOUND for multi-level
+        # vocabularies: hypothesis found 'aacb' with rules (c,b)=1,
+        # (a,cb)=2, (a,a)=3, where (a,a) has no ranked neighbor yet
+        # classic never merges it — the (c,b) merge cascades into the
+        # lower-ranked (a,cb), which overlaps and wins.)
+        wmin = F.min("rank").over(Window.partitionBy("word"))
+        run = w.rowsBetween(Window.unboundedPreceding, 0)
+        cand_col = F.col("rank").isNotNull() & (F.col("rank") == F.col("_wmin"))
+        s = (
+            ranked.withColumn("_wmin", wmin)
+            .withColumn("_cand", cand_col)
+            # occurrences of one pair overlap only in same-char runs
+            # ('aaaa'): consecutive candidate rows form islands, and
+            # leftmost-nonoverlap keeps the EVEN offsets of each
+            .withColumn(
+                "_grp", F.count(F.when(~F.col("_cand"), F.lit(1))).over(run)
+            )
+            .withColumn(
+                "_crn", F.sum(F.when(F.col("_cand"), 1).otherwise(0)).over(run)
+            )
         )
-        r, L, L2, R = (F.col(c) for c in ("rank", "_L", "_L2", "_R"))
-        merge_here = (
-            r.isNotNull()
-            & (L.isNull() | (r < L))
-            & (R.isNull() | (r <= R))
+        island_first = F.min(F.when(F.col("_cand"), F.col("_crn"))).over(
+            Window.partitionBy("word", "_grp")
         )
-        merged_into_prev = (
-            L.isNotNull()
-            & (L2.isNull() | (L < L2))
-            & (r.isNull() | (L <= r))
+        s = s.withColumn(
+            "_merge",
+            F.col("_cand") & (((F.col("_crn") - island_first) % 2) == 0),
+        ).withColumn(
+            "_merged_prev",
+            F.coalesce(F.lag("_merge").over(w), F.lit(False)),
         )
         new_state = _materialize(
-            lagged.filter(~merged_into_prev).select(
+            s.filter(~F.col("_merged_prev")).select(
                 "word",
                 "pos",
-                F.when(merge_here, F.concat("sym", "_nxt"))
+                F.when(F.col("_merge"), F.concat("sym", "_nxt"))
                 .otherwise(F.col("sym"))
                 .alias("sym"),
             ),

@@ -2487,6 +2487,23 @@ def test_bpe_apply_words_matches_classic_reference(spark):
     assert got["aaaa"] == ["aa", "aa"]
     assert got["aab"] == ["aab"]  # (a,a) then the LEVEL-2 rule (aa,b)
 
+    # the r8 hypothesis counterexample, pinned deterministically: a
+    # neighbor's merge CASCADE creates a lower-ranked overlapping
+    # pair, so (a,a) — despite having no ranked neighbor up front —
+    # must NOT merge ('aacb' -> a, acb; a naive local-minimum
+    # parallel rule produced aa, cb)
+    cascade = [("c", "b", 1), ("a", "cb", 2), ("a", "a", 3)]
+    cdf = spark.createDataFrame(cascade, "left string, right string, rank long")
+    cranks = {(l, r): k for l, r, k in cascade}
+    cgot = {
+        r["word"]: list(r["tokens"])
+        for r in bpe_apply_words(
+            spark.createDataFrame([("aacb",), ("aacbaa",)], "word string"), cdf
+        ).collect()
+    }
+    assert cgot["aacb"] == _classic_bpe("aacb", cranks) == ["a", "acb"]
+    assert cgot["aacbaa"] == _classic_bpe("aacbaa", cranks)
+
 
 def test_bpe_encode_real_corpus_matches_python(spark):
     """Train a 40-rule multi-level vocabulary on the real sf0.001
@@ -2530,16 +2547,25 @@ def test_bpe_encode_real_corpus_matches_python(spark):
 def test_bpe_convergence_guard_and_empty_docs(spark):
     from gcp_dataengineering_spark.llm_ops.bpe import bpe_apply_words, bpe_encode
 
-    mdf = spark.createDataFrame(
-        [("a", "a", 1)], "left string, right string, rank long"
+    # rounds = the deepest word's sequential merge depth: a 3-level
+    # chain vocabulary needs 3 rounds (+1 fixpoint probe); a tight
+    # cap must fail loud, the default must converge to the classic
+    # result
+    chain = spark.createDataFrame(
+        [("a", "a", 1), ("aa", "aa", 2), ("aaaa", "aaaa", 3)],
+        "left string, right string, rank long",
     )
-    # same-pair runs merge one head per round under the leftmost-wins
-    # tiebreak: 'a'*9 needs several rounds; a tight cap must fail loud
-    wdf = spark.createDataFrame([("a" * 9,)], "word string")
+    wdf = spark.createDataFrame([("a" * 16,)], "word string")
     import pytest as _pytest
 
     with _pytest.raises(RuntimeError, match="max_rounds"):
-        bpe_apply_words(wdf, mdf, max_rounds=2).collect()
+        bpe_apply_words(wdf, chain, max_rounds=2).collect()
+    deep = bpe_apply_words(wdf, chain).collect()
+    assert list(deep[0]["tokens"]) == ["a" * 8, "a" * 8]
+
+    mdf = spark.createDataFrame(
+        [("a", "a", 1)], "left string, right string, rank long"
+    )
 
     # empty / no-letter docs come back with EMPTY (not null) tokens;
     # over-long words are dropped by the straggler cap
@@ -2630,7 +2656,7 @@ def test_bpe_apply_matches_classic_property(spark):
 
     word = st.text(alphabet="abc", min_size=1, max_size=10)
 
-    @settings(max_examples=8, deadline=None)
+    @settings(max_examples=20, deadline=None)
     @given(
         st.lists(word, min_size=1, max_size=8),
         st.lists(word, min_size=1, max_size=10),
