@@ -29,7 +29,7 @@ from collections.abc import Iterator
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
 
-__all__ = ["synth_warc", "parse_warc_members", "warc_records", "WARC_SCHEMA"]
+__all__ = ["synth_warc", "parse_warc_members", "warc_records", "warc_to_documents", "WARC_SCHEMA"]
 
 _CRLF = b"\r\n"
 
@@ -230,3 +230,36 @@ def warc_records(files: DataFrame) -> DataFrame:
             )
 
     return files.select("path", "content").mapInPandas(explode, WARC_SCHEMA)
+
+
+def warc_to_documents(files: DataFrame) -> DataFrame:
+    """WARC crawl files → the pipeline's ``documents`` shape
+    (doc_id, text, lang, source, target_uri, warc_date): keep
+    text-decoded HTTP responses, derive a stable doc_id from the
+    record id (xxhash64 — deterministic across re-reads), the source
+    from the URI host (the unit source_reputation_filter judges),
+    and a language tag from the shared n-gram heuristic. The output
+    feeds ``build_training_corpus`` directly — the Common-Crawl →
+    training-corpus path end to end."""
+    from pyspark.sql import functions as F
+
+    from .text import lang_id
+
+    recs = warc_records(files)
+    return (
+        recs.filter(
+            F.col("parse_error").isNull()
+            & (F.col("warc_type") == "response")
+            & F.col("text").isNotNull()
+        )
+        .select(
+            F.xxhash64("record_id").alias("doc_id"),
+            "text",
+            lang_id(F.col("text")).alias("lang"),
+            F.regexp_extract("target_uri", "^[a-z]+://([^/]+)", 1).alias(
+                "source"
+            ),
+            "target_uri",
+            "warc_date",
+        )
+    )

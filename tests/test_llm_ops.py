@@ -2873,3 +2873,60 @@ def test_warc_records_roundtrip_and_quarantine(spark, tmp_path):
     # multi-member gzip really is multi-member
     assert gz.count(b"\x1f\x8b\x08") >= 3
     assert len(list(parse_warc_members(gz))) == 3
+
+
+def test_warc_to_documents_feeds_pipeline(spark, tmp_path):
+    """The Common-Crawl path end to end: synthetic WARC files →
+    warc_to_documents (documents shape: stable ids, host source,
+    lang tag) → build_training_corpus runs and keeps the good pages."""
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+    from gcp_dataengineering_spark.llm_ops.warc import synth_warc, warc_to_documents
+
+    def page(i):
+        # per-page filler vocabulary: shared text would make every
+        # page a near-dup of every other (the dedup stage is right to
+        # collapse those)
+        body = (
+            "the quick brown fox jumps over the lazy dog and the "
+            + " ".join(f"w{i}x{j} t{i}y{j} u{i}z{j}" for j in range(12))
+        )
+        return dict(
+            record_id=f"p{i}", warc_type="response",
+            target_uri=f"http://site{i % 2}.example/page{i}",
+            http_body=body, http_content_type="text/html",
+        )
+
+    recs = [page(i) for i in range(6)] + [
+        dict(record_id="img", warc_type="response",
+             target_uri="http://site0.example/i.png",
+             http_body=b"\x89PNG", http_content_type="image/png"),
+        dict(record_id="info", warc_type="warcinfo",
+             payload=b"software: synth", content_type="application/warc-fields"),
+    ]
+    (tmp_path / "seg.warc.gz").write_bytes(synth_warc(recs, gzip_members=True))
+    files = spark.read.format("binaryFile").load(str(tmp_path) + "/*.warc.gz")
+    docs = warc_to_documents(files)
+    rows = docs.collect()
+    # only the text responses survive; ids stable; hosts extracted
+    assert len(rows) == 6
+    assert {r.source for r in rows} == {"site0.example", "site1.example"}
+    assert len({r.doc_id for r in rows}) == 6
+    again = {r.doc_id for r in warc_to_documents(files).collect()}
+    assert again == {r.doc_id for r in rows}  # deterministic ids
+    assert all(r.lang == "en" for r in rows)
+
+    stages = build_training_corpus(
+        docs,
+        # 4-hash bands: the default 2-hash bands collide at ~s² per
+        # band, enough to clip one pair on a 6-doc fixture sharing a
+        # stopword backbone
+        config=PipelineConfig(
+            shard_budget_tokens=500, minhash_hashes=16, lsh_bands=4
+        ),
+    )
+    corpus = stages["corpus"].collect()
+    assert len(corpus) == 6  # distinct pages all survive the build
+    assert all(r.split in ("train", "val", "test") for r in corpus)
