@@ -101,9 +101,11 @@ def bpe_apply_words(
         rounds += 1
         if rounds > max_rounds:
             raise RuntimeError(
-                f"bpe_apply_words: no fixpoint after {max_rounds} rounds — "
-                "merge table is likely invalid (a rule's symbols never "
-                "producible) or adversarial; raise max_rounds if legitimate"
+                f"bpe_apply_words: no fixpoint after {max_rounds} rounds. "
+                "Rounds scale with the deepest word's merge count (up to "
+                "its length under a chain vocabulary) — raise max_rounds "
+                "or cap word length if the input is legitimate; otherwise "
+                "the merge table is invalid or adversarial"
             )
         paired = state.withColumn("_nxt", F.lead("sym").over(w))
         ranked = paired.join(
@@ -121,40 +123,10 @@ def bpe_apply_words(
         # classic never merges it — the (c,b) merge cascades into the
         # lower-ranked (a,cb), which overlaps and wins.)
         wmin = F.min("rank").over(Window.partitionBy("word"))
-        run = w.rowsBetween(Window.unboundedPreceding, 0)
         cand_col = F.col("rank").isNotNull() & (F.col("rank") == F.col("_wmin"))
-        s = (
-            ranked.withColumn("_wmin", wmin)
-            .withColumn("_cand", cand_col)
-            # occurrences of one pair overlap only in same-char runs
-            # ('aaaa'): consecutive candidate rows form islands, and
-            # leftmost-nonoverlap keeps the EVEN offsets of each
-            .withColumn(
-                "_grp", F.count(F.when(~F.col("_cand"), F.lit(1))).over(run)
-            )
-            .withColumn(
-                "_crn", F.sum(F.when(F.col("_cand"), 1).otherwise(0)).over(run)
-            )
-        )
-        island_first = F.min(F.when(F.col("_cand"), F.col("_crn"))).over(
-            Window.partitionBy("word", "_grp")
-        )
-        s = s.withColumn(
-            "_merge",
-            F.col("_cand") & (((F.col("_crn") - island_first) % 2) == 0),
-        ).withColumn(
-            "_merged_prev",
-            F.coalesce(F.lag("_merge").over(w), F.lit(False)),
-        )
+        marked = ranked.withColumn("_wmin", wmin).withColumn("_cand", cand_col)
         new_state = _materialize(
-            s.filter(~F.col("_merged_prev")).select(
-                "word",
-                "pos",
-                F.when(F.col("_merge"), F.concat("sym", "_nxt"))
-                .otherwise(F.col("sym"))
-                .alias("sym"),
-            ),
-            None,
+            _merge_marked(marked, carry=["word"]), None
         )
         new_n = new_state.count()
         state = new_state
@@ -205,9 +177,12 @@ def bpe_encode(
             )
         ).alias("_wpos", "word"),
     )
+    # rounds = the deepest word's merge count, bounded by its length:
+    # scale the guard with the cap so legitimate long words under a
+    # deep vocabulary can't trip a budget tuned for short ones
     word_tokens = bpe_apply_words(
         doc_words.filter(F.col("word").isNotNull()), merges,
-        max_rounds=max_rounds,
+        max_rounds=max(max_rounds, max_word_len + 2),
     )
     return (
         doc_words.join(word_tokens, "word", "left")
@@ -233,24 +208,20 @@ def bpe_encode(
     )
 
 
-def _apply_one_pair(state: DataFrame, left: str, right: str) -> DataFrame:
-    """One classic trainer step on (word, cnt, pos, sym) state: merge
-    ALL non-overlapping leftmost occurrences of exactly (left, right)
-    in one pass. Overlap only exists when left == right (runs like
-    'aaaa'); there the leftmost-nonoverlap rule keeps the EVEN
-    offsets within each maximal run of consecutive candidates —
-    computed with running-count window arithmetic, no loop. Merging
-    never creates a new (left, right) candidate (new pairs involve
-    the merged symbol, which differs from both), so one pass IS the
-    fixpoint."""
+def _merge_marked(s: DataFrame, carry: list[str]) -> DataFrame:
+    """The shared one-pass non-overlapping-leftmost merge: given
+    state rows carrying ``_nxt`` (next symbol) and ``_cand`` (this
+    pair merges — all candidate rows within a word hold the SAME
+    pair), apply every non-overlapping leftmost occurrence at once.
+    Occurrences of one pair overlap only in same-char runs
+    ('aaaa'): consecutive candidate state rows form islands, and the
+    leftmost-nonoverlap rule keeps the EVEN offsets of each island —
+    running-count window arithmetic, no loop. Returns
+    ``(carry..., pos, sym)``. Used by both the encoder round (one
+    classic step per word) and the trainer step (one known pair) —
+    one copy of the subtlest logic in the module (r8 review)."""
     w = Window.partitionBy("word").orderBy("pos")
     run = w.rowsBetween(Window.unboundedPreceding, 0)
-    s = state.withColumn("_nxt", F.lead("sym").over(w))
-    cand = (F.col("_nxt").isNotNull()
-            & (F.col("sym") == F.lit(left)) & (F.col("_nxt") == F.lit(right)))
-    s = s.withColumn("_cand", cand)
-    # islands of CONSECUTIVE candidate state rows; offset within the
-    # island via running candidate count minus the island's first
     s = s.withColumn(
         "_grp", F.count(F.when(~F.col("_cand"), F.lit(1))).over(run)
     ).withColumn(
@@ -262,21 +233,32 @@ def _apply_one_pair(state: DataFrame, left: str, right: str) -> DataFrame:
     s = s.withColumn(
         "_merge",
         F.col("_cand") & (((F.col("_crn") - island_first) % 2) == 0),
-    )
-    s = s.withColumn(
+    ).withColumn(
         "_merged_prev", F.coalesce(F.lag("_merge").over(w), F.lit(False))
     )
-    return (
-        s.filter(~F.col("_merged_prev"))
-        .select(
-            "word",
-            "cnt",
-            "pos",
-            F.when(F.col("_merge"), F.concat("sym", "_nxt"))
-            .otherwise(F.col("sym"))
-            .alias("sym"),
-        )
+    return s.filter(~F.col("_merged_prev")).select(
+        *carry,
+        "pos",
+        F.when(F.col("_merge"), F.concat("sym", "_nxt"))
+        .otherwise(F.col("sym"))
+        .alias("sym"),
     )
+
+
+def _apply_one_pair(state: DataFrame, left: str, right: str) -> DataFrame:
+    """One classic trainer step on (word, cnt, pos, sym) state: merge
+    ALL non-overlapping leftmost occurrences of exactly (left, right)
+    in one pass (via :func:`_merge_marked`). Merging never creates a
+    new (left, right) candidate (new pairs involve the merged symbol,
+    which differs from both), so one pass IS the fixpoint."""
+    w = Window.partitionBy("word").orderBy("pos")
+    s = state.withColumn("_nxt", F.lead("sym").over(w))
+    cand = (
+        F.col("_nxt").isNotNull()
+        & (F.col("sym") == F.lit(left))
+        & (F.col("_nxt") == F.lit(right))
+    )
+    return _merge_marked(s.withColumn("_cand", cand), carry=["word", "cnt"])
 
 
 def bpe_train(
@@ -397,13 +379,23 @@ def bpe_apply_words_cached(
         F.col("rank").cast("long"),
     )
     # contract-bounded collect: a merge table is a vocabulary, not a
-    # corpus — one row out of a sorted aggregate
-    fp_row = rules.orderBy("rank").agg(
+    # corpus — one row out of an aggregate. sort_array, NOT a
+    # pre-aggregation orderBy: collect_list gives no cross-partition
+    # order guarantee, and an order-sensitive hash would spuriously
+    # reject a valid cache on a multi-partition table (r8 review)
+    fp_row = rules.agg(
         F.md5(
             F.concat_ws(
                 "\x01",
-                F.collect_list(
-                    F.concat_ws("\x02", "left", "right", F.col("rank").cast("string"))
+                F.sort_array(
+                    F.collect_list(
+                        F.concat_ws(
+                            "\x02",
+                            F.lpad(F.col("rank").cast("string"), 12, "0"),
+                            "left",
+                            "right",
+                        )
+                    )
                 ),
             ).cast("binary")
         ).alias("fp")
@@ -422,8 +414,15 @@ def bpe_apply_words_cached(
             )
     else:
         os.makedirs(cache_dir, exist_ok=True)
-        with open(meta_path, "w") as fh:
+        # atomic publish (same discipline as the upsert manifest): a
+        # crash mid-write must not leave truncated JSON that bricks
+        # the cache with a raw JSONDecodeError
+        tmp_meta = meta_path + ".tmp"
+        with open(tmp_meta, "w") as fh:
             json.dump({"merges_fp": merges_fp}, fh)
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(tmp_meta, meta_path)
 
     distinct_words = words.select(F.col(word_col).alias("word")).distinct()
     if os.path.isdir(data_dir) and any(

@@ -105,6 +105,10 @@ def _parse_one(buf: bytes, offset: int) -> tuple[dict | None, int]:
         length = int(headers["content-length"])
     except (KeyError, ValueError) as ex:
         raise ValueError(f"bad/missing Content-Length: {ex}") from ex
+    if length < 0:
+        # a negative length would walk the parser BACKWARDS into an
+        # infinite re-parse loop — malformed, quarantine
+        raise ValueError(f"negative Content-Length: {length}")
     if pos + length > n:
         raise ValueError("record body truncated")
     body = buf[pos:pos + length]
@@ -118,8 +122,14 @@ def parse_warc_members(content: bytes) -> Iterator[dict]:
     then resynchronizes at the next ``WARC/`` marker)."""
     if content[:2] == b"\x1f\x8b":
         # standard record-per-member layout: GzipFile reads ALL
-        # members of a multi-member stream
-        content = gzip.GzipFile(fileobj=io.BytesIO(content)).read()
+        # members of a multi-member stream. A truncated/corrupt
+        # segment must QUARANTINE (the module contract), not kill the
+        # task — gzip raises EOFError / BadGzipFile / zlib errors.
+        try:
+            content = gzip.GzipFile(fileobj=io.BytesIO(content)).read()
+        except Exception as ex:  # noqa: BLE001 — gzip/zlib error zoo
+            yield {"error": f"gzip decompression failed: {ex}"}
+            return
     offset = 0
     n = len(content)
     while offset < n:
@@ -190,8 +200,12 @@ def warc_records(files: DataFrame) -> DataFrame:
 
     def explode(batches):
         for pdf in batches:
-            rows = []
             for path, content in zip(pdf["path"], pdf["content"]):
+                # one output frame per FILE, not per Arrow batch: a
+                # batch can hold several ~1 GB segments, and buffering
+                # every decoded record of all of them at once is an
+                # executor OOM at exactly the scale this targets
+                rows = []
                 for rec in parse_warc_members(bytes(content)):
                     if "error" in rec:
                         rows.append(
@@ -225,9 +239,9 @@ def warc_records(files: DataFrame) -> DataFrame:
                             "parse_error": None,
                         }
                     )
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in WARC_SCHEMA.fields]
-            )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in WARC_SCHEMA.fields]
+                )
 
     return files.select("path", "content").mapInPandas(explode, WARC_SCHEMA)
 

@@ -237,12 +237,14 @@ def interval_join(
     ``reversed_policy="strict"`` to route reversed intervals through
     the same runtime ``raise_error`` path as over-long spans so
     corrupt data fails the job instead of vanishing (ADVICE r7).
-    NULL-bounded intervals are ALWAYS dropped, under both policies:
-    they satisfy no closed-range predicate, and Catalyst's constraint
-    inference derives IsNotNull(start)/IsNotNull(end) from the
-    containment refine and prunes such rows below any in-plan guard —
-    a runtime raise for them is unreachable by construction (pre-
-    validate with a separate query if null bounds must be fatal).
+    NULL-bounded intervals are ALWAYS dropped, under both policies —
+    an explicit filter in the plan, not an optimizer side effect:
+    they satisfy no closed-range predicate, and a runtime raise for
+    them is not reliably reachable anyway (Catalyst infers
+    IsNotNull(start)/IsNotNull(end) from the containment refine and
+    prunes such rows below any in-plan guard under default constraint
+    propagation). Pre-validate with a separate query if null bounds
+    must be fatal.
 
     Plan shape: interval explodes to its covered grid buckets
     (sequence over ints — bounded by span/width), point maps to its
@@ -297,33 +299,30 @@ def interval_join(
         ).cast("long")
     )
     if reversed_policy == "strict":
-        # No pre-filter here: malformed rows must REACH the guard to
-        # fail the job (a filter would silently drop them first).
-        # NULL bounds are the same data-quality class as reversed
-        # spans (a closed range with no bound matches nothing) and
-        # fail with an accurate message — coalesce keeps the error
-        # text itself from going NULL. The guard lives on sequence's
-        # FIRST argument: codegen short-circuits the whole sequence to
-        # NULL when arg1 is NULL, so a guard on the second argument
-        # would silently never run for a NULL start.
-        ok = F.col(start_col) <= F.col(end_col)  # null => malformed
-        _s = F.coalesce(F.col(start_col).cast("string"), F.lit("NULL"))
-        _e = F.coalesce(F.col(end_col).cast("string"), F.lit("NULL"))
+        # NULL-bounded rows are dropped EXPLICITLY here (by
+        # construction — not left to Catalyst's inferred-IsNotNull
+        # pushdown, which happens to prune them under default
+        # constraint propagation but is an optimizer behavior, not a
+        # contract). Reversed rows must then REACH the guard to fail
+        # the job (a start<=end filter would silently drop them
+        # first). The guard lives on sequence's FIRST argument:
+        # codegen short-circuits the whole sequence to NULL when arg1
+        # is NULL, so a guard on the second argument can be skipped.
+        ok = F.col(start_col) <= F.col(end_col)
         guarded_lo = F.when(ok, iv_lo).otherwise(
             F.raise_error(
                 F.concat(
-                    F.lit("interval_join: reversed or null-bounded "
-                          "interval (start="),
-                    _s,
-                    F.lit(", end="),
-                    _e,
+                    F.lit("interval_join: reversed interval (start="),
+                    F.col(start_col).cast("string"),
+                    F.lit(" > end="),
+                    F.col(end_col).cast("string"),
                     F.lit(") under reversed_policy='strict'"),
                 )
             ).cast("long")
         )
-        iv = intervals.withColumn(
-            "_bucket", F.explode(F.sequence(guarded_lo, guarded_hi))
-        )
+        iv = intervals.filter(
+            F.col(start_col).isNotNull() & F.col(end_col).isNotNull()
+        ).withColumn("_bucket", F.explode(F.sequence(guarded_lo, guarded_hi)))
     else:
         iv = intervals.filter(
             F.col(start_col) <= F.col(end_col)

@@ -2930,3 +2930,38 @@ def test_warc_to_documents_feeds_pipeline(spark, tmp_path):
     corpus = stages["corpus"].collect()
     assert len(corpus) == 6  # distinct pages all survive the build
     assert all(r.split in ("train", "val", "test") for r in corpus)
+
+
+def test_warc_hostile_inputs_quarantine_not_crash(spark, tmp_path):
+    """r8 review findings: a NEGATIVE Content-Length must not drive
+    the parser backwards into an infinite loop, and a truncated
+    .warc.gz must quarantine instead of killing the task."""
+    from gcp_dataengineering_spark.llm_ops.warc import (
+        parse_warc_members,
+        synth_warc,
+        warc_records,
+    )
+
+    good = dict(record_id="ok", warc_type="response",
+                target_uri="http://x.example/", http_body="fine",
+                http_content_type="text/plain")
+    neg = (
+        b"WARC/1.0\r\nWARC-Type: response\r\nContent-Length: -64\r\n\r\n"
+        + synth_warc([good])
+    )
+    out = list(parse_warc_members(neg))
+    errs = [r for r in out if "error" in r]
+    assert len(errs) == 1 and "negative Content-Length" in errs[0]["error"]
+    assert len(out) == 2  # the following good record still parses
+
+    truncated_gz = synth_warc([good], gzip_members=True)[:-7]
+    out2 = list(parse_warc_members(truncated_gz))
+    assert len(out2) == 1 and "gzip" in out2[0]["error"]
+
+    (tmp_path / "neg.warc").write_bytes(neg)
+    (tmp_path / "trunc.warc.gz").write_bytes(truncated_gz)
+    rows = warc_records(
+        spark.read.format("binaryFile").load(str(tmp_path) + "/*")
+    ).collect()
+    assert sum(1 for r in rows if r.parse_error) == 2
+    assert sum(1 for r in rows if not r.parse_error) == 1

@@ -475,7 +475,7 @@ def test_interval_join_semantics_and_plan(spark):
     # reversed interval vanished by documented contract); 'strict'
     # routes the SAME row through the runtime guard instead of a
     # silent filter (ADVICE r7 — one malformed-data policy, two knobs)
-    with _pytest.raises(Exception, match="interval_join: reversed or null"):
+    with _pytest.raises(Exception, match="interval_join: reversed interval"):
         interval_join(
             pts, iv, "k", "ts", "s", "e", bucket_width_s=900,
             reversed_policy="strict",
