@@ -54,6 +54,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="pre-trained (left, right, rank) merge table to tokenize "
         "with (mutually exclusive with --bpe-train)",
     )
+    p.add_argument(
+        "--bpe-word-pattern",
+        choices=["ascii", "unicode"],
+        default="ascii",
+        help="word segmentation for BPE train/encode: 'ascii' splits "
+        "on [^a-z]+ (the pinned default), 'unicode' on any non-letter "
+        "([^\\p{L}]+ — use for multilingual crawls; see llm_ops.bpe."
+        "UNICODE_WORD_PATTERN)",
+    )
     p.add_argument("--cpus", default=None)
     return p
 
@@ -65,11 +74,16 @@ def main(argv: list[str] | None = None) -> int:
     spark = get_spark("llm_build", cpus=args.cpus)
     docs = spark.read.parquet(args.docs)
     eval_df = spark.read.parquet(args.eval) if args.eval else None
+    from .llm_ops.bpe import UNICODE_WORD_PATTERN
+
+    word_pattern = (
+        UNICODE_WORD_PATTERN if args.bpe_word_pattern == "unicode" else "[^a-z]+"
+    )
     merges_df = None
     if args.bpe_train is not None:
         from .llm_ops.bpe import bpe_train
 
-        learned = bpe_train(docs, args.bpe_train)
+        learned = bpe_train(docs, args.bpe_train, word_pattern=word_pattern)
         merges_df = spark.createDataFrame(
             learned, "left string, right string, rank long"
         )
@@ -89,6 +103,7 @@ def main(argv: list[str] | None = None) -> int:
             max_tokens_per_source=args.max_tokens_per_source,
             shard_budget_tokens=args.shard_budget,
             bpe_merges=merges_df,
+            bpe_word_pattern=word_pattern,
         ),
         # CLI writes corpus AND shards (two actions) and runs
         # stage_counts: pin the branch points so the corpus is

@@ -13,17 +13,30 @@ natural unit). Multi-member gzip (the standard record-per-member
 QUARANTINED as rows with ``parse_error`` set, never a job death —
 the same contract as the CSV corrupt-line capture.
 
-Honest limits (same discipline as the multimodal stubs): HTTP
-payload decoding assumes UTF-8 with replacement (real charset
-sniffing needs libs absent from this container) and only
+Charset handling (r9): the HTTP ``Content-Type`` charset parameter
+is honored, then an HTML ``<meta charset>`` / ``http-equiv`` probe
+over the first 1024 payload bytes, then strict UTF-8, then latin-1
+(which cannot fail — every byte value is a valid code point). Only
 ``text/*`` / ``*html*`` payloads are decoded; everything else
 reports metadata with a NULL body.
+
+Memory shape (r9, ADVICE): .warc.gz segments are decompressed
+MEMBER BY MEMBER via ``zlib.decompressobj`` + ``unused_data`` (the
+standard Common-Crawl layout is one record per gzip member), and
+records parse incrementally out of a carry-over buffer — peak
+executor memory is one member + one output chunk, not the whole
+~4-5 GB decompressed segment. A nonstandard single-member .warc.gz
+still decompresses whole (documented cap: such a file IS one
+member). Gzip-level corruption quarantines the file's remaining
+tail (one error row) — strictly better than the pre-r9 behavior of
+losing the entire file.
 """
 
 from __future__ import annotations
 
 import gzip
-import io
+import re as _re
+import zlib
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame
@@ -75,24 +88,30 @@ def synth_warc(
     return b"".join(out)
 
 
-def _parse_one(buf: bytes, offset: int) -> tuple[dict | None, int]:
-    """Parse one record starting at ``offset``; returns (record,
-    next_offset) or (None, len) at end. Raises ValueError on a
-    malformed record (caller quarantines)."""
+class _Truncated(ValueError):
+    """The buffer ends mid-record: more bytes could complete it. The
+    incremental parser waits for the next gzip member on this; at
+    end-of-input it degrades to an ordinary quarantine ValueError."""
+
+
+def _parse_one(buf, offset: int) -> tuple[dict, int]:
+    """Parse one record starting at ``offset`` (caller has already
+    skipped inter-record CRLFs); returns (record, next_offset).
+    Raises :class:`_Truncated` where more input could complete the
+    record, plain ValueError on structural corruption (caller
+    quarantines + resyncs)."""
     n = len(buf)
-    while offset < n and buf[offset:offset + 2] == _CRLF:
-        offset += 2
-    if offset >= n:
-        return None, n
     line_end = buf.find(_CRLF, offset)
-    if line_end < 0 or not buf[offset:line_end].startswith(b"WARC/"):
+    if line_end < 0:
+        raise _Truncated(f"expected WARC version line at byte {offset}")
+    if not buf[offset:line_end].startswith(b"WARC/"):
         raise ValueError(f"expected WARC version line at byte {offset}")
     headers: dict[str, str] = {}
     pos = line_end + 2
     while True:
         line_end = buf.find(_CRLF, pos)
         if line_end < 0:
-            raise ValueError("unterminated WARC header block")
+            raise _Truncated("unterminated WARC header block")
         line = buf[pos:line_end]
         pos = line_end + 2
         if not line:
@@ -110,47 +129,134 @@ def _parse_one(buf: bytes, offset: int) -> tuple[dict | None, int]:
         # infinite re-parse loop — malformed, quarantine
         raise ValueError(f"negative Content-Length: {length}")
     if pos + length > n:
-        raise ValueError("record body truncated")
-    body = buf[pos:pos + length]
+        raise _Truncated("record body truncated")
+    body = bytes(buf[pos:pos + length])
     return {"headers": headers, "body": body}, pos + length
 
 
+def _gzip_members(content: bytes) -> Iterator[bytes | dict]:
+    """Decompress a (possibly multi-member) gzip blob one MEMBER at a
+    time — ``zlib.decompressobj`` + ``unused_data`` — so peak memory
+    is one member, not the whole segment. Yields ``bytes`` per member
+    and one ``{"error": str}`` dict (then stops) on truncation or
+    corruption: the remaining tail cannot be located reliably once a
+    member is bad, so it quarantines as a unit (pre-r9 lost the whole
+    file instead)."""
+    mv = memoryview(content)
+    pos, n = 0, len(content)
+    while pos < n:
+        d = zlib.decompressobj(zlib.MAX_WBITS | 16)
+        try:
+            out = d.decompress(mv[pos:])
+        except zlib.error as ex:
+            yield {"error": f"gzip decompression failed at byte {pos}: {ex}"}
+            return
+        if not d.eof:
+            yield {"error": "gzip decompression failed: truncated gzip member"}
+            return
+        yield out
+        new_pos = n - len(d.unused_data)
+        if new_pos <= pos:  # paranoid: a no-progress member would spin
+            yield {"error": "gzip decompression failed: empty member"}
+            return
+        pos = new_pos
+
+
 def parse_warc_members(content: bytes) -> Iterator[dict]:
-    """All records in one .warc or .warc.gz blob (multi-member gzip
-    handled). Yields ``{"headers": {...}, "body": bytes}`` per good
-    record and ``{"error": str}`` for each malformed one (parsing
-    then resynchronizes at the next ``WARC/`` marker)."""
+    """All records in one .warc or .warc.gz blob. Yields
+    ``{"headers": {...}, "body": bytes}`` per good record and
+    ``{"error": str}`` for each malformed one (parsing then
+    resynchronizes at the next ``WARC/`` marker). Gzip input is
+    decompressed member by member and records parse incrementally out
+    of a carry-over buffer — a record spanning members (nonstandard
+    but legal) is completed once the next member arrives."""
+    buf = bytearray()
+    resyncing = False
+
+    def drain(eof: bool) -> Iterator[dict]:
+        nonlocal resyncing
+        offset = 0
+        n = len(buf)
+        while True:
+            if resyncing:
+                nxt = buf.find(b"WARC/", offset)
+                if nxt < 0:
+                    # keep a 4-byte tail: the marker may straddle the
+                    # member boundary ("WARC" then "/...")
+                    offset = max(offset, n - 4) if not eof else n
+                    break
+                offset = nxt
+                resyncing = False
+            while offset < n and buf[offset:offset + 2] == _CRLF:
+                offset += 2
+            if offset >= n:
+                break
+            try:
+                rec, offset = _parse_one(buf, offset)
+            except _Truncated as ex:
+                if not eof:
+                    break  # wait for the next member; keep from offset
+                yield {"error": str(ex)}
+                resyncing = True
+                offset += 1
+                continue
+            except ValueError as ex:
+                yield {"error": str(ex)}
+                resyncing = True
+                offset += 1
+                continue
+            yield rec
+        del buf[:offset]
+
     if content[:2] == b"\x1f\x8b":
-        # standard record-per-member layout: GzipFile reads ALL
-        # members of a multi-member stream. A truncated/corrupt
-        # segment must QUARANTINE (the module contract), not kill the
-        # task — gzip raises EOFError / BadGzipFile / zlib errors.
-        try:
-            content = gzip.GzipFile(fileobj=io.BytesIO(content)).read()
-        except Exception as ex:  # noqa: BLE001 — gzip/zlib error zoo
-            yield {"error": f"gzip decompression failed: {ex}"}
-            return
-    offset = 0
-    n = len(content)
-    while offset < n:
-        # position offset AT the next record start before parsing, so
-        # a failure resynchronizes past THIS record (not a retry of it)
-        while offset < n and content[offset:offset + 2] == _CRLF:
-            offset += 2
-        if offset >= n:
-            return
-        try:
-            rec, offset = _parse_one(content, offset)
-        except ValueError as ex:
-            yield {"error": str(ex)}
-            nxt = content.find(b"WARC/", offset + 1)
-            if nxt < 0:
+        for member in _gzip_members(content):
+            if isinstance(member, dict):
+                yield from drain(eof=True)  # flush what parsed cleanly
+                yield member
                 return
-            offset = nxt
-            continue
-        if rec is None:
-            return
-        yield rec
+            buf += member
+            yield from drain(eof=False)
+        yield from drain(eof=True)
+    else:
+        buf += content
+        yield from drain(eof=True)
+
+
+# charset label in a Content-Type parameter ('; charset=utf-8') or an
+# HTML <meta charset> / <meta http-equiv="Content-Type" content="...;
+# charset=..."> probe ([^>]+ spans the attributes in between)
+_CT_CHARSET_RE = _re.compile(r'charset\s*=\s*["\']?\s*([A-Za-z0-9_\-]+)', _re.I)
+_META_CHARSET_RE = _re.compile(
+    rb'<meta[^>]+charset\s*=\s*["\']?\s*([A-Za-z0-9_\-]+)', _re.I
+)
+
+
+def _decode_payload(payload: bytes, http_ct: str | None) -> str:
+    """Charset-sniffed text decode (r9): the declared HTTP charset
+    parameter wins (decoded with replacement — the declaration is
+    authoritative even over stray bad bytes), else an HTML meta probe
+    over the first 1024 bytes, else strict UTF-8, else latin-1 (total:
+    every byte value is a valid code point, so the chain always
+    lands). Unknown/bogus charset labels fall through to the
+    UTF-8→latin-1 tail instead of raising."""
+    enc = None
+    if http_ct:
+        m = _CT_CHARSET_RE.search(http_ct)
+        if m:
+            enc = m.group(1)
+    if enc is None:
+        m = _META_CHARSET_RE.search(payload[:1024])
+        if m:
+            enc = m.group(1).decode("ascii", "replace")
+    if enc is not None:
+        try:
+            return payload.decode(enc, "replace")
+        except LookupError:
+            pass  # unknown codec label → sniff-free fallback chain
+    try:
+        return payload.decode("utf-8")
+    except UnicodeDecodeError:
+        return payload.decode("latin-1")
 
 
 def _http_split(body: bytes) -> tuple[int | None, str | None, bytes]:
@@ -198,13 +304,15 @@ def warc_records(files: DataFrame) -> DataFrame:
     become quarantine rows with ``parse_error`` set."""
     import pandas as pd
 
+    cols = [f.name for f in WARC_SCHEMA.fields]
+    # flush every N records: with member-by-member decompression the
+    # peak executor memory is one gzip member + one output chunk —
+    # never the whole decoded ~1 GB segment (r9, ADVICE)
+    chunk_rows = 4096
+
     def explode(batches):
         for pdf in batches:
             for path, content in zip(pdf["path"], pdf["content"]):
-                # one output frame per FILE, not per Arrow batch: a
-                # batch can hold several ~1 GB segments, and buffering
-                # every decoded record of all of them at once is an
-                # executor OOM at exactly the scale this targets
                 rows = []
                 for rec in parse_warc_members(bytes(content)):
                     if "error" in rec:
@@ -223,7 +331,7 @@ def warc_records(files: DataFrame) -> DataFrame:
                         if http_ct and (
                             http_ct.startswith("text/") or "html" in http_ct
                         ):
-                            text = payload.decode("utf-8", "replace")
+                            text = _decode_payload(payload, http_ct)
                     rows.append(
                         {
                             "path": path,
@@ -239,41 +347,66 @@ def warc_records(files: DataFrame) -> DataFrame:
                             "parse_error": None,
                         }
                     )
-                yield pd.DataFrame(
-                    rows, columns=[f.name for f in WARC_SCHEMA.fields]
-                )
+                    if len(rows) >= chunk_rows:
+                        yield pd.DataFrame(rows, columns=cols)
+                        rows = []
+                if rows:
+                    yield pd.DataFrame(rows, columns=cols)
 
     return files.select("path", "content").mapInPandas(explode, WARC_SCHEMA)
 
 
-def warc_to_documents(files: DataFrame) -> DataFrame:
+def warc_to_documents(
+    files: DataFrame, extract_text: bool = True, keep_raw: bool = False
+) -> DataFrame:
     """WARC crawl files → the pipeline's ``documents`` shape
     (doc_id, text, lang, source, target_uri, warc_date): keep
-    text-decoded HTTP responses, derive a stable doc_id from the
-    record id (xxhash64 — deterministic across re-reads), the source
-    from the URI host (the unit source_reputation_filter judges),
-    and a language tag from the shared n-gram heuristic. The output
-    feeds ``build_training_corpus`` directly — the Common-Crawl →
-    training-corpus path end to end."""
+    text-decoded HTTP responses, run HTML payloads through
+    :func:`llm_ops.html.html_to_text` (r9 — every downstream judge:
+    the quality gate's alpha ratio, lang_id's stopwords, dedup
+    shingles, BPE training now sees PROSE, not markup; non-HTML
+    ``text/*`` payloads pass through unchanged), derive the source
+    from the URI host (the unit source_reputation_filter judges) and
+    a language tag from the shared stopword heuristic — computed on
+    the EXTRACTED text. The output feeds ``build_training_corpus``
+    directly — the Common-Crawl → training-corpus path end to end.
+
+    ``doc_id`` is the WARC-Record-ID string verbatim (a unique
+    urn:uuid per record by spec): at real crawl scale (~3B response
+    records) a 64-bit hash id expects birthday collisions that would
+    silently merge distinct documents in downstream dedup /
+    decontamination joins (r8 ADVICE), so no hash. ``extract_text=
+    False`` preserves the pre-r9 raw-payload behavior; ``keep_raw``
+    adds the undecoded payload as a ``raw_html`` column."""
     from pyspark.sql import functions as F
 
+    from .html import html_to_text
     from .text import lang_id
 
     recs = warc_records(files)
-    return (
-        recs.filter(
-            F.col("parse_error").isNull()
-            & (F.col("warc_type") == "response")
-            & F.col("text").isNotNull()
-        )
-        .select(
-            F.xxhash64("record_id").alias("doc_id"),
-            "text",
-            lang_id(F.col("text")).alias("lang"),
-            F.regexp_extract("target_uri", "^[a-z]+://([^/]+)", 1).alias(
-                "source"
-            ),
-            "target_uri",
-            "warc_date",
-        )
+    base = recs.filter(
+        F.col("parse_error").isNull()
+        & (F.col("warc_type") == "response")
+        & F.col("text").isNotNull()
     )
+    is_html = F.lower(F.coalesce("http_content_type", F.lit(""))).contains(
+        "html"
+    )
+    text_out = (
+        F.when(is_html, html_to_text(F.col("text"))).otherwise(F.col("text"))
+        if extract_text
+        else F.col("text")
+    )
+    out_cols = [
+        F.col("record_id").alias("doc_id"),
+        text_out.alias("text"),
+        lang_id(text_out).alias("lang"),
+        F.regexp_extract("target_uri", "^[a-z]+://([^/]+)", 1).alias(
+            "source"
+        ),
+        "target_uri",
+        "warc_date",
+    ]
+    if keep_raw:
+        out_cols.append(F.col("text").alias("raw_html"))
+    return base.select(*out_cols)

@@ -322,7 +322,14 @@ def _merge_touched_buckets(
     # (meta only, nothing published) still READS as an empty snapshot.
     os.makedirs(snapshot_dir, exist_ok=True)
     if meta is None or "schema" not in meta:
-        with open(os.path.join(snapshot_dir, _META_FILE), "w") as fh:
+        # write-aside + fsync + os.replace, same discipline as
+        # _write_manifest: meta is load-bearing (its recorded schema
+        # drives _empty_from_meta, and pre-r8 snapshots are upgraded by
+        # rewriting it) — a crash mid-write must leave either the old
+        # meta or the new one, never truncated JSON that turns every
+        # later merge/read into a raw JSONDecodeError
+        meta_tmp = os.path.join(snapshot_dir, _META_FILE + ".tmp")
+        with open(meta_tmp, "w") as fh:
             json.dump(
                 {
                     "n_buckets": n_buckets,
@@ -331,6 +338,9 @@ def _merge_touched_buckets(
                 },
                 fh,
             )
+            fh.flush()
+            os.fsync(fh.fileno())
+        os.replace(meta_tmp, os.path.join(snapshot_dir, _META_FILE))
     if manifest is None:
         # first manifest-era merge on a fresh directory: pin the empty
         # generation 0 BEFORE any data lands, so a crash mid-staging

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..llm_ops import bpe as BPE
 from ..llm_ops import corpus as C
+from ..llm_ops import html as H
 from ..llm_ops import decontam as DC
 from ..llm_ops import dedup as D
 from ..llm_ops import multimodal as M
@@ -1535,8 +1536,10 @@ def q_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     a 20-rule merge table is DERIVED from the corpus itself (top-20
     character bigrams over lowercase-alpha word occurrences,
     deterministic (count desc, bigram asc) tiebreak), then
-    llm_ops.bpe.bpe_encode applies it — the engine's parallel
-    local-minimum rounds over (word, pos, sym) state. The oracle
+    llm_ops.bpe.bpe_encode applies it — per-word classic-step rounds
+    over (word, pos, sym) state (each round merges every word's
+    lowest-ranked present pair; the superseded parallel local-minimum
+    rule was falsified by hypothesis, see bpe.py). The oracle
     re-derives the same rules and replays them rank-by-rank to
     fixpoint over separator-encoded words in a recursive CTE, which
     equals the classic lowest-rank-first algorithm because every
@@ -1640,8 +1643,78 @@ GROUP BY d.doc_id
 """
 
 
+# ---------------------------------------------------------------- HTML→text
+# Deterministic synthetic pages wrapped around each document's text:
+# script + style elements, comments (closed everywhere, UNCLOSED on
+# every 3rd page — which per the HTML spec swallows the rest of the
+# page including its tail marker), block/inline tags, and the curated
+# entity set (incl. the &amp;lt; one-level-decode case). Both engines
+# build the SAME page string and both run the SAME step list —
+# html.STEPS compiled by html_to_text (Spark) and html_text_sql
+# (DuckDB) — so any engine-semantics drift in the shared regex
+# dialect breaks the hash gate.
+_HTML_PAGE_HEAD = (
+    '<html><head><title>Doc &amp; friends</title>'
+    '<script type="text/javascript">var x = 1 < 2 && "</div>";</script>'
+    "<style>p { color: red; }</style></head><body><!-- nav boilerplate -->"
+    "<h1>Heading</h1><p>"
+)
+_HTML_PAGE_MID = (
+    "</p><ul><li>Tom &amp; Jerry</li>"
+    "<li>&ldquo;quotes&rdquo;&nbsp;&#8212;&nbsp;dash</li></ul>"
+)
+_HTML_TAIL_OPEN = "<!-- unclosed comment <b>eats the tail</b> TAILMARK"
+_HTML_TAIL_DIV = "<DIV CLASS='t'>tail  text</DIV> TAILMARK"
+_HTML_PAGE_FOOT = "</body></html>"
+
+
+def q_html_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_ops.html.html_to_text over synthetic tag-heavy pages built
+    from the documents table — hash-gated on the extracted prose
+    (length + md5), so tag stripping, entity decoding, unclosed-
+    comment swallowing and whitespace collapse must all match the
+    DuckDB replay of the same html.STEPS byte for byte."""
+    docs = _t(spark, sf_dir, "documents")
+    page = F.concat(
+        F.lit(_HTML_PAGE_HEAD),
+        F.col("text"),
+        F.lit(_HTML_PAGE_MID),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(_HTML_TAIL_OPEN)).otherwise(
+            F.lit(_HTML_TAIL_DIV)
+        ),
+        F.lit(_HTML_PAGE_FOOT),
+    )
+    extracted = H.html_to_text(page)
+    return docs.select(
+        "doc_id",
+        F.length(extracted).cast("long").alias("n_chars"),
+        F.md5(extracted.cast("binary")).alias("text_fp"),
+    )
+
+
+def _sql_lit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+ORACLE_HTML_TEXT = f"""
+WITH page AS (
+    SELECT doc_id,
+           {_sql_lit(_HTML_PAGE_HEAD)} || text || {_sql_lit(_HTML_PAGE_MID)}
+           || CASE WHEN doc_id % 3 = 0 THEN {_sql_lit(_HTML_TAIL_OPEN)}
+                   ELSE {_sql_lit(_HTML_TAIL_DIV)} END
+           || {_sql_lit(_HTML_PAGE_FOOT)} AS t
+    FROM documents
+), x AS (
+    SELECT doc_id, {H.html_text_sql('t')} AS e FROM page
+)
+SELECT doc_id, CAST(length(e) AS BIGINT) AS n_chars, md5(e) AS text_fp
+FROM x
+"""
+
+
 QUERIES = {
     "bpe_encode": q_bpe_encode,
+    "html_text": q_html_text,
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,
@@ -1694,6 +1767,7 @@ QUERIES = {
 
 ORACLES = {
     "bpe_encode": ORACLE_BPE_ENCODE,
+    "html_text": ORACLE_HTML_TEXT,
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "text_quality": ORACLE_TEXT_QUALITY,
     "quality_filter": ORACLE_QUALITY_FILTER,

@@ -85,9 +85,14 @@ RESIDENT = [
     # end-to-end reference reconstructions — always externally gated
     "pipeline_tam_e2e",
     "pipeline_digital_e2e",
-    # llm ops whose plans/semantics are newest or heaviest
-    "dedup_exact",
-    "text_quality",
+    # llm ops whose plans/semantics are newest or heaviest.
+    # r9 moves: bpe_encode promoted (newest + heaviest plan, and the
+    # pipeline tokenization stage depends on it — the rotation policy's
+    # own criterion); funded by demoting dedup_exact → GROUP_A (stable
+    # green since r1, in-window again immediately via the r9 A-parity)
+    # and text_quality → GROUP_B (green r8 as resident, next row r10 —
+    # exactly the ≤2-round staleness bound).
+    "bpe_encode",
     "dedup_ngram_capped",
     "dedup_groups",
     "embedding_pq",
@@ -152,10 +157,14 @@ GROUP_A = [
     "expr_key_join",
     # new late-r7: native pivot operator, in-window immediately
     "pivot_native",
-    # new in r8: real BPE merge application (the r7 verdict's named
-    # missing LLM primitive) — externally pytest-checked at sf0.01
-    # now, first driver row in r9
-    "bpe_encode",
+    # demoted from RESIDENT in r9 (stable green every round since r1)
+    # to fund bpe_encode's promotion — in-window immediately via the
+    # r9 A-parity
+    "dedup_exact",
+    # new in r9: HTML→text extraction (the r8 verdict's #1 gap —
+    # warc_to_documents shipped raw markup as text), in-window
+    # immediately
+    "html_text",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). The r6-green core plus
@@ -212,6 +221,10 @@ GROUP_B = [
     # demoted from RESIDENT in r8 (stable green since r6) to fund the
     # GROUP_A slot for bpe_encode — still in the r8 window via B
     "source_filter",
+    # demoted from RESIDENT in r9 (stable green every round since r1)
+    # to fund bpe_encode's promotion — green r8 as resident, next
+    # driver row r10 (the ≤2-round staleness bound exactly)
+    "text_quality",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.

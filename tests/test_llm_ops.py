@@ -2681,6 +2681,166 @@ def test_bpe_apply_matches_classic_property(spark):
     check()
 
 
+def test_bpe_unicode_word_pattern_mixed_script(spark):
+    """r8 verdict item 5: the documented UNICODE_WORD_PATTERN
+    ([^\\p{L}]+ — split on any non-letter) must train AND encode
+    mixed-script text token-identically to the classic Python
+    reference under the equivalent Python segmentation ([\\W\\d_]+ —
+    Python re has no \\p{}; the two agree on precomposed letters,
+    which is why the fixture avoids combining marks: Java \\p{L}
+    excludes category Mn, Python \\w includes it)."""
+    import re
+    from collections import Counter
+
+    from gcp_dataengineering_spark.llm_ops.bpe import (
+        UNICODE_WORD_PATTERN,
+        bpe_encode,
+        bpe_train,
+    )
+
+    texts = [
+        (1, "Привет мир, привет общество! Ёлки-палки снова ёлки."),
+        (2, "Der schöne Löwe läuft über die große Straße."),
+        (3, "日本語のテキストと中文文本、それから καλημέρα κόσμε."),
+        (4, "Mixed script: привет WORLD, schöne 世界, ещё grüße!"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def seg(t):
+        return [
+            w for w in re.split(r"[\W\d_]+", t.lower()) if w and len(w) <= 64
+        ]
+
+    counts = Counter(w for _, t in texts for w in seg(t))
+    want = _train_bpe(counts, 12)
+    got = bpe_train(docs, 12, word_pattern=UNICODE_WORD_PATTERN)
+    assert got == want
+    # non-ASCII rules actually learned (the fixture's whole point)
+    assert any(any(ord(ch) > 127 for ch in l + r) for l, r, _ in got)
+
+    ranks = {(l, r): k for l, r, k in got}
+    mdf = spark.createDataFrame(got, "left string, right string, rank long")
+    out = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(
+            docs, mdf, word_pattern=UNICODE_WORD_PATTERN
+        ).collect()
+    }
+    for did, t in texts:
+        expect = [tok for w in seg(t) for tok in _classic_bpe(w, ranks)]
+        assert out[did] == expect, did
+
+
+def _simulate_batch_train(word_counts, n_merges, window):
+    """Pure-Python replay of the r9 BATCHED trainer loop: classic
+    histogram → sorted window → _accept_batch → sequential rank-order
+    application of the accepted pairs. Isolates the acceptance RULE
+    from Spark plumbing so hypothesis can hammer it."""
+    from gcp_dataengineering_spark.llm_ops.bpe import _accept_batch
+
+    vocab = {w: list(w) for w in word_counts}
+    merges = []
+    vocab_concats: set[str] = set()
+    while len(merges) < n_merges:
+        pair_counts = {}
+        for w, c in word_counts.items():
+            syms = vocab[w]
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pair_counts[p] = pair_counts.get(p, 0) + c
+        if not pair_counts:
+            break
+        ordered = sorted(pair_counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        rows = [
+            {"sym": p[0], "_nxt": p[1], "n": n} for p, n in ordered[:window]
+        ]
+        tail_n = ordered[window][1] if len(ordered) > window else None
+        accepted = _accept_batch(
+            rows, tail_n,
+            limit=n_merges - len(merges), vocab_concats=vocab_concats,
+        )
+        assert accepted, "batch acceptance must always make progress"
+        for pair in accepted:
+            merges.append((pair[0], pair[1], len(merges) + 1))
+        for w in vocab:
+            for pair in accepted:  # sequential, in accepted rank order
+                vocab[w] = _merge_word(vocab[w], pair)
+    return merges
+
+
+def test_bpe_batch_acceptance_preserves_classic_order():
+    """The r9 batched trainer's exactness pin: _accept_batch must
+    yield merge lists IDENTICAL to the sequential classic trainer on
+    adversarial corpora (3-letter alphabet maximizes shared-symbol
+    overlaps, count ties and concat collisions — the three channels
+    the acceptance guards exist for), across window sizes including
+    ones small enough to truncate tie tiers (the tail_n path). Pure
+    Python, so hypothesis can run hundreds of cases."""
+    from collections import Counter
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    word = st.text(alphabet="abc", min_size=1, max_size=8)
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.lists(word, min_size=1, max_size=12),
+        st.integers(min_value=2, max_value=9),
+        st.integers(min_value=1, max_value=20),
+    )
+    def check(words, window, n_merges):
+        counts = Counter(w for w in words if w)
+        if not counts:
+            return
+        want = _train_bpe(counts, n_merges)
+        got = _simulate_batch_train(counts, n_merges, window)
+        assert got == want, (sorted(counts.items()), window, n_merges)
+
+    check()
+
+    # pinned regressions for the three guard channels:
+    # 1. tie tier where a skipped overlapping pair births a new pair
+    #    that outranks a tied disjoint one: (s,t) + (a,s) + (c,d) all
+    #    tied — classic merges (s,t) then (a,st) BEFORE (c,d)
+    tie = Counter({"ast": 3, "cd": 3})
+    assert _simulate_batch_train(tie, 4, 8) == _train_bpe(tie, 4)
+    # 2. straight symbol overlap: 'xab' — (a,b) wins the tiebreak,
+    #    then the (x,ab) cascade must outrank the disjoint (c,d)
+    casc = Counter({"xab": 5, "cd": 3})
+    assert _simulate_batch_train(casc, 3, 8) == _train_bpe(casc, 3)
+    # 3. concat collision: two merge paths to the same string — 'bcd'
+    #    via (bc,d) and via (b,cd) — where the second mint GROWS
+    #    (a,bcd)'s count mid-batch
+    col = Counter({"bcbc": 9, "bcd": 8, "cdcd": 7, "bcd" + "bcd": 2,
+                   "abcd": 6, "xy": 5})
+    assert _simulate_batch_train(col, 8, 16) == _train_bpe(col, 8)
+
+
+def test_bpe_train_batch_equals_sequential_spark(spark):
+    """max_batch=1 (the r8 sequential loop) and the r9 batched
+    default must learn identical merge lists through the actual
+    DataFrame plumbing — including the one-pass _apply_pairs batch
+    application (vs strictly sequential application)."""
+    from gcp_dataengineering_spark.llm_ops.bpe import bpe_train
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaa aaaa banana"),
+            (2, "banana bandana"),
+            (3, "aa abab cdcd"),
+        ],
+        "doc_id long, text string",
+    )
+    seq = bpe_train(docs, 8, max_batch=1)
+    bat = bpe_train(docs, 8)  # default batching
+    assert bat == seq
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="max_batch"):
+        bpe_train(docs, 2, max_batch=0)
+
+
 def test_bpe_oracle_mechanism_on_pathological_runs(spark, tmp_path):
     """r8 review finding: a GLOBAL regexp pass over the separator
     encoding mis-groups same-char runs of 5+ ('aaaaa' must tokenize
