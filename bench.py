@@ -77,6 +77,10 @@ HEADLINE = [
     # engine — the rounds loop is exactly the cost that needs a
     # perf row)
     "bpe_encode",
+    # round-9: HTML->text extraction (a ~30-step chained regex scan
+    # over every document — regex-engine drift is exactly the cost
+    # class pii_scrub's history says needs a row)
+    "html_text",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

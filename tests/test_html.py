@@ -91,6 +91,49 @@ def test_html_steps_spark_duckdb_parity(spark):
         assert got[i] == want, f"page {i}: {got[i]!r} != {want!r}"
 
 
+def test_html_steps_parity_fuzz(spark):
+    """Seeded fuzz over 200 random tag/entity/whitespace soups — the
+    Java-regex ∩ RE2 shared-dialect claim must hold beyond crafted
+    pages (nesting, truncation mid-token, stray brackets, mixed
+    case, unicode). One Spark pass for all pages; DuckDB replays
+    each."""
+    import random
+
+    import duckdb
+
+    from gcp_dataengineering_spark.llm_ops.html import html_text_sql, html_to_text
+
+    rng = random.Random(20260814)
+    frags = [
+        "<script>", "</script>", "<SCRIPT a='b'>", "<style>", "</style >",
+        "<!--", "-->", "<p>", "</p>", "<DIV>", "<br/>", "<li >", "</ul>",
+        "<a href='x y'>", "</a>", "<em", ">", "<", ">", "&amp;", "&lt;",
+        "&nbsp;", "&#8212;", "&bogus;", "&#x27;", "&", ";", "word", "tëxt",
+        "Ωmega", " ", "  ", "\n", "\t", "\r\n", "a<b", "x>y", "<td>", "<>",
+        '<meta charset="utf-8">', "<![CDATA[", "]]>", "<!DOCTYPE html>",
+    ]
+    pages = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(0, 40)))
+        for _ in range(200)
+    ]
+    df = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(pages)], "i int, t string"
+    )
+    got = {
+        r.i: r.o for r in df.select("i", html_to_text("t").alias("o")).collect()
+    }
+    con = duckdb.connect()
+    expr = html_text_sql("t")
+    bad = []
+    for i, p in enumerate(pages):
+        want = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS t)", [p]
+        ).fetchone()[0]
+        if got[i] != want:
+            bad.append((i, p, got[i], want))
+    assert not bad, bad[:3]
+
+
 # ------------------------------------------------------------ charset sniffing
 def test_warc_charset_sniffing(spark, tmp_path):
     """r8 verdict item 6: the HTTP Content-Type charset parameter is
