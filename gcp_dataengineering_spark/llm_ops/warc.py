@@ -376,8 +376,9 @@ def warc_to_documents(
     records) a 64-bit hash id expects birthday collisions that would
     silently merge distinct documents in downstream dedup /
     decontamination joins (r8 ADVICE), so no hash. ``extract_text=
-    False`` preserves the pre-r9 raw-payload behavior; ``keep_raw``
-    adds the undecoded payload as a ``raw_html`` column."""
+    False`` preserves the pre-r9 raw-markup behavior; ``keep_raw``
+    adds the charset-decoded but UNextracted payload text as a
+    ``raw_html`` column (markup intact)."""
     from pyspark.sql import functions as F
 
     from .html import html_to_text
