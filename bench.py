@@ -81,6 +81,9 @@ HEADLINE = [
     # over every document — regex-engine drift is exactly the cost
     # class pii_scrub's history says needs a row)
     "html_text",
+    # round-9: URL canonicalization (regexp_extract + array
+    # filter/sort chain — same scan-bound cost class)
+    "url_normalize",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

@@ -592,9 +592,10 @@ def bpe_apply_words_cached(
     fingerprint (md5 over the sorted rules) is pinned on first write,
     and a different merge table RAISES rather than silently mixing
     two tokenizers' outputs. At-least-once safe: replaying a batch
-    re-appends the same (word, tokens) rows and the read path
-    dedupes by word (encodings are deterministic, so duplicates are
-    identical)."""
+    appends nothing when fully warm (the r9 short-circuit answers
+    straight from the cache join) and re-appends only still-novel
+    words otherwise; the read path dedupes by word regardless
+    (encodings are deterministic, so any duplicates are identical)."""
     import json
     import os
 

@@ -1,0 +1,187 @@
+"""URL canonicalization + URL-level dedup (beyond-reference
+LLM-pipeline op): Common-Crawl curation dedups by URL *before*
+content dedup — the same page is captured many times across crawls
+and mirrors, and `http://WWW.Site.com:80/a?utm_source=x#frag` must
+collapse with `http://site.com/a`.
+
+Canonicalization contract (documented, deterministic; the suite key
+``url_normalize`` hash-gates it against a DuckDB replay of the same
+steps):
+
+1. trim surrounding whitespace;
+2. lowercase the SCHEME and HOST only (paths are case-sensitive by
+   spec — `/Page` and `/page` stay distinct);
+3. strip a leading ``www.`` from the host (SURT-style host fold);
+4. strip the default port (``:80`` for http, ``:443`` for https);
+5. drop the fragment (``#...`` never reaches the server);
+6. drop tracking query parameters (``utm_*``, ``gclid``, ``fbclid``,
+   ``msclkid``, ``ref``) and SORT the surviving parameters
+   byte-lexicographically (param order is almost never semantic;
+   sorting folds permuted duplicates);
+7. drop a trailing ``?`` left by an emptied query, and fold a
+   trailing ``/`` on a non-root path (``/a/`` == ``/a``; the root
+   ``http://host/`` keeps its slash).
+
+Inputs that do not look like ``scheme://host...`` URLs pass through
+with only the trim applied (no guessing).
+
+All of it is JVM-side column expressions (regexp_extract / filter /
+sort / concat — whole-stage codegen, no UDF, no shuffle), with every
+regex in the Java ∩ RE2 dialect so :func:`normalize_url_sql` can
+emit the byte-identical DuckDB replay (same discipline as
+llm_ops/html.py).
+
+``dedup_by_url`` is the companion reducer: one keeper per canonical
+URL, latest capture wins (ties broken by id for determinism) — a
+groupBy(max(struct)) with map-side partial aggregation, one exchange
+on the canonical URL at 100 TB.
+
+Reference scope note: the reference engine (stage_1, 1,323 lines)
+has no URL surface; this exists for the Common-Crawl path
+(llm_ops/warc.py), like html.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["normalize_url", "normalize_url_sql", "dedup_by_url", "TRACKING_PARAMS"]
+
+# query parameters that never change the resource
+TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "msclkid", "ref")
+
+# scheme://host[:port] splitter — group 1 scheme, 2 host, 3 :port,
+# 4 rest (path?query#fragment). Java ∩ RE2: no backrefs/lookaround.
+_URL_RE = r"^([A-Za-z][A-Za-z0-9+.\-]*)://([^/:?#]*)(:[0-9]+)?([^#]*).*$"
+_HAS_URL_RE = r"^[A-Za-z][A-Za-z0-9+.\-]*://[^/:?#]"
+
+
+def _is_tracking_sql(param: str = "p") -> str:
+    """DuckDB boolean over one `param` string: is it a tracking key?"""
+    conds = []
+    for t in TRACKING_PARAMS:
+        if t.endswith("_"):
+            conds.append(f"starts_with({param}, '{t}')")
+        else:
+            conds.append(f"({param} = '{t}' OR starts_with({param}, '{t}='))")
+    return "(" + " OR ".join(conds) + ")"
+
+
+def _is_tracking_col(p: Column) -> Column:
+    cond = F.lit(False)
+    for t in TRACKING_PARAMS:
+        if t.endswith("_"):
+            cond = cond | p.startswith(t)
+        else:
+            cond = cond | (p == t) | p.startswith(t + "=")
+    return cond
+
+
+def normalize_url(col: Column | str) -> Column:
+    """Canonical URL as ONE chained column expression (contract in
+    the module docstring). NULL → NULL; non-URL strings → trimmed
+    passthrough."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    scheme = F.lower(F.regexp_extract(c, _URL_RE, 1))
+    host0 = F.lower(F.regexp_extract(c, _URL_RE, 2))
+    host = F.when(
+        host0.startswith("www."), F.substring(host0, 5, 2_000_000)
+    ).otherwise(host0)
+    port = F.regexp_extract(c, _URL_RE, 3)
+    keep_port = F.when(
+        ((scheme == "http") & (port == ":80"))
+        | ((scheme == "https") & (port == ":443"))
+        | (port == ""),
+        F.lit(""),
+    ).otherwise(port)
+    rest = F.regexp_extract(c, _URL_RE, 4)  # path + ?query, fragment gone
+    path = F.when(rest.contains("?"), F.substring_index(rest, "?", 1)).otherwise(rest)
+    query = F.when(
+        rest.contains("?"),
+        # everything after the FIRST '?' (later '?' are data)
+        F.substring(rest, F.length(F.substring_index(rest, "?", 1)) + 2, 2_000_000),
+    ).otherwise(F.lit(""))
+    kept = F.array_sort(
+        F.filter(
+            F.split(query, "&"),
+            lambda p: (p != "") & ~_is_tracking_col(p),
+        )
+    )
+    qnorm = F.array_join(kept, "&")
+    # trailing-slash fold on a non-root path
+    path = F.when(
+        (F.length(path) > 1) & path.endswith("/"),
+        F.substring(path, 1, F.length(path) - 1),
+    ).otherwise(path)
+    path = F.when(path == "", F.lit("/")).otherwise(path)
+    rebuilt = F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        keep_port,
+        path,
+        F.when(qnorm != "", F.concat(F.lit("?"), qnorm)).otherwise(F.lit("")),
+    )
+    return F.when(c.rlike(_HAS_URL_RE), rebuilt).otherwise(c)
+
+
+def normalize_url_sql(expr: str) -> str:
+    """The DuckDB replay of :func:`normalize_url` — same regexes,
+    same step order, mirrored operation by operation (the
+    ``url_normalize`` oracle key rides on this)."""
+    pat = _URL_RE.replace("'", "''")
+    c = f"trim({expr})"
+    scheme = f"lower(regexp_extract({c}, '{pat}', 1))"
+    host0 = f"lower(regexp_extract({c}, '{pat}', 2))"
+    host = f"CASE WHEN starts_with({host0}, 'www.') THEN substring({host0}, 5) ELSE {host0} END"
+    port = f"regexp_extract({c}, '{pat}', 3)"
+    keep_port = (
+        f"CASE WHEN ({scheme} = 'http' AND {port} = ':80') "
+        f"OR ({scheme} = 'https' AND {port} = ':443') "
+        f"OR {port} = '' THEN '' ELSE {port} END"
+    )
+    rest = f"regexp_extract({c}, '{pat}', 4)"
+    path0 = f"CASE WHEN contains({rest}, '?') THEN split_part({rest}, '?', 1) ELSE {rest} END"
+    query = (
+        f"CASE WHEN contains({rest}, '?') "
+        f"THEN substring({rest}, length(split_part({rest}, '?', 1)) + 2) "
+        f"ELSE '' END"
+    )
+    kept = (
+        f"list_sort(list_filter(string_split({query}, '&'), "
+        f"p -> p <> '' AND NOT {_is_tracking_sql('p')}))"
+    )
+    qnorm = f"array_to_string({kept}, '&')"
+    path1 = (
+        f"CASE WHEN length({path0}) > 1 AND ends_with({path0}, '/') "
+        f"THEN substring({path0}, 1, length({path0}) - 1) ELSE {path0} END"
+    )
+    path = f"CASE WHEN {path1} = '' THEN '/' ELSE {path1} END"
+    rebuilt = (
+        f"{scheme} || '://' || {host} || {keep_port} || {path} || "
+        f"CASE WHEN {qnorm} <> '' THEN '?' || {qnorm} ELSE '' END"
+    )
+    has = _HAS_URL_RE.replace("'", "''")
+    return f"CASE WHEN regexp_matches({c}, '{has}') THEN {rebuilt} ELSE {c} END"
+
+
+def dedup_by_url(
+    df: DataFrame,
+    url_col: str = "target_uri",
+    order_col: str = "warc_date",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """One keeper per CANONICAL url: latest ``order_col`` wins, ties
+    broken by max ``id_col`` (deterministic). Adds ``url_norm``;
+    keeps every other column of the winning row. Shape at 100 TB:
+    groupBy(max(struct(...))) — partial (map-side) max per partition,
+    ONE exchange keyed on the canonical url, no window/sort."""
+    cols = df.columns
+    tagged = df.withColumn("url_norm", normalize_url(url_col))
+    winner = tagged.groupBy("url_norm").agg(
+        F.max(F.struct(order_col, id_col, *[c for c in cols if c not in (order_col, id_col)])).alias("_w")
+    )
+    return winner.select(
+        "url_norm", *[F.col(f"_w.{c}").alias(c) for c in cols]
+    )

@@ -1712,9 +1712,61 @@ FROM x
 """
 
 
+# ------------------------------------------------------------ URL normalize
+# Deterministic synthetic capture URLs exercising every contract
+# clause: case-folded scheme/host, www. strip, default vs real
+# ports, tracking-param removal, param sort, fragment drop,
+# trailing-slash fold, non-URL passthrough.
+def q_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_ops.urls.normalize_url over synthetic per-document capture
+    URLs — compared VERBATIM (no hash) against the DuckDB replay of
+    the same step chain (normalize_url_sql)."""
+    from ..llm_ops import urls as U
+
+    docs = _t(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.when(F.col("doc_id") % 5 == 0, F.lit("HTTPS://WWW.Docs.Example:443"))
+        .when(F.col("doc_id") % 5 == 1, F.lit("http://docs.example:80"))
+        .when(F.col("doc_id") % 5 == 2, F.lit("http://Mirror.Example:8080"))
+        .when(F.col("doc_id") % 5 == 3, F.lit("https://cdn.example"))
+        .otherwise(F.lit("not a url at all ")),
+        F.lit("/Folder/page-"),
+        (F.col("doc_id") % 40).cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.lit("?utm_source=feed&z=9&ref=home&a=1&gclid=x&b="),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("#section-3"),
+    )
+    return docs.select(
+        "doc_id", U.normalize_url(raw).alias("url_norm")
+    )
+
+
+def _url_normalize_oracle() -> str:
+    from ..llm_ops import urls as U
+
+    raw = (
+        "CASE WHEN doc_id % 5 = 0 THEN 'HTTPS://WWW.Docs.Example:443' "
+        "WHEN doc_id % 5 = 1 THEN 'http://docs.example:80' "
+        "WHEN doc_id % 5 = 2 THEN 'http://Mirror.Example:8080' "
+        "WHEN doc_id % 5 = 3 THEN 'https://cdn.example' "
+        "ELSE 'not a url at all ' END || '/Folder/page-' || "
+        "CAST(doc_id % 40 AS VARCHAR) || "
+        "CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END || "
+        "'?utm_source=feed&z=9&ref=home&a=1&gclid=x&b=' || "
+        "CAST(doc_id % 7 AS VARCHAR) || '#section-3'"
+    )
+    return (
+        "SELECT doc_id, "
+        + U.normalize_url_sql(f"({raw})")
+        + " AS url_norm FROM documents"
+    )
+
+
 QUERIES = {
     "bpe_encode": q_bpe_encode,
     "html_text": q_html_text,
+    "url_normalize": q_url_normalize,
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,
@@ -1768,6 +1820,7 @@ QUERIES = {
 ORACLES = {
     "bpe_encode": ORACLE_BPE_ENCODE,
     "html_text": ORACLE_HTML_TEXT,
+    "url_normalize": _url_normalize_oracle(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "text_quality": ORACLE_TEXT_QUALITY,
     "quality_filter": ORACLE_QUALITY_FILTER,

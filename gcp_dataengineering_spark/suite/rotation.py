@@ -78,9 +78,11 @@ PINNED = [
 ]
 
 RESIDENT = [
-    # core reference-surface operators (SURVEY.md §2)
+    # core reference-surface operators (SURVEY.md §2).
+    # scalar_funcs demoted to GROUP_B in r9 (stable green every round
+    # since r1; still externally pytest-checked in its off rounds) to
+    # fund the GROUP_A slot for the new url_normalize key.
     "tam_flagship",
-    "scalar_funcs",
     "sessionize",
     # end-to-end reference reconstructions — always externally gated
     "pipeline_tam_e2e",
@@ -165,6 +167,10 @@ GROUP_A = [
     # warc_to_documents shipped raw markup as text), in-window
     # immediately
     "html_text",
+    # new in r9: URL canonicalization for the Common-Crawl path
+    # (capture-level URL dedup precedes content dedup), in-window
+    # immediately
+    "url_normalize",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). The r6-green core plus
@@ -225,6 +231,10 @@ GROUP_B = [
     # to fund bpe_encode's promotion — green r8 as resident, next
     # driver row r10 (the ≤2-round staleness bound exactly)
     "text_quality",
+    # demoted from RESIDENT in r9 (stable green every round since r1)
+    # to fund the GROUP_A slot for url_normalize — green r8 as
+    # resident, next driver row r10
+    "scalar_funcs",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.

@@ -1,0 +1,140 @@
+"""URL canonicalization + URL-level dedup (llm_ops/urls.py) — the
+Common-Crawl capture-dedup primitive (dedup by URL precedes content
+dedup; the same page is captured many times across crawls)."""
+
+from __future__ import annotations
+
+
+def test_normalize_url_semantics(spark):
+    """Every contract clause from the module docstring, plus the
+    near-miss traps (refresh≠ref, repeated params, '?' inside query
+    values, non-URL passthrough, NULL safety)."""
+    from gcp_dataengineering_spark.llm_ops.urls import normalize_url
+
+    cases = [
+        ("HTTP://WWW.Example.COM:80/Path/To/Page?utm_source=x&b=2&a=1#frag",
+         "http://example.com/Path/To/Page?a=1&b=2"),
+        ("https://site.org:443/", "https://site.org/"),
+        ("https://site.org", "https://site.org/"),
+        ("http://site.org:8080/a/", "http://site.org:8080/a"),
+        ("http://a.b/x?gclid=1&fbclid=2&utm_campaign=z&msclkid=7", "http://a.b/x"),
+        ("http://a.b/x?z=1&y=2&z=0", "http://a.b/x?y=2&z=0&z=1"),
+        ("http://a.b/x?ref=home&real=1", "http://a.b/x?real=1"),
+        ("http://host/a?refresh=1", "http://host/a?refresh=1"),  # not 'ref'
+        ("http://a.b/p?q=what?is?this#f#g", "http://a.b/p?q=what?is?this"),
+        ("not a url at all", "not a url at all"),
+        ("  http://spaced.example/a  ", "http://spaced.example/a"),
+        ("ftp://Host.Example/File.TXT", "ftp://host.example/File.TXT"),
+        ("http://host/?&&", "http://host/"),
+        ("", ""),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, u string"
+    )
+    got = {r.i: r.o for r in df.select("i", normalize_url("u").alias("o")).collect()}
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_normalize_url_spark_duckdb_parity_fuzz(spark):
+    """normalize_url vs normalize_url_sql on 300 seeded URL soups —
+    the same shared-dialect contract as html.STEPS (the url_normalize
+    oracle key rides on it)."""
+    import random
+
+    import duckdb
+
+    from gcp_dataengineering_spark.llm_ops.urls import (
+        normalize_url,
+        normalize_url_sql,
+    )
+
+    rng = random.Random(20260814)
+    frags = [
+        "http://", "HTTPS://", "ftp://", "www.", "WWW.", "Example.COM",
+        "site.org", ":80", ":443", ":8080", ":0", "/", "/A/b", "/x/",
+        "?", "&", "=", "#frag", "#", "utm_source=1", "utm_x", "gclid=2",
+        "ref", "ref=h", "refresh=1", "a=1", "b", "z=9", "??", "//",
+        "name with space", "p%20q", "ünïcode", ":", "@user", "",
+    ]
+    urls = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(0, 10)))
+        for _ in range(300)
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, u in enumerate(urls)], "i int, u string"
+    )
+    got = {r.i: r.o for r in df.select("i", normalize_url("u").alias("o")).collect()}
+    con = duckdb.connect()
+    expr = normalize_url_sql("u")
+    bad = []
+    for i, u in enumerate(urls):
+        want = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS u)", [u]
+        ).fetchone()[0]
+        if got[i] != want:
+            bad.append((u, got[i], want))
+    assert not bad, bad[:3]
+
+
+def test_dedup_by_url_keeps_latest_capture(spark):
+    """One keeper per canonical URL, latest capture wins, ties broken
+    by id — and the canonicalization is what collapses the variants
+    (www/port/tracking-param/fragment forms of one page)."""
+    from gcp_dataengineering_spark.llm_ops.urls import dedup_by_url
+
+    rows = [
+        # four captures of ONE logical page, different surface forms
+        (1, "http://WWW.site.example:80/a?utm_source=x", "2024-01-01T00:00:00Z", "v1"),
+        (2, "http://site.example/a#top", "2024-02-01T00:00:00Z", "v2"),
+        (3, "http://site.example/a/", "2024-03-01T00:00:00Z", "v3"),
+        (4, "http://site.example/a", "2024-03-01T00:00:00Z", "v3b"),  # date tie -> max id
+        # a different page (param differs, not tracking)
+        (5, "http://site.example/a?p=1", "2024-01-15T00:00:00Z", "other"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, target_uri string, warc_date string, text string"
+    )
+    out = {r.url_norm: r for r in dedup_by_url(df).collect()}
+    assert set(out) == {
+        "http://site.example/a",
+        "http://site.example/a?p=1",
+    }
+    keeper = out["http://site.example/a"]
+    assert keeper.doc_id == 4 and keeper.text == "v3b"  # latest, tie -> max id
+    assert out["http://site.example/a?p=1"].doc_id == 5
+    # original columns all survive
+    assert set(out[keeper.url_norm].asDict()) == {
+        "url_norm", "doc_id", "target_uri", "warc_date", "text"
+    }
+
+
+def test_dedup_by_url_on_warc_bridge(spark, tmp_path):
+    """Integration: repeated captures of one URL in a synthetic crawl
+    collapse to the latest via dedup_by_url(warc_to_documents(...))."""
+    from gcp_dataengineering_spark.llm_ops.urls import dedup_by_url
+    from gcp_dataengineering_spark.llm_ops.warc import synth_warc, warc_to_documents
+
+    recs = [
+        dict(record_id="old", warc_type="response",
+             target_uri="http://www.s.example/page?utm_source=a",
+             date="2024-01-01T00:00:00Z",
+             http_body="<p>old capture</p>", http_content_type="text/html"),
+        dict(record_id="new", warc_type="response",
+             target_uri="http://s.example/page",
+             date="2024-06-01T00:00:00Z",
+             http_body="<p>new capture</p>", http_content_type="text/html"),
+        dict(record_id="other", warc_type="response",
+             target_uri="http://s.example/elsewhere",
+             date="2024-06-01T00:00:00Z",
+             http_body="<p>different page</p>", http_content_type="text/html"),
+    ]
+    (tmp_path / "c.warc.gz").write_bytes(synth_warc(recs, gzip_members=True))
+    files = spark.read.format("binaryFile").load(str(tmp_path) + "/*.warc.gz")
+    docs = warc_to_documents(files)
+    kept = dedup_by_url(docs).collect()
+    assert len(kept) == 2
+    by_url = {r.url_norm: r for r in kept}
+    assert by_url["http://s.example/page"].text == "new capture"
+    assert by_url["http://s.example/elsewhere"].text == "different page"
