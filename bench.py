@@ -84,6 +84,9 @@ HEADLINE = [
     # round-9: URL canonicalization (regexp_extract + array
     # filter/sort chain — same scan-bound cost class)
     "url_normalize",
+    # round-9: Gopher quality rules (line/word array lambdas over
+    # every document)
+    "gopher_rules",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

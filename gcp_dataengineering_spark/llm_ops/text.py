@@ -122,6 +122,107 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
+# Gopher quality-rule constants (Rae et al. 2021, published
+# heuristics — public knowledge). The bullet set is the common
+# implementation choice; '#' and '…' are the paper's symbol set.
+GOPHER_REQUIRED_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_BULLETS = ("•", "‣", "▪", "-", "*")
+
+
+def gopher_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style quality features (Rae et al. 2021 §A1.1) as pure
+    column expressions — no UDF, no shuffle, scan-speed like
+    quality_features. Adds per-document:
+
+    - ``g_n_words``: whitespace word count;
+    - ``g_mean_word_len``: mean word length (rule: in [3, 10]);
+    - ``g_symbol_ratio``: ('#' + '…' occurrences) / words (≤ 0.1);
+    - ``g_bullet_line_frac``: fraction of nonempty lines whose
+      left-trimmed first char is a bullet (≤ 0.9);
+    - ``g_ellipsis_line_frac``: fraction of nonempty lines ending
+      with '…' or '...' (≤ 0.3);
+    - ``g_alpha_word_frac``: fraction of words containing at least
+      one ASCII letter (≥ 0.8);
+    - ``g_stopword_hits``: distinct hits from the required-stopword
+      list {the, be, to, of, and, that, have, with} (≥ 2);
+    - ``g_pass``: the conjunction, with the word-count window
+      parameterized by :func:`gopher_pass` callers via
+      ``min_words``/``max_words`` at gate time (the features carry
+      the raw count).
+
+    Empty/zero-line documents: fractions define as 0.0 (no lines →
+    nothing to flag) and fail on the word-count floor instead."""
+    t = F.col(text_col)
+    words = F.filter(F.split(t, "\\s+"), lambda w: w != "")
+    n_words = F.size(words)
+    n_words_safe = F.greatest(n_words, F.lit(1))
+    no_space = F.regexp_replace(t, "\\s+", "")
+    sym = F.lit(0)
+    for s in ("#", "…"):
+        sym = sym + (
+            F.length(t) - F.length(F.replace(t, F.lit(s), F.lit("")))
+        ) / len(s)
+    lines = F.filter(
+        F.transform(F.split(t, "\n"), lambda ln: F.trim(ln)),
+        lambda ln: ln != "",
+    )
+    n_lines = F.size(lines)
+    n_lines_safe = F.greatest(n_lines, F.lit(1))
+    bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: F.substring(ln, 1, 1).isin(*GOPHER_BULLETS),
+        )
+    )
+    ellipsis_lines = F.size(
+        F.filter(
+            lines,
+            lambda ln: ln.endswith("…") | ln.endswith("..."),
+        )
+    )
+    alpha_words = F.size(F.filter(words, lambda w: w.rlike("[a-zA-Z]")))
+    hits = stopword_hits(t, GOPHER_REQUIRED_STOPWORDS)
+    return (
+        df.withColumn("g_n_words", n_words.cast("long"))
+        .withColumn(
+            "g_mean_word_len",
+            F.length(no_space).cast("double") / n_words_safe.cast("double"),
+        )
+        .withColumn(
+            "g_symbol_ratio", sym.cast("double") / n_words_safe.cast("double")
+        )
+        .withColumn(
+            "g_bullet_line_frac",
+            bullet_lines.cast("double") / n_lines_safe.cast("double"),
+        )
+        .withColumn(
+            "g_ellipsis_line_frac",
+            ellipsis_lines.cast("double") / n_lines_safe.cast("double"),
+        )
+        .withColumn(
+            "g_alpha_word_frac",
+            alpha_words.cast("double") / n_words_safe.cast("double"),
+        )
+        .withColumn("g_stopword_hits", hits.cast("long"))
+    )
+
+
+def gopher_pass(min_words: int = 50, max_words: int = 100_000) -> Column:
+    """The Gopher gate over :func:`gopher_features` columns — apply
+    with ``.filter(gopher_pass())``. Thresholds are the paper's;
+    the word-count window is the one knob deployments actually tune
+    (the 50-word floor is aggressive for chat/code corpora)."""
+    return (
+        F.col("g_n_words").between(min_words, max_words)
+        & F.col("g_mean_word_len").between(3.0, 10.0)
+        & (F.col("g_symbol_ratio") <= 0.1)
+        & (F.col("g_bullet_line_frac") <= 0.9)
+        & (F.col("g_ellipsis_line_frac") <= 0.3)
+        & (F.col("g_alpha_word_frac") >= 0.8)
+        & (F.col("g_stopword_hits") >= 2)
+    )
+
+
 def lang_scores(col: Column | str) -> dict[str, Column]:
     """Stopword-hit score per language (n-gram heuristic)."""
     return {lang: stopword_hits(col, words) for lang, words in STOPWORDS.items()}

@@ -1763,10 +1763,109 @@ def _url_normalize_oracle() -> str:
     )
 
 
+# ------------------------------------------------------------- Gopher rules
+def q_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_ops.text.gopher_features + gopher_pass (the published
+    Gopher §A1.1 heuristics) over documents ENRICHED with
+    deterministic noise so every rule fires on some rows: every 4th
+    doc gets bullet lines prepended, every 5th an ellipsis line,
+    every 7th a '#'-symbol burst, every 9th is truncated to its
+    first 8 words (word-count floor). Ratios rounded to 4 places for
+    the hash gate; the pass flag is computed on UNROUNDED features
+    in both engines."""
+    from ..llm_ops import text as TX
+
+    docs = _t(spark, sf_dir, "documents")
+    noisy = F.concat(
+        F.when(
+            F.col("doc_id") % 4 == 0,
+            F.lit("• first bullet\n- second bullet\n* third\n"),
+        ).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("to be continued...\n")).otherwise(
+            F.lit("")
+        ),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("### ## # tags # \n")).otherwise(
+            F.lit("")
+        ),
+        F.when(
+            F.col("doc_id") % 9 == 0,
+            F.array_join(F.slice(F.split(F.col("text"), " "), 1, 8), " "),
+        ).otherwise(F.col("text")),
+    )
+    feats = TX.gopher_features(
+        docs.select("doc_id", noisy.alias("text")), text_col="text"
+    )
+    return feats.select(
+        "doc_id",
+        "g_n_words",
+        r4(F.col("g_mean_word_len")).alias("mean_word_len"),
+        r4(F.col("g_symbol_ratio")).alias("symbol_ratio"),
+        r4(F.col("g_bullet_line_frac")).alias("bullet_line_frac"),
+        r4(F.col("g_ellipsis_line_frac")).alias("ellipsis_line_frac"),
+        r4(F.col("g_alpha_word_frac")).alias("alpha_word_frac"),
+        "g_stopword_hits",
+        TX.gopher_pass(min_words=20).alias("g_pass"),
+    )
+
+
+def _gopher_oracle() -> str:
+    from ..llm_ops.text import GOPHER_BULLETS, GOPHER_REQUIRED_STOPWORDS
+
+    bullets = ", ".join(f"'{b}'" for b in GOPHER_BULLETS)
+    hits = _sql_hits(GOPHER_REQUIRED_STOPWORDS).replace(
+        "coalesce(text, '')", "coalesce(t, '')"
+    )
+    return f"""
+WITH noisy AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 4 = 0
+                THEN '• first bullet' || chr(10) || '- second bullet' || chr(10) || '* third' || chr(10)
+                ELSE '' END
+           || CASE WHEN doc_id % 5 = 0 THEN 'to be continued...' || chr(10) ELSE '' END
+           || CASE WHEN doc_id % 7 = 0 THEN '### ## # tags # ' || chr(10) ELSE '' END
+           || CASE WHEN doc_id % 9 = 0
+                   THEN array_to_string(list_slice(string_split(text, ' '), 1, 8), ' ')
+                   ELSE text END AS t
+    FROM documents
+), f AS (
+    SELECT doc_id,
+           len(list_filter(regexp_split_to_array(t, '\\s+'), w -> w <> '')) AS n_words,
+           length(regexp_replace(t, '\\s+', '', 'g')) AS n_nospace,
+           (length(t) - length(replace(t, '#', ''))) + (length(t) - length(replace(t, '…', ''))) AS n_sym,
+           list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)), l -> l <> '') AS lines,
+           len(list_filter(list_filter(regexp_split_to_array(t, '\\s+'), w -> w <> ''), w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
+           {hits} AS hits
+    FROM noisy
+), g AS (
+    SELECT doc_id, n_words,
+           CAST(n_nospace AS DOUBLE) / greatest(n_words, 1) AS mwl,
+           CAST(n_sym AS DOUBLE) / greatest(n_words, 1) AS sym,
+           CAST(len(list_filter(lines, l -> substring(l, 1, 1) IN ({bullets}))) AS DOUBLE) / greatest(len(lines), 1) AS bullet,
+           CAST(len(list_filter(lines, l -> ends_with(l, '…') OR ends_with(l, '...'))) AS DOUBLE) / greatest(len(lines), 1) AS ellip,
+           CAST(n_alpha AS DOUBLE) / greatest(n_words, 1) AS alpha,
+           hits
+    FROM f
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS g_n_words,
+       round(mwl, 4) AS mean_word_len,
+       round(sym, 4) AS symbol_ratio,
+       round(bullet, 4) AS bullet_line_frac,
+       round(ellip, 4) AS ellipsis_line_frac,
+       round(alpha, 4) AS alpha_word_frac,
+       CAST(hits AS BIGINT) AS g_stopword_hits,
+       (n_words BETWEEN 20 AND 100000 AND mwl BETWEEN 3.0 AND 10.0
+        AND sym <= 0.1 AND bullet <= 0.9 AND ellip <= 0.3
+        AND alpha >= 0.8 AND hits >= 2) AS g_pass
+FROM g
+"""
+
+
 QUERIES = {
     "bpe_encode": q_bpe_encode,
     "html_text": q_html_text,
     "url_normalize": q_url_normalize,
+    "gopher_rules": q_gopher_rules,
     "dedup_exact": q_dedup_exact,
     "text_quality": q_text_quality,
     "quality_filter": q_quality_filter,
@@ -1821,6 +1920,7 @@ ORACLES = {
     "bpe_encode": ORACLE_BPE_ENCODE,
     "html_text": ORACLE_HTML_TEXT,
     "url_normalize": _url_normalize_oracle(),
+    "gopher_rules": _gopher_oracle(),
     "dedup_exact": ORACLE_DEDUP_EXACT,
     "text_quality": ORACLE_TEXT_QUALITY,
     "quality_filter": ORACLE_QUALITY_FILTER,

@@ -79,11 +79,12 @@ PINNED = [
 
 RESIDENT = [
     # core reference-surface operators (SURVEY.md §2).
-    # scalar_funcs demoted to GROUP_B in r9 (stable green every round
-    # since r1; still externally pytest-checked in its off rounds) to
-    # fund the GROUP_A slot for the new url_normalize key.
+    # scalar_funcs and sessionize demoted to GROUP_B in r9 (both
+    # stable green every round since r1; sessionize additionally has
+    # the PERMANENT_EXTERNAL twin sessionize_native on the same
+    # oracle; both still externally pytest-checked in off rounds) to
+    # fund GROUP_A slots for the new url_normalize + gopher_rules.
     "tam_flagship",
-    "sessionize",
     # end-to-end reference reconstructions — always externally gated
     "pipeline_tam_e2e",
     "pipeline_digital_e2e",
@@ -171,6 +172,9 @@ GROUP_A = [
     # (capture-level URL dedup precedes content dedup), in-window
     # immediately
     "url_normalize",
+    # new in r9: the published Gopher quality-rule set, in-window
+    # immediately
+    "gopher_rules",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). The r6-green core plus
@@ -235,6 +239,10 @@ GROUP_B = [
     # to fund the GROUP_A slot for url_normalize — green r8 as
     # resident, next driver row r10
     "scalar_funcs",
+    # demoted from RESIDENT in r9 (stable green since r1; its
+    # PERMANENT_EXTERNAL twin sessionize_native shares the oracle) to
+    # fund the GROUP_A slot for gopher_rules — next driver row r10
+    "sessionize",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.

@@ -110,6 +110,63 @@ def test_dedup_by_url_keeps_latest_capture(spark):
     }
 
 
+def test_gopher_rules_semantics(spark):
+    """Each Gopher rule fires on a handcrafted violator and the
+    clean-prose doc passes all of them (thresholds from the
+    published §A1.1 set; word floor parameterized)."""
+    from pyspark.sql import functions as F
+
+    from gcp_dataengineering_spark.llm_ops.text import (
+        gopher_features,
+        gopher_pass,
+    )
+
+    clean = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "naps while the fox keeps running through the field to be safe "
+        "and that was all they wrote have a good day with everyone"
+    )
+    docs = [
+        (0, clean),
+        (1, "the of and " + "a " * 60),                       # mean word len < 3
+        (2, "the of and " + "supercalifragilistic " * 40),    # mean len > 10
+        (3, "the of and have " + "# word " * 30),             # symbol ratio > 0.1
+        (4, "\n".join("• the item of x" for _ in range(10))), # bullets > 0.9
+        (5, "the first line of it...\nthe second one too...\n"
+            "and a normal line with that"),                   # ellipsis > 0.3
+        (6, "the of and that " + "1234 5678 " * 30),          # alpha frac < 0.8
+        (7, "lorem ipsum dolor sit amet " * 10),              # stopword hits < 2
+        (8, "the of"),                                        # word floor
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r.doc_id: r
+        for r in gopher_features(df)
+        .withColumn("ok", gopher_pass(min_words=10))
+        .collect()
+    }
+    assert out[0].ok, out[0]
+    for i in range(1, 9):
+        assert not out[i].ok, (i, out[i])
+    # the specific feature each violator trips
+    assert out[1].g_mean_word_len < 3.0
+    assert out[2].g_mean_word_len > 10.0
+    assert out[3].g_symbol_ratio > 0.1
+    assert out[4].g_bullet_line_frac > 0.9
+    assert out[5].g_ellipsis_line_frac > 0.3
+    assert out[6].g_alpha_word_frac < 0.8
+    assert out[7].g_stopword_hits < 2
+    assert out[8].g_n_words < 10
+    # scan-shape: no exchange in the plan (pure row map)
+    plan = (
+        gopher_features(df)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange" not in plan
+
+
 def test_dedup_by_url_on_warc_bridge(spark, tmp_path):
     """Integration: repeated captures of one URL in a synthetic crawl
     collapse to the latest via dedup_by_url(warc_to_documents(...))."""
