@@ -63,6 +63,19 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "([^\\p{L}]+ — use for multilingual crawls; see llm_ops.bpe."
         "UNICODE_WORD_PATTERN)",
     )
+    p.add_argument(
+        "--gopher",
+        action="store_true",
+        help="conjoin the published Gopher quality rules into the page "
+        "gate (text.gopher_features + gopher_pass)",
+    )
+    p.add_argument(
+        "--gopher-min-words",
+        type=int,
+        default=50,
+        help="word-count floor for the Gopher gate (the paper's 50 is "
+        "aggressive for short-form corpora)",
+    )
     p.add_argument("--cpus", default=None)
     return p
 
@@ -104,6 +117,8 @@ def main(argv: list[str] | None = None) -> int:
             shard_budget_tokens=args.shard_budget,
             bpe_merges=merges_df,
             bpe_word_pattern=word_pattern,
+            gopher=args.gopher,
+            gopher_min_words=args.gopher_min_words,
         ),
         # CLI writes corpus AND shards (two actions) and runs
         # stage_counts: pin the branch points so the corpus is

@@ -64,6 +64,12 @@ from .text import (
 @dataclass
 class PipelineConfig:
     gate: Column | None = None          # page policy (default corpus_quality_gate)
+    # conjoin the published Gopher rule set (text.gopher_features +
+    # gopher_pass) into the page gate; gopher_min_words is the one
+    # knob deployments tune (the paper's 50-word floor is aggressive
+    # for short-form corpora)
+    gopher: bool = False
+    gopher_min_words: int = 50
     min_source_pass_pct: int = 50       # source reputation bar
     min_source_docs: int = 1
     minhash_hashes: int = 8
@@ -125,6 +131,17 @@ def build_training_corpus(
 
     feats = quality_features(docs, text_col)
     gate = cfg.gate if cfg.gate is not None else corpus_quality_gate()
+    gopher_cols: list[str] = []
+    if cfg.gopher:
+        from .text import gopher_features, gopher_pass
+
+        feats = gopher_features(feats, text_col)
+        gate = gate & gopher_pass(min_words=cfg.gopher_min_words)
+        gopher_cols = [
+            "g_n_words", "g_mean_word_len", "g_symbol_ratio",
+            "g_bullet_line_frac", "g_ellipsis_line_frac",
+            "g_alpha_word_frac", "g_stopword_hits",
+        ]
     flagged = feats.withColumn("_page_pass", gate)
     reputable_src = source_reputation_filter(
         flagged,
@@ -135,7 +152,8 @@ def build_training_corpus(
     )
     gated = flagged.filter(F.col("_page_pass"))
     reputable = reputable_src.filter(F.col("_page_pass")).drop("_page_pass").drop(
-        "n_chars_calc", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio"
+        "n_chars_calc", "n_tokens", "avg_token_len", "punct_ratio",
+        "stopword_ratio", *gopher_cols
     )
 
     if cfg.boilerplate_max_doc_frac is not None:

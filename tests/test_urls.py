@@ -167,6 +167,48 @@ def test_gopher_rules_semantics(spark):
     assert "Exchange" not in plan
 
 
+def test_pipeline_gopher_gate_optin(spark):
+    """PipelineConfig(gopher=True) conjoins the Gopher rules into the
+    page gate: a bullet-heavy listicle that passes the base corpus
+    gate (long enough, stopworded, low punctuation) is kept by the
+    default build and dropped by the Gopher build; clean prose
+    survives both; the g_* feature columns do not leak downstream."""
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+
+    prose = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "naps while the fox keeps running through the field to be safe "
+        "and that was all they wrote have a good day with everyone here"
+    )
+    listicle = "\n".join(
+        f"• the item number {i} of the catalog with more words here"
+        for i in range(12)
+    )
+    docs = spark.createDataFrame(
+        [(1, prose, "en", "s1"), (2, listicle, "en", "s1")],
+        "doc_id long, text string, lang string, source string",
+    )
+    base = build_training_corpus(
+        docs, config=PipelineConfig(shard_budget_tokens=500)
+    )
+    kept_base = {r.doc_id for r in base["gated"].select("doc_id").collect()}
+    assert kept_base == {1, 2}
+
+    goph = build_training_corpus(
+        docs,
+        config=PipelineConfig(shard_budget_tokens=500, gopher=True,
+                              gopher_min_words=10),
+    )
+    kept = {r.doc_id for r in goph["gated"].select("doc_id").collect()}
+    assert kept == {1}  # the listicle fails bullet_line_frac > 0.9
+    assert not any(
+        c.startswith("g_") for c in goph["reputable"].columns
+    )
+
+
 def test_dedup_by_url_on_warc_bridge(spark, tmp_path):
     """Integration: repeated captures of one URL in a synthetic crawl
     collapse to the latest via dedup_by_url(warc_to_documents(...))."""
