@@ -31,13 +31,16 @@ Extraction semantics (documented contract, each step in order):
    script step already removed.
 3. Block-level tags become newlines (paragraph structure survives as
    line breaks); every remaining tag becomes a space.
-4. A curated entity subset is decoded (named + decimal forms of the
-   entities that dominate web text; ``&amp;``/``&#38;`` LAST so
+4. A curated entity subset is decoded (named + decimal + common-hex
+   forms of the entities that dominate web text — hex in the
+   lowercase spelling plus uppercase-hex variants for the
+   nbsp/lt/gt/quote classes; ``&amp;``/``&#38;``/``&#x26;`` LAST so
    double-escaped entities decode exactly one level, like a single
-   ``html.unescape`` pass). Honest limit: arbitrary numeric
-   references (``&#x2014;``-style hex, rare decimals) pass through
-   as literal text — decoding them needs per-occurrence chr()
-   synthesis that neither engine expresses as one scan.
+   ``html.unescape`` pass). Honest limit: numeric references OUTSIDE
+   the curated set (arbitrary code points, ``&#X``-capital-X
+   spellings) pass through as literal text — full decoding needs
+   per-occurrence chr() synthesis that neither engine expresses as
+   one scan.
 5. Whitespace normalization: horizontal runs collapse to one space,
    newline runs (with surrounding spaces) to one newline, and the
    result is trimmed. Empty pages come back as '' (never NULL for
@@ -70,22 +73,22 @@ _BLOCK_TAGS = (
 # one decode level — html.unescape single-pass behaviour) instead of
 # cascading to '<'.
 _ENTITIES = [
-    ("&nbsp;", " "), ("&#160;", " "),
-    ("&lt;", "<"), ("&#60;", "<"),
-    ("&gt;", ">"), ("&#62;", ">"),
-    ("&quot;", '"'), ("&#34;", '"'),
-    ("&apos;", "'"), ("&#39;", "'"),
-    ("&ndash;", "–"), ("&#8211;", "–"),
-    ("&mdash;", "—"), ("&#8212;", "—"),
-    ("&lsquo;", "‘"), ("&#8216;", "‘"),
-    ("&rsquo;", "’"), ("&#8217;", "’"),
-    ("&ldquo;", "“"), ("&#8220;", "“"),
-    ("&rdquo;", "”"), ("&#8221;", "”"),
-    ("&hellip;", "…"), ("&#8230;", "…"),
+    ("&nbsp;", " "), ("&#160;", " "), ("&#xa0;", " "), ("&#xA0;", " "),
+    ("&lt;", "<"), ("&#60;", "<"), ("&#x3c;", "<"), ("&#x3C;", "<"),
+    ("&gt;", ">"), ("&#62;", ">"), ("&#x3e;", ">"), ("&#x3E;", ">"),
+    ("&quot;", '"'), ("&#34;", '"'), ("&#x22;", '"'),
+    ("&apos;", "'"), ("&#39;", "'"), ("&#x27;", "'"),
+    ("&ndash;", "–"), ("&#8211;", "–"), ("&#x2013;", "–"),
+    ("&mdash;", "—"), ("&#8212;", "—"), ("&#x2014;", "—"),
+    ("&lsquo;", "‘"), ("&#8216;", "‘"), ("&#x2018;", "‘"),
+    ("&rsquo;", "’"), ("&#8217;", "’"), ("&#x2019;", "’"),
+    ("&ldquo;", "“"), ("&#8220;", "“"), ("&#x201c;", "“"), ("&#x201C;", "“"),
+    ("&rdquo;", "”"), ("&#8221;", "”"), ("&#x201d;", "”"), ("&#x201D;", "”"),
+    ("&hellip;", "…"), ("&#8230;", "…"), ("&#x2026;", "…"),
     ("&middot;", "·"), ("&bull;", "•"),
     ("&copy;", "©"), ("&reg;", "®"),
     ("&trade;", "™"), ("&deg;", "°"),
-    ("&amp;", "&"), ("&#38;", "&"),
+    ("&amp;", "&"), ("&#38;", "&"), ("&#x26;", "&"),
 ]
 
 # The one authoritative step list. ("re", pattern, repl) → regex

@@ -33,6 +33,9 @@ def test_html_to_text_semantics(spark):
         (6, "<div>&amp;lt; stays-encoded &#38;gt; one-level</div>"),
         (7, "a<b>inline</b>c &ldquo;q&rdquo;&nbsp;&#8212;&nbsp;d"),
         (8, None),
+        # hex twins of the curated set (r9 second wave) + the honest
+        # limit: out-of-set numeric refs pass through literally
+        (9, "it&#x27;s &#x201C;q&#x201D;&#xA0;&#x2014;&#xa0;ok &#x2603; &#X27;"),
     ]
     df = spark.createDataFrame(pages, "i int, t string")
     got = {r.i: r.o for r in df.select("i", html_to_text("t").alias("o")).collect()}
@@ -46,6 +49,7 @@ def test_html_to_text_semantics(spark):
     assert got[6] == "&lt; stays-encoded &gt; one-level"
     assert got[7] == "a inline c “q” — d"
     assert got[8] is None
+    assert got[9] == "it's “q” — ok &#x2603; &#X27;"
     # accepts a Column too
     assert (
         df.filter("i = 3").select(html_to_text(F.col("t"))).first()[0]

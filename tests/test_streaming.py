@@ -994,3 +994,44 @@ def test_bucketed_upsert_crash_before_publish_never_blesses_orphans(
         if f.endswith(".parquet")
     }
     assert on_disk - live == set(m["retired"])  # orphans gone
+
+
+def test_bucketed_upsert_meta_publish_is_atomic(spark, tmp_path):
+    """r8 ADVICE (medium): _upsert_meta.json is load-bearing (its
+    recorded schema drives _empty_from_meta, and pre-r8 snapshots are
+    upgraded by rewriting it), so it must publish with the same
+    write-aside + os.replace discipline as the manifest. Receipts:
+    (a) a stray half-written meta .tmp (crash between write-aside and
+    rename) is invisible — later merges and reads work off the real
+    meta and never parse the .tmp; (b) the published meta is valid
+    JSON with the full recorded contract after every merge."""
+    import json as _json
+    import os as _os
+
+    from gcp_dataengineering_spark.streaming.upsert import (
+        _META_FILE,
+        read_bucketed_snapshot,
+        upsert_batch_into_bucketed_snapshot,
+    )
+
+    buck = str(tmp_path / "buck")
+    b1 = spark.createDataFrame(
+        [(i, 1, f"p{i}") for i in range(50)], "k long, ver long, payload string"
+    )
+    upsert_batch_into_bucketed_snapshot(b1, buck, ["k"], ["ver"], 4)
+    meta_path = _os.path.join(buck, _META_FILE)
+    with open(meta_path) as fh:
+        meta = _json.load(fh)  # valid JSON, not truncated
+    assert meta["n_buckets"] == 4 and meta["keys"] == ["k"] and "schema" in meta
+
+    # simulate a crash mid-write-aside: garbage .tmp next to the meta
+    with open(meta_path + ".tmp", "w") as fh:
+        fh.write('{"n_buckets": 4, "keys": ["k"], "sch')  # truncated JSON
+    b2 = spark.createDataFrame(
+        [(7, 9, "u7"), (999, 1, "new")], "k long, ver long, payload string"
+    )
+    upsert_batch_into_bucketed_snapshot(b2, buck, ["k"], ["ver"], 4)
+    got = {r.k: (r.ver, r.payload) for r in read_bucketed_snapshot(spark, buck).collect()}
+    assert got[7] == (9, "u7") and got[999] == (1, "new") and len(got) == 51
+    with open(meta_path) as fh:
+        assert _json.load(fh)["n_buckets"] == 4  # real meta untouched
