@@ -18,9 +18,11 @@ steps):
    ``msclkid``, ``ref``) and SORT the surviving parameters
    byte-lexicographically (param order is almost never semantic;
    sorting folds permuted duplicates);
-7. drop a trailing ``?`` left by an emptied query, and fold a
-   trailing ``/`` on a non-root path (``/a/`` == ``/a``; the root
-   ``http://host/`` keeps its slash).
+7. drop a trailing ``?`` left by an emptied query, and fold the
+   whole trailing ``/`` run on a non-root path (``/a/`` == ``/a//``
+   == ``/a``; the root ``http://host/`` keeps its slash). Stripping
+   the run, not one slash, is what makes normalization IDEMPOTENT —
+   a projection — which the pytest property pins.
 
 Inputs that do not look like ``scheme://host...`` URLs pass through
 with only the trim applied (no guessing).
@@ -109,11 +111,11 @@ def normalize_url(col: Column | str) -> Column:
         )
     )
     qnorm = F.array_join(kept, "&")
-    # trailing-slash fold on a non-root path
-    path = F.when(
-        (F.length(path) > 1) & path.endswith("/"),
-        F.substring(path, 1, F.length(path) - 1),
-    ).otherwise(path)
+    # trailing-slash fold on a non-root path: strip the WHOLE run
+    # ('/a//' folds straight to '/a') — a single-slash fold is not
+    # idempotent, and canonicalization must be a projection
+    # (pytest: test_normalize_url_idempotent)
+    path = F.regexp_replace(path, "/+$", "")
     path = F.when(path == "", F.lit("/")).otherwise(path)
     rebuilt = F.concat(
         scheme,
@@ -153,10 +155,7 @@ def normalize_url_sql(expr: str) -> str:
         f"p -> p <> '' AND NOT {_is_tracking_sql('p')}))"
     )
     qnorm = f"array_to_string({kept}, '&')"
-    path1 = (
-        f"CASE WHEN length({path0}) > 1 AND ends_with({path0}, '/') "
-        f"THEN substring({path0}, 1, length({path0}) - 1) ELSE {path0} END"
-    )
+    path1 = f"regexp_replace({path0}, '/+$', '')"
     path = f"CASE WHEN {path1} = '' THEN '/' ELSE {path1} END"
     rebuilt = (
         f"{scheme} || '://' || {host} || {keep_port} || {path} || "

@@ -372,3 +372,45 @@ def test_warc_corpus_e2e_gates_on_prose(spark, tmp_path):
     assert len({"p0", "clone"} & kept) == 1
     # the distinct prose pages survive
     assert {"p1", "p2", "p3"} <= kept
+
+
+def test_warc_parser_never_crashes_fuzz():
+    """Robustness property: arbitrary byte mutations of valid WARC
+    bytes (bit flips, truncations, splices, gzip-layer damage) must
+    always TERMINATE and yield only record/error dicts — the
+    quarantine contract, fuzzed. This is pure Python (no Spark), so
+    hundreds of mutants are cheap."""
+    import gzip
+    import random
+
+    from gcp_dataengineering_spark.llm_ops.warc import parse_warc_members, synth_warc
+
+    rng = random.Random(20260814)
+    recs = [
+        dict(record_id=f"r{i}", warc_type="response",
+             target_uri=f"http://x.example/{i}",
+             http_body="body " * (i + 1), http_content_type="text/plain")
+        for i in range(4)
+    ]
+    plain = synth_warc(recs)
+    gz = synth_warc(recs, gzip_members=True)
+    for base in (plain, gz):
+        for _ in range(300):
+            buf = bytearray(base)
+            op = rng.randrange(4)
+            if op == 0 and buf:  # bit flips
+                for _ in range(rng.randint(1, 8)):
+                    buf[rng.randrange(len(buf))] ^= 1 << rng.randrange(8)
+            elif op == 1:  # truncate
+                del buf[rng.randrange(len(buf) + 1):]
+            elif op == 2:  # splice random garbage
+                pos = rng.randrange(len(buf) + 1)
+                buf[pos:pos] = bytes(rng.randrange(256) for _ in range(rng.randint(1, 40)))
+            else:  # duplicate a slice (repeated/overlapping records)
+                a = rng.randrange(len(buf) + 1)
+                b = min(len(buf), a + rng.randint(1, 200))
+                buf[a:a] = buf[a:b]
+            out = list(parse_warc_members(bytes(buf)))
+            assert len(out) < 10_000  # termination with bounded output
+            for rec in out:
+                assert ("error" in rec) or ("headers" in rec and "body" in rec)

@@ -237,3 +237,38 @@ def test_dedup_by_url_on_warc_bridge(spark, tmp_path):
     by_url = {r.url_norm: r for r in kept}
     assert by_url["http://s.example/page"].text == "new capture"
     assert by_url["http://s.example/elsewhere"].text == "different page"
+
+
+def test_normalize_url_idempotent(spark):
+    """A canonicalization must be a projection: normalize(normalize(u))
+    == normalize(u). Checked over the seeded fuzz corpus plus the
+    handcrafted cases — one Spark pass computes both applications."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from gcp_dataengineering_spark.llm_ops.urls import normalize_url
+
+    rng = random.Random(4242)
+    frags = [
+        "http://", "HTTPS://", "www.", "Example.COM", ":80", ":443",
+        ":8080", "/", "/A/b", "/x/", "?", "&", "=", "#f", "utm_source=1",
+        "gclid=2", "ref", "ref=h", "refresh=1", "a=1", "b=2", "z=9",
+        "word", "ünï", "??", "//", "",
+    ]
+    urls = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(0, 12)))
+        for _ in range(400)
+    ] + [
+        "HTTP://WWW.Example.COM:80/Path?utm_source=x&b=2&a=1#frag",
+        "https://site.org:443/", "not a url", "",
+    ]
+    df = spark.createDataFrame([(u,) for u in urls], "u string")
+    once = normalize_url("u")
+    twice = normalize_url(once)
+    bad = (
+        df.select("u", once.alias("n1"), twice.alias("n2"))
+        .filter(~(F.col("n1").eqNullSafe(F.col("n2"))))
+        .collect()
+    )
+    assert not bad, [(r.u, r.n1, r.n2) for r in bad[:3]]
