@@ -414,3 +414,26 @@ def test_warc_parser_never_crashes_fuzz():
             assert len(out) < 10_000  # termination with bounded output
             for rec in out:
                 assert ("error" in rec) or ("headers" in rec and "body" in rec)
+
+
+def test_warc_records_chunked_output_frames(spark, tmp_path):
+    """The 4096-row chunk flush in warc_records (the bounded-memory
+    contract) actually engages and loses nothing: a segment with
+    more records than one chunk parses completely and exactly."""
+    from gcp_dataengineering_spark.llm_ops.warc import synth_warc, warc_records
+
+    n = 4100  # crosses the 4096-row chunk boundary
+    recs = [
+        dict(record_id=f"r{i}", warc_type="response",
+             target_uri=f"http://x.example/{i}", http_body=f"b{i}",
+             http_content_type="text/plain")
+        for i in range(n)
+    ]
+    (tmp_path / "big.warc.gz").write_bytes(synth_warc(recs, gzip_members=True))
+    files = spark.read.format("binaryFile").load(str(tmp_path) + "/*.warc.gz")
+    out = warc_records(files)
+    assert out.count() == n
+    ids = {r.record_id for r in out.select("record_id").collect()}
+    assert len(ids) == n and "<urn:uuid:r4099>" in ids
+    texts = {r.text for r in out.limit(5).collect()}
+    assert all(t and t.startswith("b") for t in texts)

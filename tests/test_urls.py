@@ -272,3 +272,19 @@ def test_normalize_url_idempotent(spark):
         .collect()
     )
     assert not bad, [(r.u, r.n1, r.n2) for r in bad[:3]]
+
+
+def test_dedup_by_url_single_exchange_plan(spark):
+    """Scale-shape receipt: the reducer is ONE exchange (partial
+    map-side max feeding a final hash aggregate on the canonical
+    url) — no window, no sort, no second shuffle."""
+    from gcp_dataengineering_spark.llm_ops.urls import dedup_by_url
+
+    df = spark.createDataFrame(
+        [(i, f"http://s{i % 7}.example/p{i % 13}", f"2024-01-{i % 28 + 1:02d}", "x")
+         for i in range(200)],
+        "doc_id long, target_uri string, warc_date string, text string",
+    )
+    plan = dedup_by_url(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Window" not in plan and "SortMergeJoin" not in plan
