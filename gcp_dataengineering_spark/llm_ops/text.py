@@ -136,7 +136,10 @@ def gopher_features(df: DataFrame, text_col: str = "text") -> DataFrame:
 
     - ``g_n_words``: whitespace word count;
     - ``g_mean_word_len``: mean word length (rule: in [3, 10]);
-    - ``g_symbol_ratio``: ('#' + '…' occurrences) / words (≤ 0.1);
+    - ``g_symbol_ratio``: ('#' + '…' + '...' occurrences) / words
+      (≤ 0.1) — published Gopher implementations count BOTH ellipsis
+      spellings, and '...' is the common web form (the module's own
+      ellipsis-line rule already recognized it);
     - ``g_bullet_line_frac``: fraction of nonempty lines whose
       left-trimmed first char is a bullet (≤ 0.9);
     - ``g_ellipsis_line_frac``: fraction of nonempty lines ending
@@ -157,8 +160,10 @@ def gopher_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     n_words = F.size(words)
     n_words_safe = F.greatest(n_words, F.lit(1))
     no_space = F.regexp_replace(t, "\\s+", "")
+    # '...' counts non-overlapping left-to-right occurrences (replace
+    # semantics, identical in Spark and DuckDB: '......' -> 2)
     sym = F.lit(0)
-    for s in ("#", "…"):
+    for s in ("#", "…", "..."):
         sym = sym + (
             F.length(t) - F.length(F.replace(t, F.lit(s), F.lit("")))
         ) / len(s)

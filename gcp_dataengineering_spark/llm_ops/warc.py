@@ -134,6 +134,9 @@ def _parse_one(buf, offset: int) -> tuple[dict, int]:
     return {"headers": headers, "body": body}, pos + length
 
 
+_GZ_CHUNK = 1 << 20  # compressed bytes fed to zlib per inner step
+
+
 def _gzip_members(content: bytes) -> Iterator[bytes | dict]:
     """Decompress a (possibly multi-member) gzip blob one MEMBER at a
     time — ``zlib.decompressobj`` + ``unused_data`` — so peak memory
@@ -141,25 +144,41 @@ def _gzip_members(content: bytes) -> Iterator[bytes | dict]:
     and one ``{"error": str}`` dict (then stops) on truncation or
     corruption: the remaining tail cannot be located reliably once a
     member is bad, so it quarantines as a unit (pre-r9 lost the whole
-    file instead)."""
+    file instead).
+
+    Input is fed in bounded chunks (``_GZ_CHUNK``), advancing by
+    bytes actually consumed: feeding the whole remaining tail per
+    member makes zlib copy the unconsumed tail into ``unused_data``
+    at EVERY member boundary — O(members × file_size), hours on a
+    real Common-Crawl segment (~100k small members per ~1 GB file).
+    Chunk-bounding keeps the per-boundary copy ≤ one chunk, i.e.
+    linear total time (pytest pins a many-member wall-clock bound)."""
     mv = memoryview(content)
     pos, n = 0, len(content)
     while pos < n:
         d = zlib.decompressobj(zlib.MAX_WBITS | 16)
-        try:
-            out = d.decompress(mv[pos:])
-        except zlib.error as ex:
-            yield {"error": f"gzip decompression failed at byte {pos}: {ex}"}
-            return
-        if not d.eof:
-            yield {"error": "gzip decompression failed: truncated gzip member"}
-            return
-        yield out
-        new_pos = n - len(d.unused_data)
-        if new_pos <= pos:  # paranoid: a no-progress member would spin
+        start = pos
+        parts = []
+        while True:
+            chunk = mv[pos:pos + _GZ_CHUNK]
+            try:
+                parts.append(d.decompress(chunk))
+            except zlib.error as ex:
+                yield {"error": f"gzip decompression failed at byte {start}: {ex}"}
+                return
+            if d.eof:
+                # member ended inside this chunk: unused_data is the
+                # (chunk-bounded) leftover — advance by what was eaten
+                pos += len(chunk) - len(d.unused_data)
+                break
+            pos += len(chunk)
+            if pos >= n:
+                yield {"error": "gzip decompression failed: truncated gzip member"}
+                return
+        yield b"".join(parts)
+        if pos <= start:  # paranoid: a no-progress member would spin
             yield {"error": "gzip decompression failed: empty member"}
             return
-        pos = new_pos
 
 
 def parse_warc_members(content: bytes) -> Iterator[dict]:

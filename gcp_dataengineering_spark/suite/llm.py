@@ -1831,7 +1831,7 @@ WITH noisy AS (
     SELECT doc_id,
            len(list_filter(regexp_split_to_array(t, '\\s+'), w -> w <> '')) AS n_words,
            length(regexp_replace(t, '\\s+', '', 'g')) AS n_nospace,
-           (length(t) - length(replace(t, '#', ''))) + (length(t) - length(replace(t, '…', ''))) AS n_sym,
+           (length(t) - length(replace(t, '#', ''))) + (length(t) - length(replace(t, '…', ''))) + (length(t) - length(replace(t, '...', ''))) / 3 AS n_sym,
            list_filter(list_transform(string_split(t, chr(10)), l -> trim(l)), l -> l <> '') AS lines,
            len(list_filter(list_filter(regexp_split_to_array(t, '\\s+'), w -> w <> ''), w -> regexp_matches(w, '[a-zA-Z]'))) AS n_alpha,
            {hits} AS hits

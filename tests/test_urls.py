@@ -18,6 +18,10 @@ def test_normalize_url_semantics(spark):
         ("https://site.org", "https://site.org/"),
         ("http://site.org:8080/a/", "http://site.org:8080/a"),
         ("http://a.b/x?gclid=1&fbclid=2&utm_campaign=z&msclkid=7", "http://a.b/x"),
+        # the WHOLE leading www. run folds in one pass (idempotence)
+        ("http://www.www.example.com/a", "http://example.com/a"),
+        ("http://WWW.WwW.wWw.example.com/a", "http://example.com/a"),
+        ("http://www.org/x", "http://org/x"),  # run-strip, not label count
         ("http://a.b/x?z=1&y=2&z=0", "http://a.b/x?y=2&z=0&z=1"),
         ("http://a.b/x?ref=home&real=1", "http://a.b/x?real=1"),
         ("http://host/a?refresh=1", "http://host/a?refresh=1"),  # not 'ref'
@@ -52,7 +56,7 @@ def test_normalize_url_spark_duckdb_parity_fuzz(spark):
 
     rng = random.Random(20260814)
     frags = [
-        "http://", "HTTPS://", "ftp://", "www.", "WWW.", "Example.COM",
+        "http://", "HTTPS://", "ftp://", "www.", "WWW.", "www.www.", "Example.COM",
         "site.org", ":80", ":443", ":8080", ":0", "/", "/A/b", "/x/",
         "?", "&", "=", "#frag", "#", "utm_source=1", "utm_x", "gclid=2",
         "ref", "ref=h", "refresh=1", "a=1", "b", "z=9", "??", "//",
@@ -110,6 +114,29 @@ def test_dedup_by_url_keeps_latest_capture(spark):
     }
 
 
+def test_dedup_by_url_unorderable_payload(spark):
+    """The reducer orders ONLY on (order_col, id_col) via max_by, so
+    a map-typed payload column — unorderable, would fail analysis
+    under max(struct(<everything>)) — rides along untouched, and a
+    full (order, id) tie never compares document text."""
+    from pyspark.sql import functions as F
+
+    from gcp_dataengineering_spark.llm_ops.urls import dedup_by_url
+
+    df = spark.createDataFrame(
+        [
+            (1, "http://www.s.example/p", "2024-01-01", {"k": "old"}),
+            (2, "http://s.example/p/", "2024-02-01", {"k": "new"}),
+        ],
+        "doc_id long, target_uri string, warc_date string, meta map<string,string>",
+    )
+    out = dedup_by_url(df).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == 2 and out[0].meta == {"k": "new"}
+    plan = dedup_by_url(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+
 def test_gopher_rules_semantics(spark):
     """Each Gopher rule fires on a handcrafted violator and the
     clean-prose doc passes all of them (thresholds from the
@@ -131,6 +158,7 @@ def test_gopher_rules_semantics(spark):
         (1, "the of and " + "a " * 60),                       # mean word len < 3
         (2, "the of and " + "supercalifragilistic " * 40),    # mean len > 10
         (3, "the of and have " + "# word " * 30),             # symbol ratio > 0.1
+        (9, "the of and have " + "word... also " * 30),       # ASCII '...' counts too
         (4, "\n".join("• the item of x" for _ in range(10))), # bullets > 0.9
         (5, "the first line of it...\nthe second one too...\n"
             "and a normal line with that"),                   # ellipsis > 0.3
@@ -146,12 +174,15 @@ def test_gopher_rules_semantics(spark):
         .collect()
     }
     assert out[0].ok, out[0]
-    for i in range(1, 9):
+    for i in range(1, 10):
         assert not out[i].ok, (i, out[i])
     # the specific feature each violator trips
     assert out[1].g_mean_word_len < 3.0
     assert out[2].g_mean_word_len > 10.0
     assert out[3].g_symbol_ratio > 0.1
+    # '...' is one symbol occurrence (count = length-delta / 3), the
+    # published two-spelling ellipsis rule (advice r9)
+    assert out[9].g_symbol_ratio > 0.1
     assert out[4].g_bullet_line_frac > 0.9
     assert out[5].g_ellipsis_line_frac > 0.3
     assert out[6].g_alpha_word_frac < 0.8
@@ -262,6 +293,10 @@ def test_normalize_url_idempotent(spark):
     ] + [
         "HTTP://WWW.Example.COM:80/Path?utm_source=x&b=2&a=1#frag",
         "https://site.org:443/", "not a url", "",
+        # the case the seeded corpora never generated (advice r9): a
+        # one-prefix www-strip is NOT idempotent on a www. run
+        "http://www.www.example.com/a",
+        "https://WWW.www.WWW.site.org:443/b/",
     ]
     df = spark.createDataFrame([(u,) for u in urls], "u string")
     once = normalize_url("u")
