@@ -710,3 +710,138 @@ def simhash16(
             .alias("simhash")
         )
     )
+
+
+# ------------------------------------------- exact substring (span) dedup
+def positional_gram_rows(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    spread: bool = True,
+) -> DataFrame:
+    """(doc_id, pos, gram) rows: EVERY word k-gram with its 0-based
+    word position — the positional sibling of :func:`shingle_rows`
+    (which is distinct and position-free). Same scale discipline:
+    words projected to a real column before the transform (no O(n²)
+    lambda re-evaluation), `spread` guard for few-file inputs, and
+    the n < k case yields no rows (sequence would otherwise DESCEND)."""
+    base = df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("_text"))
+    if spread:
+        parallelism = df.sparkSession.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < parallelism:
+            base = base.repartition(parallelism)
+    words = F.filter(F.split(F.lower(F.col("_text")), "\\s+"), lambda t: t != "")
+    wdf = base.select("doc_id", words.alias("_w"))
+    w = F.col("_w")
+    n = F.size(w) - F.lit(k - 1)
+    grams = F.when(
+        n > 0,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat_ws(" ", F.slice(w, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return wdf.select("doc_id", F.posexplode(grams).alias("pos", "gram"))
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+    spread: bool = True,
+) -> DataFrame:
+    """Cross-document EXACT-substring duplication (the span-level
+    dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better" — arXiv:2107.06499 — re-expressed as
+    DataFrame ops; the suffix-array machinery is replaced by the
+    k-gram positional posting list, which finds the same >= k-word
+    duplicated spans):
+
+    1. every word k-gram with its position (:func:`positional_gram_rows`);
+    2. grams seen in >= ``min_docs`` DISTINCT documents (one
+       groupBy — intra-doc repetition is text_repetition's domain);
+    3. each doc's duplicated gram positions merged into MAXIMAL
+       spans: positions p, q chain while q <= p + k (their k-word
+       windows overlap or abut), via one lag + running-sum window.
+
+    Returns (doc_id, span_start, span_end, n_grams) with word-index
+    bounds INCLUSIVE; spans are disjoint per doc by construction.
+
+    Scale shape: one exchange on the gram string for the frequency
+    count, one gram-keyed shuffle join back (AQE splits the hot-gram
+    skew; substituting xxhash64(gram) for the string key would halve
+    shuffle width at a ~2^-64 collision risk — kept exact here), one
+    doc-keyed window. Never all-pairs, never a suffix array in one
+    task's memory."""
+    from pyspark.sql import Window
+
+    grams = positional_gram_rows(df, text_col, id_col, k=k, spread=spread)
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.count_distinct("doc_id").alias("_nd"))
+        .filter(F.col("_nd") >= min_docs)
+        .select("gram")
+    )
+    hits = grams.join(dup, "gram").select("doc_id", "pos")
+    wspec = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(wspec)
+    brk = F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0)
+    spans = (
+        hits.withColumn("_brk", brk)
+        .withColumn(
+            "_span",
+            F.sum("_brk").over(wspec.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "_span")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .drop("_span")
+    )
+    return spans
+
+
+def strip_duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+    out_col: str = "clean_text",
+    spans: DataFrame | None = None,
+) -> DataFrame:
+    """Remove every duplicated span found by :func:`duplicate_spans`
+    from the text: words whose index falls inside ANY span are
+    dropped and the survivors rejoined with single spaces (output is
+    whitespace-normalized — positions come from the same \\s+ split,
+    so indices line up with the ORIGINAL-case words). Pass ``spans``
+    to reuse a precomputed span frame (same k). Adds ``out_col``;
+    untouched docs keep all their words. One covered-index aggregate
+    + one broadcast-eligible left join per doc — the text itself is
+    never shuffled by the span machinery."""
+    if spans is None:
+        spans = duplicate_spans(
+            df, text_col, id_col, k=k, min_docs=min_docs
+        )
+    cov = (
+        spans.select(
+            "doc_id",
+            F.explode(F.sequence("span_start", "span_end")).alias("_idx"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("_idx").alias("_cov"))
+    )
+    joined = df.join(
+        cov.withColumnRenamed("doc_id", "_cov_id"),
+        F.col(id_col) == F.col("_cov_id"),
+        "left",
+    ).drop("_cov_id")
+    words = F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
+    cov_arr = F.coalesce(F.col("_cov"), F.array().cast("array<long>"))
+    kept = F.filter(words, lambda wd, i: ~F.array_contains(cov_arr, i.cast("long")))
+    return joined.withColumn(out_col, F.array_join(kept, " ")).drop("_cov")

@@ -48,7 +48,11 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["normalize_url", "normalize_url_sql", "dedup_by_url", "TRACKING_PARAMS"]
+__all__ = [
+    "normalize_url", "normalize_url_sql", "dedup_by_url", "TRACKING_PARAMS",
+    "host_of", "host_of_sql", "registrable_domain", "registrable_domain_sql",
+    "domain_stats", "filter_blocked_domains", "PUBLIC_SUFFIX_2",
+]
 
 # query parameters that never change the resource
 TRACKING_PARAMS = ("utm_", "gclid", "fbclid", "msclkid", "ref")
@@ -193,3 +197,134 @@ def dedup_by_url(
     return winner.select(
         "url_norm", *[F.col(f"_w.{c}").alias(c) for c in cols]
     )
+
+
+# --------------------------------------------------- domain analytics
+# Two-label public suffixes under which the registrable domain is
+# LABEL.suffix (a documented SUBSET of the Mozilla Public Suffix
+# List — public knowledge; the full PSL also carries wildcard and
+# exception rules this fold deliberately omits, noted in the
+# registrable_domain docstring).
+PUBLIC_SUFFIX_2 = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "me.uk", "net.uk",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "go.jp",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.nz", "net.nz", "org.nz",
+    "com.br", "net.br", "org.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "com.mx", "com.ar", "com.tr", "com.sg", "com.hk",
+    "co.in", "net.in", "org.in", "co.za", "com.tw",
+    "co.kr", "or.kr", "com.my", "com.ph", "com.vn",
+    "com.sa", "co.th", "co.id",
+)
+
+
+def host_of(col: Column | str) -> Column:
+    """Lowercased host of a URL column (port excluded by the split
+    regex); non-URL strings → NULL. Pure column expression."""
+    c = F.trim(F.col(col) if isinstance(col, str) else col)
+    h = F.lower(F.regexp_extract(c, _URL_RE, 2))
+    return F.when(c.rlike(_HAS_URL_RE), h).otherwise(F.lit(None).cast("string"))
+
+
+def host_of_sql(expr: str) -> str:
+    """DuckDB replay of :func:`host_of`."""
+    pat = _URL_RE.replace("'", "''")
+    has = _HAS_URL_RE.replace("'", "''")
+    c = f"trim({expr})"
+    return (
+        f"CASE WHEN regexp_matches({c}, '{has}') "
+        f"THEN lower(regexp_extract({c}, '{pat}', 2)) ELSE NULL END"
+    )
+
+
+def registrable_domain(host: Column | str) -> Column:
+    """Registrable domain (eTLD+1-style fold) of a HOST column:
+    the last two labels, or the last THREE when the last two form a
+    known two-label public suffix (:data:`PUBLIC_SUFFIX_2` — a
+    documented subset of the Mozilla PSL, no wildcard/exception
+    rules: unknown ccTLD suffixes fold one label short). Single-label
+    hosts pass through; NULL → NULL. Per-domain rollups are how a
+    crawl pipeline rate-limits, reputations-scores, and blocklists —
+    host-level grouping splits one site across its subdomains."""
+    h = F.col(host) if isinstance(host, str) else host
+    labels = F.split(h, "\\.")
+    n = F.size(labels)
+    last2 = F.concat_ws(".", F.slice(labels, -2, 2))
+    last3 = F.concat_ws(".", F.slice(labels, -3, 3))
+    return (
+        F.when(h.isNull(), F.lit(None).cast("string"))
+        .when((n >= 3) & last2.isin(*PUBLIC_SUFFIX_2), last3)
+        .when(n >= 2, last2)
+        .otherwise(h)
+    )
+
+
+def registrable_domain_sql(host_expr: str) -> str:
+    """DuckDB replay of :func:`registrable_domain` (same suffix
+    subset, same fold order)."""
+    suf = ", ".join(f"'{s}'" for s in PUBLIC_SUFFIX_2)
+    labels = f"string_split({host_expr}, '.')"
+    last2 = f"array_to_string({labels}[-2:], '.')"
+    last3 = f"array_to_string({labels}[-3:], '.')"
+    return (
+        f"CASE WHEN {host_expr} IS NULL THEN NULL "
+        f"WHEN len({labels}) >= 3 AND {last2} IN ({suf}) THEN {last3} "
+        f"WHEN len({labels}) >= 2 THEN {last2} "
+        f"ELSE {host_expr} END"
+    )
+
+
+def domain_stats(
+    df: DataFrame,
+    url_col: str = "url",
+    weight_col: str | None = None,
+    blocklist: tuple[str, ...] | list[str] = (),
+) -> DataFrame:
+    """Per-registrable-domain rollup of a crawl frame: doc count,
+    distinct-host count, optional weight sum (e.g. chars/tokens), and
+    a ``blocked`` flag from a literal blocklist (pure isin — small
+    lists belong in the expression, not a join; see
+    :func:`filter_blocked_domains` for DataFrame-sized lists). One
+    exchange keyed on the domain; rows without a parseable host drop.
+    """
+    host = host_of(url_col)
+    dom = registrable_domain(host)
+    base = df.select(
+        dom.alias("domain"), host.alias("_host"),
+        *([F.col(weight_col).alias("_wt")] if weight_col else []),
+    ).filter(F.col("domain").isNotNull())
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.count_distinct("_host").cast("long").alias("n_hosts"),
+    ]
+    if weight_col:
+        aggs.append(F.sum("_wt").cast("long").alias("weight_sum"))
+    out = base.groupBy("domain").agg(*aggs)
+    blocked = (
+        F.col("domain").isin(*blocklist) if blocklist else F.lit(False)
+    )
+    return out.withColumn("blocked", blocked)
+
+
+def filter_blocked_domains(
+    df,
+    blocklist,
+    url_col: str = "url",
+) -> DataFrame:
+    """Drop rows whose registrable domain is blocklisted. A list
+    blocklist compiles to an isin expression (no join, no shuffle); a
+    DataFrame blocklist (single ``domain`` column) becomes a
+    BROADCAST left-anti join — the blocklist is dimension-sized by
+    construction, the crawl side never shuffles."""
+    dom = registrable_domain(host_of(url_col))
+    if isinstance(blocklist, DataFrame):
+        return (
+            df.withColumn("_dom", dom)
+            .join(F.broadcast(blocklist.select(F.col("domain").alias("_dom"))),
+                  "_dom", "left_anti")
+            .drop("_dom")
+        )
+    if not blocklist:
+        return df
+    return df.filter(~dom.isin(*list(blocklist)) | dom.isNull())

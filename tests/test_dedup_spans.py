@@ -1,0 +1,113 @@
+"""Span-level exact-substring dedup (llm_ops/dedup.py:
+positional_gram_rows / duplicate_spans / strip_duplicate_spans) —
+the Lee et al. 2022 duplicated-span primitive re-expressed as
+posting-list + window ops (no suffix array, no all-pairs)."""
+
+from __future__ import annotations
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_positional_gram_rows_positions(spark):
+    from gcp_dataengineering_spark.llm_ops.dedup import positional_gram_rows
+
+    df = _docs(spark, [(1, "a b c d"), (2, "x y"), (3, "")])
+    out = positional_gram_rows(df, k=3).collect()
+    got = {(r.doc_id, r.pos): r.gram for r in out}
+    # doc 1: two 3-grams at positions 0 and 1; docs 2/3 too short -> none
+    assert got == {(1, 0): "a b c", (1, 1): "b c d"}
+
+
+def test_duplicate_spans_semantics(spark):
+    """Shared prefix across two docs -> one maximal span each; a doc
+    with two separated shared regions -> two spans; a unique doc ->
+    none; intra-doc-only repetition does NOT count (min_docs=2)."""
+    from gcp_dataengineering_spark.llm_ops.dedup import duplicate_spans
+
+    shared = "the quick brown fox jumps over the lazy dog"  # 9 words
+    df = _docs(
+        spark,
+        [
+            (1, shared + " unique tail one two three"),
+            (2, "different head words here " + shared),
+            # two shared regions split by a long unique middle
+            (3, shared + " z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 " + shared),
+            (4, "completely unrelated text with no overlap at all"),
+            # repeats ITSELF but matches no other doc
+            (5, "solo phrase repeated often " * 4),
+        ],
+    )
+    spans = {
+        (r.doc_id, r.span_start, r.span_end): r.n_grams
+        for r in duplicate_spans(df, k=4, min_docs=2).collect()
+    }
+    by_doc = {}
+    for (d, s, e), n in spans.items():
+        by_doc.setdefault(d, []).append((s, e, n))
+    # doc 1: words 0..8 duplicated -> grams at 0..5 -> span [0, 8]
+    assert by_doc[1] == [(0, 8, 6)]
+    # doc 2: shared starts at word 4 -> span [4, 12]
+    assert by_doc[2] == [(4, 12, 6)]
+    # doc 3: two disjoint spans [0,8] and [19,27] (9 + 10 + 9 words)
+    assert sorted(by_doc[3]) == [(0, 8, 6), (19, 27, 6)]
+    assert 4 not in by_doc and 5 not in by_doc
+
+
+def test_duplicate_spans_adjacent_grams_merge(spark):
+    """Positions p and q merge while q <= p + k — overlapping AND
+    abutting k-word windows form one span, a gap of > k breaks it."""
+    from gcp_dataengineering_spark.llm_ops.dedup import duplicate_spans
+
+    # doc 6/7 share "a b c" and "d e f" with ONE unique word between
+    # them in doc 6: gram hits at 0 and 4 with k=3 -> 4 <= 0+3 is
+    # false -> two spans
+    df = _docs(
+        spark,
+        [
+            (6, "a b c q1 d e f"),
+            (7, "a b c zz d e f"),
+        ],
+    )
+    by_doc = {}
+    for r in duplicate_spans(df, k=3, min_docs=2).collect():
+        by_doc.setdefault(r.doc_id, []).append((r.span_start, r.span_end))
+    assert sorted(by_doc[6]) == [(0, 2), (4, 6)]
+
+
+def test_strip_duplicate_spans_rebuild(spark):
+    """Covered words drop, survivors rejoin with single spaces in
+    ORIGINAL case; untouched docs keep every word."""
+    from gcp_dataengineering_spark.llm_ops.dedup import strip_duplicate_spans
+
+    shared = "The Quick Brown Fox Jumps Over The Lazy Dog"
+    df = _docs(
+        spark,
+        [
+            (1, shared + " Unique Tail One Two Three"),
+            (2, "Other   Start Words Here " + shared),  # multi-space too
+            (3, "nothing shared in this one"),
+        ],
+    )
+    out = {r.doc_id: r.clean_text for r in strip_duplicate_spans(df, k=4).collect()}
+    assert out[1] == "Unique Tail One Two Three"
+    assert out[2] == "Other Start Words Here"
+    assert out[3] == "nothing shared in this one"
+
+
+def test_duplicate_spans_plan_shape(spark):
+    """Scale receipt: no cartesian/broadcast-nested-loop anywhere in
+    the plan — candidate generation is the posting-list join, span
+    assembly one doc-keyed window."""
+    from gcp_dataengineering_spark.llm_ops.dedup import duplicate_spans
+
+    df = _docs(spark, [(i, f"w{i} x y z common phrase words here") for i in range(50)])
+    plan = (
+        duplicate_spans(df, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

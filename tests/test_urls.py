@@ -323,3 +323,115 @@ def test_dedup_by_url_single_exchange_plan(spark):
     plan = dedup_by_url(df)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert "Window" not in plan and "SortMergeJoin" not in plan
+
+
+def test_registrable_domain_fold(spark):
+    """eTLD+1 fold: two-label public suffixes take three labels,
+    everything else two; single-label and NULL pass through; www is
+    just another subdomain label (the fold ignores it)."""
+    from gcp_dataengineering_spark.llm_ops.urls import host_of, registrable_domain
+
+    cases = [
+        ("http://www.news.example.co.uk/a", "example.co.uk"),
+        ("http://media.a.b.example.com/x", "example.com"),
+        ("https://Example.COM/", "example.com"),
+        ("http://example.co.uk:8080/", "example.co.uk"),
+        ("http://co.uk/", "co.uk"),            # bare suffix: 2 labels
+        ("http://localhost/x", "localhost"),   # single label
+        ("http://sub.shop.com.au/", "shop.com.au"),
+        ("not a url", None),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, u string"
+    )
+    got = {
+        r.i: r.d
+        for r in df.select(
+            "i", registrable_domain(host_of("u")).alias("d")
+        ).collect()
+    }
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+
+
+def test_registrable_domain_spark_duckdb_parity_fuzz(spark):
+    """registrable_domain(host_of(u)) vs the SQL replay over seeded
+    URL soups — same shared-dialect contract as normalize_url."""
+    import random
+
+    import duckdb
+
+    from gcp_dataengineering_spark.llm_ops.urls import (
+        host_of,
+        host_of_sql,
+        registrable_domain,
+        registrable_domain_sql,
+    )
+
+    rng = random.Random(101)
+    frags = [
+        "http://", "https://", "www.", "a.", "b.", "example", ".co.uk",
+        ".com", ".com.au", ".org", "", ":8080", "/p", "?q=1", "#f",
+        "localhost", ".", "..", "xn--caf", "ünï",
+    ]
+    urls = [
+        "".join(rng.choice(frags) for _ in range(rng.randint(0, 8)))
+        for _ in range(250)
+    ]
+    df = spark.createDataFrame([(i, u) for i, u in enumerate(urls)], "i int, u string")
+    got = {
+        r.i: r.d
+        for r in df.select(
+            "i", registrable_domain(host_of("u")).alias("d")
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = registrable_domain_sql(host_of_sql("u"))
+    bad = []
+    for i, u in enumerate(urls):
+        want = con.execute(f"SELECT {expr} FROM (SELECT ? AS u)", [u]).fetchone()[0]
+        if got[i] != want:
+            bad.append((u, got[i], want))
+    assert not bad, bad[:3]
+
+
+def test_domain_stats_and_blocklist(spark):
+    """Per-domain rollup (docs, distinct hosts, weight sum, blocked
+    flag) and both blocklist forms: literal list = isin expression
+    (no join in the plan), DataFrame = broadcast anti-join."""
+    from gcp_dataengineering_spark.llm_ops.urls import (
+        domain_stats,
+        filter_blocked_domains,
+    )
+
+    rows = [
+        (1, "http://www.news.example.co.uk/a", 100),
+        (2, "http://media.example.co.uk/b", 200),
+        (3, "http://shop.site.com/c", 10),
+        (4, "http://site.com/d", 20),
+        (5, "http://spam.example/e", 5),
+        (6, "not a url", 999),  # drops from stats
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string, n_chars long")
+    stats = {
+        r.domain: r
+        for r in domain_stats(
+            df, "url", weight_col="n_chars", blocklist=["spam.example"]
+        ).collect()
+    }
+    assert set(stats) == {"example.co.uk", "site.com", "spam.example"}
+    assert (stats["example.co.uk"].n_docs, stats["example.co.uk"].n_hosts,
+            stats["example.co.uk"].weight_sum) == (2, 2, 300)
+    assert (stats["site.com"].n_docs, stats["site.com"].n_hosts) == (2, 2)
+    assert stats["spam.example"].blocked and not stats["site.com"].blocked
+
+    kept = filter_blocked_domains(df, ["spam.example"], "url")
+    assert {r.doc_id for r in kept.collect()} == {1, 2, 3, 4, 6}  # non-URL kept
+    assert "Join" not in kept._jdf.queryExecution().executedPlan().toString()
+
+    bl = spark.createDataFrame([("spam.example",)], "domain string")
+    kept2 = filter_blocked_domains(df, bl, "url")
+    assert {r.doc_id for r in kept2.collect()} == {1, 2, 3, 4, 6}
+    plan = kept2._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
