@@ -87,6 +87,13 @@ HEADLINE = [
     # round-9: Gopher quality rules (line/word array lambdas over
     # every document)
     "gopher_rules",
+    # round-10: span-level exact-substring dedup (positional k-gram
+    # posting lists + a window merge — the gram explode and the
+    # gram-keyed join are the costs that drift)
+    "dedup_spans",
+    # round-10: registrable-domain rollup (regexp host extraction +
+    # label-array fold + one domain-keyed exchange)
+    "domain_stats",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

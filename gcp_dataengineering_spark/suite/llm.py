@@ -1861,8 +1861,181 @@ FROM g
 """
 
 
+# ----------------------------------------------------- span-level dedup
+_SPAN_BOILER = (
+    "subscribe to our newsletter for updates and follow us on social media today"
+)  # 13 words — injected into every 3rd doc so cross-doc spans exist
+_SPAN_K = 5
+
+
+def q_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_ops.dedup.duplicate_spans + strip_duplicate_spans (the
+    Lee et al. 2022 exact-substring dedup as posting-list + window
+    ops) over documents with a fixed boilerplate sentence injected
+    into every 3rd doc: per doc, total word count, number of maximal
+    duplicated spans, words covered, and the word count of the
+    stripped rebuild — clean_words is measured from the REBUILT
+    STRING in Spark but computed arithmetically (total − covered) in
+    the oracle, so the hash gate also proves the index-filtered text
+    reconstruction drops exactly the covered words."""
+    from ..llm_ops import dedup as D
+
+    docs0 = _t(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(_SPAN_BOILER + " "), F.col("text")),
+    ).otherwise(F.col("text"))
+    docs = docs0.select("doc_id", injected.alias("text"))
+    # the span frame feeds BOTH the stats agg and the strip's covered
+    # set — materialize it once (localCheckpoint; tiny: one row per
+    # span) so the gram posting pipeline runs once, not per consumer
+    from ..llm_ops.materialize import materialize as _mat
+
+    spans = _mat(D.duplicate_spans(docs, k=_SPAN_K, min_docs=2), None)
+    stats = spans.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum(F.col("span_end") - F.col("span_start") + 1)
+        .cast("long")
+        .alias("covered_words"),
+    )
+    cleaned = D.strip_duplicate_spans(docs, k=_SPAN_K, spans=spans)
+    words = F.filter(F.split(F.col("text"), "\\s+"), lambda t: t != "")
+    clean_words = F.filter(F.split(F.col("clean_text"), "\\s+"), lambda t: t != "")
+    return (
+        cleaned.select(
+            "doc_id",
+            F.size(words).cast("long").alias("total_words"),
+            F.size(clean_words).cast("long").alias("clean_words"),
+        )
+        .join(stats, "doc_id", "left")
+        .select(
+            "doc_id",
+            "total_words",
+            F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+            F.coalesce(F.col("covered_words"), F.lit(0))
+            .cast("long")
+            .alias("covered_words"),
+            "clean_words",
+        )
+    )
+
+
+ORACLE_DEDUP_SPANS = f"""
+WITH docs AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 3 = 0 THEN '{_SPAN_BOILER} ' || text ELSE text END AS t
+    FROM documents
+), words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(t), '\\s+'), x -> x <> '') AS w
+    FROM docs
+), g AS (
+    SELECT doc_id, i AS pos, array_to_string(w[i+1:i+{_SPAN_K}], ' ') AS gram
+    FROM words, unnest(range(greatest(len(w) - {_SPAN_K - 1}, 0))) AS r(i)
+), dup AS (
+    SELECT gram FROM g GROUP BY 1 HAVING COUNT(DISTINCT doc_id) >= 2
+), hits AS (
+    SELECT g.doc_id, g.pos FROM g JOIN dup USING (gram)
+), marked AS (
+    SELECT doc_id, pos,
+           CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) IS NULL
+                     OR pos > lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) + {_SPAN_K}
+                THEN 1 ELSE 0 END AS brk
+    FROM hits
+), sp AS (
+    SELECT doc_id, pos,
+           SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS UNBOUNDED PRECEDING) AS span_id
+    FROM marked
+), spans AS (
+    SELECT doc_id, span_id, MIN(pos) AS s, MAX(pos) + {_SPAN_K - 1} AS e
+    FROM sp GROUP BY 1, 2
+), stats AS (
+    SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS covered
+    FROM spans GROUP BY 1
+)
+SELECT w.doc_id,
+       CAST(len(w.w) AS BIGINT) AS total_words,
+       CAST(coalesce(st.n_spans, 0) AS BIGINT) AS n_spans,
+       CAST(coalesce(st.covered, 0) AS BIGINT) AS covered_words,
+       CAST(len(w.w) - coalesce(st.covered, 0) AS BIGINT) AS clean_words
+FROM words w LEFT JOIN stats st USING (doc_id)
+"""
+
+
+# --------------------------------------------------- domain analytics
+def _domain_host_col():
+    """The synthetic per-doc crawl host (Spark side): multi-label
+    hosts exercising the co.uk fold, deep subdomains, www runs and a
+    single-label host."""
+    return (
+        F.when(F.col("doc_id") % 6 == 0, F.lit("WWW.News.Example.CO.UK"))
+        .when(F.col("doc_id") % 6 == 1, F.lit("media.news.example.co.uk"))
+        .when(F.col("doc_id") % 6 == 2, F.lit("www.www.blog.example.com"))
+        .when(F.col("doc_id") % 6 == 3, F.lit("shop.example.com"))
+        .when(F.col("doc_id") % 6 == 4, F.lit("spam.example"))
+        .otherwise(F.lit("localhost"))
+    )
+
+
+_DOMAIN_HOST_SQL = (
+    "CASE WHEN doc_id % 6 = 0 THEN 'WWW.News.Example.CO.UK' "
+    "WHEN doc_id % 6 = 1 THEN 'media.news.example.co.uk' "
+    "WHEN doc_id % 6 = 2 THEN 'www.www.blog.example.com' "
+    "WHEN doc_id % 6 = 3 THEN 'shop.example.com' "
+    "WHEN doc_id % 6 = 4 THEN 'spam.example' "
+    "ELSE 'localhost' END"
+)
+
+_DOMAIN_BLOCKLIST = ("spam.example",)
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """llm_ops.urls.domain_stats over synthetic crawl URLs: the
+    registrable-domain fold (PSL two-label subset — co.uk takes three
+    labels), distinct-host counting, n_chars weight sum, and the
+    blocklist flag, all replayed in SQL."""
+    from ..llm_ops import urls as U
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("http://"),
+        _domain_host_col(),
+        F.lit("/p-"),
+        (F.col("doc_id") % 10).cast("string"),
+    )
+    frame = docs.select("doc_id", url.alias("url"), "n_chars")
+    return U.domain_stats(
+        frame, "url", weight_col="n_chars", blocklist=list(_DOMAIN_BLOCKLIST)
+    )
+
+
+def _domain_stats_oracle() -> str:
+    from ..llm_ops import urls as U
+
+    url = f"'http://' || {_DOMAIN_HOST_SQL} || '/p-' || CAST(doc_id % 10 AS VARCHAR)"
+    host = U.host_of_sql(f"({url})")
+    dom = U.registrable_domain_sql(f"({host})")
+    blocked = ", ".join(f"'{d}'" for d in _DOMAIN_BLOCKLIST)
+    return f"""
+WITH tagged AS (
+    SELECT {dom} AS domain, {host} AS h, n_chars
+    FROM documents
+    WHERE {dom} IS NOT NULL
+)
+SELECT domain,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(COUNT(DISTINCT h) AS BIGINT) AS n_hosts,
+       CAST(SUM(n_chars) AS BIGINT) AS weight_sum,
+       domain IN ({blocked}) AS blocked
+FROM tagged GROUP BY domain
+"""
+
+
 QUERIES = {
     "bpe_encode": q_bpe_encode,
+    "dedup_spans": q_dedup_spans,
+    "domain_stats": q_domain_stats,
     "html_text": q_html_text,
     "url_normalize": q_url_normalize,
     "gopher_rules": q_gopher_rules,
@@ -1918,6 +2091,8 @@ QUERIES = {
 
 ORACLES = {
     "bpe_encode": ORACLE_BPE_ENCODE,
+    "dedup_spans": ORACLE_DEDUP_SPANS,
+    "domain_stats": _domain_stats_oracle(),
     "html_text": ORACLE_HTML_TEXT,
     "url_normalize": _url_normalize_oracle(),
     "gopher_rules": _gopher_oracle(),

@@ -100,9 +100,14 @@ RESIDENT = [
     "dedup_groups",
     "embedding_pq",
     "embedding_lsh",
-    "pii_scrub",
     "dedup_pipeline",
-    "dedup_incremental",
+    # r10 moves: pii_scrub (stable green since r2; plan settled by the
+    # r8 capturing-sentinel rewrite and its r8/r9 resident rows) and
+    # dedup_incremental (stable green since r6) demoted to GROUP_A —
+    # green r9 as residents, next driver row r11 via the A parity:
+    # exactly the ≤2-round staleness bound — funding GROUP_B slots for
+    # the new dedup_spans + domain_stats (in-window immediately, r10
+    # is the B parity).
 ]
 
 # In-window on ODD rounds (r7, r9, ...). Originally the keys round
@@ -175,6 +180,12 @@ GROUP_A = [
     # new in r9: the published Gopher quality-rule set, in-window
     # immediately
     "gopher_rules",
+    # demoted from RESIDENT in r10 (stable; pii_scrub's plan settled
+    # by the r8 rewrite, dedup_incremental green since r6) to fund
+    # GROUP_B slots for dedup_spans + domain_stats — green r9 as
+    # residents, next driver row r11 via this parity
+    "pii_scrub",
+    "dedup_incremental",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). The r6-green core plus
@@ -243,6 +254,13 @@ GROUP_B = [
     # PERMANENT_EXTERNAL twin sessionize_native shares the oracle) to
     # fund the GROUP_A slot for gopher_rules — next driver row r10
     "sessionize",
+    # new in r10: span-level exact-substring dedup (Lee et al. 2022
+    # as posting-list + window ops) — in-window immediately (r10 is
+    # the B parity)
+    "dedup_spans",
+    # new in r10: registrable-domain rollup + blocklist for the crawl
+    # path — in-window immediately
+    "domain_stats",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.
