@@ -3,6 +3,8 @@ splits + shard plan out — every stage an operator this package
 already oracle- or pytest-gates individually, chained in the order a
 production pretraining-data build runs them:
 
+0. optional registrable-domain blocklist (config.blocked_domains +
+   config.url_col — drop whole sites before any text work),
 1. page quality gate (quality_features + the corpus policy),
 2. source reputation gate (judge the site, not just the page),
 2b. optional boilerplate removal (corpus-frequency repeated-segment
@@ -12,6 +14,9 @@ production pretraining-data build runs them:
 4. exact dedup (md5 fingerprint, min-id keeper),
 5. near-dup dedup (MinHash → LSH bands → connected components →
    keeper per group),
+5b. optional span-level exact-substring dedup (config.span_dedup_k —
+   strip residual cross-document duplicated spans from surviving
+   docs, Lee et al. 2022 style),
 6. eval-set decontamination (13-gram overlap anti-join; skipped when
    no eval sets given),
 7. per-source token cap (anti-overrepresentation; optional),
@@ -94,6 +99,20 @@ class PipelineConfig:
     bpe_merges: object | None = None
     bpe_word_pattern: str = "[^a-z]+"
     bpe_max_word_len: int = 64
+    # registrable-domain blocklist (urls.filter_blocked_domains),
+    # applied FIRST — before any text is even featurized — when the
+    # frame carries url_col. A pure isin/anti-join filter: the
+    # cheapest possible place to drop a whole site.
+    blocked_domains: tuple[str, ...] = ()
+    url_col: str | None = None
+    # span-level exact-substring dedup (dedup.strip_duplicate_spans,
+    # Lee et al. 2022): None = stage off. Runs AFTER doc-level dedup
+    # (whole-dup docs are gone, this strips residual cross-document
+    # duplicated spans) and BEFORE decontamination + tokenization, so
+    # n-gram overlap checks and token budgets see the final text.
+    # Stripped text is whitespace-normalized (single-space rejoin).
+    span_dedup_k: int | None = None
+    span_dedup_min_docs: int = 2
     extra: dict = field(default_factory=dict)
 
 
@@ -128,6 +147,13 @@ def build_training_corpus(
     from .materialize import materialize as _materialize
 
     cfg = config or PipelineConfig()
+
+    if cfg.blocked_domains and cfg.url_col is not None:
+        from .urls import filter_blocked_domains
+
+        docs = filter_blocked_domains(
+            docs, list(cfg.blocked_domains), cfg.url_col
+        )
 
     feats = quality_features(docs, text_col)
     gate = cfg.gate if cfg.gate is not None else corpus_quality_gate()
@@ -196,10 +222,40 @@ def build_training_corpus(
     groups = resolve_dup_groups(exact_deduped.select(id_col), pairs, id_col)
     near_deduped = apply_dedup_keepers(exact_deduped, groups, id_col)
 
+    span_stripped: DataFrame | None = None
+    if cfg.span_dedup_k is not None:
+        # the span machinery references its input three times (gram
+        # census, dup-gram join, covered-index rejoin) — pin the
+        # branch point first per the documented rule, and pin the
+        # tiny span frame so the posting pipeline runs once, not per
+        # consumer
+        from .dedup import duplicate_spans, strip_duplicate_spans
+
+        if materialize is not False:
+            near_deduped = _materialize(near_deduped, materialize)
+        spans = duplicate_spans(
+            near_deduped, text_col, id_col,
+            k=cfg.span_dedup_k, min_docs=cfg.span_dedup_min_docs,
+        )
+        if materialize is not False:
+            spans = _materialize(spans, materialize)
+        span_stripped = (
+            strip_duplicate_spans(
+                near_deduped, text_col, id_col,
+                k=cfg.span_dedup_k, spans=spans,
+            )
+            .withColumn(text_col, F.col("clean_text"))
+            .drop("clean_text")
+            .filter(F.trim(F.col(text_col)) != "")
+            # ^ re-gate, same rule as boilerplate: a doc that was ALL
+            # duplicated spans is empty after the strip
+        )
+
+    cleaned = span_stripped if span_stripped is not None else near_deduped
     decontaminated = (
-        decontaminate(near_deduped, eval_df, text_col, id_col, n=cfg.decontam_ngram)
+        decontaminate(cleaned, eval_df, text_col, id_col, n=cfg.decontam_ngram)
         if eval_df is not None
-        else near_deduped
+        else cleaned
     )
 
     if cfg.bpe_merges is not None:
@@ -244,7 +300,7 @@ def build_training_corpus(
         part_col="_shard_part",
     )
 
-    return {
+    stages = {
         "gated": gated,
         "reputable": reputable,
         "scrubbed": scrubbed,
@@ -255,6 +311,11 @@ def build_training_corpus(
         "corpus": corpus,
         "shards": shards,
     }
+    if span_stripped is not None:
+        # optional stage, keyed only when enabled (stage_counts and
+        # existing consumers see the unchanged default dict)
+        stages["span_stripped"] = span_stripped
+    return stages
 
 
 def stage_counts(stages: dict[str, DataFrame]) -> dict[str, int]:
