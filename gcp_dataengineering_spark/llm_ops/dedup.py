@@ -757,8 +757,12 @@ def duplicate_spans(
     dedup of Lee et al. 2022, "Deduplicating Training Data Makes
     Language Models Better" — arXiv:2107.06499 — re-expressed as
     DataFrame ops; the suffix-array machinery is replaced by the
-    k-gram positional posting list, which finds the same >= k-word
-    duplicated spans):
+    k-gram positional posting list. Coverage guarantee: every word
+    position inside some >= k-word cross-document duplicate lands in
+    a reported span — a conservative SUPERSET of the suffix-array
+    spans, since merged abutting grams can chain duplications against
+    DIFFERENT partner docs, so a reported maximal span need not be
+    duplicated as a whole in any single other document):
 
     1. every word k-gram with its position (:func:`positional_gram_rows`);
     2. grams seen in >= ``min_docs`` DISTINCT documents (one
@@ -820,28 +824,65 @@ def strip_duplicate_spans(
     dropped and the survivors rejoined with single spaces (output is
     whitespace-normalized — positions come from the same \\s+ split,
     so indices line up with the ORIGINAL-case words). Pass ``spans``
-    to reuse a precomputed span frame (same k). Adds ``out_col``;
-    untouched docs keep all their words. One covered-index aggregate
-    + one broadcast-eligible left join per doc — the text itself is
-    never shuffled by the span machinery."""
+    to reuse a precomputed span frame (same k); spans must be
+    DISJOINT per doc (:func:`duplicate_spans` guarantees this by
+    construction — it merges overlapping/abutting windows). Adds
+    ``out_col``; untouched docs keep all their words.
+
+    Rebuild is LINEAR per doc — O(words + n_spans): the sorted span
+    list's complement (the KEPT gaps) is computed as two boundary
+    arrays, and the survivor words assembled as
+    flatten(zip_with(gap_starts, gap_ends, slice)). One per-doc span
+    aggregate + one broadcast-eligible left join; the text itself is
+    never shuffled by the span machinery, and no per-word membership
+    scan exists anywhere (the earlier covered-index-set filter was
+    O(words x covered) per doc — quadratic on exactly the heavily
+    duplicated long docs this operator targets)."""
     if spans is None:
         spans = duplicate_spans(
             df, text_col, id_col, k=k, min_docs=min_docs
         )
-    cov = (
-        spans.select(
-            "doc_id",
-            F.explode(F.sequence("span_start", "span_end")).alias("_idx"),
-        )
-        .groupBy("doc_id")
-        .agg(F.collect_set("_idx").alias("_cov"))
+    per_doc = spans.groupBy("doc_id").agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col("span_start").cast("long").alias("s"),
+                    F.col("span_end").cast("long").alias("e"),
+                )
+            )
+        ).alias("_spans")
     )
     joined = df.join(
-        cov.withColumnRenamed("doc_id", "_cov_id"),
-        F.col(id_col) == F.col("_cov_id"),
+        per_doc.withColumnRenamed("doc_id", "_sp_id"),
+        F.col(id_col) == F.col("_sp_id"),
         "left",
-    ).drop("_cov_id")
+    ).drop("_sp_id")
     words = F.filter(F.split(F.col(text_col), "\\s+"), lambda t: t != "")
-    cov_arr = F.coalesce(F.col("_cov"), F.array().cast("array<long>"))
-    kept = F.filter(words, lambda wd, i: ~F.array_contains(cov_arr, i.cast("long")))
-    return joined.withColumn(out_col, F.array_join(kept, " ")).drop("_cov")
+    wdf = joined.withColumn("_w", words)
+    w = F.col("_w")
+    sp = F.coalesce(
+        F.col("_spans"), F.array().cast("array<struct<s:long,e:long>>")
+    )
+    # complement of the (sorted, disjoint) spans: gap i is the
+    # half-open word range [gap_start_i, gap_end_i); n_spans + 1 gaps
+    gap_starts = F.concat(
+        F.array(F.lit(0).cast("long")),
+        F.transform(sp, lambda x: x["e"] + 1),
+    )
+    gap_ends = F.concat(
+        F.transform(sp, lambda x: x["s"]),
+        F.array(F.size(w).cast("long")),
+    )
+    kept = F.flatten(
+        F.zip_with(
+            gap_starts,
+            gap_ends,
+            lambda gs, ge: F.slice(
+                w, gs + 1, F.greatest(ge - gs, F.lit(0).cast("long"))
+            ),
+        )
+    )
+    return (
+        wdf.withColumn(out_col, F.array_join(kept, " "))
+        .drop("_w", "_spans")
+    )

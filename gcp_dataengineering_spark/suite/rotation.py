@@ -99,8 +99,13 @@ RESIDENT = [
     "dedup_ngram_capped",
     "dedup_groups",
     "embedding_pq",
-    "embedding_lsh",
     "dedup_pipeline",
+    # r11 moves: dedup_spans promoted (its strip rebuild was rewritten
+    # linear in r11 — the policy's "newest plan" criterion; resident
+    # through the plan change), funded by demoting embedding_lsh →
+    # GROUP_B (stable green since r6; green r10 as resident, next
+    # driver row r12 via the B parity — the ≤2-round staleness bound).
+    "dedup_spans",
     # r10 moves: pii_scrub (stable green since r2; plan settled by the
     # r8 capturing-sentinel rewrite and its r8/r9 resident rows) and
     # dedup_incremental (stable green since r6) demoted to GROUP_A —
@@ -254,13 +259,13 @@ GROUP_B = [
     # PERMANENT_EXTERNAL twin sessionize_native shares the oracle) to
     # fund the GROUP_A slot for gopher_rules — next driver row r10
     "sessionize",
-    # new in r10: span-level exact-substring dedup (Lee et al. 2022
-    # as posting-list + window ops) — in-window immediately (r10 is
-    # the B parity)
-    "dedup_spans",
     # new in r10: registrable-domain rollup + blocklist for the crawl
     # path — in-window immediately
     "domain_stats",
+    # demoted from RESIDENT in r11 (stable green since r6) to fund
+    # dedup_spans' promotion — green r10 as resident, next driver row
+    # r12 via this parity (the ≤2-round staleness bound exactly)
+    "embedding_lsh",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.

@@ -111,3 +111,73 @@ def test_duplicate_spans_plan_shape(spark):
     )
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_strip_duplicate_spans_long_doc_linear(spark):
+    """Scale receipt for the LINEAR rebuild (r10 verdict item 1): a
+    100k-word doc duplicated wholesale (covered ≈ words — the exact
+    shape this operator exists for) plus a 1.5k-span alternating doc
+    strip in seconds. The retired covered-index-set filter was
+    O(words × covered) per doc — ~1e10 array_contains comparisons for
+    doc 1 alone, inside ONE task — i.e. minutes-to-hours, no amount
+    of partitioning helps. The rebuild is O(words + n_spans): gap
+    boundaries from the sorted disjoint spans, slice + flatten."""
+    import time
+
+    from gcp_dataengineering_spark.llm_ops.dedup import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    n = 100_000
+    big = " ".join(f"w{i % 5003}" for i in range(n))
+    chunk = " ".join(f"c{j}" for j in range(40))
+    alt_parts = []
+    for i in range(1500):
+        alt_parts.append(chunk)
+        alt_parts.append(" ".join(f"u{i}x{j}" for j in range(10)))
+    df = _docs(
+        spark,
+        [
+            (1, big),
+            (2, big),  # full duplicate -> 1 span covering every word
+            (3, " ".join(alt_parts)),  # 1500 disjoint spans
+            (4, chunk),  # the shared chunk's partner doc
+            (5, "untouched unique words stay intact here"),
+        ],
+    )
+    spans = duplicate_spans(df, k=8, min_docs=2)
+    t0 = time.monotonic()
+    out = {
+        r.doc_id: r.clean_text
+        for r in strip_duplicate_spans(df, k=8, spans=spans).collect()
+    }
+    dt = time.monotonic() - t0
+    assert out[1] == "" and out[2] == ""
+    # doc 3: every chunk word covered; unique separators survive
+    surv = out[3].split(" ")
+    assert all(w.startswith("u") for w in surv) and len(surv) == 15_000
+    assert out[5] == "untouched unique words stay intact here"
+    assert dt < 60.0, f"long-doc strip took {dt:.1f}s — rebuild not linear?"
+
+
+def test_strip_duplicate_spans_plan_shape(spark):
+    """The strip adds ONE per-doc span aggregate + one left join on
+    the id — no cartesian, no nested-loop, and no explode of covered
+    indices (the plan never materializes one row per covered word)."""
+    from gcp_dataengineering_spark.llm_ops.dedup import strip_duplicate_spans
+
+    df = _docs(spark, [(i, "a shared phrase here and a tail " + f"t{i}") for i in range(20)])
+    plan = (
+        strip_duplicate_spans(df, k=3)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the retired quadratic path exploded sequence(span_start,
+    # span_end) into one row per covered word and re-collected it —
+    # neither the explode nor the per-word membership scan may return
+    assert "explode(sequence(span_start" not in plan
+    assert "array_contains" not in plan
