@@ -3164,3 +3164,58 @@ def test_warc_hostile_inputs_quarantine_not_crash(spark, tmp_path):
     ).collect()
     assert sum(1 for r in rows if r.parse_error) == 2
     assert sum(1 for r in rows if not r.parse_error) == 1
+
+
+def test_warc_blocklisted_capture_never_reaches_gate(spark, tmp_path):
+    """r10 verdict item 5: the two r10 features COMPOSE end to end —
+    WARC fixture → warc_to_documents (html_text inside) →
+    build_training_corpus(blocked_domains=..., url_col="target_uri"):
+    a capture whose registrable domain is blocklisted (deep-subdomain
+    and case variants included) is dropped at stage 0 and never
+    reaches the quality gate, while pages with the same text shape
+    from good hosts survive to the corpus."""
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+    from gcp_dataengineering_spark.llm_ops.warc import synth_warc, warc_to_documents
+
+    def page(i, uri):
+        body = (
+            "the quick brown fox jumps over the lazy dog and the "
+            + " ".join(f"w{i}x{j} t{i}y{j} u{i}z{j}" for j in range(12))
+        )
+        return dict(
+            record_id=f"p{i}", warc_type="response", target_uri=uri,
+            http_body=body, http_content_type="text/html",
+        )
+
+    recs = [
+        page(0, "http://site0.example/a"),
+        page(1, "http://site1.example/b"),
+        page(2, "http://ads.tracker-spam.com/x"),       # deep subdomain
+        page(3, "https://WWW.TRACKER-SPAM.com/y"),      # case + www variant
+        page(4, "http://site0.example/c"),
+    ]
+    (tmp_path / "seg.warc.gz").write_bytes(synth_warc(recs, gzip_members=True))
+    files = spark.read.format("binaryFile").load(str(tmp_path) + "/*.warc.gz")
+    docs = warc_to_documents(files)
+
+    cfg = PipelineConfig(
+        blocked_domains=("tracker-spam.com",), url_col="target_uri",
+        minhash_hashes=16, lsh_bands=4,
+    )
+    stages = build_training_corpus(docs, config=cfg)
+    gated_src = {r.source for r in stages["gated"].select("source").collect()}
+    assert gated_src == {"site0.example", "site1.example"}
+    corpus = stages["corpus"].collect()
+    assert len(corpus) == 3
+    assert all("tracker-spam" not in r.source for r in corpus)
+
+    # control: without the blocklist the spam pages' text passes the
+    # gate — proof the drop above came from stage 0, not the gate
+    off = build_training_corpus(
+        docs, config=PipelineConfig(minhash_hashes=16, lsh_bands=4)
+    )
+    off_src = {r.source.lower() for r in off["gated"].select("source").collect()}
+    assert "ads.tracker-spam.com" in off_src and "www.tracker-spam.com" in off_src

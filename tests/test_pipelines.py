@@ -528,3 +528,80 @@ def test_build_training_corpus_bpe_tokenized_budgets(spark):
         for t in toks:
             assert run < 120
             run += t
+
+
+def test_build_training_corpus_blocklist_and_span_stages(spark):
+    """r10 verdict item 3: the two r10-added stages exercised at the
+    PIPELINE level, not just as units. Stage 0 (blocked_domains +
+    url_col) drops a planted spam domain before any text work — its
+    text would pass every gate. Stage 5b (span_dedup_k) strips a
+    planted cross-document span from survivors, re-gates an all-span
+    doc to nothing, and provably runs BEFORE decontamination and
+    tokenization: a doc whose ONLY eval contamination sat inside the
+    stripped span survives decontam, while one contaminated outside
+    any span is dropped, and n_tokens counts the stripped text. The
+    span_stripped stage key appears only when the knob is on."""
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+
+    def fill(tag, n=80):
+        return " ".join(f"{tag}{j}" for j in range(n))
+
+    span = " ".join(f"sp{j}" for j in range(24))          # cross-doc span
+    eval_in_span = " ".join(f"sp{j}" for j in range(5, 18))  # 13-gram inside it
+    eval_unique = " ".join(f"ev{j}" for j in range(13))      # 13-gram outside
+
+    rows = [
+        (1, f"{fill('a')} {span} zqone zqtwo", "en", "srcA", "https://good.example.com/a"),
+        (2, f"{fill('b')} {span} xkone xktwo", "en", "srcA", "https://good.example.com/b"),
+        # contaminated OUTSIDE any cross-doc span -> decontam drops it
+        (3, f"{fill('c')} {eval_unique} tail three", "en", "srcA", "https://good.example.com/c"),
+        # clean control
+        (4, f"{fill('d')} tail four", "en", "srcA", "https://good.example.com/d"),
+        # spam domain: text passes every gate; must die at stage 0
+        (10, f"{fill('e')} tail ten", "en", "srcA", "https://spam.tracking.badsite.com/x"),
+        # ALL cross-doc span -> empty after strip -> re-gated out
+        (11, span, "en", "srcA", "https://good.example.com/k"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, url string"
+    )
+    eval_df = spark.createDataFrame(
+        [(900, eval_in_span), (901, eval_unique)], "doc_id long, text string"
+    )
+    cfg = PipelineConfig(
+        blocked_domains=("badsite.com",), url_col="url", span_dedup_k=8
+    )
+    stages = build_training_corpus(docs, eval_df, cfg)
+
+    # stage key contract: present iff enabled
+    assert "span_stripped" in stages
+    assert "span_stripped" not in build_training_corpus(docs)
+
+    # stage 0 ordering: 10 never reaches the gate, though its text
+    # passes (control build without the blocklist keeps it)
+    gated_ids = {r.doc_id for r in stages["gated"].select("doc_id").collect()}
+    assert gated_ids == {1, 2, 3, 4, 11}
+    no_block = build_training_corpus(docs, eval_df, PipelineConfig(span_dedup_k=8))
+    assert 10 in {r.doc_id for r in no_block["gated"].select("doc_id").collect()}
+
+    # stage 5b: the shared span is stripped from survivors; the
+    # all-span doc re-gates to nothing
+    stripped = {r.doc_id: r.text for r in stages["span_stripped"].collect()}
+    assert 11 not in stripped
+    assert {1, 2} <= set(stripped)
+    assert all("sp" not in stripped[i] for i in (1, 2))
+    assert stripped[1].split(" ")[-2:] == ["zqone", "zqtwo"]
+
+    # ordering vs decontam: 1 and 2's contamination sat inside the
+    # stripped span -> they SURVIVE; 3's sat outside -> dropped
+    dec_ids = {r.doc_id for r in stages["decontaminated"].select("doc_id").collect()}
+    assert dec_ids == {1, 2, 4}
+
+    # ordering vs tokenization: budgets count the STRIPPED text
+    corpus = {r.doc_id: r for r in stages["corpus"].collect()}
+    assert set(corpus) == {1, 2, 4}
+    assert corpus[1].n_tokens == 82  # 80 filler + 2 tail words; 24 span words gone
+    assert corpus[1].n_tokens == len(corpus[1].text.split(" "))
