@@ -110,7 +110,9 @@ class PipelineConfig:
     # (whole-dup docs are gone, this strips residual cross-document
     # duplicated spans) and BEFORE decontamination + tokenization, so
     # n-gram overlap checks and token budgets see the final text.
-    # Stripped text is whitespace-normalized (single-space rejoin).
+    # Surviving words keep their original trailing whitespace
+    # (preserve_whitespace mode), so line structure survives for any
+    # later gating.
     span_dedup_k: int | None = None
     span_dedup_min_docs: int = 2
     extra: dict = field(default_factory=dict)
@@ -243,6 +245,10 @@ def build_training_corpus(
             strip_duplicate_spans(
                 near_deduped, text_col, id_col,
                 k=cfg.span_dedup_k, spans=spans,
+                # keep each survivor's original trailing whitespace so
+                # newline structure (gopher line ratios) survives the
+                # strip (r11; single-space rejoin destroyed it)
+                preserve_whitespace=True,
             )
             .withColumn(text_col, F.col("clean_text"))
             .drop("clean_text")

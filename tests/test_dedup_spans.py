@@ -181,3 +181,40 @@ def test_strip_duplicate_spans_plan_shape(spark):
     # neither the explode nor the per-word membership scan may return
     assert "explode(sequence(span_start" not in plan
     assert "array_contains" not in plan
+
+
+def test_strip_duplicate_spans_preserve_whitespace(spark):
+    """r11: preserve_whitespace mode keeps each surviving word's
+    ORIGINAL trailing whitespace — newline structure survives the
+    strip (the r10 verdict's latent gopher-after-strip misscore).
+    Token indices align with the \\s+ word indices the spans were
+    computed on, so the SAME words drop in both modes."""
+    from gcp_dataengineering_spark.llm_ops.dedup import strip_duplicate_spans
+
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = _docs(
+        spark,
+        [
+            (1, f"keep one\nkeep two\n{shared} tail"),
+            (2, "other head " + shared),
+            (3, "lines stay\nexactly as\nthey were"),
+        ],
+    )
+    out = {
+        r.doc_id: r.clean_text
+        for r in strip_duplicate_spans(
+            df, k=4, preserve_whitespace=True
+        ).collect()
+    }
+    # doc 1: shared words drop; the newlines BETWEEN survivors stay
+    assert out[1] == "keep one\nkeep two\ntail"
+    assert out[2] == "other head"          # trailing ws rtrimmed
+    assert out[3] == "lines stay\nexactly as\nthey were"
+
+    # default mode unchanged: single-space rejoin
+    norm = {
+        r.doc_id: r.clean_text
+        for r in strip_duplicate_spans(df, k=4).collect()
+    }
+    assert norm[1] == "keep one keep two tail"
+    assert norm[3] == "lines stay exactly as they were"

@@ -33,9 +33,15 @@ def test_html_to_text_semantics(spark):
         (6, "<div>&amp;lt; stays-encoded &#38;gt; one-level</div>"),
         (7, "a<b>inline</b>c &ldquo;q&rdquo;&nbsp;&#8212;&nbsp;d"),
         (8, None),
-        # hex twins of the curated set (r9 second wave) + the honest
-        # limit: out-of-set numeric refs pass through literally
+        # hex twins of the curated set (r9 second wave); r11: numeric
+        # refs OUTSIDE the curated set now decode too (any code
+        # point, either x case)
         (9, "it&#x27;s &#x201C;q&#x201D;&#xA0;&#x2014;&#xa0;ok &#x2603; &#X27;"),
+        # r11 general numeric decode: arbitrary code points, C1
+        # windows-1252 remap, invalid -> U+FFFD, overlong -> literal
+        (10, "&#8364;100 &#147;w&#148; &#x1F600; bad&#0;&#55296;&#1114112; keep&#12345678;"),
+        # single-pass: refs assembled BY decoding are never rescanned
+        (11, "&#38;lt; &amp;#8364; &#38;#60;"),
     ]
     df = spark.createDataFrame(pages, "i int, t string")
     got = {r.i: r.o for r in df.select("i", html_to_text("t").alias("o")).collect()}
@@ -49,7 +55,9 @@ def test_html_to_text_semantics(spark):
     assert got[6] == "&lt; stays-encoded &gt; one-level"
     assert got[7] == "a inline c “q” — d"
     assert got[8] is None
-    assert got[9] == "it's “q” — ok &#x2603; &#X27;"
+    assert got[9] == "it's “q” — ok ☃ '"
+    assert got[10] == "€100 “w” 😀 bad��� keep&#12345678;"
+    assert got[11] == "&lt; &#8364; &#60;"
     # accepts a Column too
     assert (
         df.filter("i = 3").select(html_to_text(F.col("t"))).first()[0]
@@ -114,6 +122,12 @@ def test_html_steps_parity_fuzz(spark):
         "<a href='x y'>", "</a>", "<em", ">", "<", ">", "&amp;", "&lt;",
         "&nbsp;", "&#8212;", "&bogus;", "&#x27;", "&", ";", "word", "tëxt",
         "Ωmega", " ", "  ", "\n", "\t", "\r\n", "a<b", "x>y", "<td>", "<>",
+        # r11 general numeric decode: arbitrary/hex/capital-X code
+        # points, C1 remaps, invalid scalars, overlong digits,
+        # truncated-mid-token
+        "&#8364;", "&#x1F600;", "&#X27;", "&#147;", "&#0;", "&#55296;",
+        "&#1114111;", "&#1114112;", "&#12345678;", "&#x", "&#", "&#;",
+        "&#xG;", "&#160;&#xa0;",
         '<meta charset="utf-8">', "<![CDATA[", "]]>", "<!DOCTYPE html>",
     ]
     pages = [

@@ -435,3 +435,60 @@ def test_domain_stats_and_blocklist(spark):
     assert {r.doc_id for r in kept2.collect()} == {1, 2, 3, 4, 6}
     plan = kept2._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+
+
+def test_registrable_domain_psl_wildcard_exception(spark):
+    """r10 verdict item 6: the fold accepts a caller-supplied
+    PSL-syntax rule table with wildcard (``*.ck``) and exception
+    (``!www.ck``) forms — data, not code; the shipped plain-rule
+    subset stays the default. Verified in BOTH engines on the same
+    cases, with PSL precedence (exception > longest suffix)."""
+    import duckdb
+
+    from gcp_dataengineering_spark.llm_ops.urls import (
+        PUBLIC_SUFFIX_2,
+        host_of,
+        host_of_sql,
+        registrable_domain,
+        registrable_domain_sql,
+    )
+
+    rules = tuple(PUBLIC_SUFFIX_2) + ("*.ck", "!www.ck", "*.sch.uk")
+    cases = [
+        # wildcard: any label under .ck is a public suffix
+        ("http://shop.stores.nowhere.ck/x", "stores.nowhere.ck"),
+        ("http://nowhere.ck/", "nowhere.ck"),        # bare suffix passes through
+        # exception: www.ck IS registrable, beats *.ck
+        ("http://www.ck/", "www.ck"),
+        ("http://deep.sub.www.ck/", "www.ck"),
+        # multi-label wildcard
+        ("http://pta.wellington.sch.uk/", "pta.wellington.sch.uk"),
+        ("http://wellington.sch.uk/", "wellington.sch.uk"),
+        # plain rules still fold as before alongside the new forms
+        ("http://www.news.example.co.uk/a", "example.co.uk"),
+        ("http://media.a.b.example.com/x", "example.com"),
+        ("http://x.example.zz/", "example.zz"),       # unknown suffix: last 2
+        ("http://localhost/", "localhost"),
+        (None, None),
+    ]
+    df = spark.createDataFrame(
+        [(i, u) for i, (u, _) in enumerate(cases)], "i int, u string"
+    )
+    got = {
+        r.i: r.d
+        for r in df.select(
+            "i", registrable_domain(host_of("u"), rules=rules).alias("d")
+        ).collect()
+    }
+    con = duckdb.connect()
+    expr = registrable_domain_sql(host_of_sql("u"), rules=rules)
+    for i, (u, want) in enumerate(cases):
+        assert got[i] == want, (u, got[i], want)
+        sql_got = con.execute(
+            f"SELECT {expr} FROM (SELECT ? AS u)", [u]
+        ).fetchone()[0]
+        assert sql_got == want, (u, sql_got, want)
+
+    # default table unchanged: no wildcard/exception branches appear
+    base_expr = registrable_domain_sql(host_of_sql("u"))
+    assert "*." not in base_expr and "!" not in base_expr
