@@ -56,12 +56,22 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--bpe-word-pattern",
-        choices=["ascii", "unicode"],
-        default="ascii",
+        choices=["ascii", "unicode", "whitespace"],
+        default=None,
         help="word segmentation for BPE train/encode: 'ascii' splits "
-        "on [^a-z]+ (the pinned default), 'unicode' on any non-letter "
-        "([^\\p{L}]+ — use for multilingual crawls; see llm_ops.bpe."
-        "UNICODE_WORD_PATTERN)",
+        "on [^a-z]+ (the pinned bench/oracle default), 'unicode' on "
+        "any non-letter ([^\\p{L}]+ — use for multilingual crawls; "
+        "see llm_ops.bpe.UNICODE_WORD_PATTERN), 'whitespace' on \\s+ "
+        "(the lossless-per-word choice for --bpe-byte-level). "
+        "Unset: ascii, or whitespace when --bpe-byte-level",
+    )
+    p.add_argument(
+        "--bpe-byte-level",
+        action="store_true",
+        help="byte-level BPE (r11): keep case and map each word's "
+        "UTF-8 bytes to the 256-symbol printable alphabet before "
+        "merging — no script is ever dropped (the production-crawl "
+        "fallback); tokens decode via llm_ops.bpe.byte_symbols_decode",
     )
     p.add_argument(
         "--gopher",
@@ -89,14 +99,22 @@ def main(argv: list[str] | None = None) -> int:
     eval_df = spark.read.parquet(args.eval) if args.eval else None
     from .llm_ops.bpe import UNICODE_WORD_PATTERN
 
-    word_pattern = (
-        UNICODE_WORD_PATTERN if args.bpe_word_pattern == "unicode" else "[^a-z]+"
-    )
+    word_pattern = {
+        "ascii": "[^a-z]+",
+        "unicode": UNICODE_WORD_PATTERN,
+        "whitespace": r"\s+",
+        # unset: let llm_ops.bpe resolve (ascii, or whitespace when
+        # byte-level)
+        None: None,
+    }[args.bpe_word_pattern]
     merges_df = None
     if args.bpe_train is not None:
         from .llm_ops.bpe import bpe_train
 
-        learned = bpe_train(docs, args.bpe_train, word_pattern=word_pattern)
+        learned = bpe_train(
+            docs, args.bpe_train, word_pattern=word_pattern,
+            byte_level=args.bpe_byte_level,
+        )
         merges_df = spark.createDataFrame(
             learned, "left string, right string, rank long"
         )
@@ -117,6 +135,7 @@ def main(argv: list[str] | None = None) -> int:
             shard_budget_tokens=args.shard_budget,
             bpe_merges=merges_df,
             bpe_word_pattern=word_pattern,
+            bpe_byte_level=args.bpe_byte_level,
             gopher=args.gopher,
             gopher_min_words=args.gopher_min_words,
         ),

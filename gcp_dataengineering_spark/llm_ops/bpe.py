@@ -47,7 +47,7 @@ Scale design (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 __all__ = [
@@ -56,6 +56,8 @@ __all__ = [
     "bpe_apply_words_cached",
     "bpe_encode",
     "bpe_train",
+    "byte_symbols",
+    "byte_symbols_decode",
 ]
 
 # Word segmentation (r9): the module DEFAULT stays "[^a-z]+" —
@@ -69,6 +71,60 @@ __all__ = [
 # "[\\W\\d_]+" (non-letter = \W ∪ digits ∪ underscore), which the
 # mixed-script pytest uses to replay the classic trainer.
 UNICODE_WORD_PATTERN = r"[^\p{L}]+"
+
+# ---------------------------------------------------- byte-level mode
+# (r11 — the r10 verdict's "no byte-level BPE mode" gap.) The GPT-2
+# byte↔unicode bijection (public: the reference encoder's
+# bytes_to_unicode): printable latin bytes map to themselves, the
+# rest shift into U+0100+, so EVERY UTF-8 byte is exactly one
+# printable, single-UTF-16-unit character. Mapping each word's UTF-8
+# bytes through it turns byte-level BPE into character-level BPE over
+# the mapped alphabet — the whole merge machinery below (state
+# explode, run-parity windows, batch trainer, hypothesis harness)
+# works UNCHANGED, and no script is ever dropped or split into
+# unknown symbols: the 256-symbol base alphabet covers everything.
+
+
+def _bytes_to_unicode() -> dict[int, str]:
+    bs = (
+        list(range(ord("!"), ord("~") + 1))
+        + list(range(ord("¡"), ord("¬") + 1))
+        + list(range(ord("®"), ord("ÿ") + 1))
+    )
+    cs = bs[:]
+    n = 0
+    for b in range(256):
+        if b not in bs:
+            bs.append(b)
+            cs.append(256 + n)
+            n += 1
+    return dict(zip(bs, [chr(c) for c in cs]))
+
+
+_BYTE_MAP = _bytes_to_unicode()
+_BYTE_FROM = "".join(chr(b) for b in range(256))
+_BYTE_TO = "".join(_BYTE_MAP[b] for b in range(256))
+_BYTE_INV = {c: b for b, c in _BYTE_MAP.items()}
+
+
+def byte_symbols(col) -> Column:
+    """String column → its byte-symbol form: UTF-8 bytes, each mapped
+    to one printable character via the GPT-2 bijection. Pure codegen
+    expression (encode → ISO-8859-1 decode, which is the identity
+    byte→U+00xx map, → 256-entry translate); composes inside
+    transform lambdas. 'a b' → 'aĠb', 'é' → 'Ã©'."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(
+        F.decode(F.encode(c, "UTF-8"), "ISO-8859-1"), _BYTE_FROM, _BYTE_TO
+    )
+
+
+def byte_symbols_decode(s: str) -> str:
+    """Python inverse of :func:`byte_symbols` for tests/display:
+    byte-symbol string (or a BPE token over that alphabet) → the
+    original text. Invalid UTF-8 from a token that splits a
+    multi-byte character mid-sequence decodes with replacement."""
+    return bytes(_BYTE_INV[c] for c in s).decode("utf-8", errors="replace")
 
 
 def bpe_apply_words(
@@ -207,10 +263,11 @@ def bpe_encode(
     merges: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
-    word_pattern: str = "[^a-z]+",
+    word_pattern: str | None = "[^a-z]+",
     max_word_len: int = 64,
     max_rounds: int = 100,
     trunc_every: int = 2,
+    byte_level: bool = False,
 ) -> DataFrame:
     """(doc, text) -> (doc, tokens array<string>): lowercase, split on
     ``word_pattern``, BPE-encode each distinct word (straggler guard:
@@ -218,17 +275,32 @@ def bpe_encode(
     contract as the other corpus caps — a megabyte 'word' is garbage,
     not language), and reassemble each document's token stream in
     word order. Documents with zero qualifying words come back with
-    an empty (not null) token array."""
+    an empty (not null) token array.
+
+    ``byte_level=True`` (r11): case is KEPT (no lower), words map
+    through :func:`byte_symbols` before encoding — tokens are strings
+    over the byte-symbol alphabet (:func:`byte_symbols_decode`
+    inverts), the merge table must have been trained byte-level, and
+    NO text is ever dropped for its script: the production-crawl
+    fallback the ASCII/unicode word patterns can't give. With
+    ``word_pattern=None`` the split defaults to whitespace
+    (``\\s+``) in byte mode — the lossless-per-word choice — and to
+    the classic ``[^a-z]+`` otherwise. ``max_word_len`` applies to
+    the PRE-mapping character length."""
     if max_word_len < 1:
         raise ValueError(f"max_word_len ({max_word_len}) must be >= 1")
+    if word_pattern is None:
+        word_pattern = r"\s+" if byte_level else "[^a-z]+"
+    base = F.col(text_col) if byte_level else F.lower(F.col(text_col))
+    words_arr = F.filter(
+        F.split(base, word_pattern),
+        lambda t: (t != "") & (F.length(t) <= max_word_len),
+    )
+    if byte_level:
+        words_arr = F.transform(words_arr, byte_symbols)
     doc_words = docs.select(
         F.col(id_col),
-        F.posexplode_outer(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), word_pattern),
-                lambda t: (t != "") & (F.length(t) <= max_word_len),
-            )
-        ).alias("_wpos", "word"),
+        F.posexplode_outer(words_arr).alias("_wpos", "word"),
     )
     # rounds = the deepest word's merge count, bounded by its length:
     # scale the guard with the cap so legitimate long words under a
@@ -443,10 +515,11 @@ def bpe_train(
     docs: DataFrame,
     n_merges: int,
     text_col: str = "text",
-    word_pattern: str = "[^a-z]+",
+    word_pattern: str | None = "[^a-z]+",
     max_word_len: int = 64,
     max_batch: int = 64,
     exact: bool = True,
+    byte_level: bool = False,
 ) -> list[tuple[str, str, int]]:
     """Learn a rank-ordered BPE merge list from the corpus — the
     classic trainer (count every adjacent symbol pair weighted by
@@ -499,15 +572,20 @@ def bpe_train(
         raise ValueError(f"max_batch ({max_batch}) must be >= 1")
     if max_word_len < 1:
         raise ValueError(f"max_word_len ({max_word_len}) must be >= 1")
+    if word_pattern is None:
+        word_pattern = r"\s+" if byte_level else "[^a-z]+"
+    train_base = F.col(text_col) if byte_level else F.lower(F.col(text_col))
+    train_words = F.filter(
+        F.split(train_base, word_pattern),
+        lambda t: (t != "") & (F.length(t) <= max_word_len),
+    )
+    if byte_level:
+        # byte-level (r11): keep case, map each word's UTF-8 bytes to
+        # the 256-symbol printable alphabet — the trainer below then
+        # IS byte-level BPE, unchanged (see byte_symbols)
+        train_words = F.transform(train_words, byte_symbols)
     word_counts = (
-        docs.select(
-            F.explode(
-                F.filter(
-                    F.split(F.lower(F.col(text_col)), word_pattern),
-                    lambda t: (t != "") & (F.length(t) <= max_word_len),
-                )
-            ).alias("word")
-        )
+        docs.select(F.explode(train_words).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )

@@ -97,8 +97,14 @@ class PipelineConfig:
     # which would silently un-cap those documents' budgets — widen it
     # (e.g. r"[^\p{L}]+") for multilingual builds.
     bpe_merges: object | None = None
-    bpe_word_pattern: str = "[^a-z]+"
+    # None resolves in llm_ops.bpe to the classic "[^a-z]+" (or
+    # whitespace when bpe_byte_level — the lossless-per-word choice)
+    bpe_word_pattern: str | None = None
     bpe_max_word_len: int = 64
+    # byte-level BPE (r11): keep case, map each word's UTF-8 bytes to
+    # the 256-symbol printable alphabet — no script ever dropped; the
+    # merge table must have been trained byte-level too
+    bpe_byte_level: bool = False
     # registrable-domain blocklist (urls.filter_blocked_domains),
     # applied FIRST — before any text is even featurized — when the
     # frame carries url_col. A pure isin/anti-join filter: the
@@ -282,6 +288,7 @@ def build_training_corpus(
             id_col=id_col,
             word_pattern=cfg.bpe_word_pattern,
             max_word_len=cfg.bpe_max_word_len,
+            byte_level=cfg.bpe_byte_level,
         )
         with_tokens = decontaminated.join(tok, id_col).withColumn(
             "n_tokens", F.size("tokens").cast("long")

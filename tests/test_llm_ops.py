@@ -3219,3 +3219,83 @@ def test_warc_blocklisted_capture_never_reaches_gate(spark, tmp_path):
     )
     off_src = {r.source.lower() for r in off["gated"].select("source").collect()}
     assert "ads.tracker-spam.com" in off_src and "www.tracker-spam.com" in off_src
+
+
+def test_byte_symbols_mapping_matches_python(spark):
+    """r11 byte-level mode, layer 1: the Spark byte_symbols column
+    (encode → latin-1 decode → 256-char translate) must equal the
+    Python GPT-2-style bijection byte for byte, and
+    byte_symbols_decode must invert it — across ASCII, accents,
+    Cyrillic, CJK, emoji (4-byte UTF-8) and whitespace."""
+    from gcp_dataengineering_spark.llm_ops.bpe import (
+        _BYTE_MAP,
+        byte_symbols,
+        byte_symbols_decode,
+    )
+
+    samples = [
+        "hello", "Hello WORLD", "héllo", "Привет", "日本語", "😀ok",
+        "a b\tc", "punct, stays. 100%!", "",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(samples)], "i int, w string"
+    )
+    got = {r.i: r.m for r in df.select("i", byte_symbols("w").alias("m")).collect()}
+    for i, s in enumerate(samples):
+        want = "".join(_BYTE_MAP[b] for b in s.encode("utf-8"))
+        assert got[i] == want, (s, got[i], want)
+        assert byte_symbols_decode(got[i]) == s
+
+
+def test_bpe_byte_level_matches_classic_reference(spark):
+    """r11 byte-level mode, layer 2: bpe_train/bpe_encode with
+    byte_level=True (word_pattern=None → whitespace split, case
+    KEPT) must train and encode token-identically to the classic
+    Python reference over byte-mapped words — and be LOSSLESS: the
+    concatenated tokens of a doc decode back to its exact non-space
+    text, any script, no dropped characters (the gap the ascii and
+    unicode word patterns both have)."""
+    import re
+    from collections import Counter
+
+    from gcp_dataengineering_spark.llm_ops.bpe import (
+        _BYTE_MAP,
+        bpe_encode,
+        bpe_train,
+        byte_symbols_decode,
+    )
+
+    texts = [
+        (1, "Hello WORLD hello world hello"),
+        (2, "Привет мир 😀 ёлки и снова мир"),
+        (3, "日本語テキスト and ASCII mix!"),
+        (4, "punctuation, stays. 100% lossless? Hello again"),
+    ]
+    docs = spark.createDataFrame(texts, "doc_id long, text string")
+
+    def bmap(w):
+        return "".join(_BYTE_MAP[b] for b in w.encode("utf-8"))
+
+    def seg(t):
+        return [bmap(w) for w in re.split(r"\s+", t) if w and len(w) <= 64]
+
+    counts = Counter(w for _, t in texts for w in seg(t))
+    want = _train_bpe(counts, 15)
+    got = bpe_train(docs, 15, word_pattern=None, byte_level=True)
+    assert got == want
+    # multi-byte (non-ASCII-backing) symbols actually learned
+    assert any(any(ord(ch) > 127 for ch in l + r) for l, r, _ in got)
+
+    ranks = {(l, r): k for l, r, k in got}
+    mdf = spark.createDataFrame(got, "left string, right string, rank long")
+    out = {
+        r["doc_id"]: list(r["tokens"])
+        for r in bpe_encode(
+            docs, mdf, word_pattern=None, byte_level=True
+        ).collect()
+    }
+    for did, t in texts:
+        expect = [tok for w in seg(t) for tok in _classic_bpe(w, ranks)]
+        assert out[did] == expect, did
+        joined = byte_symbols_decode("".join(out[did]))
+        assert joined == "".join(w for w in re.split(r"\s+", t) if w)

@@ -605,3 +605,47 @@ def test_build_training_corpus_blocklist_and_span_stages(spark):
     assert set(corpus) == {1, 2, 4}
     assert corpus[1].n_tokens == 82  # 80 filler + 2 tail words; 24 span words gone
     assert corpus[1].n_tokens == len(corpus[1].text.split(" "))
+
+
+def test_llm_build_cli_byte_level(spark, tmp_path):
+    """--bpe-byte-level (r11): the CLI trains a byte-level vocabulary
+    (case kept, whitespace default split) and the written corpus's
+    token sequences decode back to each doc's exact non-space text —
+    mixed-script input included, nothing dropped."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from gcp_dataengineering_spark.llm_ops.bpe import byte_symbols_decode
+
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [
+            (i, "Mixed CASE texte with ümlaut and мир "
+                + " ".join(f"w{j} banana" for j in range(25)),
+             "en", "srcA")
+            for i in range(8)
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(docs_path)
+    out = str(tmp_path / "byte_out")
+    proc = subprocess.run(
+        [sys.executable, "-m", "gcp_dataengineering_spark.llm_build",
+         "--docs", docs_path, "--out", out, "--cpus", "4",
+         "--shard-budget", "500", "--bpe-train", "8", "--bpe-byte-level"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:] + proc.stdout[-500:]
+    report = json.loads(
+        [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert report["corpus"] > 0
+    corpus = spark.read.parquet(out + "/corpus").collect()
+    assert corpus
+    for row in corpus:
+        assert row.n_tokens == len(row.tokens) > 0
+        decoded = byte_symbols_decode("".join(row.tokens))
+        assert decoded == "".join(row.text.split())
+        assert "мир" in decoded and "CASE" in decoded  # case + script kept
