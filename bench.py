@@ -94,6 +94,10 @@ HEADLINE = [
     # round-10: registrable-domain rollup (regexp host extraction +
     # label-array fold + one domain-keyed exchange)
     "domain_stats",
+    # round-11: temperature-weighted mixture plan + hash applier
+    # (source aggregation + dimension-sized window + broadcast-join
+    # scan filter)
+    "mixture_plan",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

@@ -666,6 +666,99 @@ def cap_source_tokens(
     )
 
 
+def mixture_plan(
+    df: DataFrame,
+    alpha: float = 0.5,
+    budget_tokens: int | None = None,
+    source_col: str = "source",
+    token_col: str = "n_tokens",
+) -> DataFrame:
+    """Temperature-weighted source-mixing plan (r11): the published
+    multilingual sampling rule (exponentiated-weight mixing, p_s ∝
+    n_s^alpha — the mBERT/XLM-R recipe) as one aggregation. Per
+    source: its token count, its alpha-weighted mixture ``weight``,
+    and — when ``budget_tokens`` is given — the ``target_tokens``
+    allocation, the deterministic downsampling ``sample_rate``
+    (min(1, target/n) — a plan never mints data) and ``epochs``
+    (target/n; upsampling shows as epochs > 1 for the training loop
+    to repeat, never as duplicated rows). alpha=1 reproduces natural
+    proportions, alpha=0 is uniform; in between damps the
+    head-domain dominance a raw crawl mixture has.
+
+    Ratios are ROUNDED to 6 dp so the frame is engine-replayable
+    bit-for-bit (the external oracle hashes values). Scale shape:
+    one source-keyed aggregation; the weight normalization is an
+    unpartitioned window over the AGGREGATED frame — #sources rows
+    (dimension-sized by construction), never the corpus."""
+    if alpha < 0:
+        raise ValueError(f"alpha ({alpha}) must be >= 0")
+    per_src = df.groupBy(source_col).agg(
+        F.sum(F.col(token_col)).cast("long").alias("n_tokens")
+    )
+    # alpha=0.5 (the published default) is spelled sqrt, NOT
+    # pow(x, 0.5): IEEE-754 sqrt is correctly rounded and therefore
+    # bit-identical across engines (the external oracle replays it),
+    # while pow's libm implementations may differ in the last ulp
+    n = F.col("n_tokens").cast("double")
+    pw = F.sqrt(n) if alpha == 0.5 else F.pow(n, F.lit(float(alpha)))
+    tot = Window.partitionBy()
+    out = per_src.withColumn("_pw", pw).withColumn(
+        "weight", F.round(F.col("_pw") / F.sum("_pw").over(tot), 6)
+    )
+    if budget_tokens is not None:
+        target = F.round(F.lit(float(budget_tokens)) * F.col("weight")).cast(
+            "long"
+        )
+        out = (
+            out.withColumn("target_tokens", target)
+            .withColumn(
+                "sample_rate",
+                F.round(
+                    F.least(
+                        F.lit(1.0),
+                        F.col("target_tokens") / F.col("n_tokens"),
+                    ),
+                    6,
+                ),
+            )
+            .withColumn(
+                "epochs",
+                F.round(F.col("target_tokens") / F.col("n_tokens"), 6),
+            )
+        )
+    return out.drop("_pw")
+
+
+def apply_mixture(
+    df: DataFrame,
+    plan: DataFrame,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+    salt: str = "mixture",
+) -> DataFrame:
+    """Apply a :func:`mixture_plan`'s downsampling side: keep a row
+    iff its seeded hash bucket (0-999999) falls under its source's
+    ``sample_rate`` × 10⁶ — the same content-stable, RNG-free,
+    engine-replayable membership rule as :func:`stratified_sample`
+    (a grown corpus never flips an old row). Sources with
+    sample_rate 1 (epochs >= 1) keep every row — upsampling is the
+    training loop's job, per the plan's ``epochs`` column. One
+    broadcast join of the dimension-sized plan + a scan-speed
+    filter; no shuffle of the corpus."""
+    b = hash_bucket(id_col, salt, buckets=1_000_000)
+    rates = plan.select(
+        F.col(source_col).alias("_mx_src"),
+        F.round(F.col("sample_rate") * 1_000_000).cast("long").alias("_mx_keep"),
+    )
+    return (
+        df.join(
+            F.broadcast(rates), F.col(source_col) == F.col("_mx_src"), "left"
+        )
+        .filter(b < F.coalesce(F.col("_mx_keep"), F.lit(0)))
+        .drop("_mx_src", "_mx_keep")
+    )
+
+
 def keep_top_fraction_by_score(
     df: DataFrame,
     score_col: str,

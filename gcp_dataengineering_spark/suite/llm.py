@@ -2032,7 +2032,77 @@ FROM tagged GROUP BY domain
 """
 
 
+# ----------------------------------------------- source mixture plan
+def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """corpus.mixture_plan + apply_mixture (r11): the published
+    temperature-weighted source-mixing rule (p_s ∝ n_s^alpha,
+    alpha=0.5 — spelled sqrt in BOTH engines because IEEE sqrt is
+    correctly rounded and pow is not) against a 100k-token budget,
+    plus the content-stable hash applier's per-source kept count —
+    so the oracle gates the plan arithmetic AND the downsampling
+    membership rule."""
+    docs = _t(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id",
+        "source",
+        T.whitespace_token_count("text").cast("long").alias("n_tokens"),
+    )
+    plan = C.mixture_plan(d, alpha=0.5, budget_tokens=100_000)
+    kept = (
+        C.apply_mixture(d, plan)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("long").alias("kept_docs"))
+    )
+    return plan.join(kept, "source", "left").select(
+        "source",
+        "n_tokens",
+        "weight",
+        "target_tokens",
+        "sample_rate",
+        "epochs",
+        F.coalesce(F.col("kept_docs"), F.lit(0)).cast("long").alias("kept_docs"),
+    )
+
+
+ORACLE_MIXTURE_PLAN = """
+WITH d AS (
+    SELECT doc_id, source,
+           CAST(len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))
+                AS BIGINT) AS nt
+    FROM documents
+), s AS (
+    SELECT source, CAST(SUM(nt) AS BIGINT) AS n_tokens FROM d GROUP BY 1
+), w AS (
+    SELECT source, n_tokens,
+           ROUND(sqrt(CAST(n_tokens AS DOUBLE))
+                 / SUM(sqrt(CAST(n_tokens AS DOUBLE))) OVER (), 6) AS weight
+    FROM s
+), p AS (
+    SELECT source, n_tokens, weight,
+           CAST(ROUND(100000.0 * weight) AS BIGINT) AS target_tokens
+    FROM w
+), p2 AS (
+    SELECT *,
+           ROUND(LEAST(1.0, target_tokens / CAST(n_tokens AS DOUBLE)), 6) AS sample_rate,
+           ROUND(target_tokens / CAST(n_tokens AS DOUBLE), 6) AS epochs
+    FROM p
+), kept AS (
+    SELECT d.source, COUNT(*) AS kd
+    FROM d JOIN p2 ON d.source = p2.source
+    WHERE ('0x' || substring(md5('mixture' || chr(31) || CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT
+          % 1000000
+          < CAST(ROUND(p2.sample_rate * 1000000) AS BIGINT)
+    GROUP BY 1
+)
+SELECT p2.source, p2.n_tokens, p2.weight, p2.target_tokens,
+       p2.sample_rate, p2.epochs,
+       CAST(coalesce(k.kd, 0) AS BIGINT) AS kept_docs
+FROM p2 LEFT JOIN kept k ON p2.source = k.source
+"""
+
+
 QUERIES = {
+    "mixture_plan": q_mixture_plan,
     "bpe_encode": q_bpe_encode,
     "dedup_spans": q_dedup_spans,
     "domain_stats": q_domain_stats,
@@ -2135,6 +2205,7 @@ ORACLES = {
     "dedup_stats": ORACLE_DEDUP_STATS,
     "chunk_plan": ORACLE_CHUNK_PLAN,
     "source_filter": ORACLE_SOURCE_FILTER,
+    "mixture_plan": ORACLE_MIXTURE_PLAN,
 }
 
 

@@ -98,7 +98,6 @@ RESIDENT = [
     "bpe_encode",
     "dedup_ngram_capped",
     "dedup_groups",
-    "embedding_pq",
     "dedup_pipeline",
     # r11 moves: dedup_spans promoted (its strip rebuild was rewritten
     # linear in r11 — the policy's "newest plan" criterion; resident
@@ -191,6 +190,11 @@ GROUP_A = [
     # residents, next driver row r11 via this parity
     "pii_scrub",
     "dedup_incremental",
+    # demoted from RESIDENT in r11 (integer-exact PQ replay stable
+    # green since r6; plan unchanged since) to fund the GROUP_B slot
+    # for the new mixture_plan — still in the r11 window via this
+    # parity, so no staleness gap at all
+    "embedding_pq",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). The r6-green core plus
@@ -266,6 +270,10 @@ GROUP_B = [
     # dedup_spans' promotion — green r10 as resident, next driver row
     # r12 via this parity (the ≤2-round staleness bound exactly)
     "embedding_lsh",
+    # new in r11: temperature-weighted source-mixing plan + hash
+    # applier (p_s ∝ n_s^alpha) — externally pytest-checked from day
+    # one, first driver row r12 via this parity
+    "mixture_plan",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.

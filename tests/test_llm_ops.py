@@ -3299,3 +3299,50 @@ def test_bpe_byte_level_matches_classic_reference(spark):
         assert out[did] == expect, did
         joined = byte_symbols_decode("".join(out[did]))
         assert joined == "".join(w for w in re.split(r"\s+", t) if w)
+
+
+def test_mixture_plan_semantics(spark):
+    """r11 temperature mixing: alpha=1 reproduces natural
+    proportions, alpha=0 is uniform, alpha=0.5 damps the head; the
+    budget side never mints data (sample_rate <= 1) and reports
+    upsampling as epochs > 1; apply_mixture keeps every row of an
+    epochs>=1 source and downsamples the rest deterministically."""
+    from gcp_dataengineering_spark.llm_ops.corpus import (
+        apply_mixture,
+        mixture_plan,
+    )
+
+    rows = (
+        [(i, "big", 100) for i in range(400)]
+        + [(1000 + i, "small", 100) for i in range(4)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+
+    nat = {r.source: r.weight for r in mixture_plan(d, alpha=1.0).collect()}
+    assert abs(nat["big"] - 400 / 404) < 1e-6
+    uni = {r.source: r.weight for r in mixture_plan(d, alpha=0.0).collect()}
+    assert uni["big"] == uni["small"] == 0.5
+    damped = {r.source: r.weight for r in mixture_plan(d, alpha=0.5).collect()}
+    assert nat["small"] < damped["small"] < uni["small"]
+
+    plan = mixture_plan(d, alpha=0.5, budget_tokens=20_000)
+    p = {r.source: r for r in plan.collect()}
+    # weights: sqrt(40000):sqrt(400) = 200:20 -> big ~0.909, small ~0.091
+    assert p["big"].sample_rate < 1.0  # 18182 of 40000 tokens
+    assert p["small"].sample_rate == 1.0  # target 1818 > its 400 tokens
+    assert p["small"].epochs > 1.0  # upsampling is the loop's job
+    assert all(r.sample_rate <= 1.0 for r in p.values())
+
+    kept = apply_mixture(d, plan).groupBy("source").count().collect()
+    k = {r.source: r["count"] for r in kept}
+    assert k["small"] == 4  # epochs >= 1: every row kept
+    # big downsampled near its rate; hash membership is content-stable
+    assert 0.30 * 400 < k["big"] < 0.60 * 400
+    again = apply_mixture(d, plan).groupBy("source").count().collect()
+    assert {r.source: r["count"] for r in again} == k
+
+    # invalid alpha rejected
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        mixture_plan(d, alpha=-0.1)
