@@ -74,6 +74,24 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "fallback); tokens decode via llm_ops.bpe.byte_symbols_decode",
     )
     p.add_argument(
+        "--mixture-budget",
+        type=int,
+        default=None,
+        metavar="TOKENS",
+        help="temperature-weighted source mixing (r11): plan per-source "
+        "token targets as p_s ~ n_s^alpha against this total budget and "
+        "hash-downsample over-represented sources (upsampling is "
+        "reported as epochs in the mixture_plan stage, never minted "
+        "rows)",
+    )
+    p.add_argument(
+        "--mixture-alpha",
+        type=float,
+        default=0.5,
+        help="mixing temperature (1 = natural proportions, 0 = uniform; "
+        "default 0.5, the published multilingual-sampling choice)",
+    )
+    p.add_argument(
         "--gopher",
         action="store_true",
         help="conjoin the published Gopher quality rules into the page "
@@ -136,6 +154,8 @@ def main(argv: list[str] | None = None) -> int:
             bpe_merges=merges_df,
             bpe_word_pattern=word_pattern,
             bpe_byte_level=args.bpe_byte_level,
+            mixture_budget_tokens=args.mixture_budget,
+            mixture_alpha=args.mixture_alpha,
             gopher=args.gopher,
             gopher_min_words=args.gopher_min_words,
         ),

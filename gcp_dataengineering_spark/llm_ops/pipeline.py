@@ -20,6 +20,9 @@ production pretraining-data build runs them:
 6. eval-set decontamination (13-gram overlap anti-join; skipped when
    no eval sets given),
 7. per-source token cap (anti-overrepresentation; optional),
+7b. optional temperature-weighted source mixing (p_s ∝ n_s^alpha
+   plan + content-stable hash downsample —
+   config.mixture_budget_tokens / mixture_alpha),
 8. content-stable train/val/test split,
 9. token-budget shard planning per (split, lang).
 
@@ -121,6 +124,14 @@ class PipelineConfig:
     # later gating.
     span_dedup_k: int | None = None
     span_dedup_min_docs: int = 2
+    # temperature-weighted source mixing (corpus.mixture_plan +
+    # apply_mixture, r11): None = stage off. Runs AFTER the per-source
+    # cap and right before the split, so the plan is computed from
+    # the REAL final token counts (BPE counts when bpe_merges is
+    # set). Downsampling only — upsampling is reported as epochs in
+    # the plan frame (stages["mixture_plan"]) for the training loop.
+    mixture_budget_tokens: int | None = None
+    mixture_alpha: float = 0.5
     extra: dict = field(default_factory=dict)
 
 
@@ -306,7 +317,31 @@ def build_training_corpus(
         else with_tokens
     )
 
-    corpus = hash_split(capped, id_col)
+    mixture: DataFrame | None = None
+    mixed = capped
+    if cfg.mixture_budget_tokens is not None:
+        # 7b. temperature-weighted source mixing (r11): plan from the
+        # REAL token counts this late stage sees (post-dedup,
+        # post-cap, BPE counts when enabled), then the content-stable
+        # hash downsample. The plan frame references `capped` once
+        # more (its aggregation), so pin the branch point per the
+        # documented rule.
+        from .corpus import apply_mixture, mixture_plan
+
+        if materialize is not False:
+            capped = _materialize(capped, materialize)
+            mixed = capped
+        mixture = mixture_plan(
+            capped,
+            alpha=cfg.mixture_alpha,
+            budget_tokens=cfg.mixture_budget_tokens,
+            source_col=source_col,
+        )
+        mixed = apply_mixture(
+            capped, mixture, source_col=source_col, id_col=id_col
+        )
+
+    corpus = hash_split(mixed, id_col)
     shards = shard_by_token_budget(
         corpus.withColumn("_shard_part", F.concat_ws("|", "split", lang_col)),
         budget_tokens=cfg.shard_budget_tokens,
@@ -328,6 +363,12 @@ def build_training_corpus(
         # optional stage, keyed only when enabled (stage_counts and
         # existing consumers see the unchanged default dict)
         stages["span_stripped"] = span_stripped
+    if mixture is not None:
+        # the plan frame itself is a release artifact (weights,
+        # targets, epochs per source); "mixed" is the downsampled
+        # corpus the split consumed
+        stages["mixture_plan"] = mixture
+        stages["mixed"] = mixed
     return stages
 
 

@@ -649,3 +649,45 @@ def test_llm_build_cli_byte_level(spark, tmp_path):
         decoded = byte_symbols_decode("".join(row.tokens))
         assert decoded == "".join(row.text.split())
         assert "мир" in decoded and "CASE" in decoded  # case + script kept
+
+
+def test_build_training_corpus_mixture_stage(spark):
+    """r11: mixture_budget_tokens composes into the build — the
+    over-represented source is hash-downsampled toward its
+    temperature weight, the small source keeps every doc (its
+    upsampling is reported as epochs in the plan frame, never minted
+    rows), the plan rides out as a stage artifact, and the split
+    consumes the MIXED corpus. Off by default."""
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+
+    def doc(i, src):
+        return (i, " ".join(f"{src}{i}w{j}" for j in range(40)), "en", src)
+
+    rows = [doc(i, "big") for i in range(30)] + [
+        doc(100 + i, "small") for i in range(3)
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    stages = build_training_corpus(
+        docs, config=PipelineConfig(mixture_budget_tokens=600)
+    )
+    assert "mixture_plan" in stages and "mixed" in stages
+    off = build_training_corpus(docs)
+    assert "mixture_plan" not in off and "mixed" not in off
+
+    plan = {r.source: r for r in stages["mixture_plan"].collect()}
+    assert plan["big"].sample_rate < 1.0
+    assert plan["small"].sample_rate == 1.0 and plan["small"].epochs > 1.0
+
+    corpus = stages["corpus"].collect()
+    by_src = {}
+    for r in corpus:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert by_src["small"] == 3          # never dropped
+    assert 0 < by_src["big"] < 30        # downsampled
+    assert len(corpus) == stages["mixed"].count()
+    assert all(r.split in ("train", "val", "test") for r in corpus)
