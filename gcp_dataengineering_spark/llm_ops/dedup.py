@@ -899,7 +899,10 @@ def strip_duplicate_spans(
         )
     )
     joined_text = (
-        F.rtrim(F.array_join(kept, ""))
+        # NOT F.rtrim: Spark's rtrim strips only ' ' — a trailing
+        # newline (common: the last token's own whitespace) would
+        # survive and break the empty-doc re-gate's trim comparison
+        F.regexp_replace(F.array_join(kept, ""), r"\s+$", "")
         if preserve_whitespace
         else F.array_join(kept, " ")
     )

@@ -218,3 +218,71 @@ def test_strip_duplicate_spans_preserve_whitespace(spark):
     }
     assert norm[1] == "keep one keep two tail"
     assert norm[3] == "lines stay exactly as they were"
+
+
+def test_strip_duplicate_spans_property_fuzz(spark):
+    """Seeded fuzz over random small-vocabulary corpora (shared
+    grams everywhere) × random k: the gap-slicing rebuild must equal
+    the obvious Python reference — drop every word whose index falls
+    in any span, in BOTH modes (single-space rejoin and
+    preserve_whitespace) — and the span frames themselves must be
+    valid (within bounds, >= k words, pairwise disjoint, merged)."""
+    import random
+    import re
+
+    from gcp_dataengineering_spark.llm_ops.dedup import (
+        duplicate_spans,
+        strip_duplicate_spans,
+    )
+
+    rng = random.Random(20260815)
+    vocab = [f"v{j}" for j in range(7)]
+    ws = [" ", "  ", "\n", " \n ", "\t"]
+    for case in range(5):
+        k = rng.randint(2, 4)
+        docs = []
+        for d in range(12):
+            nwords = rng.randint(0, 30)
+            t = ""
+            for j in range(nwords):
+                t += rng.choice(vocab) + rng.choice(ws)
+            docs.append((d, t))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        sp = duplicate_spans(df, k=k, min_docs=2)
+        spans = {}
+        for r in sp.collect():
+            spans.setdefault(r.doc_id, []).append(
+                (r.span_start, r.span_end, r.n_grams)
+            )
+        out_norm = {
+            r.doc_id: r.clean_text
+            for r in strip_duplicate_spans(df, k=k, spans=sp).collect()
+        }
+        out_pres = {
+            r.doc_id: r.clean_text
+            for r in strip_duplicate_spans(
+                df, k=k, spans=sp, preserve_whitespace=True
+            ).collect()
+        }
+        for d, t in docs:
+            words = [w for w in re.split(r"\s+", t) if w]
+            toks = re.findall(r"\S+\s*", t)
+            ss = sorted(spans.get(d, []))
+            # span validity: in-bounds, >= k long, disjoint, merged
+            # (gap > 1 between consecutive spans — abutting merged)
+            for (s, e, ng) in ss:
+                assert 0 <= s <= e < len(words), (case, d, ss)
+                assert e - s + 1 >= k
+            for (s1, e1, _), (s2, e2, _) in zip(ss, ss[1:]):
+                assert e1 + 1 < s2, (case, d, ss)
+            covered = {
+                i for (s, e, _) in ss for i in range(s, e + 1)
+            }
+            want_norm = " ".join(
+                w for i, w in enumerate(words) if i not in covered
+            )
+            want_pres = "".join(
+                tk for i, tk in enumerate(toks) if i not in covered
+            ).rstrip()
+            assert out_norm[d] == want_norm, (case, d, k, t)
+            assert out_pres[d] == want_pres, (case, d, k, t)

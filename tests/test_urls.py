@@ -492,3 +492,87 @@ def test_registrable_domain_psl_wildcard_exception(spark):
     # default table unchanged: no wildcard/exception branches appear
     base_expr = registrable_domain_sql(host_of_sql("u"))
     assert "*." not in base_expr and "!" not in base_expr
+
+
+def test_registrable_domain_psl_property_fuzz(spark):
+    """Seeded fuzz: random PSL rule tables (plain/wildcard/exception
+    forms) × random hosts, checked against an INDEPENDENT Python
+    implementation of the PSL match algorithm (match all rules right
+    to left with * consuming one label; exception prevails, else
+    longest match, default rule '*'; bare-suffix hosts pass through)
+    — in BOTH engines. The compiled when-chain and the generic
+    algorithm must agree everywhere, not just on crafted cases."""
+    import random
+
+    import duckdb
+
+    from gcp_dataengineering_spark.llm_ops.urls import (
+        registrable_domain,
+        registrable_domain_sql,
+    )
+
+    def psl_reference(host, rules):
+        if host is None:
+            return None
+        L = host.split(".")
+        n = len(L)
+
+        def matches(rl):
+            if len(rl) > n:
+                return False
+            tail = L[-len(rl):]
+            return all(r == "*" or r == h for r, h in zip(rl, tail))
+
+        for r in (x.strip().lower() for x in rules):
+            if r.startswith("!"):
+                rl = r[1:].split(".")
+                if matches(rl):
+                    return ".".join(L[-len(rl):])
+        best = 1  # the implicit default rule '*'
+        for r in (x.strip().lower() for x in rules):
+            if r.startswith("!"):
+                continue
+            rl = r.split(".")
+            if matches(rl):
+                best = max(best, len(rl))
+        if n > best:
+            return ".".join(L[-(best + 1):])
+        return host
+
+    rng = random.Random(20260815)
+    labels = ["a", "b", "c", "www", "x1", "co"]
+    con = duckdb.connect()
+    for case in range(8):
+        rules = ["co.uk", "com.au"]
+        for _ in range(rng.randint(2, 5)):
+            form = rng.choice(["plain", "wild", "exc"])
+            base = ".".join(
+                rng.choice(labels) for _ in range(rng.randint(1, 3))
+            )
+            if form == "plain":
+                rules.append(base)
+            elif form == "wild":
+                rules.append("*." + base)
+            else:
+                rules.append("!" + base)
+        hosts = [
+            ".".join(rng.choice(labels) for _ in range(rng.randint(1, 5)))
+            for _ in range(60)
+        ] + [None]
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(hosts)], "i int, h string"
+        )
+        got = {
+            r.i: r.d
+            for r in df.select(
+                "i", registrable_domain("h", rules=tuple(rules)).alias("d")
+            ).collect()
+        }
+        expr = registrable_domain_sql("h", rules=tuple(rules))
+        for i, h in enumerate(hosts):
+            want = psl_reference(h, rules)
+            assert got[i] == want, (case, rules, h, got[i], want)
+            sql_got = con.execute(
+                f"SELECT {expr} FROM (SELECT ? AS h)", [h]
+            ).fetchone()[0]
+            assert sql_got == want, (case, rules, h, sql_got, want)
