@@ -43,7 +43,9 @@ Extraction semantics (documented contract, in order):
    construction, not by replace ordering. Token rules:
 
    - the curated NAMED subset (the entities that dominate web text)
-     maps as before; ``&nbsp;`` still normalizes to a plain space;
+     maps as before, extended (r11) with the full Latin-1 named
+     block (``&eacute;`` … ``&yuml;``) + ``&euro;`` from the stdlib
+     entity table; ``&nbsp;`` still normalizes to a plain space;
    - ``&#N;`` (1–7 decimal digits) and ``&#xH;``/``&#XH;`` (1–6 hex
      digits, either x case) decode to the code point, ANY code
      point — with the HTML5 numeric-reference quirks: codes
@@ -124,6 +126,19 @@ _NAMED_ENTITIES: dict[str, str] = {
     "amp": "&",
 }
 
+# r11: the full Latin-1 named block (&iexcl; … &yuml; — &eacute;,
+# &uuml;, &ntilde; and friends dominate real multilingual pages) plus
+# &euro;, generated from the stdlib entity table (public HTML data,
+# case-sensitive names). setdefault keeps the curated normalizations
+# (incl. the symbol names above that alias into this range) intact.
+import html.entities as _stdlib_entities
+
+for _cp in list(range(0xA1, 0x100)) + [0x20AC]:
+    _nm = _stdlib_entities.codepoint2name.get(_cp)
+    if _nm:
+        _NAMED_ENTITIES.setdefault(_nm, chr(_cp))
+del _stdlib_entities
+
 # HTML5 numeric-character-reference remap for the C1 range: the spec
 # replaces 0x80–0x9F references with their windows-1252 characters
 # (so legacy pages' &#147; renders as a curly quote). Generated from
@@ -141,10 +156,13 @@ _FFFD = 0xFFFD
 
 # The one reference-token pattern both engines split/extract on.
 # Bounded digit counts keep it RE2-safe and linear; every valid code
-# point fits (0x10FFFF = 7 decimal / 6 hex digits).
+# point fits (0x10FFFF = 7 decimal / 6 hex digits). Named
+# alternatives are ordered LONGEST FIRST so a name that prefixes
+# another can never shadow it under leftmost-first alternation
+# semantics (both engines).
 _ENT_RE = (
     "&(#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|"
-    + "|".join(_NAMED_ENTITIES)
+    + "|".join(sorted(_NAMED_ENTITIES, key=lambda n: (-len(n), n)))
     + ");"
 )
 

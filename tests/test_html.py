@@ -42,6 +42,8 @@ def test_html_to_text_semantics(spark):
         (10, "&#8364;100 &#147;w&#148; &#x1F600; bad&#0;&#55296;&#1114112; keep&#12345678;"),
         # single-pass: refs assembled BY decoding are never rescanned
         (11, "&#38;lt; &amp;#8364; &#38;#60;"),
+        # r11 Latin-1 named block + euro; unknown names still pass
+        (12, "caf&eacute; &Uuml;ber &ntilde; &szlig; 5&euro; &bogus; &Eacute;"),
     ]
     df = spark.createDataFrame(pages, "i int, t string")
     got = {r.i: r.o for r in df.select("i", html_to_text("t").alias("o")).collect()}
@@ -58,6 +60,7 @@ def test_html_to_text_semantics(spark):
     assert got[9] == "it's “q” — ok ☃ '"
     assert got[10] == "€100 “w” 😀 bad��� keep&#12345678;"
     assert got[11] == "&lt; &#8364; &#60;"
+    assert got[12] == "café Über ñ ß 5€ &bogus; É"
     # accepts a Column too
     assert (
         df.filter("i = 3").select(html_to_text(F.col("t"))).first()[0]
@@ -128,6 +131,10 @@ def test_html_steps_parity_fuzz(spark):
         "&#8364;", "&#x1F600;", "&#X27;", "&#147;", "&#0;", "&#55296;",
         "&#1114111;", "&#1114112;", "&#12345678;", "&#x", "&#", "&#;",
         "&#xG;", "&#160;&#xa0;",
+        # r11 Latin-1 named block (+ prefix-shadow probes: a name cut
+        # mid-token, mixed case, unknown)
+        "&eacute;", "&Uuml;", "&szlig;", "&euro;", "&eacute", "&EACUTE;",
+        "&nt", "&ntilde;x",
         '<meta charset="utf-8">', "<![CDATA[", "]]>", "<!DOCTYPE html>",
     ]
     pages = [
