@@ -633,7 +633,8 @@ def test_llm_build_cli_byte_level(spark, tmp_path):
     proc = subprocess.run(
         [sys.executable, "-m", "gcp_dataengineering_spark.llm_build",
          "--docs", docs_path, "--out", out, "--cpus", "4",
-         "--shard-budget", "500", "--bpe-train", "8", "--bpe-byte-level"],
+         "--shard-budget", "500", "--bpe-train", "8", "--bpe-byte-level",
+         "--mixture-budget", "100000"],
         capture_output=True, text=True, timeout=600,
         cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     )
@@ -642,6 +643,10 @@ def test_llm_build_cli_byte_level(spark, tmp_path):
         [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
     )
     assert report["corpus"] > 0
+    # --mixture-budget rode through the CLI: the plan stage reports
+    # (#sources rows) and the budget is generous, so nothing dropped
+    assert report["mixture_plan"] == 1  # one source in this fixture
+    assert report["mixed"] == report["capped"]
     corpus = spark.read.parquet(out + "/corpus").collect()
     assert corpus
     for row in corpus:
