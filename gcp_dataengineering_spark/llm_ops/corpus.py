@@ -458,7 +458,10 @@ def mixture_fractions(
     scan speed. Domains absent from ``targets`` get fraction 0.0
     (dropped), as do zero-weight targets — even when the domain has
     no corpus rows. Raises on negative weights, and if a
-    POSITIVE-weight domain has no tokens."""
+    POSITIVE-weight domain has no tokens. Sibling of
+    :func:`mixture_plan` (r11), which DERIVES weights from corpus
+    sizes via the temperature rule (p_s ∝ n_s^alpha) and plans
+    against a token budget instead of explicit targets."""
     if any(w < 0 for w in targets.values()):
         bad = sorted(d for d, w in targets.items() if w < 0)
         raise ValueError(f"negative target weights for domains: {bad}")
@@ -684,6 +687,13 @@ def mixture_plan(
     to repeat, never as duplicated rows). alpha=1 reproduces natural
     proportions, alpha=0 is uniform; in between damps the
     head-domain dominance a raw crawl mixture has.
+
+    Sibling of :func:`mixture_fractions` (r6), which takes
+    CALLER-SUPPLIED explicit target weights and returns the
+    largest-feasible driver-side fraction dict; this one DERIVES the
+    weights from corpus sizes by the temperature rule and keeps the
+    plan as a DataFrame (budget targets, rates, epochs) for
+    :func:`apply_mixture` / the pipeline stage.
 
     Ratios are ROUNDED to 6 dp so the frame is engine-replayable
     bit-for-bit (the external oracle hashes values). Scale shape:
