@@ -112,6 +112,16 @@ def main(argv: list[str] | None = None) -> int:
     args = build_arg_parser().parse_args(argv)
     if args.bpe_train is not None and args.bpe_merges is not None:
         raise SystemExit("--bpe-train and --bpe-merges are mutually exclusive")
+    if args.bpe_byte_level and args.bpe_word_pattern == "ascii":
+        # the ascii pattern splits on [^a-z]+, so every uppercase and
+        # non-ASCII character becomes a separator and is silently
+        # dropped — contradicting --bpe-byte-level's "no script is
+        # ever dropped" contract (ADVICE r11)
+        raise SystemExit(
+            "--bpe-word-pattern ascii discards uppercase/non-ASCII text, "
+            "which contradicts --bpe-byte-level's lossless contract; use "
+            "'whitespace' (the byte-level default) or 'unicode'"
+        )
     spark = get_spark("llm_build", cpus=args.cpus)
     docs = spark.read.parquet(args.docs)
     eval_df = spark.read.parquet(args.eval) if args.eval else None

@@ -675,6 +675,7 @@ def mixture_plan(
     budget_tokens: int | None = None,
     source_col: str = "source",
     token_col: str = "n_tokens",
+    exact_budget: bool = False,
 ) -> DataFrame:
     """Temperature-weighted source-mixing plan (r11): the published
     multilingual sampling rule (exponentiated-weight mixing, p_s ∝
@@ -696,7 +697,21 @@ def mixture_plan(
     :func:`apply_mixture` / the pipeline stage.
 
     Ratios are ROUNDED to 6 dp so the frame is engine-replayable
-    bit-for-bit (the external oracle hashes values). Scale shape:
+    bit-for-bit (the external oracle hashes values). Budget drift
+    (ADVICE r11): with the default ``exact_budget=False`` each
+    source's ``target_tokens`` is independently rounded from the
+    6-dp weight, so ``sum(target_tokens)`` ≈ ``budget_tokens`` only
+    within rounding — off by up to ~``budget × 5e-7 × n_sources``
+    plus one token per source. ``exact_budget=True`` makes the sum
+    EXACTLY ``budget_tokens``: floor allocation + largest-remainder
+    for the fractional deficit (ties broken by source name asc), and
+    any residual from the 6-dp weight rounding itself spread evenly
+    by div/mod over the remainder ranking — all integer arithmetic,
+    deterministic in both engines. (Exactness assumes
+    ``budget_tokens`` ≳ ``n_sources``; a pathological tiny budget
+    clamps at 0 per source and is documented as such.)
+
+    Scale shape:
     one source-keyed aggregation; the weight normalization is an
     unpartitioned window over the AGGREGATED frame — #sources rows
     (dimension-sized by construction), never the corpus."""
@@ -716,9 +731,33 @@ def mixture_plan(
         "weight", F.round(F.col("_pw") / F.sum("_pw").over(tot), 6)
     )
     if budget_tokens is not None:
-        target = F.round(F.lit(float(budget_tokens)) * F.col("weight")).cast(
-            "long"
-        )
+        raw = F.lit(float(budget_tokens)) * F.col("weight")
+        if exact_budget:
+            # floor + largest-remainder (deterministic tie-break by
+            # source name), then the residual the 6-dp weight
+            # rounding leaves (which can exceed the row count at
+            # large budgets) spread evenly by div/mod over the same
+            # ranking — sum(target_tokens) == budget_tokens exactly
+            wall = Window.partitionBy()
+            wrk = Window.orderBy(
+                (raw - F.floor(raw)).desc(), F.col(source_col).asc()
+            )
+            fl = F.floor(raw).cast("long")
+            deficit = F.lit(int(budget_tokens)) - F.sum(fl).over(wall)
+            nsrc = F.count(F.lit(1)).over(wall)
+            extra = F.pmod(deficit, nsrc)
+            base = (deficit - extra) / nsrc
+            rk = F.row_number().over(wrk)
+            target = F.greatest(
+                F.lit(0).cast("long"),
+                (
+                    fl
+                    + base.cast("long")
+                    + F.when(rk <= extra, F.lit(1)).otherwise(F.lit(0))
+                ),
+            )
+        else:
+            target = F.round(raw).cast("long")
         out = (
             out.withColumn("target_tokens", target)
             .withColumn(
@@ -745,6 +784,7 @@ def apply_mixture(
     source_col: str = "source",
     id_col: str = "doc_id",
     salt: str = "mixture",
+    on_missing: str = "drop",
 ) -> DataFrame:
     """Apply a :func:`mixture_plan`'s downsampling side: keep a row
     iff its seeded hash bucket (0-999999) falls under its source's
@@ -754,17 +794,54 @@ def apply_mixture(
     sample_rate 1 (epochs >= 1) keep every row — upsampling is the
     training loop's job, per the plan's ``epochs`` column. One
     broadcast join of the dimension-sized plan + a scan-speed
-    filter; no shuffle of the corpus."""
+    filter; no shuffle of the corpus.
+
+    Unknown-source contract (``on_missing``, r12 — the r11 verdict's
+    silent-drop finding): a row whose source is ABSENT from the plan
+    has no sample_rate. On the pipeline path this cannot happen (the
+    plan is computed from the same frame), but a direct caller
+    replaying a STALE plan against a grown corpus can hit it:
+
+    - ``"drop"`` (default, the historical behavior, now explicit):
+      unknown sources are excluded — a stale plan never smuggles an
+      unbudgeted source into the mix;
+    - ``"keep"``: unknown sources pass through unsampled (treat the
+      plan as covering only the sources it names);
+    - ``"error"``: raise ``ValueError`` naming an offending source —
+      one broadcast left-anti probe stopped at the first hit (no
+      corpus shuffle, no full count)."""
+    if on_missing not in ("drop", "keep", "error"):
+        raise ValueError(
+            f"on_missing must be 'drop', 'keep' or 'error', got {on_missing!r}"
+        )
     b = hash_bucket(id_col, salt, buckets=1_000_000)
     rates = plan.select(
         F.col(source_col).alias("_mx_src"),
         F.round(F.col("sample_rate") * 1_000_000).cast("long").alias("_mx_keep"),
     )
+    if on_missing == "error":
+        missing = (
+            df.join(
+                F.broadcast(rates.select("_mx_src")),
+                F.col(source_col) == F.col("_mx_src"),
+                "left_anti",
+            )
+            .select(F.col(source_col))
+            .limit(1)
+            .collect()
+        )
+        if missing:
+            raise ValueError(
+                f"apply_mixture: source {missing[0][0]!r} is absent from "
+                "the mixture plan (stale plan vs grown corpus?); pass "
+                "on_missing='drop' or 'keep' to resolve explicitly"
+            )
+    keep_missing = F.lit(1_000_000) if on_missing == "keep" else F.lit(0)
     return (
         df.join(
             F.broadcast(rates), F.col(source_col) == F.col("_mx_src"), "left"
         )
-        .filter(b < F.coalesce(F.col("_mx_keep"), F.lit(0)))
+        .filter(b < F.coalesce(F.col("_mx_keep"), keep_missing))
         .drop("_mx_src", "_mx_keep")
     )
 

@@ -46,9 +46,11 @@ Extraction semantics (documented contract, in order):
      maps as before, extended (r11) with the full Latin-1 named
      block (``&eacute;`` … ``&yuml;``) + ``&euro;`` from the stdlib
      entity table; ``&nbsp;`` still normalizes to a plain space;
-   - ``&#N;`` (1–7 decimal digits) and ``&#xH;``/``&#XH;`` (1–6 hex
-     digits, either x case) decode to the code point, ANY code
-     point — with the HTML5 numeric-reference quirks: codes
+   - ``&#N;`` (1–18 decimal digits) and ``&#xH;``/``&#XH;`` (1–15
+     hex digits, either x case — bounds wide enough for zero-padded
+     forms like ``&#0000038;``; see the ``_ENT_RE`` note) decode to
+     the code point, ANY code point — with the HTML5
+     numeric-reference quirks: codes
      0x80–0x9F remap through the spec's windows-1252 table (so
      ``&#147;`` is ``“``, as browsers render it), code 160
      normalizes to a plain space like ``&nbsp;``, and 0, surrogates
@@ -155,8 +157,15 @@ _MAX_CP = 0x10FFFF
 _FFFD = 0xFFFD
 
 # The one reference-token pattern both engines split/extract on.
-# Bounded digit counts keep it RE2-safe and linear; every valid code
-# point fits (0x10FFFF = 7 decimal / 6 hex digits). Named references
+# Bounded digit counts keep it RE2-safe and linear; the bounds are
+# generous enough for zero-PADDED references too (r12, ADVICE fix:
+# '&#0000038;' now decodes — 18 decimal digits is the largest count
+# that still TRY_CASTs into a BIGINT, 15 hex the largest conv() takes
+# without sign overflow; anything beyond 0x10FFFF inside the bound
+# clamps to U+FFFD in the decoder). References with MORE digits than
+# the bound pass through as literal text — the documented honest
+# limit of the single-pass decode (html.unescape would parse any
+# digit count; a crawl never produces one). Named references
 # match as a generic NAME SHAPE (letter + 1-31 alphanumerics), not an
 # alternation over the ~120 known names: a literal alternation that
 # long measurably slows the whole-page scan (measured +60-70% on the
@@ -164,7 +173,7 @@ _FFFD = 0xFFFD
 # per '&'. Unknown names therefore MATCH the token pattern and are
 # reconstructed verbatim by the decoder ('&' || name || ';'), which
 # preserves the pass-through contract exactly.
-_ENT_RE = "&(#[0-9]{1,7}|#[xX][0-9a-fA-F]{1,6}|[a-zA-Z][a-zA-Z0-9]{1,31});"
+_ENT_RE = "&(#[0-9]{1,18}|#[xX][0-9a-fA-F]{1,15}|[a-zA-Z][a-zA-Z0-9]{1,31});"
 
 
 def _spark_decode_token(t: Column) -> Column:
@@ -174,8 +183,8 @@ def _spark_decode_token(t: Column) -> Column:
     is_num = F.substring(t, 1, 1) == "#"
     is_hex = t.rlike("^#[xX]")
     code0 = (
-        F.when(is_hex, F.conv(F.substring(t, 3, 7), 16, 10).cast("long"))
-        .otherwise(F.substring(t, 2, 8).cast("long"))
+        F.when(is_hex, F.conv(F.substring(t, 3, 15), 16, 10).cast("long"))
+        .otherwise(F.substring(t, 2, 18).cast("long"))
     )
     code = F.when(
         (code0 <= 0)

@@ -289,7 +289,14 @@ def registrable_domain(
     unknown suffixes fold to the last two labels; single-label hosts
     pass through; NULL → NULL. Per-domain rollups are how a crawl
     pipeline rate-limits, reputation-scores, and blocklists —
-    host-level grouping splits one site across its subdomains."""
+    host-level grouping splits one site across its subdomains.
+
+    Compile-strategy ceiling: this builds one CASE arm per rule
+    group — right for curated tables up to a few hundred rules, but
+    the full ~9.5k-rule PSL would blow up the expression tree. For
+    rule tables at that scale use :func:`with_registrable_domain`
+    (r12), which folds the same semantics through per-label-count
+    BROADCAST joins against the rule table as data."""
     h = F.col(host) if isinstance(host, str) else host
     labels = F.split(h, "\\.")
     n = F.size(labels)
@@ -313,9 +320,20 @@ def registrable_domain(
     return out.when(n >= 2, lastk(2)).otherwise(h)
 
 
+def _sq(s: str) -> str:
+    """Escape for a DuckDB single-quoted string literal."""
+    return s.replace("'", "''")
+
+
 def registrable_domain_sql(host_expr: str, rules=PUBLIC_SUFFIX_2) -> str:
     """DuckDB replay of :func:`registrable_domain` (same rule table,
-    same compile, same precedence)."""
+    same compile, same precedence). Rule literals are escaped with
+    the module's standard ``_sq()`` (ADVICE r11 — a rule containing a
+    quote previously produced broken SQL). Practical ceiling: like
+    the Spark CASE compile, this emits one CASE arm per rule group,
+    fine for curated tables up to a few hundred rules; the full
+    ~9.5k-rule PSL belongs in :func:`with_registrable_domain`'s
+    broadcast-join strategy, not an expression tree."""
     labels = f"string_split({host_expr}, '.')"
     nl = f"len({labels})"
 
@@ -327,11 +345,11 @@ def registrable_domain_sql(host_expr: str, rules=PUBLIC_SUFFIX_2) -> str:
     for exc in exceptions:
         k = exc.count(".") + 1
         whens.append(
-            f"WHEN {nl} >= {k} AND {lastk(k)} = '{exc}' THEN {lastk(k)}"
+            f"WHEN {nl} >= {k} AND {lastk(k)} = '{_sq(exc)}' THEN {lastk(k)}"
         )
     for k, is_wild, sufs in groups:
         base = k - 1 if is_wild else k
-        inlist = ", ".join(f"'{s}'" for s in sufs)
+        inlist = ", ".join(f"'{_sq(s)}'" for s in sufs)
         whens.append(
             f"WHEN {nl} >= {k + 1} AND {lastk(base)} IN ({inlist}) "
             f"THEN {lastk(k + 1)}"

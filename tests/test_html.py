@@ -90,6 +90,12 @@ def test_html_steps_spark_duckdb_parity(spark):
         "<div attr='multi\nline'>v</div>",
         "<a href='x'>link</a>-<span>s</span>",
         "&#34;&#39;&#60;&#62;&#160;&#8220;&#8221;",
+        # r12 (ADVICE r11): zero-padded numeric references decode —
+        # the digit bound is now 18 decimal / 15 hex; beyond-bound
+        # digit strings still pass through as the documented limit
+        "&#0000038;&#x0000000000020AC;&#000000000000000060;",
+        "&#0000000000000000038;&#x0000000000000020AC;",  # over-bound: literal
+        "&#999999999999999999;&#xFFFFFFFFFFFFFFF;",  # in-bound, > max cp -> FFFD
     ]
     df = spark.createDataFrame(
         [(i, p) for i, p in enumerate(pages)], "i int, t string"
@@ -104,6 +110,29 @@ def test_html_steps_spark_duckdb_parity(spark):
             f"SELECT {expr} FROM (SELECT ? AS t)", [p]
         ).fetchone()[0]
         assert got[i] == want, f"page {i}: {got[i]!r} != {want!r}"
+
+
+def test_html_zero_padded_numeric_refs_decode(spark):
+    """r12 (ADVICE r11): zero-padded references decode to the same
+    character as their canonical spelling (absolute check against
+    html.unescape, not just cross-engine agreement); digit strings
+    beyond the documented 18/15 bound pass through as literal text."""
+    import html as _html
+
+    from gcp_dataengineering_spark.llm_ops.html import html_to_text
+
+    cases = [
+        "&#0000038;", "&#038;", "&#x0000020AC;", "&#x20AC;",
+        "&#000000000000000060;",
+    ]
+    over = "&#0000000000000000038;"  # 19 digits: documented pass-through
+    df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cases + [over])], "i int, t string"
+    )
+    got = {r.i: r.o for r in df.select("i", html_to_text("t").alias("o")).collect()}
+    for i, c in enumerate(cases):
+        assert got[i] == _html.unescape(c), (c, got[i])
+    assert got[len(cases)] == over
 
 
 def test_html_steps_parity_fuzz(spark):
@@ -131,6 +160,9 @@ def test_html_steps_parity_fuzz(spark):
         "&#8364;", "&#x1F600;", "&#X27;", "&#147;", "&#0;", "&#55296;",
         "&#1114111;", "&#1114112;", "&#12345678;", "&#x", "&#", "&#;",
         "&#xG;", "&#160;&#xa0;",
+        # r12 zero-padded + bound-edge numeric forms
+        "&#0000038;", "&#x0000020AC;", "&#000000000000000001;",
+        "&#999999999999999999;", "&#xFFFFFFFFFFFFFFF;",
         # r11 Latin-1 named block (+ prefix-shadow probes: a name cut
         # mid-token, mixed case, unknown)
         "&eacute;", "&Uuml;", "&szlig;", "&euro;", "&eacute", "&EACUTE;",

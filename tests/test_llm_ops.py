@@ -3346,3 +3346,73 @@ def test_mixture_plan_semantics(spark):
 
     with _pytest.raises(ValueError):
         mixture_plan(d, alpha=-0.1)
+
+
+def test_mixture_plan_exact_budget_sums_exactly(spark):
+    """r12 (ADVICE r11): exact_budget=True makes sum(target_tokens)
+    == budget_tokens exactly via floor + largest-remainder + even
+    div/mod spread of the 6-dp-weight residual; the default path is
+    unchanged (approximate within rounding, documented)."""
+    from gcp_dataengineering_spark.llm_ops.corpus import mixture_plan
+
+    rows = (
+        [(i, "a", 97) for i in range(123)]
+        + [(1000 + i, "b", 41) for i in range(57)]
+        + [(2000 + i, "c", 13) for i in range(7)]
+    )
+    d = spark.createDataFrame(rows, "doc_id long, source string, n_tokens long")
+    for budget in (10_000, 999_983, 7):
+        exact = mixture_plan(
+            d, alpha=0.5, budget_tokens=budget, exact_budget=True
+        ).collect()
+        assert sum(r.target_tokens for r in exact) == budget, budget
+        assert all(r.target_tokens >= 0 for r in exact)
+    # default stays approximate but close (within 1 token per source
+    # plus the documented 6-dp weight drift)
+    approx = mixture_plan(d, alpha=0.5, budget_tokens=10_000).collect()
+    assert abs(sum(r.target_tokens for r in approx) - 10_000) <= len(approx) + 1
+    # exact allocation differs from the rounded one by at most 1+spread
+    ex = {r.source: r.target_tokens for r in mixture_plan(
+        d, alpha=0.5, budget_tokens=10_000, exact_budget=True).collect()}
+    ap = {r.source: r.target_tokens for r in approx}
+    assert all(abs(ex[s] - ap[s]) <= 2 for s in ex)
+
+
+def test_apply_mixture_on_missing_contract(spark):
+    """r12 (the r11 verdict's silent-drop finding): a source absent
+    from the plan drops by default, passes through with
+    on_missing='keep', and raises with on_missing='error'."""
+    import pytest as _pytest
+
+    from gcp_dataengineering_spark.llm_ops.corpus import (
+        apply_mixture,
+        mixture_plan,
+    )
+
+    old = spark.createDataFrame(
+        [(i, "a", 50) for i in range(40)] + [(100 + i, "b", 50) for i in range(40)],
+        "doc_id long, source string, n_tokens long",
+    )
+    plan = mixture_plan(old, alpha=0.5, budget_tokens=2_000)
+    grown = old.union(
+        spark.createDataFrame(
+            [(500 + i, "new_src", 50) for i in range(10)],
+            "doc_id long, source string, n_tokens long",
+        )
+    )
+    dropped = apply_mixture(grown, plan)  # default: drop
+    assert dropped.filter(F.col("source") == "new_src").count() == 0
+    kept = apply_mixture(grown, plan, on_missing="keep")
+    assert kept.filter(F.col("source") == "new_src").count() == 10
+    # known sources sample identically under drop/keep
+    assert (
+        dropped.filter(F.col("source") != "new_src").count()
+        == kept.filter(F.col("source") != "new_src").count()
+    )
+    with _pytest.raises(ValueError, match="new_src"):
+        apply_mixture(grown, plan, on_missing="error")
+    # no unknown sources: error mode is a no-op gate
+    assert apply_mixture(old, plan, on_missing="error").count() == \
+        apply_mixture(old, plan).count()
+    with _pytest.raises(ValueError, match="on_missing"):
+        apply_mixture(old, plan, on_missing="bogus")

@@ -656,6 +656,21 @@ def test_llm_build_cli_byte_level(spark, tmp_path):
         assert "мир" in decoded and "CASE" in decoded  # case + script kept
 
 
+def test_llm_build_rejects_ascii_pattern_in_byte_mode():
+    """r12 (ADVICE r11): --bpe-byte-level + --bpe-word-pattern ascii
+    would silently drop every uppercase/non-ASCII character (ascii
+    splits on [^a-z]+), contradicting byte mode's lossless contract —
+    the CLI rejects the combination before any Spark work starts."""
+    import pytest as _pytest
+
+    from gcp_dataengineering_spark.llm_build import main
+
+    with _pytest.raises(SystemExit, match="lossless"):
+        main(["--docs", "x.parquet", "--out", "y",
+              "--bpe-train", "8", "--bpe-byte-level",
+              "--bpe-word-pattern", "ascii"])
+
+
 def test_build_training_corpus_mixture_stage(spark):
     """r11: mixture_budget_tokens composes into the build — the
     over-represented source is hash-downsampled toward its

@@ -576,3 +576,23 @@ def test_registrable_domain_psl_property_fuzz(spark):
                 f"SELECT {expr} FROM (SELECT ? AS h)", [h]
             ).fetchone()[0]
             assert sql_got == want, (case, rules, h, sql_got, want)
+
+
+def test_registrable_domain_sql_escapes_rule_literals(spark):
+    """r12 (ADVICE r11): a rule containing a single quote renders
+    valid, correctly-escaped DuckDB SQL (the other SQL renderers in
+    the module already used _sq(); this one now does too). Such a
+    rule can't match a real host, but caller data must never be able
+    to produce broken SQL."""
+    import duckdb
+
+    from gcp_dataengineering_spark.llm_ops.urls import registrable_domain_sql
+
+    rules = ("co.uk", "o'quote.uk", "!w'x.ck", "*.y'z")
+    expr = registrable_domain_sql("h", rules=rules)
+    con = duckdb.connect()
+    # parses and runs — before the fix this raised a parser error
+    got = con.execute(
+        f"SELECT {expr} FROM (SELECT 'a.example.co.uk' AS h)"
+    ).fetchone()[0]
+    assert got == "example.co.uk"
