@@ -98,6 +98,14 @@ HEADLINE = [
     # (source aggregation + dimension-sized window + broadcast-join
     # scan filter)
     "mixture_plan",
+    # round-12: model-based quality classifier (token explode +
+    # bucket-keyed training agg, then a broadcast-array scoring scan
+    # — the per-token element_at fold is the cost that drifts)
+    "quality_classifier",
+    # round-12: script detection + the widened 20-language/8-script
+    # lang_id (ten per-script regex scans + a 20-way stopword
+    # intersect argmax — the regex-scan-count cost class)
+    "script_detect",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

@@ -92,6 +92,28 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "default 0.5, the published multilingual-sampling choice)",
     )
     p.add_argument(
+        "--quality-model-labels",
+        default=None,
+        metavar="PARQUET",
+        help="labeled (text, label) parquet to train the hashed-n-gram "
+        "Naive Bayes quality gate on (r12; label 1 = high quality, 0 = "
+        "reject); enables the model gate stage and writes the trained "
+        "bucket weights to <out>/quality_model.parquet",
+    )
+    p.add_argument(
+        "--quality-model-threshold",
+        type=int,
+        default=0,
+        help="model-gate score threshold in fixed-point llog2 units "
+        "(0 = the Naive Bayes decision boundary; raise for precision)",
+    )
+    p.add_argument(
+        "--quality-model-buckets",
+        type=int,
+        default=4096,
+        help="hashed-feature bucket count for the model gate",
+    )
+    p.add_argument(
         "--gopher",
         action="store_true",
         help="conjoin the published Gopher quality rules into the page "
@@ -166,6 +188,13 @@ def main(argv: list[str] | None = None) -> int:
             bpe_byte_level=args.bpe_byte_level,
             mixture_budget_tokens=args.mixture_budget,
             mixture_alpha=args.mixture_alpha,
+            quality_model_labeled=(
+                spark.read.parquet(args.quality_model_labels)
+                if args.quality_model_labels
+                else None
+            ),
+            quality_model_threshold=args.quality_model_threshold,
+            quality_model_buckets=args.quality_model_buckets,
             gopher=args.gopher,
             gopher_min_words=args.gopher_min_words,
         ),
@@ -176,6 +205,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     corpus_dir = os.path.join(args.out, "corpus")
     shards_dir = os.path.join(args.out, "shards")
+    if "quality_model" in stages:
+        # persist the gate the corpus shipped under: a release
+        # without its quality model is not reproducible
+        stages["quality_model"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.out, "quality_model.parquet")
+        )
     stages["corpus"].write.mode("overwrite").partitionBy("split").parquet(corpus_dir)
     stages["shards"].select(
         "doc_id", "_shard_part", "shard_id", "n_tokens"

@@ -9,6 +9,10 @@ production pretraining-data build runs them:
 2. source reputation gate (judge the site, not just the page),
 2b. optional boilerplate removal (corpus-frequency repeated-segment
    strip, judged on raw text — config.boilerplate_max_doc_frac),
+2c. optional MODEL quality gate (r12 — quality_model.nb_train +
+   nb_quality_gate: the hashed-n-gram Naive Bayes trained on
+   config.quality_model_labeled, the CCNet/FineWeb-style learned
+   filter the heuristic gates pair with; scores ride as nbq_score),
 3. PII scrubbing (before fingerprinting, so PII-only variants
    collapse and the stored fingerprint matches the stored text),
 4. exact dedup (md5 fingerprint, min-id keeper),
@@ -132,6 +136,18 @@ class PipelineConfig:
     # the plan frame (stages["mixture_plan"]) for the training loop.
     mixture_budget_tokens: int | None = None
     mixture_alpha: float = 0.5
+    # model-based quality gate (quality_model.nb_train +
+    # nb_quality_gate, r12): a labeled DataFrame[text, label] (1 =
+    # high quality, 0 = reject) to train the hashed-n-gram Naive
+    # Bayes on; None = stage off. Runs after reputation/boilerplate
+    # and before the PII scrub — a scan-speed row map (broadcast
+    # weight array, zero corpus shuffle), so gating early drops junk
+    # before the expensive dedup joins. threshold is in fixed-point
+    # llog2 units (0 = the NB decision boundary); the per-doc
+    # nbq_score column rides through to the corpus for re-ranking.
+    quality_model_labeled: object | None = None
+    quality_model_threshold: int = 0
+    quality_model_buckets: int = 4096
     extra: dict = field(default_factory=dict)
 
 
@@ -218,6 +234,33 @@ def build_training_corpus(
         # ^ re-gate: a document that was ALL chrome passes the quality
         # gate on its raw text but is empty after the strip — an empty
         # string has no place in a training corpus
+
+    quality_model: DataFrame | None = None
+    model_gated: DataFrame | None = None
+    if cfg.quality_model_labeled is not None:
+        # 2c. learned vocabulary gate: train on the caller's labeled
+        # frame (dimension-sized model, B buckets), score+filter the
+        # corpus at scan speed. The model frame is a release
+        # artifact (stages["quality_model"]), like the mixture plan.
+        from .quality_model import nb_quality_gate, nb_train
+
+        quality_model = nb_train(
+            cfg.quality_model_labeled,
+            text_col=text_col,
+            num_buckets=cfg.quality_model_buckets,
+        )
+        if materialize is not False:
+            # the trained weights feed every downstream row: pin the
+            # B-row model so training aggregations run once, not per
+            # consumer of the corpus lineage
+            quality_model = _materialize(quality_model, materialize)
+        model_gated = nb_quality_gate(
+            reputable,
+            quality_model,
+            text_col=text_col,
+            threshold=cfg.quality_model_threshold,
+        )
+        reputable = model_gated
 
     scrubbed = (
         scrub_pii(reputable, text_col, out_col="_scrubbed")
@@ -363,6 +406,11 @@ def build_training_corpus(
         # optional stage, keyed only when enabled (stage_counts and
         # existing consumers see the unchanged default dict)
         stages["span_stripped"] = span_stripped
+    if model_gated is not None:
+        # the trained model is a release artifact (bucket weights +
+        # prior — the exact gate this corpus shipped under)
+        stages["quality_model"] = quality_model
+        stages["model_gated"] = model_gated
     if mixture is not None:
         # the plan frame itself is a release artifact (weights,
         # targets, epochs per source); "mixed" is the downsampled

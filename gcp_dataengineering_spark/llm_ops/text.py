@@ -14,16 +14,26 @@ from pyspark.sql import functions as F
 # BPE-ish word splitter: runs of non-alphanumerics separate tokens.
 TOKEN_SPLIT_RE = "[^a-zA-Z0-9]+"
 
-# Embedded stopword lists for the language-ID heuristic (~24 common
-# function words per language, ASCII-only so LIKE matching is
-# byte-identical across Spark and DuckDB). Dict order is the
+# Embedded stopword lists for the language-ID heuristic (~20-24
+# common function words per language, matched as exact
+# whitespace-delimited tokens after lower() — byte-identical across
+# Spark and DuckDB, diacritics included). Dict order is the
 # tie-break priority in lang_id. Shared words ("de", "la", "en", …)
 # are deliberate — list length dilutes collisions, and the measured
 # accuracy on the pytest fixture corpus
 # (tests/test_llm_ops.py::test_lang_id_accuracy_on_fixture_corpus)
 # is the honest capability statement: this is a stopword heuristic,
-# NOT fastText-class identification — no accent handling, no
-# non-Latin scripts (zh/ja/ko/ar/ru all fall through to `default`).
+# NOT fastText-class identification. r12 widened the table from 7 to
+# 20 stopword languages (the r11 verdict's #2 item) — the original 7
+# first (tie-break priority preserved), then the new Latin-script
+# families, then Cyrillic ru/uk; the space-delimited zh/ja/ko/th/
+# ar/he/el/hi route through SCRIPT detection instead (see
+# SCRIPT_RANGES / lang_id), because stopword tokens barely exist in
+# unsegmented scripts. Known limits, documented: da/no/sv share much
+# of their function-word inventory (the fixture measures the
+# realized confusion); 'ar' is script-level (fa/ur collapse into
+# it), 'zh' likewise absorbs kanji-only ja snippets unless kana
+# appears.
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that",
            "was", "for", "are", "with", "his", "they", "this", "have",
@@ -46,7 +56,142 @@ STOPWORDS = {
     "nl": ["de", "het", "een", "en", "van", "ik", "te", "dat", "die", "in",
            "je", "niet", "zijn", "is", "was", "op", "aan", "met", "als",
            "voor", "er", "maar", "om", "dan"],
+    # r12 additions — Latin-script families
+    "da": ["og", "jeg", "det", "at", "en", "den", "til", "er", "som",
+           "på", "de", "med", "han", "af", "ikke", "der", "var", "mig",
+           "sig", "men", "et", "har", "om", "hvad"],
+    "sv": ["och", "det", "att", "i", "en", "jag", "hon", "som", "han",
+           "på", "den", "med", "var", "sig", "för", "så", "till", "är",
+           "men", "ett", "om", "hade", "av", "inte"],
+    "no": ["og", "jeg", "det", "at", "en", "et", "den", "til", "er",
+           "som", "på", "de", "med", "han", "av", "ikke", "der", "så",
+           "var", "men", "seg", "har", "hva", "skal"],
+    "fi": ["ja", "on", "ei", "se", "että", "hän", "oli", "ovat", "mutta",
+           "kun", "niin", "kuin", "myös", "jos", "mitä", "tämä", "ole",
+           "sen", "vain", "joka", "sitä", "olen", "minä", "hänen"],
+    "pl": ["i", "w", "nie", "na", "się", "z", "do", "to", "że", "jest",
+           "jak", "po", "co", "tak", "ale", "od", "za", "przez", "być",
+           "czy", "tego", "dla", "przy", "tym"],
+    "cs": ["a", "se", "na", "je", "že", "o", "s", "z", "do", "i", "to",
+           "ale", "jako", "za", "po", "od", "pro", "tak", "co", "když",
+           "nebo", "už", "byl", "jsem"],
+    "ro": ["și", "de", "la", "a", "în", "este", "cu", "pe", "un", "o",
+           "că", "mai", "se", "din", "nu", "sunt", "ca", "pentru", "dar",
+           "lui", "au", "fost", "sau", "care"],
+    "hu": ["a", "az", "és", "hogy", "nem", "is", "egy", "ez", "van",
+           "de", "volt", "mint", "meg", "el", "már", "csak", "ha", "még",
+           "vagy", "fel", "ki", "mi", "be", "úgy"],
+    "tr": ["bir", "ve", "bu", "da", "de", "ne", "için", "ile", "çok",
+           "daha", "olarak", "gibi", "ama", "en", "o", "var", "kadar",
+           "sonra", "ben", "bana", "diye", "ki", "her", "değil"],
+    "id": ["yang", "dan", "di", "itu", "dengan", "untuk", "tidak", "ini",
+           "dari", "dalam", "akan", "pada", "juga", "saya", "ke",
+           "karena", "ada", "mereka", "sudah", "atau", "bisa", "kami",
+           "telah", "orang"],
+    "vi": ["và", "của", "là", "có", "trong", "được", "các", "một",
+           "không", "những", "người", "này", "cho", "với", "để", "đã",
+           "khi", "cũng", "về", "như", "đến", "tôi", "sẽ", "ra"],
+    # Cyrillic-script stopword languages (the script router sends
+    # Cyrillic text to the vote rather than hard-mapping it, so
+    # ru/uk separate on their distinct function words)
+    "ru": ["и", "в", "не", "на", "я", "что", "он", "с", "как", "это",
+           "по", "но", "они", "к", "у", "из", "за", "от", "так", "же",
+           "бы", "была", "был", "мы"],
+    "uk": ["і", "в", "не", "на", "що", "я", "з", "до", "це", "як", "за",
+           "від", "так", "але", "його", "був", "вона", "ми", "у", "та",
+           "про", "або", "коли", "є"],
 }
+
+# Major Unicode script ranges (BMP blocks — public Unicode data).
+# Deliberately coarse: block-level membership, not per-character
+# Script= property (0x00D7 × and 0x00F7 ÷ ride inside the latin
+# supplement range, half-width forms are ignored) — the fractions
+# feed a ROUTER, not a renderer. Dict order is the tie-break
+# priority in detect_script.
+SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
+    "latin": [(0x41, 0x5A), (0x61, 0x7A), (0xC0, 0x24F)],
+    "cyrillic": [(0x400, 0x52F)],
+    "greek": [(0x370, 0x3FF), (0x1F00, 0x1FFF)],
+    "arabic": [(0x600, 0x6FF), (0x750, 0x77F)],
+    "hebrew": [(0x590, 0x5FF)],
+    "devanagari": [(0x900, 0x97F)],
+    "han": [(0x3400, 0x4DBF), (0x4E00, 0x9FFF)],
+    "kana": [(0x3040, 0x30FF)],  # hiragana + katakana, contiguous
+    "hangul": [(0x1100, 0x11FF), (0x3130, 0x318F), (0xAC00, 0xD7AF)],
+    "thai": [(0xE00, 0xE7F)],
+}
+
+# script → language for the one-script-one-language cases; han/kana
+# interplay (ja vs zh) is the router's explicit rule in lang_id.
+SCRIPT_DIRECT_LANG = {
+    "greek": "el", "arabic": "ar", "hebrew": "he",
+    "devanagari": "hi", "hangul": "ko", "thai": "th",
+}
+
+
+def _script_class_java(ranges: list[tuple[int, int]]) -> str:
+    """Java-regex character class for a list of BMP ranges."""
+    return "[" + "".join(f"\\u{lo:04X}-\\u{hi:04X}" for lo, hi in ranges) + "]"
+
+
+def _script_class_re2(ranges: list[tuple[int, int]]) -> str:
+    """RE2 (DuckDB) character class for the same ranges."""
+    return (
+        "["
+        + "".join(f"\\x{{{lo:X}}}-\\x{{{hi:X}}}" for lo, hi in ranges)
+        + "]"
+    )
+
+
+def script_counts(col: Column | str) -> dict[str, Column]:
+    """Per-script character counts (r12): one ``length − length(
+    regexp_replace(class, ''))`` scan per script over
+    :data:`SCRIPT_RANGES` — pure column expressions, same cost model
+    as the pii scrubber's per-class scans. NULL text counts as
+    empty. Both engines count CODE POINTS (all ranges are BMP), so
+    the DuckDB twin (:func:`script_counts_sql`) is byte-identical."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    return {
+        name: (
+            F.length(c) - F.length(F.regexp_replace(c, _script_class_java(r), ""))
+        ).cast("long")
+        for name, r in SCRIPT_RANGES.items()
+    }
+
+
+def script_counts_sql(expr: str) -> dict[str, str]:
+    """DuckDB replay of :func:`script_counts` (RE2 spelling of the
+    same ranges; explicit 'g' flag)."""
+    e = f"coalesce({expr}, '')"
+    return {
+        name: (
+            f"CAST(length({e}) - length(regexp_replace({e}, "
+            f"'{_script_class_re2(r)}', '', 'g')) AS BIGINT)"
+        )
+        for name, r in SCRIPT_RANGES.items()
+    }
+
+
+def detect_script(col: Column | str, default: str = "unknown") -> Column:
+    """Dominant script of a text column: argmax of
+    :func:`script_counts` (ties resolve to SCRIPT_RANGES order, zero
+    counts → ``default``). One ``array_max`` over a struct array —
+    each count evaluated once, no when-chain blowup."""
+    counts = script_counts(col)
+    n = len(counts)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    cnt.alias("s"),
+                    F.lit(n - i).alias("p"),
+                    F.lit(name).alias("l"),
+                )
+                for i, (name, cnt) in enumerate(counts.items())
+            ]
+        )
+    )
+    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit(default))
 
 
 def md5_60bit(c: Column) -> Column:
@@ -234,24 +379,77 @@ def lang_scores(col: Column | str) -> dict[str, Column]:
 
 
 def lang_id(col: Column | str, default: str = "und") -> Column:
-    """Stopword-HEURISTIC language ID: pick the language with the
-    highest stopword score — a first-match-wins when-chain (ties
-    resolve to STOPWORDS order; zero hits → `default`). No shuffle,
-    no UDF — runs at scan speed, which is the point: it's the cheap
-    first-pass router, not a fastText replacement (see the STOPWORDS
-    honesty note; measured 100% on the 7-language real-sentence
-    pytest fixture, but that fixture is clean prose — expect
-    materially lower accuracy on short/noisy/code-mixed text)."""
-    scores = lang_scores(col)
-    langs = list(scores)
-    best = None
-    for i, lang in enumerate(langs):
-        cond = scores[lang] > 0
-        for later in langs[i + 1 :]:
-            cond = cond & (scores[lang] >= scores[later])
-        expr = F.when(cond, lang)
-        best = expr if best is None else best.when(cond, lang)
-    return best.otherwise(default) if best is not None else F.lit(default)
+    """Heuristic language ID, r12 two-stage form (was: 7-language
+    stopword argmax):
+
+    1. SCRIPT route: the dominant Unicode script
+       (:func:`detect_script`) hard-maps the one-script-one-language
+       cases — el/ar/he/hi/ko/th — plus the han/kana rule: dominant
+       kana → ``ja``; dominant han → ``ja`` if ANY kana is present
+       (kana never occurs in Chinese prose), else ``zh``. Script-
+       level honesty: ``ar`` absorbs fa/ur, ``zh`` absorbs
+       kanji-only ja snippets.
+    2. STOPWORD vote for Latin/Cyrillic/unknown scripts: argmax of
+       distinct stopword hits over the 20 :data:`STOPWORDS`
+       languages — ONE ``array_max`` over a struct array (each score
+       evaluated once; ties resolve to STOPWORDS order; zero hits →
+       ``default``).
+
+    No shuffle, no UDF — runs at scan speed, which is the point:
+    it's the cheap first-pass router, not a fastText replacement
+    (see the STOPWORDS honesty note; the pytest fixture corpus
+    measures the realized per-language accuracy on clean prose —
+    expect materially lower accuracy on short/noisy/code-mixed
+    text)."""
+    c = F.col(col) if isinstance(col, str) else col
+    counts = script_counts(c)
+    toks = F.split(F.lower(F.coalesce(c, F.lit(""))), "\\s+")
+    langs = list(STOPWORDS)
+    n = len(langs)
+    best = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    F.size(
+                        F.array_intersect(
+                            toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+                        )
+                    ).alias("s"),
+                    F.lit(n - i).alias("p"),
+                    F.lit(lang).alias("l"),
+                )
+                for i, lang in enumerate(langs)
+            ]
+        )
+    )
+    vote = F.when(best["s"] > 0, best["l"]).otherwise(F.lit(default))
+    # inline the script argmax over the counts already computed (the
+    # same structure as detect_script — sharing the count expressions
+    # keeps the scan count at one per script even if codegen's
+    # common-subexpression elimination declines to fire)
+    ns = len(counts)
+    sbest = F.array_max(
+        F.array(
+            *[
+                F.struct(
+                    cnt.alias("s"),
+                    F.lit(ns - i).alias("p"),
+                    F.lit(name).alias("l"),
+                )
+                for i, (name, cnt) in enumerate(counts.items())
+            ]
+        )
+    )
+    script = F.when(sbest["s"] > 0, sbest["l"]).otherwise(F.lit("unknown"))
+    out = F.when(
+        script == "kana", F.lit("ja")
+    ).when(
+        script == "han",
+        F.when(counts["kana"] > 0, F.lit("ja")).otherwise(F.lit("zh")),
+    )
+    for sc, lang in SCRIPT_DIRECT_LANG.items():
+        out = out.when(script == sc, F.lit(lang))
+    return out.otherwise(vote)
 
 
 def repetition_features(

@@ -23,6 +23,7 @@ from ..llm_ops import html as H
 from ..llm_ops import decontam as DC
 from ..llm_ops import dedup as D
 from ..llm_ops import multimodal as M
+from ..llm_ops import quality_model as QM
 from ..llm_ops import similarity as S
 from ..llm_ops import text as T
 
@@ -188,34 +189,136 @@ def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Generated from T.STOPWORDS so the oracle can never desync from the
-# operator's lists or its first-match-wins tie-break order.
+# Generated from T.STOPWORDS / T.SCRIPT_RANGES so the oracle can
+# never desync from the operator's tables or tie-break orders.
+# r12: replays the two-stage router — script argmax (list_max over
+# structs, the same lexicographic argmax Spark's array_max computes)
+# hard-maps the one-script languages and the han/kana ja-vs-zh rule;
+# Latin/Cyrillic/unknown fall to the 20-language stopword vote.
 _LID_LANGS = list(T.STOPWORDS)
-_LID_SCORED = ",\n           ".join(
-    f"{_sql_hits(T.STOPWORDS[l])} AS s_{l}" for l in _LID_LANGS
-)
-_LID_CASE = "\n                ".join(
-    "WHEN "
-    + " AND ".join(
-        [f"s_{l} > 0"] + [f"s_{l} >= s_{m}" for m in _LID_LANGS[i + 1:]]
+
+
+def _sql_hits_of(expr: str, words: list[str]) -> str:
+    """_sql_hits over an arbitrary text expression."""
+    lst = ", ".join(f"'{w}'" for w in words)
+    return (
+        "len(list_intersect(regexp_split_to_array("
+        f"lower(coalesce({expr}, '')), '\\s+'), [{lst}]))"
     )
-    + f" THEN '{l}'"
-    for i, l in enumerate(_LID_LANGS)
-)
+
+
+def _lid_pred_sql(text_expr: str) -> str:
+    """DuckDB expression replaying text.lang_id over ``text_expr``
+    (script router + stopword vote, both argmaxes as list_max over
+    (score, priority, label) structs)."""
+    counts = T.script_counts_sql(text_expr)
+    ns = len(counts)
+    sstructs = ", ".join(
+        f"struct_pack(s := {c}, p := {ns - i}, l := '{name}')"
+        for i, (name, c) in enumerate(counts.items())
+    )
+    nl = len(_LID_LANGS)
+    vstructs = ", ".join(
+        f"struct_pack(s := {_sql_hits_of(text_expr, T.STOPWORDS[l])}, "
+        f"p := {nl - i}, l := '{l}')"
+        for i, l in enumerate(_LID_LANGS)
+    )
+    sb = f"(list_max([{sstructs}]))"
+    vb = f"(list_max([{vstructs}]))"
+    direct = " ".join(
+        f"WHEN {sb}.l = '{sc}' THEN '{lang}'"
+        for sc, lang in T.SCRIPT_DIRECT_LANG.items()
+    )
+    return (
+        f"CASE WHEN {sb}.s <= 0 THEN "
+        f"(CASE WHEN {vb}.s > 0 THEN {vb}.l ELSE 'und' END) "
+        f"WHEN {sb}.l = 'kana' THEN 'ja' "
+        f"WHEN {sb}.l = 'han' THEN "
+        f"(CASE WHEN {counts['kana']} > 0 THEN 'ja' ELSE 'zh' END) "
+        f"{direct} "
+        f"WHEN {vb}.s > 0 THEN {vb}.l ELSE 'und' END"
+    )
+
 
 ORACLE_LANG_ID = f"""
-WITH scored AS (
-    SELECT lang,
-           {_LID_SCORED}
-    FROM documents
-), pred AS (
-    SELECT lang,
-           CASE {_LID_CASE}
-                ELSE 'und' END AS lang_pred
-    FROM scored
-)
 SELECT lang, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
-FROM pred GROUP BY lang, lang_pred
+FROM (SELECT lang, {_lid_pred_sql('text')} AS lang_pred FROM documents)
+GROUP BY lang, lang_pred
+"""
+
+
+# ------------------------------------------------- script detection (r12)
+# Deterministic multi-script pages: a stopword-free latin filler
+# ('doc<N>') plus a per-class native-script snippet selected by
+# doc_id mod 11 and repeated so the snippet's script dominates.
+# Exercises the script argmax, the han/kana ja-vs-zh rule, the
+# direct script→language maps AND the widened stopword vote (en/es/
+# ru rows resolve by vote, not by script).
+_SCRIPT_SNIPPETS = [
+    "the cat and the dog were in the house that was near the old mill",
+    "el perro y el gato que estaban en la casa de la familia por una semana",
+    "он сказал что это было не так и они не знали как он был у нас",
+    "και το ελληνικό κείμενο εδώ για τον έλεγχο",
+    "النص العربي هنا للاختبار والمراجعة الدقيقة",
+    "טקסט עברי לבדיקה כאן עם מילים נוספות",
+    "यह परीक्षण के लिए हिंदी पाठ है और कुछ शब्द",
+    "这是用于测试的中文文本内容还有更多字符",
+    "これはテストのための日本語ですもっと文字",
+    "한국어 텍스트 테스트 입니다 더 많은 글자",
+    "นี่คือข้อความภาษาไทยสำหรับทดสอบเพิ่มเติม",
+]
+
+
+def q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """text.script_counts + detect_script + the r12 two-stage
+    lang_id over deterministic multi-script pages — per doc: all ten
+    per-script character counts, the dominant script, and the routed
+    language prediction (hash-gated; the pytest fixture measures
+    accuracy, this key gates the arithmetic and the routing)."""
+    docs = _t(spark, sf_dir, "documents")
+    snippet = F.element_at(
+        F.array(*[F.lit(s) for s in _SCRIPT_SNIPPETS]),
+        (F.pmod(F.col("doc_id"), F.lit(len(_SCRIPT_SNIPPETS))) + 1).cast("int"),
+    )
+    synth = F.concat(
+        F.lit("doc"),
+        F.col("doc_id").cast("string"),
+        F.lit(" "),
+        F.repeat(snippet, 2),
+    )
+    base = docs.select("doc_id", synth.alias("t"))
+    counts = T.script_counts("t")
+    return base.select(
+        "doc_id",
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        T.detect_script("t").alias("script"),
+        T.lang_id("t").alias("lang_pred"),
+    )
+
+
+def _script_detect_oracle() -> str:
+    snips = ", ".join("'" + s.replace("'", "''") + "'" for s in _SCRIPT_SNIPPETS)
+    synth = (
+        f"'doc' || CAST(doc_id AS VARCHAR) || ' ' || "
+        f"repeat(([{snips}])[(doc_id % {len(_SCRIPT_SNIPPETS)}) + 1], 2)"
+    )
+    counts = T.script_counts_sql("t")
+    ns = len(counts)
+    cnt_cols = ",\n       ".join(f"{c} AS n_{name}" for name, c in counts.items())
+    sstructs = ", ".join(
+        f"struct_pack(s := {c}, p := {ns - i}, l := '{name}')"
+        for i, (name, c) in enumerate(counts.items())
+    )
+    sb = f"(list_max([{sstructs}]))"
+    return f"""
+WITH synth AS (
+    SELECT doc_id, {synth} AS t FROM documents
+)
+SELECT doc_id,
+       {cnt_cols},
+       CASE WHEN {sb}.s > 0 THEN {sb}.l ELSE 'unknown' END AS script,
+       {_lid_pred_sql('t')} AS lang_pred
+FROM synth
 """
 
 
@@ -2101,8 +2204,125 @@ FROM p2 LEFT JOIN kept k ON p2.source = k.source
 """
 
 
+# --------------------------------------------- model-based quality (r12)
+# Distinctive spam vocabulary planted into the label-0 class; the
+# phrase is doubled so the planted tokens dominate their buckets.
+_NBQ_SPAM = (
+    "click here free casino bonus winner jackpot lottery prize "
+    "claim now unsubscribe instantly guaranteed"
+)
+_NBQ_BUCKETS = 256
+
+
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """quality_model.nb_train + nb_score (r12 — the r11 verdict's #1
+    capability gap): the hashed-n-gram Naive Bayes trained IN-ENGINE
+    on a deterministic two-class corpus derived from the documents
+    table (label 1 = the raw text, label 0 = the same text with a
+    planted spam phrase appended twice), then both versions of every
+    document scored with the learned weights. Everything — token
+    hashing, Laplace counts, the fixed-point llog2 weights, the
+    prior, the per-document evidence sums — is integer arithmetic,
+    so the oracle replays TRAINING AND SCORING bit-for-bit (the
+    bpe_encode recipe: derive the artifact from the corpus itself in
+    both engines). ``separated`` records that the spam-ified version
+    scores strictly below the clean version — the semantic claim the
+    hash gate pins per document."""
+    docs = _t(spark, sf_dir, "documents")
+    spam_text = F.concat_ws(
+        " ", F.col("text"), F.lit(_NBQ_SPAM), F.lit(_NBQ_SPAM)
+    )
+    labeled = docs.select(
+        "doc_id", "text", F.lit(1).alias("label")
+    ).unionByName(
+        docs.select(
+            "doc_id", spam_text.alias("text"), F.lit(0).alias("label")
+        )
+    )
+    model = QM.nb_train(labeled, num_buckets=_NBQ_BUCKETS, salt="nbq")
+    ham = QM.nb_score(
+        docs.select("doc_id", "text"), model, out_col="nbq_score"
+    ).select("doc_id", "nbq_score")
+    spam = QM.nb_score(
+        docs.select("doc_id", spam_text.alias("text")),
+        model,
+        out_col="nbq_spam_score",
+    ).select("doc_id", "nbq_spam_score")
+    return ham.join(spam, "doc_id").select(
+        "doc_id",
+        "nbq_score",
+        "nbq_spam_score",
+        (F.col("nbq_spam_score") < F.col("nbq_score")).alias("separated"),
+    )
+
+
+def _quality_classifier_oracle() -> str:
+    """Full-replay oracle: training (counts → fixed-point llog2
+    weights → prior) and scoring, rendered from the same constants
+    and the shared :func:`llog2_sql`."""
+    B = _NBQ_BUCKETS
+    spam = _NBQ_SPAM
+    bucket = (
+        "('0x' || substring(md5('nbq' || chr(31) || t), 1, 15))::BIGINT"
+        f" % {B}"
+    )
+    toks = (
+        "unnest(list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),"
+        " x -> x <> '')) AS t"
+    )
+    lg = QM.llog2_sql
+    return f"""
+WITH labeled AS (
+    SELECT doc_id, text, 1 AS y FROM documents
+    UNION ALL
+    SELECT doc_id, text || ' {spam} {spam}' AS text, 0 AS y FROM documents
+), tok AS (
+    SELECT y, {toks} FROM labeled
+), cnt AS (
+    SELECT {bucket} AS bucket,
+           CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+    FROM tok GROUP BY 1
+), dense AS (
+    SELECT r.range AS bucket,
+           CAST(coalesce(c.c1, 0) AS BIGINT) AS c1,
+           CAST(coalesce(c.c0, 0) AS BIGINT) AS c0
+    FROM range({B}) r LEFT JOIN cnt c ON c.bucket = r.range
+), tot AS (
+    SELECT CAST(SUM(c1) + {B} AS BIGINT) AS t1,
+           CAST(SUM(c0) + {B} AS BIGINT) AS t0,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n1,
+           CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n0
+    FROM dense
+), w AS (
+    SELECT bucket,
+           ({lg('c1 + 1')} - {lg('t1')}) - ({lg('c0 + 1')} - {lg('t0')}) AS wt
+    FROM dense CROSS JOIN tot
+), prior AS (
+    SELECT {lg('n1')} - {lg('n0')} AS p FROM tot
+), dtok AS (
+    SELECT doc_id, y, {toks} FROM labeled
+), ds AS (
+    SELECT h.doc_id, h.y, SUM(w.wt) AS s
+    FROM (SELECT doc_id, y, {bucket} AS bucket FROM dtok) h
+    JOIN w ON w.bucket = h.bucket
+    GROUP BY 1, 2
+)
+SELECT d.doc_id AS doc_id,
+       CAST(coalesce(sh.s, 0) + pr.p AS BIGINT) AS nbq_score,
+       CAST(coalesce(ss.s, 0) + pr.p AS BIGINT) AS nbq_spam_score,
+       (coalesce(ss.s, 0) + pr.p) < (coalesce(sh.s, 0) + pr.p) AS separated
+FROM documents d
+CROSS JOIN prior pr
+LEFT JOIN ds sh ON sh.doc_id = d.doc_id AND sh.y = 1
+LEFT JOIN ds ss ON ss.doc_id = d.doc_id AND ss.y = 0
+"""
+
+
 QUERIES = {
     "mixture_plan": q_mixture_plan,
+    "quality_classifier": q_quality_classifier,
+    "script_detect": q_script_detect,
     "bpe_encode": q_bpe_encode,
     "dedup_spans": q_dedup_spans,
     "domain_stats": q_domain_stats,
@@ -2206,6 +2426,8 @@ ORACLES = {
     "chunk_plan": ORACLE_CHUNK_PLAN,
     "source_filter": ORACLE_SOURCE_FILTER,
     "mixture_plan": ORACLE_MIXTURE_PLAN,
+    "quality_classifier": _quality_classifier_oracle(),
+    "script_detect": _script_detect_oracle(),
 }
 
 

@@ -97,8 +97,13 @@ RESIDENT = [
     # exactly the ≤2-round staleness bound).
     "bpe_encode",
     "dedup_ngram_capped",
-    "dedup_groups",
-    "dedup_pipeline",
+    # r12 moves: dedup_groups and dedup_pipeline demoted → GROUP_A
+    # (both stable green every round since r4/r6, plans unchanged
+    # since the r8/r9 lineage-truncation work; green r11 as residents,
+    # next driver row r13 via the A parity — exactly the ≤2-round
+    # staleness bound) to fund GROUP_B slots for the two new r12 keys
+    # quality_classifier + script_detect (in-window immediately — r12
+    # is the B parity).
     # r11 moves: dedup_spans promoted (its strip rebuild was rewritten
     # linear in r11 — the policy's "newest plan" criterion; resident
     # through the plan change), funded by demoting embedding_lsh →
@@ -195,6 +200,13 @@ GROUP_A = [
     # for the new mixture_plan — still in the r11 window via this
     # parity, so no staleness gap at all
     "embedding_pq",
+    # demoted from RESIDENT in r12 (stable green every round since
+    # r4/r6; pointer-doubling CC and the composed dedup chain both
+    # plan-stable since the r8 materialize work) to fund GROUP_B
+    # slots for quality_classifier + script_detect — green r11 as
+    # residents, next driver row r13 via this parity
+    "dedup_groups",
+    "dedup_pipeline",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). The r6-green core plus
@@ -274,6 +286,15 @@ GROUP_B = [
     # applier (p_s ∝ n_s^alpha) — externally pytest-checked from day
     # one, first driver row r12 via this parity
     "mixture_plan",
+    # new in r12: the model-based quality classifier (hashed-n-gram
+    # Naive Bayes, integer fixed-point llog2 — the r11 verdict's #1
+    # capability gap; full training+scoring oracle replay) —
+    # in-window immediately, r12 is the B parity
+    "quality_classifier",
+    # new in r12: Unicode-script detection + the widened lang_id
+    # (script fractions as pure column expressions) — in-window
+    # immediately
+    "script_detect",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.

@@ -671,6 +671,110 @@ def test_llm_build_rejects_ascii_pattern_in_byte_mode():
               "--bpe-word-pattern", "ascii"])
 
 
+def test_build_training_corpus_model_quality_gate(spark):
+    """r12: quality_model_labeled composes into the build as stage
+    2c — the learned hashed-n-gram NB drops the spam-vocabulary docs
+    the heuristic gate can't see (they are well-formed prose), the
+    nbq_score column rides through to the corpus, the trained model
+    is a stage artifact, and the stage is off by default."""
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+
+    hamv = "analysis research evidence chapter history science".split()
+    spamv = "casino jackpot lottery unsubscribe winner promo".split()
+
+    def doc(i, vocab, tag):
+        words = " ".join(f"{vocab[j % len(vocab)]}" for j in range(30))
+        return (i, f"the {tag}{i} report and {words} with more of it", "en")
+
+    labeled = spark.createDataFrame(
+        [(doc(i, hamv, "h")[1], 1) for i in range(12)]
+        + [(doc(i, spamv, "s")[1], 0) for i in range(12)],
+        "text string, label int",
+    )
+    corpus_rows = [doc(i, hamv, "x") + ("srcA",) for i in range(10)] + [
+        doc(100 + i, spamv, "y") + ("srcA",) for i in range(10)
+    ]
+    docs = spark.createDataFrame(
+        corpus_rows, "doc_id long, text string, lang string, source string"
+    )
+    stages = build_training_corpus(
+        docs,
+        config=PipelineConfig(
+            quality_model_labeled=labeled, quality_model_buckets=256
+        ),
+    )
+    assert "quality_model" in stages and "model_gated" in stages
+    kept = {r.doc_id for r in stages["model_gated"].select("doc_id").collect()}
+    assert kept == set(range(10)), kept  # spam docs (100+) gone
+    # the score rides to the final corpus for re-ranking
+    corpus = stages["corpus"]
+    assert "nbq_score" in corpus.columns
+    assert all(r.nbq_score > 0 for r in corpus.select("nbq_score").collect())
+    # the model artifact is dense (one row per bucket)
+    assert stages["quality_model"].count() == 256
+    # off by default
+    off = build_training_corpus(docs)
+    assert "quality_model" not in off and "model_gated" not in off
+    assert "nbq_score" not in off["corpus"].columns
+
+
+def test_llm_build_cli_quality_model(spark, tmp_path):
+    """--quality-model-labels rides through the CLI: the model gate
+    runs, the report carries the stage counts, and the trained
+    bucket weights persist to <out>/quality_model.parquet."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    hamv = "analysis research evidence chapter history science".split()
+    spamv = "casino jackpot lottery unsubscribe winner promo".split()
+
+    def text(i, vocab, tag):
+        words = " ".join(vocab[j % len(vocab)] for j in range(30))
+        return f"the {tag}{i} report and {words} with more of it"
+
+    docs_path = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(
+        [(i, text(i, hamv, "x"), "en", "srcA") for i in range(8)]
+        + [(100 + i, text(i, spamv, "y"), "en", "srcA") for i in range(8)],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(docs_path)
+    labels_path = str(tmp_path / "labels.parquet")
+    spark.createDataFrame(
+        [(text(i, hamv, "h"), 1) for i in range(10)]
+        + [(text(i, spamv, "s"), 0) for i in range(10)],
+        "text string, label int",
+    ).write.parquet(labels_path)
+    out = str(tmp_path / "qm_out")
+    proc = subprocess.run(
+        [sys.executable, "-m", "gcp_dataengineering_spark.llm_build",
+         "--docs", docs_path, "--out", out, "--cpus", "4",
+         "--shard-budget", "500",
+         "--quality-model-labels", labels_path,
+         "--quality-model-buckets", "256"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:] + proc.stdout[-500:]
+    report = json.loads(
+        [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    )
+    assert report["model_gated"] == 8  # spam half dropped
+    assert report["quality_model"] == 256
+    # near-dup dedup later collapses the near-identical ham docs —
+    # the gate's guarantee is that whatever SURVIVES is ham-only
+    assert report["corpus"] >= 1
+    surv = {r.doc_id for r in spark.read.parquet(out + "/corpus").collect()}
+    assert surv and all(d < 100 for d in surv), surv
+    model = spark.read.parquet(out + "/quality_model.parquet")
+    assert model.count() == 256
+    assert set(model.columns) == {"bucket", "c1", "c0", "weight", "prior"}
+
+
 def test_build_training_corpus_mixture_stage(spark):
     """r11: mixture_budget_tokens composes into the build — the
     over-represented source is hash-downsampled toward its

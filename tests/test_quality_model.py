@@ -1,0 +1,215 @@
+"""Model-based quality classifier (llm_ops/quality_model.py, r12):
+hashed-n-gram Naive Bayes with integer fixed-point log2 — trained
+and scored as DataFrame ops, bit-exact across Spark / DuckDB /
+pure Python."""
+
+from __future__ import annotations
+
+import random
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_dataengineering_spark.llm_ops.quality_model import (
+    FRAC_BITS,
+    _hashed_tokens_py,
+    llog2,
+    llog2_py,
+    llog2_sql,
+    nb_quality_gate,
+    nb_score,
+    nb_train,
+    nb_train_py,
+)
+
+
+def test_llog2_three_way_parity_and_properties(spark):
+    """llog2 (Spark) == llog2_sql (DuckDB) == llog2_py on powers of
+    two, off-by-ones, small ints and random 62-bit values; monotone;
+    exact at powers of two; within the documented 0.0861·2^F error
+    of true log2 everywhere."""
+    import math
+
+    rng = random.Random(20260815)
+    xs = sorted(
+        set(
+            list(range(1, 200))
+            + [2**k for k in range(63)]
+            + [2**k - 1 for k in range(2, 63)]
+            + [2**k + 1 for k in range(2, 62)]
+            + [rng.randrange(1, 2**62) for _ in range(200)]
+        )
+    )
+    df = spark.createDataFrame([(x,) for x in xs], "x long")
+    got = {r.x: r.l for r in df.select("x", llog2(F.col("x")).alias("l")).collect()}
+    con = duckdb.connect()
+    expr = llog2_sql("x")
+    sql_got = {
+        x: con.execute(f"SELECT {expr} FROM (SELECT ?::BIGINT AS x)", [x]).fetchone()[0]
+        for x in xs
+    }
+    s = 1 << FRAC_BITS
+    prev = None
+    for x in xs:
+        want = llog2_py(x)
+        assert got[x] == want, (x, got[x], want)
+        assert sql_got[x] == want, (x, sql_got[x], want)
+        if x & (x - 1) == 0:  # power of two: exact
+            assert want == (x.bit_length() - 1) * s
+        assert abs(want / s - math.log2(x)) <= 0.0862
+        if prev is not None:
+            assert want >= prev
+        prev = want
+    with pytest.raises(ValueError):
+        llog2_py(0)
+
+
+def test_nb_train_matches_python_reference_exactly(spark):
+    """The Spark trainer's dense model frame (counts, weights,
+    prior) equals the independent pure-Python reference row for row
+    — the falsification harness for the in-engine aggregation."""
+    ham = [
+        f"the quick brown fox jumps over the lazy dog article {i} with "
+        "plain readable prose and complete sentences"
+        for i in range(25)
+    ]
+    spam = [
+        f"click here free casino bonus winner jackpot lottery prize {i} "
+        "claim now limited offer act fast"
+        for i in range(35)  # deliberately unbalanced: prior != 0
+    ]
+    rows = [(t, 1) for t in ham] + [(t, 0) for t in spam]
+    labeled = spark.createDataFrame(rows, "text string, label int")
+    B = 256
+    model = nb_train(labeled, num_buckets=B)
+    ref = nb_train_py(rows, num_buckets=B)
+    got = {r.bucket: r for r in model.collect()}
+    assert len(got) == B  # dense: every bucket present exactly once
+    for b in range(B):
+        assert (got[b].c1, got[b].c0, got[b].weight, got[b].prior) == (
+            ref["c1"][b],
+            ref["c0"][b],
+            ref["weights"][b],
+            ref["prior"],
+        ), b
+    assert ref["prior"] != 0  # unbalanced classes produce a real prior
+
+    # missing class rejected
+    with pytest.raises(ValueError, match="both classes"):
+        nb_train(spark.createDataFrame([("x", 1)], "text string, label int"))
+
+
+def test_nb_classifier_accuracy_floor_on_held_out_docs(spark):
+    """Train on 60% of a planted two-class corpus (shared filler
+    vocabulary + class-specific vocabulary, randomized word order
+    and lengths), score the HELD-OUT 40%: accuracy must clear 0.95
+    — the honest capability statement for the fixture, mirroring
+    the lang_id measured-accuracy convention."""
+    rng = random.Random(7)
+    shared = ["about", "into", "over", "after", "world", "report", "new",
+              "time", "people", "year", "day", "many", "make", "see"]
+    hamv = ["analysis", "research", "evidence", "chapter", "history",
+            "science", "novel", "detailed", "thorough", "literature"]
+    spamv = ["casino", "jackpot", "viagra", "lottery", "unsubscribe",
+             "winner", "bonus", "promo", "freebie", "clickbait"]
+
+    def doc(vocab):
+        n = rng.randint(10, 40)
+        pool = shared + vocab
+        return " ".join(rng.choice(pool) for _ in range(n))
+
+    rows = [(i, doc(hamv), 1) for i in range(100)] + [
+        (100 + i, doc(spamv), 0) for i in range(100)
+    ]
+    rng.shuffle(rows)
+    train = rows[:120]
+    test = rows[120:]
+    assert {y for _, _, y in train} == {0, 1}
+    labeled = spark.createDataFrame(
+        [(t, y) for _, t, y in train], "text string, label int"
+    )
+    model = nb_train(labeled, num_buckets=512)
+    scored = nb_score(
+        spark.createDataFrame([(i, t) for i, t, _ in test], "id long, text string"),
+        model,
+    )
+    got = {r.id: r.nbq_score for r in scored.collect()}
+    want = {i: y for i, _, y in test}
+    acc = sum((got[i] > 0) == (want[i] == 1) for i in got) / len(got)
+    assert acc >= 0.95, acc
+    # the gate keeps exactly the score>threshold rows
+    kept = {
+        r.id
+        for r in nb_quality_gate(
+            spark.createDataFrame(
+                [(i, t) for i, t, _ in test], "id long, text string"
+            ),
+            model,
+        ).collect()
+    }
+    assert kept == {i for i in got if got[i] > 0}
+
+
+def test_nb_score_zero_shuffle_plan(spark):
+    """Scoring is a pure row map: the physical plan must carry the
+    1-row weight frame via a broadcast nested-loop join and contain
+    NO hash-partition exchange / sort-merge join on the corpus side
+    (the 100 TB shape receipt)."""
+    labeled = spark.createDataFrame(
+        [("good fine text", 1), ("bad spam text", 0)] * 3,
+        "text string, label int",
+    )
+    # materialize the model so the scoring plan is isolated from the
+    # training aggregations
+    model_rows = nb_train(labeled, num_buckets=64).collect()
+    model = spark.createDataFrame(
+        model_rows, "bucket long, c1 long, c0 long, weight long, prior long"
+    )
+    docs = spark.createDataFrame(
+        [(i, f"text number {i}") for i in range(10)], "id long, text string"
+    )
+    plan = nb_score(docs, model)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning" not in plan
+
+
+def test_nb_empty_and_null_text_score_prior(spark):
+    """Tokenless text contributes no evidence: score == prior
+    exactly (and never NULL)."""
+    labeled = spark.createDataFrame(
+        [("alpha beta", 1)] * 4 + [("gamma delta", 0)] * 2,
+        "text string, label int",
+    )
+    model = nb_train(labeled, num_buckets=32)
+    prior = nb_train_py(
+        [("alpha beta", 1)] * 4 + [("gamma delta", 0)] * 2, num_buckets=32
+    )["prior"]
+    out = nb_score(
+        spark.createDataFrame([(1, ""), (2, "12345 !!!")], "id int, text string"),
+        model,
+    ).collect()
+    assert {r.nbq_score for r in out} == {prior}
+
+
+def test_hashed_tokens_py_matches_spark_hashing(spark):
+    """The python twin's tokenize+hash equals the Spark column
+    expression (same md5-60bit, same salt separator, same split)."""
+    from gcp_dataengineering_spark.llm_ops.quality_model import (
+        hashed_token_buckets,
+    )
+
+    texts = [
+        "The QUICK brown-fox; jumps_over 123 the lazy dog",
+        "", "   ", "ümlaut mixed café text", "a b c a b c",
+    ]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i int, t string")
+    got = {
+        r.i: r.h
+        for r in df.select(
+            "i", hashed_token_buckets("t", 97, salt="s").alias("h")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _hashed_tokens_py(t, 97, "s", "[^a-z]+"), t
