@@ -51,7 +51,8 @@ from pyspark.sql import functions as F
 __all__ = [
     "normalize_url", "normalize_url_sql", "dedup_by_url", "TRACKING_PARAMS",
     "host_of", "host_of_sql", "registrable_domain", "registrable_domain_sql",
-    "domain_stats", "filter_blocked_domains", "PUBLIC_SUFFIX_2",
+    "with_registrable_domain", "domain_stats", "filter_blocked_domains",
+    "PUBLIC_SUFFIX_2",
 ]
 
 # query parameters that never change the resource
@@ -360,6 +361,128 @@ def registrable_domain_sql(host_expr: str, rules=PUBLIC_SUFFIX_2) -> str:
         )
     whens.append(f"WHEN {nl} >= 2 THEN {lastk(2)}")
     return "CASE " + " ".join(whens) + f" ELSE {host_expr} END"
+
+
+def with_registrable_domain(
+    df: DataFrame,
+    host_col: str,
+    rules=PUBLIC_SUFFIX_2,
+    out_col: str = "domain",
+    strategy: str = "auto",
+    case_rule_limit: int = 200,
+) -> DataFrame:
+    """Registrable-domain fold that SCALES WITH THE RULE TABLE (r12
+    — the r11 verdict's PSL item): same semantics and precedence as
+    :func:`registrable_domain` (the pytest fuzz pins strategy
+    equivalence against the independent Python PSL algorithm), two
+    physical strategies:
+
+    - ``"case"`` — compile the when-chain column (right for curated
+      tables; one expression, zero joins);
+    - ``"join"`` — rules become DATA: one row per match key
+      (has_plain / has_wild / exception order), grouped by label
+      count m, and the corpus LEFT-joins its last-m-labels candidate
+      against each m-group via BROADCAST hash joins (#distinct m ≤ 5
+      for the real PSL). The winner is resolved by the PSL
+      precedence encoded as integer priorities (exception by rule
+      order, then longest suffix, plain over wildcard at equal
+      length). No corpus shuffle, no expression-tree blowup — the
+      full ~9.5k-rule Mozilla PSL drops in as a plain rule list;
+    - ``"auto"`` (default) — ``case`` up to ``case_rule_limit``
+      rules, ``join`` above (so :func:`domain_stats` and the
+      existing oracle keys keep their byte-identical CASE plans
+      under the shipped default table).
+    """
+    if strategy not in ("auto", "case", "join"):
+        raise ValueError(
+            f"strategy must be 'auto', 'case' or 'join', got {strategy!r}"
+        )
+    rules_list = [r.strip().lower() for r in rules if r and r.strip()]
+    if strategy == "case" or (
+        strategy == "auto" and len(rules_list) <= case_rule_limit
+    ):
+        return df.withColumn(
+            out_col, registrable_domain(F.col(host_col), rules=tuple(rules_list))
+        )
+
+    # --- join fold: one attribute row per match key ---------------
+    info: dict[str, list] = {}
+    for i, r in enumerate(rules_list):
+        if r.startswith("!"):
+            slot = info.setdefault(r[1:], [False, False, None])
+            if slot[2] is None:  # first exception in rule order wins
+                slot[2] = i
+        elif r.startswith("*."):
+            info.setdefault(r[2:], [False, False, None])[1] = True
+        else:
+            info.setdefault(r, [False, False, None])[0] = True
+    rows = [
+        (mk, mk.count(".") + 1, p, w, e) for mk, (p, w, e) in info.items()
+    ]
+    rules_df = df.sparkSession.createDataFrame(
+        rows, "mk string, m int, has_plain boolean, has_wild boolean, exc_order long"
+    )
+    ms = sorted({m for _, m, _, _, _ in rows})
+
+    h = F.col(host_col)
+    labels = F.split(h, "\\.")
+    n = F.size(labels)
+
+    def lastk(k) -> Column:
+        kc = F.lit(k) if isinstance(k, int) else k
+        return F.concat_ws(".", F.slice(labels, -kc, kc))
+
+    out = df
+    for m in ms:
+        rm = rules_df.filter(F.col("m") == m).select(
+            F.col("mk").alias(f"_rd_mk{m}"),
+            F.col("has_plain").alias(f"_rd_p{m}"),
+            F.col("has_wild").alias(f"_rd_w{m}"),
+            F.col("exc_order").alias(f"_rd_e{m}"),
+        )
+        out = out.withColumn(
+            f"_rd_c{m}", F.when(n >= m, lastk(m))
+        ).join(
+            F.broadcast(rm),
+            F.col(f"_rd_c{m}") == F.col(f"_rd_mk{m}"),
+            "left",
+        )
+
+    # exception winner: the first matching exception in RULE order
+    # (least over (order, m) structs — least skips nulls), domain =
+    # the matched key itself = last m labels
+    exc_cands = [
+        F.when(
+            F.col(f"_rd_e{m}").isNotNull(),
+            F.struct(F.col(f"_rd_e{m}").alias("o"), F.lit(m).alias("m")),
+        )
+        for m in ms
+    ]
+    exc = exc_cands[0] if len(exc_cands) == 1 else F.least(*exc_cands)
+    # non-exception winner: priority 2s (+1 for plain, which beats a
+    # wildcard of equal suffix length), APPLICABILITY (n >= s) baked
+    # in so a too-long wildcard never shadows a shorter matching rule
+    prio_cands = []
+    for m in ms:
+        prio_cands.append(
+            F.greatest(
+                F.when(F.col(f"_rd_p{m}") & (n >= m), F.lit(2 * m + 1)),
+                F.when(F.col(f"_rd_w{m}") & (n >= m + 1), F.lit(2 * (m + 1))),
+            )
+        )
+    prio = prio_cands[0] if len(prio_cands) == 1 else F.greatest(*prio_cands)
+    s = (prio / 2).cast("int")  # floor: plain's +1 drops out
+    dom = (
+        F.when(h.isNull(), F.lit(None).cast("string"))
+        .when(exc.isNotNull(), lastk(exc["m"]))
+        .when(prio.isNotNull() & (n >= s + 1), lastk(s + 1))
+        .when(prio.isNotNull(), h)  # n == s: bare-suffix passthrough
+        .when(n >= 2, lastk(2))
+        .otherwise(h)
+    )
+    out = out.withColumn(out_col, dom)
+    drop = [f"_rd_{p}{m}" for m in ms for p in ("c", "mk", "p", "w", "e")]
+    return out.drop(*drop)
 
 
 def domain_stats(

@@ -596,3 +596,139 @@ def test_registrable_domain_sql_escapes_rule_literals(spark):
         f"SELECT {expr} FROM (SELECT 'a.example.co.uk' AS h)"
     ).fetchone()[0]
     assert got == "example.co.uk"
+
+
+def _psl_reference_generic(host, rules):
+    """Shared independent PSL algorithm (same as the r11 property
+    fuzz's inline twin) — the falsification reference for BOTH
+    with_registrable_domain strategies."""
+    if host is None:
+        return None
+    L = host.split(".")
+    n = len(L)
+
+    def matches(rl):
+        if len(rl) > n:
+            return False
+        tail = L[-len(rl):]
+        return all(r == "*" or r == h for r, h in zip(rl, tail))
+
+    for r in (x.strip().lower() for x in rules):
+        if r.startswith("!"):
+            rl = r[1:].split(".")
+            if matches(rl):
+                return ".".join(L[-len(rl):])
+    best = 1
+    for r in (x.strip().lower() for x in rules):
+        if r.startswith("!"):
+            continue
+        rl = r.split(".")
+        if matches(rl):
+            best = max(best, len(rl))
+    if n > best:
+        return ".".join(L[-(best + 1):])
+    return host
+
+
+def test_with_registrable_domain_strategy_equivalence_fuzz(spark):
+    """r12 PSL scale path: the broadcast-JOIN fold and the CASE
+    compile are the same function — seeded fuzz over random rule
+    tables (plain/wildcard/exception) × random hosts, both
+    strategies checked against the independent Python PSL
+    algorithm."""
+    import random
+
+    from gcp_dataengineering_spark.llm_ops.urls import with_registrable_domain
+
+    rng = random.Random(20260816)
+    labels = ["a", "b", "c", "www", "x1", "co"]
+    for case in range(6):
+        rules = ["co.uk", "com.au"]
+        for _ in range(rng.randint(2, 6)):
+            form = rng.choice(["plain", "wild", "exc"])
+            base = ".".join(
+                rng.choice(labels) for _ in range(rng.randint(1, 3))
+            )
+            rules.append(
+                {"plain": base, "wild": "*." + base, "exc": "!" + base}[form]
+            )
+        hosts = [
+            ".".join(rng.choice(labels) for _ in range(rng.randint(1, 5)))
+            for _ in range(50)
+        ] + [None]
+        df = spark.createDataFrame(
+            [(i, h) for i, h in enumerate(hosts)], "i int, h string"
+        )
+        for strategy in ("case", "join"):
+            got = {
+                r.i: r.domain
+                for r in with_registrable_domain(
+                    df, "h", rules=tuple(rules), strategy=strategy
+                ).collect()
+            }
+            for i, h in enumerate(hosts):
+                want = _psl_reference_generic(h, rules)
+                assert got[i] == want, (case, strategy, rules, h, got[i], want)
+
+
+def test_with_registrable_domain_full_psl_scale(spark):
+    """The join fold digests a PSL-SCALE rule table (1,200 synthetic
+    rules incl. wildcards and exceptions — the size at which a CASE
+    chain stops compiling sanely) and still matches the independent
+    Python algorithm AND the DuckDB CASE replay on every probe
+    host. Plan receipt: broadcast hash joins only — no sort-merge
+    join, no corpus hash-partition exchange."""
+    import random
+
+    import duckdb
+
+    from gcp_dataengineering_spark.llm_ops.urls import (
+        registrable_domain_sql,
+        with_registrable_domain,
+    )
+
+    rng = random.Random(99)
+    tlds = ["uk", "jp", "au", "br", "zz", "qq", "ck", "er"]
+    seconds = ["co", "or", "ne", "ac", "go", "com", "net", "org", "sch"]
+    rules = []
+    seen = set()
+    while len(rules) < 1200:
+        form = rng.random()
+        base = ".".join(
+            rng.sample(seconds, rng.randint(1, 2)) + [rng.choice(tlds)]
+        )
+        if form < 0.05:
+            r = "!" + "www." + base
+        elif form < 0.15:
+            r = "*." + base
+        else:
+            r = f"s{len(rules)}." + base
+        if r not in seen:
+            seen.add(r)
+            rules.append(r)
+    hosts = [
+        ".".join(
+            rng.sample(["x", "y", "www", "s17", "s300", "co", "com"],
+                       rng.randint(1, 3))
+            + [rng.choice(seconds), rng.choice(tlds)]
+        )
+        for _ in range(120)
+    ] + ["s17.co.uk", "a.s17.co.uk", "www.ck", "b.www.ck", None]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "i int, h string"
+    )
+    folded = with_registrable_domain(df, "h", rules=tuple(rules))  # auto → join
+    got = {r.i: r.domain for r in folded.collect()}
+    con = duckdb.connect()
+    sql_expr = registrable_domain_sql("h", rules=tuple(rules))
+    for i, h in enumerate(hosts):
+        want = _psl_reference_generic(h, rules)
+        assert got[i] == want, (h, got[i], want)
+        sql_got = con.execute(
+            f"SELECT {sql_expr} FROM (SELECT ? AS h)", [h]
+        ).fetchone()[0]
+        assert sql_got == want, (h, sql_got, want)
+    plan = folded._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "hashpartitioning" not in plan
