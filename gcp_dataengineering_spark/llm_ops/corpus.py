@@ -507,12 +507,19 @@ def apply_dedup_keepers(
     return labeled.filter(F.col(id_col) == effective).drop("group_id")
 
 
+# sentence-final token: ends with . ! or ? optionally followed by a
+# closing quote/bracket run (Java ∩ RE2 — no lookaround)
+SENTENCE_END_RE = "[.!?][\"')\\]]*$"
+
+
 def chunk_docs(
     df: DataFrame,
     chunk_tokens: int = 64,
     overlap_tokens: int = 16,
     id_col: str = "doc_id",
     text_col: str = "text",
+    respect_sentences: bool = False,
+    sentence_tolerance: int | None = None,
 ) -> DataFrame:
     """Sliding-window RAG/retrieval chunking: whitespace tokens cut
     into windows of ``chunk_tokens`` with ``overlap_tokens`` carried
@@ -528,17 +535,47 @@ def chunk_docs(
     disappearing (callers filter on n_chunk_tokens if they want
     drops to be explicit).
 
+    ``respect_sentences`` (r12 — the published RAG-chunking default):
+    each non-final window's END snaps back to the LAST sentence-final
+    token (matches :data:`SENTENCE_END_RE`: '.', '!' or '?' plus an
+    optional closing-quote run) within ``sentence_tolerance`` tokens
+    of the nominal end; no boundary in the tolerance window → the
+    nominal cut stands. Starts stay on the FIXED stride grid — that
+    is what keeps the mode closed-form (no sequential chaining) and
+    preserves the coverage invariant: tolerance is capped at
+    ``overlap_tokens``, so a snapped end never retreats past the
+    next window's start (snapped ≥ start + chunk − overlap = next
+    start). chunk_id / start_tok are identical to the classic mode;
+    only the cut tail differs. Default tolerance = overlap_tokens
+    (the widest coverage-safe value); overlap 0 therefore cannot
+    snap — raise the overlap or pass a tolerance explicitly (which
+    still must be ≤ overlap, enforced).
+
     Scale shape: pure projection + explode — no shuffle, no UDF; the
     token array is built once per row and sliced per chunk
-    (``slice``/``array_join`` are codegen'd). Output size is
-    n_tokens × (1 + overlap/stride) per doc — the overlap tax is the
-    only amplification, and it is bounded by the parameters, not the
-    data."""
+    (``slice``/``array_join`` are codegen'd; the sentence snap adds
+    one O(tolerance) filtered-sequence probe per chunk). Output size
+    is n_tokens × (1 + overlap/stride) per doc — the overlap tax is
+    the only amplification, and it is bounded by the parameters, not
+    the data."""
     if chunk_tokens <= overlap_tokens:
         raise ValueError(
             f"chunk_tokens ({chunk_tokens}) must exceed overlap_tokens "
             f"({overlap_tokens}): stride would be <= 0"
         )
+    tol = 0
+    if respect_sentences:
+        tol = (
+            overlap_tokens if sentence_tolerance is None else sentence_tolerance
+        )
+        if tol > overlap_tokens:
+            raise ValueError(
+                f"sentence_tolerance ({tol}) must be <= overlap_tokens "
+                f"({overlap_tokens}): a deeper snap would uncover the "
+                "tokens between the snapped end and the next window"
+            )
+        if tol < 0:
+            raise ValueError(f"sentence_tolerance must be >= 0, got {tol}")
     stride = chunk_tokens - overlap_tokens
     toks = F.filter(
         F.split(F.coalesce(F.col(text_col), F.lit("")), r"\s+"), lambda x: x != ""
@@ -561,13 +598,36 @@ def chunk_docs(
             "chunk_id"
         ),
     )
-    ctoks = F.slice(
-        F.col("_toks"), (F.col("chunk_id") * stride + 1).cast("int"), chunk_tokens
-    )
+    start = F.col("chunk_id") * stride  # 0-based
+    if tol > 0:
+        n = F.size("_toks").cast("bigint")
+        hi = F.least(start + chunk_tokens, n)  # 1-based inclusive end
+        is_last = hi >= n
+        # candidate offsets i ∈ [1, tol]: position p = hi - tol + i is
+        # in-range and its token is sentence-final; take the LAST
+        cand = F.filter(
+            F.sequence(F.lit(1).cast("bigint"), F.lit(tol).cast("bigint")),
+            lambda i: (hi - tol + i >= 1)
+            & F.element_at(
+                F.col("_toks"), (hi - F.lit(tol) + i).cast("int")
+            ).rlike(SENTENCE_END_RE),
+        )
+        snapped = F.when(
+            is_last | (F.size(cand) == 0), hi
+        ).otherwise(hi - tol + F.array_max(cand))
+        ctoks = F.slice(
+            F.col("_toks"),
+            (start + 1).cast("int"),
+            (snapped - start).cast("int"),
+        )
+    else:
+        ctoks = F.slice(
+            F.col("_toks"), (start + 1).cast("int"), chunk_tokens
+        )
     return exploded.select(
         id_col,
         "chunk_id",
-        (F.col("chunk_id") * stride).cast("bigint").alias("start_tok"),
+        start.cast("bigint").alias("start_tok"),
         F.size(ctoks).cast("bigint").alias("n_chunk_tokens"),
         F.array_join(ctoks, " ").alias("chunk_text"),
     )

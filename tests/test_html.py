@@ -58,7 +58,10 @@ def test_html_to_text_semantics(spark):
     assert got[7] == "a inline c “q” — d"
     assert got[8] is None
     assert got[9] == "it's “q” — ok ☃ '"
-    assert got[10] == "€100 “w” 😀 bad��� keep&#12345678;"
+    # r12: the widened digit bound brings 8-digit references in-bound
+    # — 12345678 > 0x10FFFF clamps to U+FFFD like the other invalid
+    # scalars (it passed through as literal text under the r11 bound)
+    assert got[10] == "€100 “w” 😀 bad��� keep�"
     assert got[11] == "&lt; &#8364; &#60;"
     assert got[12] == "café Über ñ ß 5€ &bogus; É"
     # accepts a Column too

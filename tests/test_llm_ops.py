@@ -1853,6 +1853,100 @@ def test_chunk_docs_edge_cases(spark):
         chunk_docs(df, chunk_tokens=4, overlap_tokens=4)
 
 
+def test_chunk_docs_respect_sentences_invariants(spark):
+    """r12 sentence-boundary chunking: every non-final window's end
+    either sits on a sentence-final token or there was no boundary
+    inside the tolerance window; starts stay on the classic stride
+    grid (chunk_id/start_tok identical to the classic mode); the
+    coverage invariant survives the snap (tolerance ≤ overlap);
+    tolerance > overlap and a negative tolerance are rejected. A
+    pure-Python twin re-derives every snapped end."""
+    import re
+
+    from gcp_dataengineering_spark.llm_ops.corpus import (
+        SENTENCE_END_RE,
+        chunk_docs,
+    )
+
+    # the shared pattern is Java ∩ RE2 ∩ Python — compiles verbatim
+    sent_re = re.compile(SENTENCE_END_RE)
+
+    # synthetic punctuated corpus (the parquet fixture's documents
+    # are punctuation-free word soup, where the snap can never fire)
+    import random
+
+    rng = random.Random(12)
+    words = ["alpha", "beta", "gamma", "delta", "word", "text"]
+
+    def doc(i):
+        out = []
+        for _ in range(rng.randint(0, 120)):
+            w = rng.choice(words)
+            roll = rng.random()
+            if roll < 0.12:
+                w += rng.choice([".", "!", "?", '."', ".)", "?'"])
+            out.append(w)
+        return (i, " ".join(out))
+
+    docs = spark.createDataFrame(
+        [doc(i) for i in range(40)] + [(99, "")], "doc_id long, text string"
+    )
+    chunk, overlap, tol = 32, 8, 8
+    snapped = chunk_docs(
+        docs, chunk_tokens=chunk, overlap_tokens=overlap,
+        respect_sentences=True,
+    ).collect()
+    classic = chunk_docs(docs, chunk_tokens=chunk, overlap_tokens=overlap).collect()
+    assert {(r.doc_id, r.chunk_id, r.start_tok) for r in snapped} == {
+        (r.doc_id, r.chunk_id, r.start_tok) for r in classic
+    }
+    raw = {r.doc_id: r.text.split() for r in docs.collect()}
+    stride = chunk - overlap
+    n_snaps = 0
+    by_doc = {}
+    for r in snapped:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r.chunk_id)
+        toks = raw[doc_id]
+        n = len(toks)
+        covered = set()
+        for r in rows:
+            start = r.chunk_id * stride
+            hi = min(start + chunk, n)
+            is_last = hi >= n
+            # python twin: last sentence-final position in (hi-tol, hi]
+            want_end = hi
+            if not is_last:
+                for p in range(hi, max(hi - tol, 0), -1):
+                    if sent_re.search(toks[p - 1]):
+                        want_end = p
+                        break
+            assert r.n_chunk_tokens == want_end - start, (doc_id, r.chunk_id)
+            if want_end != hi:
+                n_snaps += 1
+                assert sent_re.search(toks[want_end - 1])
+            assert r.chunk_text == " ".join(toks[start:want_end])
+            covered.update(range(start, want_end))
+        assert covered == set(range(n)), doc_id  # full coverage survives
+    assert n_snaps > 0  # the fixture corpus actually exercises the snap
+
+    with pytest.raises(ValueError, match="sentence_tolerance"):
+        chunk_docs(docs, chunk_tokens=32, overlap_tokens=8,
+                   respect_sentences=True, sentence_tolerance=9)
+    with pytest.raises(ValueError, match=">= 0"):
+        chunk_docs(docs, chunk_tokens=32, overlap_tokens=8,
+                   respect_sentences=True, sentence_tolerance=-1)
+    # tolerance 0 (or overlap 0) degrades to the classic cut exactly
+    t0 = chunk_docs(docs, chunk_tokens=32, overlap_tokens=8,
+                    respect_sentences=True, sentence_tolerance=0).collect()
+    assert {(r.doc_id, r.chunk_id, r.n_chunk_tokens, r.chunk_text)
+            for r in t0} == {
+        (r.doc_id, r.chunk_id, r.n_chunk_tokens, r.chunk_text)
+        for r in classic
+    }
+
+
 def test_chunk_docs_no_fully_contained_chunk(spark):
     """A doc whose tail would start inside the final overlap must NOT
     emit a redundant chunk: n = 33, chunk 32/overlap 8 → the 1 token
