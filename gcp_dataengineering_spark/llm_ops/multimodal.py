@@ -463,14 +463,18 @@ def resize_images(
 
     The Spark-side plumbing is real and tested — Arrow-batched
     mapInPandas over (media_id, fmt, width, height, out_width,
-    out_height, payload_out), binary column in/out, bounded batches —
-    while the pixel resample itself is STUBBED (this container ships
-    no image codec): ``fake=True`` emits a deterministic placeholder
-    payload derived from the input bytes + target dims;
-    ``fake=False`` raises NotImplementedError at the exact point a
-    real deployment drops in PIL/libvips. Rows whose header doesn't
-    parse pass through with fmt NULL and untouched dims — quarantine
-    downstream, don't kill the job."""
+    out_height, payload_out), binary column in/out, bounded batches.
+    The pixel resample itself (r12): ``fake=False`` probes for PIL
+    at execution time inside the UDF — when Pillow is importable the
+    REAL resample runs (``Image.open`` → ``resize((ow, oh))`` →
+    re-encode in the source format); when it is not (this container
+    ships no image codec), the honest ``NotImplementedError`` stub
+    is preserved at the exact point the codec would run.
+    ``fake=True`` stays the deterministic placeholder (an md5 stamp
+    of input bytes + target dims) for codec-free environments and
+    for plumbing tests. Rows whose header doesn't parse pass through
+    with fmt NULL and untouched dims — quarantine downstream, don't
+    kill the job."""
     out_schema = (
         "media_id long, fmt string, width int, height int, "
         "out_width int, out_height int, payload_out binary"
@@ -489,6 +493,16 @@ def resize_images(
                 for lo in range(0, len(pdf), max(batch_rows, 1)):
                     yield pdf.iloc[lo : lo + max(batch_rows, 1)]
 
+        pil_image = None
+        if not fake:
+            # probe for the optional codec ONCE per task, inside the
+            # UDF (executor environment, not driver) — absent PIL
+            # keeps the honest stub
+            try:
+                from PIL import Image as pil_image  # type: ignore
+            except ImportError:
+                pil_image = None
+
         for pdf in sliced():
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
@@ -499,10 +513,22 @@ def resize_images(
                     continue
                 ow, oh = _fit_within(w, h, max_side)
                 if not fake:
-                    raise NotImplementedError(
-                        "real pixel resample needs an image codec (PIL/libvips); "
-                        "run with fake=True for the deterministic placeholder path"
-                    )
+                    if pil_image is None:
+                        raise NotImplementedError(
+                            "real pixel resample needs an image codec (PIL/"
+                            "libvips) and PIL is not importable in this "
+                            "environment; run with fake=True for the "
+                            "deterministic placeholder path"
+                        )
+                    import io
+
+                    img = pil_image.open(io.BytesIO(b))
+                    src_fmt = img.format or fmt.upper()
+                    resized = img.resize((ow, oh))
+                    buf = io.BytesIO()
+                    resized.save(buf, format=src_fmt)
+                    rows.append((mid, fmt, w, h, ow, oh, buf.getvalue()))
+                    continue
                 stamp = hashlib.md5(
                     b + ow.to_bytes(4, "big") + oh.to_bytes(4, "big")
                 ).digest()

@@ -2529,10 +2529,53 @@ def test_resize_images_plan_arithmetic_and_stub(spark):
     g = resize_images(garbage, fake=True).collect()[0]
     assert g.fmt is None and bytes(g.payload_out) == b"not an image"
 
+    # r12: fake=False probes for PIL inside the UDF. With Pillow
+    # present the REAL resample runs (round-trip decodable, exact
+    # target dims); without it the honest stub still raises at
+    # execution, not at plan time. Both branches are pinned — the
+    # test adapts to the environment it runs in.
     lazy = resize_images(media, max_side=64, fake=False)  # planning is fine
-    with _pytest.raises(Exception) as ei:
-        lazy.collect()
-    assert "NotImplementedError" in str(ei.value) or "image codec" in str(ei.value)
+    try:
+        from PIL import Image as _Image  # noqa: N811
+    except ImportError:
+        _Image = None
+    if _Image is None:
+        with _pytest.raises(Exception) as ei:
+            lazy.collect()
+        assert "NotImplementedError" in str(ei.value) or "image codec" in str(
+            ei.value
+        )
+    else:
+        # with a real codec, feed REAL decodable images (the synth
+        # corpus is header-only by design — enough for the stub and
+        # the header parse, not for a pixel resample) and round-trip
+        # the output through PIL: exact target dims, same format
+        import io as _io
+
+        def png_jpg_gif(i, fmt, size):
+            img = _Image.new("RGB", size, (i * 7 % 255, 10, 200))
+            buf = _io.BytesIO()
+            img.save(buf, format=fmt)
+            return (i, bytearray(buf.getvalue()))
+
+        realmedia = spark.createDataFrame(
+            [png_jpg_gif(1, "PNG", (300, 100)),
+             png_jpg_gif(2, "JPEG", (100, 300)),
+             png_jpg_gif(3, "GIF", (40, 30))],
+            "media_id long, payload binary",
+        )
+        real = {
+            r.media_id: r
+            for r in resize_images(realmedia, max_side=64, fake=False).collect()
+        }
+        assert {r.fmt for r in real.values()} == {"png", "jpeg", "gif"}
+        assert (real[1].out_width, real[1].out_height) == (64, 21)
+        assert (real[2].out_width, real[2].out_height) == (21, 64)
+        assert (real[3].out_width, real[3].out_height) == (40, 30)  # no upscale
+        for r in real.values():
+            img = _Image.open(_io.BytesIO(bytes(r.payload_out)))
+            assert img.size == (r.out_width, r.out_height)
+            assert img.format.lower() == r.fmt
 
 
 def test_source_reputation_filter_null_source_group(spark):
