@@ -172,11 +172,25 @@ def script_counts_sql(expr: str) -> dict[str, str]:
     }
 
 
+def _bind1(value: Column, fn) -> Column:
+    """Evaluate ``value`` exactly ONCE and pass it to ``fn`` as a
+    bound lambda variable: ``element_at(transform(array(value), v ->
+    fn(v)), 1)``. Catalyst does NOT reliably common-subexpression-
+    eliminate repeated references to a heavy expression (measured:
+    re-referencing a 10-regex-scan argmax from an 8-arm when-chain
+    cost ~9× on the lang_id suite key) — a higher-order-function
+    lambda variable is the one expression-level construct that truly
+    binds."""
+    return F.element_at(F.transform(F.array(value), fn), 1)
+
+
 def detect_script(col: Column | str, default: str = "unknown") -> Column:
     """Dominant script of a text column: argmax of
     :func:`script_counts` (ties resolve to SCRIPT_RANGES order, zero
     counts → ``default``). One ``array_max`` over a struct array —
-    each count evaluated once, no when-chain blowup."""
+    each count evaluated once (the argmax result is lambda-BOUND via
+    :func:`_bind1`, so the per-script scans run once, not once per
+    downstream reference)."""
     counts = script_counts(col)
     n = len(counts)
     best = F.array_max(
@@ -191,7 +205,10 @@ def detect_script(col: Column | str, default: str = "unknown") -> Column:
             ]
         )
     )
-    return F.when(best["s"] > 0, best["l"]).otherwise(F.lit(default))
+    return _bind1(
+        best,
+        lambda b: F.when(b["s"] > 0, b["l"]).otherwise(F.lit(default)),
+    )
 
 
 def md5_60bit(c: Column) -> Column:
@@ -395,38 +412,56 @@ def lang_id(col: Column | str, default: str = "und") -> Column:
        evaluated once; ties resolve to STOPWORDS order; zero hits →
        ``default``).
 
-    No shuffle, no UDF — runs at scan speed, which is the point:
-    it's the cheap first-pass router, not a fastText replacement
+    No shuffle, no UDF — and the expression is built for SINGLE
+    evaluation of every heavy subterm (measured, see :func:`_bind1`):
+    the token array is split ONCE and lambda-bound across the 20
+    intersects; each script element of the argmax carries its ROUTED
+    language directly (han embeds the kana>0 ja/zh conditional), so
+    no downstream when-chain re-references the scans; and a 1-scan
+    non-Latin PROBE (any char ≥ U+0370 — every non-Latin range this
+    module knows starts there) short-circuits the whole script
+    machinery on the Latin-only majority of a real crawl. Cost per
+    row on Latin text: one probe scan + one split + 20 array
+    intersects. On non-Latin text: + the 10 per-script scans (kana
+    twice, for the han rule).
+
+    It's the cheap first-pass router, not a fastText replacement
     (see the STOPWORDS honesty note; the pytest fixture corpus
     measures the realized per-language accuracy on clean prose —
     expect materially lower accuracy on short/noisy/code-mixed
     text)."""
     c = F.col(col) if isinstance(col, str) else col
-    counts = script_counts(c)
     toks = F.split(F.lower(F.coalesce(c, F.lit(""))), "\\s+")
     langs = list(STOPWORDS)
     n = len(langs)
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    F.size(
-                        F.array_intersect(
-                            toks, F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-                        )
-                    ).alias("s"),
-                    F.lit(n - i).alias("p"),
-                    F.lit(lang).alias("l"),
-                )
-                for i, lang in enumerate(langs)
-            ]
-        )
+    vote = _bind1(
+        toks,
+        lambda t: F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.size(
+                            F.array_intersect(
+                                t, F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+                            )
+                        ).alias("s"),
+                        F.lit(n - i).alias("p"),
+                        F.lit(lang).alias("l"),
+                    )
+                    for i, lang in enumerate(langs)
+                ]
+            )
+        ),
     )
-    vote = F.when(best["s"] > 0, best["l"]).otherwise(F.lit(default))
-    # inline the script argmax over the counts already computed (the
-    # same structure as detect_script — sharing the count expressions
-    # keeps the scan count at one per script even if codegen's
-    # common-subexpression elimination declines to fire)
+    counts = script_counts(c)
+    kana = counts["kana"]
+    routed_lang = {
+        "han": F.when(kana > 0, F.lit("ja")).otherwise(F.lit("zh")),
+        "kana": F.lit("ja"),
+        **{
+            sc: F.lit(lang) for sc, lang in SCRIPT_DIRECT_LANG.items()
+        },
+    }
     ns = len(counts)
     sbest = F.array_max(
         F.array(
@@ -434,22 +469,30 @@ def lang_id(col: Column | str, default: str = "und") -> Column:
                 F.struct(
                     cnt.alias("s"),
                     F.lit(ns - i).alias("p"),
-                    F.lit(name).alias("l"),
+                    routed_lang.get(name, F.lit(None).cast("string")).alias(
+                        "l"
+                    ),
                 )
                 for i, (name, cnt) in enumerate(counts.items())
             ]
         )
     )
-    script = F.when(sbest["s"] > 0, sbest["l"]).otherwise(F.lit("unknown"))
-    out = F.when(
-        script == "kana", F.lit("ja")
-    ).when(
-        script == "han",
-        F.when(counts["kana"] > 0, F.lit("ja")).otherwise(F.lit("zh")),
+    # NULL routed language = latin/cyrillic/zero-count → the vote.
+    # The probe class is U+0370–U+FFFF: every non-Latin range in
+    # SCRIPT_RANGES starts at or above U+0370, so a text with no
+    # match can only resolve latin/unknown — skip all ten scans.
+    script_pick = F.when(
+        c.rlike("[\u0370-\uFFFF]"),
+        _bind1(sbest, lambda b: F.when(b["s"] > 0, b["l"])),
     )
-    for sc, lang in SCRIPT_DIRECT_LANG.items():
-        out = out.when(script == sc, F.lit(lang))
-    return out.otherwise(vote)
+    return _bind1(
+        vote,
+        lambda v: F.coalesce(
+            script_pick,
+            F.when(v["s"] > 0, v["l"]),
+            F.lit(default),
+        ),
+    )
 
 
 def repetition_features(
