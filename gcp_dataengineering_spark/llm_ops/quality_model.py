@@ -121,28 +121,55 @@ def hashed_token_buckets(
     num_buckets: int,
     salt: str = "nbq",
     word_pattern: str = NB_WORD_PATTERN,
+    ngrams: int = 1,
 ) -> Column:
     """array<long> of hashed-feature bucket ids for a text column:
     lowercase, split on ``word_pattern``, drop empties, md5-60bit
     each token (salted) mod ``num_buckets`` — the hashing trick over
-    the repo's engine-portable hash. Pure column expression."""
+    the repo's engine-portable hash. ``ngrams=2`` (r12) additionally
+    emits each adjacent word PAIR joined with ``\\x1e`` as a feature
+    — the fastText word-bigram trick, which lets the linear model
+    see local word order ("not good") the bag of words cannot. Pure
+    column expression; the bigram pass is one ``zip_with`` over the
+    already-split array."""
+    if ngrams not in (1, 2):
+        raise ValueError(f"ngrams must be 1 or 2, got {ngrams}")
     c = F.col(col) if isinstance(col, str) else col
     toks = F.filter(F.split(F.lower(c), word_pattern), lambda t: t != "")
+    feats = toks
+    if ngrams == 2:
+        # adjacent pairs: zip the array with itself shifted by one
+        # (slice(2..) pads short with null; filter drops the tail)
+        pairs = F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.when(
+                    b.isNotNull(), F.concat(a, F.lit("\x1e"), b)
+                ),
+            ),
+            lambda p: p.isNotNull(),
+        )
+        feats = F.concat(toks, pairs)
     return F.transform(
-        toks,
+        feats,
         lambda t: md5_60bit(F.concat(F.lit(salt), F.lit("\x1f"), t))
         % num_buckets,
     )
 
 
 def _hashed_tokens_py(
-    text: str, num_buckets: int, salt: str, word_pattern: str
+    text: str, num_buckets: int, salt: str, word_pattern: str,
+    ngrams: int = 1,
 ) -> list[int]:
+    toks = [t for t in re.split(word_pattern, (text or "").lower()) if t != ""]
+    feats = list(toks)
+    if ngrams == 2:
+        feats += [a + "\x1e" + b for a, b in zip(toks, toks[1:])]
     out = []
-    for t in re.split(word_pattern, (text or "").lower()):
-        if t != "":
-            h = hashlib.md5((salt + "\x1f" + t).encode("utf-8")).hexdigest()
-            out.append(int(h[:15], 16) % num_buckets)
+    for t in feats:
+        h = hashlib.md5((salt + "\x1f" + t).encode("utf-8")).hexdigest()
+        out.append(int(h[:15], 16) % num_buckets)
     return out
 
 
@@ -154,6 +181,7 @@ def nb_train(
     salt: str = "nbq",
     frac_bits: int = FRAC_BITS,
     word_pattern: str = NB_WORD_PATTERN,
+    ngrams: int = 1,
 ) -> DataFrame:
     """Train the hashed-n-gram Naive Bayes on a labeled frame
     (``label_col``: 1 = high quality / keep, 0 = reject). Returns a
@@ -184,7 +212,9 @@ def nb_train(
     tok = labeled.select(
         y.alias("_y"),
         F.explode(
-            hashed_token_buckets(text_col, num_buckets, salt, word_pattern)
+            hashed_token_buckets(
+                text_col, num_buckets, salt, word_pattern, ngrams
+            )
         ).alias("bucket"),
     )
     counts = tok.groupBy("bucket").agg(
@@ -226,6 +256,7 @@ def nb_train_py(
     salt: str = "nbq",
     frac_bits: int = FRAC_BITS,
     word_pattern: str = NB_WORD_PATTERN,
+    ngrams: int = 1,
 ) -> dict:
     """Pure-Python twin of :func:`nb_train` over (text, label) rows
     — the independent falsification reference for the pytest
@@ -240,7 +271,7 @@ def nb_train_py(
             n1 += 1
         else:
             n0 += 1
-        for b in _hashed_tokens_py(text, num_buckets, salt, word_pattern):
+        for b in _hashed_tokens_py(text, num_buckets, salt, word_pattern, ngrams):
             tgt[b] += 1
     if n1 == 0 or n0 == 0:
         raise ValueError("nb_train_py needs both classes")
@@ -266,6 +297,7 @@ def nb_score(
     out_col: str = "nbq_score",
     salt: str = "nbq",
     word_pattern: str = NB_WORD_PATTERN,
+    ngrams: int = 1,
 ) -> DataFrame:
     """Score every row with a trained model: ``out_col = prior +
     Σ_tokens weight[bucket(token)]`` (BIGINT; empty/tokenless text
@@ -282,11 +314,33 @@ def nb_score(
         F.max("prior").alias("_nbq_prior"),
         F.count(F.lit(1)).cast("int").alias("_nbq_b"),
     )
+    # feature extraction must mirror the trainer exactly — reuse the
+    # shared bucket expression (salt, word pattern, ngrams), with the
+    # bucket count read from the model row so caller and trainer
+    # cannot disagree on it; hashed_token_buckets needs a literal
+    # modulus, so hash to the full 60-bit space here and reduce by
+    # the model's count at lookup time (same value: (h % B) == the
+    # trainer's bucket because B divides nothing — plain mod)
     toks = F.filter(
         F.split(F.lower(F.col(text_col)), word_pattern), lambda t: t != ""
     )
+    feats = toks
+    if ngrams == 2:
+        pairs = F.filter(
+            F.zip_with(
+                toks,
+                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+                lambda a, b: F.when(
+                    b.isNotNull(), F.concat(a, F.lit("\x1e"), b)
+                ),
+            ),
+            lambda p: p.isNotNull(),
+        )
+        feats = F.concat(toks, pairs)
+    elif ngrams != 1:
+        raise ValueError(f"ngrams must be 1 or 2, got {ngrams}")
     score = F.col("_nbq_prior") + F.aggregate(
-        toks,
+        feats,
         F.lit(0).cast("long"),
         lambda acc, t: acc
         + F.element_at(
@@ -313,11 +367,12 @@ def nb_quality_gate(
     score_col: str = "nbq_score",
     salt: str = "nbq",
     word_pattern: str = NB_WORD_PATTERN,
+    ngrams: int = 1,
 ) -> DataFrame:
     """Score and keep rows with ``score > threshold`` (0 = the NB
     decision boundary; raise it to trade recall for precision). The
     score column stays on the output — downstream stages can
     re-rank or report on it."""
     return nb_score(
-        df, model, text_col, score_col, salt, word_pattern
+        df, model, text_col, score_col, salt, word_pattern, ngrams
     ).filter(F.col(score_col) > threshold)

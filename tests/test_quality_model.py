@@ -213,3 +213,73 @@ def test_hashed_tokens_py_matches_spark_hashing(spark):
     }
     for i, t in enumerate(texts):
         assert got[i] == _hashed_tokens_py(t, 97, "s", "[^a-z]+"), t
+
+
+def test_nb_bigram_features_parity_and_discrimination(spark):
+    """ngrams=2 (r12): the word-bigram feature pass matches the
+    pure-Python twin exactly (train + score), and gives the linear
+    model local word order a bag of words cannot see — 'not good' vs
+    'good' docs separate only in bigram mode when the unigram
+    marginals are engineered to be identical across classes."""
+    from gcp_dataengineering_spark.llm_ops.quality_model import (
+        _hashed_tokens_py,
+        hashed_token_buckets,
+        nb_score,
+        nb_train,
+        nb_train_py,
+    )
+
+    # unigram-identical classes: both contain the same multiset of
+    # words per doc; only adjacency differs
+    ham = ["this is good not bad really"] * 12
+    spam = ["this is not good bad really"] * 12
+    rows = [(t, 1) for t in ham] + [(t, 0) for t in spam]
+    labeled = spark.createDataFrame(rows, "text string, label int")
+    B = 128
+
+    # unigram mode: weights all ~0 between classes (same marginals)
+    uni = nb_train(labeled, num_buckets=B, ngrams=1)
+    uref = nb_train_py(rows, num_buckets=B, ngrams=1)
+    got = {r.bucket: (r.c1, r.c0, r.weight) for r in uni.collect()}
+    assert all(
+        got[b] == (uref["c1"][b], uref["c0"][b], uref["weights"][b])
+        for b in range(B)
+    )
+    assert all(c1 == c0 for c1, c0, _ in got.values())  # marginals equal
+
+    # bigram mode: exact python parity + real separation
+    bi = nb_train(labeled, num_buckets=B, ngrams=2)
+    bref = nb_train_py(rows, num_buckets=B, ngrams=2)
+    gotb = {r.bucket: (r.c1, r.c0, r.weight) for r in bi.collect()}
+    assert all(
+        gotb[b] == (bref["c1"][b], bref["c0"][b], bref["weights"][b])
+        for b in range(B)
+    )
+    test = spark.createDataFrame(
+        [(1, "good not bad"), (2, "not good bad")], "id int, text string"
+    )
+    s_uni = {r.id: r.nbq_score for r in nb_score(test, uni, ngrams=1).collect()}
+    s_bi = {r.id: r.nbq_score for r in nb_score(test, bi, ngrams=2).collect()}
+    assert s_uni[1] == s_uni[2]  # bag of words is blind here
+    assert s_bi[1] > 0 > s_bi[2]  # bigrams separate
+
+    # the python hashing twin mirrors the Spark expression in ngram mode
+    texts = ["a b c", "", "one two", "x"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i int, t string"
+    )
+    gh = {
+        r.i: r.h
+        for r in df.select(
+            "i", hashed_token_buckets("t", 97, salt="s", ngrams=2).alias("h")
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert gh[i] == _hashed_tokens_py(t, 97, "s", "[^a-z]+", ngrams=2), t
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="ngrams"):
+        nb_score(test, bi, ngrams=3)
+    with _pytest.raises(ValueError, match="ngrams"):
+        hashed_token_buckets("t", 97, ngrams=0)
