@@ -114,6 +114,16 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="hashed-feature bucket count for the model gate",
     )
     p.add_argument(
+        "--quality-model-precision",
+        type=int,
+        default=None,
+        metavar="PCT",
+        help="calibrate the model-gate threshold from a held-out 20%% "
+        "of the labels at this precision target (max recall subject "
+        "to it) instead of --quality-model-threshold; the build fails "
+        "loudly if the target is unreachable",
+    )
+    p.add_argument(
         "--gopher",
         action="store_true",
         help="conjoin the published Gopher quality rules into the page "
@@ -195,6 +205,7 @@ def main(argv: list[str] | None = None) -> int:
             ),
             quality_model_threshold=args.quality_model_threshold,
             quality_model_buckets=args.quality_model_buckets,
+            quality_model_target_precision_pct=args.quality_model_precision,
             gopher=args.gopher,
             gopher_min_words=args.gopher_min_words,
         ),

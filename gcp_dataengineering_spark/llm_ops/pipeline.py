@@ -53,6 +53,7 @@ from pyspark.sql import functions as F
 from .corpus import (
     apply_dedup_keepers,
     cap_source_tokens,
+    hash_bucket,
     hash_split,
     remove_boilerplate,
     shard_by_token_budget,
@@ -148,6 +149,14 @@ class PipelineConfig:
     quality_model_labeled: object | None = None
     quality_model_threshold: int = 0
     quality_model_buckets: int = 4096
+    # calibrate the gate threshold FROM DATA instead of
+    # quality_model_threshold (r12): split the labeled frame 80/20 by
+    # content-stable hash, train on the 80, pick the max-recall
+    # threshold achieving this precision on the held-out 20
+    # (quality_model.nb_calibrate_threshold). Raises if the target is
+    # unreachable — a gate that can't hit its precision bar should
+    # fail the build loudly, not ship a silently weaker corpus.
+    quality_model_target_precision_pct: int | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -237,28 +246,65 @@ def build_training_corpus(
 
     quality_model: DataFrame | None = None
     model_gated: DataFrame | None = None
+    quality_calibration: DataFrame | None = None
     if cfg.quality_model_labeled is not None:
         # 2c. learned vocabulary gate: train on the caller's labeled
         # frame (dimension-sized model, B buckets), score+filter the
         # corpus at scan speed. The model frame is a release
         # artifact (stages["quality_model"]), like the mixture plan.
-        from .quality_model import nb_quality_gate, nb_train
-
-        quality_model = nb_train(
-            cfg.quality_model_labeled,
-            text_col=text_col,
-            num_buckets=cfg.quality_model_buckets,
+        from .quality_model import (
+            nb_calibrate_threshold,
+            nb_quality_gate,
+            nb_train,
         )
-        if materialize is not False:
-            # the trained weights feed every downstream row: pin the
-            # B-row model so training aggregations run once, not per
-            # consumer of the corpus lineage
-            quality_model = _materialize(quality_model, materialize)
+
+        labeled = cfg.quality_model_labeled
+        threshold = cfg.quality_model_threshold
+        if cfg.quality_model_target_precision_pct is not None:
+            # hold out a content-stable 20% for calibration — the
+            # threshold must be judged on examples the weights never
+            # saw, or precision is flattered
+            b = hash_bucket(text_col, salt="nbq_cal", buckets=100)
+            train_split = labeled.filter(b < 80)
+            holdout = labeled.filter(b >= 80)
+            quality_model = nb_train(
+                train_split,
+                text_col=text_col,
+                num_buckets=cfg.quality_model_buckets,
+            )
+            if materialize is not False:
+                quality_model = _materialize(quality_model, materialize)
+            quality_calibration = nb_calibrate_threshold(
+                holdout,
+                quality_model,
+                cfg.quality_model_target_precision_pct,
+                text_col=text_col,
+            )
+            cal = quality_calibration.collect()[0]
+            if cal.threshold is None:
+                raise ValueError(
+                    "quality-model calibration: no threshold reaches "
+                    f"{cfg.quality_model_target_precision_pct}% precision "
+                    "on the held-out labeled split — improve the labels "
+                    "or lower the target"
+                )
+            threshold = cal.threshold
+        else:
+            quality_model = nb_train(
+                labeled,
+                text_col=text_col,
+                num_buckets=cfg.quality_model_buckets,
+            )
+            if materialize is not False:
+                # the trained weights feed every downstream row: pin
+                # the B-row model so training aggregations run once,
+                # not per consumer of the corpus lineage
+                quality_model = _materialize(quality_model, materialize)
         model_gated = nb_quality_gate(
             reputable,
             quality_model,
             text_col=text_col,
-            threshold=cfg.quality_model_threshold,
+            threshold=threshold,
         )
         reputable = model_gated
 
@@ -411,6 +457,10 @@ def build_training_corpus(
         # prior — the exact gate this corpus shipped under)
         stages["quality_model"] = quality_model
         stages["model_gated"] = model_gated
+    if quality_calibration is not None:
+        # the calibration verdict ships with the release too: which
+        # threshold, and the held-out precision/recall it bought
+        stages["quality_calibration"] = quality_calibration
     if mixture is not None:
         # the plan frame itself is a release artifact (weights,
         # targets, epochs per source); "mixed" is the downsampled

@@ -58,7 +58,7 @@ from .text import md5_60bit
 __all__ = [
     "FRAC_BITS", "NB_WORD_PATTERN", "llog2", "llog2_sql", "llog2_py",
     "hashed_token_buckets", "nb_train", "nb_train_py", "nb_score",
-    "nb_quality_gate",
+    "nb_quality_gate", "nb_calibrate_threshold",
 ]
 
 # fixed-point fraction bits for llog2 — 2^16 scale keeps every
@@ -356,6 +356,89 @@ def nb_score(
         df.crossJoin(F.broadcast(wrow))
         .withColumn(out_col, score)
         .drop("_nbq_w", "_nbq_prior", "_nbq_b")
+    )
+
+
+def nb_calibrate_threshold(
+    labeled: DataFrame,
+    model: DataFrame,
+    target_precision_pct: int = 90,
+    text_col: str = "text",
+    label_col: str = "label",
+    salt: str = "nbq",
+    word_pattern: str = NB_WORD_PATTERN,
+    ngrams: int = 1,
+) -> DataFrame:
+    """Pick the gate threshold FROM DATA (r12): score a labeled
+    HELD-OUT frame with the trained model and return the one-row
+    frame ``(threshold, tp, fp, fn, precision_ppm, recall_ppm)``
+    where ``threshold`` is the SMALLEST value whose ``score >
+    threshold`` gate achieves at least ``target_precision_pct``
+    precision on the frame — i.e. maximum recall subject to the
+    precision target, the standard way production pipelines
+    calibrate a quality gate instead of hand-tuning 0. All verdicts
+    are EXACT integer arithmetic (``100·tp ≥ target·(tp+fp)``, ppm
+    columns by integer division) — reproducible bit-for-bit in any
+    engine. Infeasible target → a single all-NULL row (callers
+    decide whether to fall back to the NB boundary or refuse).
+
+    Shape: one scoring scan (zero corpus shuffle, see
+    :func:`nb_score`), one histogram aggregation whose shuffle is
+    #distinct scores, a window over that histogram, and a 1-row
+    ``min_by``. The ``keep everything`` candidate (threshold =
+    min score − 1) participates too, so a trivially separable
+    validation set calibrates to full recall."""
+    if not (0 < target_precision_pct <= 100):
+        raise ValueError(
+            f"target_precision_pct must be in (0, 100], got "
+            f"{target_precision_pct}"
+        )
+    scored = nb_score(
+        labeled, model, text_col, "_nbc_score", salt, word_pattern, ngrams
+    )
+    y = F.col(label_col).cast("int")
+    hist = scored.groupBy(F.col("_nbc_score").alias("t")).agg(
+        F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("_pos"),
+        F.sum(F.when(y == 0, 1).otherwise(0)).cast("long").alias("_neg"),
+    )
+    w = (
+        Window.orderBy(F.col("t").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy()
+    # gate is STRICT (score > t): rows kept at threshold t are the
+    # cumulative counts ABOVE t — exclusive running sums
+    cand = hist.select(
+        "t",
+        (F.sum("_pos").over(w) - F.col("_pos")).alias("tp"),
+        (F.sum("_neg").over(w) - F.col("_neg")).alias("fp"),
+        F.sum("_pos").over(wall).alias("_total_pos"),
+        F.sum("_neg").over(wall).alias("_total_neg"),
+    ).union(
+        scored.agg(
+            (F.min("_nbc_score") - 1).alias("t"),
+            F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("tp"),
+            F.sum(F.when(y == 0, 1).otherwise(0)).cast("long").alias("fp"),
+            F.sum(F.when(y == 1, 1).otherwise(0)).cast("long").alias("_tp2"),
+            F.sum(F.when(y == 0, 1).otherwise(0)).cast("long").alias("_tn2"),
+        )
+    )
+    feasible = cand.filter(
+        (F.col("tp") > 0)
+        & (F.col("tp") * 100 >= target_precision_pct * (F.col("tp") + F.col("fp")))
+    )
+    pick = feasible.agg(
+        F.min_by(
+            F.struct("t", "tp", "fp", "_total_pos"), F.col("t")
+        ).alias("_b")
+    )
+    return pick.select(
+        F.col("_b.t").alias("threshold"),
+        F.col("_b.tp").alias("tp"),
+        F.col("_b.fp").alias("fp"),
+        (F.col("_b._total_pos") - F.col("_b.tp")).alias("fn"),
+        F.expr("(_b.tp * 1000000) div (_b.tp + _b.fp)").alias("precision_ppm"),
+        F.expr("(_b.tp * 1000000) div _b._total_pos").alias("recall_ppm"),
     )
 
 

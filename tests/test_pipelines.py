@@ -815,3 +815,83 @@ def test_build_training_corpus_mixture_stage(spark):
     assert 0 < by_src["big"] < 30        # downsampled
     assert len(corpus) == stages["mixed"].count()
     assert all(r.split in ("train", "val", "test") for r in corpus)
+
+
+def test_build_training_corpus_calibrated_model_gate(spark):
+    """r12: quality_model_target_precision_pct calibrates the gate
+    threshold from a held-out labeled split instead of the fixed 0 —
+    the calibration verdict rides out as a stage artifact with the
+    held-out precision it bought, and an unreachable target fails
+    the build loudly."""
+    import random
+
+    import pytest as _pytest
+
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+
+    rng = random.Random(11)
+    shared = ["about", "world", "report", "time", "year", "with", "more"]
+    hamv = ["analysis", "research", "evidence", "chapter", "science"]
+    spamv = ["casino", "jackpot", "lottery", "winner", "promo"]
+
+    def text(i, vocab, mix):
+        pool = shared + vocab + (spamv if mix else [])
+        return f"the u{i} " + " ".join(rng.choice(pool) for _ in range(25))
+
+    labeled = spark.createDataFrame(
+        [(text(i, hamv, i % 7 == 0), 1) for i in range(120)]
+        + [(text(200 + i, spamv, False), 0) for i in range(120)],
+        "text string, label int",
+    )
+    # corpus docs far from the decision boundary (the 90%-precision
+    # threshold legitimately admits borderline cases; the pipeline
+    # guarantee under test is the calibration plumbing, so probe it
+    # with unambiguous documents)
+    docs = spark.createDataFrame(
+        [(i, f"the x{i} " + " ".join(hamv * 5), "en", "srcA") for i in range(10)]
+        + [(100 + i, f"the y{i} " + " ".join(spamv * 5), "en", "srcA")
+           for i in range(10)],
+        "doc_id long, text string, lang string, source string",
+    )
+    stages = build_training_corpus(
+        docs,
+        config=PipelineConfig(
+            quality_model_labeled=labeled,
+            quality_model_buckets=256,
+            quality_model_target_precision_pct=90,
+        ),
+    )
+    assert "quality_calibration" in stages
+    cal = stages["quality_calibration"].collect()[0]
+    assert cal.threshold is not None
+    assert cal.precision_ppm >= 900_000
+    kept = {r.doc_id for r in stages["model_gated"].select("doc_id").collect()}
+    assert kept and all(d < 100 for d in kept), (kept, cal)
+    # the gate really used the calibrated threshold: every surviving
+    # score clears it
+    assert all(
+        r.nbq_score > cal.threshold
+        for r in stages["model_gated"].select("nbq_score").collect()
+    )
+
+    # unreachable target fails the build loudly: every distinct text
+    # appears in BOTH classes, mostly negative, so no threshold can
+    # reach 99% precision wherever the content-stable split cuts
+    # (and any text landing in the train split carries both classes)
+    junk_texts = [f"junkword{i} filler{i} common body" for i in range(6)]
+    junk = spark.createDataFrame(
+        [(t, 1) for t in junk_texts] * 2 + [(t, 0) for t in junk_texts] * 8,
+        "text string, label int",
+    )
+    with _pytest.raises(ValueError, match="calibration"):
+        build_training_corpus(
+            docs,
+            config=PipelineConfig(
+                quality_model_labeled=junk,
+                quality_model_buckets=64,
+                quality_model_target_precision_pct=99,
+            ),
+        )

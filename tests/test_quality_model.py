@@ -283,3 +283,83 @@ def test_nb_bigram_features_parity_and_discrimination(spark):
         nb_score(test, bi, ngrams=3)
     with _pytest.raises(ValueError, match="ngrams"):
         hashed_token_buckets("t", 97, ngrams=0)
+
+
+def test_nb_calibrate_threshold_exact_vs_bruteforce(spark):
+    """r12 calibration: the picked threshold equals the brute-force
+    'smallest t with precision(score > t) >= target and tp > 0'
+    over the collected scores — exact integer verdicts, ppm columns
+    by integer division; a trivially separable set calibrates to the
+    all-keep candidate (full recall); an unreachable target returns
+    the all-NULL row; invalid targets are rejected."""
+    from gcp_dataengineering_spark.llm_ops.quality_model import (
+        nb_calibrate_threshold,
+        nb_score,
+        nb_train,
+    )
+
+    rng = random.Random(3)
+    shared = ["about", "into", "over", "world", "report", "time", "year"]
+    hamv = ["analysis", "research", "evidence", "chapter", "science"]
+    spamv = ["casino", "jackpot", "lottery", "winner", "promo"]
+
+    def doc(vocab, mix):
+        # `mix` controls class overlap so precision < 100% at low
+        # thresholds — calibration has something real to do
+        pool = shared + vocab + (spamv if mix else [])
+        return " ".join(rng.choice(pool) for _ in range(rng.randint(8, 25)))
+
+    train_rows = [(doc(hamv, False), 1) for _ in range(60)] + [
+        (doc(spamv, False), 0) for _ in range(60)
+    ]
+    val_rows = [(doc(hamv, i % 3 == 0), 1) for i in range(50)] + [
+        (doc(spamv, False), 0) for _ in range(50)
+    ]
+    model = nb_train(
+        spark.createDataFrame(train_rows, "text string, label int"),
+        num_buckets=256,
+    )
+    val = spark.createDataFrame(val_rows, "text string, label int")
+
+    scored = nb_score(val, model, out_col="s").select("s", "label").collect()
+    pairs = [(r.s, r.label) for r in scored]
+
+    def brute(target):
+        cands = sorted({s for s, _ in pairs}) + [min(s for s, _ in pairs) - 1]
+        best = None
+        for t in cands:
+            tp = sum(1 for s, y in pairs if s > t and y == 1)
+            fp = sum(1 for s, y in pairs if s > t and y == 0)
+            if tp > 0 and tp * 100 >= target * (tp + fp):
+                if best is None or t < best[0]:
+                    best = (t, tp, fp)
+        return best
+
+    for target in (50, 80, 90, 99, 100):
+        got = nb_calibrate_threshold(val, model, target).collect()[0]
+        want = brute(target)
+        if want is None:
+            assert got.threshold is None, (target, got)
+            continue
+        assert (got.threshold, got.tp, got.fp) == want, (target, got, want)
+        total_pos = sum(1 for _, y in pairs if y == 1)
+        assert got.fn == total_pos - want[1]
+        assert got.precision_ppm == want[1] * 1_000_000 // (want[1] + want[2])
+        assert got.recall_ppm == want[1] * 1_000_000 // total_pos
+        # the verdict really holds on the frame itself
+        assert got.precision_ppm >= target * 10_000
+
+    # perfectly separable validation → the all-keep candidate wins
+    sep = spark.createDataFrame(
+        [("analysis research evidence", 1)] * 10
+        + [("casino jackpot lottery", 0)] * 10,
+        "text string, label int",
+    )
+    row = nb_calibrate_threshold(sep, model, 100).collect()[0]
+    assert row.recall_ppm == 1_000_000
+    assert row.precision_ppm == 1_000_000
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="target_precision_pct"):
+        nb_calibrate_threshold(val, model, 0)
