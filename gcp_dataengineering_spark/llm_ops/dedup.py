@@ -762,7 +762,12 @@ def duplicate_spans(
     a reported span — a conservative SUPERSET of the suffix-array
     spans, since merged abutting grams can chain duplications against
     DIFFERENT partner docs, so a reported maximal span need not be
-    duplicated as a whole in any single other document):
+    duplicated as a whole in any single other document. The COVERED
+    POSITION SET is exact regardless (every covered position lies in
+    its own duplicated k-gram window — pinned by the r12 pytest
+    against :func:`duplicate_spans_exact`, the per-partner-verified
+    sibling that adds span-level attribution at pair-expansion
+    cost):
 
     1. every word k-gram with its position (:func:`positional_gram_rows`);
     2. grams seen in >= ``min_docs`` DISTINCT documents (one
@@ -808,6 +813,95 @@ def duplicate_spans(
         .drop("_span")
     )
     return spans
+
+
+def duplicate_spans_exact(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_docs: int = 2,
+    max_gram_occurrences: int = 64,
+    spread: bool = True,
+) -> DataFrame:
+    """Per-PARTNER exact duplicated spans (r12 — the exactness option
+    the r11 verdict sketched for :func:`duplicate_spans`'s
+    conservative-superset caveat): every returned row
+    ``(doc_id, partner_id, span_start, span_end, n_grams)`` is a
+    VERIFIED claim — the word slice ``[span_start, span_end]`` of
+    ``doc_id`` appears verbatim (as a contiguous word run) in
+    ``partner_id``. Mechanism: k-gram postings joined cross-document
+    into match pairs, chained per (doc, partner, DIAGONAL p−q) with
+    gap ≤ k — overlapping or abutting equal k-grams on one diagonal
+    compose into one equal substring, so the merged span is exact by
+    construction, never a cross-partner chain.
+
+    Relationship to :func:`duplicate_spans` (the relaxed form): the
+    set of COVERED WORD POSITIONS is identical on any input where no
+    gram exceeds the cap (pytest pins this) — every relaxed-covered
+    position lies inside its own duplicated k-gram window, so the
+    strip semantics (Lee et al. 2022: drop text covered by any ≥k
+    cross-document duplicate) were already exact; what this form
+    adds is span-level attribution (which partner, which exact
+    substring) for audit/provenance consumers, at pair-expansion
+    cost.
+
+    Scale guardrail: the gram self-join is quadratic in per-gram
+    occurrence count, so grams occurring more than
+    ``max_gram_occurrences`` times are EXCLUDED from pairing (their
+    regions still surface through the relaxed form / boilerplate
+    removal; a loud docstring contract instead of a silent
+    explosion). Shape: one gram-keyed census, one capped gram-keyed
+    self-join (AQE splits residual skew), one (doc, partner,
+    diagonal)-keyed window — never all-pairs over documents."""
+    from pyspark.sql import Window
+
+    grams = positional_gram_rows(df, text_col, id_col, k=k, spread=spread)
+    keep = (
+        grams.groupBy("gram")
+        .agg(
+            F.count_distinct("doc_id").alias("_nd"),
+            F.count(F.lit(1)).alias("_occ"),
+        )
+        .filter(
+            (F.col("_nd") >= min_docs)
+            & (F.col("_occ") <= max_gram_occurrences)
+        )
+        .select("gram")
+    )
+    hits = grams.join(keep, "gram")
+    a = hits.alias("a")
+    b = hits.alias("b")
+    pairs = (
+        a.join(b, "gram")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.pos").alias("pos"),
+            F.col("b.doc_id").alias("partner_id"),
+            # rows are unique per (doc, partner, diag, pos) by
+            # construction: the gram is fixed by (doc, pos) and the
+            # partner position is fixed by the diagonal
+            (F.col("a.pos") - F.col("b.pos")).alias("_diag"),
+        )
+    )
+    wspec = Window.partitionBy("doc_id", "partner_id", "_diag").orderBy("pos")
+    prev = F.lag("pos").over(wspec)
+    brk = F.when(prev.isNull() | (F.col("pos") > prev + k), 1).otherwise(0)
+    return (
+        pairs.withColumn("_brk", brk)
+        .withColumn(
+            "_span",
+            F.sum("_brk").over(wspec.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("doc_id", "partner_id", "_diag", "_span")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + F.lit(k - 1)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+        )
+        .drop("_diag", "_span")
+    )
 
 
 def strip_duplicate_spans(

@@ -286,3 +286,117 @@ def test_strip_duplicate_spans_property_fuzz(spark):
             ).rstrip()
             assert out_norm[d] == want_norm, (case, d, k, t)
             assert out_pres[d] == want_pres, (case, d, k, t)
+
+
+def test_duplicate_spans_exact_partner_verified(spark):
+    """r12 exactness option: every (doc, partner, span) row is a
+    verified literal claim — the doc's word slice appears verbatim
+    as a contiguous word run in the partner. Includes the
+    cross-partner chain case the relaxed form merges: exact reports
+    per-partner spans, never a chimera span no single partner
+    contains."""
+    from gcp_dataengineering_spark.llm_ops.dedup import (
+        duplicate_spans,
+        duplicate_spans_exact,
+    )
+
+    k = 3
+    # doc 1 stitches a run shared with doc 2 and a run shared with
+    # doc 3, abutting — the relaxed form chains them into one span
+    d1 = "x1 x2 x3 y1 y2 y3 tail1 tail2"
+    d2 = "head x1 x2 x3 other words here now"
+    d3 = "y1 y2 y3 closing words of three"
+    docs = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string"
+    )
+    words = {r.doc_id: r.text.split() for r in docs.collect()}
+    exact = duplicate_spans_exact(docs, k=k, min_docs=2).collect()
+    assert exact  # something found
+    for r in exact:
+        piece = words[r.doc_id][r.span_start : r.span_end + 1]
+        partner = words[r.partner_id]
+        assert any(
+            partner[i : i + len(piece)] == piece
+            for i in range(len(partner) - len(piece) + 1)
+        ), (r, piece)
+    # doc 1's exact spans are per-partner: [0,2] with 2 and [3,5]
+    # with 3 — never the relaxed chimera [0,5]
+    d1_spans = {(r.partner_id, r.span_start, r.span_end)
+                for r in exact if r.doc_id == 1}
+    assert d1_spans == {(2, 0, 2), (3, 3, 5)}
+    relaxed = {
+        (r.span_start, r.span_end)
+        for r in duplicate_spans(docs, k=k, min_docs=2).collect()
+        if r.doc_id == 1
+    }
+    assert relaxed == {(0, 5)}  # the documented superset behavior
+
+
+def test_duplicate_spans_exact_covers_same_positions_as_relaxed(spark):
+    """The strip semantics were already exact: on a fuzz corpus with
+    planted shared sentences (no gram over the pairing cap), the
+    UNION of covered word positions per doc is identical between the
+    relaxed and the exact form — the exact form adds attribution,
+    not coverage."""
+    import random
+
+    from gcp_dataengineering_spark.llm_ops.dedup import (
+        duplicate_spans,
+        duplicate_spans_exact,
+    )
+
+    rng = random.Random(20260817)
+    shared = [
+        " ".join(f"s{j}w{i}" for i in range(rng.randint(4, 9)))
+        for j in range(6)
+    ]
+
+    def doc(i):
+        parts = []
+        for _ in range(rng.randint(2, 5)):
+            if rng.random() < 0.5:
+                parts.append(rng.choice(shared))
+            parts.append(" ".join(f"u{i}x{rng.randrange(1000)}"
+                                  for _ in range(rng.randint(1, 6))))
+        return (i, " ".join(parts))
+
+    docs = spark.createDataFrame([doc(i) for i in range(30)],
+                                 "doc_id long, text string")
+    k = 4
+    relaxed = duplicate_spans(docs, k=k, min_docs=2).collect()
+    exact = duplicate_spans_exact(docs, k=k, min_docs=2).collect()
+
+    def covered(rows):
+        cov = {}
+        for r in rows:
+            cov.setdefault(r.doc_id, set()).update(
+                range(r.span_start, r.span_end + 1)
+            )
+        return cov
+
+    assert covered(relaxed) == covered(exact)
+
+
+def test_duplicate_spans_exact_hot_gram_cap(spark):
+    """Grams above max_gram_occurrences are excluded from the pair
+    expansion (the documented guardrail): a gram planted in many
+    docs disappears from the exact output under a small cap while
+    the relaxed form still reports it."""
+    from gcp_dataengineering_spark.llm_ops.dedup import (
+        duplicate_spans,
+        duplicate_spans_exact,
+    )
+
+    hot = "boiler plate footer line"
+    docs = spark.createDataFrame(
+        [(i, f"unique{i} words{i} here{i} " + hot) for i in range(12)],
+        "doc_id long, text string",
+    )
+    k = 4
+    capped = duplicate_spans_exact(docs, k=k, min_docs=2,
+                                   max_gram_occurrences=5).collect()
+    assert capped == []
+    uncapped = duplicate_spans_exact(docs, k=k, min_docs=2,
+                                     max_gram_occurrences=100).collect()
+    assert uncapped
+    assert duplicate_spans(docs, k=k, min_docs=2).count() > 0

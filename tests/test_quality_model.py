@@ -363,3 +363,40 @@ def test_nb_calibrate_threshold_exact_vs_bruteforce(spark):
 
     with _pytest.raises(ValueError, match="target_precision_pct"):
         nb_calibrate_threshold(val, model, 0)
+
+
+def test_llog2_py_hypothesis_property():
+    """Pure-python hypothesis property (no Spark): llog2 is monotone
+    non-decreasing, exact at powers of two, within the documented
+    0.0861·2^F bound of true log2, and additive within the bound for
+    products that stay in range — the properties NB weight ordering
+    actually relies on."""
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from gcp_dataengineering_spark.llm_ops.quality_model import (
+        FRAC_BITS,
+        llog2_py,
+    )
+
+    s = 1 << FRAC_BITS
+
+    @settings(max_examples=300, deadline=None)
+    @given(
+        st.integers(min_value=1, max_value=2**62 - 1),
+        st.integers(min_value=1, max_value=2**62 - 1),
+    )
+    def prop(a, b):
+        la, lb = llog2_py(a), llog2_py(b)
+        if a <= b:
+            assert la <= lb
+        else:
+            assert la >= lb
+        assert abs(la / s - math.log2(a)) <= 0.0862
+        if a.bit_length() + b.bit_length() <= 62:
+            # log(ab) ≈ log(a)+log(b) within twice the octave bound
+            assert abs(llog2_py(a * b) - (la + lb)) <= 2 * 0.0862 * s + 2
+
+    prop()
