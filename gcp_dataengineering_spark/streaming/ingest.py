@@ -46,6 +46,9 @@ def ingest_stream(
     gate: Column | None = None,
     event_time_col: str | None = None,
     watermark: str = "10 minutes",
+    quality_model: DataFrame | None = None,
+    quality_model_threshold: int = 0,
+    quality_model_ngrams: int = 1,
 ) -> DataFrame:
     """Quality-gated, PII-scrubbed, language-tagged, corpus-deduped
     document stream. Returns the admitted rows with `lang_pred`,
@@ -57,11 +60,31 @@ def ingest_stream(
     arithmetic drops junk before regex-heavy scrubbing), scrubbing
     runs BEFORE fingerprinting (two docs differing only in their PII
     literals dedup to one — and the fingerprint of record matches
-    what the corpus actually stores)."""
+    what the corpus actually stores).
+
+    ``quality_model`` (r12): a trained
+    :func:`llm_ops.quality_model.nb_train` frame adds the learned
+    vocabulary gate between the heuristic gate and the scrub — the
+    SAME stage order as the batch pipeline's 2c, and the same
+    stateless shape (a static 1-row broadcast of the dense weight
+    array into the stream; scoring is a per-row map, so a document
+    admitted online is the document a batch rebuild would admit —
+    the module's stream/batch parity promise extends to the learned
+    gate). ``nbq_score`` rides on the admitted rows."""
     feats = quality_features(stream, text_col)
     gated = feats.filter(gate if gate is not None else default_quality_gate()).drop(
         "n_chars_calc", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio"
     )
+    if quality_model is not None:
+        from ..llm_ops.quality_model import nb_quality_gate
+
+        gated = nb_quality_gate(
+            gated,
+            quality_model,
+            text_col=text_col,
+            threshold=quality_model_threshold,
+            ngrams=quality_model_ngrams,
+        )
     scrubbed = (
         scrub_pii(gated, text_col, out_col="_text_scrubbed")
         .withColumn(text_col, F.col("_text_scrubbed"))

@@ -1035,3 +1035,71 @@ def test_bucketed_upsert_meta_publish_is_atomic(spark, tmp_path):
     assert got[7] == (9, "u7") and got[999] == (1, "new") and len(got) == 51
     with open(meta_path) as fh:
         assert _json.load(fh)["n_buckets"] == 4  # real meta untouched
+
+
+def test_ingest_stream_model_gate_parity_with_batch(spark, tmp_path):
+    """r12: the learned quality gate composes into the streaming
+    ingest as a stateless static-broadcast row map — the stream
+    admits exactly the rows the batch nb_quality_gate admits, with
+    identical scores, and the spam-vocabulary rows the heuristic
+    gate cannot see are dropped online."""
+    from gcp_dataengineering_spark.llm_ops.dedup import dedup_exact
+    from gcp_dataengineering_spark.llm_ops.quality_model import (
+        nb_quality_gate,
+        nb_train,
+    )
+    from gcp_dataengineering_spark.streaming.ingest import ingest_stream
+
+    hamv = "analysis research evidence chapter history science".split()
+    spamv = "casino jackpot lottery unsubscribe winner promo".split()
+    filler = "the and of a to " + " ".join(f"word{i}" for i in range(25))
+
+    def text(i, vocab):
+        return f"{filler} u{i} " + " ".join(vocab[j % len(vocab)] for j in range(20))
+
+    labeled = spark.createDataFrame(
+        [(text(900 + i, hamv), 1) for i in range(10)]
+        + [(text(950 + i, spamv), 0) for i in range(10)],
+        "text string, label int",
+    )
+    model_rows = nb_train(labeled, num_buckets=256).collect()
+    model = spark.createDataFrame(
+        model_rows, "bucket long, c1 long, c0 long, weight long, prior long"
+    )
+    rows = [(i, text(i, hamv)) for i in range(4)] + [
+        (100 + i, text(50 + i, spamv)) for i in range(4)
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus_fps = dedup_exact(
+        spark.createDataFrame([(999, "unrelated corpus doc")], "doc_id long, text string")
+    )
+
+    src = tmp_path / "nbq_src"
+    src.mkdir()
+    batch.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src) + "/*.parquet"
+    )
+    name = f"nbq_{uuid.uuid4().hex[:8]}"
+    q = (
+        ingest_stream(stream, corpus_fps, quality_model=model)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.doc_id: r.nbq_score
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+    finally:
+        q.stop()
+    assert set(got) == {0, 1, 2, 3}  # spam rows (100+) never admitted
+    # stream == batch: the same gate over the same rows, same scores
+    want = {
+        r.doc_id: r.nbq_score
+        for r in nb_quality_gate(batch, model).collect()
+    }
+    assert got == want
