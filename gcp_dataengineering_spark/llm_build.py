@@ -92,6 +92,29 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "default 0.5, the published multilingual-sampling choice)",
     )
     p.add_argument(
+        "--mixture-by",
+        default=None,
+        metavar="COL",
+        help="group the temperature mixture by this column instead of "
+        "'source' — e.g. 'lang' (with --retag-lang) for the published "
+        "per-language token budgets",
+    )
+    p.add_argument(
+        "--retag-lang",
+        action="store_true",
+        help="re-derive the lang column from the text with the r12 "
+        "two-stage lang_id (script router + 20-language stopword vote) "
+        "instead of trusting input metadata",
+    )
+    p.add_argument(
+        "--quality-model-ngrams",
+        type=int,
+        choices=[1, 2],
+        default=1,
+        help="model-gate feature order: 1 = bag of words, 2 = + adjacent "
+        "word bigrams (the fastText trick; sees local word order)",
+    )
+    p.add_argument(
         "--quality-model-labels",
         default=None,
         metavar="PARQUET",
@@ -206,6 +229,9 @@ def main(argv: list[str] | None = None) -> int:
             quality_model_threshold=args.quality_model_threshold,
             quality_model_buckets=args.quality_model_buckets,
             quality_model_target_precision_pct=args.quality_model_precision,
+            quality_model_ngrams=args.quality_model_ngrams,
+            retag_lang=args.retag_lang,
+            mixture_by=args.mixture_by,
             gopher=args.gopher,
             gopher_min_words=args.gopher_min_words,
         ),

@@ -157,6 +157,18 @@ class PipelineConfig:
     # unreachable — a gate that can't hit its precision bar should
     # fail the build loudly, not ship a silently weaker corpus.
     quality_model_target_precision_pct: int | None = None
+    quality_model_ngrams: int = 1
+    # re-derive the language column with the r12 two-stage lang_id
+    # (script router + 20-language stopword vote) instead of
+    # trusting the input's lang column: crawl metadata lies, and the
+    # shard plan + any per-language budgeting are only as good as
+    # this tag. Runs with the page gate (stateless row map).
+    retag_lang: bool = False
+    # group the temperature-mixture stage by this column instead of
+    # the source: e.g. "lang" (with retag_lang) gives the published
+    # per-LANGUAGE token budgets (p_lang ∝ n_lang^alpha) instead of
+    # per-source ones. None = the pipeline's source column.
+    mixture_by: str | None = None
     extra: dict = field(default_factory=dict)
 
 
@@ -198,6 +210,15 @@ def build_training_corpus(
         docs = filter_blocked_domains(
             docs, list(cfg.blocked_domains), cfg.url_col
         )
+
+    if cfg.retag_lang:
+        # 0b. trust the text, not the crawl metadata: the r12
+        # two-stage lang_id re-derives the language column every
+        # downstream per-language decision (shard partitioning,
+        # mixture_by="lang") keys on. Stateless row map.
+        from .text import lang_id as _lang_id
+
+        docs = docs.withColumn(lang_col, _lang_id(text_col))
 
     feats = quality_features(docs, text_col)
     gate = cfg.gate if cfg.gate is not None else corpus_quality_gate()
@@ -271,6 +292,7 @@ def build_training_corpus(
                 train_split,
                 text_col=text_col,
                 num_buckets=cfg.quality_model_buckets,
+                ngrams=cfg.quality_model_ngrams,
             )
             if materialize is not False:
                 quality_model = _materialize(quality_model, materialize)
@@ -279,6 +301,7 @@ def build_training_corpus(
                 quality_model,
                 cfg.quality_model_target_precision_pct,
                 text_col=text_col,
+                ngrams=cfg.quality_model_ngrams,
             )
             cal = quality_calibration.collect()[0]
             if cal.threshold is None:
@@ -294,6 +317,7 @@ def build_training_corpus(
                 labeled,
                 text_col=text_col,
                 num_buckets=cfg.quality_model_buckets,
+                ngrams=cfg.quality_model_ngrams,
             )
             if materialize is not False:
                 # the trained weights feed every downstream row: pin
@@ -305,6 +329,7 @@ def build_training_corpus(
             quality_model,
             text_col=text_col,
             threshold=threshold,
+            ngrams=cfg.quality_model_ngrams,
         )
         reputable = model_gated
 
@@ -414,9 +439,12 @@ def build_training_corpus(
         # post-cap, BPE counts when enabled), then the content-stable
         # hash downsample. The plan frame references `capped` once
         # more (its aggregation), so pin the branch point per the
-        # documented rule.
+        # documented rule. cfg.mixture_by (r12) regroups the budgets
+        # — e.g. "lang" (with retag_lang) gives the published
+        # per-LANGUAGE temperature mixture instead of per-source.
         from .corpus import apply_mixture, mixture_plan
 
+        mix_col = cfg.mixture_by or source_col
         if materialize is not False:
             capped = _materialize(capped, materialize)
             mixed = capped
@@ -424,10 +452,10 @@ def build_training_corpus(
             capped,
             alpha=cfg.mixture_alpha,
             budget_tokens=cfg.mixture_budget_tokens,
-            source_col=source_col,
+            source_col=mix_col,
         )
         mixed = apply_mixture(
-            capped, mixture, source_col=source_col, id_col=id_col
+            capped, mixture, source_col=mix_col, id_col=id_col
         )
 
     corpus = hash_split(mixed, id_col)

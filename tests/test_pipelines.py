@@ -895,3 +895,54 @@ def test_build_training_corpus_calibrated_model_gate(spark):
                 quality_model_target_precision_pct=99,
             ),
         )
+
+
+def test_build_training_corpus_retag_lang_and_language_mixture(spark):
+    """r12: retag_lang re-derives the lang column from the text (the
+    crawl metadata lies: every row arrives labeled 'xx'), and
+    mixture_by='lang' budgets per LANGUAGE — the over-represented
+    language downsamples toward its temperature weight while the
+    small one keeps every doc; the shard plan partitions by the
+    RETAGGED languages."""
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+
+    en = "the and of to a in is it that was"
+    es = "el la de que y en los del las por"
+
+    def doc(i, base):
+        # stopword prefix routes the language; the unique body keeps
+        # the docs distinct through exact AND near-dup dedup
+        uniq = " ".join(f"u{i}w{j}" for j in range(15))
+        return (i, f"{base} {uniq}", "xx", "srcA")
+
+    docs = spark.createDataFrame(
+        [doc(i, en) for i in range(40)] + [doc(100 + i, es) for i in range(4)],
+        "doc_id long, text string, lang string, source string",
+    )
+    stages = build_training_corpus(
+        docs,
+        config=PipelineConfig(
+            retag_lang=True,
+            mixture_budget_tokens=400,
+            mixture_by="lang",
+        ),
+    )
+    plan = {r.lang: r for r in stages["mixture_plan"].collect()}
+    assert set(plan) == {"en", "es"}  # metadata 'xx' was overridden
+    assert plan["en"].sample_rate < 1.0
+    assert plan["es"].sample_rate == 1.0 and plan["es"].epochs > 1.0
+    mixed = {r.lang: r["count"]
+             for r in stages["mixed"].groupBy("lang").count().collect()}
+    assert mixed["es"] == 4
+    assert mixed["en"] < 40
+    shard_parts = {
+        r._shard_part.split("|")[1]
+        for r in stages["shards"].select("_shard_part").collect()
+    }
+    assert shard_parts <= {"en", "es"} and "xx" not in shard_parts
+    # off by default: lang column passes through untouched
+    off = build_training_corpus(docs)
+    assert {r.lang for r in off["corpus"].select("lang").collect()} == {"xx"}
