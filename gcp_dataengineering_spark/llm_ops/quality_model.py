@@ -228,7 +228,10 @@ def nb_train(
     dense = (
         spark.range(num_buckets)
         .select(F.col("id").cast("long").alias("bucket"))
-        .join(counts, "bucket", "left")
+        # counts is ≤ num_buckets rows by construction (it's keyed on
+        # the bucket) — broadcast-hint it so the densify is a
+        # broadcast hash join, not a stats-blind sort-merge
+        .join(F.broadcast(counts), "bucket", "left")
         .fillna(0, ["c1", "c0"])
     )
     ndocs = labeled.agg(

@@ -400,3 +400,31 @@ def test_llog2_py_hypothesis_property():
             assert abs(llog2_py(a * b) - (la + lb)) <= 2 * 0.0862 * s + 2
 
     prop()
+
+
+def test_nb_plan_shape_at_scale(spark):
+    """×20 scale-shape gate (the bpe_encode convention): replicate
+    the labeled frame ×20 and run train→score end to end — the
+    executed plan must stay broadcast-shaped (no CartesianProduct,
+    no SortMergeJoin) and the only corpus-side exchange is the
+    bucket-keyed training aggregation, never a corpus-keyed shuffle
+    on the scoring path."""
+    labeled = spark.createDataFrame(
+        [(f"doc {i} alpha beta text words here", i % 2) for i in range(40)],
+        "text string, label int",
+    )
+    big = labeled.withColumn(
+        "_rep", F.explode(F.sequence(F.lit(0), F.lit(19)))
+    ).drop("_rep")
+    model = nb_train(big, num_buckets=512)
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta doc {i}") for i in range(200)],
+        "id long, text string",
+    )
+    scored = nb_score(docs, model)
+    assert scored.count() == 200
+    plan = scored._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # scoring side: the only join is the 1-row broadcast nested loop
+    assert "BroadcastNestedLoopJoin" in plan
