@@ -806,7 +806,12 @@ def mixture_plan(
             deficit = F.lit(int(budget_tokens)) - F.sum(fl).over(wall)
             nsrc = F.count(F.lit(1)).over(wall)
             extra = F.pmod(deficit, nsrc)
-            base = (deficit - extra) / nsrc
+            # integer `div`, not float `/` (r12 ADVICE): keeps the
+            # exact-sum guarantee all-integer end-to-end — (deficit −
+            # pmod(deficit, n)) is divisible by n, so IntegralDivide
+            # is exact for any BIGINT budget, while a double
+            # intermediate is only exact while it stays within 2^53
+            base = F.call_function("div", deficit - extra, nsrc)
             rk = F.row_number().over(wrk)
             target = F.greatest(
                 F.lit(0).cast("long"),

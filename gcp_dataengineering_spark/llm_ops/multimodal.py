@@ -522,12 +522,24 @@ def resize_images(
                         )
                     import io
 
-                    img = pil_image.open(io.BytesIO(b))
-                    src_fmt = img.format or fmt.upper()
-                    resized = img.resize((ow, oh))
-                    buf = io.BytesIO()
-                    resized.save(buf, format=src_fmt)
-                    rows.append((mid, fmt, w, h, ow, oh, buf.getvalue()))
+                    # quarantine-don't-kill (r12 ADVICE): a payload
+                    # whose header sniffs OK but whose body is
+                    # corrupt/truncated is ROUTINE in crawl data —
+                    # decode failure must not fail the Spark job.
+                    # Emit the row like a header-parse failure (fmt
+                    # NULL, untouched payload) so downstream
+                    # quarantines it with the same predicate.
+                    try:
+                        img = pil_image.open(io.BytesIO(b))
+                        src_fmt = img.format or fmt.upper()
+                        resized = img.resize((ow, oh))
+                        buf = io.BytesIO()
+                        resized.save(buf, format=src_fmt)
+                        out_payload = buf.getvalue()
+                    except Exception:
+                        rows.append((mid, None, None, None, None, None, b))
+                        continue
+                    rows.append((mid, fmt, w, h, ow, oh, out_payload))
                     continue
                 stamp = hashlib.md5(
                     b + ow.to_bytes(4, "big") + oh.to_bytes(4, "big")

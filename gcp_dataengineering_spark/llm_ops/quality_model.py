@@ -310,12 +310,66 @@ def nb_score(
     can't disagree) and broadcasts; scoring is a zero-shuffle row
     map with O(1) array lookups."""
     wrow = model.agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("bucket", "weight"))),
-            lambda s: s["weight"],
-        ).alias("_nbq_w"),
+        F.array_sort(F.collect_list(F.struct("bucket", "weight"))).alias(
+            "_nbq_s"
+        ),
         F.max("prior").alias("_nbq_prior"),
-        F.count(F.lit(1)).cast("int").alias("_nbq_b"),
+    ).select(
+        F.transform(F.col("_nbq_s"), lambda s: s["weight"]).alias("_nbq_w"),
+        "_nbq_prior",
+        F.size("_nbq_s").alias("_nbq_cnt"),
+        # all three density facets derive ROW-LEVEL from the one
+        # collected array — a count_distinct aggregate here would
+        # put a hash exchange into the otherwise zero-shuffle
+        # scoring plan (plan-shape receipt test)
+        F.element_at(F.col("_nbq_s"), 1)["bucket"]
+        .cast("long")
+        .alias("_nbq_minb"),
+        F.element_at(F.col("_nbq_s"), -1)["bucket"]
+        .cast("long")
+        .alias("_nbq_maxb"),
+        F.size(
+            F.array_distinct(F.transform(F.col("_nbq_s"), lambda s: s["bucket"]))
+        )
+        .cast("long")
+        .alias("_nbq_dst"),
+    ).select(
+        "_nbq_w",
+        "_nbq_prior",
+        # fail LOUDLY on a damaged model frame (r12 ADVICE): the
+        # modulus is inferred as count(rows), so a frame that lost or
+        # duplicated rows (partial parquet read, accidental filter)
+        # would silently mis-bucket every token. A dense model has
+        # buckets exactly 0..count-1, each once — pin all three
+        # facets (min, max, distinct) before trusting the count.
+        F.when(
+            (F.col("_nbq_minb") == 0)
+            & (F.col("_nbq_maxb") + 1 == F.col("_nbq_cnt"))
+            & (F.col("_nbq_dst") == F.col("_nbq_cnt")),
+            F.col("_nbq_cnt"),
+        )
+        .otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        "nb_score: model frame is not a dense bucket "
+                        "table (expected buckets 0..N-1 exactly once; "
+                        "got count="
+                    ),
+                    F.col("_nbq_cnt").cast("string"),
+                    F.lit(", min="),
+                    F.col("_nbq_minb").cast("string"),
+                    F.lit(", max="),
+                    F.col("_nbq_maxb").cast("string"),
+                    F.lit(", distinct="),
+                    F.col("_nbq_dst").cast("string"),
+                    F.lit(
+                        ") — was the model read partially or filtered?"
+                    ),
+                )
+            ).cast("int")
+        )
+        .alias("_nbq_b"),
     )
     # feature extraction must mirror the trainer exactly — reuse the
     # shared bucket expression (salt, word pattern, ngrams), with the
@@ -390,7 +444,15 @@ def nb_calibrate_threshold(
     #distinct scores, a window over that histogram, and a 1-row
     ``min_by``. The ``keep everything`` candidate (threshold =
     min score − 1) participates too, so a trivially separable
-    validation set calibrates to full recall."""
+    validation set calibrates to full recall.
+
+    CONTRACT (size ceiling): the histogram windows here are
+    UNPARTITIONED — a single-partition sort whose row count is
+    #distinct scores of the ``labeled`` frame. Validation frames are
+    driver-bounded BY CONSTRUCTION (a labeled held-out set is
+    thousands to low-millions of rows, hand- or model-labeled); do
+    NOT calibrate on the corpus itself — score the corpus with
+    :func:`nb_quality_gate` using the threshold this returns."""
     if not (0 < target_precision_pct <= 100):
         raise ValueError(
             f"target_precision_pct must be in (0, 100], got "

@@ -478,11 +478,16 @@ def lang_id(col: Column | str, default: str = "und") -> Column:
         )
     )
     # NULL routed language = latin/cyrillic/zero-count → the vote.
-    # The probe class is U+0370–U+FFFF: every non-Latin range in
-    # SCRIPT_RANGES starts at or above U+0370, so a text with no
-    # match can only resolve latin/unknown — skip all ten scans.
+    # The probe class is U+0370–U+FFFF MINUS the surrogate block
+    # (r12 ADVICE): every non-Latin range in SCRIPT_RANGES starts at
+    # or above U+0370 and no range covers astral chars, so a text
+    # with no BMP match can only resolve latin/unknown — skip all
+    # ten scans. Excluding U+D800–U+DFFF keeps astral-only text
+    # (emoji-laden Latin pages), whose UTF-16 surrogate halves would
+    # otherwise trip the probe, on the cheap path; the resolved
+    # language is identical either way.
     script_pick = F.when(
-        c.rlike("[\u0370-\uFFFF]"),
+        c.rlike("[\u0370-\uD7FF\uE000-\uFFFF]"),
         _bind1(sbest, lambda b: F.when(b["s"] > 0, b["l"])),
     )
     return _bind1(

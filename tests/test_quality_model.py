@@ -428,3 +428,36 @@ def test_nb_plan_shape_at_scale(spark):
     assert "SortMergeJoin" not in plan
     # scoring side: the only join is the 1-row broadcast nested loop
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_nb_score_rejects_damaged_model_frame(spark):
+    """r12 ADVICE: nb_score infers the modulus from count(model
+    rows), so a model frame that lost, duplicated, or shifted rows
+    must FAIL LOUDLY instead of silently mis-bucketing every token."""
+    labeled = spark.createDataFrame(
+        [("alpha beta gamma", 1)] * 4 + [("delta epsilon", 0)] * 3,
+        "text string, label int",
+    )
+    model = nb_train(labeled, num_buckets=32)
+    docs = spark.createDataFrame([(1, "alpha beta")], "id long, text string")
+
+    # intact model scores fine
+    assert nb_score(docs, model).count() == 1
+
+    # lost rows (accidental filter / partial read)
+    with pytest.raises(Exception, match="dense bucket table"):
+        nb_score(docs, model.filter(F.col("bucket") != 7)).collect()
+
+    # duplicated + dropped rows such that count == max+1 and
+    # min == 0 still hold — only the DISTINCT facet catches it
+    dup = model.filter(F.col("bucket") != 5).unionByName(
+        model.filter(F.col("bucket") == 3)
+    )
+    with pytest.raises(Exception, match="dense bucket table"):
+        nb_score(docs, dup).collect()
+
+    # shifted bucket ids (min != 0)
+    with pytest.raises(Exception, match="dense bucket table"):
+        nb_score(
+            docs, model.withColumn("bucket", F.col("bucket") + 1)
+        ).collect()
