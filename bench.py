@@ -106,6 +106,13 @@ HEADLINE = [
     # lang_id (ten per-script regex scans + a 20-way stopword
     # intersect argmax — the regex-scan-count cost class)
     "script_detect",
+    # round-13: in-engine embedding generation (gram explode + 16
+    # codegen bit-sum aggregates — the scan+explode cost class) and
+    # the composed semantic dedup (embed -> LSH bucket self-join ->
+    # integer cosine -> pointer-doubling CC; the iterative-rounds
+    # cost class like dedup_groups, plus the candidate-join volume)
+    "embedding_generate",
+    "semantic_dedup",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

@@ -152,6 +152,7 @@ def with_gaussian_buckets(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     vec_out: str | None = None,
+    quantize: bool = True,
 ) -> DataFrame:
     """(id, tbl, bucket) — one row per LSH table, bucket = gaussian
     sign key for that table's planes. The multi-table explode shape:
@@ -174,10 +175,20 @@ def with_gaussian_buckets(
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
     carry = [vec_out] if vec_out else []
+    # quantize=False takes the vector column as ALREADY-integer
+    # (array<bigint> — e.g. embed.doc_embed_raw output): the sign of
+    # Σ vq·p is invariant under positive scaling, so skipping the
+    # fixed-point multiply keeps buckets exact with smaller
+    # intermediates
+    vq = (
+        quantize_fixed(F.col(vec_col))
+        if quantize
+        else F.transform(F.col(vec_col), lambda x: x.cast("bigint"))
+    )
     base = df.select(
         F.col(id_col).alias(id_out),
         *[F.col(vec_col).alias(c) for c in carry],
-        quantize_fixed(F.col(vec_col)).alias("_vq"),
+        vq.alias("_vq"),
     )
     per_table = F.array(
         *[

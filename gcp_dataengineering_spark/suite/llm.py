@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from ..llm_ops import bpe as BPE
 from ..llm_ops import corpus as C
+from ..llm_ops import embed as EM
 from ..llm_ops import html as H
 from ..llm_ops import decontam as DC
 from ..llm_ops import dedup as D
@@ -2319,7 +2320,148 @@ LEFT JOIN ds ss ON ss.doc_id = d.doc_id AND ss.y = 0
 """
 
 
+# ---------------------------------------------------------------- in-engine embedding generation (r13)
+# shared key parameters — the Spark query and the DuckDB oracle are
+# generated from the SAME constants so they cannot drift
+_EMB_DIM = 16
+_EMB_NGRAM = 3
+_EMB_MAX_CHARS = 256
+# 0.95 cosine: the SemDeDup-style near-dup band. b=8 planes / L=6
+# tables → LSH recall ≈ 1−(1−p^8)^6 ≈ 0.97 at cos 0.95
+# (p = 1−arccos(0.95)/π ≈ 0.90) with 256 buckets per table — the
+# candidate pair space stays per-bucket at any corpus size
+_EMB_COS_NUM = 95
+_EMB_COS_DEN = 100
+_SEMDEDUP_TABLES = 6
+_SEMDEDUP_PLANES = 8
+_SEMDEDUP_FLAT = S.gaussian_planes_q(
+    _SEMDEDUP_TABLES * _SEMDEDUP_PLANES, _EMB_DIM, seed=7
+)
+
+
+def q_embedding_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine text vectorization (llm_ops/embed.py): hashed
+    char-3-gram counts signed-projected to 16 integer dims — a pure
+    zero-shuffle row map, exploded to (doc_id, d, v) so the compare
+    is over raw BIGINTs. The oracle replays normalization, gram
+    extraction, per-gram md5 sign bits, and the sums bit-for-bit."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = EM.doc_embed_table(
+        docs.select("doc_id", "text"),
+        "doc_id", "text", "_eq", _EMB_DIM, _EMB_NGRAM, EM.EMBED_SALT,
+        _EMB_MAX_CHARS,
+    )
+    return emb.select("doc_id", F.posexplode("_eq").alias("d", "v")).select(
+        "doc_id", F.col("d").cast("int").alias("d"), F.col("v").alias("v")
+    )
+
+
+def _embed_grams_sql(dim: int) -> str:
+    """Shared embedding CTE prefix: normalized text → char 3-grams →
+    per-gram 60-bit hash → per-(doc, dim) signed sums. Single hash
+    block (dim ≤ 30)."""
+    assert dim <= 30, "single-block SQL replay requires dim <= 30"
+    return f"""t AS (
+    SELECT doc_id,
+           trim(lower(regexp_replace(substr(coalesce(text, ''), 1, {_EMB_MAX_CHARS}),
+                                     '[^A-Za-z0-9]+', ' ', 'g'))) AS s
+    FROM documents
+), g AS (
+    SELECT doc_id, substr(s, r.i + 1, {_EMB_NGRAM}) AS gram
+    FROM t, unnest(range(greatest(length(s) - {_EMB_NGRAM - 1}, 0))) AS r(i)
+), h AS (
+    SELECT doc_id,
+           ('0x' || substring(md5('{EM.EMBED_SALT}' || chr(31) || '0' || chr(31) || gram), 1, 15))::BIGINT AS h
+    FROM g
+), dims AS (
+    SELECT unnest(range({dim})) AS d
+), sums AS (
+    SELECT doc_id, d, CAST(SUM(1 - 2 * ((h >> d) & 1)) AS BIGINT) AS v
+    FROM h, dims GROUP BY doc_id, d
+)"""
+
+
+ORACLE_EMBEDDING_GENERATE = f"""
+WITH {_embed_grams_sql(_EMB_DIM)}
+SELECT t.doc_id, CAST(dims.d AS INTEGER) AS d,
+       CAST(COALESCE(sums.v, 0) AS BIGINT) AS v
+FROM t CROSS JOIN dims
+LEFT JOIN sums ON t.doc_id = sums.doc_id AND dims.d = sums.d
+"""
+
+
+# ---------------------------------------------------------------- semantic dedup (r13)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style end-to-end semantic dedup from TEXT alone:
+    in-engine embeddings → multi-table gaussian sign-LSH blocking →
+    INTEGER-EXACT cosine ≥ 92/100 pairs → pointer-doubling connected
+    components → (doc_id, group_id). Every stage is integer math, so
+    the oracle replays the whole chain (including the threshold
+    DECISION — no float boundary can flip a pair) with a recursive
+    transitive-closure CTE for the components."""
+    docs = _t(spark, sf_dir, "documents")
+    return EM.semantic_dedup(
+        docs, "doc_id", "text",
+        dim=_EMB_DIM, ngram=_EMB_NGRAM, max_chars=_EMB_MAX_CHARS,
+        cos_num=_EMB_COS_NUM, cos_den=_EMB_COS_DEN,
+        n_planes=_SEMDEDUP_PLANES, n_tables=_SEMDEDUP_TABLES, seed=7,
+    )
+
+
+def _semantic_dedup_oracle() -> str:
+    rows = []
+    for t in range(_SEMDEDUP_TABLES):
+        for i in range(_SEMDEDUP_PLANES):
+            pq = _SEMDEDUP_FLAT[t * _SEMDEDUP_PLANES + i]
+            rows.append(f"({t}, {i}, {pq})")
+    dot = (
+        "(SELECT SUM(a * b) FROM (SELECT unnest(va.vq) AS a, "
+        "unnest(vb.vq) AS b) z)"
+    )
+    return f"""
+WITH RECURSIVE {_embed_grams_sql(_EMB_DIM)}, vecs AS (
+    SELECT doc_id, list(v ORDER BY d) AS vq
+    FROM sums GROUP BY doc_id HAVING SUM(v * v) > 0
+), planes(tbl, pi, pq) AS (
+    VALUES {",".join(rows)}
+), buckets AS (
+    SELECT v.doc_id, p.tbl,
+           CAST(SUM(CASE WHEN (SELECT SUM(a * b) FROM (SELECT unnest(v.vq) AS a, unnest(p.pq) AS b) z) >= 0
+                         THEN CAST(pow(2, p.pi) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+    FROM vecs v CROSS JOIN planes p
+    GROUP BY 1, 2
+), cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM buckets a
+    JOIN buckets b ON a.tbl = b.tbl AND a.bucket = b.bucket
+                  AND a.doc_id < b.doc_id
+), pairs AS (
+    SELECT id_a, id_b
+    FROM cands
+    JOIN vecs va ON cands.id_a = va.doc_id
+    JOIN vecs vb ON cands.id_b = vb.doc_id
+    WHERE {dot} > 0
+      AND {dot} * {dot} * {_EMB_COS_DEN * _EMB_COS_DEN}
+          >= {_EMB_COS_NUM * _EMB_COS_NUM}
+             * (SELECT SUM(a * a) FROM (SELECT unnest(va.vq) AS a) z2)
+             * (SELECT SUM(b * b) FROM (SELECT unnest(vb.vq) AS b) z3)
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+    SELECT doc_id AS src, doc_id AS dst FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS doc_id, MIN(dst) AS group_id
+FROM reach GROUP BY src
+"""
+
+
 QUERIES = {
+    "embedding_generate": q_embedding_generate,
+    "semantic_dedup": q_semantic_dedup,
     "mixture_plan": q_mixture_plan,
     "quality_classifier": q_quality_classifier,
     "script_detect": q_script_detect,
@@ -2380,6 +2522,8 @@ QUERIES = {
 }
 
 ORACLES = {
+    "embedding_generate": ORACLE_EMBEDDING_GENERATE,
+    "semantic_dedup": _semantic_dedup_oracle(),
     "bpe_encode": ORACLE_BPE_ENCODE,
     "dedup_spans": ORACLE_DEDUP_SPANS,
     "domain_stats": _domain_stats_oracle(),

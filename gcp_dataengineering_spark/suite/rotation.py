@@ -96,7 +96,13 @@ RESIDENT = [
     # and text_quality → GROUP_B (green r8 as resident, next row r10 —
     # exactly the ≤2-round staleness bound).
     "bpe_encode",
-    "dedup_ngram_capped",
+    # r13 moves: dedup_ngram_capped and dedup_spans demoted → GROUP_B
+    # (both stable green every round since they landed; the capped
+    # posting join unchanged since r8, the span strip linear rebuild
+    # unchanged since r11 — green r12 as residents, next driver row
+    # r14 via the B parity, exactly the ≤2-round staleness bound) to
+    # fund GROUP_A slots for the two new r13 keys embedding_generate
+    # + semantic_dedup (in-window immediately — r13 is the A parity).
     # r12 moves: dedup_groups and dedup_pipeline demoted → GROUP_A
     # (both stable green every round since r4/r6, plans unchanged
     # since the r8/r9 lineage-truncation work; green r11 as residents,
@@ -104,12 +110,6 @@ RESIDENT = [
     # staleness bound) to fund GROUP_B slots for the two new r12 keys
     # quality_classifier + script_detect (in-window immediately — r12
     # is the B parity).
-    # r11 moves: dedup_spans promoted (its strip rebuild was rewritten
-    # linear in r11 — the policy's "newest plan" criterion; resident
-    # through the plan change), funded by demoting embedding_lsh →
-    # GROUP_B (stable green since r6; green r10 as resident, next
-    # driver row r12 via the B parity — the ≤2-round staleness bound).
-    "dedup_spans",
     # r10 moves: pii_scrub (stable green since r2; plan settled by the
     # r8 capturing-sentinel rewrite and its r8/r9 resident rows) and
     # dedup_incremental (stable green since r6) demoted to GROUP_A —
@@ -207,6 +207,13 @@ GROUP_A = [
     # residents, next driver row r13 via this parity
     "dedup_groups",
     "dedup_pipeline",
+    # new in r13: in-engine embedding generation (hashed char-n-gram
+    # + seeded sign projection, integer-exact — the r12 verdict's #1
+    # capability gap) and the SemDeDup-style semantic dedup chain
+    # composed from it — in-window immediately, r13 is the A parity;
+    # funded by demoting dedup_ngram_capped + dedup_spans → GROUP_B
+    "embedding_generate",
+    "semantic_dedup",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). The r6-green core plus
@@ -295,6 +302,14 @@ GROUP_B = [
     # (script fractions as pure column expressions) — in-window
     # immediately
     "script_detect",
+    # demoted from RESIDENT in r13 (both stable green every round
+    # since they landed; capped posting join unchanged since r8, the
+    # span linear strip rebuild unchanged since r11) to fund GROUP_A
+    # slots for embedding_generate + semantic_dedup — green r12 as
+    # residents, next driver row r14 via this parity: exactly the
+    # ≤2-round staleness bound
+    "dedup_ngram_capped",
+    "dedup_spans",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.

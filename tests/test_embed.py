@@ -1,0 +1,235 @@
+"""llm_ops/embed.py: in-engine embedding generation + semantic dedup.
+
+Falsification strategy mirrors the quality-model suite: every Spark
+formulation is checked against an INDEPENDENT pure-Python twin
+(doc_embed_py), the two Spark formulations (interpreted-HOF row map
+vs explode+codegen aggregation) are checked against each other, the
+integer-exact cosine threshold algebra is checked against float
+brute force, and the LSH-blocked semantic dedup is checked for
+recall against unblocked all-pairs ground truth. Plan-shape receipts
+pin the 100 TB contracts (row-map = zero exchange; table form =
+exactly one id-keyed exchange; candidate generation = equi-join,
+never a cartesian).
+"""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_dataengineering_spark.llm_ops import embed as E
+from gcp_dataengineering_spark.llm_ops import similarity as S
+
+EDGE_TEXTS = [
+    (0, None),
+    (1, ""),
+    (2, "ab"),                      # shorter than the default 3-gram
+    (3, "abc"),                     # exactly one gram
+    (4, "Hello, World! 123"),
+    (5, "  leading and trailing   whitespace  "),
+    (6, "Ünïcödé — emoji 😀 and CAPS mixed"),
+    (7, "!!!???...***"),            # normalizes to empty
+    (8, "the quick brown fox jumps over the lazy dog " * 80),  # > max_chars
+    (9, "a1b2c3" * 10),
+]
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_embed_rowmap_matches_python_twin(spark):
+    for dim, max_chars in [(16, 256), (64, 2048), (31, 100)]:
+        out = E.doc_embed_raw(
+            _df(spark, EDGE_TEXTS), dim=dim, max_chars=max_chars
+        ).orderBy("doc_id").collect()
+        for r in out:
+            exp = E.doc_embed_py(
+                dict(EDGE_TEXTS)[r.doc_id], dim=dim, max_chars=max_chars
+            )
+            assert list(r.embedding_q) == exp, (dim, max_chars, r.doc_id)
+
+
+def test_embed_table_matches_rowmap_on_fixture(spark, sf_dir=None):
+    """The two formulations are INDEPENDENT (interpreted HOF fold vs
+    explode + codegen sums) — equality over the real fixture corpus
+    is a strong cross-check of both."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    t = E.doc_embed_table(docs, dim=16, max_chars=256).orderBy("doc_id").collect()
+    r = (
+        E.doc_embed_raw(docs.select("doc_id", "text"), dim=16, max_chars=256)
+        .select("doc_id", "embedding_q")
+        .orderBy("doc_id")
+        .collect()
+    )
+    assert len(t) == len(r) > 0
+    for a, b in zip(t, r):
+        assert a.doc_id == b.doc_id
+        assert list(a.embedding_q) == list(b.embedding_q)
+
+
+def test_embed_table_covers_gramless_docs(spark):
+    """explode_outer keeps docs whose text normalizes away — they
+    embed as exact zero vectors, not missing rows."""
+    out = {
+        r.doc_id: list(r.embedding_q)
+        for r in E.doc_embed_table(_df(spark, EDGE_TEXTS), dim=8).collect()
+    }
+    assert set(out) == {i for i, _ in EDGE_TEXTS}
+    for gramless in (0, 1, 2, 7):
+        assert out[gramless] == [0] * 8
+
+
+def test_doc_embed_unit_norm_and_zero_vector(spark):
+    rows = E.doc_embed(_df(spark, EDGE_TEXTS), dim=16).collect()
+    for r in rows:
+        n2 = sum(x * x for x in r.embedding)
+        if dict(EDGE_TEXTS)[r.doc_id] in (None, "", "ab", "!!!???...***"):
+            assert n2 == 0.0, r.doc_id  # zero vector, never NaN
+        else:
+            assert abs(n2 - 1.0) < 1e-5, (r.doc_id, n2)
+
+
+def test_char_ngrams_semantics(spark):
+    out = spark.range(1).select(
+        E.char_ngrams(F.lit("abcd"), 2).alias("g2"),
+        E.char_ngrams(F.lit("abc"), 3).alias("g3"),
+        E.char_ngrams(F.lit("ab"), 3).alias("gshort"),
+        E.char_ngrams(F.lit(""), 3).alias("gempty"),
+    ).collect()[0]
+    assert list(out.g2) == ["ab", "bc", "cd"]
+    assert list(out.g3) == ["abc"]
+    assert list(out.gshort) == []
+    assert list(out.gempty) == []
+
+
+def test_int_cosine_guard_and_crossjoin_guard(spark):
+    E.int_cosine_pairs_guard(16, 254, 100)  # the suite-key config
+    with pytest.raises(ValueError, match="overflow"):
+        E.int_cosine_pairs_guard(64, 2046, 100)
+    df = E.doc_embed_raw(_df(spark, EDGE_TEXTS), dim=16, max_chars=256)
+    with pytest.raises(ValueError, match="ALL-PAIRS"):
+        E.near_dup_pairs_int(df, vec_col="embedding_q")
+
+
+def test_int_threshold_matches_float_bruteforce(spark):
+    """The integer algebra  dot>0 ∧ dot²·d² ≥ n²·|a|²·|b|²  must
+    agree with float cosine on every pair (floats only disagree
+    within ~1e-15 of the threshold, which the fixture avoids)."""
+    rows = [(i, f"template number {i % 7} with shared body text here")
+            for i in range(40)]
+    df = E.doc_embed_raw(_df(spark, rows), dim=16, max_chars=256)
+    got = {
+        (r.id_a, r.id_b)
+        for r in E.near_dup_pairs_int(
+            df, vec_col="embedding_q", cos_num=95, cos_den=100,
+            allow_crossjoin=True, block_col=None,
+            max_component=254,
+        ).collect()
+    }
+    vecs = {r.doc_id: list(r.embedding_q) for r in df.collect()}
+    want = set()
+    ids = sorted(vecs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            va, vb = vecs[a], vecs[b]
+            dot = sum(x * y for x, y in zip(va, vb))
+            na = math.sqrt(sum(x * x for x in va))
+            nb = math.sqrt(sum(x * x for x in vb))
+            if na > 0 and nb > 0 and dot / (na * nb) >= 0.95:
+                want.add((a, b))
+    assert got == want
+
+
+def test_semantic_dedup_recall_floor_vs_allpairs(spark):
+    """LSH-blocked pairs vs unblocked ground truth on the real
+    fixture corpus: recall ≥ 0.9 at the suite-key parameters (the
+    analytic estimate is ≈0.97 at cos 0.95 with b=8, L=6)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = E.doc_embed_table(docs, dim=16, max_chars=256)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in E.near_dup_pairs_int(
+            emb, vec_col="embedding_q", cos_num=95, cos_den=100,
+            allow_crossjoin=True, block_col=None, max_component=254,
+        ).collect()
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in E.semantic_dedup_pairs(
+            docs, cos_num=95, cos_den=100, n_planes=8, n_tables=6
+        ).collect()
+    }
+    assert got <= truth  # blocking can only MISS pairs, never invent
+    assert len(truth) > 0
+    recall = len(got) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall:.3f} over {len(truth)} pairs"
+
+
+def test_semantic_dedup_groups_contract(spark):
+    """Every doc labeled; group_id is a member id ≤ doc_id's label
+    everywhere in its component; keepers are exactly the min ids."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = E.semantic_dedup(docs, cos_num=95, n_planes=8, n_tables=6).collect()
+    n_docs = docs.count()
+    assert len(out) == n_docs
+    labels = {r.doc_id: r.group_id for r in out}
+    assert all(g <= d for d, g in labels.items())
+    # every group label is itself a doc that keeps itself
+    for g in set(labels.values()):
+        assert labels[g] == g
+    # and some duplication actually exists in the fixture
+    assert any(g != d for d, g in labels.items())
+
+
+def test_embed_plan_shapes(spark):
+    """100 TB receipts: row map = ZERO exchanges (pure projection);
+    table form = exactly ONE hash exchange, keyed on the id."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    rowmap_plan = (
+        E.doc_embed_raw(docs.select("doc_id", "text"), dim=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in rowmap_plan
+    table_plan = (
+        E.doc_embed_table(docs, dim=16)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert table_plan.count("Exchange") == 1
+    assert "hashpartitioning(doc_id" in table_plan
+
+
+def test_semantic_pairs_plan_no_cartesian(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = (
+        E.semantic_dedup_pairs(docs, n_planes=8, n_tables=6)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_generated_embeddings_feed_similarity_stack(spark):
+    """Composition: doc_embed's float vectors drop straight into the
+    existing brute-force top-k — and a doc's nearest neighbor by
+    construction is a template-mate, which the integer twin agrees
+    about."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    emb = E.doc_embed(docs, dim=16, max_chars=256).select(
+        F.col("doc_id").alias("vec_id"), "embedding"
+    )
+    nonzero = emb.filter(
+        F.aggregate(
+            F.col("embedding"), F.lit(0.0), lambda a, x: a + x * x
+        )
+        > 0
+    )
+    topk = S.cosine_topk_bruteforce(
+        nonzero, nonzero.filter(F.col("vec_id") < 5), k=1
+    ).collect()
+    assert len(topk) > 0
+    for r in topk:
+        assert r.cos <= 1.0001
+        assert r.neighbor_id != r.query_id
