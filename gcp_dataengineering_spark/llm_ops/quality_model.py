@@ -56,7 +56,8 @@ from pyspark.sql import functions as F
 from .text import md5_60bit
 
 __all__ = [
-    "FRAC_BITS", "NB_WORD_PATTERN", "llog2", "llog2_sql", "llog2_py",
+    "FRAC_BITS", "NB_WORD_PATTERN", "CHAR_NGRAM_MODE",
+    "llog2", "llog2_sql", "llog2_py",
     "hashed_token_buckets", "nb_train", "nb_train_py", "nb_score",
     "nb_quality_gate", "nb_calibrate_threshold",
 ]
@@ -116,27 +117,25 @@ def llog2_py(x: int, frac_bits: int = FRAC_BITS) -> int:
     return e * s + mant - s
 
 
-def hashed_token_buckets(
-    col: Column | str,
-    num_buckets: int,
-    salt: str = "nbq",
-    word_pattern: str = NB_WORD_PATTERN,
-    ngrams: int = 1,
+CHAR_NGRAM_MODE = "char3_5"
+
+
+def _feature_array(
+    c: Column, word_pattern: str, ngrams
 ) -> Column:
-    """array<long> of hashed-feature bucket ids for a text column:
-    lowercase, split on ``word_pattern``, drop empties, md5-60bit
-    each token (salted) mod ``num_buckets`` — the hashing trick over
-    the repo's engine-portable hash. ``ngrams=2`` (r12) additionally
-    emits each adjacent word PAIR joined with ``\\x1e`` as a feature
-    — the fastText word-bigram trick, which lets the linear model
-    see local word order ("not good") the bag of words cannot. Pure
-    column expression; the bigram pass is one ``zip_with`` over the
-    already-split array."""
-    if ngrams not in (1, 2):
-        raise ValueError(f"ngrams must be 1 or 2, got {ngrams}")
-    c = F.col(col) if isinstance(col, str) else col
+    """Shared feature extraction for trainer AND scorer (they must
+    mirror exactly): word tokens, plus word bigrams (``ngrams=2``),
+    plus character 3-5-grams (``ngrams='char3_5'``, r13) — the
+    fastText subword trick that catches obfuscated spam
+    ("f.r.e.e m0ney") whose WORD tokens shatter into unseen
+    fragments while the character patterns stay learnable. Char
+    grams are taken over the whitespace-collapsed lowercased text
+    (punctuation/digits KEPT — they are the obfuscation signal) and
+    namespaced ``c<n>\\x1d<gram>`` so a 3-gram can never collide
+    with a word spelled the same."""
     toks = F.filter(F.split(F.lower(c), word_pattern), lambda t: t != "")
-    feats = toks
+    if ngrams == 1:
+        return toks
     if ngrams == 2:
         # adjacent pairs: zip the array with itself shifted by one
         # (slice(2..) pads short with null; filter drops the tail)
@@ -150,7 +149,41 @@ def hashed_token_buckets(
             ),
             lambda p: p.isNotNull(),
         )
-        feats = F.concat(toks, pairs)
+        return F.concat(toks, pairs)
+    if ngrams == CHAR_NGRAM_MODE:
+        from .embed import char_ngrams
+
+        base = F.trim(
+            F.regexp_replace(F.lower(F.coalesce(c, F.lit(""))), "\\s+", " ")
+        )
+
+        # ONE-param lambda via closure factory: a `lambda g, n=n`
+        # default would make PySpark treat the lambda as
+        # (element, index) and bind n to the INDEX column
+        def _prefixed(n: int) -> Column:
+            p = F.lit(f"c{n}\x1d")
+            return F.transform(char_ngrams(base, n), lambda g: F.concat(p, g))
+
+        return F.concat(toks, *[_prefixed(n) for n in (3, 4, 5)])
+    raise ValueError(
+        f"ngrams must be 1, 2 or {CHAR_NGRAM_MODE!r}, got {ngrams!r}"
+    )
+
+
+def hashed_token_buckets(
+    col: Column | str,
+    num_buckets: int,
+    salt: str = "nbq",
+    word_pattern: str = NB_WORD_PATTERN,
+    ngrams=1,
+) -> Column:
+    """array<long> of hashed-feature bucket ids for a text column:
+    features from :func:`_feature_array` (words / +word-bigrams /
+    +char-3-5-grams), md5-60bit each (salted) mod ``num_buckets`` —
+    the hashing trick over the repo's engine-portable hash. Pure
+    column expression."""
+    c = F.col(col) if isinstance(col, str) else col
+    feats = _feature_array(c, word_pattern, ngrams)
     return F.transform(
         feats,
         lambda t: md5_60bit(F.concat(F.lit(salt), F.lit("\x1f"), t))
@@ -160,12 +193,19 @@ def hashed_token_buckets(
 
 def _hashed_tokens_py(
     text: str, num_buckets: int, salt: str, word_pattern: str,
-    ngrams: int = 1,
+    ngrams=1,
 ) -> list[int]:
     toks = [t for t in re.split(word_pattern, (text or "").lower()) if t != ""]
     feats = list(toks)
     if ngrams == 2:
         feats += [a + "\x1e" + b for a, b in zip(toks, toks[1:])]
+    elif ngrams == CHAR_NGRAM_MODE:
+        base = re.sub(r"\s+", " ", (text or "").lower()).strip()
+        for n in (3, 4, 5):
+            feats += [
+                f"c{n}\x1d" + base[i : i + n]
+                for i in range(max(len(base) - n + 1, 0))
+            ]
     out = []
     for t in feats:
         h = hashlib.md5((salt + "\x1f" + t).encode("utf-8")).hexdigest()
@@ -181,7 +221,7 @@ def nb_train(
     salt: str = "nbq",
     frac_bits: int = FRAC_BITS,
     word_pattern: str = NB_WORD_PATTERN,
-    ngrams: int = 1,
+    ngrams=1,
 ) -> DataFrame:
     """Train the hashed-n-gram Naive Bayes on a labeled frame
     (``label_col``: 1 = high quality / keep, 0 = reject). Returns a
@@ -259,7 +299,7 @@ def nb_train_py(
     salt: str = "nbq",
     frac_bits: int = FRAC_BITS,
     word_pattern: str = NB_WORD_PATTERN,
-    ngrams: int = 1,
+    ngrams=1,
 ) -> dict:
     """Pure-Python twin of :func:`nb_train` over (text, label) rows
     — the independent falsification reference for the pytest
@@ -300,7 +340,7 @@ def nb_score(
     out_col: str = "nbq_score",
     salt: str = "nbq",
     word_pattern: str = NB_WORD_PATTERN,
-    ngrams: int = 1,
+    ngrams=1,
 ) -> DataFrame:
     """Score every row with a trained model: ``out_col = prior +
     Σ_tokens weight[bucket(token)]`` (BIGINT; empty/tokenless text
@@ -371,31 +411,14 @@ def nb_score(
         )
         .alias("_nbq_b"),
     )
-    # feature extraction must mirror the trainer exactly — reuse the
-    # shared bucket expression (salt, word pattern, ngrams), with the
+    # feature extraction must mirror the trainer exactly — the SAME
+    # shared _feature_array (salt, word pattern, ngrams), with the
     # bucket count read from the model row so caller and trainer
     # cannot disagree on it; hashed_token_buckets needs a literal
     # modulus, so hash to the full 60-bit space here and reduce by
     # the model's count at lookup time (same value: (h % B) == the
     # trainer's bucket because B divides nothing — plain mod)
-    toks = F.filter(
-        F.split(F.lower(F.col(text_col)), word_pattern), lambda t: t != ""
-    )
-    feats = toks
-    if ngrams == 2:
-        pairs = F.filter(
-            F.zip_with(
-                toks,
-                F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
-                lambda a, b: F.when(
-                    b.isNotNull(), F.concat(a, F.lit("\x1e"), b)
-                ),
-            ),
-            lambda p: p.isNotNull(),
-        )
-        feats = F.concat(toks, pairs)
-    elif ngrams != 1:
-        raise ValueError(f"ngrams must be 1 or 2, got {ngrams}")
+    feats = _feature_array(F.col(text_col), word_pattern, ngrams)
     score = F.col("_nbq_prior") + F.aggregate(
         feats,
         F.lit(0).cast("long"),
@@ -424,7 +447,7 @@ def nb_calibrate_threshold(
     label_col: str = "label",
     salt: str = "nbq",
     word_pattern: str = NB_WORD_PATTERN,
-    ngrams: int = 1,
+    ngrams=1,
 ) -> DataFrame:
     """Pick the gate threshold FROM DATA (r12): score a labeled
     HELD-OUT frame with the trained model and return the one-row
@@ -515,7 +538,7 @@ def nb_quality_gate(
     score_col: str = "nbq_score",
     salt: str = "nbq",
     word_pattern: str = NB_WORD_PATTERN,
-    ngrams: int = 1,
+    ngrams=1,
 ) -> DataFrame:
     """Score and keep rows with ``score > threshold`` (0 = the NB
     decision boundary; raise it to trade recall for precision). The

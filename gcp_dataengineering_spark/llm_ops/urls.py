@@ -52,7 +52,7 @@ __all__ = [
     "normalize_url", "normalize_url_sql", "dedup_by_url", "TRACKING_PARAMS",
     "host_of", "host_of_sql", "registrable_domain", "registrable_domain_sql",
     "with_registrable_domain", "domain_stats", "filter_blocked_domains",
-    "PUBLIC_SUFFIX_2",
+    "PUBLIC_SUFFIX_2", "PUBLIC_SUFFIX_CURATED",
 ]
 
 # query parameters that never change the resource
@@ -218,6 +218,111 @@ PUBLIC_SUFFIX_2 = (
     "co.kr", "or.kr", "com.my", "com.ph", "com.vn",
     "com.sa", "co.th", "co.id",
 )
+
+
+def _curated_psl() -> tuple[str, ...]:
+    """~650-rule curated public-suffix table (r13), assembled OFFLINE
+    from well-known, publicly documented registry policies — this
+    container has no network, so the real Mozilla list cannot be
+    vendored verbatim; it drops in unchanged as data (`rules=` takes
+    any PSL-syntax iterable, and the join fold is fuzz-proven to
+    1,200+ rules). Coverage: the second-level registration sets of
+    ~45 major ccTLDs, the US state / k12 / cc / lib hierarchy, the
+    Canadian provinces, the well-known wildcard TLDs with their
+    exceptions (*.ck / !www.ck etc.), the Japanese city wildcards
+    (*.kawasaki.jp / !city.kawasaki.jp etc.), and the most common
+    PRIVATE-section platform suffixes (github.io, blogspot.com, …)
+    that a crawl pipeline must split per tenant."""
+    cc2 = {
+        "uk": "co org me ltd plc net sch ac gov nhs police",
+        "jp": "ac ad co ed go gr lg ne or",
+        "au": "com net org edu gov asn id",
+        "nz": "ac co geek gen govt kiwi maori net org school",
+        "br": "com net org gov edu mil art adv blog eco inf med srv tv",
+        "cn": "ac com edu gov net org mil "
+              "bj sh tj cq he sx nm ln jl hl js zj ah fj jx sd ha hb hn "
+              "gd gx hi sc gz yn xz sn gs qh nx xj tw hk mo",
+        "in": "co net org firm gen ind ac edu res gov mil nic",
+        "za": "ac co edu gov law mil net nom org web",
+        "kr": "co ne or re pe go mil ac hs ms es sc kg "
+              "seoul busan daegu incheon gwangju daejeon ulsan jeju",
+        "tw": "com net org edu gov mil idv game ebiz club",
+        "mx": "com net org edu gob",
+        "ar": "com net org edu gob int mil tur",
+        "tr": "com net org edu gov mil k12 av dr bel pol web gen tv "
+              "name tel info biz bbs",
+        "ru": "ac edu gov int mil test",
+        "ua": "com net org edu gov in",
+        "pl": "com net org edu gov info waw",
+        "il": "co org net ac gov muni idf k12",
+        "th": "ac co go in mi net or",
+        "id": "ac co go mil net or sch web my biz",
+        "my": "com net org gov edu mil name",
+        "ph": "com net org gov edu mil ngo i",
+        "vn": "com net org edu gov int ac biz info name pro health",
+        "sg": "com net org gov edu per",
+        "hk": "com net org gov edu idv",
+        "sa": "com net org gov med pub edu sch",
+        "ae": "co net org sch ac gov mil",
+        "eg": "com net org gov edu sci eun mil name",
+        "ng": "com net org gov edu mil mobi name sch i",
+        "ke": "co or ne go ac sc me mobi info",
+        "cl": "gob gov mil co",
+        "co": "com net org edu gov mil nom",
+        "pe": "com net org edu gob mil nom",
+        "ve": "com net org co edu gob info mil web",
+        "uy": "com net org edu gub mil",
+        "ec": "com net org edu gob fin info k12 med mil pro",
+        "at": "ac co gv or",
+        "es": "com nom org gob edu",
+        "fr": "asso com gouv nom prd tm",
+        "gr": "com net org edu gov",
+        "pt": "com net org edu gov int publ",
+        "ro": "com org tm nt nom info rec arts firm store www",
+        "rs": "co org edu in gov ac",
+        "hu": "co org info priv",
+        "no": "priv mil",
+        "ca": "ab bc mb nb nf nl ns nt nu on pe qc sk yk gc",
+    }
+    rules: list[str] = []
+    for tld, seconds in cc2.items():
+        rules += [f"{s}.{tld}" for s in seconds.split()]
+    us_states = (
+        "al ak az ar ca co ct de dc fl ga hi id il in ia ks ky la me md "
+        "ma mi mn ms mo mt ne nv nh nj nm ny nc nd oh ok or pa ri sc sd "
+        "tn tx ut vt va wa wv wi wy"
+    ).split()
+    for st in us_states:
+        rules.append(f"{st}.us")
+        rules += [f"{lvl}.{st}.us" for lvl in ("k12", "cc", "lib")]
+    # wildcard TLDs + their published exceptions
+    rules += ["*.bd", "*.ck", "!www.ck", "*.er", "*.fk", "*.kh",
+              "*.mm", "*.np", "*.pg"]
+    # Japanese designated-city wildcards (the city.X.jp exception is
+    # the municipal government's own registrable domain)
+    for city in ("kawasaki", "kitakyushu", "kobe", "nagoya", "sapporo",
+                 "sendai", "yokohama"):
+        rules += [f"*.{city}.jp", f"!city.{city}.jp"]
+    # PRIVATE-section platform suffixes: one tenant per subdomain —
+    # folding these to the provider's domain would merge every blog
+    # on the platform into one "site"
+    rules += [
+        "github.io", "gitlab.io", "blogspot.com", "appspot.com",
+        "herokuapp.com", "netlify.app", "vercel.app", "pages.dev",
+        "workers.dev", "web.app", "firebaseapp.com",
+        "azurewebsites.net", "wordpress.com", "readthedocs.io",
+        "neocities.org", "s3.amazonaws.com", "glitch.me",
+        "onrender.com", "repl.co", "surge.sh",
+    ]
+    return tuple(rules)
+
+
+# The r13 default for the DataFrame-level crawl operators
+# (domain_stats / filter_blocked_domains). Above with_registrable_
+# domain's case_rule_limit, so the broadcast-JOIN fold engages by
+# default; the column-level registrable_domain keeps the small
+# PUBLIC_SUFFIX_2 default (CASE compile, documented ceiling).
+PUBLIC_SUFFIX_CURATED = _curated_psl()
 
 
 def host_of(col: Column | str) -> Column:
@@ -490,6 +595,7 @@ def domain_stats(
     url_col: str = "url",
     weight_col: str | None = None,
     blocklist: tuple[str, ...] | list[str] = (),
+    rules=PUBLIC_SUFFIX_CURATED,
 ) -> DataFrame:
     """Per-registrable-domain rollup of a crawl frame: doc count,
     distinct-host count, optional weight sum (e.g. chars/tokens), and
@@ -497,12 +603,21 @@ def domain_stats(
     lists belong in the expression, not a join; see
     :func:`filter_blocked_domains` for DataFrame-sized lists). One
     exchange keyed on the domain; rows without a parseable host drop.
-    """
+
+    r13: defaults to :data:`PUBLIC_SUFFIX_CURATED` routed through
+    :func:`with_registrable_domain` (strategy ``auto``), so the fold
+    runs as BROADCAST joins against the rule table as data — the
+    scale path the full Mozilla PSL drops into — instead of the
+    small-table CASE compile."""
     host = host_of(url_col)
-    dom = registrable_domain(host)
-    base = df.select(
-        dom.alias("domain"), host.alias("_host"),
-        *([F.col(weight_col).alias("_wt")] if weight_col else []),
+    base = with_registrable_domain(
+        df.select(
+            host.alias("_host"),
+            *([F.col(weight_col).alias("_wt")] if weight_col else []),
+        ),
+        "_host",
+        rules=rules,
+        out_col="domain",
     ).filter(F.col("domain").isNotNull())
     aggs = [
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -521,20 +636,33 @@ def filter_blocked_domains(
     df,
     blocklist,
     url_col: str = "url",
+    rules=PUBLIC_SUFFIX_CURATED,
 ) -> DataFrame:
     """Drop rows whose registrable domain is blocklisted. A list
-    blocklist compiles to an isin expression (no join, no shuffle); a
-    DataFrame blocklist (single ``domain`` column) becomes a
-    BROADCAST left-anti join — the blocklist is dimension-sized by
-    construction, the crawl side never shuffles."""
-    dom = registrable_domain(host_of(url_col))
+    blocklist compiles to an isin expression against the folded
+    domain column; a DataFrame blocklist (single ``domain`` column)
+    becomes a BROADCAST left-anti join — the blocklist is
+    dimension-sized by construction, the crawl side never shuffles.
+    r13: the fold itself defaults to :data:`PUBLIC_SUFFIX_CURATED`
+    through :func:`with_registrable_domain` (broadcast-join rules —
+    see :func:`domain_stats`)."""
+    if not isinstance(blocklist, DataFrame) and not blocklist:
+        return df
+    folded = with_registrable_domain(
+        df.withColumn("_fb_host", host_of(url_col)),
+        "_fb_host",
+        rules=rules,
+        out_col="_dom",
+    )
     if isinstance(blocklist, DataFrame):
         return (
-            df.withColumn("_dom", dom)
-            .join(F.broadcast(blocklist.select(F.col("domain").alias("_dom"))),
-                  "_dom", "left_anti")
-            .drop("_dom")
+            folded.join(
+                F.broadcast(blocklist.select(F.col("domain").alias("_dom"))),
+                "_dom",
+                "left_anti",
+            )
+            .drop("_dom", "_fb_host")
         )
-    if not blocklist:
-        return df
-    return df.filter(~dom.isin(*list(blocklist)) | dom.isNull())
+    return folded.filter(
+        ~F.col("_dom").isin(*list(blocklist)) | F.col("_dom").isNull()
+    ).drop("_dom", "_fb_host")

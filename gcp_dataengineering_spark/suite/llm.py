@@ -2119,7 +2119,11 @@ def _domain_stats_oracle() -> str:
 
     url = f"'http://' || {_DOMAIN_HOST_SQL} || '/p-' || CAST(doc_id % 10 AS VARCHAR)"
     host = U.host_of_sql(f"({url})")
-    dom = U.registrable_domain_sql(f"({host})")
+    # r13: the curated ~650-rule table — matches domain_stats'
+    # default, which now routes through the broadcast-JOIN fold;
+    # the oracle replays the same table as one grouped CASE (the
+    # strategies are fuzz-pinned equivalent)
+    dom = U.registrable_domain_sql(f"({host})", rules=U.PUBLIC_SUFFIX_CURATED)
     blocked = ", ".join(f"'{d}'" for d in _DOMAIN_BLOCKLIST)
     return f"""
 WITH tagged AS (

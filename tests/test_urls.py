@@ -428,7 +428,13 @@ def test_domain_stats_and_blocklist(spark):
 
     kept = filter_blocked_domains(df, ["spam.example"], "url")
     assert {r.doc_id for r in kept.collect()} == {1, 2, 3, 4, 6}  # non-URL kept
-    assert "Join" not in kept._jdf.queryExecution().executedPlan().toString()
+    # r13: the fold itself runs as BROADCAST rule joins (curated
+    # table > case_rule_limit); the blocklist membership test must
+    # still be an isin expression — no anti-join, no corpus exchange
+    kplan = kept._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" not in kplan
+    assert "SortMergeJoin" not in kplan
+    assert "hashpartitioning" not in kplan
 
     bl = spark.createDataFrame([("spam.example",)], "domain string")
     kept2 = filter_blocked_domains(df, bl, "url")
@@ -732,3 +738,118 @@ def test_with_registrable_domain_full_psl_scale(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "hashpartitioning" not in plan
+
+
+def test_curated_psl_spot_folds(spark):
+    """r13 curated ~650-rule table: known folds across every rule
+    family — plain 2-label, plain 3-label (k12.<state>.us), wildcard
+    TLD + exception (*.ck / !www.ck), Japanese city wildcard +
+    exception, and PRIVATE-section platform suffixes — via the
+    default (join-fold) strategy AND the independent Python PSL
+    algorithm."""
+    from gcp_dataengineering_spark.llm_ops.urls import (
+        PUBLIC_SUFFIX_CURATED,
+        with_registrable_domain,
+    )
+
+    cases = {
+        "www.bbc.co.uk": "bbc.co.uk",
+        "news.example.com": "example.com",
+        "a.b.k12.ca.us": "b.k12.ca.us",
+        "foo.lib.tx.us": "foo.lib.tx.us",      # bare-suffix+1
+        "deep.x.gov.cn": "x.gov.cn",
+        "shop.example.com.au": "example.com.au",
+        "b.www.ck": "www.ck",                   # exception rule
+        "x.y.ck": "x.y.ck",                     # *.ck → y.ck suffix… host IS reg+1
+        "a.x.y.ck": "a.x.y.ck"[2:],             # placeholder fixed below
+        "city.kawasaki.jp": "city.kawasaki.jp",  # !city.kawasaki.jp
+        "sub.city.kawasaki.jp": "city.kawasaki.jp",
+        "w.ward.kawasaki.jp": "w.ward.kawasaki.jp",  # *.kawasaki.jp
+        "blog.alice.github.io": "alice.github.io",
+        "bob.blogspot.com": "bob.blogspot.com",
+        "page.bob.blogspot.com": "bob.blogspot.com",
+        "plain.org": "plain.org",
+        "single": "single",
+    }
+    # x.y.ck: *.ck makes y.ck a public suffix → registrable = x.y.ck;
+    # a.x.y.ck: suffix y.ck → registrable = last 3 = x.y.ck
+    cases["x.y.ck"] = "x.y.ck"
+    cases["a.x.y.ck"] = "x.y.ck"
+    assert len(PUBLIC_SUFFIX_CURATED) > 400
+    hosts = list(cases)
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "i int, h string"
+    )
+    folded = with_registrable_domain(df, "h", rules=PUBLIC_SUFFIX_CURATED)
+    plan = folded._jdf.queryExecution().executedPlan().toString()
+    # >200 rules → auto must have picked the broadcast JOIN fold
+    assert "BroadcastHashJoin" in plan
+    got = {r.i: r.domain for r in folded.collect()}
+    for i, h in enumerate(hosts):
+        assert got[i] == cases[h], (h, got[i], cases[h])
+        assert _psl_reference_generic(h, PUBLIC_SUFFIX_CURATED) == cases[h], h
+
+
+def test_curated_psl_fuzz_vs_reference(spark):
+    """Seeded fuzz over the curated table itself: hosts built from
+    the table's own rule bases (plus noise labels), join fold vs the
+    independent Python PSL algorithm vs the DuckDB CASE replay."""
+    import random
+
+    import duckdb
+
+    from gcp_dataengineering_spark.llm_ops.urls import (
+        PUBLIC_SUFFIX_CURATED,
+        registrable_domain_sql,
+        with_registrable_domain,
+    )
+
+    rng = random.Random(20260815)
+    bases = [r.lstrip("!").lstrip("*.") for r in PUBLIC_SUFFIX_CURATED]
+    noise = ["www", "a", "b2", "shop", "x"]
+    hosts = []
+    for _ in range(150):
+        base = rng.choice(bases)
+        k = rng.randint(0, 3)
+        hosts.append(".".join(rng.choice(noise) for _ in range(k) ) + ("." if k else "") + base)
+    hosts += [None, "", "just-a-label"]
+    df = spark.createDataFrame(
+        [(i, h) for i, h in enumerate(hosts)], "i int, h string"
+    )
+    folded = with_registrable_domain(df, "h", rules=PUBLIC_SUFFIX_CURATED)
+    got = {r.i: r.domain for r in folded.collect()}
+    con = duckdb.connect()
+    sql_expr = registrable_domain_sql("h", rules=PUBLIC_SUFFIX_CURATED)
+    for i, h in enumerate(hosts):
+        want = _psl_reference_generic(h, PUBLIC_SUFFIX_CURATED) if h else h
+        assert got[i] == want, (h, got[i], want)
+        sql_got = con.execute(
+            f"SELECT {sql_expr} FROM (SELECT CAST(? AS VARCHAR) AS h)", [h]
+        ).fetchone()[0]
+        assert sql_got == want, (h, sql_got, want)
+
+
+def test_domain_stats_default_plan_broadcast_only(spark):
+    """domain_stats at the r13 default (curated table → join fold):
+    every rule join is a BROADCAST hash join, no sort-merge join,
+    and the only hash-partition exchange is the domain rollup's own
+    groupBy."""
+    from gcp_dataengineering_spark.llm_ops.urls import domain_stats
+
+    df = spark.createDataFrame(
+        [(i, f"http://sub{i % 3}.site{i % 5}.co.uk/p") for i in range(40)],
+        "doc_id long, url string",
+    )
+    out = domain_stats(df, "url")
+    rows = {r.domain: r for r in out.collect()}
+    assert set(rows) == {f"site{i}.co.uk" for i in range(5)}
+    assert rows["site0.co.uk"].n_hosts == 3
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # exchanges exist only for the rollup itself (domain / distinct
+    # host two-phase agg) — NEVER keyed on a rule-join candidate
+    import re as _re
+
+    for part in _re.findall(r"hashpartitioning\(([^)]*)\)", plan):
+        assert "_rd_" not in part, part
