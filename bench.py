@@ -113,6 +113,10 @@ HEADLINE = [
     # cost class like dedup_groups, plus the candidate-join volume)
     "embedding_generate",
     "semantic_dedup",
+    # round-13: unigram-LM tokenizer (seed-substring candidates +
+    # hard-EM Viterbi rounds + per-word DP folds — the
+    # iterative-trainer cost class beside bpe_encode)
+    "unigram_encode",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

@@ -1,0 +1,519 @@
+"""Unigram-LM (SentencePiece-style) tokenizer (r13 — the r12
+verdict's missing second tokenizer family next to BPE): a
+subword vocabulary learned by fixed-iteration EM over candidate
+pieces, and Viterbi segmentation under the learned piece scores.
+
+This is the HARD-EM (Viterbi-EM) variant of Kudo 2018's unigram
+language model, chosen deliberately and documented as such: the
+E-step segments every distinct word with the CURRENT scores (one
+best segmentation per word, not expected fractional counts), the
+M-step re-estimates scores from the segment counts, and a
+deterministic prune keeps the vocabulary at size. Hard EM is the
+standard tractable variant when exact cross-engine determinism
+matters — expected-count EM needs float forward-backward sums whose
+reduction order differs across engines, while every quantity here
+is INTEGER:
+
+- piece scores are fixed-point log-probabilities
+  ``llog2(count + 1) − llog2(total + V)`` (quality_model.llog2 — the
+  repo's engine-exact integer log2), so Viterbi comparisons are
+  BIGINT comparisons;
+- the Viterbi tie-break is total score, then LONGER-LAST-PIECE
+  (smaller last boundary), applied at every DP step. Because every
+  optimal path decomposes into optimal prefixes, this equals
+  picking, among max-score paths, the lexicographically SMALLEST
+  reversed boundary sequence — a total order a SQL oracle can
+  replay by ``ORDER BY score DESC, boundaries_reversed ASC``;
+- pruning is rank-by-(count DESC, piece ASC) — no RNG anywhere.
+
+Scale shape (100 TB): everything runs over the DISTINCT-WORD table
+(the BPE trainer's shape — corpus scale only touches the initial
+word count and the final doc re-assembly). Candidate generation is
+one explode of O(len·max_piece_len) substrings per distinct word;
+the Viterbi DP is a bounded higher-order fold over each word's own
+edge array (collected per word — a word's edges are dimension-sized,
+≤ len·L), so segmentation is a pure row map after one broadcast
+join of the piece table. EM iterations are a fixed, small driver
+loop (each iteration one distributed join+agg chain), with
+materialization per round like the BPE/CC loops.
+
+Reference scope note: the reference engine has no tokenizer surface
+— this module exists for the training-data path beside
+llm_ops/bpe.py, reproducing the PUBLIC unigram-LM algorithm from
+first principles (Kudo 2018, arXiv:1804.10959).
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from .materialize import MaterializeFn
+from .materialize import materialize as _materialize
+from .quality_model import FRAC_BITS, llog2, llog2_py
+
+__all__ = [
+    "UNK_SCORE", "WORD_PATTERN", "unigram_train", "unigram_encode_words",
+    "unigram_encode_docs", "unigram_train_py", "viterbi_py",
+]
+
+# the repo's BPE/suite word convention: lowercase alpha runs
+WORD_PATTERN = "[^a-z]+"
+
+# score charged to an out-of-vocabulary single character at encode
+# time: -100 log2 units in the fixed point — worse than any real
+# piece (a piece can cost at most ~llog2(total+V) ≈ 62·2^16), so OOV
+# chars never beat in-vocab segmentations, but every word stays
+# segmentable
+UNK_SCORE = -100 << FRAC_BITS
+
+# DP sentinel for unreachable positions — far below any real path
+# score, never accumulated (unreachable predecessors are filtered)
+_NEG_INF = -(1 << 62)
+
+
+def _words_with_counts(docs: DataFrame, text_col: str) -> DataFrame:
+    """(word, n) distinct-word table — corpus scale touches only
+    this one explode + count."""
+    return (
+        docs.select(
+            F.explode(
+                F.filter(
+                    F.split(F.lower(F.col(text_col)), WORD_PATTERN),
+                    lambda t: t != "",
+                )
+            ).alias("word")
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+
+
+def _substring_candidates(
+    words: DataFrame, max_piece_len: int
+) -> DataFrame:
+    """(piece, cnt): every substring of length 1..L of every distinct
+    word, weighted by the word's corpus count — the seed candidate
+    table. One explode; the per-row blowup is bounded by len·L."""
+    spans = F.flatten(
+        F.transform(
+            F.sequence(F.lit(1), F.length("word")),
+            lambda i: F.transform(
+                F.sequence(
+                    F.lit(1),
+                    F.least(
+                        F.lit(max_piece_len), F.length("word") - i + 1
+                    ),
+                ),
+                lambda l: F.substring(F.col("word"), i, l),
+            ),
+        )
+    )
+    return (
+        words.select(F.col("n"), F.explode(spans).alias("piece"))
+        .groupBy("piece")
+        .agg(F.sum("n").cast("long").alias("cnt"))
+    )
+
+
+def _prune(cands: DataFrame, vocab_size: int) -> DataFrame:
+    """Deterministic prune: top ``vocab_size`` by (cnt DESC, piece
+    ASC), plus EVERY single-character piece (coverage guarantee —
+    any training word stays segmentable). The rank window is over
+    the candidate table (vocab-sized), never the corpus."""
+    w = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+    ranked = cands.withColumn("_rk", F.row_number().over(w))
+    return ranked.filter(
+        (F.col("_rk") <= vocab_size) | (F.length("piece") == 1)
+    ).drop("_rk")
+
+
+def _with_scores(pieces: DataFrame, frac_bits: int = FRAC_BITS) -> DataFrame:
+    """score = llog2(cnt + 1) − llog2(T + V): Laplace-smoothed
+    fixed-point log-probability; T and V ride in via one windowed
+    sum over the piece table (vocab-sized)."""
+    wall = Window.partitionBy()
+    t = F.sum("cnt").over(wall)
+    v = F.count(F.lit(1)).over(wall)
+    return pieces.withColumn(
+        "score", llog2(F.col("cnt") + 1, frac_bits) - llog2(t + v, frac_bits)
+    )
+
+
+def _segment_words(
+    words: DataFrame,
+    pieces: DataFrame,
+    max_piece_len: int,
+) -> DataFrame:
+    """(word, n, pieces array<string>) — Viterbi-best segmentation of
+    every distinct word under the scored piece table.
+
+    Shape: explode each word's O(len·L) candidate spans, BROADCAST-
+    join the piece table for scores (single-char spans keep an OOV
+    fallback edge at UNK_SCORE so every word segments), collect the
+    word's edges into ONE array, then run the DP as a bounded
+    higher-order fold — dp grows position by position, each step
+    reading its predecessors from the accumulator. Pure expression
+    after the one broadcast join; no per-row Python."""
+    spans = words.select(
+        "word",
+        "n",
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("word")),
+                    lambda i: F.transform(
+                        F.sequence(
+                            F.lit(1),
+                            F.least(
+                                F.lit(max_piece_len),
+                                F.length("word") - i + 1,
+                            ),
+                        ),
+                        lambda l: F.struct(
+                            (i - 1).cast("int").alias("i"),
+                            (i - 1 + l).cast("int").alias("j"),
+                            F.substring(F.col("word"), i, l).alias("p"),
+                        ),
+                    ),
+                )
+            )
+        ).alias("e"),
+    ).select(
+        "word", "n",
+        F.col("e.i").alias("i"), F.col("e.j").alias("j"),
+        F.col("e.p").alias("p"),
+    )
+    scored = spans.join(
+        F.broadcast(pieces.select(F.col("piece").alias("p"), "score")),
+        "p",
+        "left",
+    ).withColumn(
+        "s",
+        F.coalesce(
+            F.col("score"),
+            # OOV fallback exists ONLY for single characters — an
+            # unmatched longer span is simply not an edge
+            F.when(F.col("j") - F.col("i") == 1, F.lit(UNK_SCORE)),
+        ),
+    ).filter(F.col("s").isNotNull())
+    edges = scored.groupBy("word", "n").agg(
+        F.collect_list(F.struct("i", "j", "p", "s")).alias("_edges")
+    )
+
+    # ---- the DP fold -------------------------------------------
+    # acc: array of structs (sc, bp) for positions 0..step-1;
+    # step j appends dp[j] = max over edges e with e.j == j of
+    # (dp[e.i].sc + e.s, tie → smaller e.i), reading dp[e.i] from
+    # the accumulator. Unreachable = (_NEG_INF, -1) — filtered out
+    # of candidate predecessors.
+    edges_col = F.col("_edges")
+    dp0 = F.array(
+        F.struct(
+            F.lit(0).cast("long").alias("sc"), F.lit(-1).cast("int").alias("bp")
+        )
+    )
+
+    def step(acc: Column, j: Column) -> Column:
+        cands = F.filter(
+            edges_col,
+            lambda e: (e["j"] == j)
+            & (F.element_at(acc, e["i"] + 1)["sc"] > F.lit(_NEG_INF)),
+        )
+        best = F.array_max(
+            F.transform(
+                cands,
+                lambda e: F.struct(
+                    (F.element_at(acc, e["i"] + 1)["sc"] + e["s"]).alias("sc"),
+                    (-e["i"]).cast("int").alias("negi"),
+                ),
+            )
+        )
+        new = F.when(
+            F.size(cands) > 0,
+            F.struct(
+                best["sc"].alias("sc"), (-best["negi"]).cast("int").alias("bp")
+            ),
+        ).otherwise(
+            F.struct(
+                F.lit(_NEG_INF).cast("long").alias("sc"),
+                F.lit(-1).cast("int").alias("bp"),
+            )
+        )
+        return F.concat(acc, F.array(new))
+
+    # materialize dp as a REAL projected column before the backtrace
+    # references it per step — an inline expression would re-run the
+    # whole DP once per backtrace iteration (the measured CSE trap)
+    with_dp = edges.withColumn(
+        "_dp", F.aggregate(F.sequence(F.lit(1), F.length("word")), dp0, step)
+    )
+
+    # ---- backtrace ---------------------------------------------
+    # walk bp from position len down to 0, emitting pieces in
+    # REVERSE; len iterations bound the walk (each step moves left
+    # by ≥ 1). acc: struct(pos, parts array<string>).
+    def back(acc: Column, _: Column) -> Column:
+        pos = acc["pos"]
+        bp = F.element_at(F.col("_dp"), pos + 1)["bp"]
+        piece = F.col("word").substr(bp + 1, pos - bp)
+        return F.when(
+            pos > 0,
+            F.struct(
+                bp.alias("pos"),
+                F.concat(acc["parts"], F.array(piece)).alias("parts"),
+            ),
+        ).otherwise(acc)
+
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.length("word")),
+        F.struct(
+            F.length("word").cast("int").alias("pos"),
+            F.array().cast("array<string>").alias("parts"),
+        ),
+        back,
+    )
+    return with_dp.select(
+        "word", "n", F.reverse(walk["parts"]).alias("pieces")
+    )
+
+
+def unigram_train(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 2000,
+    max_piece_len: int = 6,
+    em_iters: int = 1,
+    materialize: str | MaterializeFn | bool | None = None,
+) -> DataFrame:
+    """Learn the unigram-LM piece table: seed (substring counts →
+    prune → scores), then ``em_iters`` hard-EM rounds (Viterbi
+    segment distinct words → piece counts weighted by word counts →
+    re-score → prune). Returns (piece, cnt, score, piece_id) with
+    ``piece_id`` the stable rank by (cnt DESC, piece ASC).
+
+    The driver loop is ``em_iters`` long (fixed, small); each round
+    is one distributed join+agg chain, materialized per round like
+    the BPE/CC loops so the lineage never compounds."""
+    words = _materialize(_words_with_counts(docs, text_col), materialize)
+    pieces = _with_scores(
+        _prune(_substring_candidates(words, max_piece_len), vocab_size)
+    )
+    for _ in range(em_iters):
+        pieces = _materialize(pieces, materialize)
+        seg = _segment_words(words, pieces, max_piece_len)
+        counts = (
+            seg.select(
+                "n", F.explode(F.col("pieces")).alias("piece")
+            )
+            .groupBy("piece")
+            .agg(F.sum("n").cast("long").alias("cnt"))
+        )
+        # coverage: single chars survive even at zero count (they may
+        # have been out-segmented this round but a future word needs
+        # them) — union the char rows back at cnt 0 if they vanished
+        chars = (
+            pieces.filter(F.length("piece") == 1)
+            .select("piece")
+            .join(counts, "piece", "left_anti")
+            .withColumn("cnt", F.lit(0).cast("long"))
+        )
+        pieces = _with_scores(
+            _prune(counts.unionByName(chars), vocab_size)
+        )
+    ranked = pieces.withColumn(
+        "piece_id",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        ).cast("int"),
+    )
+    return ranked.select("piece", "cnt", "score", "piece_id")
+
+
+def unigram_encode_words(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 6,
+) -> DataFrame:
+    """(word, n, pieces, piece_ids) under a trained vocab —
+    segmentation via the same Viterbi fold; ids resolved by ONE more
+    broadcast join at the piece level (OOV chars get id NULL)."""
+    seg = _segment_words(words, vocab, max_piece_len)
+    exploded = seg.select(
+        "word", "n", F.posexplode("pieces").alias("ord", "piece")
+    ).join(
+        F.broadcast(vocab.select("piece", "piece_id")), "piece", "left"
+    )
+    return (
+        exploded.groupBy("word", "n")
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("ord", "piece", "piece_id"))
+            ).alias("_z")
+        )
+        .select(
+            "word",
+            "n",
+            F.transform(F.col("_z"), lambda z: z["piece"]).alias("pieces"),
+            F.transform(F.col("_z"), lambda z: z["piece_id"]).alias(
+                "piece_ids"
+            ),
+        )
+    )
+
+
+def unigram_encode_docs(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 6,
+) -> DataFrame:
+    """(id, pieces array<string>, piece_ids array<int>, n_pieces,
+    n_oov) per document: words in order, each replaced by its
+    Viterbi segmentation. Distinct-word segmentation computed ONCE
+    and joined back — corpus scale pays one word explode and one
+    word-keyed join, never per-word DP re-runs."""
+    tokens = docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), WORD_PATTERN),
+                lambda t: t != "",
+            )
+        ).alias("pos", "word"),
+    )
+    wseg = unigram_encode_words(
+        tokens.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n")),
+        vocab,
+        max_piece_len,
+    ).select("word", "pieces", "piece_ids")
+    joined = tokens.join(wseg, "word")
+    out = (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct("pos", "pieces", "piece_ids"))
+            ).alias("_z")
+        )
+        .select(
+            id_col,
+            F.flatten(
+                F.transform(F.col("_z"), lambda z: z["pieces"])
+            ).alias("pieces"),
+            F.flatten(
+                F.transform(F.col("_z"), lambda z: z["piece_ids"])
+            ).alias("piece_ids"),
+        )
+        .withColumn("n_pieces", F.size("pieces"))
+        .withColumn(
+            "n_oov",
+            F.size(F.filter(F.col("piece_ids"), lambda x: x.isNull())),
+        )
+    )
+    # docs with zero words keep a row (empty arrays)
+    empties = docs.select(F.col(id_col)).join(
+        out.select(id_col), id_col, "left_anti"
+    ).select(
+        F.col(id_col),
+        F.array().cast("array<string>").alias("pieces"),
+        F.array().cast("array<int>").alias("piece_ids"),
+        F.lit(0).alias("n_pieces"),
+        F.lit(0).alias("n_oov"),
+    )
+    return out.unionByName(empties)
+
+
+# ------------------------------------------------------------------
+# pure-Python twin — the independent falsification reference
+# ------------------------------------------------------------------
+
+def viterbi_py(
+    word: str, scores: dict[str, int], max_piece_len: int = 6
+) -> list[str]:
+    """Independent Viterbi with the SAME deterministic tie-break:
+    max total score, then smaller last-boundary (longer last piece),
+    resolved recursively — implemented here as the plain DP."""
+    n = len(word)
+    dp: list[tuple[int, int]] = [(0, -1)] + [(_NEG_INF, -1)] * n
+    for j in range(1, n + 1):
+        best = None
+        for i in range(max(0, j - max_piece_len), j):
+            if dp[i][0] <= _NEG_INF:
+                continue
+            p = word[i:j]
+            if p in scores:
+                s = scores[p]
+            elif j - i == 1:
+                s = UNK_SCORE
+            else:
+                continue
+            cand = (dp[i][0] + s, -i)
+            if best is None or cand > best:
+                best = cand
+        if best is not None:
+            dp[j] = (best[0], -best[1])
+    parts: list[str] = []
+    pos = n
+    while pos > 0:
+        bp = dp[pos][1]
+        parts.append(word[bp:pos])
+        pos = bp
+    return list(reversed(parts))
+
+
+def unigram_train_py(
+    texts: list[str],
+    vocab_size: int = 2000,
+    max_piece_len: int = 6,
+    em_iters: int = 1,
+    frac_bits: int = FRAC_BITS,
+) -> dict:
+    """Pure-Python twin of :func:`unigram_train`. Returns
+    {"pieces": {piece: (cnt, score, piece_id)}} for exact row-level
+    comparison."""
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in re.split(WORD_PATTERN, (t or "").lower()):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+
+    def prune(c: dict[str, int]) -> dict[str, int]:
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        keep = {p for p, _ in ranked[:vocab_size]}
+        keep |= {p for p in c if len(p) == 1}
+        return {p: c[p] for p in keep}
+
+    def scores_of(c: dict[str, int]) -> dict[str, int]:
+        t = sum(c.values()) + len(c)
+        return {
+            p: llog2_py(v + 1, frac_bits) - llog2_py(t, frac_bits)
+            for p, v in c.items()
+        }
+
+    cands: dict[str, int] = {}
+    for w, n in wc.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                p = w[i : i + l]
+                cands[p] = cands.get(p, 0) + n
+    counts = prune(cands)
+    for _ in range(em_iters):
+        sc = scores_of(counts)
+        newc: dict[str, int] = {}
+        for w, n in wc.items():
+            for p in viterbi_py(w, sc, max_piece_len):
+                newc[p] = newc.get(p, 0) + n
+        for p in counts:
+            if len(p) == 1 and p not in newc:
+                newc[p] = 0
+        counts = prune(newc)
+    sc = scores_of(counts)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return {
+        "pieces": {
+            p: (c, sc[p], i + 1) for i, (p, c) in enumerate(ranked)
+        }
+    }

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from ..llm_ops import bpe as BPE
 from ..llm_ops import corpus as C
 from ..llm_ops import embed as EM
+from ..llm_ops import unigram as UG
 from ..llm_ops import html as H
 from ..llm_ops import decontam as DC
 from ..llm_ops import dedup as D
@@ -2463,9 +2464,187 @@ FROM reach GROUP BY src
 """
 
 
+# ---------------------------------------------------------------- unigram-LM tokenizer (r13)
+_UNI_V = 40          # vocab_size
+_UNI_L = 5           # max_piece_len
+_UNI_EM = 2          # hard-EM iterations
+
+
+def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SentencePiece-style unigram-LM tokenizer end to end
+    (llm_ops/unigram.py): seed-substring vocabulary → 2 hard-EM
+    Viterbi rounds → deterministic prune/rank → Viterbi encode of
+    every document. All integer fixed-point, so the oracle replays
+    TRAINING AND ENCODING bit-for-bit — the all-paths recursive CTE
+    picks each word's segmentation by (score DESC, reversed
+    boundary list ASC), the exact global order induced by the DP's
+    per-step tie-break."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = UG.unigram_train(
+        docs, vocab_size=_UNI_V, max_piece_len=_UNI_L, em_iters=_UNI_EM
+    )
+    enc = UG.unigram_encode_docs(docs, vocab, max_piece_len=_UNI_L)
+    ids_md5 = F.md5(
+        F.array_join(
+            F.transform(
+                F.col("piece_ids"),
+                lambda x: F.coalesce(x.cast("string"), F.lit("oov")),
+            ),
+            ",",
+        )
+    )
+    return enc.select(
+        "doc_id",
+        ids_md5.alias("ids_md5"),
+        F.col("n_pieces").cast("int").alias("n_pieces"),
+        F.col("n_oov").cast("int").alias("n_oov"),
+    )
+
+
+def _uni_segment_sql(tag: str, scores_cte: str) -> str:
+    """One all-paths Viterbi block: paths{tag} enumerates every
+    segmentation of every distinct word under ``scores_cte``
+    (piece, score), best{tag} picks (score DESC, reversed boundary
+    list ASC), segp{tag} rebuilds (word, sub, piece)."""
+    from ..llm_ops.unigram import UNK_SCORE
+
+    return f"""edges{tag} AS MATERIALIZED (
+    -- the word-DAG edges, built NON-recursively (DuckDB rejects an
+    -- outer join inside a recursive member): every span whose piece
+    -- is in the vocab, plus the single-char OOV fallback at UNK
+    SELECT sp.word, sp.i, sp.j,
+           COALESCE(s.score, CAST({UNK_SCORE} AS BIGINT)) AS score
+    FROM (
+        SELECT word, i.i AS i, i.i + l.l AS j,
+               substr(word, i.i + 1, l.l) AS piece
+        FROM wc,
+             unnest(range(length(word))) AS i(i),
+             unnest(range(1, {_UNI_L + 1})) AS l(l)
+        WHERE i.i + l.l <= length(word)
+    ) sp
+    LEFT JOIN {scores_cte} s ON s.piece = sp.piece
+    WHERE s.piece IS NOT NULL OR sp.j - sp.i = 1
+), paths{tag}(word, pos, sc, bnds) AS (
+    SELECT word, 0, CAST(0 AS BIGINT), CAST([] AS INTEGER[]) FROM wc
+    UNION ALL
+    SELECT p.word, e.j, p.sc + e.score, list_append(p.bnds, p.pos)
+    FROM paths{tag} p
+    JOIN edges{tag} e ON e.word = p.word AND e.i = p.pos
+), best{tag} AS (
+    SELECT word, bnds FROM (
+        SELECT word, bnds,
+               ROW_NUMBER() OVER (
+                   PARTITION BY word
+                   ORDER BY sc DESC, list_reverse(bnds) ASC
+               ) AS rk
+        FROM paths{tag} WHERE pos = length(word)
+    ) WHERE rk = 1
+), segp{tag} AS (
+    SELECT word, k.k AS sub,
+           substr(word, bnds[k.k + 1] + 1,
+                  COALESCE(bnds[k.k + 2], length(word)) - bnds[k.k + 1]) AS piece
+    FROM best{tag}, unnest(range(len(bnds))) AS k(k)
+)"""
+
+
+def _uni_em_round_sql(k: int) -> str:
+    """E-step + M-step round ``k``: segment under s{k}, re-count
+    (weighted by word counts), restore zero-count single chars from
+    v{k} (coverage), prune, re-score."""
+    from ..llm_ops.quality_model import llog2_sql as lg
+
+    return f"""{_uni_segment_sql(str(k), f"s{k}")}, c{k + 1} AS (
+    SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt
+    FROM segp{k} JOIN wc USING (word) GROUP BY 1
+), c{k + 1}f AS (
+    SELECT piece, cnt FROM c{k + 1}
+    UNION ALL
+    SELECT v.piece, CAST(0 AS BIGINT) FROM v{k} v
+    WHERE length(v.piece) = 1
+      AND NOT EXISTS (SELECT 1 FROM c{k + 1} c WHERE c.piece = v.piece)
+), v{k + 1} AS (
+    SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+        FROM c{k + 1}f
+    ) WHERE rk <= {_UNI_V} OR length(piece) = 1
+), t{k + 1} AS (
+    SELECT CAST(SUM(cnt) + COUNT(*) AS BIGINT) AS t FROM v{k + 1}
+), s{k + 1} AS MATERIALIZED (
+    SELECT piece, cnt, {lg("cnt + 1")} - {lg("t")} AS score
+    FROM v{k + 1} CROSS JOIN t{k + 1}
+)"""
+
+
+def _unigram_oracle() -> str:
+    from ..llm_ops.quality_model import llog2_sql as lg
+
+    rounds = ",\n".join(_uni_em_round_sql(k) for k in range(_UNI_EM))
+    final = _UNI_EM
+    return f"""
+WITH RECURSIVE docs_w AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z]+'),
+                       x -> x <> '') AS toks
+    FROM documents
+), wc AS MATERIALIZED (
+    SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS n
+    FROM (SELECT unnest(toks) AS w FROM docs_w) GROUP BY 1
+), cand AS (
+    SELECT piece, CAST(SUM(n) AS BIGINT) AS cnt FROM (
+        SELECT n, substr(word, i.i + 1, l.l) AS piece
+        FROM wc,
+             unnest(range(length(word))) AS i(i),
+             unnest(range(1, {_UNI_L + 1})) AS l(l)
+        WHERE i.i + l.l <= length(word)
+    ) GROUP BY 1
+), v0 AS (
+    SELECT piece, cnt FROM (
+        SELECT piece, cnt,
+               ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+        FROM cand
+    ) WHERE rk <= {_UNI_V} OR length(piece) = 1
+), t0 AS (
+    SELECT CAST(SUM(cnt) + COUNT(*) AS BIGINT) AS t FROM v0
+), s0 AS MATERIALIZED (
+    SELECT piece, cnt, {lg("cnt + 1")} - {lg("t")} AS score
+    FROM v0 CROSS JOIN t0
+),
+{rounds},
+vocab AS MATERIALIZED (
+    SELECT piece, cnt, score,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS INTEGER) AS pid
+    FROM s{final}
+),
+{_uni_segment_sql("F", "vocab")},
+tok AS (
+    SELECT doc_id, i.i AS pos, toks[i.i + 1] AS word
+    FROM docs_w, unnest(range(len(toks))) AS i(i)
+), docseg AS (
+    SELECT t.doc_id, t.pos, sp.sub, sp.piece, v.pid
+    FROM tok t
+    JOIN segpF sp USING (word)
+    LEFT JOIN vocab v ON v.piece = sp.piece
+), agg AS (
+    SELECT doc_id,
+           md5(string_agg(COALESCE(CAST(pid AS VARCHAR), 'oov'), ','
+                          ORDER BY pos, sub)) AS ids_md5,
+           CAST(COUNT(*) AS INTEGER) AS n_pieces,
+           CAST(SUM(CASE WHEN pid IS NULL THEN 1 ELSE 0 END) AS INTEGER) AS n_oov
+    FROM docseg GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(a.ids_md5, md5('')) AS ids_md5,
+       COALESCE(a.n_pieces, 0) AS n_pieces,
+       COALESCE(a.n_oov, 0) AS n_oov
+FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
 QUERIES = {
     "embedding_generate": q_embedding_generate,
     "semantic_dedup": q_semantic_dedup,
+    "unigram_encode": q_unigram_encode,
     "mixture_plan": q_mixture_plan,
     "quality_classifier": q_quality_classifier,
     "script_detect": q_script_detect,
@@ -2528,6 +2707,7 @@ QUERIES = {
 ORACLES = {
     "embedding_generate": ORACLE_EMBEDDING_GENERATE,
     "semantic_dedup": _semantic_dedup_oracle(),
+    "unigram_encode": _unigram_oracle(),
     "bpe_encode": ORACLE_BPE_ENCODE,
     "dedup_spans": ORACLE_DEDUP_SPANS,
     "domain_stats": _domain_stats_oracle(),

@@ -95,7 +95,12 @@ RESIDENT = [
     # green since r1, in-window again immediately via the r9 A-parity)
     # and text_quality → GROUP_B (green r8 as resident, next row r10 —
     # exactly the ≤2-round staleness bound).
-    "bpe_encode",
+    # r13 moves: bpe_encode demoted → GROUP_B (promoted r9 as the
+    # then-newest/heaviest plan; lineage-truncated fixpoint unchanged
+    # since the r9 receipts and green every round since — green r12
+    # as resident, next driver row r14 via the B parity, exactly the
+    # ≤2-round staleness bound) to fund the GROUP_A slot for the new
+    # unigram_encode (in-window immediately — r13 is the A parity).
     # r13 moves: dedup_ngram_capped and dedup_spans demoted → GROUP_B
     # (both stable green every round since they landed; the capped
     # posting join unchanged since r8, the span strip linear rebuild
@@ -214,6 +219,12 @@ GROUP_A = [
     # funded by demoting dedup_ngram_capped + dedup_spans → GROUP_B
     "embedding_generate",
     "semantic_dedup",
+    # new in r13: the unigram-LM (SentencePiece-style) tokenizer —
+    # hard-EM over a seeded candidate-piece table + Viterbi encode,
+    # integer fixed-point llog2 scores, full training+encoding
+    # DuckDB replay — in-window immediately; funded by demoting
+    # bpe_encode → GROUP_B
+    "unigram_encode",
 ]
 
 # In-window on EVEN rounds (r8, r10, ...). The r6-green core plus
@@ -310,6 +321,12 @@ GROUP_B = [
     # ≤2-round staleness bound
     "dedup_ngram_capped",
     "dedup_spans",
+    # demoted from RESIDENT in r13 (stable green every round since
+    # its r9 promotion; the lineage-truncated fixpoint and ×20
+    # plan-shape gate unchanged since the r9 receipts) to fund the
+    # GROUP_A slot for the new unigram_encode — green r12 as
+    # resident, next driver row r14 via this parity
+    "bpe_encode",
 ]
 
 # Alternate implementations sharing an in-window key's oracle text.

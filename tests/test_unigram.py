@@ -1,0 +1,143 @@
+"""llm_ops/unigram.py: SentencePiece-style unigram-LM tokenizer
+(hard-EM + Viterbi, integer fixed-point scores).
+
+Falsification: the Spark trainer and segmenter are checked row-for-
+row against an INDEPENDENT pure-Python implementation
+(unigram_train_py / viterbi_py) across EM depths; the Viterbi
+tie-break is pinned on crafted equal-score ties; segmentation
+coverage (concat(pieces) == word) is a hard invariant; plan-shape
+receipts pin the broadcast piece join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from gcp_dataengineering_spark.llm_ops import unigram as U
+
+TEXTS = [
+    "the cat sat on the mat",
+    "the matter of the cats",
+    "scattered cattle that sat on mats",
+    "a mat a cat a rat",
+    "",
+] * 2
+
+
+def _docs(spark, texts=None):
+    texts = TEXTS if texts is None else texts
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+@pytest.mark.parametrize("em_iters", [1, 2, 3])
+def test_train_matches_python_twin(spark, em_iters):
+    vocab = U.unigram_train(
+        _docs(spark), vocab_size=25, max_piece_len=4, em_iters=em_iters
+    )
+    got = {r.piece: (r.cnt, r.score, r.piece_id) for r in vocab.collect()}
+    want = U.unigram_train_py(
+        TEXTS, vocab_size=25, max_piece_len=4, em_iters=em_iters
+    )["pieces"]
+    assert got == want, em_iters
+
+
+def test_encode_words_matches_viterbi_py_and_covers(spark):
+    vocab = U.unigram_train(_docs(spark), vocab_size=25, max_piece_len=4)
+    scores = {r.piece: r.score for r in vocab.collect()}
+    words = spark.createDataFrame(
+        [("cats", 1), ("scattered", 1), ("zebra", 1), ("mat", 1), ("qq", 1)],
+        "word string, n long",
+    )
+    out = {r.word: r for r in U.unigram_encode_words(words, vocab, 4).collect()}
+    for w in ("cats", "scattered", "zebra", "mat", "qq"):
+        want = U.viterbi_py(w, scores, 4)
+        assert list(out[w].pieces) == want, (w, list(out[w].pieces), want)
+        assert "".join(out[w].pieces) == w  # coverage invariant
+    # OOV characters (z, b, r, q never trained) → NULL ids
+    assert None in list(out["zebra"].piece_ids)
+    assert all(i is None for i in out["qq"].piece_ids)
+
+
+def test_encode_docs_order_oov_and_empty(spark):
+    vocab = U.unigram_train(_docs(spark), vocab_size=25, max_piece_len=4)
+    docs = spark.createDataFrame(
+        [(1, "the cat"), (2, ""), (3, "zebra mat zebra"), (4, "!!!")],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in U.unigram_encode_docs(docs, vocab, max_piece_len=4).collect()}
+    assert len(out) == 4
+    assert out[2].n_pieces == 0 and list(out[2].pieces) == []
+    assert out[4].n_pieces == 0
+    assert "".join(out[1].pieces) == "thecat"
+    # word order preserved: zebra pieces, then mat, then zebra again
+    joined = "".join(out[3].pieces)
+    assert joined == "zebramatzebra"
+    assert out[3].n_oov > 0
+    scores = {r.piece: r.score for r in vocab.collect()}
+    want = (
+        U.viterbi_py("zebra", scores, 4)
+        + U.viterbi_py("mat", scores, 4)
+        + U.viterbi_py("zebra", scores, 4)
+    )
+    assert list(out[3].pieces) == want
+
+
+def test_viterbi_tiebreak_prefers_longer_last_piece(spark):
+    """Crafted equal-score tie: pieces ab/c and a/bc with identical
+    scores — the pinned tie-break (smaller last boundary = longer
+    LAST piece) must pick a+bc, in BOTH implementations."""
+    rows = [("ab", 5, -100, 1), ("c", 5, -100, 2), ("a", 5, -100, 3),
+            ("bc", 5, -100, 4), ("b", 5, -100, 5)]
+    vocab = spark.createDataFrame(
+        rows, "piece string, cnt long, score long, piece_id int"
+    )
+    words = spark.createDataFrame([("abc", 1)], "word string, n long")
+    got = U.unigram_encode_words(words, vocab, 4).collect()[0]
+    scores = {p: s for p, _, s, _ in [(r[0], r[1], r[2], r[3]) for r in rows]}
+    assert U.viterbi_py("abc", scores, 4) == ["a", "bc"]
+    assert list(got.pieces) == ["a", "bc"]
+
+
+def test_fixture_corpus_roundtrip_and_compression(spark):
+    """Real fixture: every document's pieces concatenate back to its
+    word stream, and the learned vocab compresses (fewer pieces than
+    characters)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab = U.unigram_train(docs, vocab_size=120, max_piece_len=5, em_iters=2)
+    enc = U.unigram_encode_docs(docs, vocab, max_piece_len=5)
+    joined = enc.join(docs, "doc_id").select(
+        "doc_id", "pieces", "n_pieces", "n_oov", "text"
+    ).collect()
+    import re
+
+    total_pieces = total_chars = 0
+    for r in joined:
+        words = [w for w in re.split(U.WORD_PATTERN, (r.text or "").lower()) if w]
+        assert "".join(r.pieces) == "".join(words), r.doc_id
+        assert r.n_oov == 0  # training corpus: every char in vocab
+        total_pieces += r.n_pieces
+        total_chars += sum(len(w) for w in words)
+    # measured 0.556 at vocab 120 on this fixture (31 distinct words,
+    # ~26 of the 120 slots are the coverage single-chars): the vocab
+    # genuinely compresses, pinned with headroom against regression
+    assert total_pieces < total_chars * 0.65, (total_pieces, total_chars)
+
+
+def test_segment_plan_broadcast_pieces_join(spark):
+    """100 TB receipt: the piece-score join in the segmenter is a
+    BROADCAST hash join (vocab is dimension-sized), never a
+    sort-merge join of corpus against vocab."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vocab = U.unigram_train(docs, vocab_size=40, max_piece_len=5)
+    vocab_m = spark.createDataFrame(
+        vocab.collect(), "piece string, cnt long, score long, piece_id int"
+    )
+    words = spark.createDataFrame([("cats", 1)], "word string, n long")
+    plan = (
+        U.unigram_encode_words(words, vocab_m, 5)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
