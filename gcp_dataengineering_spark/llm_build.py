@@ -108,11 +108,23 @@ def build_arg_parser() -> argparse.ArgumentParser:
     )
     p.add_argument(
         "--quality-model-ngrams",
+        choices=["1", "2", "char3_5"],
+        default="1",
+        help="model-gate features: 1 = bag of words, 2 = + adjacent "
+        "word bigrams (sees local word order), char3_5 = + character "
+        "3-5-grams (r13; catches letter-obfuscated spam like "
+        "'f.r.e.e m0ney' whose word tokens shatter)",
+    )
+    p.add_argument(
+        "--semantic-dedup-cos",
         type=int,
-        choices=[1, 2],
-        default=1,
-        help="model-gate feature order: 1 = bag of words, 2 = + adjacent "
-        "word bigrams (the fastText trick; sees local word order)",
+        default=None,
+        metavar="PCT",
+        help="enable the SemDeDup-style semantic dedup stage (r13) at "
+        "this cosine threshold in hundredths (e.g. 95 = cos >= 0.95): "
+        "in-engine char-n-gram embeddings, LSH-blocked candidates, "
+        "integer-exact threshold, connected-component keepers; runs "
+        "after the lexical near-dup stage",
     )
     p.add_argument(
         "--quality-model-labels",
@@ -229,7 +241,12 @@ def main(argv: list[str] | None = None) -> int:
             quality_model_threshold=args.quality_model_threshold,
             quality_model_buckets=args.quality_model_buckets,
             quality_model_target_precision_pct=args.quality_model_precision,
-            quality_model_ngrams=args.quality_model_ngrams,
+            quality_model_ngrams=(
+                args.quality_model_ngrams
+                if args.quality_model_ngrams == "char3_5"
+                else int(args.quality_model_ngrams)
+            ),
+            semantic_dedup_cos=args.semantic_dedup_cos,
             retag_lang=args.retag_lang,
             mixture_by=args.mixture_by,
             gopher=args.gopher,

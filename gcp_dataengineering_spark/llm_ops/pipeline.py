@@ -18,6 +18,10 @@ production pretraining-data build runs them:
 4. exact dedup (md5 fingerprint, min-id keeper),
 5. near-dup dedup (MinHash → LSH bands → connected components →
    keeper per group),
+5a. optional SemDeDup-style SEMANTIC dedup (config.semantic_dedup_cos
+   — in-engine char-n-gram embeddings → sign-LSH blocking →
+   integer-exact cosine threshold → CC keepers; catches re-phrasings
+   lexical minhash misses, r13),
 5b. optional span-level exact-substring dedup (config.span_dedup_k —
    strip residual cross-document duplicated spans from surviving
    docs, Lee et al. 2022 style),
@@ -129,6 +133,19 @@ class PipelineConfig:
     # later gating.
     span_dedup_k: int | None = None
     span_dedup_min_docs: int = 2
+    # SemDeDup-style SEMANTIC dedup (embed.semantic_dedup, r13):
+    # cosine threshold in hundredths (e.g. 95 → cos ≥ 0.95); None =
+    # stage off. Runs AFTER the lexical near-dup stage — minhash
+    # catches shared phrasing, this catches re-phrasings whose
+    # char-n-gram embeddings still align — and BEFORE span dedup /
+    # decontamination so downstream budgets see the final doc set.
+    # In-engine embeddings (no vectors needed), LSH-blocked
+    # candidates, integer-exact threshold decisions.
+    semantic_dedup_cos: int | None = None
+    semantic_dedup_dim: int = 16
+    semantic_dedup_max_chars: int = 256
+    semantic_dedup_planes: int = 8
+    semantic_dedup_tables: int = 6
     # temperature-weighted source mixing (corpus.mixture_plan +
     # apply_mixture, r11): None = stage off. Runs AFTER the per-source
     # cap and right before the split, so the plan is computed from
@@ -157,7 +174,8 @@ class PipelineConfig:
     # unreachable — a gate that can't hit its precision bar should
     # fail the build loudly, not ship a silently weaker corpus.
     quality_model_target_precision_pct: int | None = None
-    quality_model_ngrams: int = 1
+    # 1 | 2 | 'char3_5' (r13: character 3-5-gram features)
+    quality_model_ngrams: int | str = 1
     # re-derive the language column with the r12 two-stage lang_id
     # (script router + 20-language stopword vote) instead of
     # trusting the input's lang column: crawl metadata lies, and the
@@ -355,6 +373,36 @@ def build_training_corpus(
     groups = resolve_dup_groups(exact_deduped.select(id_col), pairs, id_col)
     near_deduped = apply_dedup_keepers(exact_deduped, groups, id_col)
 
+    semantic_deduped: DataFrame | None = None
+    if cfg.semantic_dedup_cos is not None:
+        # 5a. SemDeDup-style semantic dedup (r13): embeddings are
+        # generated in-engine from the text itself, so this stage
+        # needs no vector column. The group resolver references the
+        # near-dup survivors twice (ids + pair generation) — pin the
+        # branch point first per the documented rule.
+        from .embed import semantic_dedup as _semantic_dedup
+
+        if materialize is not False:
+            near_deduped = _materialize(near_deduped, materialize)
+        sgroups = _semantic_dedup(
+            near_deduped,
+            id_col,
+            text_col,
+            dim=cfg.semantic_dedup_dim,
+            max_chars=cfg.semantic_dedup_max_chars,
+            cos_num=cfg.semantic_dedup_cos,
+            cos_den=100,
+            n_planes=cfg.semantic_dedup_planes,
+            n_tables=cfg.semantic_dedup_tables,
+            materialize=materialize if materialize is not False else False,
+        )
+        semantic_deduped = apply_dedup_keepers(near_deduped, sgroups, id_col)
+
+    # downstream consumes the last enabled dedup stage; the stages
+    # dict keeps BOTH frames so the release report shows what each
+    # removed
+    deduped = semantic_deduped if semantic_deduped is not None else near_deduped
+
     span_stripped: DataFrame | None = None
     if cfg.span_dedup_k is not None:
         # the span machinery references its input three times (gram
@@ -365,16 +413,16 @@ def build_training_corpus(
         from .dedup import duplicate_spans, strip_duplicate_spans
 
         if materialize is not False:
-            near_deduped = _materialize(near_deduped, materialize)
+            deduped = _materialize(deduped, materialize)
         spans = duplicate_spans(
-            near_deduped, text_col, id_col,
+            deduped, text_col, id_col,
             k=cfg.span_dedup_k, min_docs=cfg.span_dedup_min_docs,
         )
         if materialize is not False:
             spans = _materialize(spans, materialize)
         span_stripped = (
             strip_duplicate_spans(
-                near_deduped, text_col, id_col,
+                deduped, text_col, id_col,
                 k=cfg.span_dedup_k, spans=spans,
                 # keep each survivor's original trailing whitespace so
                 # newline structure (gopher line ratios) survives the
@@ -388,7 +436,7 @@ def build_training_corpus(
             # duplicated spans is empty after the strip
         )
 
-    cleaned = span_stripped if span_stripped is not None else near_deduped
+    cleaned = span_stripped if span_stripped is not None else deduped
     decontaminated = (
         decontaminate(cleaned, eval_df, text_col, id_col, n=cfg.decontam_ngram)
         if eval_df is not None
@@ -476,6 +524,11 @@ def build_training_corpus(
         "corpus": corpus,
         "shards": shards,
     }
+    if semantic_deduped is not None:
+        # optional stage, keyed only when enabled; note near_deduped
+        # above already points AT this frame when the stage is on
+        # (downstream consumed it), the extra key just names it
+        stages["semantic_deduped"] = semantic_deduped
     if span_stripped is not None:
         # optional stage, keyed only when enabled (stage_counts and
         # existing consumers see the unchanged default dict)

@@ -48,7 +48,7 @@ def ingest_stream(
     watermark: str = "10 minutes",
     quality_model: DataFrame | None = None,
     quality_model_threshold: int = 0,
-    quality_model_ngrams: int = 1,
+    quality_model_ngrams: int | str = 1,
 ) -> DataFrame:
     """Quality-gated, PII-scrubbed, language-tagged, corpus-deduped
     document stream. Returns the admitted rows with `lang_pred`,

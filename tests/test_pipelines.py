@@ -946,3 +946,95 @@ def test_build_training_corpus_retag_lang_and_language_mixture(spark):
     # off by default: lang column passes through untouched
     off = build_training_corpus(docs)
     assert {r.lang for r in off["corpus"].select("lang").collect()} == {"xx"}
+
+
+def test_build_training_corpus_semantic_dedup_stage(spark):
+    """r13 stage 5a: with semantic_dedup_cos set, the composed build
+    drops near-SEMANTIC duplicates the lexical stages keep, the
+    stage frame appears in the release dict, and downstream stages
+    consume the reduced doc set."""
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+
+    import random
+
+    rng = random.Random(13)
+    vocab = ("alpha bravo charlie delta echo foxtrot golf hotel india "
+             "juliet kilo lima mike november oscar papa quebec romeo "
+             "sierra tango uniform victor whiskey xray yankee zulu "
+             "anchor binder copper dancer ember fabric garden harbor "
+             "island jacket kernel ladder marble nickel orchid pillar").split()
+    rows = []
+    for i in range(12):
+        # per-subject DISTINCT word salad: lexically unrelated across
+        # subjects (minhash keeps them apart), ~28 words each
+        words = rng.sample(vocab, 14) * 2
+        rows.append((i, " ".join(words), "web", "en"))
+        # the SAME words REORDERED: word-shingle jaccard collapses
+        # (minhash misses it) but the char-n-gram count vector is
+        # almost unchanged → embedding cosine ≈ 1. Exactly the
+        # re-phrasing class the semantic stage exists to catch.
+        shuffled = list(words)
+        rng.shuffle(shuffled)
+        rows.append((100 + i, " ".join(shuffled), "web", "en"))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string, lang string"
+    )
+
+    off = build_training_corpus(
+        docs, config=PipelineConfig(), materialize=False
+    )
+    on = build_training_corpus(
+        docs,
+        config=PipelineConfig(semantic_dedup_cos=90),
+        materialize=None,
+    )
+    assert "semantic_deduped" not in off
+    assert "semantic_deduped" in on
+    kept_off = off["near_deduped"].count()
+    kept_on = on["semantic_deduped"].count()
+    assert kept_on < kept_off, (kept_on, kept_off)
+    # for every CAUGHT pair the keeper is the min id — the original
+    # (i < 100) always survives, its shuffled twin is the drop
+    ids = {r.doc_id for r in on["semantic_deduped"].collect()}
+    assert all(i in ids for i in range(12)), ids
+    # downstream consumed the reduced set
+    assert on["corpus"].count() == kept_on
+
+
+def test_llm_build_cli_semantic_dedup_flag(spark, tmp_path):
+    """--semantic-dedup-cos plumbs through the CLI into the stage."""
+    import os
+
+    from gcp_dataengineering_spark.llm_build import main
+
+    import random
+
+    rng = random.Random(7)
+    vocab = ("the quick brown fox jumps over a lazy dog while many other "
+             "animals watch from nearby hills and valleys because nature "
+             "documentaries always describe scenes with plenty of varied "
+             "vocabulary tokens sentences paragraphs").split()
+    docs = spark.createDataFrame(
+        [
+            (i,
+             ". ".join(
+                 " ".join(rng.choice(vocab) for _ in range(12))
+                 for _ in range(6)
+             ) + ".",
+             "web", "en")
+            for i in range(16)
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    src = os.path.join(tmp_path, "docs.parquet")
+    out = os.path.join(tmp_path, "out")
+    docs.write.parquet(src)
+    rc = main([
+        "--docs", src, "--out", out, "--semantic-dedup-cos", "95",
+        "--cpus", "4",
+    ])
+    assert rc == 0
+    assert os.path.isdir(os.path.join(out, "corpus"))
