@@ -39,6 +39,54 @@ def build_arg_parser() -> argparse.ArgumentParser:
     p.add_argument("--shard-budget", type=int, default=2_000_000)
     p.add_argument("--min-source-pass-pct", type=int, default=50)
     p.add_argument(
+        "--tokenizer",
+        choices=["bpe", "unigram"],
+        default="bpe",
+        help="tokenizer family denominating the build's token budgets "
+        "(r14): 'bpe' (default) uses the --bpe-* flags; 'unigram' "
+        "trains/loads a SentencePiece-family unigram-LM piece table "
+        "(--unigram-* flags) and feeds its Viterbi piece counts into "
+        "the SAME source-cap/mixture/shard accounting. With neither "
+        "--bpe-train/--bpe-merges nor --unigram-train/--unigram-vocab "
+        "set, budgets stay whitespace-word denominated",
+    )
+    p.add_argument(
+        "--unigram-train",
+        action="store_true",
+        help="train a unigram-LM vocabulary on the input documents "
+        "(requires --tokenizer unigram), tokenize the corpus with it, "
+        "and write it to <out>/unigram_vocab.parquet",
+    )
+    p.add_argument(
+        "--unigram-vocab",
+        default=None,
+        metavar="PARQUET",
+        help="pre-trained (piece, cnt, score, piece_id) unigram table "
+        "to tokenize with (requires --tokenizer unigram; mutually "
+        "exclusive with --unigram-train)",
+    )
+    p.add_argument(
+        "--unigram-vocab-size",
+        type=int,
+        default=2000,
+        help="unigram-LM vocabulary size for --unigram-train "
+        "(single-character pieces always survive for coverage)",
+    )
+    p.add_argument(
+        "--unigram-max-piece-len",
+        type=int,
+        default=6,
+        help="maximum unigram piece length (train and encode must "
+        "agree; the encode default follows this flag)",
+    )
+    p.add_argument(
+        "--unigram-em-iters",
+        type=int,
+        default=2,
+        help="hard-EM training rounds for --unigram-train (the suite "
+        "oracle replays 2)",
+    )
+    p.add_argument(
         "--bpe-train",
         type=int,
         default=None,
@@ -179,6 +227,23 @@ def main(argv: list[str] | None = None) -> int:
     args = build_arg_parser().parse_args(argv)
     if args.bpe_train is not None and args.bpe_merges is not None:
         raise SystemExit("--bpe-train and --bpe-merges are mutually exclusive")
+    if args.unigram_train and args.unigram_vocab is not None:
+        raise SystemExit(
+            "--unigram-train and --unigram-vocab are mutually exclusive"
+        )
+    if args.tokenizer == "unigram" and (
+        args.bpe_train is not None or args.bpe_merges is not None
+    ):
+        raise SystemExit(
+            "--tokenizer unigram conflicts with --bpe-train/--bpe-merges "
+            "— one tokenizer family denominates a build's budgets"
+        )
+    if args.tokenizer == "bpe" and (
+        args.unigram_train or args.unigram_vocab is not None
+    ):
+        raise SystemExit(
+            "--unigram-train/--unigram-vocab require --tokenizer unigram"
+        )
     if args.bpe_byte_level and args.bpe_word_pattern == "ascii":
         # the ascii pattern splits on [^a-z]+, so every uppercase and
         # non-ASCII character becomes a separator and is silently
@@ -221,6 +286,28 @@ def main(argv: list[str] | None = None) -> int:
         )
     elif args.bpe_merges is not None:
         merges_df = spark.read.parquet(args.bpe_merges)
+    unigram_df = None
+    if args.unigram_train:
+        from .llm_ops.unigram import unigram_train
+
+        unigram_df = unigram_train(
+            docs,
+            vocab_size=args.unigram_vocab_size,
+            max_piece_len=args.unigram_max_piece_len,
+            em_iters=args.unigram_em_iters,
+            # EM rounds + every downstream encode consume this table:
+            # pin it, the same contract bpe_train honors by returning
+            # driver-side rules
+            materialize=None,
+        )
+        # persist the vocabulary next to the corpus: a release without
+        # its tokenizer is not reproducible (the BPE branch's rule)
+        os.makedirs(args.out, exist_ok=True)
+        unigram_df.coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.out, "unigram_vocab.parquet")
+        )
+    elif args.unigram_vocab is not None:
+        unigram_df = spark.read.parquet(args.unigram_vocab)
     stages = build_training_corpus(
         docs,
         eval_df,
@@ -231,6 +318,8 @@ def main(argv: list[str] | None = None) -> int:
             bpe_merges=merges_df,
             bpe_word_pattern=word_pattern,
             bpe_byte_level=args.bpe_byte_level,
+            unigram_vocab=unigram_df,
+            unigram_max_piece_len=args.unigram_max_piece_len,
             mixture_budget_tokens=args.mixture_budget,
             mixture_alpha=args.mixture_alpha,
             quality_model_labeled=(

@@ -117,6 +117,17 @@ class PipelineConfig:
     # the 256-symbol printable alphabet — no script ever dropped; the
     # merge table must have been trained byte-level too
     bpe_byte_level: bool = False
+    # learned unigram-LM piece table (piece, cnt, score, piece_id) —
+    # e.g. from unigram.unigram_train (r14: the SentencePiece-family
+    # alternative to bpe_merges). When set, documents are
+    # Viterbi-segmented after decontamination and the SAME budget
+    # switch happens: max_tokens_per_source / shard_budget_tokens /
+    # mixture_budget_tokens are denominated in unigram pieces, the
+    # piece sequences ride to the shards as `tokens`, and the vocab
+    # ids ride as `token_ids` (NULL id = OOV single char). Mutually
+    # exclusive with bpe_merges — one tokenizer denominates a build.
+    unigram_vocab: object | None = None
+    unigram_max_piece_len: int = 6
     # registrable-domain blocklist (urls.filter_blocked_domains),
     # applied FIRST — before any text is even featurized — when the
     # frame carries url_col. A pure isin/anti-join filter: the
@@ -145,6 +156,12 @@ class PipelineConfig:
     semantic_dedup_dim: int = 16
     semantic_dedup_max_chars: int = 256
     semantic_dedup_planes: int = 8
+    # LSH table count L: a true pair at cosine c collides in one
+    # 8-plane table with p^8, p = 1 − acos(c)/π, so pair recall is
+    # 1 − (1 − p^8)^L. The default L=6 trades ~6 points of pair
+    # recall at the cos≥0.92 edge (≈0.90 vs ≈0.96 at the suite key's
+    # L=8) for 25% less bucket work — raise to 8 to match the oracle
+    # key's setting when recall matters more than cost.
     semantic_dedup_tables: int = 6
     # temperature-weighted source mixing (corpus.mixture_plan +
     # apply_mixture, r11): None = stage off. Runs AFTER the per-source
@@ -221,6 +238,12 @@ def build_training_corpus(
     from .materialize import materialize as _materialize
 
     cfg = config or PipelineConfig()
+    if cfg.bpe_merges is not None and cfg.unigram_vocab is not None:
+        raise ValueError(
+            "bpe_merges and unigram_vocab are mutually exclusive — a "
+            "build's budgets must be denominated in ONE tokenizer's "
+            "counts"
+        )
 
     if cfg.blocked_domains and cfg.url_col is not None:
         from .urls import filter_blocked_domains
@@ -466,6 +489,34 @@ def build_training_corpus(
         with_tokens = decontaminated.join(tok, id_col).withColumn(
             "n_tokens", F.size("tokens").cast("long")
         )
+    elif cfg.unigram_vocab is not None:
+        # r14: same real-tokenizer budget switch, unigram-LM family —
+        # Viterbi segmentation over the DISTINCT-WORD table (one word
+        # explode + one word-keyed join at corpus scale, never
+        # per-word DP re-runs), counts flow into the source cap /
+        # mixture / shard budgets exactly as BPE counts do.
+        # unigram_encode_docs references its input twice (the word
+        # explode and the empty-doc anti-join) — pin the branch point
+        # first per the documented rule.
+        from .unigram import unigram_encode_docs
+
+        if materialize is not False:
+            decontaminated = _materialize(decontaminated, materialize)
+        tok = unigram_encode_docs(
+            decontaminated.select(id_col, text_col),
+            cfg.unigram_vocab,
+            id_col=id_col,
+            text_col=text_col,
+            max_piece_len=cfg.unigram_max_piece_len,
+        ).select(
+            id_col,
+            F.col("pieces").alias("tokens"),
+            F.col("piece_ids").alias("token_ids"),
+            "n_oov",
+        )
+        with_tokens = decontaminated.join(tok, id_col).withColumn(
+            "n_tokens", F.size("tokens").cast("long")
+        )
     else:
         with_tokens = decontaminated.withColumn(
             "n_tokens", whitespace_token_count(text_col).cast("long")
@@ -525,9 +576,12 @@ def build_training_corpus(
         "shards": shards,
     }
     if semantic_deduped is not None:
-        # optional stage, keyed only when enabled; note near_deduped
-        # above already points AT this frame when the stage is on
-        # (downstream consumed it), the extra key just names it
+        # optional stage, keyed only when enabled. near_deduped above
+        # stays the PRE-semantic (lexical-dedup) frame — that's what
+        # the release report wants, so adjacent counts show what each
+        # dedup family removed; downstream consumed the separate
+        # `deduped` variable, which points at this frame when the
+        # stage is on
         stages["semantic_deduped"] = semantic_deduped
     if span_stripped is not None:
         # optional stage, keyed only when enabled (stage_counts and

@@ -1038,3 +1038,176 @@ def test_llm_build_cli_semantic_dedup_flag(spark, tmp_path):
     ])
     assert rc == 0
     assert os.path.isdir(os.path.join(out, "corpus"))
+
+
+def test_build_training_corpus_unigram_tokenized_budgets(spark):
+    """r14 (r13 verdict item 1): with cfg.unigram_vocab set, the
+    composed build's token accounting switches from whitespace words
+    to LEARNED unigram-LM pieces — the budget-parity mirror of the
+    BPE test above. n_tokens equals the independent python twin's
+    Viterbi piece count per document, the piece sequences ride to the
+    shards as `tokens` (vocab ids as `token_ids`), and the shard
+    budget is denominated in those counts."""
+    import re as _re
+
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+    from gcp_dataengineering_spark.llm_ops.unigram import (
+        unigram_train,
+        unigram_train_py,
+        viterbi_py,
+    )
+
+    def fill(tag):
+        return " ".join(f"{tag}{j}" for j in range(40))
+
+    rows = [
+        (1, f"alpha {fill('a')} one", "en", "srcA"),
+        (2, f"beta {fill('b')} two", "en", "srcA"),
+        (4, f"gamma {fill('c')} three", "en", "srcA"),
+        (5, f"delta {fill('d')} four", "en", "srcA"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    vocab = unigram_train(docs, vocab_size=60, max_piece_len=4, em_iters=1)
+    twin = unigram_train_py(
+        [t for _, t, _, _ in rows], vocab_size=60, max_piece_len=4,
+        em_iters=1,
+    )["pieces"]
+    # spark trainer and python twin agree before the pipeline runs
+    got = {
+        r.piece: (r.cnt, r.score, r.piece_id) for r in vocab.collect()
+    }
+    assert got == twin
+    scores = {p: s for p, (_, s, _) in twin.items()}
+    ids = {p: i for p, (_, _, i) in twin.items()}
+
+    stages = build_training_corpus(
+        docs,
+        config=PipelineConfig(
+            unigram_vocab=vocab, unigram_max_piece_len=4,
+            shard_budget_tokens=120,
+        ),
+        materialize=None,
+    )
+    corpus = {r.doc_id: r for r in stages["corpus"].collect()}
+    assert set(corpus) == {1, 2, 4, 5}
+
+    for doc_id, text, _, _ in rows:
+        want = [
+            p
+            for w in _re.split("[^a-z]+", text.lower())
+            if w
+            for p in viterbi_py(w, scores, max_piece_len=4)
+        ]
+        assert list(corpus[doc_id].tokens) == want, doc_id
+        assert corpus[doc_id].n_tokens == len(want)
+        assert list(corpus[doc_id].token_ids) == [
+            ids.get(p) for p in want
+        ], doc_id
+
+    # shard plan: budgeted in unigram pieces, sequences present
+    shards = stages["shards"].collect()
+    assert {r.doc_id for r in shards} == {1, 2, 4, 5}
+    per_shard = {}
+    for r in sorted(shards, key=lambda r: r.doc_id):
+        assert list(r.tokens)
+        per_shard.setdefault((r.split, r.lang, r.shard_id), []).append(r.n_tokens)
+    for toks in per_shard.values():
+        # the documented fill rule: every member's EXCLUSIVE prefix
+        # sum is under the budget (the closing doc may overflow)
+        run = 0
+        for t in toks:
+            assert run < 120
+            run += t
+
+    # one tokenizer denominates a build: both families set -> loud
+    import pytest as _pytest
+
+    mdf = spark.createDataFrame(
+        [("a", "b", 0)], "left string, right string, rank long"
+    )
+    with _pytest.raises(ValueError, match="mutually exclusive"):
+        build_training_corpus(
+            docs,
+            config=PipelineConfig(bpe_merges=mdf, unigram_vocab=vocab),
+        )
+
+
+def test_llm_build_cli_unigram_train(spark, tmp_path):
+    """--tokenizer unigram --unigram-train: the CLI trains the piece
+    table on the input, persists it next to the corpus
+    (unigram_vocab.parquet — a release without its tokenizer is not
+    reproducible), and the written corpus carries piece sequences
+    whose counts drive the budgets. Flag-combination guards are
+    loud."""
+    import json
+    import os
+
+    from gcp_dataengineering_spark.llm_build import main
+
+    docs_path = os.path.join(tmp_path, "docs.parquet")
+    spark.createDataFrame(
+        [
+            (i, " ".join(f"w{j} banana band" for j in range(30)), "en", "srcA")
+            for i in range(8)
+        ],
+        "doc_id long, text string, lang string, source string",
+    ).write.parquet(docs_path)
+    out = os.path.join(tmp_path, "build_out")
+    rc = main([
+        "--docs", docs_path, "--out", out, "--cpus", "4",
+        "--shard-budget", "500", "--tokenizer", "unigram",
+        "--unigram-train", "--unigram-vocab-size", "50",
+        "--unigram-max-piece-len", "4", "--unigram-em-iters", "1",
+    ])
+    assert rc == 0
+    with open(os.path.join(out, "report.json")) as f:
+        report = json.load(f)
+    assert report["corpus"] > 0
+    vocab = spark.read.parquet(out + "/unigram_vocab.parquet")
+    assert set(vocab.columns) == {"piece", "cnt", "score", "piece_id"}
+    # tiny alphabet (w/banana/band): at least every single char plus
+    # some learned multi-char pieces
+    assert vocab.count() >= 5
+    corpus = spark.read.parquet(out + "/corpus")
+    row = corpus.first()
+    assert row.n_tokens == len(row.tokens) and len(row.tokens) > 0
+    # re-run the build with the PERSISTED vocab instead of training
+    out2 = os.path.join(tmp_path, "build_out2")
+    rc2 = main([
+        "--docs", docs_path, "--out", out2, "--cpus", "4",
+        "--shard-budget", "500", "--tokenizer", "unigram",
+        "--unigram-vocab", out + "/unigram_vocab.parquet",
+        "--unigram-max-piece-len", "4",
+    ])
+    assert rc2 == 0
+    c1 = {
+        r.doc_id: (list(r.tokens), r.n_tokens)
+        for r in corpus.collect()
+    }
+    c2 = {
+        r.doc_id: (list(r.tokens), r.n_tokens)
+        for r in spark.read.parquet(out2 + "/corpus").collect()
+    }
+    assert c1 == c2
+
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit, match="mutually exclusive"):
+        main([
+            "--docs", docs_path, "--out", out, "--tokenizer", "unigram",
+            "--unigram-train", "--unigram-vocab", "x.parquet",
+        ])
+    with _pytest.raises(SystemExit, match="conflicts"):
+        main([
+            "--docs", docs_path, "--out", out, "--tokenizer", "unigram",
+            "--bpe-train", "4",
+        ])
+    with _pytest.raises(SystemExit, match="require --tokenizer unigram"):
+        main([
+            "--docs", docs_path, "--out", out, "--unigram-train",
+        ])
