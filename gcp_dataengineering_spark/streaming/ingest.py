@@ -16,6 +16,14 @@ the whole flow runs under Structured Streaming with no custom state
 beyond the dedup store — the design point: keep ingest stateless as
 long as possible, concentrate state in one watermark-bounded spot.
 
+5. (r14, optional) SemDeDup-style SEMANTIC dedup —
+   :func:`ingest_stream_semantic` appends the streaming semantic
+   gate (streaming/semantic.py: in-engine embeddings, LSH-bucketed
+   watermark-bounded state, integer-exact cosine) after the exact
+   dedup, completing the batch pipeline's stage order (2c→3→4→5a)
+   online. It runs as a foreachBatch sink, so that composition
+   returns a running query instead of a DataFrame.
+
 The default gate mirrors the batch quality_filter policy
 (suite/llm.py) so a document admitted online is the same document a
 batch rebuild would admit.
@@ -95,6 +103,70 @@ def ingest_stream(
         tagged,
         corpus_fps,
         text_col=text_col,
+        event_time_col=event_time_col,
+        watermark=watermark,
+    )
+
+
+def ingest_stream_semantic(
+    stream: DataFrame,
+    corpus_fps: DataFrame,
+    store_dir: str,
+    out_dir: str,
+    checkpoint_dir: str | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    gate: Column | None = None,
+    event_time_col: str | None = None,
+    watermark: str = "10 minutes",
+    quality_model: DataFrame | None = None,
+    quality_model_threshold: int = 0,
+    quality_model_ngrams: int | str = 1,
+    semantic_cos: int = 92,
+    semantic_dim: int = 16,
+    semantic_max_chars: int = 256,
+    semantic_planes: int = 8,
+    semantic_tables: int = 8,
+) -> "object":
+    """The full online corpus gate WITH the r14 semantic stage: the
+    :func:`ingest_stream` chain (heuristic gate → optional learned
+    gate → PII scrub → lang tag → exact dedup) followed by the
+    SemDeDup-style semantic gate (streaming/semantic.py) — the same
+    stage order as the batch pipeline's 2c→3→4→5a. Admitted rows
+    append to ``out_dir``; semantic bucket state lives in
+    ``store_dir``, watermark-bounded when ``event_time_col`` is
+    given. Returns the started StreamingQuery (caller stops it).
+
+    The semantic stage is a ``foreachBatch`` sink (pairwise
+    integer-cosine decisions against LSH-bucketed state won't
+    compose as a third in-query stateful operator — see
+    streaming/semantic.py), so unlike :func:`ingest_stream` this
+    returns a running query, not a DataFrame."""
+    from .semantic import semantic_dedup_stream
+
+    admitted = ingest_stream(
+        stream,
+        corpus_fps,
+        text_col=text_col,
+        gate=gate,
+        event_time_col=event_time_col,
+        watermark=watermark,
+        quality_model=quality_model,
+        quality_model_threshold=quality_model_threshold,
+        quality_model_ngrams=quality_model_ngrams,
+    )
+    return semantic_dedup_stream(
+        admitted,
+        store_dir,
+        out_dir,
+        checkpoint_dir=checkpoint_dir,
+        id_col=id_col,
+        text_col=text_col,
+        cos_num=semantic_cos,
+        dim=semantic_dim,
+        max_chars=semantic_max_chars,
+        n_planes=semantic_planes,
+        n_tables=semantic_tables,
         event_time_col=event_time_col,
         watermark=watermark,
     )

@@ -1103,3 +1103,249 @@ def test_ingest_stream_model_gate_parity_with_batch(spark, tmp_path):
         for r in nb_quality_gate(batch, model).collect()
     }
     assert got == want
+
+
+def test_semantic_dedup_stream_single_batch_matches_batch_twin(spark, tmp_path):
+    """r14 (r13 verdict item 2): the streaming semantic gate over the
+    real fixture corpus in ONE micro-batch admits exactly the batch
+    twin's keepers — within a batch the resolution IS
+    embed.semantic_dedup (same embeddings, same LSH tables, same
+    integer-cosine threshold, same CC min-id keepers)."""
+    import uuid
+
+    from gcp_dataengineering_spark.llm_ops.embed import semantic_dedup
+    from gcp_dataengineering_spark.streaming.semantic import (
+        semantic_dedup_stream,
+    )
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    expect = {
+        r.doc_id
+        for r in semantic_dedup(
+            docs, cos_num=95, n_planes=8, n_tables=6
+        ).filter(F.col("doc_id") == F.col("group_id")).collect()
+    }
+
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+    )
+    out = str(tmp_path / "out")
+    q = semantic_dedup_stream(
+        stream,
+        str(tmp_path / "store"),
+        out,
+        checkpoint_dir=str(tmp_path / f"ckpt_{uuid.uuid4().hex[:8]}"),
+        cos_num=95, n_planes=8, n_tables=6,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == expect
+    assert len(got) < docs.count()  # the fixture does contain dups
+
+
+def _clique_corpus_rows():
+    """Three near-identical paraphrase cliques + singletons, members
+    spread across arrival batches; id order == arrival order."""
+    base_a = ("the committee approved the annual budget for road "
+              "maintenance and allocated additional funds for bridge "
+              "repairs across the northern districts this season")
+    base_b = ("astronomers observed a distant supernova whose light "
+              "curve suggested an unusually massive progenitor star "
+              "collapsing under its own gravity far away")
+    base_c = ("the recipe calls for fresh basil ripe tomatoes olive "
+              "oil and a pinch of sea salt layered over thin slices "
+              "of mozzarella cheese before serving")
+    uniq1 = ("quarterly revenue grew modestly while operating margins "
+             "compressed due to higher logistics costs and currency "
+             "headwinds in overseas markets during the period")
+    uniq2 = ("migratory birds follow magnetic field lines and stellar "
+             "cues when crossing continents twice a year in enormous "
+             "flocks that span entire horizons")
+    # batch files: [0] ids 1-4, [1] ids 11-14, [2] ids 21-24
+    return [
+        [(1, base_a + " version alpha"), (2, base_a + " version beta"),
+         (3, base_b + " take one"), (4, uniq1)],
+        [(11, base_a + " version gamma"), (12, base_b + " take two"),
+         (13, base_c + " variant x"), (14, uniq2)],
+        [(21, base_b + " take three"), (22, base_c + " variant y"),
+         (23, base_c + " variant z"),
+         (24, "")],  # zero-vector doc: admitted, never stored
+    ]
+
+
+def test_semantic_dedup_stream_multibatch_matches_batch_twin(spark, tmp_path):
+    """Clique clusters arriving in id order across THREE micro-batches:
+    greedy first-arrival resolution equals the batch twin's CC keepers
+    (the module's documented agreement case), including a cluster
+    whose members span all three batches and a zero-vector doc that
+    is admitted unconditionally."""
+    import os
+    import time
+    import uuid
+
+    from gcp_dataengineering_spark.llm_ops.embed import semantic_dedup
+    from gcp_dataengineering_spark.streaming.semantic import (
+        semantic_dedup_stream,
+    )
+
+    batches = _clique_corpus_rows()
+    all_rows = [r for b in batches for r in b]
+    docs = spark.createDataFrame(all_rows, "doc_id long, text string")
+
+    groups = semantic_dedup(docs, cos_num=92, n_planes=8, n_tables=8)
+    labels = {r.doc_id: r.group_id for r in groups.collect()}
+    # the planted structure actually holds: three cliques + singles
+    assert labels[2] == 1 and labels[11] == 1
+    assert labels[12] == 3 and labels[21] == 3
+    assert labels[22] == 13 and labels[23] == 13
+    for d in (4, 14, 24):
+        assert labels[d] == d
+    expect = {d for d, g in labels.items() if d == g}
+
+    src = tmp_path / "src"
+    src.mkdir()
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1
+        ).write.parquet(str(src / f"b{i}"))
+        # file-source ordering: distinct mtimes, oldest first
+        time.sleep(1.1)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "b*"))
+    )
+    out = str(tmp_path / "out")
+    q = semantic_dedup_stream(
+        stream,
+        str(tmp_path / "store"),
+        out,
+        checkpoint_dir=str(tmp_path / f"ckpt_{uuid.uuid4().hex[:8]}"),
+        cos_num=92, n_planes=8, n_tables=8,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == expect
+    # the zero-vector doc was admitted but never stored
+    store_docs = spark.read.parquet(str(tmp_path / "store" / "docs"))
+    assert 24 in got
+    assert store_docs.filter(F.col("_sid") == 24).count() == 0
+    # dropped docs ARE stored (the reachable-set rule)
+    assert store_docs.filter(F.col("_sid") == 2).count() == 1
+
+
+def test_semantic_dedup_batch_watermark_evicts_state(spark, tmp_path):
+    """Event-time watermark bounds the store: a duplicate arriving
+    within the window is dropped; after the high water mark moves
+    past the window, the old state is evicted and the same content
+    is re-admitted (the documented bounded-state trade-off — exactly
+    dropDuplicatesWithinWatermark's). Replaying an already-stored
+    batch admits nothing (the store is the dedup ledger)."""
+    from gcp_dataengineering_spark.streaming.semantic import (
+        read_semantic_store,
+        semantic_dedup_batch,
+    )
+
+    store = str(tmp_path / "store")
+    base = ("a very long paragraph about municipal water treatment "
+            "plants and their seasonal maintenance schedules including "
+            "filtration membrane replacement procedures")
+    other = ("entirely unrelated musings on medieval manuscript "
+             "illumination techniques using gold leaf and crushed "
+             "lapis lazuli pigments prepared by monks")
+
+    def mk(doc_id, text, epoch):
+        return spark.createDataFrame(
+            [(doc_id, text, epoch)], "doc_id long, text string, ep double"
+        ).withColumn("ets", F.col("ep").cast("timestamp"))
+
+    kw = dict(
+        cos_num=95, n_planes=8, n_tables=6,
+        event_time_col="ets", watermark="100 seconds",
+    )
+    a1 = semantic_dedup_batch(mk(1, base + " one", 1000.0), store, **kw)
+    assert [r.doc_id for r in a1.collect()] == [1]
+    # dup within the watermark window -> dropped
+    a2 = semantic_dedup_batch(mk(2, base + " two", 1030.0), store, **kw)
+    assert a2.count() == 0
+    # unrelated doc far in the future advances the high water mark;
+    # docs 1 and 2 age out of the store
+    a3 = semantic_dedup_batch(mk(3, other, 2000.0), store, **kw)
+    assert [r.doc_id for r in a3.collect()] == [3]
+    docs_df, buckets_df, meta = read_semantic_store(spark, store)
+    assert {r._sid for r in docs_df.collect()} == {3}
+    assert {r._sid for r in buckets_df.select("_sid").distinct().collect()} == {3}
+    assert meta["max_event_epoch"] == 2000.0
+    # same content re-arrives after eviction -> re-admitted
+    a4 = semantic_dedup_batch(mk(4, base + " three", 2010.0), store, **kw)
+    assert [r.doc_id for r in a4.collect()] == [4]
+    # at-least-once replay: the batch's docs are already in the store,
+    # so a replay self-matches and admits nothing new
+    a4r = semantic_dedup_batch(mk(4, base + " three", 2010.0), store, **kw)
+    assert a4r.count() == 0
+
+
+def test_ingest_stream_semantic_composed_gate(spark, tmp_path):
+    """r14: the composed online gate WITH the semantic stage
+    (ingest_stream_semantic) — heuristic gate, exact corpus dedup,
+    and the SemDeDup stage all fire in one running query: a too-short
+    doc is gated, an exact corpus dup is dropped by the fingerprint
+    stage, a RE-PHRASING of an admitted doc (different fingerprint,
+    cos ≥ threshold) is dropped by the semantic stage, and the
+    distinct survivors land in the output parquet."""
+    import uuid as _uuid
+
+    from gcp_dataengineering_spark.llm_ops.dedup import dedup_exact
+    from gcp_dataengineering_spark.streaming.ingest import (
+        ingest_stream_semantic,
+    )
+
+    filler = " ".join(f"word{i}" for i in range(30))
+    filler2 = " ".join(f"item{i} thing{i}" for i in range(15))
+    base = f"the and of a to {filler} morning briefing covered harbor traffic"
+    rows = [
+        (1, base + " in detail today"),          # kept
+        (2, "too short"),                         # heuristic gate
+        (3, base + " in detail tomorrow"),        # semantic re-phrase of 1
+        (5, f"dup of corpus {filler2} the and stays out"),  # exact corpus dup
+        (6, f"el la los de que {filler2} completely separate topic here"),  # kept
+    ]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = spark.createDataFrame(
+        [(100, f"dup of corpus {filler2} the and stays out")],
+        "doc_id long, text string",
+    )
+    corpus_fps = dedup_exact(corpus)
+
+    src = tmp_path / "src"
+    src.mkdir()
+    batch.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src) + "/*.parquet"
+    )
+    out = str(tmp_path / "out")
+    q = ingest_stream_semantic(
+        stream,
+        corpus_fps,
+        str(tmp_path / "store"),
+        out,
+        checkpoint_dir=str(tmp_path / f"ckpt_{_uuid.uuid4().hex[:8]}"),
+        semantic_cos=90,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert {r.doc_id for r in got.collect()} == {1, 6}
+    # the ingest chain's columns ride through the semantic sink
+    assert {"fp", "lang_pred"} <= set(got.columns)
