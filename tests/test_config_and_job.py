@@ -296,3 +296,24 @@ def test_rotated_out_keys_still_match_duckdb(spark):
         if table_hash(s_rows, s_cols) != table_hash(o_rows, o_cols):
             failures.append(f"{key}: value hash mismatch")
     assert not failures, failures
+
+
+def test_compare_tool_rejects_unknown_keys():
+    """r13 verdict finding: filtering tools/compare.py for keys
+    outside the current rotation window must fail loudly (exit 1,
+    the keys named) instead of silently checking nothing and
+    printing '0 failures'. The guard fires before Spark startup, so
+    this costs no JVM."""
+    import os
+    import subprocess
+    import sys
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        [sys.executable, "tools/compare.py", "/root/testdata/sf0.01",
+         "definitely_not_a_key"],
+        capture_output=True, text=True, timeout=120, cwd=root,
+    )
+    assert proc.returncode == 1
+    assert "unknown keys" in proc.stdout
+    assert "definitely_not_a_key" in proc.stdout

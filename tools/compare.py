@@ -55,6 +55,22 @@ def main():
     import __spark_entry__ as e
     from gcp_dataengineering_spark.session import get_spark
 
+    qs, oracles = e.queries(), e.oracle_sql()
+    unknown = sorted(only - set(qs))
+    if unknown:
+        # a key outside the CURRENT rotation window would otherwise be
+        # silently skipped and the run would print a false "0 failures"
+        # (r13 verdict finding) — fail loudly, BEFORE paying the Spark
+        # startup, so a wrong-parity invocation can't masquerade as a
+        # green sweep
+        print(
+            f"FAIL unknown keys (not in this round's window): {unknown}\n"
+            "  (rotation parity flips per round — run under the right "
+            "SPARK_GRAFT_ROUND, or check suite/rotation.py groups)\n"
+            f"\n{len(unknown)} failures: {unknown}"
+        )
+        sys.exit(1)
+
     spark = get_spark("compare", cpus=os.environ.get("SPARK_GRAFT_CPUS", "8"))
     con = duckdb.connect()
     for t in TABLES:
@@ -62,7 +78,6 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
-    qs, oracles = e.queries(), e.oracle_sql()
     failures = []
     for key, fn in qs.items():
         if only and key not in only:
