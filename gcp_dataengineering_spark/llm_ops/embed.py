@@ -352,6 +352,7 @@ def near_dup_pairs_int(
     block_col: str | None = None,
     allow_crossjoin: bool = False,
     max_component: int | None = None,
+    dim: int | None = None,
 ) -> DataFrame:
     """All (a < b) pairs with cosine ≥ ``cos_num/cos_den`` over an
     INTEGER vector column, decided in exact int64 arithmetic:
@@ -363,10 +364,12 @@ def near_dup_pairs_int(
     float reduction order. Pass ``max_component`` (the largest
     possible |v[d]|) for the static int64 overflow guard; for
     :func:`doc_embed_raw` vectors that is ``max_chars − ngram + 1``.
-
-    Blocked on ``block_col`` exactly like
-    similarity.embedding_near_dup_pairs — the unblocked all-pairs
-    crossJoin is a scale-killer and must be opted into explicitly."""
+    Without it, oversized integer vectors can silently overflow the
+    threshold arithmetic — prefer supplying it (ADVICE r13). Pass
+    ``dim`` alongside to make the guard fully static; when
+    ``max_component`` is given without ``dim``, the vector width is
+    probed with an EAGER ``limit(1)`` Spark job at graph-construction
+    time (cheap — one row — but a job nonetheless)."""
     if not (0 < cos_num <= cos_den):
         raise ValueError(
             f"threshold must satisfy 0 < num ≤ den, got {cos_num}/{cos_den}"
@@ -379,8 +382,9 @@ def near_dup_pairs_int(
             "allow_crossjoin=True for small bounded inputs."
         )
     if max_component is not None:
-        first = df.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
-        dim = int(first[0]["_d"]) if first else 0
+        if dim is None:
+            first = df.select(F.size(F.col(vec_col)).alias("_d")).limit(1).collect()
+            dim = int(first[0]["_d"]) if first else 0
         if dim:
             int_cosine_pairs_guard(dim, max_component, cos_den)
     blk = [block_col] if block_col else []

@@ -45,6 +45,8 @@ has no URL surface; this exists for the Common-Crawl path
 
 from __future__ import annotations
 
+from functools import lru_cache
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -221,18 +223,22 @@ PUBLIC_SUFFIX_2 = (
 
 
 def _curated_psl() -> tuple[str, ...]:
-    """~650-rule curated public-suffix table (r13), assembled OFFLINE
-    from well-known, publicly documented registry policies — this
+    """~1,170-rule curated public-suffix table (r13, extended r14
+    per the verdict's coverage item), assembled OFFLINE from
+    well-known, publicly documented registry policies — this
     container has no network, so the real Mozilla list cannot be
     vendored verbatim; it drops in unchanged as data (`rules=` takes
-    any PSL-syntax iterable, and the join fold is fuzz-proven to
-    1,200+ rules). Coverage: the second-level registration sets of
-    ~45 major ccTLDs, the US state / k12 / cc / lib hierarchy, the
-    Canadian provinces, the well-known wildcard TLDs with their
+    any PSL-syntax iterable, and the join fold is fuzz-proven past
+    this size). Coverage: the second-level registration sets of ~100
+    ccTLDs (r14 added the Middle East / Central & South Asia /
+    Africa / Latin America & Caribbean / Pacific registries the
+    first pass skipped), the US state / k12 / cc / lib hierarchy,
+    the Canadian provinces, the well-known wildcard TLDs with their
     exceptions (*.ck / !www.ck etc.), the Japanese city wildcards
-    (*.kawasaki.jp / !city.kawasaki.jp etc.), and the most common
-    PRIVATE-section platform suffixes (github.io, blogspot.com, …)
-    that a crawl pipeline must split per tenant."""
+    (*.kawasaki.jp / !city.kawasaki.jp etc.), and the common
+    PRIVATE-section platform/CDN tenant suffixes (github.io,
+    blogspot.com, myshopify.com, cloudfront.net, …) that a crawl
+    pipeline must split per tenant."""
     cc2 = {
         "uk": "co org me ltd plc net sch ac gov nhs police",
         "jp": "ac ad co ed go gr lg ne or",
@@ -283,6 +289,83 @@ def _curated_psl() -> tuple[str, ...]:
         "hu": "co org info priv",
         "no": "priv mil",
         "ca": "ab bc mb nb nf nl ns nt nu on pe qc sk yk gc",
+        # r14 (r13 verdict item 4): the remaining documented
+        # second-level registration sets — Middle East / Central &
+        # South Asia,
+        "pk": "com net org edu gov mil fam biz web",
+        "lk": "com org edu ngo soc web ltd assn grp hotel ac sch gov int",
+        "kz": "com net org edu gov mil",
+        "uz": "co com net org",
+        "ir": "ac co gov id net org sch",
+        "iq": "com net org edu gov mil",
+        "jo": "com net org edu sch gov mil name",
+        "lb": "com edu gov net org",
+        "kw": "com edu emb gov ind net org",
+        "qa": "com edu gov mil name net org sch",
+        "om": "co com edu gov med net org pro",
+        "bh": "com edu net org gov",
+        "az": "com net int gov org edu info pp mil name pro biz",
+        "ge": "com edu gov org mil net pvt",
+        "am": "co com net org",
+        "bn": "com edu gov net org",
+        "mv": "com edu gov int mil net org",
+        "bt": "com edu gov net org",
+        "mn": "gov edu org",
+        "kg": "org net com edu gov mil",
+        # Africa,
+        "tz": "ac co go hotel info me mil mobi ne or sc tv",
+        "ug": "co or ac sc go ne com org",
+        "gh": "com edu gov org mil",
+        "zm": "ac biz co com edu gov info mil net org sch",
+        "zw": "ac co gov mil org",
+        "bw": "co org",
+        "rw": "ac co coop gov int mil net org",
+        "et": "com gov org edu net biz name info",
+        "ma": "ac co gov net org press",
+        "dz": "art asso com edu gov net org pol",
+        "tn": "com ens fin gov ind info intl nat net org perso tourism",
+        "sn": "art com edu gouv org perso univ",
+        "ci": "org or com co edu ed ac net go asso int presse md gouv",
+        "cm": "co com gov net",
+        "mz": "ac adv co edu gov mil net org",
+        "na": "co com org",
+        "mw": "ac biz co com coop edu gov int net org",
+        "ls": "ac biz co edu gov info net org sc",
+        # Latin America & Caribbean,
+        "bo": "com edu gob int org net mil tv web",
+        "py": "com coop edu gov mil net org",
+        "cr": "ac co ed fi go or sa",
+        "gt": "com edu gob ind mil net org",
+        "sv": "com edu gob org red",
+        "hn": "com edu org net mil gob",
+        "ni": "ac biz co com edu gob in info int mil net nom org web",
+        "pa": "ac gob com org sld edu net ing abo med nom",
+        "do": "art com edu gob gov mil net org sld web",
+        "cu": "com edu org net gov inf",
+        "tt": "co com org net biz info pro name edu gov",
+        "bs": "com net org edu gov",
+        "bb": "biz co com edu gov info net org store tv",
+        # Europe (the sets the first pass skipped),
+        "lv": "com edu gov org mil id net asn conf",
+        "ee": "com org fie pri riik lib med edu gov aip",
+        "by": "com gov mil of",
+        "mk": "com org net edu gov inf name",
+        "ba": "com edu gov mil net org",
+        "hr": "com iz from name",
+        "cy": "ac biz com ekloges gov ltd mil net org press pro tm",
+        "mt": "com edu net org",
+        "al": "com edu gov mil net org",
+        "me": "co net org edu ac gov its priv",
+        "ie": "gov",
+        "lt": "gov",
+        "it": "gov edu",
+        # Pacific,
+        "fj": "ac biz com info mil name net org pro",
+        "to": "com gov net org edu mil",
+        "ws": "com net org gov edu",
+        "vu": "com edu net org",
+        "sb": "com edu gov net org",
+        "pf": "com org edu",
     }
     rules: list[str] = []
     for tld, seconds in cc2.items():
@@ -296,8 +379,8 @@ def _curated_psl() -> tuple[str, ...]:
         rules.append(f"{st}.us")
         rules += [f"{lvl}.{st}.us" for lvl in ("k12", "cc", "lib")]
     # wildcard TLDs + their published exceptions
-    rules += ["*.bd", "*.ck", "!www.ck", "*.er", "*.fk", "*.kh",
-              "*.mm", "*.np", "*.pg"]
+    rules += ["*.bd", "*.ck", "!www.ck", "*.er", "*.fk", "*.jm",
+              "*.kh", "*.mm", "*.np", "*.pg"]
     # Japanese designated-city wildcards (the city.X.jp exception is
     # the municipal government's own registrable domain)
     for city in ("kawasaki", "kitakyushu", "kobe", "nagoya", "sapporo",
@@ -313,6 +396,14 @@ def _curated_psl() -> tuple[str, ...]:
         "azurewebsites.net", "wordpress.com", "readthedocs.io",
         "neocities.org", "s3.amazonaws.com", "glitch.me",
         "onrender.com", "repl.co", "surge.sh",
+        # r14: the large hosting/CDN tenant suffixes the first pass
+        # skipped — each hosts one independent site per subdomain
+        "myshopify.com", "wixsite.com", "webflow.io", "bitbucket.io",
+        "sourceforge.io", "gitbook.io", "hashnode.dev",
+        "pythonanywhere.com", "ngrok.io", "fly.dev", "deno.dev",
+        "cloudfront.net", "elasticbeanstalk.com", "codeberg.page",
+        "r2.dev", "b-cdn.net", "supabase.co", "ngrok-free.app",
+        "trycloudflare.com", "koyeb.app", "up.railway.app",
     ]
     return tuple(rules)
 
@@ -468,6 +559,52 @@ def registrable_domain_sql(host_expr: str, rules=PUBLIC_SUFFIX_2) -> str:
     return "CASE " + " ".join(whens) + f" ELSE {host_expr} END"
 
 
+@lru_cache(maxsize=16)
+def _psl_join_rows(
+    rules_key: tuple[str, ...],
+) -> tuple[tuple[str, int, bool, bool, int | None], ...]:
+    """(match_key, label_count, has_plain, has_wild, exc_order) per
+    distinct match key — the join-fold attribute table, derived once
+    per rule-table identity (the PSL is a CONSTANT; r13's verdict
+    flagged rebuilding it per call)."""
+    info: dict[str, list] = {}
+    for i, r in enumerate(rules_key):
+        if r.startswith("!"):
+            slot = info.setdefault(r[1:], [False, False, None])
+            if slot[2] is None:  # first exception in rule order wins
+                slot[2] = i
+        elif r.startswith("*."):
+            info.setdefault(r[2:], [False, False, None])[1] = True
+        else:
+            info.setdefault(r, [False, False, None])[0] = True
+    return tuple(
+        (mk, mk.count(".") + 1, p, w, e) for mk, (p, w, e) in info.items()
+    )
+
+
+# (session, rules identity) → local-relation rules frame. A
+# DataFrame is a reusable logical plan: building the ~1k-row local
+# relation costs a py4j transfer per call, pure driver overhead the
+# r13 A/B measured — cache it like the constant it is. The value
+# holds the session strongly, which both bounds the entry's lifetime
+# to the process and keeps id() keys collision-free; sessions are
+# few and long-lived, so the dict stays (#sessions × #tables)-sized.
+_PSL_FRAME_CACHE: dict[tuple[int, tuple[str, ...]], tuple] = {}
+
+
+def _psl_rules_frame(spark, rules_key: tuple[str, ...]):
+    rows = _psl_join_rows(rules_key)
+    ck = (id(spark), rules_key)
+    hit = _PSL_FRAME_CACHE.get(ck)
+    if hit is None:
+        df = spark.createDataFrame(
+            list(rows),
+            "mk string, m int, has_plain boolean, has_wild boolean, exc_order long",
+        )
+        _PSL_FRAME_CACHE[ck] = hit = (spark, df)
+    return rows, hit[1]
+
+
 def with_registrable_domain(
     df: DataFrame,
     host_col: str,
@@ -511,22 +648,7 @@ def with_registrable_domain(
         )
 
     # --- join fold: one attribute row per match key ---------------
-    info: dict[str, list] = {}
-    for i, r in enumerate(rules_list):
-        if r.startswith("!"):
-            slot = info.setdefault(r[1:], [False, False, None])
-            if slot[2] is None:  # first exception in rule order wins
-                slot[2] = i
-        elif r.startswith("*."):
-            info.setdefault(r[2:], [False, False, None])[1] = True
-        else:
-            info.setdefault(r, [False, False, None])[0] = True
-    rows = [
-        (mk, mk.count(".") + 1, p, w, e) for mk, (p, w, e) in info.items()
-    ]
-    rules_df = df.sparkSession.createDataFrame(
-        rows, "mk string, m int, has_plain boolean, has_wild boolean, exc_order long"
-    )
+    rows, rules_df = _psl_rules_frame(df.sparkSession, tuple(rules_list))
     ms = sorted({m for _, m, _, _, _ in rows})
 
     h = F.col(host_col)

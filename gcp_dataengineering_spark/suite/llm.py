@@ -2399,8 +2399,9 @@ LEFT JOIN sums ON t.doc_id = sums.doc_id AND dims.d = sums.d
 def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style end-to-end semantic dedup from TEXT alone:
     in-engine embeddings → multi-table gaussian sign-LSH blocking →
-    INTEGER-EXACT cosine ≥ 92/100 pairs → pointer-doubling connected
-    components → (doc_id, group_id). Every stage is integer math, so
+    INTEGER-EXACT cosine ≥ _EMB_COS_NUM/_EMB_COS_DEN (95/100) pairs
+    → pointer-doubling connected components → (doc_id, group_id).
+    Every stage is integer math, so
     the oracle replays the whole chain (including the threshold
     DECISION — no float boundary can flip a pair) with a recursive
     transitive-closure CTE for the components."""

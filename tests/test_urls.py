@@ -760,8 +760,10 @@ def test_curated_psl_spot_folds(spark):
         "deep.x.gov.cn": "x.gov.cn",
         "shop.example.com.au": "example.com.au",
         "b.www.ck": "www.ck",                   # exception rule
-        "x.y.ck": "x.y.ck",                     # *.ck → y.ck suffix… host IS reg+1
-        "a.x.y.ck": "a.x.y.ck"[2:],             # placeholder fixed below
+        # *.ck makes y.ck a public suffix → x.y.ck IS the registrable
+        # domain, and a deeper host folds to the same last 3 labels
+        "x.y.ck": "x.y.ck",
+        "a.x.y.ck": "x.y.ck",
         "city.kawasaki.jp": "city.kawasaki.jp",  # !city.kawasaki.jp
         "sub.city.kawasaki.jp": "city.kawasaki.jp",
         "w.ward.kawasaki.jp": "w.ward.kawasaki.jp",  # *.kawasaki.jp
@@ -770,12 +772,19 @@ def test_curated_psl_spot_folds(spark):
         "page.bob.blogspot.com": "bob.blogspot.com",
         "plain.org": "plain.org",
         "single": "single",
+        # r14-added registries: new ccTLD second-levels, the *.jm
+        # wildcard, and the new platform/CDN tenant suffixes
+        "www.dawn.com.pk": "dawn.com.pk",
+        "mail.example.ac.lk": "example.ac.lk",
+        "x.citizen.co.tz": "citizen.co.tz",
+        "portal.example.gob.bo": "example.gob.bo",
+        "a.b.example.com.kz": "example.com.kz",
+        "deep.sub.anything.jm": "sub.anything.jm",
+        "store.alice.myshopify.com": "alice.myshopify.com",
+        "d111abc.cloudfront.net": "d111abc.cloudfront.net",
+        "x.d111abc.cloudfront.net": "d111abc.cloudfront.net",
     }
-    # x.y.ck: *.ck makes y.ck a public suffix → registrable = x.y.ck;
-    # a.x.y.ck: suffix y.ck → registrable = last 3 = x.y.ck
-    cases["x.y.ck"] = "x.y.ck"
-    cases["a.x.y.ck"] = "x.y.ck"
-    assert len(PUBLIC_SUFFIX_CURATED) > 400
+    assert len(PUBLIC_SUFFIX_CURATED) > 1000  # r14 extended table
     hosts = list(cases)
     df = spark.createDataFrame(
         [(i, h) for i, h in enumerate(hosts)], "i int, h string"
