@@ -3,16 +3,20 @@ verdict's missing second tokenizer family next to BPE): a
 subword vocabulary learned by fixed-iteration EM over candidate
 pieces, and Viterbi segmentation under the learned piece scores.
 
-This is the HARD-EM (Viterbi-EM) variant of Kudo 2018's unigram
-language model, chosen deliberately and documented as such: the
-E-step segments every distinct word with the CURRENT scores (one
-best segmentation per word, not expected fractional counts), the
-M-step re-estimates scores from the segment counts, and a
-deterministic prune keeps the vocabulary at size. Hard EM is the
-standard tractable variant when exact cross-engine determinism
-matters — expected-count EM needs float forward-backward sums whose
-reduction order differs across engines, while every quantity here
-is INTEGER:
+The ORACLE-GATED trainer is the HARD-EM (Viterbi-EM) variant of
+Kudo 2018's unigram language model, chosen deliberately and
+documented as such: the E-step segments every distinct word with
+the CURRENT scores (one best segmentation per word, not expected
+fractional counts), the M-step re-estimates scores from the segment
+counts, and a deterministic prune keeps the vocabulary at size.
+Hard EM is the standard tractable variant when exact cross-engine
+determinism matters — expected-count EM needs float
+forward-backward sums whose reduction order differs across engines,
+while every quantity here is INTEGER. (r14 adds
+:func:`unigram_train_soft`, the expected-count float variant with a
+pinned fold-order/micro-rounding determinism contract, pytest-gated
+against its python twin rather than a SQL oracle — see the variant
+matrix above its definition.) The integer contract:
 
 - piece scores are fixed-point log-probabilities
   ``llog2(count + 1) − llog2(total + V)`` (quality_model.llog2 — the
@@ -55,8 +59,10 @@ from .materialize import materialize as _materialize
 from .quality_model import FRAC_BITS, llog2, llog2_py
 
 __all__ = [
-    "UNK_SCORE", "WORD_PATTERN", "unigram_train", "unigram_encode_words",
-    "unigram_encode_docs", "unigram_train_py", "viterbi_py",
+    "MICRO", "UNK_SCORE", "WORD_PATTERN", "unigram_train",
+    "unigram_train_soft", "unigram_encode_words", "unigram_encode_docs",
+    "unigram_sample_words", "unigram_sample_words_py",
+    "unigram_train_py", "unigram_train_soft_py", "viterbi_py",
 ]
 
 # the repo's BPE/suite word convention: lowercase alpha runs
@@ -142,22 +148,10 @@ def _with_scores(pieces: DataFrame, frac_bits: int = FRAC_BITS) -> DataFrame:
     )
 
 
-def _segment_words(
-    words: DataFrame,
-    pieces: DataFrame,
-    max_piece_len: int,
-) -> DataFrame:
-    """(word, n, pieces array<string>) — Viterbi-best segmentation of
-    every distinct word under the scored piece table.
-
-    Shape: explode each word's O(len·L) candidate spans, BROADCAST-
-    join the piece table for scores (single-char spans keep an OOV
-    fallback edge at UNK_SCORE so every word segments), collect the
-    word's edges into ONE array, then run the DP as a bounded
-    higher-order fold — dp grows position by position, each step
-    reading its predecessors from the accumulator. Pure expression
-    after the one broadcast join; no per-row Python."""
-    spans = words.select(
+def _word_spans(words: DataFrame, max_piece_len: int) -> DataFrame:
+    """(word, n, i, j, p) — every candidate span of length 1..L of
+    every distinct word; one explode, blowup bounded by len·L."""
+    return words.select(
         "word",
         "n",
         F.explode(
@@ -186,6 +180,24 @@ def _segment_words(
         F.col("e.i").alias("i"), F.col("e.j").alias("j"),
         F.col("e.p").alias("p"),
     )
+
+
+def _segment_words(
+    words: DataFrame,
+    pieces: DataFrame,
+    max_piece_len: int,
+) -> DataFrame:
+    """(word, n, pieces array<string>) — Viterbi-best segmentation of
+    every distinct word under the scored piece table.
+
+    Shape: explode each word's O(len·L) candidate spans, BROADCAST-
+    join the piece table for scores (single-char spans keep an OOV
+    fallback edge at UNK_SCORE so every word segments), collect the
+    word's edges into ONE array, then run the DP as a bounded
+    higher-order fold — dp grows position by position, each step
+    reading its predecessors from the accumulator. Pure expression
+    after the one broadcast join; no per-row Python."""
+    spans = _word_spans(words, max_piece_len)
     scored = spans.join(
         F.broadcast(pieces.select(F.col("piece").alias("p"), "score")),
         "p",
@@ -517,3 +529,489 @@ def unigram_train_py(
             p: (c, sc[p], i + 1) for i, (p, c) in enumerate(ranked)
         }
     }
+
+
+# ------------------------------------------------------------------
+# soft (expected-count) EM — the float variant (r14)
+# ------------------------------------------------------------------
+# WHICH VARIANT WHEN (the r13 verdict's "docstring matrix"):
+#
+# | concern                        | unigram_train (hard EM)  | unigram_train_soft (this) |
+# |--------------------------------|--------------------------|---------------------------|
+# | EM statistic                   | Viterbi best path only   | expected counts over ALL  |
+# |                                |                          | segmentations (fwd-bwd)   |
+# | arithmetic                     | INTEGER fixed point      | float64, micro-rounded    |
+# | cross-engine replay            | bit-exact (DuckDB oracle | pytest vs python twin     |
+# |                                | key `unigram_encode`)    | only — no SQL oracle      |
+# | training-quality parity with   | approximation (hard EM   | the SentencePiece-family  |
+# | SentencePiece                  | over-commits early)      | statistic                 |
+# | when to use                    | budgets/shards that must | vocab quality matters     |
+# |                                | replay identically       | more than replayability   |
+#
+# Determinism contract (what makes the float path still testable):
+# every per-word reduction folds over the word's edge array SORTED
+# by (i, j, p), so within a word the double accumulation order is
+# fixed; each (word, piece) contribution is rounded to MICRO-counts
+# (×1e6, floor(x+0.5)) BEFORE the cross-word aggregation, which then
+# sums integers — order-free. The python twin reproduces the same
+# fold order and the same rounding, so expected counts match
+# EXACTLY, not approximately; only the final log2 fixed-point score
+# may differ by ±1 ulp-induced unit between JVM and libm.
+
+MICRO = 1_000_000
+
+
+def _with_probs(pieces: DataFrame, micro: bool) -> DataFrame:
+    """Attach Laplace-smoothed piece probability θ_p as double:
+    (cnt/scale + 1) / (T/scale + V) — the float twin of
+    `_with_scores` (scale = 1e6 when counts are micro-counts)."""
+    wall = Window.partitionBy()
+    scale = F.lit(float(MICRO)) if micro else F.lit(1.0)
+    t = F.sum("cnt").over(wall).cast("double") / scale
+    v = F.count(F.lit(1)).over(wall).cast("double")
+    return pieces.withColumn(
+        "th", (F.col("cnt").cast("double") / scale + F.lit(1.0)) / (t + v)
+    )
+
+
+def _expected_counts(
+    words: DataFrame, pieces: DataFrame, max_piece_len: int
+) -> DataFrame:
+    """E-step: (piece, cnt) where cnt is the MICRO-rounded expected
+    number of uses of the piece across the corpus under the current
+    θ — forward-backward over each distinct word's lattice, edge
+    posterior α[i]·θ·β[j]/Z, weighted by the word's corpus count and
+    micro-rounded PER (word, piece) so the final per-piece sum is an
+    integer aggregation (order-free; see the determinism contract).
+
+    Scale shape: identical to the Viterbi path — one span explode
+    over the DISTINCT-WORD table, one broadcast join of the piece
+    table, per-word folds over a dimension-sized edge array, one
+    piece-keyed integer aggregation."""
+    spans = _word_spans(words, max_piece_len)
+    scored = spans.join(
+        F.broadcast(pieces.select(F.col("piece").alias("p"), "th")),
+        "p",
+        # training vocab always contains every single char (coverage
+        # rule), so every word stays reachable without an OOV edge
+        "inner",
+    )
+    edges = scored.groupBy("word", "n").agg(
+        F.array_sort(
+            F.collect_list(F.struct("i", "j", "p", "th"))
+        ).alias("_edges")
+    )
+
+    ec, ln = F.col("_edges"), F.length("word").cast("int")
+
+    def fwd_step(acc: Column, j: Column) -> Column:
+        s = F.aggregate(
+            F.filter(ec, lambda e: e["j"] == j),
+            F.lit(0.0),
+            lambda s2, e: s2 + F.element_at(acc, e["i"] + 1) * e["th"],
+        )
+        return F.concat(acc, F.array(s))
+
+    # brev[k] = β[len − k + 1]; brev[1] = β[len] = 1. Step t fills
+    # β[len − t]; every referenced β[e.j] has e.j > len − t, so it is
+    # already in the accumulator.
+    def bwd_step(acc: Column, t: Column) -> Column:
+        s = F.aggregate(
+            F.filter(ec, lambda e: e["i"] == ln - t),
+            F.lit(0.0),
+            lambda s2, e: s2
+            + e["th"] * F.element_at(acc, ln - e["j"] + 1),
+        )
+        return F.concat(acc, F.array(s))
+
+    with_ab = edges.withColumn(
+        "_fw",
+        F.aggregate(
+            F.sequence(F.lit(1), ln), F.array(F.lit(1.0)), fwd_step
+        ),
+    ).withColumn(
+        "_bwr",
+        F.aggregate(
+            F.sequence(F.lit(1), ln), F.array(F.lit(1.0)), bwd_step
+        ),
+    )
+    # Z = β[0] = brev[len + 1] (= α[len]); bind the projected arrays
+    # before the per-edge transform references them (the CSE rule)
+    z = F.element_at(F.col("_bwr"), ln + 1)
+    per_edge = with_ab.select(
+        "word",
+        "n",
+        F.explode(
+            F.transform(
+                ec,
+                lambda e: F.struct(
+                    e["p"].alias("p"),
+                    (
+                        F.element_at(F.col("_fw"), e["i"] + 1)
+                        * e["th"]
+                        * F.element_at(
+                            F.col("_bwr"), ln - e["j"] + 1
+                        )
+                        / z
+                    ).alias("w"),
+                ),
+            )
+        ).alias("ew"),
+    )
+    # micro-round per (word, piece): downstream sums are integer
+    contrib = (
+        per_edge.groupBy("word", "n", F.col("ew.p").alias("piece"))
+        .agg(F.sum(F.col("ew.w")).alias("_ew"))
+        .select(
+            "piece",
+            F.floor(
+                F.col("n").cast("double") * F.col("_ew") * F.lit(float(MICRO))
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("_c"),
+        )
+    )
+    return contrib.groupBy("piece").agg(F.sum("_c").cast("long").alias("cnt"))
+
+
+def unigram_train_soft(
+    docs: DataFrame,
+    text_col: str = "text",
+    vocab_size: int = 2000,
+    max_piece_len: int = 6,
+    em_iters: int = 1,
+    materialize: str | MaterializeFn | bool | None = None,
+) -> DataFrame:
+    """Expected-count (soft) EM unigram-LM training — the
+    SentencePiece-family statistic (Kudo 2018 §3.2: E-step =
+    forward-backward posteriors over ALL segmentations, not just the
+    Viterbi path). See the variant matrix at the top of this
+    section for when to prefer this over :func:`unigram_train`.
+
+    Returns (piece, cnt, score, piece_id, prob): ``cnt`` is the
+    MICRO-rounded expected count (units of 1e-6 — divide by
+    ``MICRO`` for the float statistic), ``prob`` the Laplace-smoothed
+    piece probability, and ``score``/``piece_id`` the SAME shape the
+    hard-EM table ships — ``score = floor(log2(prob)·2^FRAC_BITS)``
+    — so the table drops into :func:`unigram_encode_docs` /
+    :func:`unigram_encode_words` and the composed pipeline
+    (``PipelineConfig.unigram_vocab``) unchanged. Seeding and the
+    prune rule are the hard-EM ones (substring counts; rank by
+    (cnt DESC, piece ASC) + single-char coverage), so the two
+    variants differ ONLY in the E-step statistic."""
+    words = _materialize(_words_with_counts(docs, text_col), materialize)
+    pieces = _with_probs(
+        _prune(_substring_candidates(words, max_piece_len), vocab_size),
+        micro=False,
+    )
+    for _ in range(em_iters):
+        pieces = _materialize(pieces, materialize)
+        counts = _expected_counts(words, pieces, max_piece_len)
+        chars = (
+            pieces.filter(F.length("piece") == 1)
+            .select("piece")
+            .join(counts, "piece", "left_anti")
+            .withColumn("cnt", F.lit(0).cast("long"))
+        )
+        pieces = _with_probs(
+            _prune(counts.unionByName(chars), vocab_size), micro=True
+        )
+    ranked = pieces.withColumn(
+        "piece_id",
+        F.row_number().over(
+            Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+        ).cast("int"),
+    ).withColumn(
+        # fixed-point log2 score for the integer Viterbi encoder; the
+        # ONLY float→int boundary in the output (JVM vs libm log2 can
+        # differ in the last ulp, hence the fuzz's ±1 tolerance here
+        # while counts compare EXACTLY)
+        "score",
+        F.floor(F.log2(F.col("th")) * F.lit(float(1 << FRAC_BITS))).cast(
+            "long"
+        ),
+    )
+    return ranked.select(
+        "piece", "cnt", "score", "piece_id", F.col("th").alias("prob")
+    )
+
+
+def unigram_train_soft_py(
+    texts: list[str],
+    vocab_size: int = 2000,
+    max_piece_len: int = 6,
+    em_iters: int = 1,
+) -> dict:
+    """Pure-Python twin of :func:`unigram_train_soft` — identical
+    fold order (edges sorted by (i, j, p)), identical micro-rounding
+    point, identical prune. Returns
+    {"pieces": {piece: (cnt_micro, score, piece_id, prob)}}."""
+    import math
+
+    wc: dict[str, int] = {}
+    for t in texts:
+        for w in re.split(WORD_PATTERN, (t or "").lower()):
+            if w:
+                wc[w] = wc.get(w, 0) + 1
+
+    def prune(c: dict[str, int]) -> dict[str, int]:
+        ranked = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))
+        keep = {p for p, _ in ranked[:vocab_size]}
+        keep |= {p for p in c if len(p) == 1}
+        return {p: c[p] for p in keep}
+
+    def probs_of(c: dict[str, int], micro: bool) -> dict[str, float]:
+        scale = float(MICRO) if micro else 1.0
+        t = 0
+        for v in c.values():
+            t += v
+        td = t / scale
+        v = float(len(c))
+        return {p: (cv / scale + 1.0) / (td + v) for p, cv in c.items()}
+
+    cands: dict[str, int] = {}
+    for w, n in wc.items():
+        for i in range(len(w)):
+            for l in range(1, min(max_piece_len, len(w) - i) + 1):
+                p = w[i : i + l]
+                cands[p] = cands.get(p, 0) + n
+    counts = prune(cands)
+    micro = False
+    for _ in range(em_iters):
+        th = probs_of(counts, micro)
+        newc: dict[str, int] = {}
+        for w, n in wc.items():
+            L = len(w)
+            edges = sorted(
+                (i, j, w[i:j])
+                for i in range(L)
+                for j in range(i + 1, min(i + max_piece_len, L) + 1)
+                if w[i:j] in th
+            )
+            fw = [1.0] + [0.0] * L
+            for j in range(1, L + 1):
+                s = 0.0
+                for (ei, ej, ep) in edges:
+                    if ej == j:
+                        s = s + fw[ei] * th[ep]
+                fw[j] = s
+            bw = [0.0] * L + [1.0]
+            for i in range(L - 1, -1, -1):
+                s = 0.0
+                for (ei, ej, ep) in edges:
+                    if ei == i:
+                        s = s + th[ep] * bw[ej]
+                bw[i] = s
+            z = bw[0]
+            per_piece: dict[str, float] = {}
+            for (ei, ej, ep) in edges:
+                wgt = fw[ei] * th[ep] * bw[ej] / z
+                per_piece[ep] = per_piece.get(ep, 0.0) + wgt
+            for p, ew in per_piece.items():
+                c = math.floor(float(n) * ew * float(MICRO) + 0.5)
+                newc[p] = newc.get(p, 0) + c
+        for p in counts:
+            if len(p) == 1 and p not in newc:
+                newc[p] = 0
+        counts = prune(newc)
+        micro = True
+    th = probs_of(counts, micro)
+    frac = float(1 << FRAC_BITS)
+    ranked = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+    return {
+        "pieces": {
+            p: (c, math.floor(math.log2(th[p]) * frac), i + 1, th[p])
+            for i, (p, c) in enumerate(ranked)
+        }
+    }
+
+
+def unigram_sample_words(
+    words: DataFrame,
+    vocab: DataFrame,
+    max_piece_len: int = 6,
+    alpha: float = 0.2,
+    salt: str = "sp",
+) -> DataFrame:
+    """Subword-REGULARIZATION segmentation (Kudo 2018 §4: sample a
+    segmentation from P(seg|word) instead of taking the Viterbi
+    argmax — the tokenizer-side data augmentation SentencePiece users
+    train with): (word, n, pieces array<string>).
+
+    Sampling is the standard lattice filtration: backward weights
+    ``β[i] = Σ_{edges i→j} θ^α·β[j]`` (``alpha`` is the smoothing
+    temperature — α→0 approaches uniform over segmentations, α=1
+    samples the model distribution), then a forward walk choosing
+    edge ``i→j`` with probability ``θ^α·β[j]/β[i]``.
+
+    DETERMINISTIC sampling: the per-position uniform is
+    ``md5(salt ␟ word ␟ pos)/2^60`` — a pure function of
+    (salt, word, position), so the operator is reproducible,
+    cluster-order-independent, and cheap at corpus scale (segment
+    DISTINCT words once, join back). Vary ``salt`` per training
+    epoch to RESAMPLE the whole corpus — the published
+    regularization recipe. If per-OCCURRENCE diversity inside one
+    epoch matters more than the distinct-word collapse, call this
+    once per occurrence group with an occurrence-derived salt (e.g.
+    shard id) — the cost model then scales with occurrences, which
+    is inherent to per-occurrence sampling, not to this operator.
+
+    ``vocab`` may be a soft table (has ``prob``) or the hard-EM
+    table (``prob`` derived as ``2^(score/2^FRAC_BITS)``); OOV
+    single chars get the UNK weight so every word stays segmentable.
+    Gated by pytest against :func:`unigram_sample_words_py` (exact
+    piece parity — same md5 uniforms, same float ops in the same
+    order); no SQL oracle, same contract as the soft trainer."""
+    from .text import md5_60bit
+
+    has_prob = "prob" in vocab.columns
+    prob = (
+        F.col("prob")
+        if has_prob
+        else F.pow(
+            F.lit(2.0),
+            F.col("score").cast("double") / F.lit(float(1 << FRAC_BITS)),
+        )
+    )
+    pieces = vocab.select(F.col("piece"), prob.alias("_pr"))
+    unk_w = float(2.0 ** (UNK_SCORE / float(1 << FRAC_BITS))) ** alpha
+
+    spans = _word_spans(words, max_piece_len)
+    scored = spans.join(
+        F.broadcast(pieces.select(F.col("piece").alias("p"), "_pr")),
+        "p",
+        "left",
+    ).withColumn(
+        "th_a",
+        F.coalesce(
+            F.pow(F.col("_pr"), F.lit(float(alpha))),
+            F.when(F.col("j") - F.col("i") == 1, F.lit(unk_w)),
+        ),
+    ).filter(F.col("th_a").isNotNull())
+    edges = scored.groupBy("word", "n").agg(
+        F.array_sort(
+            F.collect_list(F.struct("i", "j", "p", F.col("th_a").alias("th")))
+        ).alias("_edges")
+    )
+
+    ec, ln = F.col("_edges"), F.length("word").cast("int")
+
+    def bwd_step(acc: Column, t: Column) -> Column:
+        s = F.aggregate(
+            F.filter(ec, lambda e: e["i"] == ln - t),
+            F.lit(0.0),
+            lambda s2, e: s2 + e["th"] * F.element_at(acc, ln - e["j"] + 1),
+        )
+        return F.concat(acc, F.array(s))
+
+    with_b = edges.withColumn(
+        "_bwr",
+        F.aggregate(F.sequence(F.lit(1), ln), F.array(F.lit(1.0)), bwd_step),
+    )
+    bwr = F.col("_bwr")
+
+    def beta(pos: Column) -> Column:
+        return F.element_at(bwr, ln - pos + 1)
+
+    # forward sampling walk: at pos i draw u ~ md5(salt␟word␟i)/2^60,
+    # take the FIRST edge (sorted order) whose cumulative θ^α·β[j]
+    # exceeds u·β[i]; the last edge catches the float tail.
+    def walk_step(acc: Column, _: Column) -> Column:
+        pos = acc["pos"]
+        cands = F.filter(ec, lambda e: e["i"] == pos)
+        u = (
+            md5_60bit(
+                F.concat(
+                    F.lit(salt), F.lit("\x1f"), F.col("word"),
+                    F.lit("\x1f"), pos.cast("string"),
+                )
+            ).cast("double")
+            / F.lit(float(1 << 60))
+        )
+        target = u * beta(pos)
+        k = F.size(cands)
+        cums = F.transform(
+            F.sequence(F.lit(1), k),
+            lambda m: F.aggregate(
+                F.slice(cands, 1, m),
+                F.lit(0.0),
+                lambda s2, e: s2 + e["th"] * beta(e["j"]),
+            ),
+        )
+        hit = F.filter(
+            F.sequence(F.lit(1), k),
+            lambda m: F.element_at(cums, m) > target,
+        )
+        chosen = F.element_at(
+            cands,
+            F.when(F.size(hit) > 0, F.element_at(hit, 1)).otherwise(k),
+        )
+        return F.when(
+            pos < ln,
+            F.struct(
+                chosen["j"].alias("pos"),
+                F.concat(acc["parts"], F.array(chosen["p"])).alias("parts"),
+            ),
+        ).otherwise(acc)
+
+    walk = F.aggregate(
+        F.sequence(F.lit(1), F.greatest(ln, F.lit(1))),
+        F.struct(
+            F.lit(0).cast("int").alias("pos"),
+            F.array().cast("array<string>").alias("parts"),
+        ),
+        walk_step,
+    )
+    return with_b.select("word", "n", walk["parts"].alias("pieces"))
+
+
+def unigram_sample_words_py(
+    word: str,
+    probs: dict[str, float],
+    max_piece_len: int = 6,
+    alpha: float = 0.2,
+    salt: str = "sp",
+) -> list[str]:
+    """Pure-python twin of :func:`unigram_sample_words` for one word
+    — identical edge order, float ops, md5 uniforms."""
+    import hashlib
+
+    unk_w = float(2.0 ** (UNK_SCORE / float(1 << FRAC_BITS))) ** alpha
+    L = len(word)
+    edges = []
+    for i in range(L):
+        for j in range(i + 1, min(i + max_piece_len, L) + 1):
+            p = word[i:j]
+            if p in probs:
+                edges.append((i, j, p, probs[p] ** alpha))
+            elif j - i == 1:
+                edges.append((i, j, p, unk_w))
+    edges.sort(key=lambda e: (e[0], e[1], e[2]))
+    bw = [0.0] * L + [1.0]
+    for i in range(L - 1, -1, -1):
+        s = 0.0
+        for (ei, ej, ep, th) in edges:
+            if ei == i:
+                s = s + th * bw[ej]
+        bw[i] = s
+    parts: list[str] = []
+    pos = 0
+    for _ in range(max(L, 1)):
+        if pos >= L:
+            break
+        key = f"{salt}\x1f{word}\x1f{pos}".encode("utf-8")
+        h = int(hashlib.md5(key).hexdigest()[:15], 16)
+        u = float(h) / float(1 << 60)
+        target = u * bw[pos]
+        cands = [e for e in edges if e[0] == pos]
+        cum = 0.0
+        chosen = cands[-1]
+        for e in cands:
+            cum = cum + e[3] * bw[e[1]]
+            if cum > target:
+                chosen = e
+                break
+        parts.append(chosen[2])
+        pos = chosen[1]
+    return parts

@@ -141,3 +141,134 @@ def test_segment_plan_broadcast_pieces_join(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+@pytest.mark.parametrize("em_iters", [1, 2])
+def test_soft_train_matches_python_twin(spark, em_iters):
+    """r14 soft-EM variant vs its independent python twin: micro-
+    rounded expected counts, piece_ids, and probs match EXACTLY (the
+    pinned fold-order + per-(word,piece) rounding contract makes the
+    float path deterministic); the fixed-point log2 score may differ
+    by ±1 unit (JVM vs libm last-ulp)."""
+    vocab = U.unigram_train_soft(
+        _docs(spark), vocab_size=25, max_piece_len=4, em_iters=em_iters
+    )
+    got = {
+        r.piece: (r.cnt, r.score, r.piece_id, r.prob)
+        for r in vocab.collect()
+    }
+    want = U.unigram_train_soft_py(
+        TEXTS, vocab_size=25, max_piece_len=4, em_iters=em_iters
+    )["pieces"]
+    assert set(got) == set(want), em_iters
+    for p, (cnt, score, pid, prob) in want.items():
+        g = got[p]
+        assert g[0] == cnt, (p, g, cnt)
+        assert abs(g[1] - score) <= 1, (p, g[1], score)
+        assert g[2] == pid, (p, g[2], pid)
+        assert g[3] == pytest.approx(prob, rel=1e-12), p
+
+
+def test_soft_train_fuzz_vs_twin(spark):
+    """Seeded fuzz over random corpora: exact micro-count parity on
+    every piece, every corpus — the determinism contract holds off
+    the fixture too."""
+    import random
+
+    rng = random.Random(14)
+    alphabet = "abcdef"
+    for trial in range(4):
+        texts = [
+            " ".join(
+                "".join(
+                    rng.choice(alphabet)
+                    for _ in range(rng.randint(1, 8))
+                )
+                for _ in range(rng.randint(1, 12))
+            )
+            for _ in range(rng.randint(3, 10))
+        ]
+        vocab = U.unigram_train_soft(
+            _docs(spark, texts), vocab_size=20, max_piece_len=3, em_iters=1
+        )
+        got = {r.piece: (r.cnt, r.piece_id) for r in vocab.collect()}
+        want = {
+            p: (c, pid)
+            for p, (c, _s, pid, _pr) in U.unigram_train_soft_py(
+                texts, vocab_size=20, max_piece_len=3, em_iters=1
+            )["pieces"].items()
+        }
+        assert got == want, (trial, texts)
+
+
+def test_soft_vocab_drops_into_integer_encoder(spark):
+    """The soft-trained table ships (piece, score, piece_id) in the
+    hard-EM shape: unigram_encode_docs segments under it, coverage
+    holds, and a soft-expected-count-dominant piece wins
+    segmentation. Soft vs hard on the same corpus: same schema
+    contract, different statistic."""
+    docs = _docs(spark)
+    soft = U.unigram_train_soft(
+        docs, vocab_size=25, max_piece_len=4, em_iters=1
+    )
+    import re
+
+    out = U.unigram_encode_docs(
+        docs, soft.select("piece", "cnt", "score", "piece_id"),
+        max_piece_len=4,
+    ).collect()
+    texts = {i: t for i, t in enumerate(TEXTS)}
+    assert {r.doc_id for r in out} == set(range(len(TEXTS)))
+    for r in out:
+        words = [
+            w
+            for w in re.split(U.WORD_PATTERN, texts[r.doc_id].lower())
+            if w
+        ]
+        assert "".join(r.pieces) == "".join(words), r.doc_id
+        assert r.n_oov == 0
+
+
+def test_sample_words_matches_python_twin_and_covers(spark):
+    """Subword-regularization sampling (r14): exact piece-sequence
+    parity with the python twin (same md5 uniforms, same float ops in
+    the same order) across salts and alphas; coverage invariant
+    (concat(pieces) == word) always; different salts actually produce
+    different segmentations somewhere (it IS sampling)."""
+    docs = _docs(spark)
+    soft = U.unigram_train_soft(
+        docs, vocab_size=25, max_piece_len=4, em_iters=1
+    )
+    probs = {r.piece: r.prob for r in soft.collect()}
+    words = spark.createDataFrame(
+        [(w, 1) for w in
+         ["cat", "scattered", "matter", "thematic", "a", "zebra"]],
+        "word string, n long",
+    )
+    segs = {}
+    for salt in ("ep0", "ep1"):
+        for alpha in (0.2, 1.0):
+            out = {
+                r.word: list(r.pieces)
+                for r in U.unigram_sample_words(
+                    words, soft, max_piece_len=4, alpha=alpha, salt=salt
+                ).collect()
+            }
+            for w, pieces in out.items():
+                assert "".join(pieces) == w, (salt, alpha, w, pieces)
+                want = U.unigram_sample_words_py(
+                    w, probs, max_piece_len=4, alpha=alpha, salt=salt
+                )
+                assert pieces == want, (salt, alpha, w, pieces, want)
+            segs[(salt, alpha)] = out
+    # resampling across epochs changes at least one segmentation
+    assert segs[("ep0", 0.2)] != segs[("ep1", 0.2)] or segs[
+        ("ep0", 1.0)
+    ] != segs[("ep1", 1.0)]
+    # hard-EM vocab (no prob column) is accepted too: scores convert
+    hard = U.unigram_train(docs, vocab_size=25, max_piece_len=4)
+    out_h = U.unigram_sample_words(
+        words, hard, max_piece_len=4, alpha=0.5, salt="ep0"
+    ).collect()
+    for r in out_h:
+        assert "".join(r.pieces) == r.word
