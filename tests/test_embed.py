@@ -233,3 +233,98 @@ def test_generated_embeddings_feed_similarity_stack(spark):
     for r in topk:
         assert r.cos <= 1.0001
         assert r.neighbor_id != r.query_id
+
+
+def test_generated_embeddings_retrieval_recall(spark):
+    """r14 (r13 verdict item 6): retrieval-grade evaluation of the
+    GENERATED hashing-trick embeddings at dim 64-128 feeding the ANN
+    stack — recall@10 of cosine_topk_ivf / pq_topk_* against exact
+    brute-force over the same vectors. Measured on this fixture
+    (2026-08, 500 docs, 25 queries, max_chars=512):
+
+        dim 64:  IVF nprobe 2/16 0.44, 4/16 0.65, 8/16 0.90
+                 PQ-ADC m=8 0.34, PQ-rerank shortlist=50 0.76
+        dim 128: IVF nprobe 8/16 0.85, PQ-rerank 0.72
+        (fixture label-clustered vectors, same protocol: IVF 8/16
+         0.81, PQ-rerank 0.60 — the generated vectors are at least
+         as indexable)
+
+    Verdict the numbers support: the vectors are RETRIEVAL-USABLE —
+    IVF recall is tunable to >0.9 via nprobe, raw PQ-ADC degrades
+    (hash projections have near-uniform direction spread, so 4-bit
+    codebooks quantize coarsely) and needs the rerank leg. Floors
+    pinned with headroom; monotonicity in nprobe asserted."""
+    from pyspark.sql import functions as F
+
+    from gcp_dataengineering_spark.llm_ops import similarity as S
+    from gcp_dataengineering_spark.llm_ops.embed import doc_embed_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    K = 10
+
+    def unit_embed(dim):
+        emb_i = doc_embed_table(docs, dim=dim, max_chars=512)
+        return (
+            emb_i.withColumn(
+                "_n2",
+                F.aggregate(
+                    F.col("embedding_q"),
+                    F.lit(0).cast("long"),
+                    lambda a, x: a + x * x,
+                ),
+            )
+            .filter(F.col("_n2") > 0)
+            .select(
+                F.col("doc_id").alias("vec_id"),
+                F.transform(
+                    F.col("embedding_q"),
+                    lambda x: (
+                        x.cast("double") / F.sqrt(F.col("_n2").cast("double"))
+                    ).cast("float"),
+                ).alias("embedding"),
+            )
+            .localCheckpoint()
+        )
+
+    def recall(df, tmap):
+        gmap = {}
+        for r in df.collect():
+            gmap.setdefault(r.query_id, set()).add(r.neighbor_id)
+        rs = [len(gmap.get(q, set()) & t) / len(t) for q, t in tmap.items()]
+        return sum(rs) / len(rs)
+
+    emb = unit_embed(64)
+    queries = emb.orderBy("vec_id").limit(25).localCheckpoint()
+    tmap = {}
+    for r in S.cosine_topk_bruteforce(emb, queries, k=K).collect():
+        tmap.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert len(tmap) == 25
+
+    r_ivf2 = recall(
+        S.cosine_topk_ivf(emb, queries, k=K, n_clusters=16, nprobe=2), tmap
+    )
+    r_ivf8 = recall(
+        S.cosine_topk_ivf(emb, queries, k=K, n_clusters=16, nprobe=8), tmap
+    )
+    assert r_ivf8 >= 0.80, r_ivf8          # measured 0.904
+    assert r_ivf8 >= r_ivf2, (r_ivf2, r_ivf8)  # nprobe buys recall
+    codes, books = S.pq_index(emb, m=8, n_clusters=16)
+    r_adc = recall(S.pq_topk_adc(codes, books, queries, m=8, k=K), tmap)
+    r_rr = recall(
+        S.pq_topk_rerank(emb, codes, books, queries, m=8, k=K, shortlist=50),
+        tmap,
+    )
+    assert r_adc >= 0.20, r_adc            # measured 0.340
+    assert r_rr >= 0.60, r_rr              # measured 0.760
+    assert r_rr > r_adc                     # the rerank leg earns its scan
+
+    # dim 128: same story one size up (measured IVF 8/16 = 0.852)
+    emb128 = unit_embed(128)
+    q128 = emb128.orderBy("vec_id").limit(25).localCheckpoint()
+    t128 = {}
+    for r in S.cosine_topk_bruteforce(emb128, q128, k=K).collect():
+        t128.setdefault(r.query_id, set()).add(r.neighbor_id)
+    r128 = recall(
+        S.cosine_topk_ivf(emb128, q128, k=K, n_clusters=16, nprobe=8), t128
+    )
+    assert r128 >= 0.75, r128
