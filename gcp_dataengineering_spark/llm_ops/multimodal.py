@@ -538,13 +538,19 @@ def resize_images(
     The pixel resample itself: PPM (P6) payloads ALWAYS resample for
     real through the vendored pure-numpy codec (r13 — decode →
     deterministic nearest-neighbor → re-encode; executed coverage in
-    codec-free containers, environment-independent bytes). For the
-    compressed formats, ``fake=False`` probes for PIL at execution
-    time inside the UDF — when Pillow is importable the REAL
-    resample runs (``Image.open`` → ``resize((ow, oh))`` →
-    re-encode in the source format); when it is not, the honest
-    ``NotImplementedError`` stub is preserved at the exact point the
-    codec would run.
+    codec-free containers, environment-independent bytes). JPEG
+    payloads (r14): when PIL is absent the vendored DC-only baseline
+    decoder (llm_ops.jpegdc) reconstructs the exact 1/8-scale
+    box-filtered luma image from the entropy stream, resamples, and
+    re-encodes as a real grayscale baseline JPEG — executable
+    compressed-codec pixel coverage with no imaging library
+    (grayscale by construction; progressive/arithmetic streams
+    quarantine). For the remaining compressed formats, ``fake=False``
+    probes for PIL at execution time inside the UDF — when Pillow is
+    importable the REAL resample runs (``Image.open`` →
+    ``resize((ow, oh))`` → re-encode in the source format); when it
+    is not, the honest ``NotImplementedError`` stub is preserved at
+    the exact point the codec would run.
     ``fake=True`` stays the deterministic placeholder (an md5 stamp
     of input bytes + target dims) for codec-free environments and
     for plumbing tests. Rows whose header doesn't parse pass through
@@ -607,14 +613,46 @@ def resize_images(
                              ppm_encode(nearest_resize(px, ow, oh)))
                         )
                         continue
+                    if pil_image is None and fmt == "jpeg":
+                        # vendored DC-only baseline-JPEG leg (r14):
+                        # entropy-decode the stream, reconstruct the
+                        # exact 1/8-scale box-filtered LUMA image from
+                        # the DC coefficients, nearest-resample to the
+                        # target, re-encode as a real grayscale
+                        # baseline JPEG — executable pixel coverage
+                        # for crawl JPEGs with no imaging library.
+                        # The output is grayscale by construction
+                        # (the DC path decodes Y); thumbnails first,
+                        # color fidelity when a codec exists.
+                        # Progressive/arithmetic/corrupt streams
+                        # quarantine like any other decode failure.
+                        import numpy as np
+
+                        from .jpegdc import jpeg_dc_decode, jpeg_gray_encode
+
+                        decoded = jpeg_dc_decode(b)
+                        if decoded is None:
+                            rows.append((mid, None, None, None, None, None, b))
+                            continue
+                        _, _, bw, bh, gray = decoded
+                        plane = np.frombuffer(
+                            gray, dtype=np.uint8
+                        ).reshape(bh, bw)
+                        resized = nearest_resize(plane, ow, oh)
+                        rows.append(
+                            (mid, fmt, w, h, ow, oh,
+                             jpeg_gray_encode(ow, oh, resized.tobytes()))
+                        )
+                        continue
                     if pil_image is None:
                         raise NotImplementedError(
                             "real pixel resample needs an image codec (PIL/"
-                            "libvips) for compressed formats and PIL is not "
-                            "importable in this environment; run with "
+                            "libvips) for PNG/GIF/WebP bodies and PIL is "
+                            "not importable in this environment; run with "
                             "fake=True for the deterministic placeholder "
-                            "path (PPM payloads resample for real either "
-                            "way via the vendored codec)"
+                            "path (PPM payloads resample for real via the "
+                            "vendored r13 codec; JPEG bodies via the "
+                            "vendored r14 DC-only leg)"
                         )
                     import io
 

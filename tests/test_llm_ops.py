@@ -3789,3 +3789,116 @@ def test_ppm_real_resample_in_container(spark):
     # malformed headers return None and never sniff as ppm
     for bad in (b"P6", b"P6  \n12 x\n255\n", b"P6 1 1 70000 "):
         assert parse_image_header(bad) == (None, None, None)
+
+
+def test_jpeg_dc_codec_roundtrip_and_quarantine():
+    """r14 vendored baseline-JPEG leg (llm_ops/jpegdc, ITU T.81): the
+    grayscale encoder produces real decodable JPEGs; the DC-only
+    decoder recovers each 8x8 block's mean to within the DC
+    quantization step (<= ~2 gray levels; exact on smooth content);
+    progressive/truncated/garbage streams return None (quarantine
+    contract). No Spark, no PIL."""
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.jpegdc import (
+        jpeg_dc_decode,
+        jpeg_gray_encode,
+    )
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        parse_image_header,
+    )
+
+    rng = np.random.default_rng(14)
+    for (w, h) in [(8, 8), (24, 16), (37, 23), (100, 7)]:
+        noise = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        grad = (np.add.outer(np.arange(h) * 2, np.arange(w) * 2) % 256).astype(
+            np.uint8
+        )
+        for px in (noise, grad):
+            data = jpeg_gray_encode(w, h, px.tobytes())
+            # the repo's own header parser sniffs the output
+            assert parse_image_header(data) == ("jpeg", w, h)
+            out = jpeg_dc_decode(data)
+            assert out is not None
+            W, H, bw, bh, gray = out
+            assert (W, H, bw, bh) == (w, h, -(-w // 8), -(-h // 8))
+            g = np.frombuffer(gray, dtype=np.uint8).reshape(bh, bw)
+            pad = np.empty((bh * 8, bw * 8))
+            pad[:h, :w] = px
+            pad[h:, :w] = px[-1:, :]
+            pad[:, w:] = pad[:, w - 1 : w]
+            tm = pad.reshape(bh, 8, bw, 8).mean(axis=(1, 3))
+            assert np.abs(g.astype(float) - tm).max() <= 3.0
+
+    good = jpeg_gray_encode(16, 16, bytes(range(256)))
+    assert jpeg_dc_decode(good[: len(good) // 2]) is None  # truncated
+    assert jpeg_dc_decode(b"not a jpeg") is None
+    # progressive (SOF2) declared -> not covered -> None
+    prog = bytearray(good)
+    sof_at = prog.find(b"\xff\xc0")
+    prog[sof_at + 1] = 0xC2
+    assert jpeg_dc_decode(bytes(prog)) is None
+
+
+def test_jpeg_real_resample_in_container(spark):
+    """r14: compressed-codec pixel coverage EXECUTES with no PIL —
+    JPEG payloads decode through the vendored DC-only leg inside the
+    mapInPandas UDF, resample, and re-encode as real grayscale
+    JPEGs. Byte-exact against an independent composition of the same
+    vendored pieces; a truncated entropy stream (header sniffs fine)
+    quarantines instead of failing the job."""
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.jpegdc import (
+        jpeg_dc_decode,
+        jpeg_gray_encode,
+    )
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        _fit_within,
+        nearest_resize,
+        parse_image_header,
+        resize_images,
+    )
+
+    # this container genuinely has no PIL — the test exists to prove
+    # the codec-free JPEG leg executes
+    try:
+        import PIL  # noqa: F401
+
+        import pytest as _pytest
+
+        _pytest.skip("PIL importable here; the DC leg is the no-PIL path")
+    except ImportError:
+        pass
+
+    rng = np.random.default_rng(41)
+    imgs = {}
+    for mid, (w, h) in enumerate([(96, 48), (64, 64), (120, 40)], start=1):
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        imgs[mid] = (w, h, jpeg_gray_encode(w, h, px.tobytes()))
+    payloads = [(mid, bytearray(b)) for mid, (_, _, b) in imgs.items()]
+    truncated = imgs[1][2][: len(imgs[1][2]) - 40]
+    assert parse_image_header(truncated)[0] == "jpeg"  # header still sniffs
+    payloads.append((9, bytearray(truncated)))
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+
+    out = {
+        r.media_id: r
+        for r in resize_images(df, max_side=16, fake=False).collect()
+    }
+    assert len(out) == 4
+    assert out[9].fmt is None and bytes(out[9].payload_out) == truncated
+    for mid, (w, h, data) in imgs.items():
+        r = out[mid]
+        ow, oh = _fit_within(w, h, 16)
+        assert (r.fmt, r.width, r.height, r.out_width, r.out_height) == (
+            "jpeg", w, h, ow, oh,
+        )
+        _, _, bw, bh, gray = jpeg_dc_decode(data)
+        plane = np.frombuffer(gray, dtype=np.uint8).reshape(bh, bw)
+        want = jpeg_gray_encode(
+            ow, oh, nearest_resize(plane, ow, oh).tobytes()
+        )
+        assert bytes(r.payload_out) == want, mid
+        # and the emitted thumbnail is itself a real JPEG
+        assert parse_image_header(bytes(r.payload_out)) == ("jpeg", ow, oh)
