@@ -117,6 +117,12 @@ HEADLINE = [
     # hard-EM Viterbi rounds + per-word DP folds — the
     # iterative-trainer cost class beside bpe_encode)
     "unigram_encode",
+    # round-14: soft (expected-count) EM unigram training — the
+    # forward-backward folds over every distinct word's lattice are
+    # the iterative-trainer cost class one notch heavier than the
+    # Viterbi E-step; bench-only (float variant, pytest-twin-gated,
+    # no SQL oracle by design)
+    "unigram_soft",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member
@@ -148,7 +154,20 @@ def _corpus_e2e(spark, sf_dir: str):
     return stages["shards"]
 
 
-BENCH_EXTRA = {"corpus_e2e": _corpus_e2e}
+def _unigram_soft(spark, sf_dir: str):
+    """Soft-EM unigram training over the documents fixture at the
+    unigram_encode key's shape parameters (vocab 200, L=5, 1 round) —
+    the expected-count E-step (forward-backward per distinct word +
+    the micro-rounded piece aggregation) is the timed surface."""
+    from gcp_dataengineering_spark.llm_ops.unigram import unigram_train_soft
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_train_soft(
+        docs, vocab_size=200, max_piece_len=5, em_iters=1, materialize=None
+    )
+
+
+BENCH_EXTRA = {"corpus_e2e": _corpus_e2e, "unigram_soft": _unigram_soft}
 
 
 def _time_set(spark, qs, sf_dir: str, warm_dir: str, runs: int) -> dict[str, float]:
