@@ -297,11 +297,10 @@ def _decode_scan(
     for my in range(mcus_y):
         for mx in range(mcus_x):
             if restart_interval and mcu_count and mcu_count % restart_interval == 0:
-                # skip to the restart marker (there may be unread
-                # padding bits before it)
-                while not br.hit_marker:
-                    if br.read_bit() is None:
-                        return None
+                # any bits still buffered are byte-padding before the
+                # marker (fill never reads past a marker, and data
+                # bits are always consumed before padding) — resync
+                # discards them and consumes the RSTn
                 if not br.resync_restart():
                     return None
                 preds = [0] * len(comps)
@@ -401,11 +400,17 @@ def _category(v: int) -> int:
     return t
 
 
-def jpeg_gray_encode(width: int, height: int, gray: bytes) -> bytes:
+def jpeg_gray_encode(
+    width: int, height: int, gray: bytes, restart_interval: int = 0
+) -> bytes:
     """Encode a row-major 8-bit grayscale image as a REAL baseline
     JPEG (1 component, Annex K quality-50 luminance tables). Exists
     for the DC decoder's executable fixtures and as the resample
-    stage's JPEG output leg; correctness over compression quality."""
+    stage's JPEG output leg; correctness over compression quality.
+    ``restart_interval`` > 0 emits a DRI segment and RSTn markers
+    every N MCUs (predictor reset + byte alignment) — crawl JPEGs
+    routinely carry them, so the decoder's restart path needs an
+    executable fixture."""
     import numpy as np
 
     if len(gray) != width * height:
@@ -429,8 +434,18 @@ def jpeg_gray_encode(width: int, height: int, gray: bytes) -> bytes:
     ac_enc = _build_encode_table(STD_AC_BITS, STD_AC_VALS)
     w = _BitWriter()
     pred = 0
+    mcu = 0
+    rst = 0
     for by in range(bh):
         for bx in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-align (1-fill padding), then the raw marker —
+                # markers are never byte-stuffed
+                w.flush()
+                w.out += bytes([0xFF, 0xD0 + rst])
+                rst = (rst + 1) & 7
+                pred = 0
+            mcu += 1
             blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
             coef = c @ blk @ c.T
             # round-half-away like libjpeg's integer path is not
@@ -479,6 +494,11 @@ def jpeg_gray_encode(width: int, height: int, gray: bytes) -> bytes:
               ) + seg(0xC4, bytes([0x10]) + bytes(STD_AC_BITS)
                       + bytes(STD_AC_VALS))
     sos = seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+    dri = (
+        seg(0xDD, restart_interval.to_bytes(2, "big"))
+        if restart_interval
+        else b""
+    )
     return (
-        b"\xff\xd8" + dqt + sof + dht + sos + bytes(w.out) + b"\xff\xd9"
+        b"\xff\xd8" + dqt + sof + dht + dri + sos + bytes(w.out) + b"\xff\xd9"
     )

@@ -3902,3 +3902,39 @@ def test_jpeg_real_resample_in_container(spark):
         assert bytes(r.payload_out) == want, mid
         # and the emitted thumbnail is itself a real JPEG
         assert parse_image_header(bytes(r.payload_out)) == ("jpeg", ow, oh)
+
+
+def test_jpeg_dc_restart_markers_roundtrip():
+    """Crawl JPEGs routinely carry DRI/RSTn: the encoder can emit
+    restart intervals (predictor reset + byte-aligned markers) and
+    the DC decoder resyncs through them — block means stay within
+    the DC quantization tolerance at every interval."""
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.jpegdc import (
+        jpeg_dc_decode,
+        jpeg_gray_encode,
+    )
+
+    rng = np.random.default_rng(9)
+    for (w, h) in [(32, 24), (37, 23)]:
+        px = rng.integers(0, 256, size=(h, w), dtype=np.uint8)
+        base = None
+        for ri in (0, 1, 2, 5):
+            out = jpeg_dc_decode(
+                jpeg_gray_encode(w, h, px.tobytes(), restart_interval=ri)
+            )
+            assert out is not None, (w, h, ri)
+            _, _, bw, bh, gray = out
+            g = np.frombuffer(gray, dtype=np.uint8).reshape(bh, bw)
+            pad = np.empty((bh * 8, bw * 8))
+            pad[:h, :w] = px
+            pad[h:, :w] = px[-1:, :]
+            pad[:, w:] = pad[:, w - 1 : w]
+            tm = pad.reshape(bh, 8, bw, 8).mean(axis=(1, 3))
+            assert np.abs(g.astype(float) - tm).max() <= 3.0, (w, h, ri)
+            # restart plumbing must not change the DC values at all
+            if base is None:
+                base = g
+            else:
+                assert np.array_equal(g, base), (w, h, ri)
