@@ -87,6 +87,23 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "oracle replays 2)",
     )
     p.add_argument(
+        "--unigram-sample-alpha",
+        type=float,
+        default=None,
+        metavar="ALPHA",
+        help="subword REGULARIZATION (r14): encode with SAMPLED "
+        "segmentations at this temperature instead of Viterbi "
+        "(Kudo 2018 s4; requires --tokenizer unigram) — budgets count "
+        "the pieces this epoch's sampled corpus consumes",
+    )
+    p.add_argument(
+        "--unigram-sample-salt",
+        default="ep0",
+        help="epoch salt for --unigram-sample-alpha: the sampling is "
+        "a pure function of (salt, word, position), so a different "
+        "salt resamples the whole corpus deterministically",
+    )
+    p.add_argument(
         "--bpe-train",
         type=int,
         default=None,
@@ -239,10 +256,13 @@ def main(argv: list[str] | None = None) -> int:
             "— one tokenizer family denominates a build's budgets"
         )
     if args.tokenizer == "bpe" and (
-        args.unigram_train or args.unigram_vocab is not None
+        args.unigram_train
+        or args.unigram_vocab is not None
+        or args.unigram_sample_alpha is not None
     ):
         raise SystemExit(
-            "--unigram-train/--unigram-vocab require --tokenizer unigram"
+            "--unigram-train/--unigram-vocab/--unigram-sample-alpha "
+            "require --tokenizer unigram"
         )
     if args.bpe_byte_level and args.bpe_word_pattern == "ascii":
         # the ascii pattern splits on [^a-z]+, so every uppercase and
@@ -320,6 +340,8 @@ def main(argv: list[str] | None = None) -> int:
             bpe_byte_level=args.bpe_byte_level,
             unigram_vocab=unigram_df,
             unigram_max_piece_len=args.unigram_max_piece_len,
+            unigram_sample_alpha=args.unigram_sample_alpha,
+            unigram_sample_salt=args.unigram_sample_salt,
             mixture_budget_tokens=args.mixture_budget,
             mixture_alpha=args.mixture_alpha,
             quality_model_labeled=(

@@ -128,6 +128,14 @@ class PipelineConfig:
     # exclusive with bpe_merges — one tokenizer denominates a build.
     unigram_vocab: object | None = None
     unigram_max_piece_len: int = 6
+    # subword REGULARIZATION (r14): with unigram_vocab set, a non-None
+    # alpha switches the encode from Viterbi to SAMPLED segmentation
+    # (unigram.unigram_sample_docs — md5-seeded lattice filtration at
+    # temperature alpha). Budgets then count the pieces THIS epoch's
+    # sampled corpus actually consumes; vary unigram_sample_salt per
+    # epoch to resample.
+    unigram_sample_alpha: float | None = None
+    unigram_sample_salt: str = "ep0"
     # registrable-domain blocklist (urls.filter_blocked_domains),
     # applied FIRST — before any text is even featurized — when the
     # frame carries url_col. A pure isin/anti-join filter: the
@@ -498,17 +506,31 @@ def build_training_corpus(
         # unigram_encode_docs references its input twice (the word
         # explode and the empty-doc anti-join) — pin the branch point
         # first per the documented rule.
-        from .unigram import unigram_encode_docs
+        from .unigram import unigram_encode_docs, unigram_sample_docs
 
         if materialize is not False:
             decontaminated = _materialize(decontaminated, materialize)
-        tok = unigram_encode_docs(
-            decontaminated.select(id_col, text_col),
-            cfg.unigram_vocab,
-            id_col=id_col,
-            text_col=text_col,
-            max_piece_len=cfg.unigram_max_piece_len,
-        ).select(
+        if cfg.unigram_sample_alpha is not None:
+            # subword regularization: budgets count the pieces this
+            # epoch's SAMPLED corpus consumes (salt picks the epoch)
+            tok = unigram_sample_docs(
+                decontaminated.select(id_col, text_col),
+                cfg.unigram_vocab,
+                id_col=id_col,
+                text_col=text_col,
+                max_piece_len=cfg.unigram_max_piece_len,
+                alpha=cfg.unigram_sample_alpha,
+                salt=cfg.unigram_sample_salt,
+            )
+        else:
+            tok = unigram_encode_docs(
+                decontaminated.select(id_col, text_col),
+                cfg.unigram_vocab,
+                id_col=id_col,
+                text_col=text_col,
+                max_piece_len=cfg.unigram_max_piece_len,
+            )
+        tok = tok.select(
             id_col,
             F.col("pieces").alias("tokens"),
             F.col("piece_ids").alias("token_ids"),

@@ -62,6 +62,7 @@ __all__ = [
     "MICRO", "UNK_SCORE", "WORD_PATTERN", "unigram_train",
     "unigram_train_soft", "unigram_encode_words", "unigram_encode_docs",
     "unigram_sample_words", "unigram_sample_words_py",
+    "unigram_sample_docs",
     "unigram_train_py", "unigram_train_soft_py", "viterbi_py",
 ]
 
@@ -352,7 +353,15 @@ def unigram_encode_words(
     """(word, n, pieces, piece_ids) under a trained vocab —
     segmentation via the same Viterbi fold; ids resolved by ONE more
     broadcast join at the piece level (OOV chars get id NULL)."""
-    seg = _segment_words(words, vocab, max_piece_len)
+    return _attach_piece_ids(
+        _segment_words(words, vocab, max_piece_len), vocab
+    )
+
+
+def _attach_piece_ids(seg: DataFrame, vocab: DataFrame) -> DataFrame:
+    """(word, n, pieces) → + piece_ids via one broadcast vocab join
+    (OOV pieces get id NULL) — shared by the Viterbi and sampled
+    encoders."""
     exploded = seg.select(
         "word", "n", F.posexplode("pieces").alias("ord", "piece")
     ).join(
@@ -376,6 +385,20 @@ def unigram_encode_words(
     )
 
 
+def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, word): the position-keyed word explode both doc
+    encoders share."""
+    return docs.select(
+        F.col(id_col),
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), WORD_PATTERN),
+                lambda t: t != "",
+            )
+        ).alias("pos", "word"),
+    )
+
+
 def unigram_encode_docs(
     docs: DataFrame,
     vocab: DataFrame,
@@ -388,20 +411,21 @@ def unigram_encode_docs(
     Viterbi segmentation. Distinct-word segmentation computed ONCE
     and joined back — corpus scale pays one word explode and one
     word-keyed join, never per-word DP re-runs."""
-    tokens = docs.select(
-        F.col(id_col),
-        F.posexplode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), WORD_PATTERN),
-                lambda t: t != "",
-            )
-        ).alias("pos", "word"),
-    )
+    tokens = _doc_tokens(docs, id_col, text_col)
     wseg = unigram_encode_words(
         tokens.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n")),
         vocab,
         max_piece_len,
     ).select("word", "pieces", "piece_ids")
+    return _assemble_docs(docs, tokens, wseg, id_col)
+
+
+def _assemble_docs(
+    docs: DataFrame, tokens: DataFrame, wseg: DataFrame, id_col: str
+) -> DataFrame:
+    """Re-assemble per-word segmentations into per-doc sequences —
+    shared by the Viterbi and sampled doc encoders. ``wseg`` is
+    (word, pieces, piece_ids)."""
     joined = tokens.join(wseg, "word")
     out = (
         joined.groupBy(id_col)
@@ -1015,3 +1039,34 @@ def unigram_sample_words_py(
         parts.append(chosen[2])
         pos = chosen[1]
     return parts
+
+
+def unigram_sample_docs(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_piece_len: int = 6,
+    alpha: float = 0.2,
+    salt: str = "sp",
+) -> DataFrame:
+    """Doc-level subword-regularization encode — the sampled twin of
+    :func:`unigram_encode_docs`: (id, pieces, piece_ids, n_pieces,
+    n_oov), each word replaced by its SAMPLED segmentation
+    (:func:`unigram_sample_words`). Same distinct-word collapse and
+    re-assembly as the Viterbi path; vary ``salt`` per epoch to
+    resample the whole corpus."""
+    tokens = _doc_tokens(docs, id_col, text_col)
+    sseg = _attach_piece_ids(
+        unigram_sample_words(
+            tokens.groupBy("word").agg(
+                F.count(F.lit(1)).cast("long").alias("n")
+            ),
+            vocab,
+            max_piece_len,
+            alpha=alpha,
+            salt=salt,
+        ),
+        vocab,
+    ).select("word", "pieces", "piece_ids")
+    return _assemble_docs(docs, tokens, sseg, id_col)

@@ -1211,3 +1211,65 @@ def test_llm_build_cli_unigram_train(spark, tmp_path):
         main([
             "--docs", docs_path, "--out", out, "--unigram-train",
         ])
+
+
+def test_build_training_corpus_unigram_sampled_budgets(spark):
+    """r14 subword regularization in the PRODUCT path: with
+    unigram_sample_alpha set, the composed build's tokens are the
+    SAMPLED segmentations (python-twin-exact per word), budgets count
+    them, and a different epoch salt resamples — while the Viterbi
+    path stays the default."""
+    import re as _re
+
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+    from gcp_dataengineering_spark.llm_ops.unigram import (
+        unigram_train_soft,
+        unigram_sample_words_py,
+    )
+
+    def fill(tag):
+        return " ".join(f"{tag}{j}" for j in range(40))
+
+    rows = [
+        (1, f"alpha {fill('a')} one", "en", "srcA"),
+        (2, f"beta {fill('b')} two", "en", "srcA"),
+        (4, f"gamma {fill('c')} three", "en", "srcA"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string"
+    )
+    vocab = unigram_train_soft(docs, vocab_size=60, max_piece_len=4)
+    probs = {r.piece: r.prob for r in vocab.collect()}
+
+    def run(salt):
+        return build_training_corpus(
+            docs,
+            config=PipelineConfig(
+                unigram_vocab=vocab, unigram_max_piece_len=4,
+                unigram_sample_alpha=0.2, unigram_sample_salt=salt,
+                shard_budget_tokens=150,
+            ),
+            materialize=None,
+        )
+
+    corpus = {r.doc_id: r for r in run("ep0")["corpus"].collect()}
+    for doc_id, text, _, _ in rows:
+        want = [
+            p
+            for w in _re.split("[^a-z]+", text.lower())
+            if w
+            for p in unigram_sample_words_py(
+                w, probs, max_piece_len=4, alpha=0.2, salt="ep0"
+            )
+        ]
+        assert list(corpus[doc_id].tokens) == want, doc_id
+        assert corpus[doc_id].n_tokens == len(want)
+
+    # a different epoch salt resamples at least one document
+    corpus1 = {r.doc_id: r for r in run("ep1")["corpus"].collect()}
+    assert any(
+        list(corpus[d].tokens) != list(corpus1[d].tokens) for d in corpus
+    )
