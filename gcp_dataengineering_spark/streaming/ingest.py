@@ -34,8 +34,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from typing import TYPE_CHECKING
+
 from ..llm_ops.text import corpus_quality_gate, lang_id, quality_features, scrub_pii
 from .dedup import dedup_stream_against_corpus
+
+if TYPE_CHECKING:  # annotation only — the class lives in the sink
+    from pyspark.sql.streaming import StreamingQuery
 
 
 def default_quality_gate() -> Column:
@@ -127,7 +132,7 @@ def ingest_stream_semantic(
     semantic_max_chars: int = 256,
     semantic_planes: int = 8,
     semantic_tables: int = 8,
-) -> "object":
+) -> "StreamingQuery":
     """The full online corpus gate WITH the r14 semantic stage: the
     :func:`ingest_stream` chain (heuristic gate → optional learned
     gate → PII scrub → lang tag → exact dedup) followed by the
