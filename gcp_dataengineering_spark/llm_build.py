@@ -264,6 +264,18 @@ def main(argv: list[str] | None = None) -> int:
             "--unigram-train/--unigram-vocab/--unigram-sample-alpha "
             "require --tokenizer unigram"
         )
+    if args.tokenizer == "unigram" and not (
+        args.unigram_train or args.unigram_vocab is not None
+    ):
+        # without a piece vocabulary the pipeline would silently fall
+        # back to whitespace-word budgets (and --unigram-sample-alpha
+        # would be ignored) — the within-family misuse must be as loud
+        # as the cross-family one above (ADVICE r14)
+        raise SystemExit(
+            "--tokenizer unigram requires --unigram-train or "
+            "--unigram-vocab: without a vocabulary the budgets would "
+            "silently count whitespace words, not pieces"
+        )
     if args.bpe_byte_level and args.bpe_word_pattern == "ascii":
         # the ascii pattern splits on [^a-z]+, so every uppercase and
         # non-ASCII character becomes a separator and is silently

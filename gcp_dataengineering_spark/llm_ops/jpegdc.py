@@ -186,7 +186,27 @@ def jpeg_dc_decode(data: bytes):
     bytes (row-major bytes object) — the exact 1/8-scale box-filtered
     luma image. ``None`` for anything this decoder does not cover
     (progressive, arithmetic, 12-bit, truncated/corrupt streams) —
-    the caller's quarantine contract."""
+    the caller's quarantine contract.
+
+    Malformed-but-length-consistent streams (a SOF declaring more
+    components than its segment holds, a zero-component frame, a
+    16-bit DQT shorter than 128 bytes, ...) quarantine to None
+    exactly like truncated ones: the parser bounds-checks each
+    segment, and a last-resort exception fence below guarantees that
+    ONE adversarial crawl byte string whose header still sniffs as
+    JPEG can never fail the whole mapInPandas batch it rides in
+    (ADVICE r14 — resize_images runs this with no try/except of its
+    own, by contract)."""
+    try:
+        return _jpeg_dc_decode(data)
+    except (IndexError, ValueError, KeyError, ZeroDivisionError,
+            OverflowError):
+        # structurally invalid in a way the explicit checks missed:
+        # still a quarantine, never a job failure
+        return None
+
+
+def _jpeg_dc_decode(data: bytes):
     if len(data) < 4 or data[0] != 0xFF or data[1] != 0xD8:
         return None
     pos = 2
@@ -213,6 +233,8 @@ def jpeg_dc_decode(data: bytes):
             while i < len(seg):
                 pq, tq = seg[i] >> 4, seg[i] & 0xF
                 i += 1
+                if i + (64 if pq == 0 else 128) > len(seg):
+                    return None  # table body shorter than declared
                 if pq == 0:
                     qtables[tq] = list(seg[i : i + 64])
                     i += 64
@@ -234,26 +256,36 @@ def jpeg_dc_decode(data: bytes):
                 htables[(tc, th)] = _build_decode_table(bits, vals)
                 i += 17 + n
         elif marker == 0xC0 or marker == 0xC1:  # SOF0/1 (baseline/ext seq)
-            if seg[0] != 8:
-                return None  # 12-bit not covered
+            if len(seg) < 6 or seg[0] != 8:
+                return None  # short frame header / 12-bit not covered
             height = (seg[1] << 8) | seg[2]
             width = (seg[3] << 8) | seg[4]
             nc = seg[5]
+            if nc < 1 or width < 1 or height < 1:
+                return None  # zero-component / zero-area frame
+            if len(seg) < 6 + 3 * nc:
+                return None  # declares more components than it holds
             comps = []
             for c in range(nc):
                 cid = seg[6 + 3 * c]
                 hv = seg[7 + 3 * c]
+                if hv >> 4 == 0 or hv & 0xF == 0:
+                    return None  # zero sampling factor
                 comps.append((cid, hv >> 4, hv & 0xF, seg[8 + 3 * c]))
             pos += 2 + seglen
         elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             return None  # progressive / arithmetic / lossless
         elif marker == 0xDD:  # DRI
+            if len(seg) < 2:
+                return None
             restart_interval = (seg[0] << 8) | seg[1]
         elif marker == 0xDA:  # SOS — entropy data follows
-            if comps is None or width is None:
+            if comps is None or width is None or len(seg) < 1:
                 return None
             ns = seg[0]
+            if ns < 1 or len(seg) < 1 + 2 * ns:
+                return None  # scan header shorter than declared
             scan = []  # (comp_idx, dc_table, ac_table)
             for s in range(ns):
                 cs = seg[1 + 2 * s]

@@ -45,6 +45,7 @@ has no URL surface; this exists for the Common-Crawl path
 
 from __future__ import annotations
 
+import weakref
 from functools import lru_cache
 
 from pyspark.sql import Column, DataFrame
@@ -582,27 +583,29 @@ def _psl_join_rows(
     )
 
 
-# (session, rules identity) → local-relation rules frame. A
-# DataFrame is a reusable logical plan: building the ~1k-row local
-# relation costs a py4j transfer per call, pure driver overhead the
-# r13 A/B measured — cache it like the constant it is. The value
-# holds the session strongly, which both bounds the entry's lifetime
-# to the process and keeps id() keys collision-free; sessions are
-# few and long-lived, so the dict stays (#sessions × #tables)-sized.
-_PSL_FRAME_CACHE: dict[tuple[int, tuple[str, ...]], tuple] = {}
+# session → (rules identity → rules frame). A DataFrame is a
+# reusable logical plan: building the ~1k-row local relation costs a
+# py4j transfer per call, pure driver overhead the r13 A/B measured —
+# cache it like the constant it is. Keyed WEAKLY on the session
+# (ADVICE r14): a stopped-and-dereferenced session must take its
+# cached plans with it instead of pinning a dead session + frame for
+# process lifetime (long-lived drivers that cycle sessions — tests,
+# notebooks — would otherwise accumulate dead entries).
+_PSL_FRAME_CACHE: "weakref.WeakKeyDictionary" = weakref.WeakKeyDictionary()
 
 
 def _psl_rules_frame(spark, rules_key: tuple[str, ...]):
     rows = _psl_join_rows(rules_key)
-    ck = (id(spark), rules_key)
-    hit = _PSL_FRAME_CACHE.get(ck)
-    if hit is None:
-        df = spark.createDataFrame(
+    per_session = _PSL_FRAME_CACHE.get(spark)
+    if per_session is None:
+        per_session = _PSL_FRAME_CACHE[spark] = {}
+    df = per_session.get(rules_key)
+    if df is None:
+        df = per_session[rules_key] = spark.createDataFrame(
             list(rows),
             "mk string, m int, has_plain boolean, has_wild boolean, exc_order long",
         )
-        _PSL_FRAME_CACHE[ck] = hit = (spark, df)
-    return rows, hit[1]
+    return rows, df
 
 
 def with_registrable_domain(

@@ -3840,6 +3840,51 @@ def test_jpeg_dc_codec_roundtrip_and_quarantine():
     assert jpeg_dc_decode(bytes(prog)) is None
 
 
+def test_jpeg_dc_lying_header_quarantine():
+    """ADVICE r14: malformed-but-length-consistent streams (every
+    segment's declared length matches the bytes present, but the
+    segment BODY lies about its contents) must quarantine to None
+    like truncated ones — in resize_images' mapInPandas there is no
+    per-row try/except, so a single adversarial crawl JPEG would
+    otherwise fail the whole job. Each fixture is a valid encoder
+    output with one body byte doctored."""
+    from gcp_dataengineering_spark.llm_ops.jpegdc import (
+        jpeg_dc_decode,
+        jpeg_gray_encode,
+    )
+
+    good = jpeg_gray_encode(16, 16, bytes(range(256)))
+    assert jpeg_dc_decode(good) is not None
+
+    # SOF declares 3 components but holds bytes for 1
+    lying_nc = bytearray(good)
+    sof = lying_nc.find(b"\xff\xc0")
+    assert lying_nc[sof + 9] == 1  # nc byte of the 1-component SOF
+    lying_nc[sof + 9] = 3
+    assert jpeg_dc_decode(bytes(lying_nc)) is None
+
+    # zero-component frame (and a zero-component scan behind it)
+    zero_nc = bytearray(good)
+    zero_nc[sof + 9] = 0
+    sos = zero_nc.find(b"\xff\xda")
+    zero_nc[sos + 4] = 0  # ns byte
+    assert jpeg_dc_decode(bytes(zero_nc)) is None
+
+    # DQT flipped to 16-bit precision: body holds 64 bytes, a pq=1
+    # table needs 128
+    short_dqt = bytearray(good)
+    dqt = short_dqt.find(b"\xff\xdb")
+    assert short_dqt[dqt + 4] >> 4 == 0
+    short_dqt[dqt + 4] |= 0x10
+    assert jpeg_dc_decode(bytes(short_dqt)) is None
+
+    # zero sampling factor in SOF (would divide by zero in the MCU
+    # geometry)
+    zero_hv = bytearray(good)
+    zero_hv[sof + 11] = 0x00  # h=0, v=0 for component 0
+    assert jpeg_dc_decode(bytes(zero_hv)) is None
+
+
 def test_jpeg_real_resample_in_container(spark):
     """r14: compressed-codec pixel coverage EXECUTES with no PIL —
     JPEG payloads decode through the vendored DC-only leg inside the

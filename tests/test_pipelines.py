@@ -1211,6 +1211,19 @@ def test_llm_build_cli_unigram_train(spark, tmp_path):
         main([
             "--docs", docs_path, "--out", out, "--unigram-train",
         ])
+    # ADVICE r14: the within-family misuse (--tokenizer unigram with
+    # no vocabulary source) must be as loud as the cross-family one —
+    # it would otherwise silently budget whitespace words and ignore
+    # --unigram-sample-alpha
+    with _pytest.raises(SystemExit, match="requires --unigram-train"):
+        main([
+            "--docs", docs_path, "--out", out, "--tokenizer", "unigram",
+            "--unigram-sample-alpha", "0.2",
+        ])
+    with _pytest.raises(SystemExit, match="requires --unigram-train"):
+        main([
+            "--docs", docs_path, "--out", out, "--tokenizer", "unigram",
+        ])
 
 
 def test_build_training_corpus_unigram_sampled_budgets(spark):
