@@ -1236,11 +1236,271 @@ def test_semantic_dedup_stream_multibatch_matches_batch_twin(spark, tmp_path):
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == expect
     # the zero-vector doc was admitted but never stored
-    store_docs = spark.read.parquet(str(tmp_path / "store" / "docs"))
+    from gcp_dataengineering_spark.streaming.semantic import (
+        read_semantic_store,
+    )
+
+    store_docs, store_buckets, meta = read_semantic_store(
+        spark, str(tmp_path / "store")
+    )
     assert 24 in got
     assert store_docs.filter(F.col("_sid") == 24).count() == 0
     # dropped docs ARE stored (the reachable-set rule)
     assert store_docs.filter(F.col("_sid") == 2).count() == 1
+    # r15 segment layout: one immutable segment per non-empty batch,
+    # write amplification O(batch) — three batches, three segments
+    assert len(meta["segments"]) == 3
+
+
+def test_semantic_store_segments_immutable_and_grace_gc(spark, tmp_path):
+    """r15 (r14 verdict item 1): the store is append-only immutable
+    segments under a manifest — a micro-batch writes O(batch) and
+    NEVER rewrites prior state. Batch N+1 leaves batch N's segment
+    files byte-identical on disk; expired segments leave the
+    manifest first (logical eviction — readers keep one merge cycle
+    of grace, upsert.py's rule) and their directories are deleted by
+    the NEXT batch's GC."""
+    import hashlib
+    import os
+
+    from gcp_dataengineering_spark.streaming.semantic import (
+        read_semantic_store,
+        semantic_dedup_batch,
+    )
+
+    store = str(tmp_path / "store")
+    t1 = ("completely distinct paragraph about alpine railway "
+          "engineering and tunnel ventilation shaft design standards")
+    t2 = ("another unrelated text on deep sea hydrothermal vent "
+          "ecosystems and chemosynthetic bacterial mat communities")
+    t3 = ("third standalone musing on renaissance fresco restoration "
+          "techniques and mineral pigment chemistry in aged plaster")
+
+    def mk(doc_id, text, ep):
+        return spark.createDataFrame(
+            [(doc_id, text, ep)], "doc_id long, text string, ep double"
+        ).withColumn("ets", F.col("ep").cast("timestamp"))
+
+    kw = dict(
+        cos_num=92, n_planes=8, n_tables=6,
+        event_time_col="ets", watermark="100 seconds",
+    )
+
+    def snap(root):
+        out = {}
+        for dirpath, _, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                with open(p, "rb") as fh:
+                    out[p] = hashlib.sha256(fh.read()).hexdigest()
+        return out
+
+    semantic_dedup_batch(mk(1, t1, 1000.0), store, **kw)
+    _, _, m1 = read_semantic_store(spark, store)
+    assert len(m1["segments"]) == 1
+    seg1_dir = os.path.join(store, m1["segments"][0]["dir"])
+    seg1_before = snap(seg1_dir)
+    assert seg1_before
+
+    semantic_dedup_batch(mk(2, t2, 1010.0), store, **kw)
+    assert snap(seg1_dir) == seg1_before  # untouched, byte-identical
+    _, _, m2 = read_semantic_store(spark, store)
+    assert len(m2["segments"]) == 2
+
+    # a far-future batch ages both old segments past the watermark:
+    # they leave the manifest but stay on disk one merge cycle
+    semantic_dedup_batch(mk(3, t3, 5000.0), store, **kw)
+    _, _, m3 = read_semantic_store(spark, store)
+    old_dirs = {s["dir"] for s in m2["segments"]}
+    assert {s["dir"] for s in m3["segments"]} & old_dirs == set()
+    assert set(m3["retired"]) == old_dirs
+    for d in old_dirs:
+        assert os.path.isdir(os.path.join(store, d))  # reader grace
+    semantic_dedup_batch(mk(4, t1 + " again", 5010.0), store, **kw)
+    for d in old_dirs:
+        assert not os.path.exists(os.path.join(store, d))  # GC'd
+
+
+def test_semantic_store_null_event_time_full_window(spark, tmp_path):
+    """ADVICE r14: rows with a NULL event time used to evict in the
+    same batch they arrived (admitted but never effectively stored),
+    so later re-phrasings were never caught. They are now stored
+    under the batch's high water mark — a full watermark window of
+    state — and only rows seen before ANY event time existed age out
+    when a high water mark first appears."""
+    from gcp_dataengineering_spark.streaming.semantic import (
+        semantic_dedup_batch,
+    )
+
+    base_x = ("a very long paragraph about municipal water treatment "
+              "plants and their seasonal maintenance schedules including "
+              "filtration membrane replacement procedures")
+    base_y = ("entirely unrelated musings on medieval manuscript "
+              "illumination techniques using gold leaf and crushed "
+              "lapis lazuli pigments prepared by monks")
+
+    def mk(doc_id, text, ep):
+        return spark.createDataFrame(
+            [(doc_id, text, ep)], "doc_id long, text string, ep double"
+        ).withColumn("ets", F.col("ep").cast("timestamp"))
+
+    kw = dict(
+        cos_num=92, n_planes=8, n_tables=6,
+        event_time_col="ets", watermark="100 seconds",
+    )
+
+    store = str(tmp_path / "store")
+    assert semantic_dedup_batch(mk(1, base_x + " one", 1000.0), store, **kw).count() == 1
+    # NULL event time: admitted, stored under hwm=1000
+    assert semantic_dedup_batch(mk(2, base_y + " one", None), store, **kw).count() == 1
+    # a re-phrase arriving within the window IS caught (the r14 gap)
+    assert semantic_dedup_batch(mk(3, base_y + " two", 1050.0), store, **kw).count() == 0
+    # a far-future base_x re-phrase still matches doc 1 (the read
+    # filter uses the PRE-batch high water mark) but advances the
+    # mark to 2000, aging out docs 1-3...
+    assert semantic_dedup_batch(mk(4, base_x + " two", 2000.0), store, **kw).count() == 0
+    # ... so the NULL-epoch doc's cluster ages out with the window
+    # like any on-time row
+    assert semantic_dedup_batch(mk(5, base_y + " three", 2010.0), store, **kw).count() == 1
+
+    # the documented corner: rows seen before ANY event time existed
+    # stay NULL-epoch and age out as soon as a high water mark appears
+    store2 = str(tmp_path / "store2")
+    assert semantic_dedup_batch(mk(1, base_x + " one", None), store2, **kw).count() == 1
+    # hwm appears (doc 2 unrelated); doc 1's all-NULL segment expires
+    assert semantic_dedup_batch(mk(2, base_y + " one", 5000.0), store2, **kw).count() == 1
+    assert semantic_dedup_batch(mk(3, base_x + " two", 5010.0), store2, **kw).count() == 1
+
+
+def test_semantic_store_legacy_migration(spark, tmp_path):
+    """A pre-r15 two-rename store (whole-table docs/ + buckets/ dirs)
+    reads as-is through read_semantic_store (read-only adaptation)
+    and is migrated once by the next write, preserving its state:
+    the dup decision against legacy-stored docs is unchanged."""
+    import json
+    import os
+
+    from gcp_dataengineering_spark.streaming.semantic import (
+        read_semantic_store,
+        semantic_dedup_batch,
+    )
+
+    base = ("a very long paragraph about municipal water treatment "
+            "plants and their seasonal maintenance schedules including "
+            "filtration membrane replacement procedures")
+
+    def mk(doc_id, text, ep):
+        return spark.createDataFrame(
+            [(doc_id, text, ep)], "doc_id long, text string, ep double"
+        ).withColumn("ets", F.col("ep").cast("timestamp"))
+
+    kw = dict(
+        cos_num=92, n_planes=8, n_tables=6,
+        event_time_col="ets", watermark="100 seconds",
+    )
+
+    # build state with the current code, then down-convert it to the
+    # legacy on-disk layout (schemas match the pre-r15 store exactly)
+    seed_store = str(tmp_path / "seed")
+    semantic_dedup_batch(mk(1, base + " one", 1000.0), seed_store, **kw)
+    docs, buckets, _ = read_semantic_store(spark, seed_store)
+    legacy = str(tmp_path / "legacy")
+    os.makedirs(legacy)
+    docs.write.parquet(os.path.join(legacy, "docs"))
+    buckets.drop("_sepoch").write.parquet(os.path.join(legacy, "buckets"))
+    with open(os.path.join(legacy, "_semantic_store_meta.json"), "w") as fh:
+        json.dump({"max_event_epoch": 1000.0}, fh)
+
+    # read-only adaptation: no rewrite, buckets gain _sepoch in memory
+    ld, lb, lm = read_semantic_store(spark, legacy)
+    assert "segments" not in lm
+    assert ld.count() == 1 and "_sepoch" in lb.columns
+    assert os.path.isdir(os.path.join(legacy, "docs"))
+
+    # the next write migrates once, and the dup decision against the
+    # legacy-stored doc is preserved
+    assert semantic_dedup_batch(mk(2, base + " two", 1030.0), legacy, **kw).count() == 0
+    _, _, m = read_semantic_store(spark, legacy)
+    assert len(m["segments"]) == 2  # migrated seed + the new batch
+    assert not os.path.isdir(os.path.join(legacy, "docs"))
+    assert m["max_event_epoch"] == 1030.0
+
+
+def test_compact_semantic_store_reconciles_chain_divergence(spark, tmp_path):
+    """r15 (r14 verdict item 3): the documented greedy-vs-batch
+    divergence — a CHAIN component whose middle link arrives in a
+    later batch — is reconciled by compact_semantic_store: the
+    returned frame equals embed.semantic_dedup's resolution over all
+    seen docs EXACTLY, and the physical layout compacts to one
+    segment while the gate keeps working."""
+    import os
+
+    from gcp_dataengineering_spark.llm_ops.embed import semantic_dedup
+    from gcp_dataengineering_spark.streaming.semantic import (
+        compact_semantic_store,
+        read_semantic_store,
+        semantic_dedup_batch,
+    )
+
+    # A~B and B~C clear cos >= 0.92; A~C does not (verified via the
+    # engine's own embedding): one chain component, keeper min id 1
+    A = ("municipal water treatment plants require seasonal maintenance "
+         "schedules including filtration membrane replacement procedures "
+         "and careful monitoring of chemical dosing systems across every "
+         "stage of the purification process")
+    B = ("municipal water treatment facilities require quarterly upkeep "
+         "schedules including filtration membrane replacement procedures "
+         "and careful monitoring of chemical dosing systems across every "
+         "stage of the purification process")
+    C = ("municipal water treatment facilities require quarterly upkeep "
+         "schedules including sand filter cartridge renewal operations "
+         "and careful monitoring of chemical dosing systems across every "
+         "stage of the purification process")
+    kw = dict(cos_num=92, n_planes=8, n_tables=8)
+
+    twin = {
+        r.doc_id: r.group_id
+        for r in semantic_dedup(
+            spark.createDataFrame(
+                [(1, A), (2, B), (3, C)], "doc_id long, text string"
+            ),
+            **kw,
+        ).collect()
+    }
+    assert twin == {1: 1, 2: 1, 3: 1}  # the planted chain holds
+
+    store = str(tmp_path / "store")
+    # batch 1: the chain's ENDS arrive together — no pair (A !~ C),
+    # both admitted (this is the stream's extra-member divergence)
+    b1 = spark.createDataFrame([(1, A), (3, C)], "doc_id long, text string")
+    assert {r.doc_id for r in semantic_dedup_batch(b1, store, **kw).collect()} == {1, 3}
+    # batch 2: the middle link arrives, anchors to both, dropped
+    b2 = spark.createDataFrame([(2, B)], "doc_id long, text string")
+    assert semantic_dedup_batch(b2, store, **kw).count() == 0
+    # the stream kept {1, 3}; the batch twin keeps only {1}
+
+    got = {
+        r.doc_id: (r.group_id, r.keep)
+        for r in compact_semantic_store(spark, store).collect()
+    }
+    assert got == {d: (g, d == g) for d, g in twin.items()}
+
+    # physical compaction: one segment, prior ones retired (grace),
+    # GC'd by the next write — and the gate still works on the
+    # compacted store (a re-phrasing of the chain is still caught)
+    _, _, m = read_semantic_store(spark, store)
+    assert len(m["segments"]) == 1
+    for d in m["retired"]:
+        assert os.path.isdir(os.path.join(store, d))
+    b3 = spark.createDataFrame([(9, B)], "doc_id long, text string")
+    assert semantic_dedup_batch(b3, store, **kw).count() == 0
+    for d in m["retired"]:
+        assert not os.path.exists(os.path.join(store, d))
+
+    # empty store: empty resolution frame, correct schema
+    empty = compact_semantic_store(spark, str(tmp_path / "none"), cos_num=92, cos_den=100)
+    assert empty.columns == ["doc_id", "group_id", "keep"]
+    assert empty.count() == 0
 
 
 def test_semantic_dedup_batch_watermark_evicts_state(spark, tmp_path):
