@@ -545,7 +545,12 @@ def resize_images(
     re-encodes as a real grayscale baseline JPEG — executable
     compressed-codec pixel coverage with no imaging library
     (grayscale by construction; progressive/arithmetic streams
-    quarantine). For the remaining compressed formats, ``fake=False``
+    quarantine). PNG payloads (r15): when PIL is absent the vendored
+    inflate+defilter decoder (llm_ops.png — all five filter types,
+    palette expansion, 16-bit reduction) recovers the EXACT pixels,
+    resamples, and re-encodes as a real 8-bit PNG (alpha dropped for
+    the thumbnail; Adam7/low-bit-depth bodies quarantine). For the
+    remaining compressed formats (GIF/WebP), ``fake=False``
     probes for PIL at execution time inside the UDF — when Pillow is
     importable the REAL resample runs (``Image.open`` →
     ``resize((ow, oh))`` → re-encode in the source format); when it
@@ -644,15 +649,40 @@ def resize_images(
                              jpeg_gray_encode(ow, oh, resized.tobytes()))
                         )
                         continue
+                    if pil_image is None and fmt == "png":
+                        # vendored pure-stdlib PNG leg (r15): zlib
+                        # inflate + per-scanline defilter (llm_ops.png
+                        # — all five filter types, palette expansion,
+                        # 16-bit reduction), nearest-resample, and
+                        # re-encode as a real 8-bit PNG. Alpha is
+                        # dropped for the thumbnail (compositing
+                        # policy belongs to the caller); gray stays
+                        # gray. Adam7/low-bit-depth/corrupt bodies
+                        # quarantine like any other decode failure.
+                        from .png import png_decode, png_encode
+
+                        decoded = png_decode(b)
+                        if decoded is None:
+                            rows.append((mid, None, None, None, None, None, b))
+                            continue
+                        _, _, px = decoded
+                        c = px.shape[2]
+                        plane = px[:, :, 0] if c in (1, 2) else px[:, :, :3]
+                        rows.append(
+                            (mid, fmt, w, h, ow, oh,
+                             png_encode(nearest_resize(plane, ow, oh)))
+                        )
+                        continue
                     if pil_image is None:
                         raise NotImplementedError(
                             "real pixel resample needs an image codec (PIL/"
-                            "libvips) for PNG/GIF/WebP bodies and PIL is "
-                            "not importable in this environment; run with "
+                            "libvips) for GIF/WebP bodies and PIL is not "
+                            "importable in this environment; run with "
                             "fake=True for the deterministic placeholder "
                             "path (PPM payloads resample for real via the "
                             "vendored r13 codec; JPEG bodies via the "
-                            "vendored r14 DC-only leg)"
+                            "vendored r14 DC-only leg; PNG bodies via the "
+                            "vendored r15 inflate+defilter leg)"
                         )
                     import io
 

@@ -3885,6 +3885,222 @@ def test_jpeg_dc_lying_header_quarantine():
     assert jpeg_dc_decode(bytes(zero_hv)) is None
 
 
+def _ref_png_filter_rows(rows, bpp, ftypes):
+    """Independent FORWARD scanline filtering (test-side twin of the
+    spec, scalar arithmetic, no numpy): produces the filtered raw
+    stream png_decode must invert byte-exactly. Forward filtering
+    reads ORIGINAL neighbour bytes (W3C PNG §9)."""
+    out = bytearray()
+    prev = bytes(len(rows[0]))
+    for row, f in zip(rows, ftypes):
+        out.append(f)
+        for x in range(len(row)):
+            a = row[x - bpp] if x >= bpp else 0
+            b = prev[x]
+            c = prev[x - bpp] if x >= bpp else 0
+            if f == 0:
+                v = row[x]
+            elif f == 1:
+                v = (row[x] - a) & 0xFF
+            elif f == 2:
+                v = (row[x] - b) & 0xFF
+            elif f == 3:
+                v = (row[x] - ((a + b) >> 1)) & 0xFF
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = (row[x] - pred) & 0xFF
+            out.append(v)
+        prev = bytes(row)
+    return bytes(out)
+
+
+def _mk_png(w, h, depth, color, interlace, raw, plte=None, idat=None):
+    """Hand-built PNG (test-side chunk writer, independent of
+    llm_ops.png's encoder)."""
+    import struct
+    import zlib
+
+    def chunk(t, b):
+        return (
+            struct.pack(">I", len(b)) + t + b
+            + struct.pack(">I", zlib.crc32(t + b) & 0xFFFFFFFF)
+        )
+
+    out = b"\x89PNG\r\n\x1a\n" + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", w, h, depth, color, 0, 0, interlace)
+    )
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    out += chunk(b"IDAT", zlib.compress(raw) if idat is None else idat)
+    return out + chunk(b"IEND", b"")
+
+
+def test_png_decode_exact_vs_independent_filter_reference():
+    """r15 vendored PNG leg (llm_ops/png, W3C PNG / RFC 2083): for
+    every color type and all FIVE filter types, a stream filtered by
+    an independent scalar implementation of the spec's forward
+    filters decodes back to the original pixels BYTE-EXACTLY. 16-bit
+    samples reduce to the high byte; palette rows expand through
+    PLTE. No Spark, no PIL."""
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.png import png_decode
+
+    rng = np.random.default_rng(15)
+    h, w = 13, 11
+    # (color type, channels, depth)
+    for color, c, depth in [(0, 1, 8), (2, 3, 8), (4, 2, 8), (6, 4, 8),
+                            (0, 1, 16), (2, 3, 16)]:
+        bpp = c * depth // 8
+        if depth == 8:
+            px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+            rows = [px[y].tobytes() for y in range(h)]
+            want = px
+        else:
+            px16 = rng.integers(0, 1 << 16, size=(h, w, c), dtype=np.uint16)
+            rows = [px16[y].astype(">u2").tobytes() for y in range(h)]
+            want = (px16 >> 8).astype(np.uint8)
+        ftypes = [(y % 5) for y in range(h)]  # every filter exercised
+        raw = _ref_png_filter_rows(rows, bpp, ftypes)
+        got = png_decode(_mk_png(w, h, depth, color, 0, raw))
+        assert got is not None, (color, depth)
+        gw, gh, gpx = got
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(gpx, want), (color, depth)
+
+    # palette: indices filter like gray bytes, expand through PLTE
+    plte = rng.integers(0, 256, size=(200, 3), dtype=np.uint8)
+    idx = rng.integers(0, 200, size=(h, w), dtype=np.uint8)
+    raw = _ref_png_filter_rows(
+        [idx[y].tobytes() for y in range(h)], 1, [(y % 5) for y in range(h)]
+    )
+    got = png_decode(_mk_png(w, h, 8, 3, 0, raw, plte=plte.tobytes()))
+    assert got is not None
+    _, _, gpx = got
+    assert np.array_equal(gpx, plte[idx])
+
+
+def test_png_codec_roundtrip_and_quarantine():
+    """Encoder output round-trips bit-exactly; everything outside the
+    documented scope — and every malformed-but-signature-bearing
+    stream — quarantines to None (the jpegdc rule: one adversarial
+    crawl PNG must never fail the mapInPandas batch)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        parse_image_header,
+    )
+    from gcp_dataengineering_spark.llm_ops.png import png_decode, png_encode
+
+    rng = np.random.default_rng(151)
+    gray = rng.integers(0, 256, size=(23, 37), dtype=np.uint8)
+    rgb = rng.integers(0, 256, size=(16, 9, 3), dtype=np.uint8)
+    for px, c in [(gray, 1), (rgb, 3)]:
+        data = png_encode(px)
+        assert parse_image_header(data) == ("png", px.shape[1], px.shape[0])
+        w, h, out = png_decode(data)
+        assert (w, h) == (px.shape[1], px.shape[0])
+        assert np.array_equal(out.reshape(px.shape), px)
+
+    good = png_encode(rgb)
+    raw_ok = b"".join(b"\x00" + rgb[y].tobytes() for y in range(16))
+
+    assert png_decode(b"not a png") is None
+    assert png_decode(good[:40]) is None  # truncated mid-chunk
+    corrupt = bytearray(good)
+    corrupt[60] ^= 0xFF  # body byte flips -> chunk CRC mismatch
+    assert png_decode(bytes(corrupt)) is None
+    assert png_decode(_mk_png(9, 16, 8, 2, 1, raw_ok)) is None  # Adam7
+    assert png_decode(_mk_png(9, 16, 4, 0, 0, raw_ok)) is None  # depth 4
+    assert png_decode(_mk_png(9, 16, 8, 7, 0, raw_ok)) is None  # bad color
+    bad_filter = b"\x07" + raw_ok[1:]
+    assert png_decode(_mk_png(9, 16, 8, 2, 0, bad_filter)) is None
+    # IHDR lies small: inflate is capped, length mismatch quarantines
+    assert png_decode(_mk_png(9, 4, 8, 2, 0, raw_ok)) is None
+    # ... and lies large: stream too short
+    assert png_decode(_mk_png(9, 64, 8, 2, 0, raw_ok)) is None
+    # palette index beyond PLTE
+    plte3 = bytes(9)  # 3 entries
+    idx_raw = b"\x00" + bytes([5] * 9)
+    assert png_decode(_mk_png(9, 1, 8, 3, 0, idx_raw, plte=plte3)) is None
+    # palette image with no PLTE at all
+    assert png_decode(_mk_png(9, 1, 8, 3, 0, idx_raw)) is None
+    # garbage IDAT (not a zlib stream)
+    assert png_decode(_mk_png(9, 16, 8, 2, 0, b"", idat=b"\x01\x02\x03")) is None
+    # chunk length field lies past EOF
+    lying = bytearray(good)
+    struct.pack_into(">I", lying, len(b"\x89PNG\r\n\x1a\n"), 0x00FFFFFF)
+    assert png_decode(bytes(lying)) is None
+    zlib  # (imported for _mk_png's compressor)
+
+
+def test_png_real_resample_in_container(spark):
+    """r15: PNG pixel coverage EXECUTES with no PIL — payloads decode
+    through the vendored inflate+defilter leg inside the mapInPandas
+    UDF, resample, and re-encode as real 8-bit PNGs. Byte-exact
+    against an independent composition of the same vendored pieces;
+    RGBA drops alpha; a corrupt body (header still sniffs)
+    quarantines instead of failing the job."""
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        _fit_within,
+        nearest_resize,
+        parse_image_header,
+        resize_images,
+    )
+    from gcp_dataengineering_spark.llm_ops.png import png_decode, png_encode
+
+    try:
+        import PIL  # noqa: F401
+
+        import pytest as _pytest
+
+        _pytest.skip("PIL importable here; the vendored leg is the no-PIL path")
+    except ImportError:
+        pass
+
+    rng = np.random.default_rng(52)
+    imgs = {}
+    for mid, (w, h, c) in enumerate(
+        [(96, 48, 3), (64, 64, 1), (40, 120, 3)], start=1
+    ):
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        imgs[mid] = (w, h, png_encode(px.reshape(h, w) if c == 1 else px))
+    # RGBA payload (hand-built): decode keeps 4 channels, resample drops alpha
+    rgba = rng.integers(0, 256, size=(20, 30, 4), dtype=np.uint8)
+    rgba_raw = b"".join(b"\x00" + rgba[y].tobytes() for y in range(20))
+    imgs[7] = (30, 20, _mk_png(30, 20, 8, 6, 0, rgba_raw))
+
+    payloads = [(mid, bytearray(b)) for mid, (_, _, b) in imgs.items()]
+    truncated = imgs[1][2][:-30]
+    assert parse_image_header(truncated)[0] == "png"  # header still sniffs
+    payloads.append((9, bytearray(truncated)))
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+
+    out = {
+        r.media_id: r
+        for r in resize_images(df, max_side=16, fake=False).collect()
+    }
+    assert len(out) == 5
+    assert out[9].fmt is None and bytes(out[9].payload_out) == truncated
+    for mid, (w, h, data) in imgs.items():
+        r = out[mid]
+        ow, oh = _fit_within(w, h, 16)
+        assert (r.fmt, r.width, r.height, r.out_width, r.out_height) == (
+            "png", w, h, ow, oh,
+        )
+        _, _, px = png_decode(data)
+        plane = px[:, :, 0] if px.shape[2] in (1, 2) else px[:, :, :3]
+        want = png_encode(nearest_resize(plane, ow, oh))
+        assert bytes(r.payload_out) == want
+
+
 def test_jpeg_real_resample_in_container(spark):
     """r14: compressed-codec pixel coverage EXECUTES with no PIL —
     JPEG payloads decode through the vendored DC-only leg inside the
