@@ -123,6 +123,13 @@ HEADLINE = [
     # Viterbi E-step; bench-only (float variant, pytest-twin-gated,
     # no SQL oracle by design)
     "unigram_soft",
+    # round-15 (r14 verdict item 7): the SAMPLED-segmentation corpus
+    # build — train soft-EM once (untimed, cached on the sf dir),
+    # then the composed pipeline tokenizes every doc through the
+    # md5-seeded lattice filtration (unigram_sample_docs) with piece
+    # budgets denominated in sampled pieces; bench-only (sampling is
+    # twin-gated, no SQL oracle by design)
+    "unigram_sampled",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member
@@ -167,7 +174,54 @@ def _unigram_soft(spark, sf_dir: str):
     )
 
 
-BENCH_EXTRA = {"corpus_e2e": _corpus_e2e, "unigram_soft": _unigram_soft}
+# trained vocab per sf dir, pinned: the unigram_sampled row times the
+# SAMPLED TOKENIZATION under the composed pipeline, not the trainer
+# (unigram_soft above already times that surface)
+_UNIGRAM_VOCAB_CACHE: dict[str, object] = {}
+
+
+def _unigram_sampled(spark, sf_dir: str):
+    """r15: the composed corpus build with subword-regularization
+    sampling — every doc tokenizes through the md5-seeded lattice
+    filtration (unigram.unigram_sample_docs via PipelineConfig
+    unigram_vocab + unigram_sample_alpha), budgets/shards denominated
+    in sampled pieces; forcing the shard plan forces the whole chain.
+    The soft-EM vocab is trained once per sf dir OUTSIDE the timed
+    surface (cached, localCheckpoint-pinned)."""
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = _UNIGRAM_VOCAB_CACHE.get(sf_dir)
+    if vocab is None:
+        from gcp_dataengineering_spark.llm_ops.unigram import (
+            unigram_train_soft,
+        )
+
+        vocab = unigram_train_soft(
+            docs, vocab_size=200, max_piece_len=5, em_iters=1,
+            materialize=None,
+        ).localCheckpoint()
+        _UNIGRAM_VOCAB_CACHE[sf_dir] = vocab
+    stages = build_training_corpus(
+        docs,
+        config=PipelineConfig(
+            shard_budget_tokens=200_000,
+            unigram_vocab=vocab,
+            unigram_sample_alpha=0.2,
+        ),
+        materialize=None,
+    )
+    return stages["shards"]
+
+
+BENCH_EXTRA = {
+    "corpus_e2e": _corpus_e2e,
+    "unigram_soft": _unigram_soft,
+    "unigram_sampled": _unigram_sampled,
+}
 
 
 def _time_set(spark, qs, sf_dir: str, warm_dir: str, runs: int) -> dict[str, float]:
