@@ -1548,18 +1548,23 @@ def q_embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _pq_build_ctes(m: int = 4, n_clusters: int = 16, n_iter: int = 2,
-                   seed: int = 42, p: str = "") -> str:
+                   seed: int = 42, p: str = "", vq_body: str | None = None) -> str:
     """DuckDB CTE chain replaying similarity.pq_index exactly: it is
     _ivf_build_ctes with `sub` added to every key — quantize, slice
     into m subvectors (trailing dims to the last), seeded hash init
     per (vec, sub), then n_iter × (integer mean, exact integer
-    squared-L2 argmin per subspace)."""
+    squared-L2 argmin per subspace). ``vq_body`` overrides the
+    quantized-vector CTE (the OPQ oracle feeds a ROTATED vq —
+    element-wise quantization commutes with the permutation, so
+    permuting the quantized components replays Spark's
+    rotate-floats-then-quantize exactly)."""
     s = S.KMEANS_SCALE
+    default_vq = f"""SELECT vec_id,
+           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {s} + 0.5) AS BIGINT)) AS vq
+    FROM embeddings"""
     ctes = [
         f"""{p}vq AS (
-    SELECT vec_id,
-           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {s} + 0.5) AS BIGINT)) AS vq
-    FROM embeddings
+    {vq_body or default_vq}
 )""",
         f"""{p}sv AS (
     SELECT vec_id, s.sub,
@@ -1613,6 +1618,77 @@ def _pq_build_ctes(m: int = 4, n_clusters: int = 16, n_iter: int = 2,
 
 ORACLE_EMBEDDING_PQ = f"""
 WITH {_pq_build_ctes()}, qsub AS (
+    SELECT vec_id AS qid, sub, svq FROM sv WHERE vec_id < 20
+), lut AS (
+    SELECT q.qid, q.sub, c.cluster,
+           (SELECT SUM((a - b) * (a - b))
+            FROM (SELECT unnest(q.svq) AS a, unnest(c.cq_arr) AS b) z) AS part
+    FROM qsub q JOIN codebook c ON q.sub = c.sub
+), scored AS (
+    SELECT l.qid, a.vec_id AS nid, SUM(l.part) AS adc
+    FROM codes a JOIN lut l ON a.sub = l.sub AND a.cluster = l.cluster
+    WHERE a.vec_id <> l.qid
+    GROUP BY l.qid, a.vec_id
+), ranked AS (
+    SELECT qid, nid, adc,
+           ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adc ASC, nid ASC) AS rank
+    FROM scored
+)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS INTEGER) AS rank,
+       CAST(adc AS BIGINT) AS adc
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_embedding_opq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r15: PQ-ADC under the OPQ-style ENERGY-BALANCED permutation
+    (similarity.pq_energy_balanced_perm — exact integer variance
+    ranking, round-robin subspace allocation; the OPQ paper's
+    eigenvalue-allocation idea without the PCA). Every stage stays
+    integer-exact — the variance scores are n·Σx²−(Σx)² over the
+    quantized components, the permutation is pure element reorder,
+    and the rotated build/search is the embedding_pq machinery — so
+    DuckDB replays dim ranking, allocation, rotation, codebook build,
+    and ADC ranking bit-for-bit. Recall impact measured in
+    tests/test_embed.py::test_pq_opq_rotation_recall."""
+    emb = _t(spark, sf_dir, "embeddings")
+    rot = S.pq_energy_balanced_perm(emb, m=4)
+    codes, cb = S.pq_index(
+        emb, m=4, n_clusters=16, n_iter=2, seed=42, rotation=rot
+    )
+    return S.pq_topk_adc(
+        codes, cb, emb.filter(F.col("vec_id") < 20), m=4, k=5, rotation=rot
+    )
+
+
+# the energy-balanced permutation replayed in SQL: exact integer
+# variance rank (ties by dim asc), round-robin over m=4 subspaces of
+# 16 dims each (dim 64 divides evenly, so capacities are equal and
+# the allocation is rank % m, slot rank // m), then the standard PQ
+# build over the ROTATED quantized vectors (quantization is
+# element-wise, so it commutes with the permutation).
+_OPQ_ROTATED_VQ = f"""SELECT v.vec_id,
+           array_agg(v.vq[p.src + 1]
+                     ORDER BY (p.rnk % 4) * 16 + (p.rnk // 4)) AS vq
+    FROM rawvq v, permmap p
+    GROUP BY v.vec_id"""
+
+ORACLE_EMBEDDING_OPQ = f"""
+WITH rawvq AS (
+    SELECT vec_id,
+           list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {S.KMEANS_SCALE} + 0.5) AS BIGINT)) AS vq
+    FROM embeddings
+), dimstats AS (
+    SELECT r.j AS j, COUNT(*) AS n,
+           SUM(v.vq[r.j + 1]) AS s,
+           SUM(v.vq[r.j + 1] * v.vq[r.j + 1]) AS ss
+    FROM rawvq v, unnest(range(len(v.vq))) AS r(j)
+    GROUP BY r.j
+), permmap AS (
+    SELECT j AS src,
+           ROW_NUMBER() OVER (ORDER BY (n * ss - s * s) DESC, j ASC) - 1 AS rnk
+    FROM dimstats
+), {_pq_build_ctes(vq_body=_OPQ_ROTATED_VQ)}, qsub AS (
     SELECT vec_id AS qid, sub, svq FROM sv WHERE vec_id < 20
 ), lut AS (
     SELECT q.qid, q.sub, c.cluster,
@@ -2683,6 +2759,11 @@ QUERIES = {
     "embedding_topk_pandas": q_embedding_topk_pandas,
     "embedding_ivf": q_embedding_ivf,
     "embedding_pq": q_embedding_pq,
+    # r15: OPQ-style energy-balanced rotation — PERMANENT_EXTERNAL
+    # (the rotating universe is at its 97-key capacity; this pair
+    # gets the full DuckDB oracle every pytest round instead of a
+    # driver row — see rotation.py / ROTATION.md r15 note)
+    "embedding_opq": q_embedding_opq,
     "embedding_lsh": q_embedding_lsh,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     # multimodal_meta: demoted round 5 (fake-decoder path,
@@ -2736,6 +2817,10 @@ ORACLES = {
     # embedding_pq: FULL oracle — m × k codebook build replayed
     # subspace-by-subspace, then integer-exact ADC lookup/sum/rank
     "embedding_pq": ORACLE_EMBEDDING_PQ,
+    # embedding_opq (r15): the PQ oracle extended with the
+    # energy-balanced permutation replayed in SQL (integer variance
+    # rank + round-robin allocation + rotated vq)
+    "embedding_opq": ORACLE_EMBEDDING_OPQ,
     "embedding_lsh": ORACLE_EMBEDDING_LSH,
     "embedding_neardup_lsh": ORACLE_EMBEDDING_NEARDUP_LSH,
     "multimodal_meta": ORACLE_MULTIMODAL_META,

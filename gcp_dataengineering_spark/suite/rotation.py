@@ -10,10 +10,15 @@ more pairs than fit. Rotation policy (see ROTATION.md):
 - ``GROUP_A`` / ``GROUP_B`` alternate: A is in-window on odd rounds,
   B on even rounds, so every non-resident key gets an external
   CORRECTNESS row at least every 2 rounds.
-- ``PERMANENT_EXTERNAL`` keys never enter the window: they are
-  alternate implementations checked against the SAME oracle text as
-  an in-window key (interchangeability proofs), so a driver row
-  would be redundant. They still run against DuckDB every round via
+- ``PERMANENT_EXTERNAL`` keys never enter the window, for one of two
+  documented reasons: (a) alternate implementations checked against
+  the SAME oracle text as an in-window key (interchangeability
+  proofs — a driver row would be redundant), or (b) full oracle
+  pairs added after the rotating universe reached its capacity of
+  100 − |RESIDENT| keys (both parities must stay ≤ the driver's
+  50-key check; funding a window slot would mean demoting one of
+  the three pinned e2e reconstructions). Either way they run
+  against DuckDB every round via
   tests/test_config_and_job.py::test_rotated_out_keys_still_match_duckdb
   — as does whichever of A/B is out-of-window. Rotation changes
   which harness runs the check, never whether it runs.
@@ -332,6 +337,14 @@ GROUP_B = [
 # Alternate implementations sharing an in-window key's oracle text.
 PERMANENT_EXTERNAL = [
     "sessionize_native",
+    # r15: full oracle pair (integer variance rank + round-robin
+    # allocation + rotated PQ build, all replayed in SQL) added at
+    # universe capacity — reason (b) in the module docstring: both
+    # rotating parities sit at exactly 47 + the 3 pinned residents,
+    # and the only demotable residents are the e2e reconstructions.
+    # DuckDB-checked every pytest round at sf0.01 like a rotated-out
+    # key; recall floors in tests/test_embed.py.
+    "embedding_opq",
 ]
 
 
