@@ -549,8 +549,13 @@ def resize_images(
     inflate+defilter decoder (llm_ops.png — all five filter types,
     palette expansion, 16-bit reduction) recovers the EXACT pixels,
     resamples, and re-encodes as a real 8-bit PNG (alpha dropped for
-    the thumbnail; Adam7/low-bit-depth bodies quarantine). For the
-    remaining compressed formats (GIF/WebP), ``fake=False``
+    the thumbnail; Adam7/low-bit-depth bodies quarantine). GIF
+    payloads (r15): the vendored LZW decoder (llm_ops.gif) recovers
+    the first frame's EXACT palette indices, the index plane
+    resamples, and re-encodes against the original palette — a real
+    GIF out, no color quantization (interlace handled; animation
+    beyond frame 1 ignored by contract). For the one remaining
+    compressed format (WebP), ``fake=False``
     probes for PIL at execution time inside the UDF — when Pillow is
     importable the REAL resample runs (``Image.open`` →
     ``resize((ow, oh))`` → re-encode in the source format); when it
@@ -673,16 +678,37 @@ def resize_images(
                              png_encode(nearest_resize(plane, ow, oh)))
                         )
                         continue
+                    if pil_image is None and fmt == "gif":
+                        # vendored GIF leg (r15): real LZW decode of
+                        # the FIRST frame to (indices, palette), the
+                        # index plane resampled and re-encoded against
+                        # the ORIGINAL palette — no color quantization
+                        # ever needed, output is a real GIF87a.
+                        # Transparency treated opaque (the PNG leg's
+                        # rule); corrupt/truncated streams quarantine.
+                        from .gif import gif_decode, gif_encode
+
+                        decoded = gif_decode(b)
+                        if decoded is None:
+                            rows.append((mid, None, None, None, None, None, b))
+                            continue
+                        _, _, gidx, gpal = decoded
+                        rows.append(
+                            (mid, fmt, w, h, ow, oh,
+                             gif_encode(nearest_resize(gidx, ow, oh), gpal))
+                        )
+                        continue
                     if pil_image is None:
                         raise NotImplementedError(
                             "real pixel resample needs an image codec (PIL/"
-                            "libvips) for GIF/WebP bodies and PIL is not "
+                            "libvips) for WebP bodies and PIL is not "
                             "importable in this environment; run with "
                             "fake=True for the deterministic placeholder "
                             "path (PPM payloads resample for real via the "
                             "vendored r13 codec; JPEG bodies via the "
                             "vendored r14 DC-only leg; PNG bodies via the "
-                            "vendored r15 inflate+defilter leg)"
+                            "vendored r15 inflate+defilter leg; GIF bodies "
+                            "via the vendored r15 LZW leg)"
                         )
                     import io
 

@@ -4101,6 +4101,177 @@ def test_png_real_resample_in_container(spark):
         assert bytes(r.payload_out) == want
 
 
+def test_gif_decode_exact_vs_hand_derived_lzw_stream():
+    """r15 vendored GIF leg (llm_ops/gif, GIF87a/89a spec): the
+    decoder inverts a HAND-DERIVED LZW code stream (codes and their
+    widths worked out from the spec by hand for pixels [0,1,2,3,0,1],
+    packed by an independent test-side bit writer) — including the
+    width growth from 3 to 4 bits mid-stream. No Spark, no PIL."""
+    import struct
+
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.gif import gif_decode
+
+    def pack(codes):
+        acc = nb = 0
+        out = bytearray()
+        for code, width in codes:
+            acc |= code << nb
+            nb += width
+            while nb >= 8:
+                out.append(acc & 0xFF)
+                acc >>= 8
+                nb -= 8
+        if nb:
+            out.append(acc & 0xFF)
+        return bytes(out)
+
+    # min_code=2: clear=4, eoi=5, initial width 3. Encoding of
+    # [0,1,2,3,0,1]: emit 0 (add 01->6), 1 (add 12->7), 2 (add 23->8,
+    # table hits 2^3 -> width 4), 3 at 4 bits (add 30->9), then "01"
+    # is in the table as code 6, emit it, then EOI.
+    lzw = pack([(4, 3), (0, 3), (1, 3), (2, 3), (3, 4), (6, 4), (5, 4)])
+    palette = bytes([10, 0, 0, 0, 20, 0, 0, 0, 30, 255, 255, 255])  # 4 RGB
+    gif = (
+        b"GIF89a"
+        + struct.pack("<HHBBB", 3, 2, 0x81, 0, 0)  # GCT, 4 entries
+        + palette
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 3, 2, 0)
+        + bytes([2])  # min LZW code size
+        + bytes([len(lzw)]) + lzw + b"\x00"
+        + b"\x3b"
+    )
+    got = gif_decode(gif)
+    assert got is not None
+    w, h, idx, pal = got
+    assert (w, h) == (3, 2)
+    assert idx.tolist() == [[0, 1, 2], [3, 0, 1]]
+    assert np.array_equal(pal, np.frombuffer(palette, np.uint8).reshape(4, 3))
+
+
+def test_gif_codec_roundtrip_interlace_and_quarantine():
+    """Encoder output round-trips bit-exactly (including the 12-bit
+    table overflow / clear-code reset on noise); the 4-pass row
+    interlace un-weaves; malformed streams quarantine to None (the
+    jpegdc rule)."""
+    import struct
+
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.gif import gif_decode, gif_encode
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        parse_image_header,
+    )
+
+    rng = np.random.default_rng(150)
+    pal = rng.integers(0, 256, size=(256, 3), dtype=np.uint8)
+    # noise forces the LZW table to 4096 and the clear-code reset path
+    for (h, w, n) in [(2, 3, 4), (80, 120, 256), (7, 111, 16)]:
+        idx = rng.integers(0, n, size=(h, w), dtype=np.uint8)
+        data = gif_encode(idx, pal[:n])
+        assert parse_image_header(data) == ("gif", w, h)
+        gw, gh, gidx, gpal = gif_decode(data)
+        assert (gw, gh) == (w, h)
+        assert np.array_equal(gidx, idx)
+        assert np.array_equal(gpal[:n], pal[:n])
+
+    # interlace: store rows in the 4-pass order, flip the descriptor
+    # bit, decode must return the original row order
+    h, w = 8, 5
+    orig = np.repeat(np.arange(8, dtype=np.uint8)[:, None], w, axis=1)
+    storage = orig[[0, 4, 2, 6, 1, 3, 5, 7]]
+    data = bytearray(gif_encode(storage, pal[:8]))
+    flag_at = 6 + 7 + 3 * 8 + 9  # header+screen+GCT, descriptor flags
+    assert data[flag_at] == 0
+    data[flag_at] = 0x40
+    gw, gh, gidx, _ = gif_decode(bytes(data))
+    assert np.array_equal(gidx, orig)
+
+    good = gif_encode(rng.integers(0, 8, size=(16, 16), dtype=np.uint8), pal[:8])
+    assert gif_decode(b"not a gif") is None
+    assert gif_decode(good[: len(good) // 2]) is None  # truncated
+    # trailer before any image frame
+    assert gif_decode(b"GIF89a" + struct.pack("<HHBBB", 3, 2, 0, 0, 0) + b"\x3b") is None
+    # image frame with NO color table anywhere: out of scope
+    no_ct = (
+        b"GIF89a" + struct.pack("<HHBBB", 1, 1, 0, 0, 0)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 1, 1, 0)
+        + bytes([2, 1, 0x24, 0]) + b"\x3b"
+    )
+    assert gif_decode(no_ct) is None
+    # first LZW code beyond the initial table: corrupt
+    lzw = bytes([0b111100])  # 4 (clear) then 7, LSB-first 3-bit codes
+    tiny = (
+        b"GIF89a" + struct.pack("<HHBBB", 2, 1, 0x80, 0, 0) + bytes(6)
+        + b"\x2c" + struct.pack("<HHHHB", 0, 0, 2, 1, 0)
+        + bytes([2, len(lzw)]) + lzw + b"\x00" + b"\x3b"
+    )
+    assert gif_decode(tiny) is None
+    # declared 2x1 but the stream encodes 6 pixels: geometry lies
+    six = gif_encode(np.zeros((2, 3), dtype=np.uint8), pal[:2])
+    lying = bytearray(six)
+    struct.pack_into("<HH", lying, 6, 3, 1)  # screen 3x1
+    desc_at = 6 + 7 + 3 * 2
+    struct.pack_into("<HH", lying, desc_at + 5, 2, 1)  # image 2x1
+    assert gif_decode(bytes(lying)) is None
+
+
+def test_gif_real_resample_in_container(spark):
+    """r15: GIF pixel coverage EXECUTES with no PIL — payloads LZW-
+    decode inside the mapInPandas UDF, the index plane resamples, and
+    re-encodes against the original palette as a real GIF. Byte-exact
+    against an independent composition of the same vendored pieces; a
+    truncated body (header still sniffs) quarantines instead of
+    failing the job."""
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.gif import gif_decode, gif_encode
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        _fit_within,
+        nearest_resize,
+        parse_image_header,
+        resize_images,
+    )
+
+    try:
+        import PIL  # noqa: F401
+
+        import pytest as _pytest
+
+        _pytest.skip("PIL importable here; the vendored leg is the no-PIL path")
+    except ImportError:
+        pass
+
+    rng = np.random.default_rng(53)
+    pal = rng.integers(0, 256, size=(64, 3), dtype=np.uint8)
+    imgs = {}
+    for mid, (w, h) in enumerate([(96, 48), (64, 64), (40, 120)], start=1):
+        idx = rng.integers(0, 64, size=(h, w), dtype=np.uint8)
+        imgs[mid] = (w, h, gif_encode(idx, pal))
+    payloads = [(mid, bytearray(b)) for mid, (_, _, b) in imgs.items()]
+    truncated = imgs[1][2][:-25]
+    assert parse_image_header(truncated)[0] == "gif"
+    payloads.append((9, bytearray(truncated)))
+    df = spark.createDataFrame(payloads, "media_id long, payload binary")
+
+    out = {
+        r.media_id: r
+        for r in resize_images(df, max_side=16, fake=False).collect()
+    }
+    assert len(out) == 4
+    assert out[9].fmt is None and bytes(out[9].payload_out) == truncated
+    for mid, (w, h, data) in imgs.items():
+        r = out[mid]
+        ow, oh = _fit_within(w, h, 16)
+        assert (r.fmt, r.width, r.height, r.out_width, r.out_height) == (
+            "gif", w, h, ow, oh,
+        )
+        _, _, idx, gpal = gif_decode(data)
+        want = gif_encode(nearest_resize(idx, ow, oh), gpal)
+        assert bytes(r.payload_out) == want
+
+
 def test_jpeg_real_resample_in_container(spark):
     """r14: compressed-codec pixel coverage EXECUTES with no PIL —
     JPEG payloads decode through the vendored DC-only leg inside the
