@@ -699,16 +699,20 @@ def resize_images(
                         )
                         continue
                     if pil_image is None:
+                        # r15: every format parse_image_header can
+                        # sniff (png/jpeg/gif/ppm) now has a vendored
+                        # no-PIL leg above; formats without one (WebP,
+                        # AVIF, ...) never reach here — they fail the
+                        # header parse and quarantine with fmt NULL.
+                        # This raise is an INTERNAL invariant guard:
+                        # it fires only if a new format is added to
+                        # the sniffer without a vendored decode leg.
                         raise NotImplementedError(
-                            "real pixel resample needs an image codec (PIL/"
-                            "libvips) for WebP bodies and PIL is not "
-                            "importable in this environment; run with "
-                            "fake=True for the deterministic placeholder "
-                            "path (PPM payloads resample for real via the "
-                            "vendored r13 codec; JPEG bodies via the "
-                            "vendored r14 DC-only leg; PNG bodies via the "
-                            "vendored r15 inflate+defilter leg; GIF bodies "
-                            "via the vendored r15 LZW leg)"
+                            f"format {fmt!r} is sniffed by "
+                            "parse_image_header but has no vendored "
+                            "no-PIL decode leg — add one (the "
+                            "jpegdc/png/gif legs are the pattern) or "
+                            "install PIL"
                         )
                     import io
 
