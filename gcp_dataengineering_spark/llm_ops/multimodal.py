@@ -549,7 +549,8 @@ def resize_images(
     inflate+defilter decoder (llm_ops.png — all five filter types,
     palette expansion, 16-bit reduction) recovers the EXACT pixels,
     resamples, and re-encodes as a real 8-bit PNG (alpha dropped for
-    the thumbnail; Adam7/low-bit-depth bodies quarantine). GIF
+    the thumbnail; Adam7 interlace decodes; low-bit-depth bodies
+    quarantine). GIF
     payloads (r15): the vendored LZW decoder (llm_ops.gif) recovers
     the first frame's EXACT palette indices, the index plane
     resamples, and re-encodes against the original palette — a real
@@ -662,7 +663,7 @@ def resize_images(
                         # re-encode as a real 8-bit PNG. Alpha is
                         # dropped for the thumbnail (compositing
                         # policy belongs to the caller); gray stays
-                        # gray. Adam7/low-bit-depth/corrupt bodies
+                        # gray; Adam7 de-interlaces. Low-bit-depth/corrupt bodies
                         # quarantine like any other decode failure.
                         from .png import png_decode, png_encode
 

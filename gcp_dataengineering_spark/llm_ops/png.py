@@ -16,7 +16,8 @@ Scope (honest, like the JPEG leg):
   multimodal.resize_images drops it (thumbnails first — compositing
   policy belongs to the caller). Palette tRNS is ignored (treated
   opaque) — documented, not silent.
-- interlace 0 only; Adam7 (interlace 1) quarantines.
+- interlace 0 AND Adam7 (interlace 1): each Adam7 pass defilters as
+  its own sub-image and scatters onto its (x0::dx, y0::dy) grid.
 - every chunk walk is bounds-checked, chunk CRCs are verified, and
   the whole decode is fenced by the jpegdc quarantine rule: ONE
   adversarial crawl payload whose header still sniffs as PNG must
@@ -58,6 +59,51 @@ def _paeth(a: int, b: int, c: int) -> int:
     if pb <= pc:
         return b
     return c
+
+
+# Adam7 pass grid: (x_start, y_start, x_step, y_step) per pass
+# (W3C PNG §8.2) — each pass is an independently filtered sub-image.
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _adam7_expect(w: int, h: int, bpp: int) -> int:
+    """Exact serialized size of an Adam7 image: per non-empty pass,
+    ph scanlines of (1 filter byte + pw·bpp). Empty passes (grid
+    starts past the image) contribute NOTHING — not even filter
+    bytes."""
+    total = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw > 0 and ph > 0:
+            total += ph * (1 + pw * bpp)
+    return total
+
+
+def _defilter_adam7(raw: bytes, w: int, h: int, bpp: int) -> np.ndarray | None:
+    """De-interlace Adam7: defilter each pass as its own sub-image
+    (fresh zero prior row — filters never cross passes), scatter its
+    pixels onto the (y0::dy, x0::dx) grid. Returns (h, w·bpp) uint8
+    like the sequential path."""
+    out = np.zeros((h, w, bpp), dtype=np.uint8)
+    pos = 0
+    for x0, y0, dx, dy in _ADAM7:
+        pw = (w - x0 + dx - 1) // dx
+        ph = (h - y0 + dy - 1) // dy
+        if pw <= 0 or ph <= 0:
+            continue
+        size = ph * (1 + pw * bpp)
+        sub = _defilter(raw[pos : pos + size], ph, pw * bpp, bpp)
+        if sub is None:
+            return None
+        pos += size
+        out[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+    if pos != len(raw):
+        return None
+    return out.reshape(h, w * bpp)
 
 
 def _defilter(raw: bytes, h: int, stride: int, bpp: int) -> np.ndarray | None:
@@ -159,8 +205,8 @@ def _png_decode(data: bytes):
     w, h, depth, color, comp, filt, interlace = ihdr
     if w < 1 or h < 1 or comp != 0 or filt != 0:
         return None
-    if interlace != 0:
-        return None  # Adam7: quarantine honestly (module docstring)
+    if interlace not in (0, 1):
+        return None
     if color not in PNG_CHANNELS or depth not in (8, 16):
         return None
     if color == 3 and (depth != 8 or plte is None):
@@ -168,7 +214,9 @@ def _png_decode(data: bytes):
     channels = PNG_CHANNELS[color]
     bpp = channels * depth // 8
     stride = w * bpp
-    expect = h * (1 + stride)
+    expect = (
+        h * (1 + stride) if interlace == 0 else _adam7_expect(w, h, bpp)
+    )
     if expect > 1 << 31:
         return None  # decompressed size cap: decode bomb guard
     # cap the inflate at expect+1: a stream that decompresses to MORE
@@ -176,7 +224,12 @@ def _png_decode(data: bytes):
     # IHDR) stops expanding right there and quarantines on the length
     # mismatch below instead of exhausting executor memory
     raw = zlib.decompressobj().decompress(bytes(idat), expect + 1)
-    flat = _defilter(raw, h, stride, bpp)
+    if interlace == 0:
+        flat = _defilter(raw, h, stride, bpp)
+    else:
+        if len(raw) != expect:
+            return None
+        flat = _defilter_adam7(raw, w, h, bpp)
     if flat is None:
         return None
     if depth == 16:

@@ -3983,6 +3983,31 @@ def test_png_decode_exact_vs_independent_filter_reference():
     _, _, gpx = got
     assert np.array_equal(gpx, plte[idx])
 
+    # Adam7 (r15): serialize the SEVEN passes independently (numpy
+    # grid slicing + the same scalar forward-filter reference, fresh
+    # prior row per pass), decode must reassemble the full image
+    # byte-exactly — odd dims exercise empty-column passes
+    adam7 = [(0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+             (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2)]
+    for (aw, ah, c, color) in [(11, 13, 3, 2), (3, 2, 1, 0), (17, 5, 4, 6)]:
+        px = rng.integers(0, 256, size=(ah, aw, c), dtype=np.uint8)
+        raw = b""
+        fcycle = 0
+        for x0, y0, dx, dy in adam7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            ftypes = [(fcycle + i) % 5 for i in range(sub.shape[0])]
+            fcycle += sub.shape[0]
+            raw += _ref_png_filter_rows(
+                [sub[i].tobytes() for i in range(sub.shape[0])], c, ftypes
+            )
+        got = png_decode(_mk_png(aw, ah, 8, color, 1, raw))
+        assert got is not None, (aw, ah, c)
+        gw, gh, gpx = got
+        assert (gw, gh) == (aw, ah)
+        assert np.array_equal(gpx, px), (aw, ah, c)
+
 
 def test_png_codec_roundtrip_and_quarantine():
     """Encoder output round-trips bit-exactly; everything outside the
@@ -4017,7 +4042,9 @@ def test_png_codec_roundtrip_and_quarantine():
     corrupt = bytearray(good)
     corrupt[60] ^= 0xFF  # body byte flips -> chunk CRC mismatch
     assert png_decode(bytes(corrupt)) is None
-    assert png_decode(_mk_png(9, 16, 8, 2, 1, raw_ok)) is None  # Adam7
+    # interlace flag with a SEQUENTIAL serialization: the Adam7
+    # expected size differs -> length mismatch quarantine
+    assert png_decode(_mk_png(9, 16, 8, 2, 1, raw_ok)) is None
     assert png_decode(_mk_png(9, 16, 4, 0, 0, raw_ok)) is None  # depth 4
     assert png_decode(_mk_png(9, 16, 8, 7, 0, raw_ok)) is None  # bad color
     bad_filter = b"\x07" + raw_ok[1:]
