@@ -92,9 +92,21 @@ def _gif_decode(data: bytes):
             return None
         if pos + 10 > len(data):
             return None
-        _ix, _iy, w, h, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
+        ix0, iy0, w, h, iflags = struct.unpack("<HHHHB", data[pos + 1 : pos + 10])
         pos += 10
         if w < 1 or h < 1:
+            return None
+        if (ix0, iy0) != (0, 0) or w != sw or h != sh:
+            # sub-screen / offset first frame: parse_image_header reports
+            # the SCREEN dims, so resampling the bare frame plane would
+            # silently stretch it and disagree with the reported geometry.
+            # Quarantine — compositing policy belongs to an animation
+            # pipeline, not the thumbnail contract.
+            return None
+        if w * h > 1 << 31:
+            # pixel-budget decode-bomb guard (mirrors png.py's expect cap):
+            # reject at the header so a quadratically-expanding LZW stream
+            # can never grow `out` to multi-GB before the length check.
             return None
         pal = gct
         if iflags & 0x80:  # local color table

@@ -559,10 +559,14 @@ def compact_semantic_store(
             "(pre-r15 store?) — pass cos_num/cos_den explicitly"
         )
     # replay duplicates from at-least-once batches fold away here;
-    # pinned because both the pair self-join and the rewrite read them
-    docs = _materialize(docs.dropDuplicates(["_sid"]), None)
+    # pinned EAGERLY (strategy True, not the process-global default —
+    # same rule as semantic_dedup_batch) because both the pair
+    # self-join and the segment rewrite read these frames, and the
+    # rewrite retires the very segments they were read from: under a
+    # lazy global materializer a re-read after GC would miss files.
+    docs = _materialize(docs.dropDuplicates(["_sid"]), True)
     buckets = _materialize(
-        buckets.dropDuplicates(["_sid", "tbl", "bucket"]), None
+        buckets.dropDuplicates(["_sid", "tbl", "bucket"]), True
     )
     cands = (
         buckets.select(F.col("_sid").alias("id_a"), "tbl", "bucket")

@@ -4246,6 +4246,75 @@ def test_gif_codec_roundtrip_interlace_and_quarantine():
     assert gif_decode(bytes(lying)) is None
 
 
+def test_gif_decode_bomb_and_subframe_quarantine():
+    """r16 ADVICE closures: (1) a crafted GIF declaring a huge
+    logical screen (65535x65535 ~ 4.3e9 pixels) with a tiny
+    quadratically-expanding LZW stream must quarantine AT THE HEADER
+    — before any multi-GB bytearray growth (mirrors png.py's expect
+    cap); (2) a first frame offset within / smaller than the screen
+    quarantines, because parse_image_header reports SCREEN dims and
+    resampling the bare frame plane would silently stretch it."""
+    import struct
+    import time
+
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.gif import gif_decode, gif_encode
+
+    pal = np.arange(24, dtype=np.uint8).reshape(8, 3)
+
+    # (1) decode bomb: screen+frame 65535x65535, LZW stream that
+    # self-references to expand quadratically. Must return None fast
+    # (header-time reject), never allocate the declared 4.3 GB.
+    # build a worst-case expanding stream: clear, then codes
+    # 4,5,6,7,... each new code = prev + first(prev) doubles length
+    codes = [4] + list(range(6, 200))  # code==len(table) self-extend path
+    min_code = 2
+    bitbuf = 0
+    nbits = 0
+    body = bytearray()
+    width = min_code + 1
+    for c in [1 << min_code] + codes:
+        bitbuf |= c << nbits
+        nbits += width
+        while nbits >= 8:
+            body.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+        # decoder grows width as its table fills; mimic loosely (the
+        # exact widths don't matter for the header-time reject)
+    if nbits:
+        body.append(bitbuf & 0xFF)
+    bomb = bytearray(b"GIF87a")
+    bomb += struct.pack("<HHBBB", 65535, 65535, 0x80 | 2, 0, 0)
+    bomb += pal.tobytes()  # 8-entry GCT
+    bomb += b"\x2c" + struct.pack("<HHHHB", 0, 0, 65535, 65535, 0)
+    bomb.append(min_code)
+    for lo in range(0, len(body), 255):
+        chunk = body[lo : lo + 255]
+        bomb.append(len(chunk))
+        bomb += chunk
+    bomb += b"\x00\x3b"
+    t0 = time.monotonic()
+    assert gif_decode(bytes(bomb)) is None
+    assert time.monotonic() - t0 < 1.0  # header reject, not GB growth
+
+    # (2) sub-screen / offset first frame: three variants quarantine
+    good = gif_encode(np.zeros((4, 6), dtype=np.uint8), pal)
+    assert gif_decode(good) is not None
+    desc_at = 6 + 7 + 3 * 8  # header + screen descriptor + GCT
+    assert good[desc_at] == 0x2C
+    offset = bytearray(good)
+    struct.pack_into("<HH", offset, desc_at + 1, 1, 0)  # left=1
+    assert gif_decode(bytes(offset)) is None
+    offset = bytearray(good)
+    struct.pack_into("<HH", offset, desc_at + 1, 0, 2)  # top=2
+    assert gif_decode(bytes(offset)) is None
+    small = bytearray(good)
+    struct.pack_into("<HH", small, 6, 8, 9)  # screen grows to 8x9
+    assert gif_decode(bytes(small)) is None  # frame 6x4 != screen
+
+
 def test_gif_real_resample_in_container(spark):
     """r15: GIF pixel coverage EXECUTES with no PIL — payloads LZW-
     decode inside the mapInPandas UDF, the index plane resamples, and
