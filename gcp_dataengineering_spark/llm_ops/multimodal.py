@@ -123,9 +123,19 @@ def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, i
     - JPEG: SOI then a segment walk to the first SOFn marker
       (skipping standalone markers and DHT/JPG/DAC); height/width
       are big-endian u16 at +5/+7 inside the SOF segment.
+    - WebP (r16): 'RIFF' + size + 'WEBP', then the first chunk's
+      fourcc decides the flavor — 'VP8X' (extended: 24-bit LE
+      canvas dims minus one at +4/+7), 'VP8L' (lossless: 0x2F
+      signature byte then 14+14 bits little-endian packed, dims
+      minus one), 'VP8 ' (lossy: 3-byte frame tag must flag a key
+      frame, 0x9D012A start code, then 14-bit LE width/height).
+      The #3 crawl image format becomes VISIBLE to corpus stats;
+      pixel decode stays out of pure-Python scope (the resize leg
+      quarantines webp when PIL is absent, documented).
 
     Unknown/truncated payloads → (None, None, None); a JPEG with no
-    parseable SOF → ('jpeg', None, None)."""
+    parseable SOF → ('jpeg', None, None); a WebP whose first chunk
+    is unparseable → ('webp', None, None) — still counted."""
     if not payload:
         return (None, None, None)
     if payload[:8] == PNG_SIG and len(payload) >= 24 and payload[12:16] == b"IHDR":
@@ -169,6 +179,29 @@ def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, i
         if parsed is not None:
             w, h, _, _ = parsed
             return ("ppm", w, h)
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+        if len(payload) >= 20:
+            fourcc = payload[12:16]
+            body = payload[20:]  # chunk payload after fourcc + u32 size
+            if fourcc == b"VP8X" and len(body) >= 10:
+                return (
+                    "webp",
+                    int.from_bytes(body[4:7], "little") + 1,
+                    int.from_bytes(body[7:10], "little") + 1,
+                )
+            if fourcc == b"VP8L" and len(body) >= 5 and body[0] == 0x2F:
+                bits = int.from_bytes(body[1:5], "little")
+                return ("webp", (bits & 0x3FFF) + 1, ((bits >> 14) & 0x3FFF) + 1)
+            if fourcc == b"VP8 " and len(body) >= 10:
+                # frame tag: bit 0 = 0 → key frame (only key frames
+                # carry dimensions); then the 0x9D 0x01 0x2A start code
+                if body[0] & 0x01 == 0 and body[3:6] == b"\x9d\x01\x2a":
+                    return (
+                        "webp",
+                        int.from_bytes(body[6:8], "little") & 0x3FFF,
+                        int.from_bytes(body[8:10], "little") & 0x3FFF,
+                    )
+        return ("webp", None, None)
     return (None, None, None)
 
 
@@ -699,12 +732,23 @@ def resize_images(
                              gif_encode(nearest_resize(gidx, ow, oh), gpal))
                         )
                         continue
+                    if pil_image is None and fmt == "webp":
+                        # r16: webp is now VISIBLE (header sniffed, so
+                        # corpus stats count/dimension it) but a VP8
+                        # entropy decoder is out of honest pure-Python
+                        # scope — with no PIL the resize leg
+                        # quarantines it like a corrupt body, by
+                        # contract (documented in the module and in
+                        # parse_image_header's docstring).
+                        rows.append((mid, None, None, None, None, None, b))
+                        continue
                     if pil_image is None:
                         # r15: every format parse_image_header can
                         # sniff (png/jpeg/gif/ppm) now has a vendored
-                        # no-PIL leg above; formats without one (WebP,
-                        # AVIF, ...) never reach here — they fail the
-                        # header parse and quarantine with fmt NULL.
+                        # no-PIL leg above; webp quarantines above;
+                        # other formats (AVIF, ...) never reach here —
+                        # they fail the header parse and quarantine
+                        # with fmt NULL.
                         # This raise is an INTERNAL invariant guard:
                         # it fires only if a new format is added to
                         # the sniffer without a vendored decode leg.

@@ -25,6 +25,7 @@ from ..llm_ops import html as H
 from ..llm_ops import decontam as DC
 from ..llm_ops import dedup as D
 from ..llm_ops import multimodal as M
+from ..llm_ops import phash as PH
 from ..llm_ops import quality_model as QM
 from ..llm_ops import similarity as S
 from ..llm_ops import text as T
@@ -1099,6 +1100,75 @@ SELECT doc_id AS media_id,
        CAST(doc_id % 300 + 16 AS INTEGER) AS width,
        CAST((doc_id * 7) % 200 + 16 AS INTEGER) AS height
 FROM documents
+"""
+
+
+# ---------------------------------------------------------------- perceptual hash
+def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing, differentially checked end-to-end:
+    for every document id, synth_ppm_corpus emits a spec-valid P6
+    payload whose pixels are a CLOSED-FORM function of the id
+    (w = id%23+9, h = id·3%17+8, RGB linear gradients —
+    phash.synth_gradient_ppm), and image_perceptual_hash decodes the
+    bytes through the vendored PPM codec, takes BT.601 integer luma,
+    nearest-resamples to 9×8 / 8×8 and computes the 64-bit dHash +
+    aHash. The oracle recomputes BOTH hashes straight from the pixel
+    formulas (resample index math, luma coefficients, bit weights,
+    two's-complement fold all replayed in SQL) — one misread byte or
+    off-by-one resample index and the hash diverges. r16;
+    PERMANENT_EXTERNAL (universe at capacity — see ROTATION.md)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = PH.synth_ppm_corpus(docs, id_col="doc_id")
+    return PH.image_perceptual_hash(media)
+
+
+ORACLE_IMAGE_PHASH = """
+WITH dims AS (
+    SELECT doc_id,
+           CAST(doc_id % 23 + 9 AS BIGINT) AS w,
+           CAST((doc_id * 3) % 17 + 8 AS BIGINT) AS h
+    FROM documents
+), dlum AS (
+    SELECT d.doc_id, j.j, i.i,
+           (((d.doc_id + 7*((i.i * d.w) // 9) + 13*((j.j * d.h) // 8)) % 256)*299
+            + (((3*d.doc_id + 5*((i.i * d.w) // 9) + 11*((j.j * d.h) // 8)) % 256))*587
+            + (((5*d.doc_id + 2*((i.i * d.w) // 9) + 3*((j.j * d.h) // 8)) % 256))*114) // 1000 AS g0,
+           (((d.doc_id + 7*(((i.i+1) * d.w) // 9) + 13*((j.j * d.h) // 8)) % 256)*299
+            + (((3*d.doc_id + 5*(((i.i+1) * d.w) // 9) + 11*((j.j * d.h) // 8)) % 256))*587
+            + (((5*d.doc_id + 2*(((i.i+1) * d.w) // 9) + 3*((j.j * d.h) // 8)) % 256))*114) // 1000 AS g1
+    FROM dims d, range(8) AS j(j), range(8) AS i(i)
+), dh AS (
+    SELECT doc_id,
+       (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END) * 4294967296 + lo AS dhash
+    FROM (
+      SELECT doc_id,
+        COALESCE(SUM(CASE WHEN g1 > g0 AND j*8+i < 32 THEN (CAST(1 AS BIGINT) << CAST(j*8+i AS INTEGER)) ELSE 0 END), 0) AS lo,
+        COALESCE(SUM(CASE WHEN g1 > g0 AND j*8+i >= 32 THEN (CAST(1 AS BIGINT) << CAST(j*8+i-32 AS INTEGER)) ELSE 0 END), 0) AS hi
+      FROM dlum GROUP BY doc_id)
+), alum AS (
+    SELECT d.doc_id, j.j, i.i,
+           (((d.doc_id + 7*((i.i * d.w) // 8) + 13*((j.j * d.h) // 8)) % 256)*299
+            + (((3*d.doc_id + 5*((i.i * d.w) // 8) + 11*((j.j * d.h) // 8)) % 256))*587
+            + (((5*d.doc_id + 2*((i.i * d.w) // 8) + 3*((j.j * d.h) // 8)) % 256))*114) // 1000 AS g
+    FROM dims d, range(8) AS j(j), range(8) AS i(i)
+), amean AS (
+    SELECT doc_id, SUM(g) // 64 AS mean FROM alum GROUP BY doc_id
+), ah AS (
+    SELECT doc_id,
+       (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END) * 4294967296 + lo AS ahash
+    FROM (
+      SELECT a.doc_id,
+        COALESCE(SUM(CASE WHEN a.g > m.mean AND a.j*8+a.i < 32 THEN (CAST(1 AS BIGINT) << CAST(a.j*8+a.i AS INTEGER)) ELSE 0 END), 0) AS lo,
+        COALESCE(SUM(CASE WHEN a.g > m.mean AND a.j*8+a.i >= 32 THEN (CAST(1 AS BIGINT) << CAST(a.j*8+a.i-32 AS INTEGER)) ELSE 0 END), 0) AS hi
+      FROM alum a JOIN amean m USING (doc_id) GROUP BY a.doc_id)
+)
+SELECT d.doc_id AS media_id,
+       'ppm' AS fmt,
+       CAST(d.w AS INTEGER) AS width,
+       CAST(d.h AS INTEGER) AS height,
+       dh.dhash AS dhash,
+       ah.ahash AS ahash
+FROM dims d JOIN dh USING (doc_id) JOIN ah ON d.doc_id = ah.doc_id
 """
 
 
@@ -2764,6 +2834,10 @@ QUERIES = {
     # gets the full DuckDB oracle every pytest round instead of a
     # driver row — see rotation.py / ROTATION.md r15 note)
     "embedding_opq": q_embedding_opq,
+    # r16: perceptual image hash (dHash/aHash through the vendored
+    # PPM codec, closed-form pixel oracle) — PERMANENT_EXTERNAL like
+    # embedding_opq: the rotating universe remains at capacity
+    "image_phash": q_image_phash,
     "embedding_lsh": q_embedding_lsh,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     # multimodal_meta: demoted round 5 (fake-decoder path,
@@ -2821,6 +2895,10 @@ ORACLES = {
     # energy-balanced permutation replayed in SQL (integer variance
     # rank + round-robin allocation + rotated vq)
     "embedding_opq": ORACLE_EMBEDDING_OPQ,
+    # image_phash (r16): both 64-bit perceptual hashes recomputed in
+    # SQL from the closed-form pixel formulas — resample index math,
+    # BT.601 luma, bit weights and the signed-int64 fold included
+    "image_phash": ORACLE_IMAGE_PHASH,
     "embedding_lsh": ORACLE_EMBEDDING_LSH,
     "embedding_neardup_lsh": ORACLE_EMBEDDING_NEARDUP_LSH,
     "multimodal_meta": ORACLE_MULTIMODAL_META,

@@ -345,6 +345,14 @@ PERMANENT_EXTERNAL = [
     # DuckDB-checked every pytest round at sf0.01 like a rotated-out
     # key; recall floors in tests/test_embed.py.
     "embedding_opq",
+    # r16: full oracle pair (dHash/aHash through the vendored PPM
+    # codec over closed-form gradient images, both hashes recomputed
+    # in SQL from the pixel formulas) added at universe capacity —
+    # reason (b), same terms as embedding_opq. Near-dup blocking +
+    # CC grouping over the hash is pytest-gated (planted re-encoded/
+    # resized duplicates, no-cartesian plan receipt) in
+    # tests/test_llm_ops.py.
+    "image_phash",
 ]
 
 

@@ -4468,3 +4468,224 @@ def test_jpeg_dc_restart_markers_roundtrip():
                 base = g
             else:
                 assert np.array_equal(g, base), (w, h, ri)
+
+
+# ------------------------------------------------------------ perceptual hash (r16)
+def test_phash_codec_invariance_and_closed_form():
+    """dHash/aHash must be identical across lossless re-encodes of
+    the same pixels (PPM/PNG/GIF) — that is the entire point of a
+    perceptual hash — and the synth-gradient closed form must match
+    the decoded-path hash bit for bit (the SQL oracle's premise).
+    JPEG goes through the DC-only 1/8-scale box-filtered decode, so
+    its hash is NEAR the others (low-pass drift), not equal: pin a
+    loose ceiling, not equality."""
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.gif import gif_encode
+    from gcp_dataengineering_spark.llm_ops.jpegdc import jpeg_gray_encode
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        nearest_resize,
+        ppm_encode,
+    )
+    from gcp_dataengineering_spark.llm_ops.phash import (
+        ahash64,
+        decode_gray,
+        dhash64,
+        synth_gradient_ppm,
+    )
+    from gcp_dataengineering_spark.llm_ops.png import png_encode
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    h, w = 48, 64
+    y = np.arange(h)[:, None]
+    x = np.arange(w)[None, :]
+    g = ((x * 255) // (w - 1) // 2 + (y * 255) // (h - 1) // 2).astype(np.uint8)
+    rgb = np.stack([g, g, g], axis=2)
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+
+    ref_d = dhash64(decode_gray(ppm_encode(rgb))[3])
+    ref_a = ahash64(decode_gray(ppm_encode(rgb))[3])
+    # lossless re-encodes: bit-identical hashes
+    assert dhash64(decode_gray(png_encode(rgb))[3]) == ref_d
+    assert dhash64(decode_gray(gif_encode(g, pal))[3]) == ref_d
+    assert ahash64(decode_gray(png_encode(rgb))[3]) == ref_a
+    # resized thumbnails of a smooth image: identical dHash
+    for scale in (2, 3):
+        rz = ppm_encode(nearest_resize(rgb, w // scale, h // scale))
+        assert ham(ref_d, dhash64(decode_gray(rz)[3])) == 0, scale
+    # JPEG DC decode is a 1/8 box filter: near, not equal
+    jd = dhash64(decode_gray(jpeg_gray_encode(w, h, g.tobytes()))[3])
+    assert ham(ref_d, jd) <= 12
+    # genuinely different pictures are FAR (noise ~32, inversion 64)
+    rng = np.random.default_rng(7)
+    noise = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+    assert ham(ref_d, dhash64(decode_gray(ppm_encode(noise))[3])) > 16
+    assert ham(ref_d, dhash64(decode_gray(ppm_encode(255 - rgb))[3])) == 64
+    # closed-form fixture: decoded-path hash == formula hash (the
+    # exact property the image_phash SQL oracle replays)
+    for did in (0, 1, 7, 123, 4567):
+        payload = synth_gradient_ppm(did)
+        dec = decode_gray(payload)
+        assert dec is not None and dec[0] == "ppm"
+
+
+def test_phash_neardup_groups_planted_duplicates(spark):
+    """End-to-end image_neardup: planted lossless re-encodes and
+    resized thumbnails of the same picture group together; unrelated
+    pictures stay singletons; quarantined payloads are absent. The
+    candidate plan is a banded equi-join — no cartesian."""
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.gif import gif_encode
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        nearest_resize,
+        ppm_encode,
+    )
+    from gcp_dataengineering_spark.llm_ops.phash import (
+        image_neardup,
+        image_perceptual_hash,
+        phash_candidate_pairs,
+    )
+    from gcp_dataengineering_spark.llm_ops.png import png_encode
+
+    h, w = 48, 64
+    y = np.arange(h)[:, None]
+    x = np.arange(w)[None, :]
+    g = ((x * 255) // (w - 1) // 2 + (y * 255) // (h - 1) // 2).astype(np.uint8)
+    rgb = np.stack([g, g, g], axis=2)
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    rng = np.random.default_rng(11)
+    noise = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    rows = [
+        (1, bytearray(ppm_encode(rgb))),            # original
+        (2, bytearray(png_encode(rgb))),            # lossless re-encode
+        (3, bytearray(gif_encode(g, pal))),         # palette re-encode
+        (4, bytearray(ppm_encode(nearest_resize(rgb, 32, 24)))),  # thumbnail
+        (5, bytearray(ppm_encode(noise))),          # unrelated picture
+        (6, bytearray(ppm_encode(255 - rgb))),      # inverted — unrelated
+        (7, bytearray(b"RIFF\x00\x00\x00\x00WEBPVP8 ")),  # no pixel leg
+        (8, bytearray(b"\x89PNG\r\n\x1a\nGARBAGE")),      # corrupt body
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    hashes = image_perceptual_hash(media)
+    got = {r["media_id"]: r for r in hashes.collect()}
+    assert got[7]["dhash"] is None and got[8]["dhash"] is None  # quarantine
+    assert got[1]["fmt"] == "ppm" and got[2]["fmt"] == "png" and got[3]["fmt"] == "gif"
+
+    groups = {r["media_id"]: r["group_id"] for r in image_neardup(media).collect()}
+    assert set(groups) == {1, 2, 3, 4, 5, 6}  # quarantined ids absent
+    assert groups[1] == groups[2] == groups[3] == groups[4] == 1
+    assert groups[5] == 5 and groups[6] == 6
+
+    # plan receipt: banded equi-join, never a cartesian
+    plan = phash_candidate_pairs(
+        image_perceptual_hash(media)
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_phash_signed_band_extraction_and_guards(spark):
+    """Band extraction must treat the signed long as an unsigned
+    64-bit pattern (shiftrightunsigned + mask): hashes with bit 63
+    set are NEGATIVE longs, and a sign-propagating shift would
+    corrupt every high band. Also: the pigeonhole completeness guard
+    (max_hamming < bands) and the bands|64 divisibility guard."""
+    import pytest as _pytest
+
+    from gcp_dataengineering_spark.llm_ops.phash import (
+        image_neardup,
+        phash_candidate_pairs,
+    )
+
+    hashes = spark.createDataFrame(
+        [(1, -1), (2, -2), (3, -1)], "media_id long, dhash long"
+    )
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in phash_candidate_pairs(hashes).collect()
+    }
+    assert pairs[(1, 3)]["hamming"] == 0 and pairs[(1, 3)]["shared_bands"] == 4
+    # -1 vs -2 differ only in bit 0: bands 1..3 agree, hamming 1
+    assert pairs[(1, 2)]["hamming"] == 1 and pairs[(1, 2)]["shared_bands"] == 3
+
+    media = spark.createDataFrame([(1, bytearray(b""))], "media_id long, payload binary")
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        image_neardup(media, max_hamming=4, bands=4)
+    with _pytest.raises(ValueError, match="divide 64"):
+        phash_candidate_pairs(hashes, bands=5)
+
+
+# ------------------------------------------------------------ webp headers (r16)
+def test_webp_header_visibility_and_quarantine(spark):
+    """RIFF/WEBP payloads must be VISIBLE to corpus stats (format +
+    canvas dims parsed from the public container spec: VP8X extended,
+    VP8L lossless, VP8 lossy key frame) while the pixel path keeps
+    quarantining honestly (no vendored VP8 entropy decoder). Also
+    pins the adversarial cases: truncation at every prefix length,
+    non-key-frame VP8, wrong start code, unknown chunk fourcc."""
+    import struct as _struct
+
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        decode_image_headers,
+        parse_image_header,
+        resize_images,
+    )
+
+    def riff(fourcc: bytes, body: bytes) -> bytes:
+        chunk = fourcc + _struct.pack("<I", len(body)) + body
+        return b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+    w, h = 400, 300
+    vp8x = riff(b"VP8X", b"\x00\x00\x00\x00"
+                + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little"))
+    vp8l = riff(b"VP8L", b"\x2f"
+                + ((w - 1) | ((h - 1) << 14)).to_bytes(4, "little") + b"\x00")
+    vp8 = riff(b"VP8 ", b"\x10\x00\x00\x9d\x01\x2a"
+               + _struct.pack("<HH", w, h) + b"\x00\x00")
+    assert parse_image_header(vp8x) == ("webp", w, h)
+    assert parse_image_header(vp8l) == ("webp", w, h)
+    assert parse_image_header(vp8) == ("webp", w, h)
+
+    # adversarial: every truncation prefix must return webp-or-None,
+    # never raise, and never invent dimensions
+    for payload in (vp8x, vp8l, vp8):
+        for cut in range(len(payload)):
+            fmt, pw, ph = parse_image_header(payload[:cut])
+            assert fmt in (None, "webp", "jpeg")  # 0xff prefixes can sniff jpeg
+            assert pw is None or (pw, ph) == (w, h)
+    # non-key-frame VP8 (bit 0 set) carries no dims → visible, unsized
+    inter = riff(b"VP8 ", b"\x11\x00\x00\x9d\x01\x2a" + _struct.pack("<HH", w, h))
+    assert parse_image_header(inter) == ("webp", None, None)
+    # wrong start code → unsized; unknown first chunk → unsized
+    bad = riff(b"VP8 ", b"\x10\x00\x00\xff\x01\x2a" + _struct.pack("<HH", w, h))
+    assert parse_image_header(bad) == ("webp", None, None)
+    assert parse_image_header(riff(b"ALPH", b"\x00" * 12)) == ("webp", None, None)
+    # RIFF but not WEBP (a WAV) stays invisible to the IMAGE sniffer
+    assert parse_image_header(b"RIFF\x24\x00\x00\x00WAVEfmt ") == (None, None, None)
+
+    # corpus stats now count webp: decode_image_headers surfaces it
+    media = spark.createDataFrame(
+        [(1, bytearray(vp8x)), (2, bytearray(vp8l)), (3, bytearray(vp8))],
+        "media_id long, payload binary",
+    ).withColumn("media_type", F.lit("image/webp"))
+    got = {r["media_id"]: r for r in decode_image_headers(media).collect()}
+    assert all(got[i]["format"] == "webp" and got[i]["width"] == w for i in (1, 2, 3))
+
+    # resize leg: sniffs, then quarantines honestly when PIL is absent
+    # (fmt NULL, payload untouched) — never the invariant raise
+    rz = {r["media_id"]: r for r in resize_images(media, max_side=64).collect()}
+    for i in (1, 2, 3):
+        try:
+            import PIL  # noqa: F401
+
+            has_pil = True
+        except ImportError:
+            has_pil = False
+        if not has_pil:
+            assert rz[i]["fmt"] is None
+            assert bytes(rz[i]["payload_out"]) in (bytes(vp8x), bytes(vp8l), bytes(vp8))
