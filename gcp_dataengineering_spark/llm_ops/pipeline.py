@@ -201,6 +201,22 @@ class PipelineConfig:
     quality_model_target_precision_pct: int | None = None
     # 1 | 2 | 'char3_5' (r13: character 3-5-gram features)
     quality_model_ngrams: int | str = 1
+    # CCNet-style n-gram LM perplexity filter (ngram_lm.
+    # bigram_perplexity, r16): keep documents scoring at most this
+    # many bits/token under the bigram backoff LM; None = stage off.
+    # The LM trains on perplexity_ref when given (the published
+    # recipe: a trusted reference corpus, e.g. Wikipedia) and on the
+    # gated corpus itself otherwise (self-scored — still separates
+    # gibberish from prose, since junk n-grams don't repeat). Runs
+    # after reputation/boilerplate/model gates and before the PII
+    # scrub, like the NB gate: drop junk before the expensive dedup
+    # joins. Zero-token documents fail the gate (they cannot certify
+    # fluency). The per-doc scores frame is a release artifact
+    # (stages["perplexity"]).
+    perplexity_max_bits: float | None = None
+    perplexity_ref: object | None = None
+    perplexity_min_count: int = 2
+    perplexity_backoff_bits: int = 4
     # re-derive the language column with the r12 two-stage lang_id
     # (script router + 20-language stopword vote) instead of
     # trusting the input's lang column: crawl metadata lies, and the
@@ -381,6 +397,30 @@ def build_training_corpus(
             ngrams=cfg.quality_model_ngrams,
         )
         reputable = model_gated
+
+    perplexity_scores: DataFrame | None = None
+    if cfg.perplexity_max_bits is not None:
+        # 2d. CCNet-style perplexity gate (r16): bigram backoff LM in
+        # integer fixed-point log2, trained on the reference corpus
+        # (or self-trained). Self-trained, the scorer references its
+        # input for BOTH training counts and scoring transitions —
+        # pin the branch point first per the documented rule.
+        from .ngram_lm import bigram_perplexity, perplexity_gate
+
+        if materialize is not False and cfg.perplexity_ref is None:
+            reputable = _materialize(reputable, materialize)
+        perplexity_scores = bigram_perplexity(
+            reputable,
+            ref=cfg.perplexity_ref,
+            text_col=text_col,
+            id_col=id_col,
+            min_count=cfg.perplexity_min_count,
+            backoff_bits=cfg.perplexity_backoff_bits,
+        )
+        fluent_ids = perplexity_scores.filter(
+            perplexity_gate(cfg.perplexity_max_bits)
+        ).select(F.col("doc_id").alias(id_col))
+        reputable = reputable.join(fluent_ids, id_col, "left_semi")
 
     scrubbed = (
         scrub_pii(reputable, text_col, out_col="_scrubbed")
@@ -618,6 +658,11 @@ def build_training_corpus(
         # the calibration verdict ships with the release too: which
         # threshold, and the held-out precision/recall it bought
         stages["quality_calibration"] = quality_calibration
+    if perplexity_scores is not None:
+        # the per-doc perplexity frame is a release artifact: which
+        # bits/token each shipped document scored, and what the
+        # rejected tail looked like
+        stages["perplexity"] = perplexity_scores
     if mixture is not None:
         # the plan frame itself is a release artifact (weights,
         # targets, epochs per source); "mixed" is the downsampled

@@ -25,6 +25,7 @@ from ..llm_ops import html as H
 from ..llm_ops import decontam as DC
 from ..llm_ops import dedup as D
 from ..llm_ops import multimodal as M
+from ..llm_ops import ngram_lm as NL
 from ..llm_ops import phash as PH
 from ..llm_ops import quality_model as QM
 from ..llm_ops import similarity as S
@@ -1170,6 +1171,20 @@ SELECT d.doc_id AS media_id,
        ah.ahash AS ahash
 FROM dims d JOIN dh USING (doc_id) JOIN ah ON d.doc_id = ah.doc_id
 """
+
+
+# ---------------------------------------------------------------- ngram perplexity
+def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filter, full-chain oracle replay: the
+    bigram backoff LM trains on the documents table (vocab fold at
+    min_count=2, <s> begin context, integer fixed-point llog2
+    scores — llm_ops/ngram_lm.py) and self-scores every document.
+    The oracle (bigram_perplexity_sql) replays vocabulary fold,
+    transition window, bigram/context/unigram counts, the backoff
+    penalty and the exact llog2 bit arithmetic in DuckDB — nll_fp is
+    an exact BIGINT, so one wrong count or shift diverges the hash.
+    r16; PERMANENT_EXTERNAL (universe at capacity — ROTATION.md)."""
+    return NL.bigram_perplexity(_t(spark, sf_dir, "documents"))
 
 
 # ---------------------------------------------------------------- repetition quality
@@ -2838,6 +2853,9 @@ QUERIES = {
     # PPM codec, closed-form pixel oracle) — PERMANENT_EXTERNAL like
     # embedding_opq: the rotating universe remains at capacity
     "image_phash": q_image_phash,
+    # r16: CCNet-style bigram-LM perplexity scoring — also
+    # PERMANENT_EXTERNAL (same capacity terms)
+    "ngram_perplexity": q_ngram_perplexity,
     "embedding_lsh": q_embedding_lsh,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     # multimodal_meta: demoted round 5 (fake-decoder path,
@@ -2899,6 +2917,10 @@ ORACLES = {
     # SQL from the closed-form pixel formulas — resample index math,
     # BT.601 luma, bit weights and the signed-int64 fold included
     "image_phash": ORACLE_IMAGE_PHASH,
+    # ngram_perplexity (r16): the whole train+score chain replayed —
+    # vocab fold, <s> transitions, count tables, backoff penalty,
+    # llog2 bit arithmetic; nll_fp is an exact BIGINT
+    "ngram_perplexity": NL.bigram_perplexity_sql(),
     "embedding_lsh": ORACLE_EMBEDDING_LSH,
     "embedding_neardup_lsh": ORACLE_EMBEDDING_NEARDUP_LSH,
     "multimodal_meta": ORACLE_MULTIMODAL_META,

@@ -353,6 +353,13 @@ PERMANENT_EXTERNAL = [
     # resized duplicates, no-cartesian plan receipt) in
     # tests/test_llm_ops.py.
     "image_phash",
+    # r16: CCNet-style bigram-LM perplexity (vocab fold + <s>
+    # transitions + backoff, all integer fixed-point llog2, the full
+    # train+score chain replayed in SQL) — reason (b), same capacity
+    # terms. Python-twin parity + gibberish/typical ordering pytests
+    # in tests/test_llm_ops.py; pipeline stage wiring in
+    # llm_ops/pipeline.py.
+    "ngram_perplexity",
 ]
 
 

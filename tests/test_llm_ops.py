@@ -4689,3 +4689,134 @@ def test_webp_header_visibility_and_quarantine(spark):
         if not has_pil:
             assert rz[i]["fmt"] is None
             assert bytes(rz[i]["payload_out"]) in (bytes(vp8x), bytes(vp8l), bytes(vp8))
+
+
+# ------------------------------------------------------------ ngram LM perplexity (r16)
+def test_ngram_perplexity_matches_python_twin(spark):
+    """Spark bigram_perplexity == the independent pure-Python twin,
+    EXACTLY (n_trans, the fixed-point BIGINT nll, and the rounded
+    bits/token) over a corpus exercising every branch: bigram hits,
+    unigram backoff, <unk> folding, <s> starts, 1-token docs,
+    empty docs, unicode, repeated-word runs."""
+    from gcp_dataengineering_spark.llm_ops.ngram_lm import (
+        bigram_perplexity,
+        bigram_perplexity_py,
+    )
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the cat and the dog sat too",
+        3: "xyzzy plugh qwerty zork frobozz",
+        4: "",
+        5: "the the the the the",
+        6: "cat",
+        7: "naïve café déjà vu naïve café",
+        8: "the dog sat on the mat the dog sat on the mat",
+        9: "  padded   whitespace\ttokens \n here  ",
+        10: "MiXeD CaSe The CAT sat",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_trans"], r["nll_fp"], r["ppl_bits"])
+        for r in bigram_perplexity(df).collect()
+    }
+    exp = bigram_perplexity_py(texts)
+    assert got == exp
+
+
+def test_ngram_perplexity_ordering_and_ref_training(spark):
+    """The signal the filter exists for: under a reference-trained LM
+    (the published CCNet shape), gibberish scores strictly more
+    bits/token than typical prose, which scores more than the most
+    formulaic common text. Also: ref-trained scoring of UNSEEN
+    fluent text lands between memorized and gibberish."""
+    from gcp_dataengineering_spark.llm_ops.ngram_lm import (
+        bigram_perplexity,
+        perplexity_gate,
+    )
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    ref = spark.createDataFrame(
+        [(i, fluent) for i in range(30)]
+        + [(100 + i, "a cat sat on the mat and the dog slept") for i in range(20)],
+        "doc_id long, text string",
+    )
+    score = spark.createDataFrame(
+        [
+            (1, fluent),                                   # memorized prose
+            (2, "the quick brown dog jumps over the lazy fox"),  # novel but fluent-ish
+            (3, "zqx glorp wibble frotz yoyodyne plugh"),  # gibberish
+            (4, "the the the the the the"),                # degenerate repeats
+        ],
+        "doc_id long, text string",
+    )
+    bits = {
+        r["doc_id"]: r["ppl_bits"]
+        for r in bigram_perplexity(score, ref=ref).collect()
+    }
+    assert bits[1] < bits[2] < bits[3]
+    assert bits[1] < bits[4] < bits[3]
+    # the gate keeps fluent, drops gibberish, fails zero-token docs
+    scored = bigram_perplexity(
+        score.union(spark.createDataFrame([(5, "")], "doc_id long, text string")),
+        ref=ref,
+    )
+    kept = {r["doc_id"] for r in scored.filter(perplexity_gate(bits[2] + 0.01)).collect()}
+    assert 1 in kept and 2 in kept and 3 not in kept and 5 not in kept
+
+
+def test_ngram_perplexity_pipeline_stage(spark):
+    """build_training_corpus with perplexity_max_bits: the planted
+    gibberish page (which PASSES the heuristic gate — length,
+    stopwords, punctuation all fine) is dropped by the LM gate; the
+    fluent pages survive; the per-doc scores frame ships as
+    stages['perplexity']."""
+    from gcp_dataengineering_spark.llm_ops.ngram_lm import bigram_perplexity
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+
+    def fluent_page(i):
+        return (
+            i,
+            "the quick brown fox jumps over the lazy dog and then "
+            + " ".join(f"w{i}x{j} the u{i}z{j}" for j in range(10))
+            + ".",
+            f"site{i % 2}",
+            "en",
+        )
+
+    # gibberish with enough stopwords/punctuation to pass heuristics
+    gib_words = " ".join(f"zq{j}w of vb{j}k to qx{j}p" for j in range(12))
+    rows = [fluent_page(i) for i in range(8)] + [(99, gib_words + ".", "site0", "en")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string, lang string")
+
+    ref = spark.createDataFrame(
+        [(1000 + i, "the quick brown fox jumps over the lazy dog and then it ran to the house of the cat")
+         for i in range(10)],
+        "doc_id long, text string",
+    )
+    # pick the threshold from the observed split so the test pins the
+    # ORDERING, not a magic constant
+    scored = {r["doc_id"]: r["ppl_bits"] for r in bigram_perplexity(docs, ref=ref).collect()}
+    fluent_max = max(scored[i] for i in range(8))
+    assert scored[99] > fluent_max
+    thresh = (scored[99] + fluent_max) / 2
+
+    stages = build_training_corpus(
+        docs,
+        config=PipelineConfig(
+            perplexity_max_bits=thresh,
+            perplexity_ref=ref,
+            shard_budget_tokens=500,
+            minhash_hashes=16,
+            lsh_bands=4,
+        ),
+    )
+    assert "perplexity" in stages
+    kept = {r.doc_id for r in stages["corpus"].select("doc_id").collect()}
+    assert 99 not in kept
+    assert kept.issuperset(set(range(8)))
