@@ -319,6 +319,7 @@ def semantic_dedup_batch(
     event_time_col: str | None = None,
     watermark: str = "10 minutes",
     sink=None,
+    auto_compact_segments: int | None = None,
 ) -> DataFrame:
     """One micro-batch through the semantic gate (see module
     docstring for the full decision procedure). Returns the ADMITTED
@@ -338,7 +339,23 @@ def semantic_dedup_batch(
     event time are stored under the batch's high water mark — a
     full watermark window of state (ADVICE r14) — except rows seen
     before ANY event time existed, which age out as soon as a high
-    water mark appears."""
+    water mark appears.
+
+    ``auto_compact_segments`` (r16 — the r15 verdict's item 4): a
+    long-running stream otherwise accumulates one segment per
+    micro-batch until someone runs :func:`compact_semantic_store` by
+    hand. Pass K to record the policy in the store meta — whenever a
+    publish leaves MORE than K live segments, this batch hook folds
+    the layout to one segment (physical-only compaction,
+    ``resolve=False``: pure _sid-dedup rewrite, so stream admission
+    semantics and the single/multi-batch parity contracts are
+    byte-unchanged; greedy-vs-batch reconciliation stays the
+    explicit maintenance job it was). The policy PERSISTS in the
+    meta, so later batches — from any writer — keep honoring it
+    without re-passing the parameter; pass 0 to clear it. Runs
+    inside the foreachBatch turn, preserving the single-writer
+    contract; retired segments keep the usual one-merge reader
+    grace."""
     int_cosine_pairs_guard(dim, max(max_chars - ngram + 1, 1), cos_den)
     spark = batch.sparkSession
     if batch.isEmpty():
@@ -456,6 +473,11 @@ def semantic_dedup_batch(
     new_meta = dict(meta)
     new_meta.setdefault("layout", 2)
     new_meta["cos_num"], new_meta["cos_den"] = cos_num, cos_den
+    if auto_compact_segments is not None:
+        if auto_compact_segments <= 0:
+            new_meta.pop("auto_compact_segments", None)
+        else:
+            new_meta["auto_compact_segments"] = int(auto_compact_segments)
     hwm = None
     if event_time_col is not None:
         epoch = F.col(event_time_col).cast("timestamp").cast("double")
@@ -499,6 +521,14 @@ def semantic_dedup_batch(
     # publish LAST: a crash above leaves the previous manifest live
     # and the new segment as an orphan for the next batch's GC
     _write_meta(store_dir, new_meta)
+    # auto-compaction AFTER the publish (a crash between the two
+    # leaves a correct uncompacted store — the next batch retries):
+    # physical-only fold, admission semantics untouched
+    policy = new_meta.get("auto_compact_segments")
+    if policy and len(live) > int(policy):
+        compact_semantic_store(
+            spark, store_dir, id_col=id_col, rewrite=True, resolve=False
+        )
     return admitted
 
 
@@ -509,6 +539,7 @@ def compact_semantic_store(
     cos_num: int | None = None,
     cos_den: int | None = None,
     rewrite: bool = True,
+    resolve: bool = True,
 ) -> DataFrame:
     """Offline batch-twin compaction of a streaming semantic store
     (r15 — the r14 verdict's item 3): re-resolve the store's FULL
@@ -541,6 +572,14 @@ def compact_semantic_store(
 
     Run it from a maintenance job while the stream is between
     batches (writers are single at a time, foreachBatch's contract).
+
+    ``resolve=False`` (r16) skips the reconciliation pass entirely —
+    physical fold only (the _sid/bucket dedup and segment rewrite;
+    store CONTENT is unchanged, so stream admission decisions are
+    too) and the returned frame is empty. This is the cheap form the
+    ``auto_compact_segments`` batch hook triggers: layout upkeep on
+    every threshold crossing, the full pair-graph reconciliation
+    stays an explicit (and more expensive) maintenance decision.
     """
     if _is_legacy_store(store_dir):
         _migrate_legacy_store(spark, store_dir)
@@ -553,7 +592,7 @@ def compact_semantic_store(
         )
     num = cos_num if cos_num is not None else meta.get("cos_num")
     den = cos_den if cos_den is not None else meta.get("cos_den")
-    if num is None or den is None:
+    if resolve and (num is None or den is None):
         raise ValueError(
             f"{store_dir}: no cosine threshold recorded in the store meta "
             "(pre-r15 store?) — pass cos_num/cos_den explicitly"
@@ -568,6 +607,23 @@ def compact_semantic_store(
     buckets = _materialize(
         buckets.dropDuplicates(["_sid", "tbl", "bucket"]), True
     )
+    if not resolve:
+        # physical fold only: rewrite the deduped frames as one
+        # segment, return an empty reconciliation frame
+        result = spark.createDataFrame(
+            [], f"{id_col} long, group_id long, keep boolean"
+        )
+        if rewrite:
+            new_meta = dict(meta)
+            seg = _write_segment(
+                store_dir, new_meta, docs,
+                buckets.select("_sid", "tbl", "bucket", "_sepoch"),
+            )
+            new_meta["generation"] = int(meta.get("generation", 0)) + 1
+            new_meta["retired"] = [s["dir"] for s in meta.get("segments", [])]
+            new_meta["segments"] = [seg] if seg is not None else []
+            _write_meta(store_dir, new_meta)
+        return result
     cands = (
         buckets.select(F.col("_sid").alias("id_a"), "tbl", "bucket")
         .join(

@@ -1609,3 +1609,83 @@ def test_ingest_stream_semantic_composed_gate(spark, tmp_path):
     assert {r.doc_id for r in got.collect()} == {1, 6}
     # the ingest chain's columns ride through the semantic sink
     assert {"fp", "lang_pred"} <= set(got.columns)
+
+
+def test_semantic_store_auto_compaction_policy(spark, tmp_path):
+    """r16 (r15 verdict item 4): auto_compact_segments=K records a
+    compaction policy in the store meta; whenever a publish leaves
+    more than K live segments the batch hook folds the layout to one
+    segment (physical-only — resolve=False). The policy persists
+    across batches without re-passing the parameter; admission
+    decisions are byte-identical to an un-compacted twin store; the
+    folded store's live content equals the twin's."""
+    import os
+
+    from gcp_dataengineering_spark.streaming.semantic import (
+        read_semantic_store,
+        semantic_dedup_batch,
+    )
+
+    auto = str(tmp_path / "auto")
+    plain = str(tmp_path / "plain")
+    texts = [
+        "alpine railway engineering and tunnel ventilation design",
+        "deep sea hydrothermal vent ecosystems and bacterial mats",
+        "renaissance fresco restoration and mineral pigment chemistry",
+        "container orchestration scheduling under memory pressure",
+        "migratory songbird navigation by stellar and magnetic cues",
+        "alpine railway engineering and tunnel ventilation design",  # dup of 0
+        "fermentation kinetics in sourdough starter maintenance",
+        "deep sea hydrothermal vent ecosystems and bacterial mats",  # dup of 1
+    ]
+
+    def mk(i):
+        return spark.createDataFrame(
+            [(i, texts[i], 1000.0 + i)], "doc_id long, text string, ep double"
+        ).withColumn("ets", F.col("ep").cast("timestamp"))
+
+    kw = dict(cos_num=92, n_planes=8, n_tables=6,
+              event_time_col="ets", watermark="1000 seconds")
+
+    admitted_auto, admitted_plain = [], []
+    for i in range(len(texts)):
+        # policy passed ONCE (first batch), inherited from the meta after
+        a_kw = dict(kw, auto_compact_segments=3) if i == 0 else kw
+        admitted_auto.append(
+            {r.doc_id for r in semantic_dedup_batch(mk(i), auto, **a_kw).collect()}
+        )
+        admitted_plain.append(
+            {r.doc_id for r in semantic_dedup_batch(mk(i), plain, **kw).collect()}
+        )
+        _, _, m = read_semantic_store(spark, auto)
+        assert len(m["segments"]) <= 3 + 1, (i, m["segments"])
+        assert m.get("auto_compact_segments") == 3
+
+    # identical admission decisions, batch by batch
+    assert admitted_auto == admitted_plain
+    # the planted dups were rejected somewhere
+    assert 5 not in set().union(*admitted_auto)
+    assert 7 not in set().union(*admitted_auto)
+
+    # folded store content equals the twin's (same _sids, same buckets)
+    d_a, b_a, m_a = read_semantic_store(spark, auto)
+    d_p, b_p, m_p = read_semantic_store(spark, plain)
+    assert {r._sid for r in d_a.collect()} == {r._sid for r in d_p.collect()}
+    assert (
+        {(r._sid, r.tbl, r.bucket) for r in b_a.collect()}
+        == {(r._sid, r.tbl, r.bucket) for r in b_p.collect()}
+    )
+    # the un-policed twin kept one segment per batch; the auto store
+    # stayed folded
+    assert len(m_p["segments"]) == len(texts)
+    assert len(m_a["segments"]) <= 4
+    # clearing the policy: pass 0
+    semantic_dedup_batch(
+        mk(0).withColumn("doc_id", F.lit(100)), auto,
+        auto_compact_segments=0, **kw,
+    )
+    _, _, m = read_semantic_store(spark, auto)
+    assert "auto_compact_segments" not in m
+    # retired dirs from the last fold keep reader grace on disk
+    for d in m.get("retired", []):
+        assert os.path.isdir(os.path.join(auto, d))
