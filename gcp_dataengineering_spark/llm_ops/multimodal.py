@@ -530,6 +530,215 @@ def synth_av_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     return df.select(id_col).mapInPandas(gen, schema="media_id long, media_type string, payload binary")
 
 
+# ------------------------------------------------------------ PCM audio stats
+AUDIO_STATS_SCHEMA = (
+    "media_id long, format string, sample_rate int, channels int, "
+    "n_frames long, duration_ms long, sum_sq long, rms int, peak int, "
+    "n_clipped long, clip_frac double"
+)
+
+
+def wav_pcm_decode(payload: bytes | None):
+    """(sample_rate, channels, bits, samples) from a PCM WAV payload,
+    pure stdlib — the audio analogue of the vendored image decoders
+    (r16, the r15 verdict's item 7). ``samples`` is a CENTERED int
+    numpy array of shape (frames, channels): 16-bit signed LE as-is,
+    8-bit unsigned shifted by −128 — so silence is 0 and full scale
+    is ±32768/±128 in both depths. ``None`` for anything outside
+    scope (non-PCM format tags, other bit depths, float WAV) or any
+    malformed/truncated stream — the quarantine contract every codec
+    leg honors (never raises). A data chunk SHORTER than its declared
+    size quarantines (lying header); trailing garbage after it is
+    tolerated (RIFF readers' convention)."""
+    import numpy as np
+
+    try:
+        if (
+            not payload
+            or len(payload) < 12
+            or payload[:4] != b"RIFF"
+            or payload[8:12] != b"WAVE"
+        ):
+            return None
+        sr = ch = bits = fmt_tag = None
+        data = None
+        i = 12
+        while i + 8 <= len(payload):
+            cid = payload[i : i + 4]
+            csz = int.from_bytes(payload[i + 4 : i + 8], "little")
+            if cid == b"fmt " and csz >= 16 and i + 8 + 16 <= len(payload):
+                body = payload[i + 8 : i + 8 + 16]
+                fmt_tag = int.from_bytes(body[0:2], "little")
+                ch = int.from_bytes(body[2:4], "little")
+                sr = int.from_bytes(body[4:8], "little")
+                bits = int.from_bytes(body[14:16], "little")
+            elif cid == b"data":
+                if i + 8 + csz > len(payload):
+                    return None  # lying data size / truncated body
+                data = payload[i + 8 : i + 8 + csz]
+            i += 8 + csz + (csz & 1)
+        if fmt_tag != 1 or not sr or not ch or data is None:
+            return None
+        if bits == 16:
+            n = len(data) // (2 * ch)
+            if n == 0:
+                return None
+            x = np.frombuffer(data, dtype="<i2", count=n * ch).astype(np.int64)
+        elif bits == 8:
+            n = len(data) // ch
+            if n == 0:
+                return None
+            x = np.frombuffer(data, dtype=np.uint8, count=n * ch).astype(np.int64) - 128
+        else:
+            return None  # 24/32-bit and float out of scope — quarantine
+        return (sr, ch, bits, x.reshape(n, ch))
+    except (ValueError, OverflowError, MemoryError):
+        return None
+
+
+def wav_pcm_stats_py(payload: bytes | None):
+    """Audio-quality stats from a PCM WAV payload — the audio
+    analogue of gopher_rules' text heuristics, every field exact
+    integer arithmetic (SQL-replayable):
+
+    - n_frames, duration_ms = n_frames·1000 // sample_rate
+      (RECOMPUTED from the actual data length — parse_av_header's
+      duration comes from the header's byte_rate, so comparing the
+      two exposes lying headers);
+    - sum_sq = Σ x² (exact BIGINT), rms = isqrt(sum_sq // n) on the
+      centered samples — silence gate;
+    - peak = max |x|;
+    - n_clipped (exact count) and clip_frac = round(clipped / n, 4),
+      clipped = samples at full scale (±32767/−32768, or 0/255 in
+      8-bit) — distortion gate. The exact count is the hash-stable
+      column (python round() is banker's, SQL ROUND is half-away —
+      the fraction is a human-facing convenience, not oracle
+      currency).
+
+    None when the decode quarantines."""
+    import math
+
+    decoded = wav_pcm_decode(payload)
+    if decoded is None:
+        return None
+    sr, ch, bits, x = decoded
+    n = int(x.size)
+    sum_sq = int((x * x).sum())
+    peak = int(abs(x).max())
+    hi, lo = (32767, -32768) if bits == 16 else (127, -128)
+    clipped = int(((x >= hi) | (x <= lo)).sum())
+    return {
+        "sample_rate": sr,
+        "channels": ch,
+        "n_frames": int(x.shape[0]),
+        "duration_ms": int(x.shape[0]) * 1000 // sr,
+        "sum_sq": sum_sq,
+        "rms": math.isqrt(sum_sq // n),
+        "peak": peak,
+        "n_clipped": clipped,
+        "clip_frac": round(clipped / n, 4),
+    }
+
+
+def audio_pcm_stats(df: DataFrame, batch_rows: int = 1024) -> DataFrame:
+    """PCM audio-quality pass over binary payloads via mapInPandas:
+    AUDIO_STATS_SCHEMA rows, quarantined payloads (non-WAV, non-PCM,
+    lying/truncated, unsupported depth) with format and every stat
+    NULL — filter downstream, never fail the batch."""
+
+    def stat_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def sliced():
+            for pdf in batches:
+                for lo in range(0, len(pdf), max(batch_rows, 1)):
+                    yield pdf.iloc[lo : lo + max(batch_rows, 1)]
+
+        for pdf in sliced():
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                s = wav_pcm_stats_py(b)
+                if s is None:
+                    rows.append((mid, None, None, None, None, None, None, None,
+                                 None, None, None))
+                    continue
+                rows.append(
+                    (mid, "wav", s["sample_rate"], s["channels"], s["n_frames"],
+                     s["duration_ms"], s["sum_sq"], s["rms"], s["peak"],
+                     s["n_clipped"], s["clip_frac"])
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "format", "sample_rate", "channels",
+                         "n_frames", "duration_ms", "sum_sq", "rms", "peak",
+                         "n_clipped", "clip_frac"],
+            )
+
+    cols = df.select(F.col("media_id").cast("long"), F.col("payload"))
+    return cols.mapInPandas(stat_batches, AUDIO_STATS_SCHEMA)
+
+
+def audio_quality_gate(
+    min_duration_ms: int = 500,
+    min_rms: int = 100,
+    max_clip_frac: float = 0.01,
+) -> "Column":
+    """Keep-predicate over an audio_pcm_stats output — the audio
+    analogue of the text quality gate: long enough to be real audio,
+    loud enough not to be silence/dead air, undistorted enough to be
+    usable. Quarantined rows (NULL stats) fail, like zero-token docs
+    fail the perplexity gate."""
+    return (
+        F.col("duration_ms").isNotNull()
+        & (F.col("duration_ms") >= F.lit(min_duration_ms))
+        & (F.col("rms") >= F.lit(min_rms))
+        & (F.col("clip_frac") <= F.lit(max_clip_frac))
+    )
+
+
+def synth_pcm_wav(doc_id: int) -> bytes:
+    """Spec-valid 16-bit PCM WAV whose every sample is a closed-form
+    function of the id: sample_rate = 8000 + (id%5)·4000, channels =
+    1 + id%2, n_frames = id%80 + 40, sample(k) for flat index k =
+    ((id·7919 + k·104729) % 65536) − 32768 — the SQL oracle
+    (suite/llm.py audio_pcm) recomputes every stat, clip counts and
+    the integer rms included, straight from these formulas."""
+    import numpy as np
+
+    sr = 8000 + (doc_id % 5) * 4000
+    ch = 1 + doc_id % 2
+    frames = doc_id % 80 + 40
+    k = np.arange(frames * ch, dtype=np.int64)
+    x = ((doc_id * 7919 + k * 104729) % 65536) - 32768
+    data = x.astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ch * 2, ch * 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def synth_pcm_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, media_type, payload) of closed-form PCM WAVs — the
+    fixture generator for the audio_pcm oracle (the synth_ppm_corpus
+    pattern)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.values,
+                    "media_type": ["audio/wav"] * len(ids),
+                    "payload": [synth_pcm_wav(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="media_id long, media_type string, payload binary"
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: expands each media row into frame
     descriptors (frame_idx) without decoding — the decode of selected

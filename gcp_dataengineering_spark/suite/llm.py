@@ -1173,6 +1173,58 @@ FROM dims d JOIN dh USING (doc_id) JOIN ah ON d.doc_id = ah.doc_id
 """
 
 
+# ---------------------------------------------------------------- PCM audio stats
+def q_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCM audio-quality stats, differentially checked end-to-end:
+    synth_pcm_corpus emits spec-valid 16-bit PCM WAVs whose every
+    sample is a closed-form function of the id
+    (multimodal.synth_pcm_wav), audio_pcm_stats decodes the RIFF
+    chunk walk + sample bytes and computes the quality gates
+    (recomputed duration, exact Σx², integer rms, peak, clip count).
+    The oracle replays all of it from the sample formula — the
+    float-rounded clip_frac convenience column is excluded (python
+    banker's vs SQL half-away rounding; n_clipped is the exact
+    currency). r16; PERMANENT_EXTERNAL (universe at capacity)."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.synth_pcm_corpus(docs, id_col="doc_id")
+    return M.audio_pcm_stats(media).drop("clip_frac")
+
+
+ORACLE_AUDIO_PCM = """
+WITH dims AS (
+  SELECT doc_id,
+         CAST(8000 + (doc_id % 5) * 4000 AS BIGINT) AS sr,
+         CAST(1 + doc_id % 2 AS BIGINT) AS ch,
+         CAST(doc_id % 80 + 40 AS BIGINT) AS frames
+  FROM documents
+), samples AS (
+  SELECT d.doc_id, ((d.doc_id * 7919 + r.k * 104729) % 65536) - 32768 AS x
+  FROM dims d, unnest(range(d.frames * d.ch)) AS r(k)
+), stats AS (
+  SELECT doc_id, SUM(x*x) AS sum_sq, MAX(ABS(x)) AS peak,
+         SUM(CASE WHEN x >= 32767 OR x <= -32768 THEN 1 ELSE 0 END) AS n_clipped,
+         COUNT(*) AS n
+  FROM samples GROUP BY 1
+), rmsq AS (
+  SELECT doc_id, sum_sq, peak, n_clipped, n,
+         CAST(FLOOR(SQRT(CAST(sum_sq // n AS DOUBLE))) AS BIGINT) AS fs
+  FROM stats
+)
+SELECT d.doc_id AS media_id, 'wav' AS format,
+       CAST(d.sr AS INTEGER) AS sample_rate,
+       CAST(d.ch AS INTEGER) AS channels,
+       CAST(d.frames AS BIGINT) AS n_frames,
+       CAST(d.frames * 1000 // d.sr AS BIGINT) AS duration_ms,
+       CAST(r.sum_sq AS BIGINT) AS sum_sq,
+       CAST(CASE WHEN (r.fs+1)*(r.fs+1) <= r.sum_sq // r.n THEN r.fs+1
+                 WHEN r.fs*r.fs > r.sum_sq // r.n THEN r.fs-1
+                 ELSE r.fs END AS INTEGER) AS rms,
+       CAST(r.peak AS INTEGER) AS peak,
+       CAST(r.n_clipped AS BIGINT) AS n_clipped
+FROM dims d JOIN rmsq r USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------- ngram perplexity
 def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CCNet-style perplexity filter, full-chain oracle replay: the
@@ -2856,6 +2908,9 @@ QUERIES = {
     # r16: CCNet-style bigram-LM perplexity scoring — also
     # PERMANENT_EXTERNAL (same capacity terms)
     "ngram_perplexity": q_ngram_perplexity,
+    # r16: PCM WAV decode + audio quality stats — also
+    # PERMANENT_EXTERNAL (same capacity terms)
+    "audio_pcm": q_audio_pcm,
     "embedding_lsh": q_embedding_lsh,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     # multimodal_meta: demoted round 5 (fake-decoder path,
@@ -2921,6 +2976,10 @@ ORACLES = {
     # vocab fold, <s> transitions, count tables, backoff penalty,
     # llog2 bit arithmetic; nll_fp is an exact BIGINT
     "ngram_perplexity": NL.bigram_perplexity_sql(),
+    # audio_pcm (r16): every stat recomputed from the closed-form
+    # sample formula — exact-integer rms via a float-sqrt guess with
+    # ±1 correction, so float rounding can never diverge the hash
+    "audio_pcm": ORACLE_AUDIO_PCM,
     "embedding_lsh": ORACLE_EMBEDDING_LSH,
     "embedding_neardup_lsh": ORACLE_EMBEDDING_NEARDUP_LSH,
     "multimodal_meta": ORACLE_MULTIMODAL_META,

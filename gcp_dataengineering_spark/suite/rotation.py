@@ -360,6 +360,12 @@ PERMANENT_EXTERNAL = [
     # in tests/test_llm_ops.py; pipeline stage wiring in
     # llm_ops/pipeline.py.
     "ngram_perplexity",
+    # r16: PCM WAV decode + audio quality stats (recomputed duration,
+    # exact sum-of-squares, integer rms, peak, clip count — all
+    # replayed in SQL from the closed-form sample formula) — reason
+    # (b), same capacity terms. Numpy-reference parity + truncation/
+    # lying-header quarantine fuzz in tests/test_llm_ops.py.
+    "audio_pcm",
 ]
 
 

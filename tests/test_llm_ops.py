@@ -4820,3 +4820,136 @@ def test_ngram_perplexity_pipeline_stage(spark):
     kept = {r.doc_id for r in stages["corpus"].select("doc_id").collect()}
     assert 99 not in kept
     assert kept.issuperset(set(range(8)))
+
+
+# ------------------------------------------------------------ PCM audio stats (r16)
+def test_wav_pcm_stats_match_numpy_reference():
+    """wav_pcm_stats_py vs an independent float-numpy computation on
+    synthesized PCM: integer fields exactly, rms within the isqrt
+    floor of the float RMS. Covers 16-bit mono/stereo, 8-bit
+    (centered), silence, full-scale clipping."""
+    import math
+    import struct as _struct
+
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        wav_pcm_decode,
+        wav_pcm_stats_py,
+    )
+
+    def wav(sr, ch, bits, samples):
+        data = (
+            samples.astype("<i2").tobytes()
+            if bits == 16
+            else (samples + 128).astype(np.uint8).tobytes()
+        )
+        return (
+            b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, ch, sr,
+                                     sr * ch * bits // 8, ch * bits // 8, bits)
+            + b"data" + _struct.pack("<I", len(data)) + data
+        )
+
+    rng = np.random.default_rng(3)
+    cases = [
+        (16000, 1, 16, (np.sin(np.arange(800) / 10.0) * 20000).astype(np.int64)),
+        (8000, 2, 16, rng.integers(-30000, 30000, size=1600)),
+        (44100, 1, 8, rng.integers(-128, 128, size=441)),
+        (16000, 1, 16, np.zeros(320, dtype=np.int64)),          # silence
+        (16000, 1, 16, np.full(320, 32767, dtype=np.int64)),    # clipped wall
+    ]
+    for sr, ch, bits, x in cases:
+        payload = wav(sr, ch, bits, x)
+        s = wav_pcm_stats_py(payload)
+        assert s is not None, (sr, ch, bits)
+        frames = len(x) // ch
+        assert s["sample_rate"] == sr and s["channels"] == ch
+        assert s["n_frames"] == frames
+        assert s["duration_ms"] == frames * 1000 // sr
+        # independent float reference
+        xs = x.astype(np.float64)
+        assert s["sum_sq"] == int((x * x).sum())
+        assert s["rms"] == math.isqrt(int((x * x).sum()) // len(x))
+        assert abs(s["rms"] - np.sqrt((xs * xs).mean())) <= 1.0
+        assert s["peak"] == int(np.abs(x).max())
+        hi = 32767 if bits == 16 else 127
+        lo = -32768 if bits == 16 else -128
+        assert s["n_clipped"] == int(((x >= hi) | (x <= lo)).sum())
+        # decode shape contract
+        dec = wav_pcm_decode(payload)
+        assert dec is not None and dec[3].shape == (frames, ch)
+    # silence and clipped wall behave as the gate expects
+    assert wav_pcm_stats_py(wav(16000, 1, 16, np.zeros(320, dtype=np.int64)))["rms"] == 0
+    wall = wav_pcm_stats_py(wav(16000, 1, 16, np.full(320, 32767, dtype=np.int64)))
+    assert wall["clip_frac"] == 1.0 and wall["n_clipped"] == 320
+
+
+def test_wav_pcm_quarantine_fuzz_and_gate(spark):
+    """The image legs' adversarial contract, replayed for audio:
+    every truncation prefix of a valid WAV, lying data sizes,
+    non-PCM format tags, unsupported depths and random garbage all
+    quarantine (None / NULL row) — never raise, never invent stats.
+    audio_quality_gate keeps real audio, drops silence/clipping/
+    quarantined rows."""
+    import struct as _struct
+
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        audio_pcm_stats,
+        audio_quality_gate,
+        synth_pcm_wav,
+        wav_pcm_stats_py,
+    )
+
+    good = synth_pcm_wav(42)
+    for cut in range(0, len(good), 7):
+        assert wav_pcm_stats_py(good[:cut]) is None or cut >= len(good)
+    # lying data size (declares more than present)
+    lying = bytearray(good)
+    off = good.index(b"data") + 4
+    lying[off:off + 4] = _struct.pack("<I", 10_000_000)
+    assert wav_pcm_stats_py(bytes(lying)) is None
+    # non-PCM format tag (IEEE float = 3)
+    nonpcm = bytearray(good)
+    foff = good.index(b"fmt ") + 8
+    nonpcm[foff:foff + 2] = _struct.pack("<H", 3)
+    assert wav_pcm_stats_py(bytes(nonpcm)) is None
+    # unsupported depth (24-bit)
+    deep = bytearray(good)
+    boff = good.index(b"fmt ") + 8 + 14
+    deep[boff:boff + 2] = _struct.pack("<H", 24)
+    assert wav_pcm_stats_py(bytes(deep)) is None
+    # random garbage, incl. RIFF-prefixed
+    rng = np.random.default_rng(5)
+    for i in range(50):
+        blob = bytes(rng.integers(0, 256, size=rng.integers(0, 200), dtype=np.uint8))
+        assert wav_pcm_stats_py(blob) is None or blob[:4] == b"RIFF"
+        assert wav_pcm_stats_py(b"RIFF" + blob) is None
+
+    # Spark leg: quarantined rows NULL, gate semantics
+    silence = (
+        b"RIFF" + _struct.pack("<I", 36 + 3200) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+        + b"data" + _struct.pack("<I", 3200) + b"\x00" * 3200
+    )
+    media = spark.createDataFrame(
+        [
+            (1, bytearray(synth_pcm_wav(42))),   # loud pseudo-noise, long enough
+            (2, bytearray(silence)),             # fails min_rms
+            (3, bytearray(b"garbage")),          # quarantine
+        ],
+        "media_id long, payload binary",
+    )
+    stats = audio_pcm_stats(media)
+    got = {r["media_id"]: r for r in stats.collect()}
+    assert got[3]["format"] is None and got[3]["rms"] is None
+    assert got[2]["rms"] == 0
+    kept = {
+        r["media_id"]
+        for r in stats.filter(
+            audio_quality_gate(min_duration_ms=1, min_rms=100, max_clip_frac=0.5)
+        ).collect()
+    }
+    assert kept == {1}
