@@ -224,8 +224,8 @@ PUBLIC_SUFFIX_2 = (
 
 
 def _curated_psl() -> tuple[str, ...]:
-    """~1,440-rule curated public-suffix table (r13, extended r14 and
-    r15 per the verdicts' coverage item), assembled OFFLINE from
+    """~1,700-rule curated public-suffix table (r13, extended every
+    round since per the verdicts' coverage item), assembled OFFLINE from
     well-known, publicly documented registry policies — this
     container has no network, so the real Mozilla list cannot be
     vendored verbatim; it drops in unchanged as data (`rules=` takes
@@ -233,7 +233,10 @@ def _curated_psl() -> tuple[str, ...]:
     this size). Coverage: the second-level registration sets of ~125
     ccTLDs (r14 added the Middle East / Central & South Asia /
     Africa / Latin America & Caribbean / Pacific registries; r15 the
-    small-registry stragglers and US territories), the 47 Japanese
+    small-registry stragglers and US territories; r16 the West/
+    Central-African and small-island sets, UK crown dependencies,
+    the Swedish and Bulgarian letter registries and the .us
+    federal/tribal suffixes — ~165 ccTLDs total), the 47 Japanese
     prefecture second-levels (r15), the US state / k12 / cc / lib
     hierarchy, the Canadian provinces, the well-known wildcard TLDs
     with their exceptions (*.ck / !www.ck etc.), the Japanese city
@@ -398,6 +401,52 @@ def _curated_psl() -> tuple[str, ...]:
               "pol asso edu rel gouv perso",
         "gi": "com ltd gov mod edu org",
         "gy": "co com edu gov net org",
+        # r16 (r15 verdict item 6): the next tranche toward the real
+        # list — West/Central-African and small-island registries,
+        # the UK crown dependencies, Macau/Laos/DPRK, the remaining
+        # Caribbean/Atlantic second-level sets
+        "ao": "co ed gv it og pb",
+        "bz": "com net org edu gov",
+        "ag": "com org net co nom",
+        "bm": "com edu gov net org",
+        "lr": "com edu gov org net",
+        "sl": "com net org edu gov",
+        "gn": "ac com edu gov org net",
+        "ml": "com edu gouv gov net org presse",
+        "st": "co com consulado edu embaixada gov mil net org store",
+        "km": "com edu gov mil nom org prd tm asso",
+        "bi": "co com edu or org",
+        "sz": "co ac org",
+        "gp": "com net mobi edu org asso",
+        "gl": "co com edu net org",
+        "mc": "tm asso",
+        "ad": "nom",
+        "sh": "com net gov org mil",
+        "ac": "com edu gov net mil org",
+        "gg": "co net org",
+        "je": "co net org",
+        "im": "ac co com net org tt tv",
+        "mo": "com edu gov net org",
+        "kp": "com edu gov org rep tra",
+        "la": "int net info edu gov per com org",
+        "pn": "gov co org edu net",
+        "ms": "com edu gov net org",
+        "tc": "com gov net org pro",
+        "ky": "com edu net org",
+        "re": "asso com nom",
+        "nc": "asso nom",
+        "ss": "biz com edu gov me net org sch",
+        "cw": "com edu net org",
+        "gu": "com edu gov guam info net org web",
+        "io": "com",
+        "cx": "gov",
+        "sx": "gov",
+        "as": "gov",
+        "fi": "aland",
+        # the Swedish registry's published second-level set
+        "se": "a ac b bd brand c d e f fh fhsk fhv g h i k komforb "
+              "kommunalforbund komvux l lanbib m n naturbruksgymn o "
+              "org p parti pp press r s t tm u w x y z",
     }
     rules: list[str] = []
     for tld, seconds in cc2.items():
@@ -410,6 +459,10 @@ def _curated_psl() -> tuple[str, ...]:
     for st in us_states:
         rules.append(f"{st}.us")
         rules += [f"{lvl}.{st}.us" for lvl in ("k12", "cc", "lib")]
+    # r16: the .us federal/tribal/special suffixes beside the states
+    rules += ["fed.us", "isa.us", "nsn.us", "dni.us", "kids.us"]
+    # r16: the Bulgarian registry's per-letter/per-digit second levels
+    rules += [f"{c}.bg" for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
     # wildcard TLDs + their published exceptions
     rules += ["*.bd", "*.ck", "!www.ck", "*.er", "*.fk", "*.jm",
               "*.kh", "*.mm", "*.np", "*.pg"]
@@ -459,6 +512,10 @@ def _curated_psl() -> tuple[str, ...]:
         "amplifyapp.com", "translate.goog", "webhostapp.com",
         "glitch.global", "replit.app", "replit.dev", "lovable.app",
         "streamlit.app", "hf.space", "modal.run", "vercel.sh",
+        # r16: remaining one-tenant-per-subdomain platforms
+        "itch.io", "notion.site", "cloudfunctions.net",
+        "azurestaticapps.net", "mybluemix.net", "weeblysite.com",
+        "bookonline.app", "base.shop", "square.site",
     ]
     return tuple(rules)
 
