@@ -130,6 +130,16 @@ HEADLINE = [
     # budgets denominated in sampled pieces; bench-only (sampling is
     # twin-gated, no SQL oracle by design)
     "unigram_sampled",
+    # round-16: perceptual image hashing (binary synth + full decode/
+    # resample/hash inside one Arrow mapInPandas pass — the
+    # per-payload Python-codec cost class, new this round) and the
+    # bigram-LM perplexity scorer (explode + per-doc lag window +
+    # three count joins — the window-shuffle cost class)
+    "image_phash",
+    "ngram_perplexity",
+    # round-16: PCM WAV decode + stats (same Arrow-batch binary cost
+    # class as image_phash, audio flavor)
+    "audio_pcm",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

@@ -47,6 +47,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .materialize import MaterializeFn
+from .materialize import materialize as _materialize
 from .quality_model import FRAC_BITS, llog2, llog2_py, llog2_sql
 
 BOS = "<s>"
@@ -70,6 +72,7 @@ def bigram_perplexity(
     min_count: int = 2,
     backoff_bits: int = 4,
     frac_bits: int = FRAC_BITS,
+    materialize: str | MaterializeFn | bool | None = None,
 ) -> DataFrame:
     """Train the bigram backoff LM on ``ref`` (default: ``docs``
     itself — the self-scored corpus form the oracle replays) and
@@ -78,13 +81,26 @@ def bigram_perplexity(
     ``nll_fp`` is the exact fixed-point negative log2-likelihood
     (BIGINT — the hash-stable column); ``ppl_bits`` = bits/token,
     the human-facing knob a deployment thresholds on (CCNet buckets
-    head/middle/tail on exactly this number)."""
+    head/middle/tail on exactly this number).
+
+    Branch points are materialized per the module-wide strategy
+    (``materialize``; see llm_ops.materialize): the distinct-word
+    table feeds the vocab, the unigram fold AND the totals collect,
+    and the mapped transition table feeds both the bigram counts and
+    (self-trained) the scoring join — unmaterialized, the corpus
+    explode+window lineage would re-run once per consumer (the
+    r2 minhash lesson; the un-pinned plan showed 21 exchanges and
+    3 duplicate window sorts)."""
     scale = 1 << frac_bits
     train_words = _word_rows(ref if ref is not None else docs, text_col, id_col)
     score_words = train_words if ref is None else _word_rows(docs, text_col, id_col)
 
-    # distinct-word altitude from here down to the count tables
-    wc = train_words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    # distinct-word altitude from here down to the count tables;
+    # three consumers (vocab filter, unigram fold, totals collect)
+    wc = _materialize(
+        train_words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")),
+        materialize,
+    )
     vocab = wc.filter(F.col("cnt") >= min_count).select("word")
 
     def _mapped(words: DataFrame) -> DataFrame:
@@ -98,18 +114,8 @@ def bigram_perplexity(
             F.when(F.col("_v").isNotNull(), F.col("word")).otherwise(F.lit(UNK)).alias("token"),
         )
 
-    trans_train = _mapped(train_words).select(
-        "doc_id",
-        "pos",
-        "token",
-        F.lag("token", 1, BOS).over(
-            Window.partitionBy("doc_id").orderBy("pos")
-        ).alias("prev"),
-    )
-    trans_score = (
-        trans_train
-        if ref is None
-        else _mapped(score_words).select(
+    def _trans(words: DataFrame) -> DataFrame:
+        return _mapped(words).select(
             "doc_id",
             "pos",
             "token",
@@ -117,9 +123,22 @@ def bigram_perplexity(
                 Window.partitionBy("doc_id").orderBy("pos")
             ).alias("prev"),
         )
-    )
 
-    c2 = trans_train.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c2"))
+    # self-trained: ONE transition table feeds both the count build
+    # and the scoring join — pin it so the explode+window runs once
+    trans_train = _trans(train_words)
+    if ref is None:
+        trans_train = _materialize(trans_train, materialize)
+        trans_score = trans_train
+    else:
+        trans_score = _trans(score_words)
+
+    # c2 feeds both c1's derivation and the scoring join — pin the
+    # bigram-vocabulary-sized table, not the corpus
+    c2 = _materialize(
+        trans_train.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c2")),
+        materialize,
+    )
     c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
     # unigram counts over MAPPED tokens, derived from the word-count
     # table (no second corpus pass): vocab words keep their count,
