@@ -129,9 +129,10 @@ def parse_image_header(payload: bytes | None) -> tuple[str | None, int | None, i
       signature byte then 14+14 bits little-endian packed, dims
       minus one), 'VP8 ' (lossy: 3-byte frame tag must flag a key
       frame, 0x9D012A start code, then 14-bit LE width/height).
-      The #3 crawl image format becomes VISIBLE to corpus stats;
+      The #3 crawl image format is VISIBLE to corpus stats, and the
+      LOSSLESS flavor decodes for real (llm_ops.vp8l); lossy VP8
       pixel decode stays out of pure-Python scope (the resize leg
-      quarantines webp when PIL is absent, documented).
+      quarantines it when PIL is absent, documented).
 
     Unknown/truncated payloads → (None, None, None); a JPEG with no
     parseable SOF → ('jpeg', None, None); a WebP whose first chunk
@@ -942,14 +943,27 @@ def resize_images(
                         )
                         continue
                     if pil_image is None and fmt == "webp":
-                        # r16: webp is now VISIBLE (header sniffed, so
-                        # corpus stats count/dimension it) but a VP8
-                        # entropy decoder is out of honest pure-Python
-                        # scope — with no PIL the resize leg
-                        # quarantines it like a corrupt body, by
-                        # contract (documented in the module and in
-                        # parse_image_header's docstring).
-                        rows.append((mid, None, None, None, None, None, b))
+                        # r16: LOSSLESS webp (VP8L) decodes for real
+                        # through the vendored pure-Python codec
+                        # (llm_ops.vp8l — all four transforms, color
+                        # cache, meta prefix codes, LZ77 2D
+                        # distances), resamples, and re-encodes as a
+                        # real lossless webp (alpha dropped for the
+                        # thumbnail, the PNG leg's rule). LOSSY VP8
+                        # stays out of honest pure-Python scope (a
+                        # full VP8 intra-frame reconstruction) and
+                        # quarantines like a corrupt body, documented.
+                        from .vp8l import vp8l_decode, vp8l_encode
+
+                        decoded = vp8l_decode(b)
+                        if decoded is None:
+                            rows.append((mid, None, None, None, None, None, b))
+                            continue
+                        _, _, px4 = decoded
+                        rows.append(
+                            (mid, fmt, w, h, ow, oh,
+                             vp8l_encode(nearest_resize(px4[:, :, :3], ow, oh)))
+                        )
                         continue
                     if pil_image is None:
                         # r15: every format parse_image_header can

@@ -155,8 +155,18 @@ def decode_gray(payload: bytes):
         _, _, bw, bh, gray = decoded
         plane = np.frombuffer(gray, dtype=np.uint8).reshape(bh, bw)
         return (fmt, w, h, plane.astype(np.int64))
-    # sniffed but no vendored pixel leg (webp, ...) — quarantine,
-    # the resize_images rule
+    if fmt == "webp":
+        # r16: lossless (VP8L) decodes through the vendored codec;
+        # lossy VP8 quarantines inside it (returns None)
+        from .vp8l import vp8l_decode
+
+        decoded = vp8l_decode(payload)
+        if decoded is None:
+            return None
+        _, _, px = decoded
+        return (fmt, w, h, luma_plane(px))
+    # sniffed but no vendored pixel leg — quarantine, the
+    # resize_images rule
     return None
 
 

@@ -4953,3 +4953,382 @@ def test_wav_pcm_quarantine_fuzz_and_gate(spark):
         ).collect()
     }
     assert kept == {1}
+
+
+# ------------------------------------------------------------ VP8L lossless webp (r16)
+def _vp8l_riff(body: bytes) -> bytes:
+    import struct as _struct
+
+    chunk = b"VP8L" + _struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    return b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk
+
+
+def _vp8l_stream_helpers():
+    """Bit-level hand-encoder helpers for building spec streams the
+    minimal encoder never emits — the gif.py hand-derived-LZW test
+    strategy, applied to VP8L."""
+    from gcp_dataengineering_spark.llm_ops.vp8l import _CL_ORDER, _BitWriter
+
+    def header(bw, w, h):
+        bw.write(0x2F, 8)
+        bw.write(w - 1, 14)
+        bw.write(h - 1, 14)
+        bw.write(0, 1)
+        bw.write(0, 3)
+
+    def simple_one(bw, s):
+        bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(s, 8)
+
+    def flat_code(bw, alphabet):
+        # 256 literals at length 8 (complete), emitted via a 2-symbol
+        # code-length code over {0, 8}
+        bw.write(0, 1)
+        bw.write(12 - 4, 4)
+        for p in range(12):
+            bw.write(1 if _CL_ORDER[p] in (0, 8) else 0, 3)
+        bw.write(0, 1)
+        for _ in range(256):
+            bw.write(1, 1)
+        for _ in range(alphabet - 256):
+            bw.write(0, 1)
+
+    def code8(bw, v):
+        for i in range(7, -1, -1):
+            bw.write((v >> i) & 1, 1)
+
+    return _BitWriter, header, simple_one, flat_code, code8
+
+
+def test_vp8l_roundtrip_and_bit_conventions():
+    """Encoder→decoder round trip is pixel-exact across shapes and
+    channel counts; the distance map honors the spec's structure
+    (120 unique neighbor offsets, head ordered by squared distance
+    then |dx|, + before −); header parser and codec agree."""
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.multimodal import parse_image_header
+    from gcp_dataengineering_spark.llm_ops.vp8l import (
+        _DIST_MAP,
+        vp8l_decode,
+        vp8l_encode,
+    )
+
+    rng = np.random.default_rng(1)
+    for (w, h, c) in [(1, 1, 3), (3, 2, 3), (17, 5, 4), (64, 48, 3), (200, 3, 3)]:
+        px = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+        if c == 4:
+            px[:, :, 3] = 200
+        data = vp8l_encode(px)
+        assert parse_image_header(data) == ("webp", w, h)
+        dec = vp8l_decode(data)
+        assert dec is not None, (w, h, c)
+        dw, dh, out = dec
+        assert (dw, dh) == (w, h)
+        assert np.array_equal(out[:, :, :3], px[:, :, :3])
+        assert (out[:, :, 3] == (200 if c == 4 else 255)).all()
+    # dist map invariants
+    assert len(_DIST_MAP) == len(set(_DIST_MAP)) == 120
+    assert all(dy >= 0 and (dy > 0 or dx > 0) for dx, dy in _DIST_MAP)
+    head = _DIST_MAP[:34]
+    keys = [(dx * dx + dy * dy, abs(dx), 0 if dx >= 0 else 1) for dx, dy in head]
+    assert keys == sorted(keys)
+    # non-constant alpha: the single-symbol alpha contract raises
+    import pytest as _pytest
+
+    bad = np.zeros((2, 2, 4), dtype=np.uint8)
+    bad[0, 0, 3] = 1
+    with _pytest.raises(ValueError, match="alpha"):
+        vp8l_encode(bad)
+
+
+def test_vp8l_hand_streams_transforms_lz77_cache_meta():
+    """Decoder features the minimal encoder never writes, each from
+    a hand-built bit-exact stream: SUBTRACT_GREEN, the PREDICTOR
+    transform (mode 2 + the spec's edge overrides), the COLOR
+    transform (incl. a negative int8 element), the 4-color PACKED
+    palette (cumulative deltas, 2-bit packing), LZ77 copies via both
+    linear and 2D distance codes, color-cache hits, and a 2-group
+    META prefix image."""
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.vp8l import vp8l_decode
+
+    BitWriter, header, simple_one, flat_code, code8 = _vp8l_stream_helpers()
+    rng = np.random.default_rng(2)
+
+    # --- subtract-green
+    w, h = 5, 3
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64)
+    bw = BitWriter(); header(bw, w, h)
+    bw.write(1, 1); bw.write(2, 2); bw.write(0, 1)
+    bw.write(0, 1); bw.write(0, 1)
+    flat_code(bw, 280); flat_code(bw, 256); flat_code(bw, 256)
+    simple_one(bw, 255); simple_one(bw, 0)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(px[y, x, i]) for i in range(3))
+            code8(bw, g); code8(bw, (r - g) % 256); code8(bw, (b - g) % 256)
+    dec = vp8l_decode(_vp8l_riff(bw.done()))
+    assert dec is not None and np.array_equal(dec[2][:, :, :3], px.astype(np.uint8))
+
+    # --- predictor transform, mode 2 (top), with the edge rules
+    w, h = 4, 4
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64)
+    bw = BitWriter(); header(bw, w, h)
+    bw.write(1, 1); bw.write(0, 2); bw.write(0, 3)
+    bw.write(0, 1)  # mode sub-image: no cache
+    flat_code(bw, 280); flat_code(bw, 256); flat_code(bw, 256)
+    simple_one(bw, 0); simple_one(bw, 0)
+    code8(bw, 2); code8(bw, 0); code8(bw, 0)  # 1×1 mode image: mode 2
+    bw.write(0, 1)
+    bw.write(0, 1); bw.write(0, 1)
+    flat_code(bw, 280); flat_code(bw, 256); flat_code(bw, 256)
+    simple_one(bw, 0); simple_one(bw, 0)  # alpha residual 0 everywhere
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pr = pg = pb = 0
+            elif y == 0:
+                pr, pg, pb = px[y, x - 1]  # row 0 → left, overriding mode
+            else:
+                pr, pg, pb = px[y - 1, x]  # mode 2 / col 0 → top
+            code8(bw, int((px[y, x, 1] - pg) % 256))
+            code8(bw, int((px[y, x, 0] - pr) % 256))
+            code8(bw, int((px[y, x, 2] - pb) % 256))
+    dec = vp8l_decode(_vp8l_riff(bw.done()))
+    assert dec is not None and np.array_equal(dec[2][:, :, :3], px.astype(np.uint8))
+    assert (dec[2][:, :, 3] == 255).all()
+
+    # --- color transform with g2r=16, g2b=8, r2b=-4 (as 252)
+    def ct_delta(t, c):
+        if t >= 128:
+            t -= 256
+        if c >= 128:
+            c -= 256
+        return (t * c) >> 5
+
+    w, h = 3, 3
+    px = rng.integers(0, 256, size=(h, w, 3), dtype=np.int64)
+    g2r, g2b, r2b = 16, 8, 252
+    bw = BitWriter(); header(bw, w, h)
+    bw.write(1, 1); bw.write(1, 2); bw.write(0, 3)
+    bw.write(0, 1)
+    flat_code(bw, 280); flat_code(bw, 256); flat_code(bw, 256)
+    simple_one(bw, 0); simple_one(bw, 0)
+    code8(bw, g2b); code8(bw, r2b); code8(bw, g2r)  # element: g=g2b r=r2b b=g2r
+    bw.write(0, 1)
+    bw.write(0, 1); bw.write(0, 1)
+    flat_code(bw, 280); flat_code(bw, 256); flat_code(bw, 256)
+    simple_one(bw, 255); simple_one(bw, 0)
+    for y in range(h):
+        for x in range(w):
+            r, g, b = (int(px[y, x, i]) for i in range(3))
+            sr = (r - ct_delta(g2r, g)) % 256
+            sb = (b - ct_delta(g2b, g) - ct_delta(r2b, r)) % 256
+            code8(bw, g); code8(bw, sr); code8(bw, sb)
+    dec = vp8l_decode(_vp8l_riff(bw.done()))
+    assert dec is not None and np.array_equal(dec[2][:, :, :3], px.astype(np.uint8))
+
+    # --- 4-color packed palette (2-bit), cumulative deltas
+    w, h = 6, 2
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (7, 8, 9)]
+    idx = [[0, 1, 2, 3, 0, 1], [3, 2, 1, 0, 3, 2]]
+    bw = BitWriter(); header(bw, w, h)
+    bw.write(1, 1); bw.write(3, 2); bw.write(3, 8)
+    bw.write(0, 1)  # palette sub-image: no cache
+    flat_code(bw, 280); flat_code(bw, 256); flat_code(bw, 256)
+    simple_one(bw, 255); simple_one(bw, 0)
+    prev = (0, 0, 0)
+    for p in pal:
+        code8(bw, (p[1] - prev[1]) % 256)
+        code8(bw, (p[0] - prev[0]) % 256)
+        code8(bw, (p[2] - prev[2]) % 256)
+        prev = p
+    bw.write(0, 1)
+    bw.write(0, 1); bw.write(0, 1)
+    flat_code(bw, 280); flat_code(bw, 256); flat_code(bw, 256)
+    simple_one(bw, 0); simple_one(bw, 0)
+    for y in range(2):
+        for gx in range(2):
+            packed = 0
+            for k in range(4):
+                col = gx * 4 + k
+                packed |= (idx[y][col] if col < w else 0) << (k * 2)
+            code8(bw, packed); code8(bw, 0); code8(bw, 0)
+    dec = vp8l_decode(_vp8l_riff(bw.done()))
+    assert dec is not None
+    exp_rgb = np.array([[pal[i] for i in row] for row in idx], dtype=np.uint8)
+    assert np.array_equal(dec[2][:, :, :3], exp_rgb)
+    # alpha is delta-coded too: entry i alpha = 255·(i+1) mod 256
+    exp_a = np.array([[(255 * (i + 1)) % 256 for i in row] for row in idx], dtype=np.uint8)
+    assert np.array_equal(dec[2][:, :, 3], exp_a)
+
+    # --- LZ77 (linear dist + 2D code {0,1} → dist=w) + color cache
+    from gcp_dataengineering_spark.llm_ops.vp8l import _CL_ORDER
+
+    def normal_code(bw, lengths_map, alphabet):
+        used = sorted(set(lengths_map.values()) | {0})
+        k = len(used)
+        if k == 2:
+            cl = {s: 1 for s in used}
+        elif k == 3:
+            cl = {used[0]: 1, used[1]: 2, used[2]: 2}
+        else:
+            cl = {s: 2 for s in used}
+        n_cl = max(_CL_ORDER.index(s) for s in cl) + 1
+        bw.write(0, 1); bw.write(n_cl - 4, 4)
+        for p in range(n_cl):
+            bw.write(cl.get(_CL_ORDER[p], 0), 3)
+        bw.write(0, 1)
+        nz = sorted((l, s) for s, l in cl.items())
+        codes = {}; code = 0; prevl = nz[0][0]
+        for l, s in nz:
+            code <<= (l - prevl); prevl = l; codes[s] = (l, code); code += 1
+        for sym in range(alphabet):
+            l, c = codes[lengths_map.get(sym, 0)]
+            for i in range(l - 1, -1, -1):
+                bw.write((c >> i) & 1, 1)
+
+    def canon(lengths_map):
+        nz = sorted((l, s) for s, l in lengths_map.items())
+        out = {}; code = 0; prevl = nz[0][0]
+        for l, s in nz:
+            code <<= (l - prevl); prevl = l; out[s] = (l, code); code += 1
+        return out
+
+    def emit(bw, codes, sym):
+        l, c = codes[sym]
+        for i in range(l - 1, -1, -1):
+            bw.write((c >> i) & 1, 1)
+
+    w, h = 4, 3
+    A = (255 << 24) | (1 << 16) | (10 << 8) | 2
+    B = (255 << 24) | (3 << 16) | (20 << 8) | 4
+    ci = ((0x1E35A7BD * A) & 0xFFFFFFFF) >> 30  # 2-bit cache
+    bw = BitWriter(); header(bw, w, h)
+    bw.write(0, 1)
+    bw.write(1, 1); bw.write(2, 4)  # color cache, 2 bits
+    bw.write(0, 1)
+    green_lens = {10: 2, 20: 2, 258: 2, 256 + 24 + ci: 3, 257: 3}
+    normal_code(bw, green_lens, 284)
+    normal_code(bw, {1: 1, 3: 1}, 256)
+    normal_code(bw, {2: 1, 4: 1}, 256)
+    simple_one(bw, 255)
+    normal_code(bw, {0: 1, 1: 1}, 40)  # dist syms: 0→code1 (2D {0,1}); 1→code2 (2D {1,0}=1)
+    gc, rc, bc = canon(green_lens), canon({1: 1, 3: 1}), canon({2: 1, 4: 1})
+    dc = canon({0: 1, 1: 1})
+    emit(bw, gc, 10); emit(bw, rc, 1); emit(bw, bc, 2)   # p0 = A
+    emit(bw, gc, 258); emit(bw, dc, 1)                    # len 3, dist 1 → A A A
+    emit(bw, gc, 257); emit(bw, dc, 0)                    # len 2, dist w (2D)
+    emit(bw, gc, 257); emit(bw, dc, 0)                    # len 2, dist w
+    emit(bw, gc, 20); emit(bw, rc, 3); emit(bw, bc, 4)    # p8 = B
+    emit(bw, gc, 256 + 24 + ci)                           # cache hit → A
+    emit(bw, gc, 257); emit(bw, dc, 1)                    # len 2, dist 1 → A A
+    dec = vp8l_decode(_vp8l_riff(bw.done()))
+    assert dec is not None
+
+    def rgba(v):
+        return ((v >> 16) & 255, (v >> 8) & 255, v & 255, (v >> 24) & 255)
+
+    exp = np.array(
+        [[rgba(A)] * 4, [rgba(A)] * 4, [rgba(B)] + [rgba(A)] * 3], dtype=np.uint8
+    )
+    assert np.array_equal(dec[2], exp)
+
+    # --- meta prefix image: 2 groups, left half ≠ right half
+    w, h = 8, 4
+    bw = BitWriter(); header(bw, w, h)
+    bw.write(0, 1)
+    bw.write(0, 1)          # no cache
+    bw.write(1, 1); bw.write(0, 3)  # meta, block 4 → 2×1 meta image
+    bw.write(0, 1)          # meta sub-image: no cache
+    flat_code(bw, 280); flat_code(bw, 256); flat_code(bw, 256)
+    simple_one(bw, 0); simple_one(bw, 0)
+    code8(bw, 0); code8(bw, 0); code8(bw, 0)  # block 0 → group 0
+    code8(bw, 1); code8(bw, 0); code8(bw, 0)  # block 1 → group 1
+    for (rr, gg, bb) in [(10, 20, 30), (40, 50, 60)]:
+        simple_one(bw, gg); simple_one(bw, rr); simple_one(bw, bb)
+        simple_one(bw, 255); simple_one(bw, 0)
+    dec = vp8l_decode(_vp8l_riff(bw.done()))
+    assert dec is not None
+    out = dec[2]
+    assert (out[:, :4, :3] == np.array([10, 20, 30])).all()
+    assert (out[:, 4:, :3] == np.array([40, 50, 60])).all()
+
+
+def test_vp8l_quarantine_fuzz_and_pipeline_legs(spark):
+    """Adversarial contract + integration: corruption fuzz (bit
+    flips, truncations, lying chunk sizes) never raises; the
+    decode-bomb guard rejects huge declared dims at the header;
+    lossy VP8 quarantines; resize_images resamples lossless webp for
+    REAL (PIL-free) and emits a decodable same-format thumbnail; the
+    perceptual hash of a webp re-encode is bit-identical to the same
+    pixels as PPM (cross-codec invariance, extended to webp)."""
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        nearest_resize,
+        ppm_encode,
+        resize_images,
+    )
+    from gcp_dataengineering_spark.llm_ops.phash import decode_gray, dhash64
+    from gcp_dataengineering_spark.llm_ops.vp8l import vp8l_decode, vp8l_encode
+
+    rng = np.random.default_rng(7)
+    px = rng.integers(0, 256, size=(24, 32, 3), dtype=np.uint8)
+    good = vp8l_encode(px)
+
+    # truncation at every length; then 400 random single-bit flips —
+    # decode returns None or a valid array, never raises
+    for cut in range(0, len(good), 3):
+        r = vp8l_decode(good[:cut])
+        assert r is None or r[2].shape == (24, 32, 4)
+    for _ in range(400):
+        blob = bytearray(good)
+        i = int(rng.integers(0, len(blob)))
+        blob[i] ^= 1 << int(rng.integers(0, 8))
+        r = vp8l_decode(bytes(blob))
+        assert r is None or (r[2].ndim == 3 and r[2].shape[2] == 4)
+    # random garbage bodies
+    for _ in range(50):
+        body = bytes(rng.integers(0, 256, size=int(rng.integers(0, 80)), dtype=np.uint8))
+        assert vp8l_decode(_vp8l_riff(b"\x2f" + body)) is None or True  # no raise
+    # decode-bomb: 16383×16383 declared dims reject at the header
+    BitWriter, header, *_ = _vp8l_stream_helpers()
+    bw = BitWriter(); header(bw, 16383, 16383)
+    assert vp8l_decode(_vp8l_riff(bw.done())) is None
+    # lossy VP8 quarantines (no VP8L chunk)
+    import struct as _struct
+
+    vp8 = (b"RIFF" + _struct.pack("<I", 24) + b"WEBP" + b"VP8 "
+           + _struct.pack("<I", 12) + b"\x10\x00\x00\x9d\x01\x2a"
+           + _struct.pack("<HH", 32, 24) + b"\x00\x00")
+    assert vp8l_decode(vp8) is None
+
+    # resize leg: real VP8L resample, PIL-free, decodable output
+    smooth = np.zeros((24, 32, 3), dtype=np.uint8)
+    smooth[:, :, 0] = (np.arange(32) * 255 // 31)[None, :]
+    smooth[:, :, 1] = (np.arange(24) * 255 // 23)[:, None]
+    media = spark.createDataFrame(
+        [(1, bytearray(vp8l_encode(smooth))), (2, bytearray(vp8))],
+        "media_id long, payload binary",
+    )
+    rz = {r["media_id"]: r for r in resize_images(media, max_side=16).collect()}
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if not has_pil:
+        assert rz[1]["fmt"] == "webp" and (rz[1]["out_width"], rz[1]["out_height"]) == (16, 12)
+        redec = vp8l_decode(bytes(rz[1]["payload_out"]))
+        assert redec is not None
+        assert np.array_equal(redec[2][:, :, :3], nearest_resize(smooth, 16, 12))
+        assert rz[2]["fmt"] is None  # lossy quarantines
+    # cross-codec perceptual hash: webp == ppm, bit-identical
+    d_webp = dhash64(decode_gray(vp8l_encode(smooth))[3])
+    d_ppm = dhash64(decode_gray(ppm_encode(smooth))[3])
+    assert d_webp == d_ppm
