@@ -213,7 +213,18 @@ def bigram_perplexity_py(
 ) -> dict[int, tuple[int, int, float | None]]:
     """Independent pure-Python twin of :func:`bigram_perplexity`
     (self-scored form): {doc_id: (n_trans, nll_fp, ppl_bits)} — the
-    parity reference the pytest checks Spark and DuckDB against."""
+    parity reference the pytest checks Spark and DuckDB against.
+
+    Rounding: HALF-UP on the double's exact value (Decimal), matching
+    Spark's BigDecimal round and DuckDB's ROUND — python's built-in
+    round() is banker's and diverges at exact ties like
+    598016/(4·65536) = 2.28125 (found by the r16 fuzz session, not by
+    the fixture tests: nll/2^F quotients hit .xxxx5 exactly)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def _r4(v: float) -> float:
+        return float(Decimal(v).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+
     scale = 1 << frac_bits
     toks = {
         d: [w for w in t.lower().split() if w != ""] for d, t in texts.items()
@@ -260,7 +271,7 @@ def bigram_perplexity_py(
             nll -= lp
             n += 1
             prev = t
-        out[d] = (n, nll, round(nll / (n * float(scale)), 4) if n else None)
+        out[d] = (n, nll, _r4(nll / (n * float(scale))) if n else None)
     return out
 
 

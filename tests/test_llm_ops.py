@@ -4725,6 +4725,33 @@ def test_ngram_perplexity_matches_python_twin(spark):
     exp = bigram_perplexity_py(texts)
     assert got == exp
 
+    # rounding-tie regression (r16 fuzz find): nll/2^F quotients can
+    # hit .xxxx5 EXACTLY (598016/(4·65536) = 2.28125); Spark/DuckDB
+    # round half-up, python round() is banker's — the twin must use
+    # half-up or it diverges at exactly these ties
+    tie = {0: "mat sat", 1: "dog the on the", 2: "mat a on",
+           3: "sat zq1 vx2 zq1 cat", 4: "cat vx2 vx2 dog ran sat"}
+    tdf = spark.createDataFrame(list(tie.items()), "doc_id long, text string")
+    tgot = {
+        r["doc_id"]: (r["n_trans"], r["nll_fp"], r["ppl_bits"])
+        for r in bigram_perplexity(tdf, min_count=3, backoff_bits=2).collect()
+    }
+    texp = bigram_perplexity_py(tie, min_count=3, backoff_bits=2)
+    assert tgot == texp
+    # fixture sanity: doc 1 lands on an exact DISTINGUISHING tie
+    # (139264/(4·65536) = 0.53125 — banker's would give 0.5312,
+    # half-up gives 0.5313; a tie onto an odd digit would not
+    # distinguish the two modes)
+    from fractions import Fraction
+
+    def _is_distinguishing_tie(n, nll):
+        frac = Fraction(nll * 10000, n * (1 << 16))
+        m = frac // 1
+        return frac - m == Fraction(1, 2) and m % 2 == 0
+
+    assert _is_distinguishing_tie(texp[1][0], texp[1][1]), texp
+    assert texp[1][2] == 0.5313  # half-up, the engines' convention
+
 
 def test_ngram_perplexity_ordering_and_ref_training(spark):
     """The signal the filter exists for: under a reference-trained LM
