@@ -1173,6 +1173,74 @@ FROM dims d JOIN dh USING (doc_id) JOIN ah ON d.doc_id = ah.doc_id
 """
 
 
+def q_image_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE pixel near-dup chain under one oracle (r16):
+    closed-form gradient PPMs → vendored decode → dHash → pigeonhole
+    band blocking → exact hamming ≤ 3 filter → pointer-doubling
+    connected components → (media_id, group_id). The oracle replays
+    every stage in SQL: the dHash pixel formulas, unsigned band
+    extraction via HUGEINT division (the dhash CTE is CAST back to
+    BIGINT first — DuckDB's SUM(BIGINT) returns HUGEINT, and a
+    128-bit xor would count sign-extension bits: bit_count 65 on a
+    real pair, found while building this oracle), bit_count(xor)
+    hamming, and min-label transitive closure (the dedup_groups /
+    semantic_dedup recursive-CTE pattern). PERMANENT_EXTERNAL."""
+    docs = _t(spark, sf_dir, "documents")
+    media = PH.synth_ppm_corpus(docs, id_col="doc_id")
+    return PH.image_neardup(media)
+
+
+ORACLE_IMAGE_NEARDUP = """
+WITH RECURSIVE dims AS (
+    SELECT doc_id, CAST(doc_id % 23 + 9 AS BIGINT) AS w, CAST((doc_id * 3) % 17 + 8 AS BIGINT) AS h
+    FROM documents
+), dlum AS (
+    SELECT d.doc_id, j.j, i.i,
+           (((d.doc_id + 7*((i.i * d.w) // 9) + 13*((j.j * d.h) // 8)) % 256)*299
+            + (((3*d.doc_id + 5*((i.i * d.w) // 9) + 11*((j.j * d.h) // 8)) % 256))*587
+            + (((5*d.doc_id + 2*((i.i * d.w) // 9) + 3*((j.j * d.h) // 8)) % 256))*114) // 1000 AS g0,
+           (((d.doc_id + 7*(((i.i+1) * d.w) // 9) + 13*((j.j * d.h) // 8)) % 256)*299
+            + (((3*d.doc_id + 5*(((i.i+1) * d.w) // 9) + 11*((j.j * d.h) // 8)) % 256))*587
+            + (((5*d.doc_id + 2*(((i.i+1) * d.w) // 9) + 3*((j.j * d.h) // 8)) % 256))*114) // 1000 AS g1
+    FROM dims d, range(8) AS j(j), range(8) AS i(i)
+), dh AS (
+    SELECT doc_id,
+       CAST((CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END) * 4294967296 + lo AS BIGINT) AS dhash
+    FROM (
+      SELECT doc_id,
+        COALESCE(SUM(CASE WHEN g1 > g0 AND j*8+i < 32 THEN (CAST(1 AS BIGINT) << CAST(j*8+i AS INTEGER)) ELSE 0 END), 0) AS lo,
+        COALESCE(SUM(CASE WHEN g1 > g0 AND j*8+i >= 32 THEN (CAST(1 AS BIGINT) << CAST(j*8+i-32 AS INTEGER)) ELSE 0 END), 0) AS hi
+      FROM dlum GROUP BY doc_id)
+), uh AS (
+    SELECT doc_id,
+           CAST(dhash AS HUGEINT)
+           + CASE WHEN dhash < 0 THEN CAST('18446744073709551616' AS HUGEINT) ELSE CAST(0 AS HUGEINT) END AS u,
+           dhash
+    FROM dh
+), bands AS (
+    SELECT doc_id, dhash, b.b AS band_idx,
+           CAST((u // (CAST(1 AS HUGEINT) << CAST(16*b.b AS INTEGER))) % 65536 AS BIGINT) AS band_val
+    FROM uh, range(4) AS b(b)
+), cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.dhash AS ha, b.dhash AS hb
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+), pairs AS (
+    SELECT id_a, id_b FROM cands WHERE bit_count(xor(ha, hb)) <= 3
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+    SELECT doc_id AS src, doc_id AS dst FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS media_id, CAST(MIN(dst) AS BIGINT) AS group_id
+FROM reach GROUP BY src
+"""
+
+
 # ---------------------------------------------------------------- PCM audio stats
 def q_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCM audio-quality stats, differentially checked end-to-end:
@@ -2905,6 +2973,10 @@ QUERIES = {
     # PPM codec, closed-form pixel oracle) — PERMANENT_EXTERNAL like
     # embedding_opq: the rotating universe remains at capacity
     "image_phash": q_image_phash,
+    # r16: the complete pixel near-dup chain (decode → dHash → band
+    # blocking → hamming → CC) under one SQL oracle — also
+    # PERMANENT_EXTERNAL (same capacity terms)
+    "image_neardup": q_image_neardup,
     # r16: CCNet-style bigram-LM perplexity scoring — also
     # PERMANENT_EXTERNAL (same capacity terms)
     "ngram_perplexity": q_ngram_perplexity,
@@ -2972,6 +3044,9 @@ ORACLES = {
     # SQL from the closed-form pixel formulas — resample index math,
     # BT.601 luma, bit weights and the signed-int64 fold included
     "image_phash": ORACLE_IMAGE_PHASH,
+    # image_neardup (r16): band extraction, hamming and min-label
+    # closure replayed on top of the phash pixel formulas
+    "image_neardup": ORACLE_IMAGE_NEARDUP,
     # ngram_perplexity (r16): the whole train+score chain replayed —
     # vocab fold, <s> transitions, count tables, backoff penalty,
     # llog2 bit arithmetic; nll_fp is an exact BIGINT

@@ -353,6 +353,11 @@ PERMANENT_EXTERNAL = [
     # resized duplicates, no-cartesian plan receipt) in
     # tests/test_llm_ops.py.
     "image_phash",
+    # r16: the complete pixel near-dup chain — dHash pixel formulas,
+    # unsigned band extraction, bit_count(xor) hamming and min-label
+    # transitive closure all replayed in SQL — reason (b), same
+    # capacity terms.
+    "image_neardup",
     # r16: CCNet-style bigram-LM perplexity (vocab fold + <s>
     # transitions + backoff, all integer fixed-point llog2, the full
     # train+score chain replayed in SQL) — reason (b), same capacity
