@@ -137,6 +137,9 @@ HEADLINE = [
     # three count joins — the window-shuffle cost class)
     "image_phash",
     "ngram_perplexity",
+    # round-16 wave 2: the trigram-order form — one more lag column,
+    # two more count joins (the n-gram-order scaling cost)
+    "trigram_perplexity",
     # round-16: PCM WAV decode + stats (same Arrow-batch binary cost
     # class as image_phash, audio flavor)
     "audio_pcm",

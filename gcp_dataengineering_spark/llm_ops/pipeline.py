@@ -217,6 +217,11 @@ class PipelineConfig:
     perplexity_ref: object | None = None
     perplexity_min_count: int = 2
     perplexity_backoff_bits: int = 4
+    # n-gram order of the LM: 2 (bigram, the oracle-keyed default)
+    # or 3 (trigram — one order closer to CCNet's 5-gram; the
+    # tri→bi→uni escape chain uses perplexity_backoff_bits for the
+    # first escape and 2× it for the second)
+    perplexity_order: int = 2
     # re-derive the language column with the r12 two-stage lang_id
     # (script router + 20-language stopword vote) instead of
     # trusting the input's lang column: crawl metadata lies, and the
@@ -405,18 +410,37 @@ def build_training_corpus(
         # (or self-trained). Self-trained, the scorer references its
         # input for BOTH training counts and scoring transitions —
         # pin the branch point first per the documented rule.
-        from .ngram_lm import bigram_perplexity, perplexity_gate
+        from .ngram_lm import (
+            bigram_perplexity,
+            perplexity_gate,
+            trigram_perplexity,
+        )
 
+        if cfg.perplexity_order not in (2, 3):
+            raise ValueError(
+                f"perplexity_order must be 2 or 3, got {cfg.perplexity_order}"
+            )
         if materialize is not False and cfg.perplexity_ref is None:
             reputable = _materialize(reputable, materialize)
-        perplexity_scores = bigram_perplexity(
-            reputable,
-            ref=cfg.perplexity_ref,
-            text_col=text_col,
-            id_col=id_col,
-            min_count=cfg.perplexity_min_count,
-            backoff_bits=cfg.perplexity_backoff_bits,
-        )
+        if cfg.perplexity_order == 3:
+            perplexity_scores = trigram_perplexity(
+                reputable,
+                ref=cfg.perplexity_ref,
+                text_col=text_col,
+                id_col=id_col,
+                min_count=cfg.perplexity_min_count,
+                backoff_bits_bi=cfg.perplexity_backoff_bits,
+                backoff_bits_uni=2 * cfg.perplexity_backoff_bits,
+            )
+        else:
+            perplexity_scores = bigram_perplexity(
+                reputable,
+                ref=cfg.perplexity_ref,
+                text_col=text_col,
+                id_col=id_col,
+                min_count=cfg.perplexity_min_count,
+                backoff_bits=cfg.perplexity_backoff_bits,
+            )
         fluent_ids = perplexity_scores.filter(
             perplexity_gate(cfg.perplexity_max_bits)
         ).select(F.col("doc_id").alias(id_col))

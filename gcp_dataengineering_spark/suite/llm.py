@@ -1307,6 +1307,15 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NL.bigram_perplexity(_t(spark, sf_dir, "documents"))
 
 
+def q_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trigram-order backoff LM (one order closer to CCNet's
+    5-gram): tri → bi → uni escape chain with fixed penalties, two
+    lag windows, three count tables — the whole train+score chain
+    replayed in SQL (trigram_perplexity_sql). r16;
+    PERMANENT_EXTERNAL."""
+    return NL.trigram_perplexity(_t(spark, sf_dir, "documents"))
+
+
 # ---------------------------------------------------------------- repetition quality
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document: duplicate-word
@@ -2980,6 +2989,8 @@ QUERIES = {
     # r16: CCNet-style bigram-LM perplexity scoring — also
     # PERMANENT_EXTERNAL (same capacity terms)
     "ngram_perplexity": q_ngram_perplexity,
+    # r16: trigram-order backoff LM — also PERMANENT_EXTERNAL
+    "trigram_perplexity": q_trigram_perplexity,
     # r16: PCM WAV decode + audio quality stats — also
     # PERMANENT_EXTERNAL (same capacity terms)
     "audio_pcm": q_audio_pcm,
@@ -3051,6 +3062,9 @@ ORACLES = {
     # vocab fold, <s> transitions, count tables, backoff penalty,
     # llog2 bit arithmetic; nll_fp is an exact BIGINT
     "ngram_perplexity": NL.bigram_perplexity_sql(),
+    # trigram_perplexity (r16): the tri→bi→uni escape chain replayed
+    # with two lag windows + three count tables, llog2 throughout
+    "trigram_perplexity": NL.trigram_perplexity_sql(),
     # audio_pcm (r16): every stat recomputed from the closed-form
     # sample formula — exact-integer rms via a float-sqrt guess with
     # ±1 correction, so float rounding can never diverge the hash

@@ -365,6 +365,10 @@ PERMANENT_EXTERNAL = [
     # in tests/test_llm_ops.py; pipeline stage wiring in
     # llm_ops/pipeline.py.
     "ngram_perplexity",
+    # r16: the trigram-order form (tri→bi→uni escape chain, two lag
+    # windows, three count tables — all replayed in SQL) — reason
+    # (b), same capacity terms. Twin parity + ordering pytests.
+    "trigram_perplexity",
     # r16: PCM WAV decode + audio quality stats (recomputed duration,
     # exact sum-of-squares, integer rms, peak, clip count — all
     # replayed in SQL from the closed-form sample formula) — reason

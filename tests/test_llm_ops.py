@@ -5359,3 +5359,84 @@ def test_vp8l_quarantine_fuzz_and_pipeline_legs(spark):
     d_webp = dhash64(decode_gray(vp8l_encode(smooth))[3])
     d_ppm = dhash64(decode_gray(ppm_encode(smooth))[3])
     assert d_webp == d_ppm
+
+
+def test_trigram_perplexity_and_fit_score(spark):
+    """Wave-2 r16: (a) the trigram form matches its python twin
+    exactly (self-scored, every escape branch exercised); (b) the
+    trigram separates memorized/novel/gibberish at least as sharply
+    as the bigram on a reference-trained fixture; (c) fit-once /
+    score-many (bigram_lm_fit + bigram_lm_score — the deployable
+    CCNet form, reference counts persisted instead of recomputed)
+    equals the one-shot bigram_perplexity EXACTLY; (d) the pipeline
+    perplexity_order knob routes (3 → trigram scores frame) and
+    rejects bad orders."""
+    import pytest as _pytest
+
+    from gcp_dataengineering_spark.llm_ops.ngram_lm import (
+        bigram_lm_fit,
+        bigram_lm_score,
+        bigram_perplexity,
+        trigram_perplexity,
+        trigram_perplexity_py,
+    )
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the cat and the dog sat too",
+        3: "xyzzy plugh qwerty zork",
+        4: "",
+        5: "the the the the the",
+        6: "cat",
+        7: "the cat sat on the mat again and again",
+    }
+    df = spark.createDataFrame(list(texts.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_trans"], r["nll_fp"], r["ppl_bits"])
+        for r in trigram_perplexity(df).collect()
+    }
+    assert got == trigram_perplexity_py(texts)
+
+    # ordering under a reference-trained trigram LM
+    fluent = "the quick brown fox jumps over the lazy dog"
+    ref = spark.createDataFrame(
+        [(i, fluent) for i in range(30)], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(1, fluent), (2, "the quick brown dog jumps over the lazy fox"),
+         (3, "zq glorp wibble frotz yoyodyne plugh")],
+        "doc_id long, text string",
+    )
+    tri = {r["doc_id"]: r["ppl_bits"] for r in trigram_perplexity(score, ref=ref).collect()}
+    assert tri[1] < tri[2] < tri[3]
+
+    # fit/score == one-shot, exactly (all three columns)
+    one = {r["doc_id"]: tuple(r) for r in bigram_perplexity(score, ref=ref).collect()}
+    model = bigram_lm_fit(ref)
+    two = {r["doc_id"]: tuple(r) for r in bigram_lm_score(score, model).collect()}
+    assert one == two
+
+    # pipeline knob: order 3 routes to the trigram scorer
+    def page(i):
+        return (i, fluent + " " + " ".join(f"w{i}x{j} the u{i}z{j}" for j in range(8)) + ".",
+                f"s{i % 2}", "en")
+
+    docs = spark.createDataFrame([page(i) for i in range(6)],
+                                 "doc_id long, text string, source string, lang string")
+    stages = build_training_corpus(
+        docs,
+        config=PipelineConfig(
+            perplexity_max_bits=50.0, perplexity_ref=ref, perplexity_order=3,
+            shard_budget_tokens=500, minhash_hashes=16, lsh_bands=4,
+        ),
+    )
+    assert "perplexity" in stages
+    assert stages["perplexity"].count() == 6
+    with _pytest.raises(ValueError, match="perplexity_order"):
+        build_training_corpus(
+            docs, config=PipelineConfig(perplexity_max_bits=1.0, perplexity_order=5)
+        )
