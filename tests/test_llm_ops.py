@@ -5440,3 +5440,42 @@ def test_trigram_perplexity_and_fit_score(spark):
         build_training_corpus(
             docs, config=PipelineConfig(perplexity_max_bits=1.0, perplexity_order=5)
         )
+
+
+def test_vp8l_simple_code_one_bit_first_symbol():
+    """Post-close r16 addendum (promoted from the wave-2 fuzz receipt
+    so it runs every round): the simple-prefix-code branch where the
+    FIRST symbol is the 1-bit form — a 2-symbol green code {1, 200}
+    with a 1-bit first symbol, and 1-bit single-symbol codes for
+    red/blue/distance. Zero-bit and one-bit symbol reads are easy to
+    get subtly wrong in an LSB-first reader; pin them."""
+    import struct as _struct
+
+    from gcp_dataengineering_spark.llm_ops.vp8l import _BitWriter, vp8l_decode
+
+    bw = _BitWriter()
+    bw.write(0x2F, 8); bw.write(3, 14); bw.write(0, 14); bw.write(0, 1); bw.write(0, 3)
+    bw.write(0, 1)                  # no transforms
+    bw.write(0, 1); bw.write(0, 1)  # no cache, no meta
+    # green: simple, 2 symbols, 1-BIT first (1), 8-bit second (200)
+    bw.write(1, 1); bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(200, 8)
+    # red: simple 1 symbol, 1-bit form, value 0
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    # blue: simple 1 symbol, 1-bit form, value 1
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(1, 1)
+    # alpha: 8-bit 255; distance: 1-bit 0
+    bw.write(1, 1); bw.write(0, 1); bw.write(1, 1); bw.write(255, 8)
+    bw.write(1, 1); bw.write(0, 1); bw.write(0, 1); bw.write(0, 1)
+    for g in (0, 1, 1, 0):  # greens 1, 200, 200, 1
+        bw.write(g, 1)
+    body = bw.done()
+    chunk = b"VP8L" + _struct.pack("<I", len(body)) + body
+    if len(body) & 1:
+        chunk += b"\x00"
+    dec = vp8l_decode(b"RIFF" + _struct.pack("<I", 4 + len(chunk)) + b"WEBP" + chunk)
+    assert dec is not None
+    w, h, px = dec
+    assert (w, h) == (4, 1)
+    assert list(px[0, :, 1]) == [1, 200, 200, 1]
+    assert (px[:, :, 0] == 0).all() and (px[:, :, 2] == 1).all()
+    assert (px[:, :, 3] == 255).all()
