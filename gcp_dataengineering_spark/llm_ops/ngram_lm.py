@@ -44,6 +44,8 @@ the documented bounded-collect pattern (model weights / dim stats).
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -54,11 +56,22 @@ from .quality_model import FRAC_BITS, llog2, llog2_py, llog2_sql
 BOS = "<s>"
 UNK = "<unk>"
 
+# ASCII whitespace, written out so all three engines agree exactly:
+# Java \s is [ \t\n\x0B\f\r] but RE2 (DuckDB) \s omits \x0B, and
+# Python str.split() splits on Unicode whitespace (NBSP,  , …).
+_WS_JAVA = "[ \\t\\n\\x0B\\f\\r]+"
+_WS_SQL = "[ \\t\\n\\x0B\\f\\r]+"
+_WS_PY = re.compile("[ \t\n\x0b\f\r]+")
+
+
+def _tokens_py(t: str) -> list[str]:
+    return [w for w in _WS_PY.split(t.lower()) if w != ""]
+
 
 def _word_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, pos, word) — 1-based position, lowercase nonempty
     whitespace tokens."""
-    words = F.filter(F.split(F.lower(F.col(text_col)), "\\s+"), lambda t: t != "")
+    words = F.filter(F.split(F.lower(F.col(text_col)), _WS_JAVA), lambda t: t != "")
     return df.select(
         F.col(id_col).alias("doc_id"), F.posexplode(words).alias("pos0", "word")
     ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "word")
@@ -226,9 +239,7 @@ def bigram_perplexity_py(
         return float(Decimal(v).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
 
     scale = 1 << frac_bits
-    toks = {
-        d: [w for w in t.lower().split() if w != ""] for d, t in texts.items()
-    }
+    toks = {d: _tokens_py(t) for d, t in texts.items()}
     wc: dict[str, int] = {}
     for ws in toks.values():
         for w in ws:
@@ -291,7 +302,7 @@ WITH words AS (
     SELECT t.doc_id, r.i + 1 AS pos, t.w[r.i + 1] AS word
     FROM (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+               list_filter(regexp_split_to_array(lower(text), '{_WS_SQL}'), x -> x <> '') AS w
         FROM {table}
     ) t, unnest(range(len(t.w))) AS r(i)
 ), wc AS (
@@ -630,7 +641,7 @@ def trigram_perplexity_py(
         return float(Decimal(v).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
 
     scale = 1 << frac_bits
-    toks = {d: [w for w in t.lower().split() if w != ""] for d, t in texts.items()}
+    toks = {d: _tokens_py(t) for d, t in texts.items()}
     wc: dict[str, int] = {}
     for ws in toks.values():
         for w in ws:
@@ -703,7 +714,7 @@ WITH words AS (
     SELECT t.doc_id, r.i + 1 AS pos, t.w[r.i + 1] AS word
     FROM (
         SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+               list_filter(regexp_split_to_array(lower(text), '{_WS_SQL}'), x -> x <> '') AS w
         FROM {table}
     ) t, unnest(range(len(t.w))) AS r(i)
 ), wc AS (

@@ -317,7 +317,10 @@ def _clamp_add_sub_half(ab: int, c: int) -> int:
     for sh in (0, 8, 16, 24):
         x = (ab >> sh) & 0xFF
         cc = (c >> sh) & 0xFF
-        v = x + (x - cc) // 2 if False else x + ((x - cc) >> 1)
+        # spec/libwebp: a + (a - b) / 2 with C division (truncate toward
+        # zero) — a flooring shift is off by one for negative odd deltas
+        d = x - cc
+        v = x + ((d >> 1) if d >= 0 else -((-d) >> 1))
         v = 0 if v < 0 else (255 if v > 255 else v)
         out |= v << sh
     return out
@@ -329,7 +332,9 @@ def _select(t: int, l: int, tl: int) -> int:
         pr = ((l >> sh) & 0xFF) + ((t >> sh) & 0xFF) - ((tl >> sh) & 0xFF)
         p_l += abs(pr - ((l >> sh) & 0xFF))
         p_t += abs(pr - ((t >> sh) & 0xFF))
-    return l if p_l <= p_t else t
+    # tie → TOP: the spec returns L only when pL < pT (libwebp's
+    # (pa_minus_pb <= 0) ? top : left agrees)
+    return l if p_l < p_t else t
 
 
 def _inv_predictor(out: list[int], w: int, h: int, modes, mbits: int, mw: int):
@@ -494,9 +499,15 @@ def _vp8l_decode(data: bytes):
     if w * h > _MAX_PIXELS:
         return None  # decode-bomb guard at the header
 
-    # transforms, read order preserved for reverse application
+    # transforms, read order preserved for reverse application.
+    # eff_w is the working width libwebp tracks as hdr->xsize_: when
+    # COLOR_INDEXING with sub-byte bundling is read, it shrinks, and
+    # transforms read AFTER the palette size their tiles — and apply
+    # their inverses — at the packed width (their inverses run before
+    # the palette inverse in the reversed chain).
     transforms = []
     seen = set()
+    eff_w = w
     while br.bit():
         t = br.bits(2)
         if t in seen:
@@ -504,16 +515,16 @@ def _vp8l_decode(data: bytes):
         seen.add(t)
         if t == 0:  # predictor
             bits = br.bits(3) + 2
-            tw = (w + (1 << bits) - 1) >> bits
+            tw = (eff_w + (1 << bits) - 1) >> bits
             th = (h + (1 << bits) - 1) >> bits
             img = _decode_entropy_image(br, tw, th, False)
-            transforms.append(("pred", bits, tw, img))
+            transforms.append(("pred", bits, tw, img, eff_w))
         elif t == 1:  # color transform
             bits = br.bits(3) + 2
-            tw = (w + (1 << bits) - 1) >> bits
+            tw = (eff_w + (1 << bits) - 1) >> bits
             th = (h + (1 << bits) - 1) >> bits
             img = _decode_entropy_image(br, tw, th, False)
-            transforms.append(("color", bits, tw, img))
+            transforms.append(("color", bits, tw, img, eff_w))
         elif t == 2:
             transforms.append(("sub_green",))
         else:  # color indexing
@@ -524,31 +535,27 @@ def _vp8l_decode(data: bytes):
             for d in deltas:
                 prev = _add_px(prev, d)
                 palette.append(prev)
-            transforms.append(("palette", palette))
-
-    # with a small palette the coded image is sub-byte packed
-    dec_w = w
-    for t in transforms:
-        if t[0] == "palette":
-            psize = len(t[1])
+            unpacked_w = eff_w
             if psize <= 2:
-                dec_w = (w + 7) >> 3
+                eff_w = (eff_w + 7) >> 3
             elif psize <= 4:
-                dec_w = (w + 3) >> 2
+                eff_w = (eff_w + 3) >> 2
             elif psize <= 16:
-                dec_w = (w + 1) >> 1
+                eff_w = (eff_w + 1) >> 1
+            transforms.append(("palette", palette, unpacked_w, eff_w))
 
-    out = _decode_entropy_image(br, dec_w, h, True)
+    out = _decode_entropy_image(br, eff_w, h, True)
 
     for t in reversed(transforms):
         if t[0] == "palette":
-            out = _inv_color_index(out, w, h, t[1], dec_w)
+            _, palette, unpacked_w, packed_w = t
+            out = _inv_color_index(out, unpacked_w, h, palette, packed_w)
         elif t[0] == "pred":
-            _, bits, tw, img = t
-            _inv_predictor(out, w, h, img, bits, tw)
+            _, bits, tw, img, t_eff_w = t
+            _inv_predictor(out, t_eff_w, h, img, bits, tw)
         elif t[0] == "color":
-            _, bits, tw, img = t
-            _inv_color_transform(out, w, h, img, bits, tw)
+            _, bits, tw, img, t_eff_w = t
+            _inv_color_transform(out, t_eff_w, h, img, bits, tw)
         else:
             out = [_inv_subtract_green(p) for p in out]
 

@@ -526,8 +526,12 @@ def semantic_dedup_batch(
     # physical-only fold, admission semantics untouched
     policy = new_meta.get("auto_compact_segments")
     if policy and len(live) > int(policy):
+        # gc=False: this publish just retired segments via watermark
+        # expiry — deleting them here would cut short the one-merge
+        # reader grace (GC belongs to the START of the next batch)
         compact_semantic_store(
-            spark, store_dir, id_col=id_col, rewrite=True, resolve=False
+            spark, store_dir, id_col=id_col, rewrite=True, resolve=False,
+            gc=False,
         )
     return admitted
 
@@ -540,6 +544,7 @@ def compact_semantic_store(
     cos_den: int | None = None,
     rewrite: bool = True,
     resolve: bool = True,
+    gc: bool = True,
 ) -> DataFrame:
     """Offline batch-twin compaction of a streaming semantic store
     (r15 — the r14 verdict's item 3): re-resolve the store's FULL
@@ -580,11 +585,20 @@ def compact_semantic_store(
     ``auto_compact_segments`` batch hook triggers: layout upkeep on
     every threshold crossing, the full pair-graph reconciliation
     stays an explicit (and more expensive) maintenance decision.
+
+    ``gc=False`` (r17, ADVICE r16): skip the orphan/retiree sweep.
+    The batch hook passes this because its own publish JUST retired
+    segments — sweeping them in the same turn would cut short the
+    one-merge reader grace that defers GC to the next batch's start.
     """
     if _is_legacy_store(store_dir):
         _migrate_legacy_store(spark, store_dir)
     meta = _read_meta(store_dir)
-    _gc_unreferenced_segments(store_dir, meta)
+    # gc=False when called from the same foreachBatch turn that just
+    # published a retirement: those dirs keep their reader grace and
+    # the next batch's start-of-batch GC collects them (ADVICE r16)
+    if gc:
+        _gc_unreferenced_segments(store_dir, meta)
     docs, buckets, meta = read_semantic_store(spark, store_dir)
     if docs is None:
         return spark.createDataFrame(

@@ -4714,6 +4714,11 @@ def test_ngram_perplexity_matches_python_twin(spark):
         8: "the dog sat on the mat the dog sat on the mat",
         9: "  padded   whitespace\ttokens \n here  ",
         10: "MiXeD CaSe The CAT sat",
+        # r17 (ADVICE r16): Unicode whitespace must NOT split — all
+        # three engines tokenize on the explicit ASCII class; python
+        # str.split() would split NBSP/U+2028 and diverge
+        11: "nbsp\xa0joined stays one token",
+        12: "line sep and\x0bvertical\ttab",
     }
     df = spark.createDataFrame(
         [(k, v) for k, v in texts.items()], "doc_id long, text string"
@@ -5479,3 +5484,166 @@ def test_vp8l_simple_code_one_bit_first_symbol():
     assert list(px[0, :, 1]) == [1, 200, 200, 1]
     assert (px[:, :, 0] == 0).all() and (px[:, :, 2] == 1).all()
     assert (px[:, :, 3] == 255).all()
+
+
+def test_vp8l_predictor_spec_semantics_and_packed_width():
+    """r17 (ADVICE r16): three spec-conformance fixes, each pinned by
+    a hand-built bit-exact stream against an independent per-channel
+    reference implementation of the spec predictors:
+
+    (1) predictor 13 (ClampAddSubtractHalf) uses C truncating
+        division (a-b)/2 — a flooring shift is off by one whenever
+        avg2(L,T) < TL with an odd difference (libwebp
+        AddSubtractComponentHalf);
+    (2) predictor 11 (Select) returns TOP on a Manhattan-distance
+        tie with L != T (spec: return L only when pL < pT; libwebp:
+        (pa_minus_pb <= 0) ? top : left);
+    (3) COLOR_INDEXING read BEFORE a PREDICTOR transform shrinks the
+        working width (libwebp hdr->xsize_) — the predictor's tiles
+        size at, and its inverse applies at, the PACKED width."""
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.vp8l import vp8l_decode
+
+    BitWriter, header, simple_one, flat_code, code8 = _vp8l_stream_helpers()
+
+    # independent spec predictors over (r, g, b) channel tuples
+    # (alpha is 255 everywhere below: residual 0 under either rule)
+    def clamp255(v):
+        return 0 if v < 0 else (255 if v > 255 else v)
+
+    def p_avg2(a, b):
+        return tuple((x + y) >> 1 for x, y in zip(a, b))
+
+    def p13(L, T, TL):
+        ave = p_avg2(L, T)
+        out = []
+        for a, b in zip(ave, TL):
+            d = a - b
+            out.append(clamp255(a + ((d >> 1) if d >= 0 else -((-d) >> 1))))
+        return tuple(out)
+
+    def p11(L, T, TL):
+        pl = pt = 0
+        for l, t, tl in zip(L, T, TL):
+            pr = l + t - tl
+            pl += abs(pr - l)
+            pt += abs(pr - t)
+        return L if pl < pt else T
+
+    def run_mode(mode, px, pred_fn):
+        """2x2 image, a 1x1 mode image selecting ``mode``; residuals
+        from the independent reference; decode must round-trip."""
+        h, w = 2, 2
+        bw = BitWriter(); header(bw, w, h)
+        bw.write(1, 1); bw.write(0, 2); bw.write(0, 3)  # predictor, bits=2
+        bw.write(0, 1)  # mode sub-image: no cache
+        flat_code(bw, 280); flat_code(bw, 256); flat_code(bw, 256)
+        simple_one(bw, 0); simple_one(bw, 0)
+        code8(bw, mode); code8(bw, 0); code8(bw, 0)
+        bw.write(0, 1)                  # transforms done
+        bw.write(0, 1); bw.write(0, 1)  # no cache, no meta
+        flat_code(bw, 280); flat_code(bw, 256); flat_code(bw, 256)
+        simple_one(bw, 0); simple_one(bw, 0)  # alpha residual 0
+        for y in range(h):
+            for x in range(w):
+                if y == 0 and x == 0:
+                    pred = (0, 0, 0)
+                elif y == 0:
+                    pred = px[y][x - 1]
+                elif x == 0:
+                    pred = px[y - 1][x]
+                else:
+                    pred = pred_fn(px[y][x - 1], px[y - 1][x], px[y - 1][x - 1])
+                r, g, b = (int(px[y][x][i] - pred[i]) % 256 for i in range(3))
+                code8(bw, g); code8(bw, r); code8(bw, b)
+        dec = vp8l_decode(_vp8l_riff(bw.done()))
+        assert dec is not None
+        exp = np.array(px, dtype=np.uint8)
+        assert np.array_equal(dec[2][:, :, :3], exp), mode
+        assert (dec[2][:, :, 3] == 255).all()
+
+    # (1) mode 13: at (1,1) the green delta is -3 (odd, negative:
+    # truncate -> 9, floor -> 8) and blue -5 (truncate 28, floor 27)
+    px13 = [[(15, 13, 35), (20, 10, 30)],
+            [(20, 10, 30), (100, 101, 102)]]
+    L, T, TL = px13[1][0], px13[0][1], px13[0][0]
+    ave = p_avg2(L, T)
+    deltas = [a - b for a, b in zip(ave, TL)]
+    assert any(d < 0 and d % 2 != 0 for d in deltas)  # the discriminator
+    assert p13(L, T, TL) != tuple(
+        clamp255(a + ((a - b) >> 1)) for a, b in zip(ave, TL)
+    )  # flooring shift would differ on these pixels
+    run_mode(13, px13, p13)
+
+    # (2) mode 11: at (1,1) green L=10 T=20 TL=15 is an exact
+    # Manhattan tie with L != T -> spec picks TOP
+    px11 = [[(5, 15, 7), (5, 20, 7)],
+            [(5, 10, 7), (60, 61, 62)]]
+    L, T, TL = px11[1][0], px11[0][1], px11[0][0]
+    pl = sum(abs((l + t - tl) - l) for l, t, tl in zip(L, T, TL))
+    pt = sum(abs((l + t - tl) - t) for l, t, tl in zip(L, T, TL))
+    assert pl == pt and L != T  # the tie the fix pins
+    assert p11(L, T, TL) == T
+    run_mode(11, px11, p11)
+
+    # (3) palette (4 colors, 2-bit bundling) read FIRST, then a
+    # predictor: the 6-wide image packs to width 2, and the predictor
+    # (mode 1, left) must invert at the packed width
+    w, h = 6, 2
+    pal = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (9, 8, 7)]
+    idx = [[0, 1, 2, 3, 0, 1], [3, 2, 1, 0, 3, 2]]
+    packed_w = (w + 3) >> 2
+    packed = [[0] * packed_w for _ in range(h)]
+    for y in range(h):
+        for gx in range(packed_w):
+            pb = 0
+            for k in range(4):
+                col = gx * 4 + k
+                pb |= (idx[y][col] if col < w else 0) << (k * 2)
+            packed[y][gx] = pb
+
+    bw = BitWriter(); header(bw, w, h)
+    # color-indexing transform first
+    bw.write(1, 1); bw.write(3, 2); bw.write(3, 8)  # psize-1 = 3
+    bw.write(0, 1)  # palette sub-image: no cache
+    flat_code(bw, 280); flat_code(bw, 256); flat_code(bw, 256)
+    flat_code(bw, 256); simple_one(bw, 0)  # alpha coded per entry
+    prev = (0, 0, 0, 0)  # (r, g, b, a) cumulative
+    for i, p in enumerate(pal):
+        a = 255 if i == 0 else 0  # entry alphas: 255, 255, 255, 255
+        code8(bw, (p[1] - prev[1]) % 256)
+        code8(bw, (p[0] - prev[0]) % 256)
+        code8(bw, (p[2] - prev[2]) % 256)
+        code8(bw, a)
+        prev = (p[0], p[1], p[2], prev[3] + a)
+    # predictor transform second: tiles at the PACKED width
+    bw.write(1, 1); bw.write(0, 2); bw.write(0, 3)  # bits=2, 1x1 tiles
+    bw.write(0, 1)
+    flat_code(bw, 280); flat_code(bw, 256); flat_code(bw, 256)
+    simple_one(bw, 0); simple_one(bw, 0)
+    code8(bw, 1); code8(bw, 0); code8(bw, 0)  # mode 1 (left)
+    bw.write(0, 1)                  # transforms done
+    bw.write(0, 1); bw.write(0, 1)  # no cache, no meta
+    flat_code(bw, 280); flat_code(bw, 256); flat_code(bw, 256)
+    simple_one(bw, 0); simple_one(bw, 0)  # alpha residual 0
+    # residuals of the PACKED pixels (g = bundled bits, r = b = 0)
+    for y in range(h):
+        for x in range(packed_w):
+            if y == 0 and x == 0:
+                pg = 0
+            elif y == 0:
+                pg = packed[y][x - 1]
+            elif x == 0:
+                pg = packed[y - 1][x]
+            else:
+                pg = packed[y][x - 1]  # mode 1: left
+            code8(bw, (packed[y][x] - pg) % 256)
+            code8(bw, 0); code8(bw, 0)
+    dec = vp8l_decode(_vp8l_riff(bw.done()))
+    assert dec is not None, "packed-width predictor stream must decode"
+    dw, dh, out = dec
+    assert (dw, dh) == (w, h)
+    exp_rgb = np.array([[pal[i] for i in row] for row in idx], dtype=np.uint8)
+    assert np.array_equal(out[:, :, :3], exp_rgb)
+    assert (out[:, :, 3] == 255).all()

@@ -1689,3 +1689,62 @@ def test_semantic_store_auto_compaction_policy(spark, tmp_path):
     # retired dirs from the last fold keep reader grace on disk
     for d in m.get("retired", []):
         assert os.path.isdir(os.path.join(auto, d))
+
+
+def test_auto_compaction_preserves_same_turn_watermark_retirees(spark, tmp_path):
+    """r17 (ADVICE r16): when ONE publish both retires segments via
+    watermark expiry and crosses the auto-compaction threshold, the
+    same-turn compaction hook must NOT sweep the just-retired dirs —
+    they keep the one-merge reader grace until the START of the next
+    batch (gc=False on the hook's compact call)."""
+    import os
+
+    from gcp_dataengineering_spark.streaming.semantic import (
+        _read_meta,
+        read_semantic_store,
+        semantic_dedup_batch,
+    )
+
+    store = str(tmp_path / "grace")
+    texts = [
+        "glacier mass balance monitoring with terrestrial radar",
+        "polyphonic renaissance choral tuning systems in practice",
+        "asynchronous replication lag in geo distributed databases",
+        "coastal dune vegetation succession after storm overwash",
+        "thermoacoustic refrigeration without moving mechanical parts",
+    ]
+
+    def mk(i, ep):
+        return spark.createDataFrame(
+            [(i, texts[i], float(ep))], "doc_id long, text string, ep double"
+        ).withColumn("ets", F.col("ep").cast("timestamp"))
+
+    kw = dict(cos_num=92, n_planes=8, n_tables=6,
+              event_time_col="ets", watermark="36 seconds")
+    # three policy-free batches: segments accumulate (epochs 0, 5, 10)
+    for i, ep in enumerate([0, 5, 10]):
+        semantic_dedup_batch(mk(i, ep), store, **kw)
+    meta = _read_meta(store)
+    assert len(meta["segments"]) == 3
+    s0_dir = meta["segments"][0]["dir"]
+
+    # batch 4 (epoch 40, cutoff 4): retires s0 by watermark AND, with
+    # the policy enabled this very batch, leaves 3 live > K=2 — the
+    # compaction hook fires in the same foreachBatch turn
+    semantic_dedup_batch(mk(3, 40), store, auto_compact_segments=2, **kw)
+    meta = _read_meta(store)
+    assert len(meta["segments"]) == 1  # folded
+    assert s0_dir not in {s["dir"] for s in meta["segments"]}
+    assert s0_dir not in meta["retired"]  # the fold's own retirees replaced it
+    # THE fix: the watermark retiree survives the same-turn compaction
+    assert os.path.isdir(os.path.join(store, s0_dir))
+    # the fold's retirees keep grace too
+    for d in meta["retired"]:
+        assert os.path.isdir(os.path.join(store, d))
+
+    # the NEXT batch's start-of-batch GC collects it (documented timing)
+    semantic_dedup_batch(mk(4, 41), store, **kw)
+    assert not os.path.isdir(os.path.join(store, s0_dir))
+    # store still reads coherently
+    d, b, m = read_semantic_store(spark, store)
+    assert d is not None and d.count() >= 1
