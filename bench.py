@@ -143,6 +143,12 @@ HEADLINE = [
     # round-16: PCM WAV decode + stats (same Arrow-batch binary cost
     # class as image_phash, audio flavor)
     "audio_pcm",
+    # round-17: Kneser-Ney smoothing, ref-split 80/20 — same window +
+    # count-join plan as the laplace rows plus the continuation-count
+    # aggregates and a second training-words branch (the ref-scored
+    # deployment shape)
+    "ngram_perplexity_kn",
+    "trigram_perplexity_kn",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

@@ -68,6 +68,34 @@ def _tokens_py(t: str) -> list[str]:
     return [w for w in _WS_PY.split(t.lower()) if w != ""]
 
 
+# Kneser-Ney discount quantization (r17). The Ney absolute discount
+# D = n1/(n1 + 2·n2) (n_k = number of n-gram TYPES with count k) is
+# quantized to Dnum/256 so every llog2 input stays in int64 at
+# 100 TB magnitudes: count·256 ≤ U·256 ≈ 3e15 and Dnum·N1+ ≤ 255·V.
+# (The exact-rational D — Dden = n1+2n2 ~ 1e10 — would push
+# count·Dden past 2^63; the interpolated-sum formulation is worse,
+# needing count·Dden·N1pp ~ 1e25. 128-bit arithmetic has no llog2
+# leg in Spark, so backoff-form + quantized D is the int64-exact
+# design.) Integer half-up division keeps all three engines
+# bit-identical; clamped to [1, 255] so discounted hit counts stay
+# positive (c·256 − Dnum ≥ 1) and escapes keep mass (Dnum ≥ 1).
+KN_DDEN = 256
+
+
+def _kn_discount(n1: int, n2: int) -> int:
+    den = n1 + 2 * n2
+    if n1 <= 0 or den <= 0:
+        return KN_DDEN // 2  # degenerate count-of-counts: D = 1/2
+    return max(1, min(KN_DDEN - 1, (2 * KN_DDEN * n1 + den) // (2 * den)))
+
+
+_KN_DNUM_SQL = (
+    "CASE WHEN n1 <= 0 OR (n1 + 2*n2) <= 0 THEN {half} "
+    "ELSE GREATEST(1, LEAST({dmax}, "
+    "(2*{dden}*n1 + (n1 + 2*n2)) // (2*(n1 + 2*n2)))) END"
+).format(half=KN_DDEN // 2, dmax=KN_DDEN - 1, dden=KN_DDEN)
+
+
 def _word_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, pos, word) — 1-based position, lowercase nonempty
     whitespace tokens."""
@@ -85,11 +113,34 @@ def bigram_perplexity(
     min_count: int = 2,
     backoff_bits: int = 4,
     frac_bits: int = FRAC_BITS,
+    smoothing: str = "laplace",
     materialize: str | MaterializeFn | bool | None = None,
 ) -> DataFrame:
     """Train the bigram backoff LM on ``ref`` (default: ``docs``
     itself — the self-scored corpus form the oracle replays) and
     score every document: (doc_id, n_trans, nll_fp, ppl_bits).
+
+    ``smoothing`` (r17): ``"laplace"`` is the original fixed-escape
+    Laplace-unigram backoff above; ``"kn"`` is absolute-discount
+    Kneser-Ney (the CCNet/KenLM smoothing family) in backoff form:
+
+      c(v,w) > 0:       lp = llog2(c2·256 − D) − llog2(c1·256)
+      c(v) > 0, miss:   lp = llog2(D·N1+(v,·)) − llog2(c1·256)
+                             + llog2(N1+(·,w)) − llog2(N1pp)
+      v unseen:         lp = llog2(N1+(·,w)) − llog2(N1pp)
+
+    with D the quantized Ney discount (``_kn_discount``; count-of-
+    counts n1, n2 over bigram TYPES), N1+(v,·) the distinct
+    continuations of context v, N1+(·,w) the distinct contexts of w
+    (the continuation-unigram distribution — KN's signature: a word
+    seen in many contexts is a plausible NOVEL continuation even
+    when the specific bigram is unseen), and N1pp the number of
+    bigram types. All integer llog2 fixed-point — the whole chain
+    replays in DuckDB (``bigram_perplexity_sql(smoothing="kn")``).
+    The escape weight is the interpolation λ(v) = D·N1+(v,·)/c(v)
+    applied in backoff form (sub-normalized: novel continuations
+    priced slightly high — the conservative, int64-exact choice;
+    see KN_DDEN note).
 
     ``nll_fp`` is the exact fixed-point negative log2-likelihood
     (BIGINT — the hash-stable column); ``ppl_bits`` = bits/token,
@@ -152,48 +203,93 @@ def bigram_perplexity(
         trans_train.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c2")),
         materialize,
     )
-    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
-    # unigram counts over MAPPED tokens, derived from the word-count
-    # table (no second corpus pass): vocab words keep their count,
-    # everything else folds into <unk>
-    cu = (
-        wc.join(F.broadcast(vocab.withColumnRenamed("word", "_v")),
-                F.col("word") == F.col("_v"), "left")
-        .select(
-            F.when(F.col("_v").isNotNull(), F.col("word")).otherwise(F.lit(UNK)).alias("token"),
-            "cnt",
+    if smoothing == "kn":
+        # context table (totals + distinct continuations) and the
+        # continuation-unigram table both derive from the c2 TYPE
+        # table — n-gram altitude, one extra COUNT per group-by
+        ctx = c2.groupBy("prev").agg(
+            F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1v")
         )
-        .groupBy("token")
-        .agg(F.sum("cnt").alias("cu"))
-    )
-
-    # two bounded driver scalars (total tokens, vocab size) — the
-    # documented model-stats collect, never corpus data
-    totals = wc.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("u"),
-        F.coalesce(F.sum((F.col("cnt") >= min_count).cast("long")), F.lit(0)).alias("nv"),
-    ).collect()[0]
-    u_plus_v = int(totals["u"]) + int(totals["nv"]) + 1  # +1: <unk>
-    denom_fp = llog2_py(u_plus_v, frac_bits) if u_plus_v > 0 else 0
-
-    scored = (
-        trans_score.join(c2, ["prev", "token"], "left")
-        .join(F.broadcast(c1), ["prev"], "left")
-        .join(F.broadcast(cu), ["token"], "left")
-        .select(
-            "doc_id",
-            F.when(
-                F.col("c2").isNotNull(),
-                llog2(F.col("c2"), frac_bits) - llog2(F.col("c1"), frac_bits),
-            )
-            .otherwise(
-                llog2(F.coalesce(F.col("cu"), F.lit(0)) + 1, frac_bits)
-                - F.lit(denom_fp)
-                - F.lit(backoff_bits * scale)
-            )
-            .alias("lp"),
+        cont = c2.groupBy("token").agg(F.count(F.lit(1)).alias("n1cw"))
+        # three bounded driver scalars: count-of-counts n1/n2 (the
+        # Ney discount) and the bigram type count N1pp
+        d = c2.agg(
+            F.count(F.lit(1)).alias("n1pp"),
+            F.coalesce(F.sum((F.col("c2") == 1).cast("long")), F.lit(0)).alias("n1"),
+            F.coalesce(F.sum((F.col("c2") == 2).cast("long")), F.lit(0)).alias("n2"),
+        ).collect()[0]
+        dnum = _kn_discount(int(d["n1"]), int(d["n2"]))
+        l_n1pp = llog2_py(max(int(d["n1pp"]), 1), frac_bits)
+        cont_lp = (
+            llog2(F.greatest(F.coalesce(F.col("n1cw"), F.lit(0)), F.lit(1)), frac_bits)
+            - F.lit(l_n1pp)
         )
-    )
+        scored = (
+            trans_score.join(c2, ["prev", "token"], "left")
+            .join(F.broadcast(ctx), ["prev"], "left")
+            .join(F.broadcast(cont), ["token"], "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("c2").isNotNull(),
+                    llog2(F.col("c2") * KN_DDEN - F.lit(dnum), frac_bits)
+                    - llog2(F.col("c1") * KN_DDEN, frac_bits),
+                )
+                .when(
+                    F.col("c1").isNotNull(),
+                    llog2(F.col("n1v") * F.lit(dnum), frac_bits)
+                    - llog2(F.col("c1") * KN_DDEN, frac_bits)
+                    + cont_lp,
+                )
+                .otherwise(cont_lp)
+                .alias("lp"),
+            )
+        )
+    elif smoothing == "laplace":
+        c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+        # unigram counts over MAPPED tokens, derived from the word-count
+        # table (no second corpus pass): vocab words keep their count,
+        # everything else folds into <unk>
+        cu = (
+            wc.join(F.broadcast(vocab.withColumnRenamed("word", "_v")),
+                    F.col("word") == F.col("_v"), "left")
+            .select(
+                F.when(F.col("_v").isNotNull(), F.col("word")).otherwise(F.lit(UNK)).alias("token"),
+                "cnt",
+            )
+            .groupBy("token")
+            .agg(F.sum("cnt").alias("cu"))
+        )
+
+        # two bounded driver scalars (total tokens, vocab size) — the
+        # documented model-stats collect, never corpus data
+        totals = wc.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("u"),
+            F.coalesce(F.sum((F.col("cnt") >= min_count).cast("long")), F.lit(0)).alias("nv"),
+        ).collect()[0]
+        u_plus_v = int(totals["u"]) + int(totals["nv"]) + 1  # +1: <unk>
+        denom_fp = llog2_py(u_plus_v, frac_bits) if u_plus_v > 0 else 0
+
+        scored = (
+            trans_score.join(c2, ["prev", "token"], "left")
+            .join(F.broadcast(c1), ["prev"], "left")
+            .join(F.broadcast(cu), ["token"], "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("c2").isNotNull(),
+                    llog2(F.col("c2"), frac_bits) - llog2(F.col("c1"), frac_bits),
+                )
+                .otherwise(
+                    llog2(F.coalesce(F.col("cu"), F.lit(0)) + 1, frac_bits)
+                    - F.lit(denom_fp)
+                    - F.lit(backoff_bits * scale)
+                )
+                .alias("lp"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown smoothing {smoothing!r} (laplace|kn)")
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_trans"), (-F.sum("lp")).alias("nll_fp")
     )
@@ -223,6 +319,8 @@ def bigram_perplexity_py(
     min_count: int = 2,
     backoff_bits: int = 4,
     frac_bits: int = FRAC_BITS,
+    smoothing: str = "laplace",
+    ref_texts: dict[int, str] | None = None,
 ) -> dict[int, tuple[int, int, float | None]]:
     """Independent pure-Python twin of :func:`bigram_perplexity`
     (self-scored form): {doc_id: (n_trans, nll_fp, ppl_bits)} — the
@@ -236,12 +334,25 @@ def bigram_perplexity_py(
     from decimal import ROUND_HALF_UP, Decimal
 
     def _r4(v: float) -> float:
-        return float(Decimal(v).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+        # Decimal(repr(v)), not Decimal(v): Spark's Round on DOUBLE
+        # goes through BigDecimal.valueOf (Double.toString — the
+        # SHORTEST round-trip representation), so a non-dyadic tie
+        # like 366592/(5*2^16) = 1.11875 (stored as 1.11874999...)
+        # rounds from "1.11875" -> 1.1188 in both engines; the exact
+        # binary value would round down (r17 ref-split KN find, the
+        # sibling of the r16 banker's-rounding find)
+        return float(
+            Decimal(repr(v)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
 
     scale = 1 << frac_bits
     toks = {d: _tokens_py(t) for d, t in texts.items()}
+    ref_toks = (
+        toks if ref_texts is None
+        else {d: _tokens_py(t) for d, t in ref_texts.items()}
+    )
     wc: dict[str, int] = {}
-    for ws in toks.values():
+    for ws in ref_toks.values():
         for w in ws:
             wc[w] = wc.get(w, 0) + 1
     vocab = {w for w, c in wc.items() if c >= min_count}
@@ -254,7 +365,7 @@ def bigram_perplexity_py(
     cu: dict[str, int] = {}
     for w, c in wc.items():
         cu[m(w)] = cu.get(m(w), 0) + c
-    for ws in toks.values():
+    for ws in ref_toks.values():
         prev = BOS
         for w in ws:
             t = m(w)
@@ -264,6 +375,49 @@ def bigram_perplexity_py(
     u_plus_v = sum(wc.values()) + len(vocab) + 1
     denom = llog2_py(u_plus_v, frac_bits) if u_plus_v > 0 else 0
 
+    if smoothing == "kn":
+        n1v: dict[str, int] = {}
+        n1cw: dict[str, int] = {}
+        n1 = n2 = 0
+        for (v, t), c in c2.items():
+            n1v[v] = n1v.get(v, 0) + 1
+            n1cw[t] = n1cw.get(t, 0) + 1
+            n1 += c == 1
+            n2 += c == 2
+        dnum = _kn_discount(n1, n2)
+        l_n1pp = llog2_py(max(len(c2), 1), frac_bits)
+
+        def lp_kn(prev: str, t: str) -> int:
+            cont = llog2_py(max(n1cw.get(t, 0), 1), frac_bits) - l_n1pp
+            if (prev, t) in c2:
+                return llog2_py(
+                    c2[(prev, t)] * KN_DDEN - dnum, frac_bits
+                ) - llog2_py(c1[prev] * KN_DDEN, frac_bits)
+            if prev in c1:
+                return (
+                    llog2_py(n1v[prev] * dnum, frac_bits)
+                    - llog2_py(c1[prev] * KN_DDEN, frac_bits)
+                    + cont
+                )
+            return cont
+
+        lp_fn = lp_kn
+    elif smoothing == "laplace":
+        def lp_laplace(prev: str, t: str) -> int:
+            if (prev, t) in c2:
+                return llog2_py(c2[(prev, t)], frac_bits) - llog2_py(
+                    c1[prev], frac_bits
+                )
+            return (
+                llog2_py(cu.get(t, 0) + 1, frac_bits)
+                - denom
+                - backoff_bits * scale
+            )
+
+        lp_fn = lp_laplace
+    else:
+        raise ValueError(f"unknown smoothing {smoothing!r} (laplace|kn)")
+
     out: dict[int, tuple[int, int, float | None]] = {}
     for d, ws in toks.items():
         nll = 0
@@ -271,15 +425,7 @@ def bigram_perplexity_py(
         prev = BOS
         for w in ws:
             t = m(w)
-            if (prev, t) in c2:
-                lp = llog2_py(c2[(prev, t)], frac_bits) - llog2_py(c1[prev], frac_bits)
-            else:
-                lp = (
-                    llog2_py(cu.get(t, 0) + 1, frac_bits)
-                    - denom
-                    - backoff_bits * scale
-                )
-            nll -= lp
+            nll -= lp_fn(prev, t)
             n += 1
             prev = t
         out[d] = (n, nll, _r4(nll / (n * float(scale))) if n else None)
@@ -292,34 +438,98 @@ def bigram_perplexity_sql(
     backoff_bits: int = 4,
     frac_bits: int = FRAC_BITS,
     table: str = "documents",
+    smoothing: str = "laplace",
+    ref_filter: str | None = None,
 ) -> str:
-    """DuckDB replay of the self-scored :func:`bigram_perplexity` —
-    the suite oracle text. Same vocab fold, same transition window,
-    same llog2 fixed-point arithmetic (llog2_sql), same rounding."""
+    """DuckDB replay of :func:`bigram_perplexity` — the suite oracle
+    text. Same vocab fold, same transition window, same llog2
+    fixed-point arithmetic (llog2_sql), same rounding.
+
+    ``ref_filter`` (r17): a doc-level predicate selecting the
+    TRAINING subset (the ref-scored form — counts from the filtered
+    docs, every doc scored), so the oracle exercises the unseen-
+    bigram/unseen-context branches the self-scored form never hits.
+    ``smoothing="kn"`` replays the Kneser-Ney chain: quantized Ney
+    discount from count-of-counts (integer half-up //), context
+    escapes, continuation-unigram base — all BIGINT-exact."""
     scale = 1 << frac_bits
-    return f"""
-WITH words AS (
-    SELECT t.doc_id, r.i + 1 AS pos, t.w[r.i + 1] AS word
-    FROM (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '{_WS_SQL}'), x -> x <> '') AS w
-        FROM {table}
-    ) t, unnest(range(len(t.w))) AS r(i)
-), wc AS (
-    SELECT word, COUNT(*) AS cnt FROM words GROUP BY 1
-), vocab AS (
-    SELECT word FROM wc WHERE cnt >= {min_count}
-), trans AS (
+    ref_where = f"WHERE {ref_filter}" if ref_filter else ""
+
+    def trans_cte(src: str) -> str:
+        return f"""
     SELECT w.doc_id, w.pos,
            CASE WHEN v.word IS NOT NULL THEN w.word ELSE '{UNK}' END AS token,
            COALESCE(
                lag(CASE WHEN v.word IS NOT NULL THEN w.word ELSE '{UNK}' END)
                    OVER (PARTITION BY w.doc_id ORDER BY w.pos),
                '{BOS}') AS prev
-    FROM words w LEFT JOIN vocab v ON w.word = v.word
+    FROM {src} w LEFT JOIN vocab v ON w.word = v.word"""
+
+    head = f"""
+WITH words_all AS (
+    SELECT t.doc_id, r.i + 1 AS pos, t.w[r.i + 1] AS word
+    FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '{_WS_SQL}'), x -> x <> '') AS w
+        FROM {table}
+    ) t, unnest(range(len(t.w))) AS r(i)
+), ref_words AS (
+    SELECT * FROM words_all {ref_where}
+), wc AS (
+    SELECT word, COUNT(*) AS cnt FROM ref_words GROUP BY 1
+), vocab AS (
+    SELECT word FROM wc WHERE cnt >= {min_count}
+), rtrans AS ({trans_cte('ref_words')}
+), trans AS ({trans_cte('words_all')}
 ), c2 AS (
-    SELECT prev, token, COUNT(*) AS c2 FROM trans GROUP BY 1, 2
-), c1 AS (
+    SELECT prev, token, COUNT(*) AS c2 FROM rtrans GROUP BY 1, 2
+)"""
+    tail = f""", agg AS (
+    SELECT doc_id, COUNT(*) AS n_trans, -SUM(lp) AS nll_fp FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_trans, 0) AS BIGINT) AS n_trans,
+       CAST(COALESCE(a.nll_fp, 0) AS BIGINT) AS nll_fp,
+       CASE WHEN a.n_trans > 0
+            THEN ROUND(a.nll_fp / (a.n_trans * {float(scale)}), 4)
+       END AS ppl_bits
+FROM (SELECT DISTINCT doc_id FROM {table}) d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+    if smoothing == "kn":
+        cont = f"({llog2_sql('GREATEST(COALESCE(u.n1cw, 0), 1)', frac_bits)} - {llog2_sql('GREATEST(d.n1pp, 1)', frac_bits)})"
+        return f"""{head}, ctx AS (
+    SELECT prev, CAST(SUM(c2) AS BIGINT) AS c1, COUNT(*) AS n1v
+    FROM c2 GROUP BY 1
+), cont AS (
+    SELECT token, COUNT(*) AS n1cw FROM c2 GROUP BY 1
+), disc AS (
+    SELECT COUNT(*) AS n1pp,
+           COUNT(*) FILTER (WHERE c2 = 1) AS n1,
+           COUNT(*) FILTER (WHERE c2 = 2) AS n2
+    FROM c2
+), dnum AS (
+    SELECT n1pp, {_KN_DNUM_SQL} AS dn FROM disc
+), scored AS (
+    SELECT t.doc_id,
+           CASE WHEN b.c2 IS NOT NULL
+                THEN {llog2_sql(f'(b.c2 * {KN_DDEN} - d.dn)', frac_bits)}
+                     - {llog2_sql(f'(x.c1 * {KN_DDEN})', frac_bits)}
+                WHEN x.c1 IS NOT NULL
+                THEN {llog2_sql('(x.n1v * d.dn)', frac_bits)}
+                     - {llog2_sql(f'(x.c1 * {KN_DDEN})', frac_bits)}
+                     + {cont}
+                ELSE {cont}
+           END AS lp
+    FROM trans t
+    LEFT JOIN c2 b ON t.prev = b.prev AND t.token = b.token
+    LEFT JOIN ctx x ON t.prev = x.prev
+    LEFT JOIN cont u ON t.token = u.token
+    CROSS JOIN dnum d
+){tail}"""
+    if smoothing != "laplace":
+        raise ValueError(f"unknown smoothing {smoothing!r} (laplace|kn)")
+    return f"""{head}, c1 AS (
     SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY 1
 ), cu AS (
     SELECT CASE WHEN v.word IS NOT NULL THEN wc.word ELSE '{UNK}' END AS token,
@@ -340,18 +550,7 @@ WITH words AS (
     LEFT JOIN c1 x ON t.prev = x.prev
     LEFT JOIN cu u ON t.token = u.token
     CROSS JOIN tot
-), agg AS (
-    SELECT doc_id, COUNT(*) AS n_trans, -SUM(lp) AS nll_fp FROM scored GROUP BY 1
-)
-SELECT d.doc_id,
-       CAST(COALESCE(a.n_trans, 0) AS BIGINT) AS n_trans,
-       CAST(COALESCE(a.nll_fp, 0) AS BIGINT) AS nll_fp,
-       CASE WHEN a.n_trans > 0
-            THEN ROUND(a.nll_fp / (a.n_trans * {float(scale)}), 4)
-       END AS ppl_bits
-FROM (SELECT DISTINCT doc_id FROM {table}) d
-LEFT JOIN agg a ON d.doc_id = a.doc_id
-"""
+){tail}"""
 
 
 # ---------------------------------------------------------------- fit / score
@@ -499,6 +698,7 @@ def trigram_perplexity(
     backoff_bits_bi: int = 4,
     backoff_bits_uni: int = 8,
     frac_bits: int = FRAC_BITS,
+    smoothing: str = "laplace",
     materialize: str | MaterializeFn | bool | None = None,
 ) -> DataFrame:
     """Trigram backoff LM — one order closer to CCNet's 5-gram while
@@ -517,7 +717,24 @@ def trigram_perplexity(
     Outputs the bigram form's exact shape (doc_id, n_trans, nll_fp,
     ppl_bits). Scale story identical: corpus touched once (pinned),
     count tables at n-gram-vocabulary altitude, c3/c2 joins
-    key-bucketed, contexts/unigrams broadcast, two driver scalars."""
+    key-bucketed, contexts/unigrams broadcast, two driver scalars.
+
+    ``smoothing="kn"`` (r17): FULL Kneser-Ney at order 3 — absolute
+    discount (quantized Ney D per order, see ``_kn_discount``) with
+    CONTINUATION counts at every lower order, the published KN
+    structure: the middle-order distribution uses
+    cc2(v,w) = |{u : c3(u,v,w) > 0}| (how many distinct contexts the
+    bigram continues), not raw bigram counts, and the base is the
+    continuation-unigram N1+(·,w)/N1pp over cc2. Every lower-order
+    table derives from the c3 TYPE table — the corpus is still
+    touched exactly once. Escape chain (backoff form, λ weights):
+
+      c3 > 0:                 llog2(c3·256 − D3) − llog2(c3ctx·256)
+      (u,v) seen, c3 = 0:     esc3 + [bigram-KN level over cc2]
+      (u,v) unseen:           [bigram-KN level over cc2] directly
+    where esc3 = llog2(N1+(u,v,·)·D3) − llog2(c3ctx·256) and the
+    bigram-KN level is the bigram ``smoothing="kn"`` chain with
+    (cc2, cc2ctx, N1+ tables) in place of raw counts."""
     scale = 1 << frac_bits
     train_words = _word_rows(ref if ref is not None else docs, text_col, id_col)
     score_words = train_words if ref is None else _word_rows(docs, text_col, id_col)
@@ -561,55 +778,124 @@ def trigram_perplexity(
         ),
         materialize,
     )
-    c3ctx = c3.groupBy("prev2", "prev").agg(F.sum("c3").alias("c3ctx"))
-    c2 = _materialize(
-        trans_train.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c2")),
-        materialize,
-    )
-    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
-    cu = (
-        wc.join(F.broadcast(vocab.withColumnRenamed("word", "_v")),
-                F.col("word") == F.col("_v"), "left")
-        .select(
-            F.when(F.col("_v").isNotNull(), F.col("word")).otherwise(F.lit(UNK)).alias("token"),
-            "cnt",
+    if smoothing == "kn":
+        # every lower-order table derives from the c3 TYPE table
+        ctx3 = c3.groupBy("prev2", "prev").agg(
+            F.sum("c3").alias("c3ctx"), F.count(F.lit(1)).alias("n1uv")
         )
-        .groupBy("token")
-        .agg(F.sum("cnt").alias("cu"))
-    )
-    totals = wc.agg(
-        F.coalesce(F.sum("cnt"), F.lit(0)).alias("u"),
-        F.coalesce(F.sum((F.col("cnt") >= min_count).cast("long")), F.lit(0)).alias("nv"),
-    ).collect()[0]
-    u_plus_v = int(totals["u"]) + int(totals["nv"]) + 1
-    denom_fp = llog2_py(u_plus_v, frac_bits) if u_plus_v > 0 else 0
+        cc2 = _materialize(
+            c3.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("cc2")),
+            materialize,
+        )
+        ctx2 = cc2.groupBy("prev").agg(
+            F.sum("cc2").alias("cc2ctx"), F.count(F.lit(1)).alias("n1vcc")
+        )
+        cont1 = cc2.groupBy("token").agg(F.count(F.lit(1)).alias("n1cw"))
+        # five bounded driver scalars: per-order count-of-counts and
+        # the bigram-type total
+        d3 = c3.agg(
+            F.coalesce(F.sum((F.col("c3") == 1).cast("long")), F.lit(0)).alias("n1"),
+            F.coalesce(F.sum((F.col("c3") == 2).cast("long")), F.lit(0)).alias("n2"),
+        ).collect()[0]
+        d2 = cc2.agg(
+            F.count(F.lit(1)).alias("n1pp2"),
+            F.coalesce(F.sum((F.col("cc2") == 1).cast("long")), F.lit(0)).alias("n1"),
+            F.coalesce(F.sum((F.col("cc2") == 2).cast("long")), F.lit(0)).alias("n2"),
+        ).collect()[0]
+        dn3 = _kn_discount(int(d3["n1"]), int(d3["n2"]))
+        dn2 = _kn_discount(int(d2["n1"]), int(d2["n2"]))
+        l_n1pp2 = llog2_py(max(int(d2["n1pp2"]), 1), frac_bits)
 
-    scored = (
-        trans_score.join(c3, ["prev2", "prev", "token"], "left")
-        .join(c3ctx, ["prev2", "prev"], "left")
-        .join(c2, ["prev", "token"], "left")
-        .join(F.broadcast(c1), ["prev"], "left")
-        .join(F.broadcast(cu), ["token"], "left")
-        .select(
-            "doc_id",
-            F.when(
-                F.col("c3").isNotNull(),
-                llog2(F.col("c3"), frac_bits) - llog2(F.col("c3ctx"), frac_bits),
-            )
-            .when(
-                F.col("c2").isNotNull(),
-                llog2(F.col("c2"), frac_bits)
-                - llog2(F.col("c1"), frac_bits)
-                - F.lit(backoff_bits_bi * scale),
-            )
-            .otherwise(
-                llog2(F.coalesce(F.col("cu"), F.lit(0)) + 1, frac_bits)
-                - F.lit(denom_fp)
-                - F.lit(backoff_bits_uni * scale)
-            )
-            .alias("lp"),
+        base1 = (
+            llog2(F.greatest(F.coalesce(F.col("n1cw"), F.lit(0)), F.lit(1)), frac_bits)
+            - F.lit(l_n1pp2)
         )
-    )
+        esc3 = (
+            llog2(F.col("n1uv") * F.lit(dn3), frac_bits)
+            - llog2(F.col("c3ctx") * KN_DDEN, frac_bits)
+        )
+        hit2 = (
+            llog2(F.col("cc2") * KN_DDEN - F.lit(dn2), frac_bits)
+            - llog2(F.col("cc2ctx") * KN_DDEN, frac_bits)
+        )
+        esc2 = (
+            llog2(F.col("n1vcc") * F.lit(dn2), frac_bits)
+            - llog2(F.col("cc2ctx") * KN_DDEN, frac_bits)
+        )
+        scored = (
+            trans_score.join(c3, ["prev2", "prev", "token"], "left")
+            .join(ctx3, ["prev2", "prev"], "left")
+            .join(cc2, ["prev", "token"], "left")
+            .join(F.broadcast(ctx2), ["prev"], "left")
+            .join(F.broadcast(cont1), ["token"], "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("c3").isNotNull(),
+                    llog2(F.col("c3") * KN_DDEN - F.lit(dn3), frac_bits)
+                    - llog2(F.col("c3ctx") * KN_DDEN, frac_bits),
+                )
+                .when(F.col("c3ctx").isNotNull() & F.col("cc2").isNotNull(),
+                      esc3 + hit2)
+                .when(F.col("c3ctx").isNotNull(), esc3 + esc2 + base1)
+                .when(F.col("cc2").isNotNull(), hit2)
+                .when(F.col("cc2ctx").isNotNull(), esc2 + base1)
+                .otherwise(base1)
+                .alias("lp"),
+            )
+        )
+    elif smoothing == "laplace":
+        c3ctx = c3.groupBy("prev2", "prev").agg(F.sum("c3").alias("c3ctx"))
+        c2 = _materialize(
+            trans_train.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c2")),
+            materialize,
+        )
+        c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+        cu = (
+            wc.join(F.broadcast(vocab.withColumnRenamed("word", "_v")),
+                    F.col("word") == F.col("_v"), "left")
+            .select(
+                F.when(F.col("_v").isNotNull(), F.col("word")).otherwise(F.lit(UNK)).alias("token"),
+                "cnt",
+            )
+            .groupBy("token")
+            .agg(F.sum("cnt").alias("cu"))
+        )
+        totals = wc.agg(
+            F.coalesce(F.sum("cnt"), F.lit(0)).alias("u"),
+            F.coalesce(F.sum((F.col("cnt") >= min_count).cast("long")), F.lit(0)).alias("nv"),
+        ).collect()[0]
+        u_plus_v = int(totals["u"]) + int(totals["nv"]) + 1
+        denom_fp = llog2_py(u_plus_v, frac_bits) if u_plus_v > 0 else 0
+
+        scored = (
+            trans_score.join(c3, ["prev2", "prev", "token"], "left")
+            .join(c3ctx, ["prev2", "prev"], "left")
+            .join(c2, ["prev", "token"], "left")
+            .join(F.broadcast(c1), ["prev"], "left")
+            .join(F.broadcast(cu), ["token"], "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("c3").isNotNull(),
+                    llog2(F.col("c3"), frac_bits) - llog2(F.col("c3ctx"), frac_bits),
+                )
+                .when(
+                    F.col("c2").isNotNull(),
+                    llog2(F.col("c2"), frac_bits)
+                    - llog2(F.col("c1"), frac_bits)
+                    - F.lit(backoff_bits_bi * scale),
+                )
+                .otherwise(
+                    llog2(F.coalesce(F.col("cu"), F.lit(0)) + 1, frac_bits)
+                    - F.lit(denom_fp)
+                    - F.lit(backoff_bits_uni * scale)
+                )
+                .alias("lp"),
+            )
+        )
+    else:
+        raise ValueError(f"unknown smoothing {smoothing!r} (laplace|kn)")
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_trans"), (-F.sum("lp")).alias("nll_fp")
     )
@@ -631,19 +917,34 @@ def trigram_perplexity_py(
     backoff_bits_bi: int = 4,
     backoff_bits_uni: int = 8,
     frac_bits: int = FRAC_BITS,
+    smoothing: str = "laplace",
+    ref_texts: dict[int, str] | None = None,
 ) -> dict[int, tuple[int, int, float | None]]:
-    """Pure-Python twin of the self-scored :func:`trigram_perplexity`
-    (half-up rounding, like the bigram twin after the r16 fuzz
-    find)."""
+    """Pure-Python twin of :func:`trigram_perplexity` (half-up
+    rounding, like the bigram twin after the r16 fuzz find); r17
+    adds ``smoothing="kn"`` and the ref-trained form."""
     from decimal import ROUND_HALF_UP, Decimal
 
     def _r4(v: float) -> float:
-        return float(Decimal(v).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP))
+        # Decimal(repr(v)), not Decimal(v): Spark's Round on DOUBLE
+        # goes through BigDecimal.valueOf (Double.toString — the
+        # SHORTEST round-trip representation), so a non-dyadic tie
+        # like 366592/(5*2^16) = 1.11875 (stored as 1.11874999...)
+        # rounds from "1.11875" -> 1.1188 in both engines; the exact
+        # binary value would round down (r17 ref-split KN find, the
+        # sibling of the r16 banker's-rounding find)
+        return float(
+            Decimal(repr(v)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
 
     scale = 1 << frac_bits
     toks = {d: _tokens_py(t) for d, t in texts.items()}
+    ref_toks = (
+        toks if ref_texts is None
+        else {d: _tokens_py(t) for d, t in ref_texts.items()}
+    )
     wc: dict[str, int] = {}
-    for ws in toks.values():
+    for ws in ref_toks.values():
         for w in ws:
             wc[w] = wc.get(w, 0) + 1
     vocab = {w for w, c in wc.items() if c >= min_count}
@@ -658,7 +959,7 @@ def trigram_perplexity_py(
     cu: dict[str, int] = {}
     for w, c in wc.items():
         cu[m(w)] = cu.get(m(w), 0) + c
-    for ws in toks.values():
+    for ws in ref_toks.values():
         u, v = BOS, BOS
         for w in ws:
             t = m(w)
@@ -670,6 +971,77 @@ def trigram_perplexity_py(
     u_plus_v = sum(wc.values()) + len(vocab) + 1
     denom = llog2_py(u_plus_v, frac_bits) if u_plus_v > 0 else 0
 
+    if smoothing == "kn":
+        n1uv: dict[tuple[str, str], int] = {}
+        cc2: dict[tuple[str, str], int] = {}
+        n1_3 = n2_3 = 0
+        for (u, v, t), c in c3.items():
+            n1uv[(u, v)] = n1uv.get((u, v), 0) + 1
+            cc2[(v, t)] = cc2.get((v, t), 0) + 1
+            n1_3 += c == 1
+            n2_3 += c == 2
+        cc2ctx: dict[str, int] = {}
+        n1vcc: dict[str, int] = {}
+        n1cw: dict[str, int] = {}
+        n1_2 = n2_2 = 0
+        for (v, t), c in cc2.items():
+            cc2ctx[v] = cc2ctx.get(v, 0) + c
+            n1vcc[v] = n1vcc.get(v, 0) + 1
+            n1cw[t] = n1cw.get(t, 0) + 1
+            n1_2 += c == 1
+            n2_2 += c == 2
+        dn3 = _kn_discount(n1_3, n2_3)
+        dn2 = _kn_discount(n1_2, n2_2)
+        l_n1pp2 = llog2_py(max(len(cc2), 1), frac_bits)
+
+        def lp_kn(u: str, v: str, t: str) -> int:
+            base1 = llog2_py(max(n1cw.get(t, 0), 1), frac_bits) - l_n1pp2
+            if (u, v, t) in c3:
+                return llog2_py(
+                    c3[(u, v, t)] * KN_DDEN - dn3, frac_bits
+                ) - llog2_py(c3ctx[(u, v)] * KN_DDEN, frac_bits)
+            lvl2 = None
+            if (v, t) in cc2:
+                lvl2 = llog2_py(
+                    cc2[(v, t)] * KN_DDEN - dn2, frac_bits
+                ) - llog2_py(cc2ctx[v] * KN_DDEN, frac_bits)
+            elif v in cc2ctx:
+                lvl2 = (
+                    llog2_py(n1vcc[v] * dn2, frac_bits)
+                    - llog2_py(cc2ctx[v] * KN_DDEN, frac_bits)
+                    + base1
+                )
+            if (u, v) in c3ctx:
+                esc3 = llog2_py(n1uv[(u, v)] * dn3, frac_bits) - llog2_py(
+                    c3ctx[(u, v)] * KN_DDEN, frac_bits
+                )
+                # (u,v) seen guarantees v seen at the middle order
+                return esc3 + lvl2
+            return lvl2 if lvl2 is not None else base1
+
+        lp_fn = lp_kn
+    elif smoothing == "laplace":
+        def lp_laplace(u: str, v: str, t: str) -> int:
+            if (u, v, t) in c3:
+                return llog2_py(c3[(u, v, t)], frac_bits) - llog2_py(
+                    c3ctx[(u, v)], frac_bits
+                )
+            if (v, t) in c2:
+                return (
+                    llog2_py(c2[(v, t)], frac_bits)
+                    - llog2_py(c1[v], frac_bits)
+                    - backoff_bits_bi * scale
+                )
+            return (
+                llog2_py(cu.get(t, 0) + 1, frac_bits)
+                - denom
+                - backoff_bits_uni * scale
+            )
+
+        lp_fn = lp_laplace
+    else:
+        raise ValueError(f"unknown smoothing {smoothing!r} (laplace|kn)")
+
     out: dict[int, tuple[int, int, float | None]] = {}
     for d, ws in toks.items():
         nll = 0
@@ -677,21 +1049,7 @@ def trigram_perplexity_py(
         u, v = BOS, BOS
         for w in ws:
             t = m(w)
-            if (u, v, t) in c3:
-                lp = llog2_py(c3[(u, v, t)], frac_bits) - llog2_py(c3ctx[(u, v)], frac_bits)
-            elif (v, t) in c2:
-                lp = (
-                    llog2_py(c2[(v, t)], frac_bits)
-                    - llog2_py(c1[v], frac_bits)
-                    - backoff_bits_bi * scale
-                )
-            else:
-                lp = (
-                    llog2_py(cu.get(t, 0) + 1, frac_bits)
-                    - denom
-                    - backoff_bits_uni * scale
-                )
-            nll -= lp
+            nll -= lp_fn(u, v, t)
             n += 1
             u, v = v, t
         out[d] = (n, nll, _r4(nll / (n * float(scale))) if n else None)
@@ -704,24 +1062,20 @@ def trigram_perplexity_sql(
     backoff_bits_uni: int = 8,
     frac_bits: int = FRAC_BITS,
     table: str = "documents",
+    smoothing: str = "laplace",
+    ref_filter: str | None = None,
 ) -> str:
-    """DuckDB replay of the self-scored :func:`trigram_perplexity` —
-    two lag windows, three count tables, the tri→bi→uni escape chain
-    in llog2 arithmetic."""
+    """DuckDB replay of :func:`trigram_perplexity` — two lag windows,
+    three count tables, the tri→bi→uni escape chain in llog2
+    arithmetic. ``smoothing="kn"``/``ref_filter`` as in
+    :func:`bigram_perplexity_sql` (the KN replay derives every
+    lower-order table from the c3 TYPE CTE, continuation counts
+    included, and recomputes both quantized discounts in SQL)."""
     scale = 1 << frac_bits
-    return f"""
-WITH words AS (
-    SELECT t.doc_id, r.i + 1 AS pos, t.w[r.i + 1] AS word
-    FROM (
-        SELECT doc_id,
-               list_filter(regexp_split_to_array(lower(text), '{_WS_SQL}'), x -> x <> '') AS w
-        FROM {table}
-    ) t, unnest(range(len(t.w))) AS r(i)
-), wc AS (
-    SELECT word, COUNT(*) AS cnt FROM words GROUP BY 1
-), vocab AS (
-    SELECT word FROM wc WHERE cnt >= {min_count}
-), trans AS (
+    ref_where = f"WHERE {ref_filter}" if ref_filter else ""
+
+    def trans_cte(src: str) -> str:
+        return f"""
     SELECT w.doc_id, w.pos,
            CASE WHEN v.word IS NOT NULL THEN w.word ELSE '{UNK}' END AS token,
            COALESCE(
@@ -732,13 +1086,96 @@ WITH words AS (
                lag(CASE WHEN v.word IS NOT NULL THEN w.word ELSE '{UNK}' END, 2)
                    OVER (PARTITION BY w.doc_id ORDER BY w.pos),
                '{BOS}') AS prev2
-    FROM words w LEFT JOIN vocab v ON w.word = v.word
+    FROM {src} w LEFT JOIN vocab v ON w.word = v.word"""
+
+    head = f"""
+WITH words_all AS (
+    SELECT t.doc_id, r.i + 1 AS pos, t.w[r.i + 1] AS word
+    FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '{_WS_SQL}'), x -> x <> '') AS w
+        FROM {table}
+    ) t, unnest(range(len(t.w))) AS r(i)
+), ref_words AS (
+    SELECT * FROM words_all {ref_where}
+), wc AS (
+    SELECT word, COUNT(*) AS cnt FROM ref_words GROUP BY 1
+), vocab AS (
+    SELECT word FROM wc WHERE cnt >= {min_count}
+), rtrans AS ({trans_cte('ref_words')}
+), trans AS ({trans_cte('words_all')}
 ), c3 AS (
-    SELECT prev2, prev, token, COUNT(*) AS c3 FROM trans GROUP BY 1, 2, 3
-), c3ctx AS (
+    SELECT prev2, prev, token, COUNT(*) AS c3 FROM rtrans GROUP BY 1, 2, 3
+)"""
+    tail = f""", agg AS (
+    SELECT doc_id, COUNT(*) AS n_trans, -SUM(lp) AS nll_fp FROM scored GROUP BY 1
+)
+SELECT d.doc_id,
+       CAST(COALESCE(a.n_trans, 0) AS BIGINT) AS n_trans,
+       CAST(COALESCE(a.nll_fp, 0) AS BIGINT) AS nll_fp,
+       CASE WHEN a.n_trans > 0
+            THEN ROUND(a.nll_fp / (a.n_trans * {float(scale)}), 4)
+       END AS ppl_bits
+FROM (SELECT DISTINCT doc_id FROM {table}) d
+LEFT JOIN agg a ON d.doc_id = a.doc_id
+"""
+    if smoothing == "kn":
+        base1 = f"({llog2_sql('GREATEST(COALESCE(u1.n1cw, 0), 1)', frac_bits)} - {llog2_sql('d.n1pp2', frac_bits)})"
+        esc3 = f"({llog2_sql('(x3.n1uv * d.dn3)', frac_bits)} - {llog2_sql(f'(x3.c3ctx * {KN_DDEN})', frac_bits)})"
+        hit2 = f"({llog2_sql(f'(b2.cc2 * {KN_DDEN} - d.dn2)', frac_bits)} - {llog2_sql(f'(x2.cc2ctx * {KN_DDEN})', frac_bits)})"
+        esc2 = f"({llog2_sql('(x2.n1vcc * d.dn2)', frac_bits)} - {llog2_sql(f'(x2.cc2ctx * {KN_DDEN})', frac_bits)})"
+        return f"""{head}, ctx3 AS (
+    SELECT prev2, prev, CAST(SUM(c3) AS BIGINT) AS c3ctx, COUNT(*) AS n1uv
+    FROM c3 GROUP BY 1, 2
+), cc2 AS (
+    SELECT prev, token, COUNT(*) AS cc2 FROM c3 GROUP BY 1, 2
+), ctx2 AS (
+    SELECT prev, CAST(SUM(cc2) AS BIGINT) AS cc2ctx, COUNT(*) AS n1vcc
+    FROM cc2 GROUP BY 1
+), cont1 AS (
+    SELECT token, COUNT(*) AS n1cw FROM cc2 GROUP BY 1
+), disc3 AS (
+    SELECT COUNT(*) FILTER (WHERE c3 = 1) AS n1,
+           COUNT(*) FILTER (WHERE c3 = 2) AS n2
+    FROM c3
+), disc2 AS (
+    SELECT GREATEST(COUNT(*), 1) AS n1pp2,
+           COUNT(*) FILTER (WHERE cc2 = 1) AS n1,
+           COUNT(*) FILTER (WHERE cc2 = 2) AS n2
+    FROM cc2
+), dnum AS (
+    SELECT (SELECT {_KN_DNUM_SQL} FROM disc3) AS dn3,
+           (SELECT {_KN_DNUM_SQL} FROM disc2) AS dn2,
+           (SELECT n1pp2 FROM disc2) AS n1pp2
+), scored AS (
+    SELECT t.doc_id,
+           CASE WHEN t3.c3 IS NOT NULL
+                THEN {llog2_sql(f'(t3.c3 * {KN_DDEN} - d.dn3)', frac_bits)}
+                     - {llog2_sql(f'(x3.c3ctx * {KN_DDEN})', frac_bits)}
+                WHEN x3.c3ctx IS NOT NULL AND b2.cc2 IS NOT NULL
+                THEN {esc3} + {hit2}
+                WHEN x3.c3ctx IS NOT NULL
+                THEN {esc3} + {esc2} + {base1}
+                WHEN b2.cc2 IS NOT NULL
+                THEN {hit2}
+                WHEN x2.cc2ctx IS NOT NULL
+                THEN {esc2} + {base1}
+                ELSE {base1}
+           END AS lp
+    FROM trans t
+    LEFT JOIN c3 t3 ON t.prev2 = t3.prev2 AND t.prev = t3.prev AND t.token = t3.token
+    LEFT JOIN ctx3 x3 ON t.prev2 = x3.prev2 AND t.prev = x3.prev
+    LEFT JOIN cc2 b2 ON t.prev = b2.prev AND t.token = b2.token
+    LEFT JOIN ctx2 x2 ON t.prev = x2.prev
+    LEFT JOIN cont1 u1 ON t.token = u1.token
+    CROSS JOIN dnum d
+){tail}"""
+    if smoothing != "laplace":
+        raise ValueError(f"unknown smoothing {smoothing!r} (laplace|kn)")
+    return f"""{head}, c3ctx AS (
     SELECT prev2, prev, SUM(c3) AS c3ctx FROM c3 GROUP BY 1, 2
 ), c2 AS (
-    SELECT prev, token, COUNT(*) AS c2 FROM trans GROUP BY 1, 2
+    SELECT prev, token, COUNT(*) AS c2 FROM rtrans GROUP BY 1, 2
 ), c1 AS (
     SELECT prev, SUM(c2) AS c1 FROM c2 GROUP BY 1
 ), cu AS (
@@ -765,15 +1202,4 @@ WITH words AS (
     LEFT JOIN c1 x ON t.prev = x.prev
     LEFT JOIN cu u ON t.token = u.token
     CROSS JOIN tot
-), agg AS (
-    SELECT doc_id, COUNT(*) AS n_trans, -SUM(lp) AS nll_fp FROM scored GROUP BY 1
-)
-SELECT d.doc_id,
-       CAST(COALESCE(a.n_trans, 0) AS BIGINT) AS n_trans,
-       CAST(COALESCE(a.nll_fp, 0) AS BIGINT) AS nll_fp,
-       CASE WHEN a.n_trans > 0
-            THEN ROUND(a.nll_fp / (a.n_trans * {float(scale)}), 4)
-       END AS ppl_bits
-FROM (SELECT DISTINCT doc_id FROM {table}) d
-LEFT JOIN agg a ON d.doc_id = a.doc_id
-"""
+){tail}"""

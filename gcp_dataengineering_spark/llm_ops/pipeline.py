@@ -222,6 +222,12 @@ class PipelineConfig:
     # tri→bi→uni escape chain uses perplexity_backoff_bits for the
     # first escape and 2× it for the second)
     perplexity_order: int = 2
+    # smoothing family (r17): "laplace" (fixed-escape Laplace-unigram
+    # backoff, the oracle-keyed default) or "kn" (absolute-discount
+    # Kneser-Ney with continuation counts — the family CCNet's KenLM
+    # uses; changes which borderline docs the gate keeps, notably
+    # novel-but-fluent word combinations)
+    perplexity_smoothing: str = "laplace"
     # re-derive the language column with the r12 two-stage lang_id
     # (script router + 20-language stopword vote) instead of
     # trusting the input's lang column: crawl metadata lies, and the
@@ -431,6 +437,7 @@ def build_training_corpus(
                 min_count=cfg.perplexity_min_count,
                 backoff_bits_bi=cfg.perplexity_backoff_bits,
                 backoff_bits_uni=2 * cfg.perplexity_backoff_bits,
+                smoothing=cfg.perplexity_smoothing,
             )
         else:
             perplexity_scores = bigram_perplexity(
@@ -440,6 +447,7 @@ def build_training_corpus(
                 id_col=id_col,
                 min_count=cfg.perplexity_min_count,
                 backoff_bits=cfg.perplexity_backoff_bits,
+                smoothing=cfg.perplexity_smoothing,
             )
         fluent_ids = perplexity_scores.filter(
             perplexity_gate(cfg.perplexity_max_bits)

@@ -1316,6 +1316,42 @@ def q_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NL.trigram_perplexity(_t(spark, sf_dir, "documents"))
 
 
+# The KN pairs train on an 80% doc_id split and score EVERY doc —
+# unlike the self-scored forms, this drives the unseen-bigram /
+# unseen-context escape branches (a self-scored corpus has no unseen
+# n-grams), so the oracle certifies the whole KN chain, not just the
+# discounted-hit leg.
+KN_REF_FILTER = "doc_id % 10 < 8"
+
+
+def q_ngram_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney bigram perplexity (r17 — the smoothing family
+    CCNet's KenLM actually uses): quantized Ney absolute discount
+    from count-of-counts, context escape weights, continuation-
+    unigram base distribution, all integer fixed-point llog2
+    (llm_ops/ngram_lm.py smoothing="kn"). Trained on the 80% doc_id
+    split, scoring all docs; the oracle replays vocab fold, counts,
+    BOTH discount computations (integer half-up //), every escape
+    branch and the exact bit arithmetic. PERMANENT_EXTERNAL."""
+    docs = _t(spark, sf_dir, "documents")
+    return NL.bigram_perplexity(
+        docs, ref=docs.filter(KN_REF_FILTER), smoothing="kn"
+    )
+
+
+def q_trigram_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL Kneser-Ney at trigram order (r17): absolute discount per
+    order with CONTINUATION counts at the middle and base orders
+    (cc2(v,w) = distinct trigram contexts, the published KN
+    structure), every lower-order table derived from the c3 TYPE
+    table. Ref-split like the bigram KN pair so all six escape
+    branches score real rows. PERMANENT_EXTERNAL."""
+    docs = _t(spark, sf_dir, "documents")
+    return NL.trigram_perplexity(
+        docs, ref=docs.filter(KN_REF_FILTER), smoothing="kn"
+    )
+
+
 # ---------------------------------------------------------------- repetition quality
 def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style repetition signals per document: duplicate-word
@@ -2991,6 +3027,10 @@ QUERIES = {
     "ngram_perplexity": q_ngram_perplexity,
     # r16: trigram-order backoff LM — also PERMANENT_EXTERNAL
     "trigram_perplexity": q_trigram_perplexity,
+    # r17: Kneser-Ney smoothing at both orders, ref-split so every
+    # escape branch scores real rows — also PERMANENT_EXTERNAL
+    "ngram_perplexity_kn": q_ngram_perplexity_kn,
+    "trigram_perplexity_kn": q_trigram_perplexity_kn,
     # r16: PCM WAV decode + audio quality stats — also
     # PERMANENT_EXTERNAL (same capacity terms)
     "audio_pcm": q_audio_pcm,
@@ -3065,6 +3105,17 @@ ORACLES = {
     # trigram_perplexity (r16): the tri→bi→uni escape chain replayed
     # with two lag windows + three count tables, llog2 throughout
     "trigram_perplexity": NL.trigram_perplexity_sql(),
+    # ngram/trigram _kn (r17): the Kneser-Ney chains replayed — the
+    # quantized Ney discounts recomputed from count-of-counts with
+    # integer half-up division, continuation-count tables derived
+    # from the n-gram TYPE CTEs, 80/20 ref split driving the escape
+    # branches
+    "ngram_perplexity_kn": NL.bigram_perplexity_sql(
+        smoothing="kn", ref_filter=KN_REF_FILTER
+    ),
+    "trigram_perplexity_kn": NL.trigram_perplexity_sql(
+        smoothing="kn", ref_filter=KN_REF_FILTER
+    ),
     # audio_pcm (r16): every stat recomputed from the closed-form
     # sample formula — exact-integer rms via a float-sqrt guess with
     # ±1 correction, so float rounding can never diverge the hash

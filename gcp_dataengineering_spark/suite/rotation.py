@@ -375,6 +375,14 @@ PERMANENT_EXTERNAL = [
     # (b), same capacity terms. Numpy-reference parity + truncation/
     # lying-header quarantine fuzz in tests/test_llm_ops.py.
     "audio_pcm",
+    # r17: Kneser-Ney smoothing for the perplexity LM at both orders
+    # (quantized Ney discount from count-of-counts, continuation-
+    # count lower orders, all llog2 fixed-point; 80/20 ref split so
+    # the oracle drives every escape branch — the self-scored forms
+    # never backoff) — reason (b), same capacity terms. Twin parity
+    # + rare-context ordering pytests in tests/test_llm_ops.py.
+    "ngram_perplexity_kn",
+    "trigram_perplexity_kn",
 ]
 
 

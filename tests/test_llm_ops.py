@@ -4853,6 +4853,29 @@ def test_ngram_perplexity_pipeline_stage(spark):
     assert 99 not in kept
     assert kept.issuperset(set(range(8)))
 
+    # r17: the KN smoothing routes through the same stage — same
+    # planted-gibberish kill under a KN-derived threshold
+    scored_kn = {
+        r["doc_id"]: r["ppl_bits"]
+        for r in bigram_perplexity(docs, ref=ref, smoothing="kn").collect()
+    }
+    fluent_max_kn = max(scored_kn[i] for i in range(8))
+    assert scored_kn[99] > fluent_max_kn
+    stages_kn = build_training_corpus(
+        docs,
+        config=PipelineConfig(
+            perplexity_max_bits=(scored_kn[99] + fluent_max_kn) / 2,
+            perplexity_ref=ref,
+            perplexity_smoothing="kn",
+            shard_budget_tokens=500,
+            minhash_hashes=16,
+            lsh_bands=4,
+        ),
+    )
+    kept_kn = {r.doc_id for r in stages_kn["corpus"].select("doc_id").collect()}
+    assert 99 not in kept_kn
+    assert kept_kn.issuperset(set(range(8)))
+
 
 # ------------------------------------------------------------ PCM audio stats (r16)
 def test_wav_pcm_stats_match_numpy_reference():
@@ -5647,3 +5670,171 @@ def test_vp8l_predictor_spec_semantics_and_packed_width():
     exp_rgb = np.array([[pal[i] for i in row] for row in idx], dtype=np.uint8)
     assert np.array_equal(out[:, :, :3], exp_rgb)
     assert (out[:, :, 3] == 255).all()
+
+
+def test_kn_perplexity_three_way_parity(spark):
+    """r17: Kneser-Ney smoothing — Spark == python twin == DuckDB
+    EXACTLY (n_trans, BIGINT nll_fp, rounded ppl_bits) across the
+    full matrix: order 2 and 3, self-scored and ref-split (the
+    ref-split drives every unseen-bigram/unseen-context escape
+    branch — a self-scored corpus has no unseen n-grams)."""
+    import duckdb
+    import pandas as pd
+
+    from gcp_dataengineering_spark.llm_ops import ngram_lm as NL
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the cat and the dog sat too",
+        3: "san francisco is in california and san francisco is foggy",
+        4: "",
+        5: "the the the the the",
+        6: "cat",
+        7: "a nice day and a nice cat and a nice dog",
+        8: "the dog sat on the mat the dog sat on the mat",
+        # probes outside the ref split: novel bigrams, novel tokens,
+        # fully unseen contexts (drives escape branches at both orders)
+        9: "nice francisco nice day the cat sat on the dog",
+        10: "zq1 vx2 zq1 vx2 zq1",
+        11: "on the mat the cat sat quietly",
+    }
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    ref = df.filter("doc_id <= 8")
+    rt = {k: v for k, v in texts.items() if k <= 8}
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": list(texts), "text": list(texts.values())}),
+    )
+    for fn, fnpy, fnsql in (
+        (NL.bigram_perplexity, NL.bigram_perplexity_py, NL.bigram_perplexity_sql),
+        (NL.trigram_perplexity, NL.trigram_perplexity_py, NL.trigram_perplexity_sql),
+    ):
+        got_self = {
+            r["doc_id"]: (r["n_trans"], r["nll_fp"], r["ppl_bits"])
+            for r in fn(df, smoothing="kn").collect()
+        }
+        exp_self = fnpy(texts, smoothing="kn")
+        assert got_self == exp_self
+        duck_self = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.execute(fnsql(smoothing="kn")).fetchall()
+        }
+        assert duck_self == exp_self
+        got_ref = {
+            r["doc_id"]: (r["n_trans"], r["nll_fp"], r["ppl_bits"])
+            for r in fn(df, ref=ref, smoothing="kn").collect()
+        }
+        exp_ref = fnpy(texts, smoothing="kn", ref_texts=rt)
+        assert got_ref == exp_ref
+        duck_ref = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.execute(
+                fnsql(smoothing="kn", ref_filter="doc_id <= 8")
+            ).fetchall()
+        }
+        assert duck_ref == exp_ref
+        # KN genuinely differs from laplace (same fixture, same split)
+        assert got_ref != {
+            r["doc_id"]: (r["n_trans"], r["nll_fp"], r["ppl_bits"])
+            for r in fn(df, ref=ref).collect()
+        }
+    # laplace ref-split parity too (the ref_filter leg is new in r17)
+    for fn, fnpy, fnsql in (
+        (NL.bigram_perplexity, NL.bigram_perplexity_py, NL.bigram_perplexity_sql),
+        (NL.trigram_perplexity, NL.trigram_perplexity_py, NL.trigram_perplexity_sql),
+    ):
+        got = {
+            r["doc_id"]: (r["n_trans"], r["nll_fp"], r["ppl_bits"])
+            for r in fn(df, ref=ref).collect()
+        }
+        assert got == fnpy(texts, ref_texts=rt)
+        duck = {
+            r[0]: (r[1], r[2], r[3])
+            for r in con.execute(fnsql(ref_filter="doc_id <= 8")).fetchall()
+        }
+        assert duck == got
+
+
+def test_kn_discount_quantization_properties():
+    """The quantized Ney discount: integer half-up of 256·n1/(n1+2n2),
+    clamped to [1, 255], D=1/2 on degenerate count-of-counts."""
+    from fractions import Fraction
+
+    from gcp_dataengineering_spark.llm_ops.ngram_lm import KN_DDEN, _kn_discount
+
+    assert KN_DDEN == 256
+    assert _kn_discount(0, 5) == 128      # no singletons -> 1/2
+    assert _kn_discount(0, 0) == 128
+    assert _kn_discount(5, 0) == 255      # D -> 1 clamps to 255/256
+    assert _kn_discount(1, 10**9) == 1    # tiny D clamps up to 1/256
+    for n1, n2 in [(3, 7), (10, 1), (1, 1), (997, 12), (2, 3)]:
+        exact = Fraction(KN_DDEN * n1, n1 + 2 * n2)
+        want = int(exact) + (1 if exact - int(exact) >= Fraction(1, 2) else 0)
+        assert _kn_discount(n1, n2) == max(1, min(255, want)), (n1, n2)
+    # sub-1/256 discounts clamp up to 1 (escapes must keep mass)
+    assert _kn_discount(1, 255) == 1
+    assert _kn_discount(3, 509) == 1
+    # a genuine .5 tie rounds UP (half-up, the three-engine rule):
+    # 256*12/(12 + 2*1018) = 3072/2048 = 1.5 exactly
+    assert 256 * 12 / (12 + 2 * 1018) == 1.5
+    assert _kn_discount(12, 1018) == 2
+
+
+def test_kn_beats_laplace_on_rare_context_fixture(spark):
+    """The published KN motivation, pinned: a word seen in MANY
+    contexts ("day") is a plausible novel continuation; a word
+    welded to one context ("francisco", only ever after "san") is
+    not. Laplace-escape scores both probes identically (same corpus
+    unigram count); KN separates them at both orders."""
+    from gcp_dataengineering_spark.llm_ops import ngram_lm as NL
+
+    ref_texts = {
+        1: "san francisco",
+        2: "san francisco",
+        3: "san francisco",
+        4: "one day",
+        5: "another day",
+        6: "every day",
+        7: "nice weather nice weather",
+    }
+    probes = {101: "nice day", 102: "nice francisco"}
+    texts = {**ref_texts, **probes}
+    df = spark.createDataFrame(
+        [(k, v) for k, v in texts.items()], "doc_id long, text string"
+    )
+    ref = df.filter("doc_id <= 7")
+    rt = {k: v for k, v in texts.items() if k <= 7}
+
+    lap = {
+        r["doc_id"]: r["ppl_bits"]
+        for r in NL.bigram_perplexity(df, ref=ref, min_count=1).collect()
+    }
+    kn = {
+        r["doc_id"]: r["ppl_bits"]
+        for r in NL.bigram_perplexity(
+            df, ref=ref, min_count=1, smoothing="kn"
+        ).collect()
+    }
+    # identical unigram counts -> laplace CANNOT tell the probes apart
+    assert lap[101] == lap[102]
+    # continuation counts can: N1+(.,day)=3 contexts, N1+(.,francisco)=1
+    assert kn[101] < kn[102]
+    # twins agree on the discrimination
+    kn_py = NL.bigram_perplexity_py(texts, min_count=1, smoothing="kn", ref_texts=rt)
+    assert kn_py[101][2] == kn[101] and kn_py[102][2] == kn[102]
+    # trigram KN inherits the separation through its continuation base
+    kn3 = {
+        r["doc_id"]: r["ppl_bits"]
+        for r in NL.trigram_perplexity(
+            df, ref=ref, min_count=1, smoothing="kn"
+        ).collect()
+    }
+    lap3 = {
+        r["doc_id"]: r["ppl_bits"]
+        for r in NL.trigram_perplexity(df, ref=ref, min_count=1).collect()
+    }
+    assert lap3[101] == lap3[102]
+    assert kn3[101] < kn3[102]
