@@ -149,6 +149,10 @@ HEADLINE = [
     # deployment shape)
     "ngram_perplexity_kn",
     "trigram_perplexity_kn",
+    # round-17: the audio near-dup chain (synth + decode + envelope
+    # fingerprint inside one Arrow pass, then banding + CC — the
+    # image_neardup cost class, audio flavor)
+    "audio_neardup",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

@@ -740,6 +740,192 @@ def synth_pcm_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ audio near-dup (r17)
+# 65 relative energy windows -> 64 sign-of-delta bits. Relative
+# windows make the fingerprint invariant to amplitude scaling
+# (energies scale by c^2, strict inequalities survive) and stable
+# under resampling (same audio at a different rate keeps its energy
+# envelope; an exact k-times repeat-upsample of a 65-aligned clip is
+# provably fingerprint-identical — pytest-pinned). Everything is
+# exact integer arithmetic, SQL-replayable from a closed-form sample
+# formula (suite/llm.py audio_neardup).
+AUDIO_FP_WINDOWS = 65
+
+
+def audio_fingerprint_py(payload: bytes | None) -> int | None:
+    """64-bit perceptual fingerprint of a PCM WAV payload:
+    integer mono mix (per-frame channel sum), 65 relative windows
+    (frame f -> window f·65 // n, the exact integer split both the
+    SQL oracle and any engine can replay), exact Σm² energy per
+    window, bit k = [E(k+1) > E(k)], folded to signed int64 like
+    dhash64. ``None`` when the decode quarantines or the clip is
+    shorter than 65 frames (too short to carry an envelope)."""
+    import numpy as np
+
+    from .phash import _to_signed64
+
+    decoded = wav_pcm_decode(payload)
+    if decoded is None:
+        return None
+    _, _, _, x = decoded
+    n = int(x.shape[0])
+    if n < AUDIO_FP_WINDOWS:
+        return None
+    m = x.sum(axis=1)  # |m| <= ch * 32768: m*m fits int64 comfortably
+    w = (np.arange(n, dtype=np.int64) * AUDIO_FP_WINDOWS) // n
+    e = np.zeros(AUDIO_FP_WINDOWS, dtype=np.int64)
+    np.add.at(e, w, m * m)  # exact int64 (bincount would go float)
+    fp = 0
+    for k in range(AUDIO_FP_WINDOWS - 1):
+        if e[k + 1] > e[k]:
+            fp |= 1 << k
+    return _to_signed64(fp)
+
+
+AUDIO_FP_SCHEMA = "media_id long, fmt string, n_frames long, afp long"
+
+
+def audio_perceptual_fp(df: DataFrame, batch_rows: int = 1024) -> DataFrame:
+    """Fingerprint pass over binary payloads via mapInPandas — the
+    audio sibling of phash.image_perceptual_hash: AUDIO_FP_SCHEMA
+    rows, quarantined/too-short payloads with fmt and afp NULL. The
+    shuffle currency leaving the UDF is one int64 per clip."""
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def sliced():
+            for pdf in batches:
+                for lo in range(0, len(pdf), max(batch_rows, 1)):
+                    yield pdf.iloc[lo : lo + max(batch_rows, 1)]
+
+        for pdf in sliced():
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                decoded = wav_pcm_decode(b)
+                if decoded is None or decoded[3].shape[0] < AUDIO_FP_WINDOWS:
+                    rows.append((mid, None, None, None))
+                    continue
+                rows.append(
+                    (mid, "wav", int(decoded[3].shape[0]), audio_fingerprint_py(b))
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "fmt", "n_frames", "afp"]
+            )
+
+    cols = df.select(F.col("media_id").cast("long"), F.col("payload"))
+    return cols.mapInPandas(fp_batches, AUDIO_FP_SCHEMA)
+
+
+def audio_neardup(
+    media: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    batch_rows: int = 1024,
+    materialize=None,
+) -> DataFrame:
+    """End-to-end audio near-dup — completes the text/image/audio
+    dedup matrix (r17, the r16 verdict's item 2): payloads →
+    perceptual fingerprints → the SAME pigeonhole band blocking as
+    image_neardup (phash.phash_candidate_pairs — bucketed equi-join,
+    complete for hamming ≤ bands−1, never a cross join) → exact
+    hamming filter → resolve_dup_groups connected components.
+    Returns (media_id, group_id); quarantined clips are absent.
+    Catches re-encoded (amplitude-scaled) and resampled duplicate
+    audio that byte-level dedup cannot see."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
+            "pigeonhole banding only guarantees completeness up to "
+            "bands − 1 differing bits — raise bands instead"
+        )
+    from .dedup import resolve_dup_groups
+    from .phash import phash_candidate_pairs
+
+    fps = audio_perceptual_fp(media, batch_rows=batch_rows)
+    cands = phash_candidate_pairs(
+        fps, hash_col="afp", bands=bands, id_col="media_id",
+        materialize=materialize,
+    )
+    pairs = cands.filter(F.col("hamming") <= max_hamming).select(
+        F.col("id_a"), F.col("id_b")
+    )
+    ids = fps.filter(F.col("afp").isNotNull()).select(
+        F.col("media_id").alias("doc_id")
+    )
+    groups = resolve_dup_groups(ids, pairs, id_col="doc_id", materialize=materialize)
+    return groups.select(F.col("doc_id").alias("media_id"), "group_id")
+
+
+def synth_envelope_wav(doc_id: int) -> bytes:
+    """Spec-valid mono 16-bit PCM WAV whose every sample is a
+    closed-form function of the id, with PLANTED near-dup structure:
+    group g = id // 4, member m = id % 4 —
+
+    - n_frames = 650 = 65·10 (members 0-2; windows split exactly)
+      or 1300 (member 3 — an EXACT 2× repeat-upsample of member 0:
+      s(f) = s₀(f//2), so every window energy doubles exactly and
+      the fingerprint is provably identical — the "same audio
+      re-encoded at twice the rate" case);
+    - envelope env(g, w) = 1 + (((g·131071 + w·524287 + 17)² mod
+      2³¹) // 1024) mod 31 — the SQUARED mix matters: a linear or
+      quadratic-mod-p formula leaves the envelope family in a tiny
+      algebraic subspace and unrelated groups land within hamming 3
+      of each other (measured while building this fixture: a mod-29
+      quadratic gave 125 planted groups only 18 observed components;
+      the squared mix gives exactly 125);
+    - base b(f) = ((g·7919 + f·104729) % 200) − 100;
+    - amplitude a = 1 + m%2 (member 1 = member 0 scaled ×2 —
+      fingerprint-identical: energies scale ×4, strict inequalities
+      survive);
+    - member 2 boosts window 7 by ×5 (E₇ ×25 — only the two
+      boundary bits 6/7 can move: the hamming ≤ 2 leg);
+    - sample(f) = a · env · b · boost, |s| ≤ 2·31·100·5 = 31 000.
+
+    The SQL oracle (suite/llm.py audio_neardup) replays the whole
+    chain — energies, sign bits, signed fold, banding, hamming,
+    transitive closure — straight from these formulas."""
+    import numpy as np
+
+    g, m = doc_id // 4, doc_id % 4
+    n = 1300 if m == 3 else 650
+    f = np.arange(n, dtype=np.int64)
+    fb = f // 2 if m == 3 else f
+    w = (fb * AUDIO_FP_WINDOWS) // 650
+    q = g * 131071 + w * 524287 + 17
+    env = 1 + ((q * q) % 2**31) // 1024 % 31
+    b = ((g * 7919 + fb * 104729) % 200) - 100
+    a = 1 + m % 2
+    boost = np.where((m == 2) & (w == 7), 5, 1)
+    s = a * env * b * boost
+    data = s.astype("<i2").tobytes()
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def synth_envelope_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, media_type, payload) of closed-form envelope WAVs —
+    the fixture generator for the audio_neardup oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.values,
+                    "media_type": ["audio/wav"] * len(ids),
+                    "payload": [synth_envelope_wav(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="media_id long, media_type string, payload binary"
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: expands each media row into frame
     descriptors (frame_idx) without decoding — the decode of selected

@@ -1241,6 +1241,96 @@ FROM reach GROUP BY src
 """
 
 
+# ---------------------------------------------------------------- audio near-dup
+def q_audio_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE audio near-dup chain under one oracle (r17 —
+    closes the text/image/audio dedup matrix): closed-form envelope
+    WAVs with planted duplicate structure (amplitude-scaled twin,
+    window-boosted hamming 1-3 variant, 1.5×-length sibling —
+    multimodal.synth_envelope_wav) → RIFF decode → 65-window exact
+    integer energy envelope → 64 sign-of-delta bits → signed fold →
+    pigeonhole band blocking → hamming ≤ 3 → connected components →
+    (media_id, group_id). The oracle replays every stage from the
+    sample formulas: window split (f·65 // n), Σs² energies (CAST
+    back from HUGEINT — the SUM(BIGINT) quirk), the lo/hi signed
+    fold, HUGEINT band extraction, bit_count(xor), min-label
+    transitive closure. PERMANENT_EXTERNAL."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.synth_envelope_corpus(docs, id_col="doc_id")
+    return M.audio_neardup(media)
+
+
+ORACLE_AUDIO_NEARDUP = """
+WITH RECURSIVE dims AS (
+  SELECT doc_id,
+         CAST(doc_id // 4 AS BIGINT) AS g,
+         CAST(doc_id % 4 AS BIGINT) AS m,
+         CAST(CASE WHEN doc_id % 4 = 3 THEN 1300 ELSE 650 END AS BIGINT) AS n
+  FROM documents
+), frames AS (
+  -- member 3 is an exact 2x repeat-upsample: base index fb = f // 2
+  SELECT d.doc_id, d.g, d.m,
+         CASE WHEN d.m = 3 THEN r.f // 2 ELSE r.f END AS fb,
+         (CASE WHEN d.m = 3 THEN r.f // 2 ELSE r.f END) * 65 // 650 AS w
+  FROM dims d, unnest(range(d.n)) AS r(f)
+), energy AS (
+  SELECT doc_id, w, CAST(SUM(s * s) AS BIGINT) AS e
+  FROM (
+    SELECT doc_id, w,
+           (1 + m % 2)
+           * (1 + ((((g*131071 + w*524287 + 17)*(g*131071 + w*524287 + 17)) % 2147483648) // 1024) % 31)
+           * (((g*7919 + fb*104729) % 200) - 100)
+           * (CASE WHEN m = 2 AND w = 7 THEN 5 ELSE 1 END) AS s
+    FROM frames
+  ) GROUP BY doc_id, w
+), bitsrc AS (
+  SELECT doc_id, w, e,
+         LEAD(e) OVER (PARTITION BY doc_id ORDER BY w) AS e_next
+  FROM energy
+), fp AS (
+  SELECT doc_id,
+         CAST((CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+              * 4294967296 + lo AS BIGINT) AS afp
+  FROM (
+    SELECT doc_id,
+      COALESCE(SUM(CASE WHEN e_next > e AND w < 32
+                        THEN (CAST(1 AS BIGINT) << CAST(w AS INTEGER))
+                        ELSE 0 END), 0) AS lo,
+      COALESCE(SUM(CASE WHEN e_next > e AND w >= 32 AND w < 64
+                        THEN (CAST(1 AS BIGINT) << CAST(w - 32 AS INTEGER))
+                        ELSE 0 END), 0) AS hi
+    FROM bitsrc GROUP BY doc_id)
+), uh AS (
+    SELECT doc_id,
+           CAST(afp AS HUGEINT)
+           + CASE WHEN afp < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END AS u,
+           afp
+    FROM fp
+), bands AS (
+    SELECT doc_id, afp, b.b AS band_idx,
+           CAST((u // (CAST(1 AS HUGEINT) << CAST(16*b.b AS INTEGER))) % 65536 AS BIGINT) AS band_val
+    FROM uh, range(4) AS b(b)
+), cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.afp AS ha, b.afp AS hb
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+), pairs AS (
+    SELECT id_a, id_b FROM cands WHERE bit_count(xor(ha, hb)) <= 3
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+    SELECT doc_id AS src, doc_id AS dst FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS media_id, CAST(MIN(dst) AS BIGINT) AS group_id
+FROM reach GROUP BY src
+"""
+
+
 # ---------------------------------------------------------------- PCM audio stats
 def q_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCM audio-quality stats, differentially checked end-to-end:
@@ -3034,6 +3124,9 @@ QUERIES = {
     # r16: PCM WAV decode + audio quality stats — also
     # PERMANENT_EXTERNAL (same capacity terms)
     "audio_pcm": q_audio_pcm,
+    # r17: the complete audio near-dup chain (fingerprint envelope +
+    # banding + hamming + CC) — also PERMANENT_EXTERNAL
+    "audio_neardup": q_audio_neardup,
     "embedding_lsh": q_embedding_lsh,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     # multimodal_meta: demoted round 5 (fake-decoder path,
@@ -3120,6 +3213,9 @@ ORACLES = {
     # sample formula — exact-integer rms via a float-sqrt guess with
     # ±1 correction, so float rounding can never diverge the hash
     "audio_pcm": ORACLE_AUDIO_PCM,
+    # audio_neardup (r17): the whole fingerprint->groups chain from
+    # the closed-form envelope formulas
+    "audio_neardup": ORACLE_AUDIO_NEARDUP,
     "embedding_lsh": ORACLE_EMBEDDING_LSH,
     "embedding_neardup_lsh": ORACLE_EMBEDDING_NEARDUP_LSH,
     "multimodal_meta": ORACLE_MULTIMODAL_META,

@@ -383,6 +383,15 @@ PERMANENT_EXTERNAL = [
     # + rare-context ordering pytests in tests/test_llm_ops.py.
     "ngram_perplexity_kn",
     "trigram_perplexity_kn",
+    # r17: the complete audio near-dup chain (65-window integer
+    # energy envelope → 64-bit sign-of-delta fingerprint → the SAME
+    # pigeonhole banding/hamming/CC machinery as image_neardup, all
+    # replayed in SQL from closed-form envelope WAVs with planted
+    # duplicate structure) — closes the text/image/audio dedup
+    # matrix. Reason (b), same capacity terms. Scale/re-encode
+    # invariance + exact repeat-upsample identity + no-cartesian
+    # plan receipt are pytest-gated.
+    "audio_neardup",
 ]
 
 

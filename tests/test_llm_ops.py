@@ -5838,3 +5838,118 @@ def test_kn_beats_laplace_on_rare_context_fixture(spark):
     }
     assert lap3[101] == lap3[102]
     assert kn3[101] < kn3[102]
+
+
+def _wav16(samples, ch=1, sr=8000):
+    """Hand-built 16-bit PCM WAV for the audio near-dup tests."""
+    import struct as _struct
+
+    import numpy as np
+
+    data = np.asarray(samples, dtype="<i2").tobytes()
+    return (
+        b"RIFF" + _struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + _struct.pack("<IHHIIHH", 16, 1, ch, sr, sr * ch * 2, ch * 2, 16)
+        + b"data" + _struct.pack("<I", len(data))
+        + data
+    )
+
+
+def test_audio_fingerprint_invariances_and_quarantine():
+    """r17 audio perceptual fingerprint contracts, each provable:
+    amplitude scaling is a fingerprint identity (energies scale c²,
+    strict inequalities survive); an exact k× repeat-upsample of a
+    65-aligned clip is an identity (every window energy scales k);
+    stereo folds by per-frame channel SUM (a stereo split of a mono
+    clip fingerprints identically); a single boosted window moves
+    only its two boundary bits; < 65 frames or non-WAV quarantines."""
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        AUDIO_FP_WINDOWS,
+        audio_fingerprint_py,
+    )
+
+    assert AUDIO_FP_WINDOWS == 65
+    rng = np.random.default_rng(17)
+    n = 650  # 65 * 10 — exact window split
+    base = rng.integers(-8000, 8001, size=n).astype(np.int64)
+
+    fp0 = audio_fingerprint_py(_wav16(base))
+    assert fp0 is not None
+    # amplitude re-encode: x2
+    assert audio_fingerprint_py(_wav16(base * 2)) == fp0
+    # exact 3x repeat-upsample ("same audio at 3x the rate")
+    assert audio_fingerprint_py(_wav16(np.repeat(base, 3), sr=24000)) == fp0
+    # stereo split whose per-frame channel sum is the mono signal
+    st = np.stack([base // 2, base - base // 2], axis=1)
+    assert audio_fingerprint_py(_wav16(st, ch=2)) == fp0
+    # boosted window 7 (frames 70..79): energy x9 — only bits 6/7 move
+    boosted = base.copy()
+    boosted[70:80] *= 3
+    fpb = audio_fingerprint_py(_wav16(boosted))
+    diff = (fp0 & 0xFFFFFFFFFFFFFFFF) ^ (fpb & 0xFFFFFFFFFFFFFFFF)
+    assert bin(diff).count("1") <= 2
+    assert diff & ~((1 << 6) | (1 << 7)) == 0  # no bit outside 6/7
+    # an unrelated clip is far away
+    other = rng.integers(-8000, 8001, size=n).astype(np.int64)
+    fpo = audio_fingerprint_py(_wav16(other))
+    assert bin((fp0 & 0xFFFFFFFFFFFFFFFF) ^ (fpo & 0xFFFFFFFFFFFFFFFF)).count("1") > 3
+    # quarantine: too short, 8-bit ok but short, not audio
+    assert audio_fingerprint_py(_wav16(base[:64])) is None
+    assert audio_fingerprint_py(_wav16(base[:65])) is not None
+    assert audio_fingerprint_py(b"not a wav") is None
+    assert audio_fingerprint_py(None) is None
+
+
+def test_audio_neardup_groups_planted_duplicates(spark):
+    """End-to-end audio_neardup: the amplitude re-encode, exact
+    repeat-upsample and window-boost variants of one clip group
+    together; an unrelated clip stays a singleton; quarantined
+    payloads are absent. Candidate plan is the banded equi-join —
+    no cartesian (the image_neardup receipt, audio flavor)."""
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        audio_neardup,
+        audio_perceptual_fp,
+    )
+    from gcp_dataengineering_spark.llm_ops.phash import phash_candidate_pairs
+
+    rng = np.random.default_rng(23)
+    n = 650
+    base = rng.integers(-8000, 8001, size=n).astype(np.int64)
+    boosted = base.copy()
+    boosted[70:80] *= 3
+    other = rng.integers(-8000, 8001, size=n).astype(np.int64)
+    rows = [
+        (1, bytearray(_wav16(base))),
+        (2, bytearray(_wav16(base * 2))),               # re-encode
+        (3, bytearray(_wav16(np.repeat(base, 2), sr=16000))),  # resample
+        (4, bytearray(_wav16(boosted))),                # near variant
+        (5, bytearray(_wav16(other))),                  # unrelated
+        (6, bytearray(b"OggS not in scope")),           # quarantine
+        (7, bytearray(_wav16(base[:64]))),              # too short
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    fps = {r["media_id"]: r for r in audio_perceptual_fp(media).collect()}
+    assert fps[6]["afp"] is None and fps[7]["afp"] is None
+    assert fps[1]["afp"] == fps[2]["afp"] == fps[3]["afp"]
+
+    groups = {r["media_id"]: r["group_id"] for r in audio_neardup(media).collect()}
+    assert set(groups) == {1, 2, 3, 4, 5}
+    assert groups[1] == groups[2] == groups[3] == groups[4] == 1
+    assert groups[5] == 5
+
+    plan = phash_candidate_pairs(
+        audio_perceptual_fp(media), hash_col="afp", id_col="media_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    # guard: radius must stay under the pigeonhole completeness bound
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        audio_neardup(media, max_hamming=4, bands=4)
