@@ -560,20 +560,24 @@ def bigram_lm_fit(
     id_col: str = "doc_id",
     min_count: int = 2,
     frac_bits: int = FRAC_BITS,
+    smoothing: str = "laplace",
     materialize: str | MaterializeFn | bool | None = None,
 ) -> dict:
     """Train the bigram backoff LM ONCE and return it as a model
-    dict of plain DataFrames + two scalars — the deployable form of
-    the published recipe (CCNet trains on a trusted reference
+    dict of plain DataFrames + bounded scalars — the deployable form
+    of the published recipe (CCNet trains on a trusted reference
     corpus, then scores every crawl shard against it): persist the
-    frames to parquet, reload anywhere, score any number of corpora
-    (incl. per micro-batch inside a foreachBatch hook) without
-    re-counting the reference.
+    frames (``lm_save``/``lm_load``), reload anywhere, score any
+    number of corpora (incl. per micro-batch inside a foreachBatch
+    hook) without re-counting the reference.
 
-    Returns {"vocab", "c2", "c1", "cu", "denom_fp", "frac_bits"} —
-    exactly the tables :func:`bigram_perplexity` builds internally;
+    Returns exactly the tables :func:`bigram_perplexity` builds
+    internally for the chosen ``smoothing`` (laplace: c2/c1/cu +
+    denom_fp; kn: c2/ctx/cont + the quantized discount scalars);
     :func:`bigram_lm_score` over this model is pytest-pinned EQUAL
     to the one-shot form."""
+    if smoothing not in ("laplace", "kn"):
+        raise ValueError(f"unknown smoothing {smoothing!r} (laplace|kn)")
     words = _word_rows(ref, text_col, id_col)
     wc = _materialize(
         words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")), materialize
@@ -598,6 +602,21 @@ def bigram_lm_fit(
         trans.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c2")),
         materialize,
     )
+    model: dict = {"order": 2, "smoothing": smoothing, "frac_bits": frac_bits,
+                   "vocab": vocab, "c2": c2}
+    if smoothing == "kn":
+        model["ctx"] = c2.groupBy("prev").agg(
+            F.sum("c2").alias("c1"), F.count(F.lit(1)).alias("n1v")
+        )
+        model["cont"] = c2.groupBy("token").agg(F.count(F.lit(1)).alias("n1cw"))
+        d = c2.agg(
+            F.count(F.lit(1)).alias("n1pp"),
+            F.coalesce(F.sum((F.col("c2") == 1).cast("long")), F.lit(0)).alias("n1"),
+            F.coalesce(F.sum((F.col("c2") == 2).cast("long")), F.lit(0)).alias("n2"),
+        ).collect()[0]
+        model["dnum"] = _kn_discount(int(d["n1"]), int(d["n2"]))
+        model["l_n1pp"] = llog2_py(max(int(d["n1pp"]), 1), frac_bits)
+        return model
     c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
     cu = (
         wc.join(F.broadcast(vocab.withColumnRenamed("word", "_v")),
@@ -614,14 +633,10 @@ def bigram_lm_fit(
         F.coalesce(F.sum((F.col("cnt") >= min_count).cast("long")), F.lit(0)).alias("nv"),
     ).collect()[0]
     u_plus_v = int(totals["u"]) + int(totals["nv"]) + 1
-    return {
-        "vocab": vocab,
-        "c2": c2,
-        "c1": c1,
-        "cu": cu,
-        "denom_fp": llog2_py(u_plus_v, frac_bits) if u_plus_v > 0 else 0,
-        "frac_bits": frac_bits,
-    }
+    model["c1"] = c1
+    model["cu"] = cu
+    model["denom_fp"] = llog2_py(u_plus_v, frac_bits) if u_plus_v > 0 else 0
+    return model
 
 
 def bigram_lm_score(
@@ -635,7 +650,8 @@ def bigram_lm_score(
     same math as :func:`bigram_perplexity` (pytest-pinned equal),
     with the reference counts read instead of recomputed. Unknown
     context words fold to <unk> through the model's vocab; a context
-    the reference never saw backs off to the unigram leg."""
+    the reference never saw backs off to the unigram leg (laplace)
+    or the continuation-unigram distribution (kn)."""
     scale = 1 << model["frac_bits"]
     frac_bits = model["frac_bits"]
     words = _word_rows(docs, text_col, id_col)
@@ -655,24 +671,51 @@ def bigram_lm_score(
             Window.partitionBy("doc_id").orderBy("pos")
         ).alias("prev"),
     )
-    scored = (
-        trans.join(model["c2"], ["prev", "token"], "left")
-        .join(F.broadcast(model["c1"]), ["prev"], "left")
-        .join(F.broadcast(model["cu"]), ["token"], "left")
-        .select(
-            "doc_id",
-            F.when(
-                F.col("c2").isNotNull(),
-                llog2(F.col("c2"), frac_bits) - llog2(F.col("c1"), frac_bits),
-            )
-            .otherwise(
-                llog2(F.coalesce(F.col("cu"), F.lit(0)) + 1, frac_bits)
-                - F.lit(model["denom_fp"])
-                - F.lit(backoff_bits * scale)
-            )
-            .alias("lp"),
+    if model.get("smoothing", "laplace") == "kn":
+        cont_lp = (
+            llog2(F.greatest(F.coalesce(F.col("n1cw"), F.lit(0)), F.lit(1)), frac_bits)
+            - F.lit(model["l_n1pp"])
         )
-    )
+        scored = (
+            trans.join(model["c2"], ["prev", "token"], "left")
+            .join(F.broadcast(model["ctx"]), ["prev"], "left")
+            .join(F.broadcast(model["cont"]), ["token"], "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("c2").isNotNull(),
+                    llog2(F.col("c2") * KN_DDEN - F.lit(model["dnum"]), frac_bits)
+                    - llog2(F.col("c1") * KN_DDEN, frac_bits),
+                )
+                .when(
+                    F.col("c1").isNotNull(),
+                    llog2(F.col("n1v") * F.lit(model["dnum"]), frac_bits)
+                    - llog2(F.col("c1") * KN_DDEN, frac_bits)
+                    + cont_lp,
+                )
+                .otherwise(cont_lp)
+                .alias("lp"),
+            )
+        )
+    else:
+        scored = (
+            trans.join(model["c2"], ["prev", "token"], "left")
+            .join(F.broadcast(model["c1"]), ["prev"], "left")
+            .join(F.broadcast(model["cu"]), ["token"], "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("c2").isNotNull(),
+                    llog2(F.col("c2"), frac_bits) - llog2(F.col("c1"), frac_bits),
+                )
+                .otherwise(
+                    llog2(F.coalesce(F.col("cu"), F.lit(0)) + 1, frac_bits)
+                    - F.lit(model["denom_fp"])
+                    - F.lit(backoff_bits * scale)
+                )
+                .alias("lp"),
+            )
+        )
     agg = scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_trans"), (-F.sum("lp")).alias("nll_fp")
     )
@@ -1203,3 +1246,256 @@ LEFT JOIN agg a ON d.doc_id = a.doc_id
     LEFT JOIN cu u ON t.token = u.token
     CROSS JOIN tot
 ){tail}"""
+
+
+# ---------------------------------------------------------------- trigram fit / score
+def trigram_lm_fit(
+    ref: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    frac_bits: int = FRAC_BITS,
+    smoothing: str = "laplace",
+    materialize: str | MaterializeFn | bool | None = None,
+) -> dict:
+    """Order-3 mirror of :func:`bigram_lm_fit` (r17 — the r16
+    verdict's item 3: before this, the trigram LM existed only as
+    the one-shot form, so a foreachBatch consumer couldn't use
+    order 3). Returns every table :func:`trigram_perplexity` builds
+    internally for the chosen ``smoothing``;
+    :func:`trigram_lm_score` over the model is pytest-pinned EQUAL
+    to the one-shot form."""
+    if smoothing not in ("laplace", "kn"):
+        raise ValueError(f"unknown smoothing {smoothing!r} (laplace|kn)")
+    words = _word_rows(ref, text_col, id_col)
+    wc = _materialize(
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")), materialize
+    )
+    vocab = wc.filter(F.col("cnt") >= min_count).select("word")
+    mapped = words.join(
+        F.broadcast(vocab.withColumnRenamed("word", "_v")),
+        F.col("word") == F.col("_v"),
+        "left",
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(F.col("_v").isNotNull(), F.col("word")).otherwise(F.lit(UNK)).alias("token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    trans = mapped.select(
+        "token",
+        F.lag("token", 1, BOS).over(w).alias("prev"),
+        F.lag("token", 2, BOS).over(w).alias("prev2"),
+    )
+    c3 = _materialize(
+        trans.groupBy("prev2", "prev", "token").agg(F.count(F.lit(1)).alias("c3")),
+        materialize,
+    )
+    model: dict = {"order": 3, "smoothing": smoothing, "frac_bits": frac_bits,
+                   "vocab": vocab, "c3": c3}
+    if smoothing == "kn":
+        model["ctx3"] = c3.groupBy("prev2", "prev").agg(
+            F.sum("c3").alias("c3ctx"), F.count(F.lit(1)).alias("n1uv")
+        )
+        cc2 = _materialize(
+            c3.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("cc2")),
+            materialize,
+        )
+        model["cc2"] = cc2
+        model["ctx2"] = cc2.groupBy("prev").agg(
+            F.sum("cc2").alias("cc2ctx"), F.count(F.lit(1)).alias("n1vcc")
+        )
+        model["cont1"] = cc2.groupBy("token").agg(F.count(F.lit(1)).alias("n1cw"))
+        d3 = c3.agg(
+            F.coalesce(F.sum((F.col("c3") == 1).cast("long")), F.lit(0)).alias("n1"),
+            F.coalesce(F.sum((F.col("c3") == 2).cast("long")), F.lit(0)).alias("n2"),
+        ).collect()[0]
+        d2 = cc2.agg(
+            F.count(F.lit(1)).alias("n1pp2"),
+            F.coalesce(F.sum((F.col("cc2") == 1).cast("long")), F.lit(0)).alias("n1"),
+            F.coalesce(F.sum((F.col("cc2") == 2).cast("long")), F.lit(0)).alias("n2"),
+        ).collect()[0]
+        model["dn3"] = _kn_discount(int(d3["n1"]), int(d3["n2"]))
+        model["dn2"] = _kn_discount(int(d2["n1"]), int(d2["n2"]))
+        model["l_n1pp2"] = llog2_py(max(int(d2["n1pp2"]), 1), frac_bits)
+        return model
+    model["c3ctx"] = c3.groupBy("prev2", "prev").agg(F.sum("c3").alias("c3ctx"))
+    c2 = _materialize(
+        trans.groupBy("prev", "token").agg(F.count(F.lit(1)).alias("c2")),
+        materialize,
+    )
+    model["c2"] = c2
+    model["c1"] = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    model["cu"] = (
+        wc.join(F.broadcast(vocab.withColumnRenamed("word", "_v")),
+                F.col("word") == F.col("_v"), "left")
+        .select(
+            F.when(F.col("_v").isNotNull(), F.col("word")).otherwise(F.lit(UNK)).alias("token"),
+            "cnt",
+        )
+        .groupBy("token")
+        .agg(F.sum("cnt").alias("cu"))
+    )
+    totals = wc.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("u"),
+        F.coalesce(F.sum((F.col("cnt") >= min_count).cast("long")), F.lit(0)).alias("nv"),
+    ).collect()[0]
+    u_plus_v = int(totals["u"]) + int(totals["nv"]) + 1
+    model["denom_fp"] = llog2_py(u_plus_v, frac_bits) if u_plus_v > 0 else 0
+    return model
+
+
+def trigram_lm_score(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    backoff_bits_bi: int = 4,
+    backoff_bits_uni: int = 8,
+) -> DataFrame:
+    """Score a corpus against a :func:`trigram_lm_fit` model — the
+    one-shot :func:`trigram_perplexity` math with the reference
+    counts read instead of recomputed (pytest-pinned equal)."""
+    scale = 1 << model["frac_bits"]
+    frac_bits = model["frac_bits"]
+    words = _word_rows(docs, text_col, id_col)
+    mapped = words.join(
+        F.broadcast(model["vocab"].withColumnRenamed("word", "_v")),
+        F.col("word") == F.col("_v"),
+        "left",
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(F.col("_v").isNotNull(), F.col("word")).otherwise(F.lit(UNK)).alias("token"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    trans = mapped.select(
+        "doc_id",
+        "token",
+        F.lag("token", 1, BOS).over(w).alias("prev"),
+        F.lag("token", 2, BOS).over(w).alias("prev2"),
+    )
+    if model.get("smoothing", "laplace") == "kn":
+        base1 = (
+            llog2(F.greatest(F.coalesce(F.col("n1cw"), F.lit(0)), F.lit(1)), frac_bits)
+            - F.lit(model["l_n1pp2"])
+        )
+        esc3 = (
+            llog2(F.col("n1uv") * F.lit(model["dn3"]), frac_bits)
+            - llog2(F.col("c3ctx") * KN_DDEN, frac_bits)
+        )
+        hit2 = (
+            llog2(F.col("cc2") * KN_DDEN - F.lit(model["dn2"]), frac_bits)
+            - llog2(F.col("cc2ctx") * KN_DDEN, frac_bits)
+        )
+        esc2 = (
+            llog2(F.col("n1vcc") * F.lit(model["dn2"]), frac_bits)
+            - llog2(F.col("cc2ctx") * KN_DDEN, frac_bits)
+        )
+        scored = (
+            trans.join(model["c3"], ["prev2", "prev", "token"], "left")
+            .join(model["ctx3"], ["prev2", "prev"], "left")
+            .join(model["cc2"], ["prev", "token"], "left")
+            .join(F.broadcast(model["ctx2"]), ["prev"], "left")
+            .join(F.broadcast(model["cont1"]), ["token"], "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("c3").isNotNull(),
+                    llog2(F.col("c3") * KN_DDEN - F.lit(model["dn3"]), frac_bits)
+                    - llog2(F.col("c3ctx") * KN_DDEN, frac_bits),
+                )
+                .when(F.col("c3ctx").isNotNull() & F.col("cc2").isNotNull(),
+                      esc3 + hit2)
+                .when(F.col("c3ctx").isNotNull(), esc3 + esc2 + base1)
+                .when(F.col("cc2").isNotNull(), hit2)
+                .when(F.col("cc2ctx").isNotNull(), esc2 + base1)
+                .otherwise(base1)
+                .alias("lp"),
+            )
+        )
+    else:
+        scored = (
+            trans.join(model["c3"], ["prev2", "prev", "token"], "left")
+            .join(model["c3ctx"], ["prev2", "prev"], "left")
+            .join(model["c2"], ["prev", "token"], "left")
+            .join(F.broadcast(model["c1"]), ["prev"], "left")
+            .join(F.broadcast(model["cu"]), ["token"], "left")
+            .select(
+                "doc_id",
+                F.when(
+                    F.col("c3").isNotNull(),
+                    llog2(F.col("c3"), frac_bits) - llog2(F.col("c3ctx"), frac_bits),
+                )
+                .when(
+                    F.col("c2").isNotNull(),
+                    llog2(F.col("c2"), frac_bits)
+                    - llog2(F.col("c1"), frac_bits)
+                    - F.lit(backoff_bits_bi * scale),
+                )
+                .otherwise(
+                    llog2(F.coalesce(F.col("cu"), F.lit(0)) + 1, frac_bits)
+                    - F.lit(model["denom_fp"])
+                    - F.lit(backoff_bits_uni * scale)
+                )
+                .alias("lp"),
+            )
+        )
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trans"), (-F.sum("lp")).alias("nll_fp")
+    )
+    base = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return base.join(agg, ["doc_id"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_trans"), F.lit(0)).cast("long").alias("n_trans"),
+        F.coalesce(F.col("nll_fp"), F.lit(0)).cast("long").alias("nll_fp"),
+        F.when(
+            F.col("n_trans") > 0,
+            F.round(F.col("nll_fp") / (F.col("n_trans") * F.lit(float(scale))), 4),
+        ).alias("ppl_bits"),
+    )
+
+
+# ---------------------------------------------------------------- model persistence
+def lm_score(docs: DataFrame, model: dict, **kw) -> DataFrame:
+    """Order-dispatching score: routes to :func:`bigram_lm_score` or
+    :func:`trigram_lm_score` by the model's ``order`` (models saved
+    before r17 lack the key and are bigram by construction)."""
+    if model.get("order", 2) == 3:
+        return trigram_lm_score(docs, model, **kw)
+    return bigram_lm_score(docs, model, **kw)
+
+
+def lm_save(model: dict, path: str) -> None:
+    """Persist a fit model: every DataFrame table as parquet under
+    ``path``/<name>, scalars + order + smoothing in meta.json — the
+    deployable artifact a foreachBatch consumer reloads once
+    (``lm_load``) and scores every micro-batch against."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    meta = {}
+    for k, v in model.items():
+        if isinstance(v, DataFrame):
+            v.write.mode("overwrite").parquet(os.path.join(path, k))
+        else:
+            meta[k] = v
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def lm_load(spark, path: str) -> dict:
+    """Reload an :func:`lm_save` artifact into a model dict."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        model: dict = json.load(fh)
+    for name in os.listdir(path):
+        sub = os.path.join(path, name)
+        if os.path.isdir(sub):
+            model[name] = spark.read.parquet(sub)
+    return model

@@ -132,6 +132,9 @@ def ingest_stream_semantic(
     semantic_max_chars: int = 256,
     semantic_planes: int = 8,
     semantic_tables: int = 8,
+    perplexity_model: dict | str | None = None,
+    perplexity_max_bits: float | None = None,
+    perplexity_backoff_bits: int = 4,
 ) -> "StreamingQuery":
     """The full online corpus gate WITH the r14 semantic stage: the
     :func:`ingest_stream` chain (heuristic gate → optional learned
@@ -146,7 +149,24 @@ def ingest_stream_semantic(
     integer-cosine decisions against LSH-bucketed state won't
     compose as a third in-query stateful operator — see
     streaming/semantic.py), so unlike :func:`ingest_stream` this
-    returns a running query, not a DataFrame."""
+    returns a running query, not a DataFrame.
+
+    ``perplexity_model`` + ``perplexity_max_bits`` (r17 — the r16
+    verdict's item 3): the CCNet-style LM gate, online. A persisted
+    reference model (an ``ngram_lm.lm_save`` directory path, or an
+    already-loaded fit-model dict — bigram or trigram, laplace or
+    kn) is loaded ONCE at wiring time; every micro-batch is scored
+    against it inside the foreachBatch turn (the lag() window the
+    scorer needs is unsupported in-query on a stream) and documents
+    over ``perplexity_max_bits`` bits/token — or with no tokens —
+    are dropped BEFORE semantic admission, so a gibberish page that
+    passes the heuristics never enters the semantic store. Scoring
+    order differs from the batch pipeline in one documented way:
+    the stream scores post-scrub text (the scrub is an in-query
+    stage here), the batch pipeline scores pre-scrub; decisions
+    agree for any document whose tokens the scrub leaves alone, and
+    the stream side is pinned equal to batch scoring OF THE SAME
+    ROWS by pytest."""
     from .semantic import semantic_dedup_stream
 
     admitted = ingest_stream(
@@ -160,11 +180,40 @@ def ingest_stream_semantic(
         quality_model_threshold=quality_model_threshold,
         quality_model_ngrams=quality_model_ngrams,
     )
+    pre_gate = None
+    if perplexity_model is not None:
+        if perplexity_max_bits is None:
+            raise ValueError(
+                "perplexity_model given without perplexity_max_bits — the "
+                "gate needs a threshold"
+            )
+        from ..llm_ops.ngram_lm import lm_load, lm_score, perplexity_gate
+
+        model = (
+            lm_load(stream.sparkSession, perplexity_model)
+            if isinstance(perplexity_model, str)
+            else perplexity_model
+        )
+
+        def pre_gate(batch: DataFrame) -> DataFrame:
+            kw = (
+                {"backoff_bits": perplexity_backoff_bits}
+                if model.get("order", 2) == 2
+                else {"backoff_bits_bi": perplexity_backoff_bits,
+                      "backoff_bits_uni": 2 * perplexity_backoff_bits}
+            )
+            scores = lm_score(batch, model, text_col=text_col, id_col=id_col, **kw)
+            fluent = scores.filter(perplexity_gate(perplexity_max_bits)).select(
+                F.col("doc_id").alias(id_col)
+            )
+            return batch.join(fluent, id_col, "left_semi")
+
     return semantic_dedup_stream(
         admitted,
         store_dir,
         out_dir,
         checkpoint_dir=checkpoint_dir,
+        pre_gate=pre_gate,
         id_col=id_col,
         text_col=text_col,
         cos_num=semantic_cos,

@@ -703,16 +703,28 @@ def semantic_dedup_stream(
     store_dir: str,
     out_dir: str,
     checkpoint_dir: str | None = None,
+    pre_gate=None,
     **kwargs,
 ):
     """Wire a document stream through the semantic gate: admitted
     rows append to ``out_dir`` (parquet), state lives in
     ``store_dir``. Returns the started StreamingQuery (caller
-    stops it). Keyword args are :func:`semantic_dedup_batch`'s."""
+    stops it). Keyword args are :func:`semantic_dedup_batch`'s.
+
+    ``pre_gate`` (r17): an optional batch→batch callable applied to
+    each micro-batch BEFORE semantic admission — the hook for gates
+    that cannot run in-query (e.g. the perplexity gate: its lag()
+    window is unsupported on streaming DataFrames). Rows the gate
+    drops never reach the semantic store, exactly as if the batch
+    pipeline had dropped them before its semantic stage."""
 
     def _process(batch: DataFrame, _epoch: int) -> None:
         if batch.isEmpty():
             return
+        if pre_gate is not None:
+            batch = pre_gate(batch)
+            if batch.isEmpty():
+                return
         semantic_dedup_batch(
             batch,
             store_dir,

@@ -5953,3 +5953,62 @@ def test_audio_neardup_groups_planted_duplicates(spark):
 
     with _pytest.raises(ValueError, match="pigeonhole"):
         audio_neardup(media, max_hamming=4, bands=4)
+
+
+def test_lm_fit_score_matrix_equals_one_shot(spark, tmp_path):
+    """r17: the deployable fit-once/score-many split covers the full
+    matrix — order 2 and 3, laplace and kn — and each combination is
+    EXACTLY equal to its one-shot ref-trained form. A trigram-KN
+    model survives an lm_save/lm_load parquet round trip bit-exact,
+    and lm_score dispatches by the model's order."""
+    from gcp_dataengineering_spark.llm_ops.ngram_lm import (
+        bigram_lm_fit,
+        bigram_perplexity,
+        lm_load,
+        lm_save,
+        lm_score,
+        trigram_lm_fit,
+        trigram_perplexity,
+    )
+
+    ref_texts = {
+        1: "the cat sat on the mat",
+        2: "the cat sat on the cat and the dog sat too",
+        3: "a nice day and a nice cat and a nice dog",
+        4: "the dog sat on the mat the dog sat on the mat",
+    }
+    score_texts = dict(ref_texts)
+    score_texts.update({
+        10: "nice dog nice mat the cat ran",   # novel bigrams/contexts
+        11: "zq1 vx2 zq1",                     # all-unk
+        12: "",
+    })
+    ref = spark.createDataFrame(list(ref_texts.items()), "doc_id long, text string")
+    docs = spark.createDataFrame(list(score_texts.items()), "doc_id long, text string")
+
+    def rows(df):
+        return {
+            r["doc_id"]: (r["n_trans"], r["nll_fp"], r["ppl_bits"])
+            for r in df.collect()
+        }
+
+    for sm in ("laplace", "kn"):
+        m2 = bigram_lm_fit(ref, smoothing=sm)
+        assert rows(lm_score(docs, m2)) == rows(
+            bigram_perplexity(docs, ref=ref, smoothing=sm)
+        ), ("order 2", sm)
+        m3 = trigram_lm_fit(ref, smoothing=sm)
+        assert rows(lm_score(docs, m3)) == rows(
+            trigram_perplexity(docs, ref=ref, smoothing=sm)
+        ), ("order 3", sm)
+
+    # persistence round trip: trigram KN through parquet + meta.json
+    m3kn = trigram_lm_fit(ref, smoothing="kn")
+    path = str(tmp_path / "lm3kn")
+    lm_save(m3kn, path)
+    reloaded = lm_load(spark, path)
+    assert reloaded["order"] == 3 and reloaded["smoothing"] == "kn"
+    assert reloaded["dn3"] == m3kn["dn3"] and reloaded["dn2"] == m3kn["dn2"]
+    assert rows(lm_score(docs, reloaded)) == rows(
+        trigram_perplexity(docs, ref=ref, smoothing="kn")
+    )
