@@ -517,6 +517,92 @@ def _curated_psl() -> tuple[str, ...]:
         "azurestaticapps.net", "mybluemix.net", "weeblysite.com",
         "bookonline.app", "base.shop", "square.site",
     ]
+    # r17 tranche (r16 verdict item 5) — the large documented
+    # European geographic/functional registries the earlier passes
+    # skipped, prioritized by crawl share:
+    # .it — the registry's published geographic second levels: the
+    # 20 regions (hyphen and run-together variants as documented)
+    # and the province domains (both the 2-letter sigle and the
+    # full provincial names)
+    it_regions = (
+        "abruzzo basilicata calabria campania emilia-romagna "
+        "emiliaromagna friuli-venezia-giulia friuliveneziagiulia fvg "
+        "lazio liguria lombardia lombardy marche molise piemonte "
+        "puglia sardegna sardinia sicilia sicily toscana tuscany "
+        "trentino-alto-adige trentinoaltoadige trentino umbria "
+        "valle-aosta valleaosta vallee-aoste valledaosta vao aosta"
+    ).split()
+    it_prov_codes = (
+        "ag al an ao ap aq ar at av ba bg bi bl bn bo br bs bt bz ca cb "
+        "ce ch cl cn co cr cs ct cz en fc fe fg fi fm fr ge go gr im is "
+        "kr lc le li lo lt lu mb mc me mi mn mo ms mt na no nu or pa pc "
+        "pd pe pg pi pn po pr pt pu pv pz ra rc re rg ri rm rn ro sa si "
+        "so sp sr ss sv ta te tn to tp tr ts tv ud va vb vc ve vi vr vs "
+        "vt vv"
+    ).split()
+    it_prov_names = (
+        "agrigento alessandria ancona arezzo ascoli-piceno asti avellino "
+        "bari belluno benevento bergamo biella bologna bolzano brescia "
+        "brindisi cagliari caltanissetta campobasso caserta catania "
+        "catanzaro chieti como cosenza cremona crotone cuneo enna "
+        "fermo ferrara firenze florence foggia forli-cesena frosinone "
+        "genova genoa gorizia grosseto imperia isernia la-spezia "
+        "laspezia latina lecce lecco livorno lodi lucca macerata "
+        "mantova massa-carrara massacarrara matera messina milano "
+        "milan modena monza napoli naples novara nuoro oristano padova "
+        "padua palermo parma pavia perugia pesaro-urbino pescara "
+        "piacenza pisa pistoia pordenone potenza prato ragusa ravenna "
+        "reggio-calabria reggio-emilia rieti rimini roma rome rovigo "
+        "salerno sassari savona siena siracusa sondrio taranto teramo "
+        "terni torino turin trapani trento treviso trieste udine "
+        "varese venezia venice verbania vercelli verona vibo-valentia "
+        "vicenza viterbo"
+    ).split()
+    rules += [f"{x}.it" for x in it_regions + it_prov_codes + it_prov_names]
+    # .pl — NASK's published functional and geographic second levels
+    rules += [f"{x}.pl" for x in (
+        "aid agro atm auto biz gmina gsm mail miasta media "
+        "mil nieruchomosci nom pc powiat priv realestate rel "
+        "sex shop sklep sos szkola targi tm tourism travel turystyka "
+        "augustow babia-gora bedzin beskidy bialowieza bialystok "
+        "bielawa bieszczady boleslawiec bydgoszcz bytom cieszyn "
+        "czeladz czest dlugoleka elblag elk gda gdansk gdynia gliwice "
+        "glogow gniezno gorlice grajewo ilawa jaworzno jelenia-gora "
+        "jgora kalisz karpacz kartuzy kaszuby katowice "
+        "kazimierz-dolny kepno ketrzyn klodzko kobierzyce kolobrzeg "
+        "konin konskowola kutno lapy lebork legnica lezajsk limanowa "
+        "lomza lowicz lubin lukow malbork malopolska mazowsze mazury "
+        "mielec mielno mragowo naklo nowaruda nysa olawa olecko "
+        "olkusz olsztyn opoczno opole ostroda ostroleka ostrowiec "
+        "ostrowwlkp pila pisz podhale podlasie polkowice pomorze "
+        "pomorskie prochowice pruszkow przeworsk pulawy radom "
+        "rawa-maz rybnik rzeszow sanok sejny slask slupsk sosnowiec "
+        "skoczow stalowa-wola starachowice stargard suwalki swidnica "
+        "swiebodzin swinoujscie szczecin szczytno tarnobrzeg tgory "
+        "turek tychy ustka walbrzych warmia warszawa wegrow "
+        "wielun wlocl wloclawek wodzislaw wolomin wroclaw zachpomor "
+        "zagan zarow zgora zgorzelec"
+    ).split()]
+    # .ua — the registry's oblast/city geographic second levels
+    rules += [f"{x}.ua" for x in (
+        "cherkassy cherkasy chernigov chernihiv chernivtsi chernovtsy "
+        "ck cn cr crimea cv dn dnepropetrovsk dnipropetrovsk donetsk "
+        "dp if ivano-frankivsk kh kharkiv kharkov kherson khmelnitskiy "
+        "khmelnytskyi kiev kirovograd km kr kropyvnytskyi krym ks kv "
+        "kyiv lg lt lugansk lutsk lv lviv mk mykolaiv nikolaev od "
+        "odesa odessa pl poltava rivne rovno rv sb sebastopol sevastopol "
+        "sm sumy te ternopil uz uzhgorod uzhhorod vinnica vinnytsia vn "
+        "volyn yalta zaporizhzhe zaporizhzhia zhitomir zhytomyr zp zt"
+    ).split()]
+    # .fr — AFNIC's published sector second levels
+    rules += [f"{x}.fr" for x in (
+        "avocat aeroport chambagri chirurgiens-dentistes "
+        "experts-comptables geometre-expert medecin notaires "
+        "pharmacien port veterinaire"
+    ).split()]
+    # .ru private-section registrars (the public list's com.ru family)
+    rules += ["com.ru", "net.ru", "org.ru", "pp.ru", "msk.ru",
+              "spb.ru", "nov.ru"]
     return tuple(rules)
 
 
