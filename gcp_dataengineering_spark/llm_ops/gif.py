@@ -282,3 +282,63 @@ def _lzw_encode(pixels: bytes, min_code: int) -> bytes:
         out += chunk
     out.append(0)
     return bytes(out)
+
+
+def gif_animation_info(data: bytes | None):
+    """(n_frames, loop_count) from a GIF payload — animation
+    VISIBILITY for corpus stats (r17, the r16 verdict's item 7); the
+    first-frame pixel-decode contract (:func:`gif_decode`) is
+    untouched. Block walk only, no pixel work: counts image
+    descriptors (0x2C — skipping each frame's local color table and
+    LZW sub-block chain) and reads the NETSCAPE2.0 application
+    extension's loop count (u16 LE after the 0x01 sub-block id;
+    0 = loop forever, per the published extension). A still GIF is
+    (1, None). ``None, None`` for non-GIF/truncated payloads — the
+    quarantine contract (never raises)."""
+    try:
+        if not data or len(data) < 13 or data[:6] not in (b"GIF87a", b"GIF89a"):
+            return (None, None)
+        flags = data[10]
+        pos = 13
+        if flags & 0x80:
+            pos += 3 * (2 << (flags & 0x07))
+        n_frames = 0
+        loop = None
+        while pos < len(data):
+            b = data[pos]
+            if b == 0x3B:
+                break
+            if b == 0x21:  # extension
+                if pos + 2 > len(data):
+                    return (None, None)
+                label = data[pos + 1]
+                pos += 2
+                blocks, pos = _sub_blocks(data, pos)
+                if blocks is None:
+                    return (None, None)
+                if (
+                    label == 0xFF
+                    and blocks[:11] == b"NETSCAPE2.0"
+                    and len(blocks) >= 14
+                    and blocks[11] == 0x01
+                ):
+                    loop = int.from_bytes(blocks[12:14], "little")
+                continue
+            if b != 0x2C:
+                return (None, None)
+            if pos + 10 > len(data):
+                return (None, None)
+            iflags = data[pos + 9]
+            pos += 10
+            if iflags & 0x80:
+                pos += 3 * (2 << (iflags & 0x07))
+            if pos >= len(data):
+                return (None, None)
+            pos += 1  # LZW minimum code size
+            blocks, pos = _sub_blocks(data, pos)
+            if blocks is None:
+                return (None, None)
+            n_frames += 1
+        return (n_frames, loop) if n_frames > 0 else (None, None)
+    except (IndexError, ValueError, OverflowError, struct.error):
+        return (None, None)

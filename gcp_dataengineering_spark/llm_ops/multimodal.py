@@ -105,7 +105,7 @@ PNG_SIG = b"\x89PNG\r\n\x1a\n"
 
 IMAGE_META_SCHEMA = (
     "media_id long, media_type string, n_bytes long, "
-    "format string, width int, height int"
+    "format string, width int, height int, n_frames int, loop_count int"
 )
 
 # JPEG SOF markers carry frame dimensions; C4/C8/CC look like SOFs
@@ -274,14 +274,24 @@ def nearest_resize(px, ow: int, oh: int):
 
 def decode_image_headers(df: DataFrame, batch_rows: int = 1024) -> DataFrame:
     """REAL metadata decode over binary payloads via mapInPandas:
-    (media_id, media_type, n_bytes, format, width, height). No
-    imaging libraries — header bytes only (parse_image_header)."""
+    (media_id, media_type, n_bytes, format, width, height, n_frames,
+    loop_count). No imaging libraries — header bytes only
+    (parse_image_header); for GIFs the block walk additionally counts
+    frames and reads the NETSCAPE loop extension (r17 —
+    gif.gif_animation_info), so corpus stats separate animations
+    from stills; n_frames/loop_count are NULL for other formats."""
+    from .gif import gif_animation_info
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for start in range(0, len(pdf), batch_rows):
                 chunk = pdf.iloc[start : start + batch_rows]
                 metas = [parse_image_header(p) for p in chunk["payload"]]
+                anims = [
+                    gif_animation_info(bytes(p) if p is not None else None)
+                    if m[0] == "gif" else (None, None)
+                    for m, p in zip(metas, chunk["payload"])
+                ]
                 yield pd.DataFrame(
                     {
                         "media_id": chunk["media_id"].values,
@@ -290,6 +300,8 @@ def decode_image_headers(df: DataFrame, batch_rows: int = 1024) -> DataFrame:
                         "format": [m[0] for m in metas],
                         "width": pd.array([m[1] for m in metas], dtype="Int32"),
                         "height": pd.array([m[2] for m in metas], dtype="Int32"),
+                        "n_frames": pd.array([a[0] for a in anims], dtype="Int32"),
+                        "loop_count": pd.array([a[1] for a in anims], dtype="Int32"),
                     }
                 )
 
@@ -301,9 +313,15 @@ def synth_image_payload(doc_id: int) -> tuple[str, bytes]:
     id: format cycles png/jpeg/gif (id % 3), width = id % 300 + 16,
     height = id*7 % 200 + 16, plus id % 17 trailing filler bytes.
     PNG gets a correct IHDR CRC; JPEG gets a real APP0 (JFIF) segment
-    before SOF0 so the parser's segment walk is exercised. The
-    closed-form sizes/dims let a SQL oracle recompute every field
-    from the id alone — a differential check of the parser."""
+    before SOF0 so the parser's segment walk is exercised. The GIF
+    (r17) carries (id//3)%3+1 frame descriptors (each with an empty
+    LZW sub-block chain — header-walk fixtures, not pixel fixtures)
+    and, when animated, a NETSCAPE2.0 loop extension with loop =
+    id%5 — so the animation-visibility columns are differentially
+    checked too: gif n_bytes = 13 + (19 if animated) +
+    14·n_frames + 1 + filler. The closed-form sizes/dims let a SQL oracle recompute
+    every field from the id alone — a differential check of the
+    parser."""
     w = doc_id % 300 + 16
     h = (doc_id * 7) % 200 + 16
     filler = b"\x00" * (doc_id % 17)
@@ -323,7 +341,15 @@ def synth_image_payload(doc_id: int) -> tuple[str, bytes]:
         )
         return "image/jpeg", b"\xff\xd8" + app0 + sof0 + b"\xff\xd9" + filler
     screen = struct.pack("<HH", w, h) + b"\x00\x00\x00"
-    return "image/gif", b"GIF89a" + screen + b"\x3b" + filler
+    body = b""
+    n_frames = (doc_id // 3) % 3 + 1
+    if n_frames > 1:
+        body += (b"\x21\xff\x0bNETSCAPE2.0\x03\x01"
+                 + struct.pack("<H", doc_id % 5) + b"\x00")
+    frame = (b"\x2c" + struct.pack("<HHHH", 0, 0, w, h) + b"\x00"
+             + b"\x02" + b"\x01\x00" + b"\x00")
+    body += frame * n_frames
+    return "image/gif", b"GIF89a" + screen + body + b"\x3b" + filler
 
 
 def synth_image_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
@@ -349,40 +375,54 @@ def synth_image_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
 # ------------------------------------------------------------ audio/video headers
 AV_META_SCHEMA = (
     "media_id long, media_type string, n_bytes long, format string, "
-    "sample_rate int, channels int, duration_ms long, width int, height int"
+    "sample_rate int, channels int, duration_ms long, width int, height int, "
+    "codec string"
 )
+
+# RIFF fmt-tag → codec name (the WAVE_FORMAT_* registry, public)
+_WAV_FMT_TAGS = {1: "pcm", 3: "ieee_float", 6: "alaw", 7: "mulaw",
+                 0xFFFE: "extensible"}
 
 
 def parse_av_header(
     payload: bytes | None,
-) -> tuple[str | None, int | None, int | None, int | None, int | None, int | None]:
-    """(format, sample_rate, channels, duration_ms, width, height)
-    from raw audio/video container bytes, pure Python — the image-
-    metadata trick (parse_image_header) extended to A/V containers:
+) -> tuple[str | None, int | None, int | None, int | None, int | None,
+           int | None, str | None]:
+    """(format, sample_rate, channels, duration_ms, width, height,
+    codec) from raw audio/video container bytes, pure Python — the
+    image-metadata trick (parse_image_header) extended to A/V
+    containers:
 
     - WAV: 'RIFF' + size + 'WAVE', then a chunk walk —
-      'fmt ' carries channels (u16 LE @ +2), sample_rate (u32 LE @ +4)
+      'fmt ' carries the format tag (u16 LE @ +0 → codec name),
+      channels (u16 LE @ +2), sample_rate (u32 LE @ +4)
       and byte_rate (u32 LE @ +8); 'data' carries the payload size;
       duration_ms = data_bytes * 1000 // byte_rate (exact int math).
     - MP4 (ISO BMFF): top-level box walk ([u32 BE size][4cc]) to
       'moov', then its children — 'mvhd' (v0) carries timescale
       (@ +12 in content) and duration (@ +16), duration_ms =
       duration * 1000 // timescale; 'trak'/'tkhd' (v0) carries
-      width/height as 16.16 fixed point (@ +76 / +80 in content).
+      width/height as 16.16 fixed point (@ +76 / +80 in content);
+      ``codec`` (r17 — the r16 verdict's item 6) is the FIRST
+      sample-entry fourcc from trak→mdia→minf→stbl→stsd (avc1 /
+      hev1 / mp4a / vp09 / …), so corpus AV stats can tell H.264
+      from everything else.
 
     Unknown/truncated payloads → all-None; a recognized container
     with missing inner chunks degrades per-field to None."""
-    none6 = (None, None, None, None, None, None)
+    none7 = (None, None, None, None, None, None, None)
     if not payload or len(payload) < 12:
-        return none6
+        return none7
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
-        sr = ch = byte_rate = data_bytes = None
+        sr = ch = byte_rate = data_bytes = codec = None
         i = 12
         while i + 8 <= len(payload):
             cid = payload[i : i + 4]
             csz = int.from_bytes(payload[i + 4 : i + 8], "little")
             body = payload[i + 8 : i + 8 + csz]
             if cid == b"fmt " and len(body) >= 12:
+                tag = int.from_bytes(body[0:2], "little")
+                codec = _WAV_FMT_TAGS.get(tag, f"tag_{tag}")
                 ch = int.from_bytes(body[2:4], "little")
                 sr = int.from_bytes(body[4:8], "little")
                 byte_rate = int.from_bytes(body[8:12], "little")
@@ -394,7 +434,7 @@ def parse_av_header(
             if data_bytes is not None and byte_rate
             else None
         )
-        return ("wav", sr, ch, dur, None, None)
+        return ("wav", sr, ch, dur, None, None, codec)
 
     def _boxes(buf: bytes, start: int, end: int):
         i = start
@@ -408,11 +448,35 @@ def parse_av_header(
             yield typ, i + 8, i + size
             i += size
 
+    def _descend(s: int, e: int, path: tuple[bytes, ...]):
+        """First box matching the nested 4cc path, as (start, end)."""
+        for t, cs, ce in _boxes(payload, s, e):
+            if t == path[0]:
+                return (cs, ce) if len(path) == 1 else _descend(cs, ce, path[1:])
+        return None
+
+    def _stsd_codec(s3: int, e3: int) -> str | None:
+        """trak content → mdia/minf/stbl/stsd → first sample-entry
+        fourcc. stsd content: version+flags (4) + entry_count (4) +
+        entries of [u32 size][4cc ...]; truncated boxes → None."""
+        found = _descend(s3, e3, (b"mdia", b"minf", b"stbl", b"stsd"))
+        if found is None:
+            return None
+        cs, ce = found
+        if ce - cs < 16:
+            return None
+        four = payload[cs + 12 : cs + 16]
+        try:
+            name = four.decode("ascii").strip()
+        except UnicodeDecodeError:
+            return None
+        return name if name and name.isprintable() else None
+
     is_mp4 = any(t == b"moov" for t, _, _ in _boxes(payload, 0, len(payload))) or (
         payload[4:8] == b"ftyp"
     )
     if is_mp4:
-        dur_ms = w = h = None
+        dur_ms = w = h = codec = None
         for typ, cs, ce in _boxes(payload, 0, len(payload)):
             if typ != b"moov":
                 continue
@@ -427,8 +491,10 @@ def parse_av_header(
                         if t3 == b"tkhd" and e3 - s3 >= 84 and payload[s3] == 0:
                             w = int.from_bytes(payload[s3 + 76 : s3 + 80], "big") >> 16
                             h = int.from_bytes(payload[s3 + 80 : s3 + 84], "big") >> 16
-        return ("mp4", None, None, dur_ms, w, h)
-    return none6
+                    if codec is None:
+                        codec = _stsd_codec(s2, e2)
+        return ("mp4", None, None, dur_ms, w, h, codec)
+    return none7
 
 
 def decode_av_headers(df: DataFrame, batch_rows: int = 1024) -> DataFrame:
@@ -453,6 +519,7 @@ def decode_av_headers(df: DataFrame, batch_rows: int = 1024) -> DataFrame:
                         "duration_ms": pd.array([m[3] for m in metas], dtype="Int64"),
                         "width": pd.array([m[4] for m in metas], dtype="Int32"),
                         "height": pd.array([m[5] for m in metas], dtype="Int32"),
+                        "codec": [m[6] for m in metas],
                     }
                 )
 
@@ -469,8 +536,10 @@ def synth_av_payload(doc_id: int) -> tuple[str, bytes]:
       → data_bytes = n_samples*channels*2, n_bytes = 44 + data_bytes,
       duration_ms = n_samples * 1000 // sample_rate.
     - MP4 (id odd): timescale 1000, duration_ms = id % 5000 + 100,
-      width = id % 640 + 16, height = (id*3) % 480 + 16, n_bytes =
-      232 (ftyp 16 + moov{mvhd 108 + trak{tkhd 92}})."""
+      width = id % 640 + 16, height = (id*3) % 480 + 16, codec =
+      (avc1, hev1, mp4a, vp09)[(id // 2) % 4] in the stsd
+      sample-entry (r17), n_bytes = 288 (ftyp 16 + moov{mvhd 108 +
+      trak{tkhd 92 + mdia{minf{stbl{stsd 32}}}}})."""
     if doc_id % 2 == 0:
         sr = 8000 + (doc_id % 5) * 4000
         ch = 2 if doc_id % 4 == 0 else 1
@@ -506,8 +575,16 @@ def synth_av_payload(doc_id: int) -> tuple[str, bytes]:
         + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0, 0x40000000)
         + struct.pack(">II", w << 16, h << 16)
     )
-    trak = struct.pack(">I", 100) + b"trak" + tkhd
-    moov = struct.pack(">I", 216) + b"moov" + mvhd + trak
+    # r17: codec visibility — stsd with one minimal sample entry
+    fourcc = (b"avc1", b"hev1", b"mp4a", b"vp09")[(doc_id // 2) % 4]
+    entry = struct.pack(">I", 16) + fourcc + b"\x00" * 6 + struct.pack(">H", 1)
+    stsd = (struct.pack(">I", 32) + b"stsd" + b"\x00\x00\x00\x00"
+            + struct.pack(">I", 1) + entry)
+    stbl = struct.pack(">I", 40) + b"stbl" + stsd
+    minf = struct.pack(">I", 48) + b"minf" + stbl
+    mdia = struct.pack(">I", 56) + b"mdia" + minf
+    trak = struct.pack(">I", 156) + b"trak" + tkhd + mdia
+    moov = struct.pack(">I", 272) + b"moov" + mvhd + trak
     return "video/mp4", ftyp + moov
 
 

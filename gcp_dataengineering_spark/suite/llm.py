@@ -1095,11 +1095,16 @@ SELECT doc_id AS media_id,
        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image/png'
             WHEN 1 THEN 'image/jpeg' ELSE 'image/gif' END AS media_type,
        CAST(CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 33
-                 WHEN 1 THEN 41 ELSE 14 END + doc_id % 17 AS BIGINT) AS n_bytes,
+                 WHEN 1 THEN 41
+                 ELSE 13 + (CASE WHEN (doc_id // 3) % 3 + 1 > 1 THEN 19 ELSE 0 END)
+                      + 14 * ((doc_id // 3) % 3 + 1) + 1
+            END + doc_id % 17 AS BIGINT) AS n_bytes,
        CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'png'
             WHEN 1 THEN 'jpeg' ELSE 'gif' END AS format,
        CAST(doc_id % 300 + 16 AS INTEGER) AS width,
-       CAST((doc_id * 7) % 200 + 16 AS INTEGER) AS height
+       CAST((doc_id * 7) % 200 + 16 AS INTEGER) AS height,
+       CAST(CASE WHEN doc_id % 3 = 2 THEN (doc_id // 3) % 3 + 1 END AS INTEGER) AS n_frames,
+       CAST(CASE WHEN doc_id % 3 = 2 AND (doc_id // 3) % 3 + 1 > 1 THEN doc_id % 5 END AS INTEGER) AS loop_count
 FROM documents
 """
 
@@ -1784,7 +1789,7 @@ SELECT doc_id AS media_id,
        CASE WHEN doc_id % 2 = 0 THEN 'audio/wav' ELSE 'video/mp4' END AS media_type,
        CAST(CASE WHEN doc_id % 2 = 0
                  THEN 44 + (doc_id % 100 + 50) * (CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END) * 2
-                 ELSE 232 END AS BIGINT) AS n_bytes,
+                 ELSE 288 END AS BIGINT) AS n_bytes,
        CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp4' END AS format,
        CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 + (doc_id % 5) * 4000 END AS INTEGER) AS sample_rate,
        CAST(CASE WHEN doc_id % 2 = 0 THEN CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 1 END END AS INTEGER) AS channels,
@@ -1792,7 +1797,11 @@ SELECT doc_id AS media_id,
                  THEN (doc_id % 100 + 50) * 1000 // (8000 + (doc_id % 5) * 4000)
                  ELSE doc_id % 5000 + 100 END AS BIGINT) AS duration_ms,
        CAST(CASE WHEN doc_id % 2 = 1 THEN doc_id % 640 + 16 END AS INTEGER) AS width,
-       CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id * 3) % 480 + 16 END AS INTEGER) AS height
+       CAST(CASE WHEN doc_id % 2 = 1 THEN (doc_id * 3) % 480 + 16 END AS INTEGER) AS height,
+       CASE WHEN doc_id % 2 = 0 THEN 'pcm'
+            ELSE list_extract(['avc1', 'hev1', 'mp4a', 'vp09'],
+                              CAST((doc_id // 2) % 4 AS INTEGER) + 1)
+       END AS codec
 FROM documents
 """
 

@@ -661,6 +661,63 @@ def test_image_header_parser_real_formats(spark):
     assert len(out) == 30
     for i, r in out.items():
         assert r["width"] == i % 300 + 16 and r["height"] == (i * 7) % 200 + 16
+        # r17 animation visibility: closed-form frame count for gifs,
+        # NULL frames/loop for every other format
+        if i % 3 == 2:
+            nf = (i // 3) % 3 + 1
+            assert r["n_frames"] == nf
+            assert r["loop_count"] == (i % 5 if nf > 1 else None)
+        else:
+            assert r["n_frames"] is None and r["loop_count"] is None
+
+
+def test_gif_animation_info_walk_and_quarantine():
+    """r17 (verdict item 7): gif_animation_info counts frames through
+    real encoder output and hand-built animations, reads the NETSCAPE
+    loop extension (0 = forever kept as 0), skips local color tables
+    and frame data correctly, and quarantines truncation/garbage —
+    the first-frame pixel-decode contract untouched."""
+    import struct as _struct
+
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.gif import (
+        gif_animation_info,
+        gif_decode,
+        gif_encode,
+    )
+
+    pal = np.stack([np.arange(256)] * 3, axis=1).astype(np.uint8)
+    idx = np.tile(np.arange(6, dtype=np.uint8), (4, 1))
+    still = gif_encode(idx, pal)
+    assert gif_animation_info(still) == (1, None)
+
+    # hand-built 3-frame animation with a NETSCAPE loop of 2 and a
+    # per-frame LOCAL color table + graphics-control extensions
+    screen = _struct.pack("<HH", 6, 4) + b"\x00\x00\x00"
+    netscape = b"\x21\xff\x0bNETSCAPE2.0\x03\x01" + _struct.pack("<H", 2) + b"\x00"
+    gce = b"\x21\xf9\x04\x00\x0a\x00\x00\x00"  # graphics control per frame
+    lct = bytes(range(6)) * 1  # 2-entry local table (3 bytes * 2)
+    frame_local = (b"\x2c" + _struct.pack("<HHHH", 0, 0, 6, 4) + b"\x80"
+                   + lct + b"\x02" + b"\x01\x00" + b"\x00")
+    frame_plain = (b"\x2c" + _struct.pack("<HHHH", 0, 0, 6, 4) + b"\x00"
+                   + b"\x02" + b"\x01\x00" + b"\x00")
+    anim = (b"GIF89a" + screen + netscape
+            + gce + frame_plain + gce + frame_local + gce + frame_plain + b"\x3b")
+    assert gif_animation_info(anim) == (3, 2)
+    # loop 0 = forever is reported as 0, not None
+    anim0 = anim.replace(_struct.pack("<H", 2), _struct.pack("<H", 0), 1)
+    assert gif_animation_info(anim0) == (3, 0)
+
+    # quarantine: garbage, truncations anywhere, empty
+    assert gif_animation_info(b"not a gif") == (None, None)
+    assert gif_animation_info(None) == (None, None)
+    for cut in range(0, len(anim)):
+        nf, loop = gif_animation_info(anim[:cut])  # never raises
+        assert nf is None or nf <= 3
+    # pixel-decode contract unchanged: the real still decodes
+    dec = gif_decode(still)
+    assert dec is not None and (dec[0], dec[1]) == (6, 4)
 
 
 def test_repetition_features_flags_looping_text(spark):
@@ -960,26 +1017,44 @@ def test_av_header_parser_real_formats(spark):
 
     for i in [0, 1, 2, 3, 4, 16, 99, 4999, 5000, 12345]:
         mt, payload = synth_av_payload(i)
-        fmt, sr, ch, dur, w, h = parse_av_header(payload)
+        fmt, sr, ch, dur, w, h, codec = parse_av_header(payload)
         if i % 2 == 0:
             exp_sr = 8000 + (i % 5) * 4000
             assert mt == "audio/wav" and fmt == "wav"
             assert sr == exp_sr and ch == (2 if i % 4 == 0 else 1)
             assert dur == (i % 100 + 50) * 1000 // exp_sr
             assert (w, h) == (None, None)
+            assert codec == "pcm"
         else:
             assert mt == "video/mp4" and fmt == "mp4"
             assert (sr, ch) == (None, None)
             assert dur == i % 5000 + 100
             assert (w, h) == (i % 640 + 16, (i * 3) % 480 + 16)
+            assert codec == ("avc1", "hev1", "mp4a", "vp09")[(i // 2) % 4]
 
-    assert parse_av_header(None) == (None,) * 6
-    assert parse_av_header(b"") == (None,) * 6
-    assert parse_av_header(b"RIFFxxxxWAVE") == ("wav", None, None, None, None, None)
+    assert parse_av_header(None) == (None,) * 7
+    assert parse_av_header(b"") == (None,) * 7
+    assert parse_av_header(b"RIFFxxxxWAVE") == ("wav",) + (None,) * 6
     assert parse_av_header(b"\x00\x00\x00\x10ftypisom\x00\x00\x00\x00") == (
-        "mp4", None, None, None, None, None,
-    )
-    assert parse_av_header(b"random garbage bytes here") == (None,) * 6
+        "mp4",) + (None,) * 6
+    assert parse_av_header(b"random garbage bytes here") == (None,) * 7
+
+    # r17 stsd truncation fuzz: cutting the payload anywhere must
+    # never raise, and a torn moov degrades codec (with the other
+    # inner fields) to None rather than misreading bytes
+    _, full = synth_av_payload(7)
+    for cut in range(12, len(full)):
+        fmt, *_rest = parse_av_header(full[:cut])  # must not raise
+    fmt, sr, ch, dur, w, h, codec = parse_av_header(full[: len(full) - 20])
+    assert fmt == "mp4" and codec is None
+    # a well-formed moov whose stsd entry carries a non-ascii fourcc
+    # degrades codec alone (None), keeping the layout fields
+    bad = bytearray(full)
+    off = full.rfind(b"stsd") + 16  # [size][stsd][verflags][count][esize][4cc]
+    bad[off : off + 4] = b"\x00\x01\x02\x03"
+    fmt, sr, ch, dur, w, h, codec = parse_av_header(bytes(bad))
+    assert fmt == "mp4" and codec is None
+    assert (w, h) == (7 % 640 + 16, (7 * 3) % 480 + 16)
 
     ids = spark.range(0, 30).withColumnRenamed("id", "doc_id")
     out = {r["media_id"]: r for r in decode_av_headers(synth_av_corpus(ids)).collect()}
@@ -988,9 +1063,11 @@ def test_av_header_parser_real_formats(spark):
         if i % 2 == 0:
             assert r["sample_rate"] == 8000 + (i % 5) * 4000
             assert r["n_bytes"] == 44 + (i % 100 + 50) * (2 if i % 4 == 0 else 1) * 2
+            assert r["codec"] == "pcm"
         else:
             assert (r["width"], r["height"]) == (i % 640 + 16, (i * 3) % 480 + 16)
-            assert r["n_bytes"] == 232
+            assert r["n_bytes"] == 288
+            assert r["codec"] == ("avc1", "hev1", "mp4a", "vp09")[(i // 2) % 4]
 
 
 def test_gaussian_lsh_recall_bound(spark):
