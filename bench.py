@@ -153,6 +153,10 @@ HEADLINE = [
     # fingerprint inside one Arrow pass, then banding + CC — the
     # image_neardup cost class, audio flavor)
     "audio_neardup",
+    # round-17 wave 2: the published order-5 KN — four lag columns on
+    # one window + eight key-bucketed count/context SMJs (the
+    # n-gram-order scaling cost at its published depth)
+    "pentagram_perplexity_kn",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

@@ -1,0 +1,443 @@
+"""Generalized-order Kneser-Ney perplexity — CCNet's PUBLISHED
+configuration (Wenzek et al. 2020 filter: a 5-gram KenLM) at any
+order 2..5, fully SQL-replayable.
+
+This is the order-generalized form of llm_ops/ngram_lm.py's
+``smoothing="kn"`` (r17): the same quantized Ney discount
+(``_kn_discount``, D/256 — the int64-exactness argument in the
+KN_DDEN note), the same backoff-form escape weights, and TRUE
+continuation counts at every lower order — each level's table is
+derived from the TYPE table one order up, so the corpus is touched
+exactly once no matter the order:
+
+    cK   (w | u_1..u_{K-1})       raw K-gram counts
+    cc_k (w | u_{K-k+1}..u_{K-1}) = |{distinct next-higher context}|
+                                    for k = K-1 .. 2
+    base = continuation-unigram N1+(·,w) / N1pp over cc_2 types
+
+Escape chain (backoff form): with k* the highest order whose n-gram
+is a hit (0 = the continuation-unigram base),
+
+    lp = hit(k*) + Σ_{j > k*, context_j seen} esc_j
+    hit_K  = llog2(cK·256 − D_K)  − llog2(ctx_K·256)
+    hit_k  = llog2(cc_k·256 − D_k) − llog2(ccctx_k·256)   (k < K)
+    esc_j  = llog2(N1+_j·D_j)      − llog2(ctx_j·256)
+    base   = llog2(max(N1cw, 1))   − llog2(N1pp)
+
+(an unseen context contributes NO escape — identical to the pinned
+order-2/3 branch semantics, cross-validated exactly against
+ngram_lm's independent implementations in pytest).
+
+Every count table sits at n-gram-type altitude; the top-order count
+join is a key-bucketed SMJ (a 100 TB 5-gram vocabulary is not
+broadcastable — the ngram_lm rule one order up), low-order
+context/continuation tables broadcast; 2·(K−1)+1 bounded driver
+scalars (count-of-counts per order + the bigram type total).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from .materialize import MaterializeFn
+from .materialize import materialize as _materialize
+from .ngram_lm import (
+    BOS,
+    KN_DDEN,
+    UNK,
+    _kn_discount,
+    _KN_DNUM_SQL,
+    _tokens_py,
+    _word_rows,
+    _WS_SQL,
+)
+from .quality_model import FRAC_BITS, llog2, llog2_py, llog2_sql
+
+MAX_ORDER = 5
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    ref: DataFrame | None = None,
+    order: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    frac_bits: int = FRAC_BITS,
+    materialize: str | MaterializeFn | bool | None = None,
+) -> DataFrame:
+    """Order-``order`` Kneser-Ney perplexity: train on ``ref``
+    (default: self-scored) and score every doc —
+    (doc_id, n_trans, nll_fp, ppl_bits), the ngram_lm output shape.
+    ``order=5`` is the published CCNet configuration."""
+    if not 2 <= order <= MAX_ORDER:
+        raise ValueError(f"order must be 2..{MAX_ORDER}, got {order}")
+    scale = 1 << frac_bits
+    train_words = _word_rows(ref if ref is not None else docs, text_col, id_col)
+    score_words = train_words if ref is None else _word_rows(docs, text_col, id_col)
+
+    wc = _materialize(
+        train_words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")),
+        materialize,
+    )
+    vocab = wc.filter(F.col("cnt") >= min_count).select("word")
+
+    # context columns p1..p{order-1}: p1 = nearest previous token
+    pcols = [f"p{i}" for i in range(1, order)]
+
+    def _trans(words: DataFrame) -> DataFrame:
+        mapped = words.join(
+            F.broadcast(vocab.withColumnRenamed("word", "_v")),
+            F.col("word") == F.col("_v"),
+            "left",
+        ).select(
+            "doc_id",
+            "pos",
+            F.when(F.col("_v").isNotNull(), F.col("word"))
+            .otherwise(F.lit(UNK))
+            .alias("token"),
+        )
+        w = Window.partitionBy("doc_id").orderBy("pos")
+        cols = ["doc_id", "token"] + [
+            F.lag("token", i, BOS).over(w).alias(p)
+            for i, p in enumerate(pcols, start=1)
+        ]
+        return mapped.select(*cols)
+
+    trans_train = _trans(train_words)
+    if ref is None:
+        trans_train = _materialize(trans_train, materialize)
+        trans_score = trans_train
+    else:
+        trans_score = _trans(score_words)
+
+    # level k uses context columns p1..p{k-1}; top level K counts raw,
+    # lower levels count distinct next-higher contexts (continuation)
+    counts: dict[int, DataFrame] = {}
+    top = _materialize(
+        trans_train.groupBy(*pcols[: order - 1], "token").agg(
+            F.count(F.lit(1)).alias(f"c{order}")
+        ),
+        materialize,
+    )
+    counts[order] = top
+    for k in range(order - 1, 1, -1):
+        counts[k] = _materialize(
+            counts[k + 1]
+            .groupBy(*pcols[: k - 1], "token")
+            .agg(F.count(F.lit(1)).alias(f"c{k}")),
+            materialize,
+        )
+    ctxs: dict[int, DataFrame] = {
+        k: counts[k]
+        .groupBy(*pcols[: k - 1])
+        .agg(F.sum(f"c{k}").alias(f"ctx{k}"), F.count(F.lit(1)).alias(f"n1_{k}"))
+        for k in range(2, order + 1)
+    }
+    cont1 = counts[2].groupBy("token").agg(F.count(F.lit(1)).alias("n1cw"))
+
+    dn: dict[int, int] = {}
+    for k in range(2, order + 1):
+        d = counts[k].agg(
+            F.coalesce(F.sum((F.col(f"c{k}") == 1).cast("long")), F.lit(0)).alias("n1"),
+            F.coalesce(F.sum((F.col(f"c{k}") == 2).cast("long")), F.lit(0)).alias("n2"),
+        ).collect()[0]
+        dn[k] = _kn_discount(int(d["n1"]), int(d["n2"]))
+    n1pp = int(counts[2].count())
+    l_n1pp = llog2_py(max(n1pp, 1), frac_bits)
+
+    j = trans_score
+    j = j.join(counts[order], pcols[: order - 1] + ["token"], "left")
+    j = j.join(ctxs[order], pcols[: order - 1], "left")
+    for k in range(order - 1, 1, -1):
+        j = j.join(counts[k], pcols[: k - 1] + ["token"], "left")
+        ctx_df = ctxs[k]
+        if k <= 2:
+            ctx_df = F.broadcast(ctx_df)
+        j = j.join(ctx_df, pcols[: k - 1], "left")
+    j = j.join(F.broadcast(cont1), ["token"], "left")
+
+    base1 = (
+        llog2(F.greatest(F.coalesce(F.col("n1cw"), F.lit(0)), F.lit(1)), frac_bits)
+        - F.lit(l_n1pp)
+    )
+
+    def hit(k: int):
+        return llog2(F.col(f"c{k}") * KN_DDEN - F.lit(dn[k]), frac_bits) - llog2(
+            F.col(f"ctx{k}") * KN_DDEN, frac_bits
+        )
+
+    def esc_if_seen(k: int):
+        return F.when(
+            F.col(f"ctx{k}").isNotNull(),
+            llog2(F.col(f"n1_{k}") * F.lit(dn[k]), frac_bits)
+            - llog2(F.col(f"ctx{k}") * KN_DDEN, frac_bits),
+        ).otherwise(F.lit(0))
+
+    # lp = hit at the highest hitting order + escapes of every SEEN
+    # context above it; base when nothing hits
+    lp = None
+    esc_above = F.lit(0)
+    for k in range(order, 1, -1):
+        branch = F.when(F.col(f"c{k}").isNotNull(), esc_above + hit(k))
+        lp = branch if lp is None else lp.when(
+            F.col(f"c{k}").isNotNull(), esc_above + hit(k)
+        )
+        esc_above = esc_above + esc_if_seen(k)
+    lp = lp.otherwise(esc_above + base1)
+
+    scored = j.select("doc_id", lp.alias("lp"))
+    agg = scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trans"), (-F.sum("lp")).alias("nll_fp")
+    )
+    base = docs.select(F.col(id_col).alias("doc_id")).distinct()
+    return base.join(agg, ["doc_id"], "left").select(
+        "doc_id",
+        F.coalesce(F.col("n_trans"), F.lit(0)).cast("long").alias("n_trans"),
+        F.coalesce(F.col("nll_fp"), F.lit(0)).cast("long").alias("nll_fp"),
+        F.when(
+            F.col("n_trans") > 0,
+            F.round(F.col("nll_fp") / (F.col("n_trans") * F.lit(float(scale))), 4),
+        ).alias("ppl_bits"),
+    )
+
+
+# ---------------------------------------------------------------- python twin
+def kn_perplexity_py(
+    texts: dict[int, str],
+    order: int = 5,
+    min_count: int = 2,
+    frac_bits: int = FRAC_BITS,
+    ref_texts: dict[int, str] | None = None,
+) -> dict[int, tuple[int, int, float | None]]:
+    """Independent pure-python twin of :func:`kn_perplexity`
+    (shortest-repr half-up rounding, the r17 rule)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    if not 2 <= order <= MAX_ORDER:
+        raise ValueError(f"order must be 2..{MAX_ORDER}, got {order}")
+
+    def _r4(v: float) -> float:
+        return float(
+            Decimal(repr(v)).quantize(Decimal("0.0001"), rounding=ROUND_HALF_UP)
+        )
+
+    scale = 1 << frac_bits
+    toks = {d: _tokens_py(t) for d, t in texts.items()}
+    ref_toks = (
+        toks if ref_texts is None
+        else {d: _tokens_py(t) for d, t in ref_texts.items()}
+    )
+    wc: dict[str, int] = {}
+    for ws in ref_toks.values():
+        for w in ws:
+            wc[w] = wc.get(w, 0) + 1
+    vocab = {w for w, c in wc.items() if c >= min_count}
+
+    def m(w: str) -> str:
+        return w if w in vocab else UNK
+
+    # counts[k]: key = (context tuple p1..p{k-1} nearest-first, token)
+    counts: dict[int, dict] = {order: {}}
+    for ws in ref_toks.values():
+        hist = [BOS] * (order - 1)  # hist[0] = nearest previous
+        for w in ws:
+            t = m(w)
+            key = (tuple(hist), t)
+            counts[order][key] = counts[order].get(key, 0) + 1
+            hist = [t] + hist[: order - 2]
+    for k in range(order - 1, 1, -1):
+        nxt: dict = {}
+        for (ctx, t) in counts[k + 1]:
+            key = (ctx[: k - 1], t)
+            nxt[key] = nxt.get(key, 0) + 1
+        counts[k] = nxt
+    ctx_tot: dict[int, dict] = {}
+    n1_: dict[int, dict] = {}
+    for k in range(2, order + 1):
+        ct: dict = {}
+        n1: dict = {}
+        for (ctx, _t), c in counts[k].items():
+            ct[ctx] = ct.get(ctx, 0) + c
+            n1[ctx] = n1.get(ctx, 0) + 1
+        ctx_tot[k], n1_[k] = ct, n1
+    n1cw: dict[str, int] = {}
+    for (_ctx, t) in counts[2]:
+        n1cw[t] = n1cw.get(t, 0) + 1
+    dn = {}
+    for k in range(2, order + 1):
+        n1 = sum(1 for c in counts[k].values() if c == 1)
+        n2 = sum(1 for c in counts[k].values() if c == 2)
+        dn[k] = _kn_discount(n1, n2)
+    l_n1pp = llog2_py(max(len(counts[2]), 1), frac_bits)
+
+    def lp_fn(hist: list[str], t: str) -> int:
+        acc = 0
+        for k in range(order, 1, -1):
+            ctx = tuple(hist[: k - 1])
+            if (ctx, t) in counts[k]:
+                return acc + (
+                    llog2_py(counts[k][(ctx, t)] * KN_DDEN - dn[k], frac_bits)
+                    - llog2_py(ctx_tot[k][ctx] * KN_DDEN, frac_bits)
+                )
+            if ctx in ctx_tot[k]:
+                acc += llog2_py(n1_[k][ctx] * dn[k], frac_bits) - llog2_py(
+                    ctx_tot[k][ctx] * KN_DDEN, frac_bits
+                )
+        return acc + llog2_py(max(n1cw.get(t, 0), 1), frac_bits) - l_n1pp
+
+    out: dict[int, tuple[int, int, float | None]] = {}
+    for d, ws in toks.items():
+        nll = 0
+        n = 0
+        hist = [BOS] * (order - 1)
+        for w in ws:
+            t = m(w)
+            nll -= lp_fn(hist, t)
+            n += 1
+            hist = [t] + hist[: order - 2]
+        out[d] = (n, nll, _r4(nll / (n * float(scale))) if n else None)
+    return out
+
+
+# ---------------------------------------------------------------- SQL replay
+def kn_perplexity_sql(
+    order: int = 5,
+    min_count: int = 2,
+    frac_bits: int = FRAC_BITS,
+    table: str = "documents",
+    ref_filter: str | None = None,
+) -> str:
+    """DuckDB replay of :func:`kn_perplexity` at any order 2..5 —
+    generated CTE chain: K-1 lag windows, the K-gram type table, the
+    derived continuation/context/discount tables per order, and the
+    escape-accumulating CASE."""
+    if not 2 <= order <= MAX_ORDER:
+        raise ValueError(f"order must be 2..{MAX_ORDER}, got {order}")
+    scale = 1 << frac_bits
+    ref_where = f"WHERE {ref_filter}" if ref_filter else ""
+    pcols = [f"p{i}" for i in range(1, order)]
+
+    def trans_cte(src: str) -> str:
+        tok = f"CASE WHEN v.word IS NOT NULL THEN w.word ELSE '{UNK}' END"
+        lags = ",\n           ".join(
+            f"COALESCE(lag({tok}, {i}) OVER "
+            f"(PARTITION BY w.doc_id ORDER BY w.pos), '{BOS}') AS p{i}"
+            for i in range(1, order)
+        )
+        return (
+            f"\n    SELECT w.doc_id, w.pos, {tok} AS token,\n           {lags}"
+            f"\n    FROM {src} w LEFT JOIN vocab v ON w.word = v.word"
+        )
+
+    parts = [f"""
+WITH words_all AS (
+    SELECT t.doc_id, r.i + 1 AS pos, t.w[r.i + 1] AS word
+    FROM (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(lower(text), '{_WS_SQL}'), x -> x <> '') AS w
+        FROM {table}
+    ) t, unnest(range(len(t.w))) AS r(i)
+), ref_words AS (
+    SELECT * FROM words_all {ref_where}
+), wc AS (
+    SELECT word, COUNT(*) AS cnt FROM ref_words GROUP BY 1
+), vocab AS (
+    SELECT word FROM wc WHERE cnt >= {min_count}
+), rtrans AS ({trans_cte('ref_words')}
+), trans AS ({trans_cte('words_all')}
+), cnt{order} AS (
+    SELECT {', '.join(pcols[:order - 1])}, token, COUNT(*) AS c{order}
+    FROM rtrans GROUP BY {', '.join(str(i) for i in range(1, order + 1))}
+)"""]
+    for k in range(order - 1, 1, -1):
+        cols = pcols[: k - 1]
+        parts.append(f""", cnt{k} AS (
+    SELECT {', '.join(cols)}, token, COUNT(*) AS c{k}
+    FROM cnt{k + 1} GROUP BY {', '.join(str(i) for i in range(1, k + 1))}
+)""")
+    for k in range(2, order + 1):
+        cols = pcols[: k - 1]
+        parts.append(f""", ctx{k} AS (
+    SELECT {', '.join(cols)}, CAST(SUM(c{k}) AS BIGINT) AS ctx{k}, COUNT(*) AS n1_{k}
+    FROM cnt{k} GROUP BY {', '.join(str(i) for i in range(1, k))}
+)""")
+    parts.append(""", cont1 AS (
+    SELECT token, COUNT(*) AS n1cw FROM cnt2 GROUP BY 1
+)""")
+    for k in range(2, order + 1):
+        parts.append(f""", disc{k} AS (
+    SELECT COUNT(*) FILTER (WHERE c{k} = 1) AS n1,
+           COUNT(*) FILTER (WHERE c{k} = 2) AS n2
+    FROM cnt{k}
+)""")
+    dn_fields = ",\n           ".join(
+        f"(SELECT {_KN_DNUM_SQL} FROM disc{k}) AS dn{k}"
+        for k in range(2, order + 1)
+    )
+    parts.append(f""", dnum AS (
+    SELECT {dn_fields},
+           (SELECT GREATEST(COUNT(*), 1) FROM cnt2) AS n1pp
+)""")
+
+    # the scoring joins: alias b{k} for counts, x{k} for contexts
+    joins = []
+    for k in range(order, 1, -1):
+        on_b = " AND ".join(
+            [f"t.{c} = b{k}.{c}" for c in pcols[: k - 1]] + [f"t.token = b{k}.token"]
+        )
+        on_x = " AND ".join(f"t.{c} = x{k}.{c}" for c in pcols[: k - 1])
+        joins.append(f"    LEFT JOIN cnt{k} b{k} ON {on_b}")
+        joins.append(f"    LEFT JOIN ctx{k} x{k} ON {on_x}")
+    joins.append("    LEFT JOIN cont1 u1 ON t.token = u1.token")
+    joins.append("    CROSS JOIN dnum d")
+
+    base1 = (
+        f"({llog2_sql('GREATEST(COALESCE(u1.n1cw, 0), 1)', frac_bits)}"
+        f" - {llog2_sql('d.n1pp', frac_bits)})"
+    )
+
+    def hit(k: int) -> str:
+        return (
+            f"({llog2_sql(f'(b{k}.c{k} * {KN_DDEN} - d.dn{k})', frac_bits)}"
+            f" - {llog2_sql(f'(x{k}.ctx{k} * {KN_DDEN})', frac_bits)})"
+        )
+
+    def esc_if(k: int) -> str:
+        return (
+            f"(CASE WHEN x{k}.ctx{k} IS NOT NULL THEN "
+            f"{llog2_sql(f'(x{k}.n1_{k} * d.dn{k})', frac_bits)}"
+            f" - {llog2_sql(f'(x{k}.ctx{k} * {KN_DDEN})', frac_bits)}"
+            f" ELSE 0 END)"
+        )
+
+    branches = []
+    esc_above = "0"
+    for k in range(order, 1, -1):
+        branches.append(
+            f"WHEN b{k}.c{k} IS NOT NULL THEN ({esc_above}) + {hit(k)}"
+        )
+        esc_above = f"{esc_above} + {esc_if(k)}"
+    case = (
+        "CASE " + "\n                ".join(branches)
+        + f"\n                ELSE ({esc_above}) + {base1}\n           END"
+    )
+    parts.append(f""", scored AS (
+    SELECT t.doc_id,
+           {case} AS lp
+    FROM trans t
+{chr(10).join(joins)}
+), agg AS (
+    SELECT doc_id, COUNT(*) AS n_trans, -SUM(lp) AS nll_fp FROM scored GROUP BY 1
+)
+SELECT d2.doc_id,
+       CAST(COALESCE(a.n_trans, 0) AS BIGINT) AS n_trans,
+       CAST(COALESCE(a.nll_fp, 0) AS BIGINT) AS nll_fp,
+       CASE WHEN a.n_trans > 0
+            THEN ROUND(a.nll_fp / (a.n_trans * {float(scale)}), 4)
+       END AS ppl_bits
+FROM (SELECT DISTINCT doc_id FROM {table}) d2
+LEFT JOIN agg a ON d2.doc_id = a.doc_id
+""")
+    return "".join(parts)

@@ -25,6 +25,7 @@ from ..llm_ops import html as H
 from ..llm_ops import decontam as DC
 from ..llm_ops import dedup as D
 from ..llm_ops import multimodal as M
+from ..llm_ops import ngram_kn as NK
 from ..llm_ops import ngram_lm as NL
 from ..llm_ops import phash as PH
 from ..llm_ops import quality_model as QM
@@ -1432,6 +1433,22 @@ def q_ngram_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NL.bigram_perplexity(
         docs, ref=docs.filter(KN_REF_FILTER), smoothing="kn"
     )
+
+
+def q_pentagram_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's PUBLISHED configuration (r17 wave 2): order-5
+    Kneser-Ney via the generalized-order implementation
+    (llm_ops/ngram_kn.py) — four lag windows, the 5-gram type table,
+    TRUE continuation counts derived level-by-level down to the
+    continuation-unigram base, per-order quantized Ney discounts,
+    escape-accumulating backoff. Ref-split 80/20 like the other KN
+    pairs so the SQL replay (kn_perplexity_sql(order=5)) drives the
+    full escape chain, not just the top-order hit leg. The
+    implementation is cross-validated at orders 2/3 against the
+    independently-written ngram_lm KN forms (pytest).
+    PERMANENT_EXTERNAL."""
+    docs = _t(spark, sf_dir, "documents")
+    return NK.kn_perplexity(docs, ref=docs.filter(KN_REF_FILTER), order=5)
 
 
 def q_trigram_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3130,6 +3147,9 @@ QUERIES = {
     # escape branch scores real rows — also PERMANENT_EXTERNAL
     "ngram_perplexity_kn": q_ngram_perplexity_kn,
     "trigram_perplexity_kn": q_trigram_perplexity_kn,
+    # r17 wave 2: the published 5-gram KN order — also
+    # PERMANENT_EXTERNAL
+    "pentagram_perplexity_kn": q_pentagram_perplexity_kn,
     # r16: PCM WAV decode + audio quality stats — also
     # PERMANENT_EXTERNAL (same capacity terms)
     "audio_pcm": q_audio_pcm,
@@ -3217,6 +3237,12 @@ ORACLES = {
     ),
     "trigram_perplexity_kn": NL.trigram_perplexity_sql(
         smoothing="kn", ref_filter=KN_REF_FILTER
+    ),
+    # pentagram (r17 wave 2): the generated order-5 CTE chain — four
+    # lag windows, per-order continuation/context/discount tables,
+    # the escape-accumulating CASE
+    "pentagram_perplexity_kn": NK.kn_perplexity_sql(
+        order=5, ref_filter=KN_REF_FILTER
     ),
     # audio_pcm (r16): every stat recomputed from the closed-form
     # sample formula — exact-integer rms via a float-sqrt guess with

@@ -392,6 +392,15 @@ PERMANENT_EXTERNAL = [
     # invariance + exact repeat-upsample identity + no-cartesian
     # plan receipt are pytest-gated.
     "audio_neardup",
+    # r17 wave 2: CCNet's published order-5 KN configuration via the
+    # generalized-order implementation (llm_ops/ngram_kn.py) — four
+    # lag windows, continuation counts derived level-by-level from
+    # the 5-gram type table, per-order quantized discounts, the
+    # escape-accumulating backoff chain; ref-split 80/20; the SQL
+    # oracle is the GENERATED order-5 CTE chain. Cross-validated at
+    # orders 2/3 against the independent ngram_lm KN forms in
+    # pytest. Reason (b), same capacity terms.
+    "pentagram_perplexity_kn",
 ]
 
 
