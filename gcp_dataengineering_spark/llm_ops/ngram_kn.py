@@ -57,71 +57,41 @@ from .quality_model import FRAC_BITS, llog2, llog2_py, llog2_sql
 MAX_ORDER = 5
 
 
-def kn_perplexity(
-    docs: DataFrame,
-    ref: DataFrame | None = None,
-    order: int = 5,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    min_count: int = 2,
-    frac_bits: int = FRAC_BITS,
-    materialize: str | MaterializeFn | bool | None = None,
-) -> DataFrame:
-    """Order-``order`` Kneser-Ney perplexity: train on ``ref``
-    (default: self-scored) and score every doc —
-    (doc_id, n_trans, nll_fp, ppl_bits), the ngram_lm output shape.
-    ``order=5`` is the published CCNet configuration."""
-    if not 2 <= order <= MAX_ORDER:
-        raise ValueError(f"order must be 2..{MAX_ORDER}, got {order}")
-    scale = 1 << frac_bits
-    train_words = _word_rows(ref if ref is not None else docs, text_col, id_col)
-    score_words = train_words if ref is None else _word_rows(docs, text_col, id_col)
-
-    wc = _materialize(
-        train_words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")),
-        materialize,
+def _trans_of(words: DataFrame, vocab: DataFrame, pcols: list[str],
+              keep_doc: bool = True) -> DataFrame:
+    """(doc_id, token, p1..p{K-1}) — vocab-folded tokens with all
+    K−1 lag columns over ONE per-doc window."""
+    mapped = words.join(
+        F.broadcast(vocab.withColumnRenamed("word", "_v")),
+        F.col("word") == F.col("_v"),
+        "left",
+    ).select(
+        "doc_id",
+        "pos",
+        F.when(F.col("_v").isNotNull(), F.col("word"))
+        .otherwise(F.lit(UNK))
+        .alias("token"),
     )
-    vocab = wc.filter(F.col("cnt") >= min_count).select("word")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cols = (["doc_id"] if keep_doc else []) + ["token"] + [
+        F.lag("token", i, BOS).over(w).alias(p)
+        for i, p in enumerate(pcols, start=1)
+    ]
+    return mapped.select(*cols)
 
-    # context columns p1..p{order-1}: p1 = nearest previous token
+
+def _build_tables(trans_train: DataFrame, order: int, frac_bits: int,
+                  materialize) -> dict:
+    """All per-order count/context/continuation tables + discount
+    scalars from ONE pass over the training transitions."""
     pcols = [f"p{i}" for i in range(1, order)]
-
-    def _trans(words: DataFrame) -> DataFrame:
-        mapped = words.join(
-            F.broadcast(vocab.withColumnRenamed("word", "_v")),
-            F.col("word") == F.col("_v"),
-            "left",
-        ).select(
-            "doc_id",
-            "pos",
-            F.when(F.col("_v").isNotNull(), F.col("word"))
-            .otherwise(F.lit(UNK))
-            .alias("token"),
-        )
-        w = Window.partitionBy("doc_id").orderBy("pos")
-        cols = ["doc_id", "token"] + [
-            F.lag("token", i, BOS).over(w).alias(p)
-            for i, p in enumerate(pcols, start=1)
-        ]
-        return mapped.select(*cols)
-
-    trans_train = _trans(train_words)
-    if ref is None:
-        trans_train = _materialize(trans_train, materialize)
-        trans_score = trans_train
-    else:
-        trans_score = _trans(score_words)
-
-    # level k uses context columns p1..p{k-1}; top level K counts raw,
-    # lower levels count distinct next-higher contexts (continuation)
     counts: dict[int, DataFrame] = {}
-    top = _materialize(
+    counts[order] = _materialize(
         trans_train.groupBy(*pcols[: order - 1], "token").agg(
             F.count(F.lit(1)).alias(f"c{order}")
         ),
         materialize,
     )
-    counts[order] = top
     for k in range(order - 1, 1, -1):
         counts[k] = _materialize(
             counts[k + 1]
@@ -136,7 +106,6 @@ def kn_perplexity(
         for k in range(2, order + 1)
     }
     cont1 = counts[2].groupBy("token").agg(F.count(F.lit(1)).alias("n1cw"))
-
     dn: dict[int, int] = {}
     for k in range(2, order + 1):
         d = counts[k].agg(
@@ -145,8 +114,23 @@ def kn_perplexity(
         ).collect()[0]
         dn[k] = _kn_discount(int(d["n1"]), int(d["n2"]))
     n1pp = int(counts[2].count())
-    l_n1pp = llog2_py(max(n1pp, 1), frac_bits)
+    return {
+        "counts": counts,
+        "ctxs": ctxs,
+        "cont1": cont1,
+        "dn": dn,
+        "l_n1pp": llog2_py(max(n1pp, 1), frac_bits),
+    }
 
+
+def _score_trans(docs: DataFrame, trans_score: DataFrame, tables: dict,
+                 order: int, frac_bits: int, id_col: str) -> DataFrame:
+    """Join the scoring transitions against the model tables and
+    aggregate to the (doc_id, n_trans, nll_fp, ppl_bits) shape."""
+    pcols = [f"p{i}" for i in range(1, order)]
+    scale = 1 << frac_bits
+    counts, ctxs = tables["counts"], tables["ctxs"]
+    dn, l_n1pp = tables["dn"], tables["l_n1pp"]
     j = trans_score
     j = j.join(counts[order], pcols[: order - 1] + ["token"], "left")
     j = j.join(ctxs[order], pcols[: order - 1], "left")
@@ -156,7 +140,7 @@ def kn_perplexity(
         if k <= 2:
             ctx_df = F.broadcast(ctx_df)
         j = j.join(ctx_df, pcols[: k - 1], "left")
-    j = j.join(F.broadcast(cont1), ["token"], "left")
+    j = j.join(F.broadcast(tables["cont1"]), ["token"], "left")
 
     base1 = (
         llog2(F.greatest(F.coalesce(F.col("n1cw"), F.lit(0)), F.lit(1)), frac_bits)
@@ -175,15 +159,12 @@ def kn_perplexity(
             - llog2(F.col(f"ctx{k}") * KN_DDEN, frac_bits),
         ).otherwise(F.lit(0))
 
-    # lp = hit at the highest hitting order + escapes of every SEEN
-    # context above it; base when nothing hits
     lp = None
     esc_above = F.lit(0)
     for k in range(order, 1, -1):
-        branch = F.when(F.col(f"c{k}").isNotNull(), esc_above + hit(k))
-        lp = branch if lp is None else lp.when(
-            F.col(f"c{k}").isNotNull(), esc_above + hit(k)
-        )
+        cond = F.col(f"c{k}").isNotNull()
+        expr = esc_above + hit(k)
+        lp = F.when(cond, expr) if lp is None else lp.when(cond, expr)
         esc_above = esc_above + esc_if_seen(k)
     lp = lp.otherwise(esc_above + base1)
 
@@ -201,6 +182,110 @@ def kn_perplexity(
             F.round(F.col("nll_fp") / (F.col("n_trans") * F.lit(float(scale))), 4),
         ).alias("ppl_bits"),
     )
+
+
+def kn_perplexity(
+    docs: DataFrame,
+    ref: DataFrame | None = None,
+    order: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    frac_bits: int = FRAC_BITS,
+    materialize: str | MaterializeFn | bool | None = None,
+) -> DataFrame:
+    """Order-``order`` Kneser-Ney perplexity: train on ``ref``
+    (default: self-scored) and score every doc —
+    (doc_id, n_trans, nll_fp, ppl_bits), the ngram_lm output shape.
+    ``order=5`` is the published CCNet configuration."""
+    if not 2 <= order <= MAX_ORDER:
+        raise ValueError(f"order must be 2..{MAX_ORDER}, got {order}")
+    train_words = _word_rows(ref if ref is not None else docs, text_col, id_col)
+    score_words = train_words if ref is None else _word_rows(docs, text_col, id_col)
+
+    wc = _materialize(
+        train_words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")),
+        materialize,
+    )
+    vocab = wc.filter(F.col("cnt") >= min_count).select("word")
+    pcols = [f"p{i}" for i in range(1, order)]
+
+    trans_train = _trans_of(train_words, vocab, pcols)
+    if ref is None:
+        trans_train = _materialize(trans_train, materialize)
+        trans_score = trans_train
+    else:
+        trans_score = _trans_of(score_words, vocab, pcols)
+
+    tables = _build_tables(trans_train, order, frac_bits, materialize)
+    return _score_trans(docs, trans_score, tables, order, frac_bits, id_col)
+
+
+def kn_lm_fit(
+    ref: DataFrame,
+    order: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_count: int = 2,
+    frac_bits: int = FRAC_BITS,
+    materialize: str | MaterializeFn | bool | None = None,
+) -> dict:
+    """Fit-once form of :func:`kn_perplexity` at any order — the
+    deployable CCNet shape at the published depth. Returns a FLAT
+    model dict (``impl="kn_generic"``) compatible with
+    ngram_lm.lm_save / lm_load / lm_score dispatch, so a
+    foreachBatch consumer can persist an order-5 model and score
+    every micro-batch against it."""
+    if not 2 <= order <= MAX_ORDER:
+        raise ValueError(f"order must be 2..{MAX_ORDER}, got {order}")
+    words = _word_rows(ref, text_col, id_col)
+    wc = _materialize(
+        words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt")), materialize
+    )
+    vocab = wc.filter(F.col("cnt") >= min_count).select("word")
+    pcols = [f"p{i}" for i in range(1, order)]
+    tables = _build_tables(
+        _trans_of(words, vocab, pcols), order, frac_bits, materialize
+    )
+    model: dict = {
+        "impl": "kn_generic",
+        "order": order,
+        "smoothing": "kn",
+        "frac_bits": frac_bits,
+        "l_n1pp": tables["l_n1pp"],
+        "vocab": vocab,
+        "cont1": tables["cont1"],
+    }
+    for k in range(2, order + 1):
+        model[f"cnt{k}"] = tables["counts"][k]
+        model[f"ctx{k}"] = tables["ctxs"][k]
+        model[f"dn{k}"] = tables["dn"][k]
+    return model
+
+
+def kn_lm_score(
+    docs: DataFrame,
+    model: dict,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Score a corpus against a :func:`kn_lm_fit` model — pinned
+    EXACTLY equal to the one-shot ref-trained :func:`kn_perplexity`
+    by pytest."""
+    order = int(model["order"])
+    frac_bits = int(model["frac_bits"])
+    pcols = [f"p{i}" for i in range(1, order)]
+    tables = {
+        "counts": {k: model[f"cnt{k}"] for k in range(2, order + 1)},
+        "ctxs": {k: model[f"ctx{k}"] for k in range(2, order + 1)},
+        "cont1": model["cont1"],
+        "dn": {k: int(model[f"dn{k}"]) for k in range(2, order + 1)},
+        "l_n1pp": int(model["l_n1pp"]),
+    }
+    trans = _trans_of(
+        _word_rows(docs, text_col, id_col), model["vocab"], pcols
+    )
+    return _score_trans(docs, trans, tables, order, frac_bits, id_col)
 
 
 # ---------------------------------------------------------------- python twin

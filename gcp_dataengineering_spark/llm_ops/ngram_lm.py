@@ -1458,9 +1458,18 @@ def trigram_lm_score(
 
 # ---------------------------------------------------------------- model persistence
 def lm_score(docs: DataFrame, model: dict, **kw) -> DataFrame:
-    """Order-dispatching score: routes to :func:`bigram_lm_score` or
-    :func:`trigram_lm_score` by the model's ``order`` (models saved
-    before r17 lack the key and are bigram by construction)."""
+    """Order-dispatching score: routes to :func:`bigram_lm_score`,
+    :func:`trigram_lm_score`, or the generalized-order KN scorer
+    (``impl="kn_generic"`` — ngram_kn.kn_lm_fit models at any order
+    up to the published 5) by the model's recorded keys (models
+    saved before r17 lack them and are bigram by construction)."""
+    if model.get("impl") == "kn_generic":
+        from .ngram_kn import kn_lm_score
+
+        kw.pop("backoff_bits", None)
+        kw.pop("backoff_bits_bi", None)
+        kw.pop("backoff_bits_uni", None)
+        return kn_lm_score(docs, model, **kw)
     if model.get("order", 2) == 3:
         return trigram_lm_score(docs, model, **kw)
     return bigram_lm_score(docs, model, **kw)

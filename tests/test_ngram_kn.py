@@ -110,3 +110,40 @@ def test_kn_order5_ordering_and_rare_context(spark):
     rt = {k: v for k, v in dict(ref_rows).items()}
     exp = NK.kn_perplexity_py(probes, order=5, min_count=1, ref_texts=rt)
     assert {k: v[2] for k, v in exp.items()} == got
+
+
+def test_kn_generic_fit_score_and_persistence(spark, tmp_path):
+    """r17 wave 2: the generalized-order fit/score split — an
+    order-5 (and order-4) kn_lm_fit model scores EXACTLY like the
+    one-shot ref-trained kn_perplexity; the flat model survives an
+    lm_save/lm_load parquet round trip; and ngram_lm.lm_score
+    dispatches kn_generic models (the streaming gate's load path)."""
+    from gcp_dataengineering_spark.llm_ops.ngram_kn import (
+        kn_lm_fit,
+        kn_lm_score,
+        kn_perplexity,
+    )
+    from gcp_dataengineering_spark.llm_ops.ngram_lm import (
+        lm_load,
+        lm_save,
+        lm_score,
+    )
+
+    df = spark.createDataFrame(list(TEXTS.items()), "doc_id long, text string")
+    ref = df.filter("doc_id <= 8")
+
+    for o in (4, 5):
+        m = kn_lm_fit(ref, order=o)
+        assert _rows(kn_lm_score(df, m)) == _rows(
+            kn_perplexity(df, ref=ref, order=o)
+        ), o
+
+    m5 = kn_lm_fit(ref, order=5)
+    path = str(tmp_path / "kn5")
+    lm_save(m5, path)
+    reloaded = lm_load(spark, path)
+    assert reloaded["impl"] == "kn_generic" and reloaded["order"] == 5
+    exp = _rows(kn_perplexity(df, ref=ref, order=5))
+    assert _rows(kn_lm_score(df, reloaded)) == exp
+    # the dispatching entry point the streaming gate uses
+    assert _rows(lm_score(df, reloaded)) == exp
