@@ -157,6 +157,11 @@ HEADLINE = [
     # one window + eight key-bucketed count/context SMJs (the
     # n-gram-order scaling cost at its published depth)
     "pentagram_perplexity_kn",
+    # round-17 wave 3: count-threshold pruning at order 4 — the
+    # deployable-model shape; should price close to an unpruned
+    # order-4 run (the kept filter + two FILTER aggregates are the
+    # only additions)
+    "kn_pruned_perplexity",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

@@ -33,6 +33,26 @@ join is a key-bucketed SMJ (a 100 TB 5-gram vocabulary is not
 broadcastable — the ngram_lm rule one order up), low-order
 context/continuation tables broadcast; 2·(K−1)+1 bounded driver
 scalars (count-of-counts per order + the bigram type total).
+
+Count-threshold pruning (r17 wave 3 — KenLM's ``--prune``, the knob
+that makes a 5-gram model DEPLOYABLE at 100 TB: an unpruned 5-gram
+type table over a web crawl is itself crawl-sized; pruned at count
+≥2–3 it shrinks by the singleton mass, which Good-Turing says is
+most of it): ``prune={k: min_count_to_keep}``. KenLM order of
+operations is preserved — discounts, continuation counts and
+context totals all come from the FULL type tables ("adjusted counts
+before pruning"), then k-grams below the threshold are dropped from
+the HIT join only, and each context's escape weight absorbs the
+dropped probability mass EXACTLY:
+
+    esc_num_k(v) = (c(v) − Σ_kept c(v,w))·256 + n_kept(v)·D_k
+
+which degenerates to the unpruned ``N1+(v,·)·D_k`` when everything
+is kept (Σ_kept = c(v), n_kept = N1+), and to the full mass
+``c(v)·256`` (escape weight 1, log 0) when a context loses every
+continuation. Per-context mass conservation — Σ_kept(c·256 − D) +
+esc_num = c(v)·256 — holds as an integer identity at every order,
+pinned by a Fraction-arithmetic pytest.
 """
 
 from __future__ import annotations
@@ -55,6 +75,19 @@ from .ngram_lm import (
 from .quality_model import FRAC_BITS, llog2, llog2_py, llog2_sql
 
 MAX_ORDER = 5
+
+
+def _norm_prune(prune: dict[int, int] | None, order: int) -> dict[int, int]:
+    """{order: min count to KEEP} with 1 (keep everything) as the
+    default at every order; validates keys/values."""
+    out = {k: 1 for k in range(2, order + 1)}
+    for k, v in (prune or {}).items():
+        if k not in out:
+            raise ValueError(f"prune order {k} outside 2..{order}")
+        if int(v) < 1:
+            raise ValueError(f"prune[{k}] must be >= 1, got {v}")
+        out[k] = int(v)
+    return out
 
 
 def _trans_of(words: DataFrame, vocab: DataFrame, pcols: list[str],
@@ -81,9 +114,15 @@ def _trans_of(words: DataFrame, vocab: DataFrame, pcols: list[str],
 
 
 def _build_tables(trans_train: DataFrame, order: int, frac_bits: int,
-                  materialize) -> dict:
+                  materialize, prune: dict[int, int] | None = None) -> dict:
     """All per-order count/context/continuation tables + discount
-    scalars from ONE pass over the training transitions."""
+    scalars from ONE pass over the training transitions. With
+    ``prune``, discounts/continuations/context totals still come
+    from the FULL type tables (the KenLM order of operations); the
+    scoring-side ``kept`` tables are threshold-filtered and the
+    context tables gain the exact kept-mass columns the escape
+    weight renormalizes with (module docstring)."""
+    pr = _norm_prune(prune, order)
     pcols = [f"p{i}" for i in range(1, order)]
     counts: dict[int, DataFrame] = {}
     counts[order] = _materialize(
@@ -99,10 +138,23 @@ def _build_tables(trans_train: DataFrame, order: int, frac_bits: int,
             .agg(F.count(F.lit(1)).alias(f"c{k}")),
             materialize,
         )
-    ctxs: dict[int, DataFrame] = {
-        k: counts[k]
-        .groupBy(*pcols[: k - 1])
-        .agg(F.sum(f"c{k}").alias(f"ctx{k}"), F.count(F.lit(1)).alias(f"n1_{k}"))
+    ctxs: dict[int, DataFrame] = {}
+    for k in range(2, order + 1):
+        aggs = [
+            F.sum(f"c{k}").alias(f"ctx{k}"),
+            F.count(F.lit(1)).alias(f"n1_{k}"),
+        ]
+        if pr[k] > 1:
+            kept_cond = F.col(f"c{k}") >= pr[k]
+            aggs += [
+                F.sum(kept_cond.cast("long")).alias(f"kept{k}"),
+                F.coalesce(
+                    F.sum(F.when(kept_cond, F.col(f"c{k}"))), F.lit(0)
+                ).alias(f"keptc{k}"),
+            ]
+        ctxs[k] = counts[k].groupBy(*pcols[: k - 1]).agg(*aggs)
+    kept: dict[int, DataFrame] = {
+        k: (counts[k].filter(F.col(f"c{k}") >= pr[k]) if pr[k] > 1 else counts[k])
         for k in range(2, order + 1)
     }
     cont1 = counts[2].groupBy("token").agg(F.count(F.lit(1)).alias("n1cw"))
@@ -116,6 +168,8 @@ def _build_tables(trans_train: DataFrame, order: int, frac_bits: int,
     n1pp = int(counts[2].count())
     return {
         "counts": counts,
+        "kept": kept,
+        "prune": pr,
         "ctxs": ctxs,
         "cont1": cont1,
         "dn": dn,
@@ -129,13 +183,14 @@ def _score_trans(docs: DataFrame, trans_score: DataFrame, tables: dict,
     aggregate to the (doc_id, n_trans, nll_fp, ppl_bits) shape."""
     pcols = [f"p{i}" for i in range(1, order)]
     scale = 1 << frac_bits
-    counts, ctxs = tables["counts"], tables["ctxs"]
+    kept, ctxs = tables["kept"], tables["ctxs"]
+    pr = tables.get("prune") or {k: 1 for k in range(2, order + 1)}
     dn, l_n1pp = tables["dn"], tables["l_n1pp"]
     j = trans_score
-    j = j.join(counts[order], pcols[: order - 1] + ["token"], "left")
+    j = j.join(kept[order], pcols[: order - 1] + ["token"], "left")
     j = j.join(ctxs[order], pcols[: order - 1], "left")
     for k in range(order - 1, 1, -1):
-        j = j.join(counts[k], pcols[: k - 1] + ["token"], "left")
+        j = j.join(kept[k], pcols[: k - 1] + ["token"], "left")
         ctx_df = ctxs[k]
         if k <= 2:
             ctx_df = F.broadcast(ctx_df)
@@ -153,9 +208,15 @@ def _score_trans(docs: DataFrame, trans_score: DataFrame, tables: dict,
         )
 
     def esc_if_seen(k: int):
+        if pr[k] > 1:
+            num = (F.col(f"ctx{k}") - F.col(f"keptc{k}")) * KN_DDEN + F.col(
+                f"kept{k}"
+            ) * F.lit(dn[k])
+        else:
+            num = F.col(f"n1_{k}") * F.lit(dn[k])
         return F.when(
             F.col(f"ctx{k}").isNotNull(),
-            llog2(F.col(f"n1_{k}") * F.lit(dn[k]), frac_bits)
+            llog2(num, frac_bits)
             - llog2(F.col(f"ctx{k}") * KN_DDEN, frac_bits),
         ).otherwise(F.lit(0))
 
@@ -193,11 +254,14 @@ def kn_perplexity(
     min_count: int = 2,
     frac_bits: int = FRAC_BITS,
     materialize: str | MaterializeFn | bool | None = None,
+    prune: dict[int, int] | None = None,
 ) -> DataFrame:
     """Order-``order`` Kneser-Ney perplexity: train on ``ref``
     (default: self-scored) and score every doc —
     (doc_id, n_trans, nll_fp, ppl_bits), the ngram_lm output shape.
-    ``order=5`` is the published CCNet configuration."""
+    ``order=5`` is the published CCNet configuration; ``prune``
+    ({order: min count to keep}) is KenLM's count-threshold pruning
+    with exact escape-mass renormalization (module docstring)."""
     if not 2 <= order <= MAX_ORDER:
         raise ValueError(f"order must be 2..{MAX_ORDER}, got {order}")
     train_words = _word_rows(ref if ref is not None else docs, text_col, id_col)
@@ -217,7 +281,7 @@ def kn_perplexity(
     else:
         trans_score = _trans_of(score_words, vocab, pcols)
 
-    tables = _build_tables(trans_train, order, frac_bits, materialize)
+    tables = _build_tables(trans_train, order, frac_bits, materialize, prune)
     return _score_trans(docs, trans_score, tables, order, frac_bits, id_col)
 
 
@@ -229,13 +293,18 @@ def kn_lm_fit(
     min_count: int = 2,
     frac_bits: int = FRAC_BITS,
     materialize: str | MaterializeFn | bool | None = None,
+    prune: dict[int, int] | None = None,
 ) -> dict:
     """Fit-once form of :func:`kn_perplexity` at any order — the
     deployable CCNet shape at the published depth. Returns a FLAT
     model dict (``impl="kn_generic"``) compatible with
     ngram_lm.lm_save / lm_load / lm_score dispatch, so a
     foreachBatch consumer can persist an order-5 model and score
-    every micro-batch against it."""
+    every micro-batch against it. With ``prune`` the persisted
+    ``cnt{k}`` tables are the THRESHOLD-FILTERED ones — the whole
+    point of pruning: the model that ships (and broadcasts) drops
+    the singleton mass while the escape weights keep the
+    distribution exactly normalized."""
     if not 2 <= order <= MAX_ORDER:
         raise ValueError(f"order must be 2..{MAX_ORDER}, got {order}")
     words = _word_rows(ref, text_col, id_col)
@@ -245,7 +314,7 @@ def kn_lm_fit(
     vocab = wc.filter(F.col("cnt") >= min_count).select("word")
     pcols = [f"p{i}" for i in range(1, order)]
     tables = _build_tables(
-        _trans_of(words, vocab, pcols), order, frac_bits, materialize
+        _trans_of(words, vocab, pcols), order, frac_bits, materialize, prune
     )
     model: dict = {
         "impl": "kn_generic",
@@ -257,9 +326,10 @@ def kn_lm_fit(
         "cont1": tables["cont1"],
     }
     for k in range(2, order + 1):
-        model[f"cnt{k}"] = tables["counts"][k]
+        model[f"cnt{k}"] = tables["kept"][k]
         model[f"ctx{k}"] = tables["ctxs"][k]
         model[f"dn{k}"] = tables["dn"][k]
+        model[f"pr{k}"] = tables["prune"][k]
     return model
 
 
@@ -276,7 +346,12 @@ def kn_lm_score(
     frac_bits = int(model["frac_bits"])
     pcols = [f"p{i}" for i in range(1, order)]
     tables = {
-        "counts": {k: model[f"cnt{k}"] for k in range(2, order + 1)},
+        # cnt{k} is already threshold-filtered by kn_lm_fit; the
+        # pr{k} flags only select the escape-numerator form.
+        "kept": {k: model[f"cnt{k}"] for k in range(2, order + 1)},
+        "prune": {
+            k: int(model.get(f"pr{k}", 1)) for k in range(2, order + 1)
+        },
         "ctxs": {k: model[f"ctx{k}"] for k in range(2, order + 1)},
         "cont1": model["cont1"],
         "dn": {k: int(model[f"dn{k}"]) for k in range(2, order + 1)},
@@ -295,6 +370,7 @@ def kn_perplexity_py(
     min_count: int = 2,
     frac_bits: int = FRAC_BITS,
     ref_texts: dict[int, str] | None = None,
+    prune: dict[int, int] | None = None,
 ) -> dict[int, tuple[int, int, float | None]]:
     """Independent pure-python twin of :func:`kn_perplexity`
     (shortest-repr half-up rounding, the r17 rule)."""
@@ -302,6 +378,7 @@ def kn_perplexity_py(
 
     if not 2 <= order <= MAX_ORDER:
         raise ValueError(f"order must be 2..{MAX_ORDER}, got {order}")
+    pr = _norm_prune(prune, order)
 
     def _r4(v: float) -> float:
         return float(
@@ -340,13 +417,21 @@ def kn_perplexity_py(
         counts[k] = nxt
     ctx_tot: dict[int, dict] = {}
     n1_: dict[int, dict] = {}
+    kept_n: dict[int, dict] = {}
+    kept_c: dict[int, dict] = {}
     for k in range(2, order + 1):
         ct: dict = {}
         n1: dict = {}
+        kn: dict = {}
+        kc: dict = {}
         for (ctx, _t), c in counts[k].items():
             ct[ctx] = ct.get(ctx, 0) + c
             n1[ctx] = n1.get(ctx, 0) + 1
+            if c >= pr[k]:
+                kn[ctx] = kn.get(ctx, 0) + 1
+                kc[ctx] = kc.get(ctx, 0) + c
         ctx_tot[k], n1_[k] = ct, n1
+        kept_n[k], kept_c[k] = kn, kc
     n1cw: dict[str, int] = {}
     for (_ctx, t) in counts[2]:
         n1cw[t] = n1cw.get(t, 0) + 1
@@ -361,13 +446,20 @@ def kn_perplexity_py(
         acc = 0
         for k in range(order, 1, -1):
             ctx = tuple(hist[: k - 1])
-            if (ctx, t) in counts[k]:
+            c = counts[k].get((ctx, t))
+            if c is not None and c >= pr[k]:
                 return acc + (
-                    llog2_py(counts[k][(ctx, t)] * KN_DDEN - dn[k], frac_bits)
+                    llog2_py(c * KN_DDEN - dn[k], frac_bits)
                     - llog2_py(ctx_tot[k][ctx] * KN_DDEN, frac_bits)
                 )
             if ctx in ctx_tot[k]:
-                acc += llog2_py(n1_[k][ctx] * dn[k], frac_bits) - llog2_py(
+                if pr[k] > 1:
+                    esc_num = (
+                        ctx_tot[k][ctx] - kept_c[k].get(ctx, 0)
+                    ) * KN_DDEN + kept_n[k].get(ctx, 0) * dn[k]
+                else:
+                    esc_num = n1_[k][ctx] * dn[k]
+                acc += llog2_py(esc_num, frac_bits) - llog2_py(
                     ctx_tot[k][ctx] * KN_DDEN, frac_bits
                 )
         return acc + llog2_py(max(n1cw.get(t, 0), 1), frac_bits) - l_n1pp
@@ -393,13 +485,17 @@ def kn_perplexity_sql(
     frac_bits: int = FRAC_BITS,
     table: str = "documents",
     ref_filter: str | None = None,
+    prune: dict[int, int] | None = None,
 ) -> str:
     """DuckDB replay of :func:`kn_perplexity` at any order 2..5 —
     generated CTE chain: K-1 lag windows, the K-gram type table, the
     derived continuation/context/discount tables per order, and the
-    escape-accumulating CASE."""
+    escape-accumulating CASE. With ``prune`` the hit joins read the
+    threshold-filtered kcnt{k} CTEs and the escape numerator is the
+    exact kept-mass renormalization (module docstring)."""
     if not 2 <= order <= MAX_ORDER:
         raise ValueError(f"order must be 2..{MAX_ORDER}, got {order}")
+    pr = _norm_prune(prune, order)
     scale = 1 << frac_bits
     ref_where = f"WHERE {ref_filter}" if ref_filter else ""
     pcols = [f"p{i}" for i in range(1, order)]
@@ -444,9 +540,21 @@ WITH words_all AS (
 )""")
     for k in range(2, order + 1):
         cols = pcols[: k - 1]
+        kept_cols = ""
+        if pr[k] > 1:
+            kept_cols = (
+                f",\n           COUNT(*) FILTER (WHERE c{k} >= {pr[k]}) AS kept{k},"
+                f"\n           CAST(COALESCE(SUM(c{k}) FILTER (WHERE c{k} >= {pr[k]}), 0)"
+                f" AS BIGINT) AS keptc{k}"
+            )
         parts.append(f""", ctx{k} AS (
-    SELECT {', '.join(cols)}, CAST(SUM(c{k}) AS BIGINT) AS ctx{k}, COUNT(*) AS n1_{k}
+    SELECT {', '.join(cols)}, CAST(SUM(c{k}) AS BIGINT) AS ctx{k}, COUNT(*) AS n1_{k}{kept_cols}
     FROM cnt{k} GROUP BY {', '.join(str(i) for i in range(1, k))}
+)""")
+    for k in range(2, order + 1):
+        if pr[k] > 1:
+            parts.append(f""", kcnt{k} AS (
+    SELECT * FROM cnt{k} WHERE c{k} >= {pr[k]}
 )""")
     parts.append(""", cont1 AS (
     SELECT token, COUNT(*) AS n1cw FROM cnt2 GROUP BY 1
@@ -473,7 +581,8 @@ WITH words_all AS (
             [f"t.{c} = b{k}.{c}" for c in pcols[: k - 1]] + [f"t.token = b{k}.token"]
         )
         on_x = " AND ".join(f"t.{c} = x{k}.{c}" for c in pcols[: k - 1])
-        joins.append(f"    LEFT JOIN cnt{k} b{k} ON {on_b}")
+        hit_src = f"kcnt{k}" if pr[k] > 1 else f"cnt{k}"
+        joins.append(f"    LEFT JOIN {hit_src} b{k} ON {on_b}")
         joins.append(f"    LEFT JOIN ctx{k} x{k} ON {on_x}")
     joins.append("    LEFT JOIN cont1 u1 ON t.token = u1.token")
     joins.append("    CROSS JOIN dnum d")
@@ -490,9 +599,16 @@ WITH words_all AS (
         )
 
     def esc_if(k: int) -> str:
+        if pr[k] > 1:
+            num = (
+                f"((x{k}.ctx{k} - x{k}.keptc{k}) * {KN_DDEN}"
+                f" + x{k}.kept{k} * d.dn{k})"
+            )
+        else:
+            num = f"(x{k}.n1_{k} * d.dn{k})"
         return (
             f"(CASE WHEN x{k}.ctx{k} IS NOT NULL THEN "
-            f"{llog2_sql(f'(x{k}.n1_{k} * d.dn{k})', frac_bits)}"
+            f"{llog2_sql(num, frac_bits)}"
             f" - {llog2_sql(f'(x{k}.ctx{k} * {KN_DDEN})', frac_bits)}"
             f" ELSE 0 END)"
         )

@@ -220,7 +220,11 @@ class PipelineConfig:
     # n-gram order of the LM: 2 (bigram, the oracle-keyed default)
     # or 3 (trigram — one order closer to CCNet's 5-gram; the
     # tri→bi→uni escape chain uses perplexity_backoff_bits for the
-    # first escape and 2× it for the second)
+    # first escape and 2× it for the second). Orders 4 and 5 (the
+    # published CCNet depth) route through the generalized-order KN
+    # (ngram_kn.kn_perplexity) and require
+    # perplexity_smoothing="kn" — there is no laplace-escape form at
+    # those depths.
     perplexity_order: int = 2
     # smoothing family (r17): "laplace" (fixed-escape Laplace-unigram
     # backoff, the oracle-keyed default) or "kn" (absolute-discount
@@ -228,6 +232,11 @@ class PipelineConfig:
     # uses; changes which borderline docs the gate keeps, notably
     # novel-but-fluent word combinations)
     perplexity_smoothing: str = "laplace"
+    # KenLM-style count-threshold pruning for orders 4/5 (r17 wave
+    # 3): {order: min count to keep}. Shrinks the model tables by
+    # the singleton mass with exact escape renormalization — at
+    # 100 TB an unpruned 5-gram type table is itself crawl-sized.
+    perplexity_prune: dict | None = None
     # re-derive the language column with the r12 two-stage lang_id
     # (script router + 20-language stopword vote) instead of
     # trusting the input's lang column: crawl metadata lies, and the
@@ -422,13 +431,35 @@ def build_training_corpus(
             trigram_perplexity,
         )
 
-        if cfg.perplexity_order not in (2, 3):
+        if cfg.perplexity_order not in (2, 3, 4, 5):
             raise ValueError(
-                f"perplexity_order must be 2 or 3, got {cfg.perplexity_order}"
+                f"perplexity_order must be 2..5, got {cfg.perplexity_order}"
+            )
+        if cfg.perplexity_order in (4, 5) and cfg.perplexity_smoothing != "kn":
+            raise ValueError(
+                "perplexity_order 4/5 requires perplexity_smoothing='kn' "
+                "(the generalized-order LM has no laplace-escape form)"
+            )
+        if cfg.perplexity_prune and cfg.perplexity_order not in (4, 5):
+            raise ValueError(
+                "perplexity_prune requires the generalized-order LM "
+                "(perplexity_order 4 or 5)"
             )
         if materialize is not False and cfg.perplexity_ref is None:
             reputable = _materialize(reputable, materialize)
-        if cfg.perplexity_order == 3:
+        if cfg.perplexity_order in (4, 5):
+            from .ngram_kn import kn_perplexity
+
+            perplexity_scores = kn_perplexity(
+                reputable,
+                ref=cfg.perplexity_ref,
+                order=cfg.perplexity_order,
+                text_col=text_col,
+                id_col=id_col,
+                min_count=cfg.perplexity_min_count,
+                prune=cfg.perplexity_prune,
+            )
+        elif cfg.perplexity_order == 3:
             perplexity_scores = trigram_perplexity(
                 reputable,
                 ref=cfg.perplexity_ref,

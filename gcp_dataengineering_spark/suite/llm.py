@@ -1451,6 +1451,32 @@ def q_pentagram_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return NK.kn_perplexity(docs, ref=docs.filter(KN_REF_FILTER), order=5)
 
 
+# KenLM-style count-threshold pruning (r17 wave 3): orders 3 and 4
+# keep only n-grams with count >= 2 — the knob that makes a
+# high-order model DEPLOYABLE at 100 TB (the singleton mass IS most
+# of a crawl's type table). Order 4 so the pair exercises the
+# generalized implementation at an order neither specialized form
+# covers, with BOTH new branch families live: pruned-hit -> escape
+# and all-continuations-pruned contexts (escape weight 1).
+KN_PRUNE = {3: 2, 4: 2}
+
+
+def q_kn_pruned_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-4 Kneser-Ney with KenLM count-threshold pruning (r17
+    wave 3): discounts/continuation counts/context totals from the
+    FULL type tables (the KenLM order of operations), hits joined
+    against the threshold-filtered tables, and each context's escape
+    weight absorbing the dropped mass EXACTLY —
+    esc_num = (ctx - sum_kept)*256 + n_kept*D, an integer identity
+    pinned by a Fraction pytest. Ref-split 80/20 like the other KN
+    pairs; the SQL replay regenerates the kcnt CTEs and the
+    renormalized escape numerator. PERMANENT_EXTERNAL."""
+    docs = _t(spark, sf_dir, "documents")
+    return NK.kn_perplexity(
+        docs, ref=docs.filter(KN_REF_FILTER), order=4, prune=KN_PRUNE
+    )
+
+
 def q_trigram_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL Kneser-Ney at trigram order (r17): absolute discount per
     order with CONTINUATION counts at the middle and base orders
@@ -3150,6 +3176,9 @@ QUERIES = {
     # r17 wave 2: the published 5-gram KN order — also
     # PERMANENT_EXTERNAL
     "pentagram_perplexity_kn": q_pentagram_perplexity_kn,
+    # r17 wave 3: KenLM count-threshold pruning with exact
+    # escape-mass renormalization — also PERMANENT_EXTERNAL
+    "kn_pruned_perplexity": q_kn_pruned_perplexity,
     # r16: PCM WAV decode + audio quality stats — also
     # PERMANENT_EXTERNAL (same capacity terms)
     "audio_pcm": q_audio_pcm,
@@ -3243,6 +3272,12 @@ ORACLES = {
     # the escape-accumulating CASE
     "pentagram_perplexity_kn": NK.kn_perplexity_sql(
         order=5, ref_filter=KN_REF_FILTER
+    ),
+    # kn_pruned (r17 wave 3): the order-4 chain with the kcnt{k}
+    # threshold CTEs and the renormalized escape numerator
+    # (ctx - keptc)*256 + kept*D recomputed per context
+    "kn_pruned_perplexity": NK.kn_perplexity_sql(
+        order=4, ref_filter=KN_REF_FILTER, prune=KN_PRUNE
     ),
     # audio_pcm (r16): every stat recomputed from the closed-form
     # sample formula — exact-integer rms via a float-sqrt guess with

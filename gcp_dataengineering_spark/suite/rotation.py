@@ -401,6 +401,14 @@ PERMANENT_EXTERNAL = [
     # orders 2/3 against the independent ngram_lm KN forms in
     # pytest. Reason (b), same capacity terms.
     "pentagram_perplexity_kn",
+    # r17 wave 3: KenLM count-threshold pruning for the generalized
+    # KN (order 4, prune {3: 2, 4: 2}) — discounts/continuations
+    # from the FULL type tables, hits against the threshold-filtered
+    # ones, escape weights absorbing the dropped mass exactly (the
+    # integer identity is Fraction-pinned in pytest). The knob that
+    # makes a high-order model broadcastable at 100 TB. Reason (b),
+    # same capacity terms.
+    "kn_pruned_perplexity",
 ]
 
 

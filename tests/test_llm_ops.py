@@ -5541,10 +5541,44 @@ def test_trigram_perplexity_and_fit_score(spark):
     )
     assert "perplexity" in stages
     assert stages["perplexity"].count() == 6
+    # order 5 without KN smoothing is rejected (no laplace form at
+    # that depth); order 6 is out of range; pruning needs orders 4/5
     with _pytest.raises(ValueError, match="perplexity_order"):
         build_training_corpus(
             docs, config=PipelineConfig(perplexity_max_bits=1.0, perplexity_order=5)
         )
+    with _pytest.raises(ValueError, match="perplexity_order"):
+        build_training_corpus(
+            docs, config=PipelineConfig(perplexity_max_bits=1.0, perplexity_order=6,
+                                        perplexity_smoothing="kn")
+        )
+    with _pytest.raises(ValueError, match="perplexity_prune"):
+        build_training_corpus(
+            docs, config=PipelineConfig(perplexity_max_bits=1.0, perplexity_order=3,
+                                        perplexity_prune={3: 2})
+        )
+
+    # r17 wave 3: orders 4/5 route through the generalized KN, with
+    # KenLM count-threshold pruning available — the published CCNet
+    # depth inside the composed build
+    from gcp_dataengineering_spark.llm_ops.ngram_kn import kn_perplexity
+
+    stages5 = build_training_corpus(
+        docs,
+        config=PipelineConfig(
+            perplexity_max_bits=50.0, perplexity_ref=ref, perplexity_order=5,
+            perplexity_smoothing="kn", perplexity_prune={4: 2, 5: 2},
+            shard_budget_tokens=500, minhash_hashes=16, lsh_bands=4,
+        ),
+    )
+    got5 = {r["doc_id"]: tuple(r) for r in stages5["perplexity"].collect()}
+    exp5 = {
+        r["doc_id"]: tuple(r)
+        for r in kn_perplexity(
+            docs, ref=ref, order=5, prune={4: 2, 5: 2}
+        ).collect()
+    }
+    assert got5 == exp5
 
 
 def test_vp8l_simple_code_one_bit_first_symbol():

@@ -147,3 +147,162 @@ def test_kn_generic_fit_score_and_persistence(spark, tmp_path):
     assert _rows(kn_lm_score(df, reloaded)) == exp
     # the dispatching entry point the streaming gate uses
     assert _rows(lm_score(df, reloaded)) == exp
+
+def test_kn_prune_three_engine_parity_and_guards(spark):
+    """r17 wave 3 — KenLM-style count-threshold pruning: at order 4
+    with prune {3: 2, 4: 2} (ref-split so unseen branches score real
+    rows) Spark == twin == DuckDB exactly; prune={} is a no-op; the
+    guards reject out-of-range orders and thresholds < 1."""
+    df = spark.createDataFrame(list(TEXTS.items()), "doc_id long, text string")
+    ref = df.filter("doc_id <= 8")
+    rt = {k: v for k, v in TEXTS.items() if k <= 8}
+    con = duckdb.connect()
+    con.register(
+        "documents",
+        pd.DataFrame({"doc_id": list(TEXTS), "text": list(TEXTS.values())}),
+    )
+    prune = {3: 2, 4: 2}
+    exp = NK.kn_perplexity_py(TEXTS, order=4, ref_texts=rt, prune=prune)
+    got = _rows(NK.kn_perplexity(df, ref=ref, order=4, prune=prune))
+    assert got == exp
+    duck = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            NK.kn_perplexity_sql(order=4, ref_filter="doc_id <= 8", prune=prune)
+        ).fetchall()
+    }
+    assert duck == exp
+    # pruning actually changed something (the thresholds bite)
+    assert exp != NK.kn_perplexity_py(TEXTS, order=4, ref_texts=rt)
+    # and a no-op prune is bit-identical to the default
+    assert NK.kn_perplexity_py(TEXTS, order=4, ref_texts=rt, prune={}) == \
+        NK.kn_perplexity_py(TEXTS, order=4, ref_texts=rt)
+
+    # order-2 pruning drives the all-continuations-pruned branch
+    # (escape weight 1, log 0): singleton-only contexts exist in the
+    # ref split, so some context keeps NOTHING at prune {2: 2}
+    p2 = {2: 2}
+    exp2 = NK.kn_perplexity_py(TEXTS, order=2, ref_texts=rt, prune=p2)
+    assert _rows(NK.kn_perplexity(df, ref=ref, order=2, prune=p2)) == exp2
+    duck2 = {
+        r[0]: (r[1], r[2], r[3])
+        for r in con.execute(
+            NK.kn_perplexity_sql(order=2, ref_filter="doc_id <= 8", prune=p2)
+        ).fetchall()
+    }
+    assert duck2 == exp2
+
+    with pytest.raises(ValueError, match="prune order"):
+        NK.kn_perplexity_py(TEXTS, order=3, prune={4: 2})
+    with pytest.raises(ValueError, match="prune\\[3\\]"):
+        NK.kn_perplexity_py(TEXTS, order=3, prune={3: 0})
+    with pytest.raises(ValueError, match="prune order"):
+        NK.kn_perplexity_sql(order=2, prune={1: 2})
+
+
+def test_kn_prune_mass_conservation_exact():
+    """The pruned escape numerator is an EXACT renormalization: for
+    every seen context at every order, Sum_kept(c*256 - D) + esc_num
+    == ctx_total*256 as an integer identity (Fraction arithmetic —
+    the per-context distribution still sums to 1), and it degenerates
+    to n1*D when nothing is pruned. Also proves the planted fixture
+    drives both special branches (a context with everything kept and
+    a context with nothing kept)."""
+    from fractions import Fraction
+
+    from gcp_dataengineering_spark.llm_ops.ngram_lm import (
+        BOS,
+        KN_DDEN,
+        UNK,
+        _kn_discount,
+        _tokens_py,
+    )
+
+    rt = {k: v for k, v in TEXTS.items() if k <= 8}
+    order, prune = 3, {2: 2, 3: 2}
+    # independent re-derivation of the count tables
+    wc = {}
+    toks = {d: _tokens_py(t) for d, t in rt.items()}
+    for ws in toks.values():
+        for w in ws:
+            wc[w] = wc.get(w, 0) + 1
+    vocab = {w for w, c in wc.items() if c >= 2}
+    counts = {order: {}}
+    for ws in toks.values():
+        hist = [BOS] * (order - 1)
+        for w in ws:
+            t = w if w in vocab else UNK
+            key = (tuple(hist), t)
+            counts[order][key] = counts[order].get(key, 0) + 1
+            hist = [t] + hist[: order - 2]
+    for k in range(order - 1, 1, -1):
+        nxt = {}
+        for (ctx, t) in counts[k + 1]:
+            nxt[(ctx[: k - 1], t)] = nxt.get((ctx[: k - 1], t), 0) + 1
+        counts[k] = nxt
+
+    saw_all_kept = saw_none_kept = False
+    for k in (2, 3):
+        n1 = sum(1 for c in counts[k].values() if c == 1)
+        n2 = sum(1 for c in counts[k].values() if c == 2)
+        D = _kn_discount(n1, n2)
+        by_ctx = {}
+        for (ctx, _t), c in counts[k].items():
+            by_ctx.setdefault(ctx, []).append(c)
+        for ctx, cs in by_ctx.items():
+            tot = sum(cs)
+            kept = [c for c in cs if c >= prune[k]]
+            esc_num = (tot - sum(kept)) * KN_DDEN + len(kept) * D
+            hit_mass = sum(c * KN_DDEN - D for c in kept)
+            assert hit_mass + esc_num == tot * KN_DDEN, (k, ctx)
+            # the probability mass literally sums to 1
+            assert (
+                sum(Fraction(c * KN_DDEN - D, tot * KN_DDEN) for c in kept)
+                + Fraction(esc_num, tot * KN_DDEN)
+                == 1
+            )
+            if len(kept) == len(cs):
+                saw_all_kept = True
+                assert esc_num == len(cs) * D  # degenerates to n1*D
+            if not kept:
+                saw_none_kept = True
+                assert esc_num == tot * KN_DDEN  # escape weight 1
+    assert saw_all_kept and saw_none_kept
+
+
+def test_kn_prune_fit_model_smaller_and_exact(spark, tmp_path):
+    """The deployable win: kn_lm_fit(prune=...) persists THRESHOLD-
+    FILTERED count tables (strictly fewer rows at every pruned
+    order), scores EXACTLY like the one-shot pruned kn_perplexity,
+    and the pr{k} flags survive the lm_save/lm_load parquet round
+    trip (ngram_lm.lm_score dispatch included)."""
+    from gcp_dataengineering_spark.llm_ops.ngram_kn import (
+        kn_lm_fit,
+        kn_lm_score,
+        kn_perplexity,
+    )
+    from gcp_dataengineering_spark.llm_ops.ngram_lm import (
+        lm_load,
+        lm_save,
+        lm_score,
+    )
+
+    df = spark.createDataFrame(list(TEXTS.items()), "doc_id long, text string")
+    ref = df.filter("doc_id <= 8")
+    prune = {3: 2, 4: 2}
+    m_full = kn_lm_fit(ref, order=4)
+    m_pr = kn_lm_fit(ref, order=4, prune=prune)
+    for k in (3, 4):
+        assert m_pr[f"cnt{k}"].count() < m_full[f"cnt{k}"].count(), k
+        assert m_pr[f"pr{k}"] == 2
+    assert m_pr["pr2"] == 1
+
+    exp = _rows(kn_perplexity(df, ref=ref, order=4, prune=prune))
+    assert _rows(kn_lm_score(df, m_pr)) == exp
+
+    path = str(tmp_path / "kn4p")
+    lm_save(m_pr, path)
+    reloaded = lm_load(spark, path)
+    assert reloaded["pr4"] == 2 and reloaded["pr2"] == 1
+    assert _rows(kn_lm_score(df, reloaded)) == exp
+    assert _rows(lm_score(df, reloaded)) == exp
