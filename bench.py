@@ -162,6 +162,10 @@ HEADLINE = [
     # order-4 run (the kept filter + two FILTER aggregates are the
     # only additions)
     "kn_pruned_perplexity",
+    # round-17 wave 3: the head/middle/tail split — the bigram-score
+    # plan plus one distinct-key agg, a key-table window and a
+    # broadcast join-back (the consuming step of the CCNet recipe)
+    "perplexity_buckets",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

@@ -313,6 +313,102 @@ def perplexity_gate(max_bits: float, ppl_col: str = "ppl_bits") -> Column:
     return F.col(ppl_col).isNotNull() & (F.col(ppl_col) <= F.lit(max_bits))
 
 
+def perplexity_buckets(
+    scored: DataFrame,
+    part_cols: list[str] | tuple[str, ...] = ("lang",),
+    ppl_col: str = "ppl_bits",
+    key_decimals: int = 4,
+) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (Wenzek et al. 2020):
+    per partition (language, in the published recipe), the
+    lowest-perplexity third of documents is ``head``, the next
+    ``middle``, the rest ``tail`` — the knob downstream mixtures
+    sample by (head-heavy for quality, tail for diversity).
+
+    100 TB shape: NO global sort of corpus rows. ``ppl_col`` is
+    already quantized to ``key_decimals`` places (the LM emits 4),
+    so the distinct-KEY table — bounded by score resolution, never
+    by corpus size — carries the cumulative counts: groupBy
+    (partition, key) → per-partition running totals over keys →
+    tercile label per key → broadcast join back. Tied documents
+    (same key) land in the bucket where their key BEGINS, as one
+    group: bucket sizes are exact thirds only up to tie granularity
+    — deterministic, engine-independent, and what a threshold-based
+    deployment does anyway. NULL-``ppl`` documents (zero tokens)
+    get a NULL bucket and are excluded from the totals.
+
+    Returns ``scored`` + a ``bucket`` column.
+    """
+    parts = list(part_cols)
+    key = F.round(F.col(ppl_col) * F.lit(10 ** key_decimals)).cast("long")
+    keys = (
+        scored.filter(F.col(ppl_col).isNotNull())
+        .groupBy(*parts, key.alias("_pk"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    w_cum = (
+        Window.partitionBy(*parts)
+        .orderBy("_pk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*parts)
+    ranked = keys.select(
+        *parts,
+        "_pk",
+        (F.sum("_c").over(w_cum) - F.col("_c")).alias("_before"),
+        F.sum("_c").over(w_all).alias("_tot"),
+    )
+    labeled = ranked.select(
+        *[F.col(c).alias(f"_b_{c}") for c in parts],
+        "_pk",
+        F.when(F.col("_before") * 3 < F.col("_tot"), F.lit("head"))
+        .when(F.col("_before") * 3 < 2 * F.col("_tot"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("bucket"),
+    )
+    cond = [F.col(c) == F.col(f"_b_{c}") for c in parts] + [key == F.col("_pk")]
+    return (
+        scored.join(F.broadcast(labeled), cond, "left")
+        .drop(*[f"_b_{c}" for c in parts], "_pk")
+    )
+
+
+def perplexity_buckets_sql(
+    scored_sql: str,
+    part_cols: list[str] | tuple[str, ...] = ("lang",),
+    ppl_col: str = "ppl_bits",
+    key_decimals: int = 4,
+) -> str:
+    """DuckDB replay of :func:`perplexity_buckets` over any scored
+    subquery (e.g. a ``bigram_perplexity_sql`` chain joined to the
+    partition column)."""
+    parts = ", ".join(part_cols)
+    on_parts = " AND ".join(f"s.{c} = b.{c}" for c in part_cols)
+    key = f"CAST(ROUND({ppl_col} * {10 ** key_decimals}) AS BIGINT)"
+    return f"""
+WITH scored AS ({scored_sql}
+), pkeys AS (
+    SELECT {parts}, {key} AS _pk, COUNT(*) AS _c
+    FROM scored WHERE {ppl_col} IS NOT NULL
+    GROUP BY {len(part_cols) + 1}, {parts}
+), ranked AS (
+    SELECT {parts}, _pk,
+           SUM(_c) OVER (PARTITION BY {parts} ORDER BY _pk) - _c AS _before,
+           SUM(_c) OVER (PARTITION BY {parts}) AS _tot
+    FROM pkeys
+), labeled AS (
+    SELECT {parts}, _pk,
+           CASE WHEN _before * 3 < _tot THEN 'head'
+                WHEN _before * 3 < 2 * _tot THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM ranked
+)
+SELECT s.*, b.bucket
+FROM scored s
+LEFT JOIN labeled b ON {on_parts} AND {key.replace(ppl_col, 's.' + ppl_col)} = b._pk
+"""
+
+
 # ---------------------------------------------------------------- python twin
 def bigram_perplexity_py(
     texts: dict[int, str],

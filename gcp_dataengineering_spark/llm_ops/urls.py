@@ -224,7 +224,7 @@ PUBLIC_SUFFIX_2 = (
 
 
 def _curated_psl() -> tuple[str, ...]:
-    """~1,700-rule curated public-suffix table (r13, extended every
+    """~2,400-rule curated public-suffix table (r13, extended every
     round since per the verdicts' coverage item), assembled OFFLINE from
     well-known, publicly documented registry policies — this
     container has no network, so the real Mozilla list cannot be
@@ -603,6 +603,58 @@ def _curated_psl() -> tuple[str, ...]:
     # .ru private-section registrars (the public list's com.ru family)
     rules += ["com.ru", "net.ru", "org.ru", "pp.ru", "msk.ru",
               "spb.ru", "nov.ru"]
+    # r17 wave-3 tranche — the remaining large documented registry
+    # sets toward the real ~9,000-rule list:
+    # .hu — the Hungarian registry's published thematic second levels
+    rules += [f"{x}.hu" for x in (
+        "2000 agrar bolt casino city erotica erotika film forum "
+        "games hotel ingatlan jogasz konyvelo lakas media news "
+        "reklam sex shop sport suli szex tozsde utazas video"
+    ).split()]
+    # .no — Norid's published functional second levels, the
+    # (traditional) county domains and the major municipality
+    # domains (registration under a municipality is the Norwegian
+    # geographic hierarchy; the full list is every kommune — this
+    # tranche carries the high-crawl-share ones)
+    rules += [f"{x}.no" for x in (
+        "dep fhs folkebibl fylkesbibl gs herad idrett kommune "
+        "museum stat vgs "
+        "akershus aust-agder buskerud finnmark hedmark hordaland "
+        "more-og-romsdal nordland nord-trondelag oppland ostfold "
+        "rogaland sogn-og-fjordane sor-trondelag telemark troms "
+        "trondelag vest-agder vestfold "
+        "oslo bergen trondheim stavanger drammen fredrikstad "
+        "kristiansand sandnes tromso sarpsborg skien bodo alesund "
+        "sandefjord haugesund tonsberg moss porsgrunn arendal hamar "
+        "larvik halden lillehammer molde harstad kongsberg gjovik "
+        "kristiansund horten ski hammerfest alta narvik askoy bamble "
+        "baerum eidsvoll elverum fauske floro gran grimstad hadsel "
+        "holmestrand honefoss jessheim karmoy kongsvinger kopervik "
+        "leirvik levanger lillesand lorenskog lyngdal malvik mandal "
+        "mosjoen namsos nesodden nittedal notodden oppegard orkdal "
+        "rana randaberg ringerike ringsaker royken sandnessjoen "
+        "skedsmo sortland steinkjer stjordal stord ullensaker "
+        "verdal vennesla voss"
+    ).split()]
+    # .vn — the VNNIC geographic second levels (all 63 provinces,
+    # added to the public list with the 2023 policy) + the new
+    # generic ai/io/id second levels
+    rules += [f"{x}.vn" for x in (
+        "ai io id "
+        "angiang bacgiang backan baclieu bacninh baria-vungtau "
+        "bentre binhdinh binhduong binhphuoc binhthuan camau cantho "
+        "caobang daklak daknong danang dienbien dongnai dongthap "
+        "gialai hagiang haiduong haiphong hanam hanoi hatinh "
+        "haugiang hoabinh hungyen khanhhoa kiengiang kontum laichau "
+        "lamdong langson laocai longan namdinh nghean ninhbinh "
+        "ninhthuan phutho phuyen quangbinh quangnam quangngai "
+        "quangninh quangtri soctrang sonla tayninh thaibinh "
+        "thainguyen thanhhoa thanhphohochiminh thuathienhue "
+        "tiengiang travinh tuyenquang vinhlong vinhphuc yenbai"
+    ).split()]
+    # private-section stragglers
+    rules += ["weebly.com", "jimdofree.com", "bubbleapps.io",
+              "softr.app", "framer.app", "framer.website"]
     return tuple(rules)
 
 

@@ -1477,6 +1477,22 @@ def q_kn_pruned_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail corpus split (r17 wave 3): per
+    LANGUAGE, the lowest-perplexity third of documents is head, the
+    next middle, the rest tail — the partition downstream mixtures
+    sample by. 100 TB shape: terciles are assigned to distinct
+    4-decimal SCORE KEYS (bounded by resolution, never corpus size)
+    via per-language running totals, then broadcast-joined back — no
+    global sort of corpus rows; tied documents move as one group
+    (bucket where their key begins). NULL-ppl docs get NULL bucket.
+    PERMANENT_EXTERNAL."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = NL.bigram_perplexity(docs)
+    withlang = scored.join(docs.select("doc_id", "lang"), "doc_id")
+    return NL.perplexity_buckets(withlang)
+
+
 def q_trigram_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FULL Kneser-Ney at trigram order (r17): absolute discount per
     order with CONTINUATION counts at the middle and base orders
@@ -3179,6 +3195,9 @@ QUERIES = {
     # r17 wave 3: KenLM count-threshold pruning with exact
     # escape-mass renormalization — also PERMANENT_EXTERNAL
     "kn_pruned_perplexity": q_kn_pruned_perplexity,
+    # r17 wave 3: CCNet head/middle/tail split over the scores —
+    # also PERMANENT_EXTERNAL
+    "perplexity_buckets": q_perplexity_buckets,
     # r16: PCM WAV decode + audio quality stats — also
     # PERMANENT_EXTERNAL (same capacity terms)
     "audio_pcm": q_audio_pcm,
@@ -3278,6 +3297,15 @@ ORACLES = {
     # (ctx - keptc)*256 + kept*D recomputed per context
     "kn_pruned_perplexity": NK.kn_perplexity_sql(
         order=4, ref_filter=KN_REF_FILTER, prune=KN_PRUNE
+    ),
+    # perplexity_buckets (r17 wave 3): the CCNet head/middle/tail
+    # tercile chain over the bigram scores — distinct-key running
+    # totals per language, bucket-where-the-key-begins tie rule
+    "perplexity_buckets": NL.perplexity_buckets_sql(
+        "WITH bp AS ({inner})\n"
+        "    SELECT bp.*, d.lang FROM bp JOIN documents d USING (doc_id)".format(
+            inner=NL.bigram_perplexity_sql()
+        )
     ),
     # audio_pcm (r16): every stat recomputed from the closed-form
     # sample formula — exact-integer rms via a float-sqrt guess with

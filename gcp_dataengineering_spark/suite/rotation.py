@@ -409,6 +409,13 @@ PERMANENT_EXTERNAL = [
     # makes a high-order model broadcastable at 100 TB. Reason (b),
     # same capacity terms.
     "kn_pruned_perplexity",
+    # r17 wave 3: CCNet's head/middle/tail corpus split — per
+    # language, terciles assigned to distinct 4-decimal SCORE KEYS
+    # (bounded by resolution, never corpus size) via running totals,
+    # broadcast-joined back; tied docs move as one group; NULL-ppl
+    # docs get NULL bucket. The oracle replays the whole chain over
+    # the bigram scores. Reason (b), same capacity terms.
+    "perplexity_buckets",
 ]
 
 

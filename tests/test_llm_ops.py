@@ -6123,3 +6123,46 @@ def test_lm_fit_score_matrix_equals_one_shot(spark, tmp_path):
     assert rows(lm_score(docs, reloaded)) == rows(
         trigram_perplexity(docs, ref=ref, smoothing="kn")
     )
+
+
+def test_perplexity_buckets_terciles_ties_and_nulls(spark):
+    """r17 wave 3 — CCNet's head/middle/tail split: (a) exact
+    terciles on 9 distinct scores; (b) tied documents move as ONE
+    group into the bucket where their key begins (fr: three 2.0 docs
+    all head; 5.0 begins at 4/6 >= 2/3 so it is tail); (c) a
+    single-doc language is head; (d) NULL-ppl docs get a NULL bucket
+    and are excluded from totals; (e) DuckDB replays the chain
+    bit-identically; (f) the key join is a broadcast (no corpus-side
+    shuffle for the label join)."""
+    import duckdb as _duckdb
+    import pandas as _pd
+
+    from gcp_dataengineering_spark.llm_ops.ngram_lm import (
+        perplexity_buckets,
+        perplexity_buckets_sql,
+    )
+
+    rows = [(i, "en", float(i + 1)) for i in range(9)]
+    rows += [(100 + j, "fr", p) for j, p in enumerate([1.0, 2.0, 2.0, 2.0, 5.0, 6.0])]
+    rows += [(200, "zh", 3.3), (201, "zh", None)]
+    scored = spark.createDataFrame(rows, "doc_id long, lang string, ppl_bits double")
+    out = perplexity_buckets(scored)
+    got = {r["doc_id"]: r["bucket"] for r in out.collect()}
+    exp = {0: "head", 1: "head", 2: "head", 3: "middle", 4: "middle",
+           5: "middle", 6: "tail", 7: "tail", 8: "tail",
+           100: "head", 101: "head", 102: "head", 103: "head",
+           104: "tail", 105: "tail", 200: "head", 201: None}
+    assert got == exp
+    assert out.columns == ["doc_id", "lang", "ppl_bits", "bucket"]
+
+    con = _duckdb.connect()
+    con.register("sc", _pd.DataFrame(rows, columns=["doc_id", "lang", "ppl_bits"]))
+    duck = {
+        int(r[0]): r[3]
+        for r in con.sql(perplexity_buckets_sql("SELECT * FROM sc")).fetchall()
+    }
+    assert duck == exp
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
