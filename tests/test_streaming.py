@@ -1838,3 +1838,135 @@ def test_ingest_stream_semantic_perplexity_gate(spark, tmp_path):
             stream, corpus_fps, str(tmp_path / "s2"), str(tmp_path / "o2"),
             perplexity_model=model_dir,
         )
+
+
+def test_fuzzy_dedup_stream_matches_sequential_ingest_batch_twin(spark, tmp_path):
+    """r17 wave 3 — the ONLINE MinHash near-dup gate completes the
+    streaming dedup matrix (exact/fuzzy/semantic): a 3-micro-batch
+    stream admits EXACTLY what sequentially calling
+    llm_ops.dedup.ingest_batch over the same batches admits (the
+    stream/batch twin IS the oracle, the module-wide rule). Planted
+    structure: a batch-internal near-pair, a cross-batch near-copy,
+    a cross-batch exact copy, and an in-batch exact copy — each drop
+    class exercised across the store boundary."""
+    from gcp_dataengineering_spark.llm_ops.dedup import (
+        ingest_batch,
+        minhash_band_rows,
+    )
+    from gcp_dataengineering_spark.llm_ops.text import fingerprint
+    from gcp_dataengineering_spark.streaming.dedup import fuzzy_dedup_stream
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    b1 = docs.filter(F.col("doc_id") < 30)
+    # batch 2: novel docs + a near-copy of a b1 doc (cross-batch
+    # fuzzy), an exact copy of a b1 doc (cross-batch exact), and a
+    # near-internal pair
+    novel2 = docs.filter((F.col("doc_id") >= 30) & (F.col("doc_id") < 60))
+    near_cross = b1.filter(F.col("doc_id") == 3).select(
+        (F.col("doc_id") + 1000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq extra tail")).alias("text"),
+    )
+    exact_cross = b1.filter(F.col("doc_id") == 7).select(
+        (F.col("doc_id") + 2000).alias("doc_id"), "text"
+    )
+    near_internal = novel2.filter(F.col("doc_id") == 31).select(
+        (F.col("doc_id") + 3000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq other tail")).alias("text"),
+    )
+    b2 = (
+        novel2.unionByName(near_cross)
+        .unionByName(exact_cross)
+        .unionByName(near_internal)
+    )
+    # batch 3: novel docs + a near-copy of a b2 SURVIVOR
+    novel3 = docs.filter((F.col("doc_id") >= 60) & (F.col("doc_id") < 80))
+    near_b2 = novel2.filter(F.col("doc_id") == 40).select(
+        (F.col("doc_id") + 4000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zq third tail")).alias("text"),
+    )
+    b3 = novel3.unionByName(near_b2)
+    batches = [b1, b2, b3]
+
+    # ---- twin: sequential ingest_batch over a maintained fp/band index
+    fps = b1.limit(0).select(fingerprint("text").alias("fp"))
+    bands = minhash_band_rows(b1.limit(0))
+    expect_ids: set[int] = set()
+    for b in batches:
+        app, new_fps, new_bands = ingest_batch(b, fps, bands)
+        expect_ids |= {r["doc_id"] for r in app.select("doc_id").collect()}
+        fps = fps.unionByName(new_fps).localCheckpoint(eager=True)
+        bands = bands.unionByName(new_bands).localCheckpoint(eager=True)
+    # the planted dups actually exercised their drop classes
+    assert 1003 not in expect_ids and 2007 not in expect_ids
+    assert 4040 not in expect_ids
+    assert not ({31, 3031} <= expect_ids)  # internal pair kept min-id only
+    assert 31 in expect_ids
+
+    # ---- stream: one micro-batch per file arrival
+    src = tmp_path / "src"
+    src.mkdir()
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "store")
+    b1.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src) + "/*.parquet"
+    )
+    q = fuzzy_dedup_stream(
+        stream,
+        store,
+        out,
+        checkpoint_dir=str(tmp_path / f"ckpt_{uuid.uuid4().hex[:8]}"),
+    )
+    try:
+        q.processAllAvailable()
+        b2.coalesce(1).write.parquet(str(src / "b2.parquet"))
+        q.processAllAvailable()
+        b3.coalesce(1).write.parquet(str(src / "b3.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got_ids = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert got_ids == expect_ids
+    # the store's manifest holds one segment per admitting batch
+    import json
+    import os
+
+    with open(os.path.join(store, "meta.json")) as fh:
+        meta = json.load(fh)
+    assert len(meta["segments"]) == 3
+    assert meta["params"] == {"num_hashes": 8, "bands": 4, "n": 3}
+
+
+def test_fuzzy_dedup_batch_replay_idempotent_and_params_guard(spark, tmp_path):
+    """(a) At-least-once replay is idempotent on state: re-running
+    the SAME batch admits nothing and writes no second segment (the
+    fp anti-join drops every replayed doc); (b) reusing a store
+    under a different LSH hash family raises instead of silently
+    joining a meaningless band index."""
+    import json
+    import os
+
+    import pytest as _pytest
+
+    from gcp_dataengineering_spark.streaming.dedup import fuzzy_dedup_batch
+
+    docs = (
+        spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 20)
+    )
+    store = str(tmp_path / "store")
+    first = fuzzy_dedup_batch(docs, store)
+    n_first = first.count()
+    assert n_first > 0
+    gen1 = json.load(open(os.path.join(store, "meta.json")))["generation"]
+
+    replay = fuzzy_dedup_batch(docs, store)
+    assert replay.count() == 0
+    meta = json.load(open(os.path.join(store, "meta.json")))
+    assert meta["generation"] == gen1 and len(meta["segments"]) == 1
+
+    with _pytest.raises(ValueError, match="hash family"):
+        fuzzy_dedup_batch(docs, store, num_hashes=16, bands=8)
