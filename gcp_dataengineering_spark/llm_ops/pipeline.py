@@ -237,6 +237,15 @@ class PipelineConfig:
     # the singleton mass with exact escape renormalization — at
     # 100 TB an unpruned 5-gram type table is itself crawl-sized.
     perplexity_prune: dict | None = None
+    # CCNet's head/middle/tail gate (r17 wave 3): keep only docs in
+    # these buckets (e.g. ("head", "middle") — the published
+    # recipe's quality cut). Buckets come from
+    # ngram_lm.perplexity_buckets over the stage's scores, per
+    # perplexity_bucket_by (the corpus' language column). Composes
+    # with perplexity_max_bits (both gates apply); with max_bits
+    # None, the buckets ARE the gate. NULL-ppl docs fail either way.
+    perplexity_bucket_keep: tuple | None = None
+    perplexity_bucket_by: str = "lang"
     # re-derive the language column with the r12 two-stage lang_id
     # (script router + 20-language stopword vote) instead of
     # trusting the input's lang column: crawl metadata lies, and the
@@ -419,7 +428,8 @@ def build_training_corpus(
         reputable = model_gated
 
     perplexity_scores: DataFrame | None = None
-    if cfg.perplexity_max_bits is not None:
+    perplexity_bucketed: DataFrame | None = None
+    if cfg.perplexity_max_bits is not None or cfg.perplexity_bucket_keep is not None:
         # 2d. CCNet-style perplexity gate (r16): bigram backoff LM in
         # integer fixed-point log2, trained on the reference corpus
         # (or self-trained). Self-trained, the scorer references its
@@ -480,10 +490,34 @@ def build_training_corpus(
                 backoff_bits=cfg.perplexity_backoff_bits,
                 smoothing=cfg.perplexity_smoothing,
             )
-        fluent_ids = perplexity_scores.filter(
-            perplexity_gate(cfg.perplexity_max_bits)
-        ).select(F.col("doc_id").alias(id_col))
-        reputable = reputable.join(fluent_ids, id_col, "left_semi")
+        if cfg.perplexity_bucket_keep is not None:
+            # 2e. CCNet's head/middle/tail cut (r17 wave 3): bucket
+            # the SCORES per language and keep only the configured
+            # buckets. Computed over all scored docs (the tercile
+            # boundaries are a property of the corpus, not of the
+            # max_bits survivors); both gates then apply.
+            from .ngram_lm import perplexity_buckets
+
+            by = cfg.perplexity_bucket_by
+            if by not in reputable.columns:
+                raise ValueError(
+                    f"perplexity_bucket_keep requires a {by!r} column "
+                    "(perplexity_bucket_by) on the corpus — CCNet buckets "
+                    "per language"
+                )
+            with_by = perplexity_scores.join(
+                reputable.select(F.col(id_col).alias("doc_id"), by), "doc_id"
+            )
+            perplexity_bucketed = perplexity_buckets(with_by, part_cols=(by,))
+            keep_ids = perplexity_bucketed.filter(
+                F.col("bucket").isin(*cfg.perplexity_bucket_keep)
+            ).select(F.col("doc_id").alias(id_col))
+            reputable = reputable.join(keep_ids, id_col, "left_semi")
+        if cfg.perplexity_max_bits is not None:
+            fluent_ids = perplexity_scores.filter(
+                perplexity_gate(cfg.perplexity_max_bits)
+            ).select(F.col("doc_id").alias(id_col))
+            reputable = reputable.join(fluent_ids, id_col, "left_semi")
 
     scrubbed = (
         scrub_pii(reputable, text_col, out_col="_scrubbed")
@@ -726,6 +760,8 @@ def build_training_corpus(
         # bits/token each shipped document scored, and what the
         # rejected tail looked like
         stages["perplexity"] = perplexity_scores
+    if perplexity_bucketed is not None:
+        stages["perplexity_buckets"] = perplexity_bucketed
     if mixture is not None:
         # the plan frame itself is a release artifact (weights,
         # targets, epochs per source); "mixed" is the downsampled

@@ -6166,3 +6166,71 @@ def test_perplexity_buckets_terciles_ties_and_nulls(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_pipeline_perplexity_bucket_gate(spark):
+    """r17 wave 3 — the CCNet bucket cut inside the composed build:
+    perplexity_bucket_keep=("head", "middle") drops exactly the docs
+    whose bucket is tail/NULL under a direct
+    perplexity_buckets(scores + lang) computation; the bucketed
+    scores ship as stages["perplexity_buckets"]; max_bits=None means
+    the buckets ARE the gate; a corpus without the bucket_by column
+    raises."""
+    import pytest as _pytest
+
+    from gcp_dataengineering_spark.llm_ops.ngram_lm import perplexity_buckets
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+
+    fluent = "the quick brown fox jumps over the lazy dog"
+    ref = spark.createDataFrame(
+        [(i, fluent) for i in range(30)], "doc_id long, text string"
+    )
+
+    def page(i):
+        # fluency decreases with i (more unknown tokens), so scores
+        # are DISTINCT per doc and every tercile is populated —
+        # all-tied scores would put the whole language in head
+        extra = " ".join(f"w{i}x{j} the u{i}z{j}" for j in range(2 + 2 * i))
+        return (i, f"{fluent} {extra}.", f"s{i % 2}", "en" if i % 3 else "fr")
+
+    docs = spark.createDataFrame(
+        [page(i) for i in range(9)],
+        "doc_id long, text string, source string, lang string",
+    )
+    cfg = PipelineConfig(
+        perplexity_ref=ref,
+        perplexity_bucket_keep=("head", "middle"),
+        shard_budget_tokens=2000, minhash_hashes=16, lsh_bands=4,
+    )
+    stages = build_training_corpus(docs, config=cfg)
+    assert "perplexity_buckets" in stages
+    got_buckets = {
+        r["doc_id"]: r["bucket"] for r in stages["perplexity_buckets"].collect()
+    }
+
+    # direct twin over the pipeline's OWN scores frame (the scores
+    # themselves are pinned elsewhere; this pins the bucket wiring —
+    # the scored population is the post-heuristic-gate corpus, so a
+    # from-scratch rescoring of `docs` would bucket a different set)
+    direct = perplexity_buckets(
+        stages["perplexity"].join(docs.select("doc_id", "lang"), "doc_id")
+    )
+    want_buckets = {r["doc_id"]: r["bucket"] for r in direct.collect()}
+    assert got_buckets == want_buckets
+
+    kept = {r["doc_id"] for r in stages["exact_deduped"].select("doc_id").collect()}
+    want_kept = {d for d, b in want_buckets.items() if b in ("head", "middle")}
+    assert kept == want_kept
+    assert kept < set(got_buckets)  # the tail third was actually cut
+
+    with _pytest.raises(ValueError, match="perplexity_bucket_keep"):
+        build_training_corpus(
+            docs.drop("lang"),
+            config=PipelineConfig(
+                perplexity_ref=ref, perplexity_bucket_keep=("head",),
+                shard_budget_tokens=2000, minhash_hashes=16, lsh_bands=4,
+            ),
+        )
