@@ -655,6 +655,20 @@ def _curated_psl() -> tuple[str, ...]:
     # private-section stragglers
     rules += ["weebly.com", "jimdofree.com", "bubbleapps.io",
               "softr.app", "framer.app", "framer.website"]
+    # r17 tranche 6 — registro.br's full documented category set
+    # (the 14 already present stay above; this adds the remaining
+    # professional / sector / tech DPNs and the well-known city
+    # codes from the registry's published list)
+    rules += [f"{x}.br" for x in (
+        "agr app arq ato b bib bio bmd cim cng cnt coop def des det "
+        "dev ecn emp enf eng esp etc eti far flog fnd fot fst g12 "
+        "geo ggf imb ind jor jus lel log mat mp mus not ntr odo ppg "
+        "pro psc psi qsl radio rec rep seg tec teo tmp trd tur vet "
+        "vlog wiki zlg "
+        "rio recife floripa poa vix fortal salvador natal maceio "
+        "manaus goiania campinas cuiaba aju bel macapa bhz bsb "
+        "curitiba"
+    ).split()]
     return tuple(rules)
 
 

@@ -125,6 +125,7 @@ def fuzzy_dedup_batch(
     n: int = 3,
     min_shared_bands: int = 1,
     sink=None,
+    auto_compact_segments: int | None = None,
 ) -> DataFrame:
     """One micro-batch through the ONLINE MinHash near-dup gate —
     the fuzzy sibling of the exact corpus gate above and of the
@@ -155,6 +156,15 @@ def fuzzy_dedup_batch(
     and (doc_id, band) keys — never text — each read by exactly one
     equi-join; per-batch cost is O(batch) + the batch-sized CC loop,
     independent of corpus size beyond those index scans.
+
+    ``auto_compact_segments=K`` (the semantic store's policy shape):
+    persisted in the store meta — set once, applies to every future
+    writer; 0 clears. After a publish leaves more than K live
+    segments, the history folds physically into one
+    (:func:`compact_fuzzy_store`) in the same turn; retired dirs
+    keep one-merge reader grace (swept by the NEXT batch's orphan
+    GC). Admission semantics are byte-unchanged — the fold writes
+    the reader's exact union view.
 
     Returns the admitted (appendable) rows as a batch DataFrame.
     """
@@ -210,6 +220,15 @@ def fuzzy_dedup_batch(
     if sink is not None:
         sink(appendable)
 
+    # the compaction policy persists in the meta (set once, applies
+    # to every future writer; 0 clears — the semantic store's shape)
+    if auto_compact_segments is not None:
+        if auto_compact_segments > 0:
+            meta["auto_compact_segments"] = int(auto_compact_segments)
+        else:
+            meta.pop("auto_compact_segments", None)
+    policy = meta.get("auto_compact_segments")
+
     if appendable.limit(1).count() > 0:
         import uuid
 
@@ -218,17 +237,22 @@ def fuzzy_dedup_batch(
         new_fps.write.mode("errorifexists").parquet(os.path.join(seg_dir, "fps"))
         new_bands.write.mode("errorifexists").parquet(os.path.join(seg_dir, "bands"))
         n_rows = appendable.count()
-        meta = {
-            "generation": int(meta.get("generation", 0)) + 1,
-            "params": params,
-            "segments": segs + [{"dir": name, "rows": int(n_rows)}],
-        }
+        meta = dict(
+            meta,
+            generation=int(meta.get("generation", 0)) + 1,
+            params=params,
+            segments=segs + [{"dir": name, "rows": int(n_rows)}],
+        )
         _fuzzy_write_meta(store_dir, meta)
-    elif meta.get("params") is None:
+        if policy and len(meta["segments"]) > policy:
+            # same-turn physical fold; retired dirs keep one-merge
+            # reader grace (the NEXT batch's orphan GC sweeps them)
+            compact_fuzzy_store(spark, store_dir)
+    elif meta.get("params") is None or auto_compact_segments is not None:
         _fuzzy_write_meta(
             store_dir,
-            {"generation": int(meta.get("generation", 0)), "params": params,
-             "segments": segs},
+            dict(meta, generation=int(meta.get("generation", 0)),
+                 params=params, segments=segs),
         )
     return appendable
 
@@ -266,3 +290,37 @@ def fuzzy_dedup_stream(
     if checkpoint_dir:
         writer = writer.option("checkpointLocation", checkpoint_dir)
     return writer.start()
+
+
+def compact_fuzzy_store(spark, store_dir: str) -> None:
+    """Physically fold the fuzzy store's segment history into ONE
+    segment — admission semantics byte-unchanged (the reader's view
+    is the union of segments, and the fold writes exactly that
+    union; fp and (doc_id, band) rows are unique across segments by
+    construction since each doc is admitted once, with a defensive
+    distinct against at-least-once artifacts). The retired segment
+    dirs stay on disk until the next batch's orphan GC — one-merge
+    reader grace, the semantic store's discipline."""
+    import os
+    import uuid
+
+    meta = _fuzzy_read_meta(store_dir)
+    segs = meta.get("segments", [])
+    if len(segs) <= 1:
+        return
+    fps = spark.read.parquet(
+        *[os.path.join(store_dir, s["dir"], "fps") for s in segs]
+    ).distinct()
+    bands = spark.read.parquet(
+        *[os.path.join(store_dir, s["dir"], "bands") for s in segs]
+    ).distinct()
+    name = f"seg-{int(meta.get('generation', 0)) + 1:06d}-{uuid.uuid4().hex[:8]}"
+    seg_dir = os.path.join(store_dir, name)
+    fps.write.mode("errorifexists").parquet(os.path.join(seg_dir, "fps"))
+    bands.write.mode("errorifexists").parquet(os.path.join(seg_dir, "bands"))
+    meta = dict(meta)
+    meta["generation"] = int(meta.get("generation", 0)) + 1
+    meta["segments"] = [
+        {"dir": name, "rows": int(sum(s.get("rows", 0) for s in segs))}
+    ]
+    _fuzzy_write_meta(store_dir, meta)

@@ -1970,3 +1970,61 @@ def test_fuzzy_dedup_batch_replay_idempotent_and_params_guard(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="hash family"):
         fuzzy_dedup_batch(docs, store, num_hashes=16, bands=8)
+
+
+def test_fuzzy_store_auto_compaction_policy(spark, tmp_path):
+    """r17 wave 3 — the fuzzy store's compaction policy (the
+    semantic store's r16 shape): auto_compact_segments=K set ONCE
+    persists in the meta and folds the history to one segment
+    whenever a publish leaves more than K live; admission decisions
+    equal an un-policed twin store batch-by-batch; retired dirs keep
+    one-merge reader grace and the NEXT batch sweeps them."""
+    import json
+    import os
+
+    from gcp_dataengineering_spark.streaming.dedup import fuzzy_dedup_batch
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select(
+        "doc_id", "text"
+    )
+    batches = [
+        docs.filter((F.col("doc_id") >= lo) & (F.col("doc_id") < lo + 15))
+        for lo in range(0, 75, 15)
+    ]
+    # plant a cross-batch near-dup so folded indexes are actually used
+    batches[3] = batches[3].unionByName(
+        batches[0].filter(F.col("doc_id") == 2).select(
+            (F.col("doc_id") + 9000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" zq tail")).alias("text"),
+        )
+    )
+
+    policed = str(tmp_path / "policed")
+    twin = str(tmp_path / "twin")
+    dirs_after_fold: set[str] | None = None
+    admitted_all: set[int] = set()
+    for i, b in enumerate(batches):
+        got = fuzzy_dedup_batch(
+            b, policed, auto_compact_segments=2 if i == 0 else None
+        )
+        want = fuzzy_dedup_batch(b, twin)
+        g = {r["doc_id"] for r in got.select("doc_id").collect()}
+        w = {r["doc_id"] for r in want.select("doc_id").collect()}
+        assert g == w, f"batch {i}: {g ^ w}"
+        admitted_all |= g
+        meta = json.load(open(os.path.join(policed, "meta.json")))
+        assert meta["auto_compact_segments"] == 2  # set once, persisted
+        assert len(meta["segments"]) <= 2
+        live = {s["dir"] for s in meta["segments"]}
+        on_disk = {
+            d for d in os.listdir(policed) if d.startswith("seg-")
+        }
+        if dirs_after_fold is not None:
+            # last batch's retirees were swept at THIS batch's start
+            assert not (dirs_after_fold - live) & on_disk
+        dirs_after_fold = on_disk - live  # current retirees (grace)
+        if len(meta["segments"]) == 1 and i > 0:
+            assert dirs_after_fold  # a fold just happened; grace held
+    assert 9002 not in admitted_all  # near-dup caught through FOLDED state
+    twin_meta = json.load(open(os.path.join(twin, "meta.json")))
+    assert len(twin_meta["segments"]) == 5  # un-policed twin kept all
