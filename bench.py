@@ -166,6 +166,11 @@ HEADLINE = [
     # plan plus one distinct-key agg, a key-table window and a
     # broadcast join-back (the consuming step of the CCNet recipe)
     "perplexity_buckets",
+    # round-17 wave 4: DSIR selection — fit (one explode + bucket
+    # agg) + zero-shuffle scoring + the bounded key-group selection;
+    # should price near quality_classifier (same fit/score shape,
+    # bigram features, plus the tiny group window)
+    "dsir_select",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

@@ -3126,6 +3126,124 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------- DSIR importance resampling (r17 wave 4)
+# shared key parameters — the Spark query and the DuckDB oracle are
+# generated from the same constants so they cannot drift
+_DSIR_BUCKETS = 256
+_DSIR_KEEP = (1, 4)  # select ~a quarter of the corpus
+_DSIR_TARGET_LANG = "en"
+
+
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (llm_ops/
+    dsir.py; Xie et al. 2023): fit hashed-n-gram (unigram + word
+    bigram, the paper's feature set) density-ratio weights with
+    target = the English documents and raw = the whole corpus, score
+    every document's log importance weight, add deterministic
+    hash-Gumbel noise, and select the top quarter by the bounded
+    key-group running-total rule (no global sort of corpus rows —
+    the perplexity_buckets shape). Output pins every document's
+    weight, noisy key, and selection verdict; the oracle replays
+    training, scoring, the Gumbel transform and the group selection
+    bit-for-bit. PERMANENT_EXTERNAL."""
+    from ..llm_ops import dsir as DS
+
+    docs = _t(spark, sf_dir, "documents")
+    model = DS.dsir_fit(
+        docs.filter(F.col("lang") == _DSIR_TARGET_LANG).select("text"),
+        docs.select("text"),
+        num_buckets=_DSIR_BUCKETS,
+    )
+    scored = DS.dsir_score(docs.select("doc_id", "text"), model)
+    sel = DS.dsir_resample(scored, *_DSIR_KEEP)
+    return sel.select("doc_id", "dsir_logw", "dsir_key", "selected")
+
+
+def _dsir_select_oracle() -> str:
+    """Full-replay oracle: tagged-union fit (unigram + bigram hashed
+    features → Laplace llog2 density-ratio weights), per-doc scoring,
+    the hash-Gumbel key, and the quantized-key-group selection —
+    rendered from the same constants and the shared llog2_sql /
+    hash_gumbel_sql."""
+    from ..llm_ops import dsir as DS
+
+    B = _DSIR_BUCKETS
+    num, den = _DSIR_KEEP
+    shift = DS.DSIR_KEY_SHIFT
+    bucket = (
+        f"('0x' || substring(md5('{DS.DSIR_SALT}' || chr(31) || t), 1, 15))"
+        f"::BIGINT % {B}"
+    )
+    toks = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z]+'),"
+        " x -> x <> '')"
+    )
+    bigrams = (
+        "list_transform(range(greatest(len(tk) - 1, 0)),"
+        " i -> tk[i + 1] || chr(30) || tk[i + 2])"
+    )
+    lg = QM.llog2_sql
+    gk = DS.hash_gumbel_sql("k.doc_id")
+    return f"""
+WITH labeled AS (
+    SELECT text, 1 AS y FROM documents WHERE lang = '{_DSIR_TARGET_LANG}'
+    UNION ALL
+    SELECT text, 0 AS y FROM documents
+), tkd AS (
+    SELECT y, {toks} AS tk FROM labeled
+), feats AS (
+    SELECT y, unnest(tk) AS t FROM tkd
+    UNION ALL
+    SELECT y, unnest({bigrams}) AS t FROM tkd
+), cnt AS (
+    SELECT {bucket} AS bucket,
+           CAST(SUM(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+           CAST(SUM(CASE WHEN y = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0
+    FROM feats GROUP BY 1
+), dense AS (
+    SELECT r.range AS bucket,
+           CAST(coalesce(c.c1, 0) AS BIGINT) AS c1,
+           CAST(coalesce(c.c0, 0) AS BIGINT) AS c0
+    FROM range({B}) r LEFT JOIN cnt c ON c.bucket = r.range
+), tot AS (
+    SELECT CAST(SUM(c1) + {B} AS BIGINT) AS t1,
+           CAST(SUM(c0) + {B} AS BIGINT) AS t0
+    FROM dense
+), w AS (
+    SELECT bucket,
+           ({lg('c1 + 1')} - {lg('t1')}) - ({lg('c0 + 1')} - {lg('t0')}) AS wt
+    FROM dense CROSS JOIN tot
+), dtk AS (
+    SELECT doc_id, {toks} AS tk FROM documents
+), dfeat AS (
+    SELECT doc_id, unnest(tk) AS t FROM dtk
+    UNION ALL
+    SELECT doc_id, unnest({bigrams}) AS t FROM dtk
+), ds AS (
+    SELECT h.doc_id, SUM(w.wt) AS s
+    FROM (SELECT doc_id, {bucket} AS bucket FROM dfeat) h
+    JOIN w ON w.bucket = h.bucket
+    GROUP BY 1
+), keyed AS (
+    SELECT k.doc_id,
+           CAST(coalesce(ds.s, 0) AS BIGINT) AS dsir_logw,
+           CAST(coalesce(ds.s, 0) + {gk} AS BIGINT) AS dsir_key
+    FROM documents k LEFT JOIN ds ON ds.doc_id = k.doc_id
+), grp AS (
+    SELECT dsir_key >> {shift} AS qk, COUNT(*) AS c FROM keyed GROUP BY 1
+), ranked AS (
+    SELECT qk,
+           SUM(c) OVER (ORDER BY qk DESC) - c AS _before,
+           SUM(c) OVER () AS _tot
+    FROM grp
+), lab AS (
+    SELECT qk, (_before * {den} < _tot * {num}) AS selected FROM ranked
+)
+SELECT k.doc_id, k.dsir_logw, k.dsir_key, l.selected
+FROM keyed k JOIN lab l ON (k.dsir_key >> {shift}) = l.qk
+"""
+
+
 QUERIES = {
     "embedding_generate": q_embedding_generate,
     "semantic_dedup": q_semantic_dedup,
@@ -3198,6 +3316,9 @@ QUERIES = {
     # r17 wave 3: CCNet head/middle/tail split over the scores —
     # also PERMANENT_EXTERNAL
     "perplexity_buckets": q_perplexity_buckets,
+    # r17 wave 4: DSIR importance resampling (fit + score +
+    # hash-Gumbel selection) — also PERMANENT_EXTERNAL
+    "dsir_select": q_dsir_select,
     # r16: PCM WAV decode + audio quality stats — also
     # PERMANENT_EXTERNAL (same capacity terms)
     "audio_pcm": q_audio_pcm,
@@ -3307,6 +3428,9 @@ ORACLES = {
             inner=NL.bigram_perplexity_sql()
         )
     ),
+    # dsir_select (r17 wave 4): training, scoring, the hash-Gumbel
+    # transform and the quantized-group selection all replayed
+    "dsir_select": _dsir_select_oracle(),
     # audio_pcm (r16): every stat recomputed from the closed-form
     # sample formula — exact-integer rms via a float-sqrt guess with
     # ±1 correction, so float rounding can never diverge the hash

@@ -416,6 +416,15 @@ PERMANENT_EXTERNAL = [
     # docs get NULL bucket. The oracle replays the whole chain over
     # the bigram scores. Reason (b), same capacity terms.
     "perplexity_buckets",
+    # r17 wave 4: DSIR importance resampling (Xie et al. 2023) —
+    # hashed unigram+bigram density-ratio weights (the nb_train
+    # arithmetic over a tagged union), zero-shuffle scoring,
+    # deterministic hash-Gumbel noise, and the bounded key-group
+    # top-fraction selection (the perplexity_buckets shape). The
+    # oracle replays fit, score, Gumbel and selection bit-for-bit.
+    # Reason (b), same capacity terms. Twin parity + target/noise
+    # separation + ∝-weight sampling pytests in tests/test_dsir.py.
+    "dsir_select",
 ]
 
 
