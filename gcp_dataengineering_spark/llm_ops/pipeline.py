@@ -246,6 +246,22 @@ class PipelineConfig:
     # None, the buckets ARE the gate. NULL-ppl docs fail either way.
     perplexity_bucket_keep: tuple | None = None
     perplexity_bucket_by: str = "lang"
+    # DSIR distribution-matching selection (llm_ops/dsir.py, r17
+    # wave 4 — Xie et al. 2023): a TARGET-domain DataFrame[text]
+    # (e.g. Wikipedia/books) to fit the hashed-n-gram density ratio
+    # against; None = stage off. Runs AFTER the quality/perplexity
+    # gates (raw = what survived cleaning, matching the paper's
+    # lightly-cleaned-pool setup) and BEFORE the PII scrub + dedup
+    # joins, so the expensive stages only see the selected fraction.
+    # dsir_keep is the (num, den) keep fraction; selection is
+    # Gumbel-top-k ∝ importance weight (dsir_gumbel=False is the
+    # paper's deterministic top-k ablation). The fitted model and
+    # the scored/keyed/selected frame ship as release artifacts.
+    dsir_target: object | None = None
+    dsir_keep: tuple = (1, 4)
+    dsir_buckets: int = 4096
+    dsir_ngrams: int | str = 2
+    dsir_gumbel: bool = True
     # re-derive the language column with the r12 two-stage lang_id
     # (script router + 20-language stopword vote) instead of
     # trusting the input's lang column: crawl metadata lies, and the
@@ -519,6 +535,47 @@ def build_training_corpus(
             ).select(F.col("doc_id").alias(id_col))
             reputable = reputable.join(fluent_ids, id_col, "left_semi")
 
+    dsir_scored: DataFrame | None = None
+    dsir_model: DataFrame | None = None
+    if cfg.dsir_target is not None:
+        # 2f. DSIR distribution-matching selection (r17 wave 4): fit
+        # the density-ratio weights target-vs-survivors, score at
+        # scan speed (dense broadcast array, zero corpus shuffle),
+        # Gumbel-top-k the keep fraction. The corpus feeds BOTH the
+        # raw-side fit counts and the scoring pass — pin the branch
+        # point first per the documented rule.
+        from .dsir import dsir_fit, dsir_resample, dsir_score
+
+        if materialize is not False:
+            reputable = _materialize(reputable, materialize)
+        dsir_model = dsir_fit(
+            cfg.dsir_target,
+            reputable.select(F.col(text_col)),
+            text_col=text_col,
+            num_buckets=cfg.dsir_buckets,
+            ngrams=cfg.dsir_ngrams,
+        )
+        if materialize is not False:
+            # the B-row model feeds every scored row: pin it so the
+            # fit aggregations run once, not per corpus consumer
+            dsir_model = _materialize(dsir_model, materialize)
+        sel = dsir_resample(
+            dsir_score(
+                reputable, dsir_model, text_col=text_col,
+                ngrams=cfg.dsir_ngrams,
+            ),
+            *cfg.dsir_keep,
+            id_col=id_col,
+            gumbel=cfg.dsir_gumbel,
+            materialize=materialize if materialize is not False else False,
+        )
+        dsir_scored = sel.select(
+            F.col(id_col).alias("doc_id"), "dsir_logw", "dsir_key", "selected"
+        )
+        reputable = sel.filter(F.col("selected")).drop(
+            "dsir_logw", "dsir_key", "selected"
+        )
+
     scrubbed = (
         scrub_pii(reputable, text_col, out_col="_scrubbed")
         .withColumn(text_col, F.col("_scrubbed"))
@@ -762,6 +819,13 @@ def build_training_corpus(
         stages["perplexity"] = perplexity_scores
     if perplexity_bucketed is not None:
         stages["perplexity_buckets"] = perplexity_bucketed
+    if dsir_scored is not None:
+        # both are release artifacts: the density-ratio model the
+        # selection shipped under, and every candidate's weight /
+        # noisy key / verdict (the paper's selection is a SAMPLE —
+        # auditing it needs the keys, not just the survivors)
+        stages["dsir_model"] = dsir_model
+        stages["dsir"] = dsir_scored
     if mixture is not None:
         # the plan frame itself is a release artifact (weights,
         # targets, epochs per source); "mixed" is the downsampled

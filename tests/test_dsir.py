@@ -161,3 +161,83 @@ def test_dsir_gumbel_sampling_tracks_weights(spark):
     lo_rate = sum(1 for i in range(500, 1000) if i in sel) / 500
     assert hi_rate > 3 * lo_rate
     assert hi_rate > 0.4  # most of the selection budget goes high
+
+
+def test_pipeline_dsir_stage(spark):
+    """r17 wave 4 — DSIR inside the composed build: with dsir_target
+    set, the survivors of the heuristic gates are scored/keyed/
+    selected exactly as a direct dsir_fit→score→resample composition
+    over the same frame; the selection feeds the downstream stages
+    (exact_deduped ⊆ selected); model + scored frames ship as
+    stages["dsir_model"]/"dsir"; gumbel=False keeps the target-like
+    half; a bad keep fraction raises."""
+    from gcp_dataengineering_spark.llm_ops.dsir import (
+        dsir_fit as _fit,
+        dsir_resample as _resample,
+        dsir_score as _score,
+    )
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+
+    targetish = (
+        "the quick brown fox jumps over the lazy dog while the quiet "
+        "library keeps its long rows of heavy books in order"
+    )
+    noisy = (
+        "click here to buy cheap pills and win the big lottery prize "
+        "now with this amazing offer you cannot refuse today friend"
+    )
+
+    def page(i):
+        base = targetish if i % 2 == 0 else noisy
+        return (i, f"{base} page number marker {i} closes the page", f"s{i % 2}", "en")
+
+    docs = spark.createDataFrame(
+        [page(i) for i in range(12)],
+        "doc_id long, text string, source string, lang string",
+    )
+    target = spark.createDataFrame(
+        [(f"{targetish} sample {j}",) for j in range(4)], "text string"
+    )
+    cfg = PipelineConfig(
+        dsir_target=target, dsir_keep=(1, 2), dsir_buckets=128,
+        dsir_gumbel=False,
+        shard_budget_tokens=2000, minhash_hashes=16, lsh_bands=4,
+    )
+    stages = build_training_corpus(docs, config=cfg)
+    assert "dsir" in stages and "dsir_model" in stages
+    got = {
+        r["doc_id"]: (r["dsir_logw"], r["dsir_key"], r["selected"])
+        for r in stages["dsir"].collect()
+    }
+
+    # direct twin over the pipeline's own gated population: the
+    # scored pool is the post-heuristic-gate corpus (all 12 pages
+    # pass the default gate by construction)
+    model = _fit(target, docs.select("text"), num_buckets=128)
+    direct = _resample(
+        _score(docs.select("doc_id", "text"), model), 1, 2, gumbel=False
+    )
+    want = {
+        r["doc_id"]: (r["dsir_logw"], r["dsir_key"], r["selected"])
+        for r in direct.collect()
+    }
+    assert got == want
+    sel = {d for d, (_, _, s) in got.items() if s}
+    assert sel == {i for i in range(12) if i % 2 == 0}  # the target-like half
+
+    kept = {r["doc_id"] for r in stages["exact_deduped"].select("doc_id").collect()}
+    assert kept <= sel and kept  # downstream only sees the selection
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep fraction"):
+        build_training_corpus(
+            docs,
+            config=PipelineConfig(
+                dsir_target=target, dsir_keep=(0, 2),
+                shard_budget_tokens=2000, minhash_hashes=16, lsh_bands=4,
+            ),
+        )
