@@ -171,6 +171,10 @@ HEADLINE = [
     # should price near quality_classifier (same fit/score shape,
     # bigram features, plus the tiny group window)
     "dsir_select",
+    # round-17 wave 4: fuzzy decontamination — two shingle+minhash
+    # legs (corpus + derived eval) and a broadcast band join; should
+    # price near dedup_minhash plus the small eval leg
+    "decontaminate_fuzzy",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

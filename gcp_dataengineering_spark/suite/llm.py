@@ -3126,6 +3126,103 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------- fuzzy decontamination (r17 wave 4)
+# eval set derived from the corpus itself (the bpe_encode recipe —
+# both engines build the same artifact): every 10th document with a
+# benchmark-ish suffix appended, so the overlap is NEAR-duplicate
+# (high Jaccard, not containment-exact) — what the fuzzy rule exists
+# to catch
+_FUZZY_EVAL_SUFFIX = "shared benchmark suffix tail words"
+_FUZZY_MIN_EJ = 0.5
+
+
+def q_decontaminate_fuzzy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash fuzzy decontamination (llm_ops/decontam.py, r17 wave
+    4): eval = every 10th document with a suffix appended (a light
+    paraphrase — exact long-n-gram overlap checks under-flag it),
+    flagged at est_jaccard ≥ 0.5 over the dedup family's 8-hash /
+    4-band signatures with the eval index broadcast. Output pins each
+    flagged doc's eval-hit census and max estimate; the oracle
+    replays shingling, the minhash family, band collision and the
+    component-match estimate. PERMANENT_EXTERNAL."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 10 == 0).select(
+        "doc_id",
+        F.concat(F.col("text"), F.lit(" " + _FUZZY_EVAL_SUFFIX)).alias("text"),
+    )
+    hits = DC.contamination_minhash(
+        docs.select("doc_id", "text"), ev, min_est_jaccard=_FUZZY_MIN_EJ
+    )
+    return hits.select("doc_id", "n_eval_docs", "max_est_jaccard")
+
+
+def _decontaminate_fuzzy_oracle() -> str:
+    """Full-replay oracle: both sides' 3-gram shingles → the 8-hash
+    minhash family → 4-band collision join → component-match
+    estimate → threshold → per-doc census."""
+    mins = ",\n           ".join(
+        f"MIN(('0x' || substring(md5('{i}' || chr(31) || shingle), 1, 15))::BIGINT) AS m{i}"
+        for i in range(8)
+    )
+    tband = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id, {b} AS band_idx, "
+        f"CAST(m{2*b} AS VARCHAR) || '|' || CAST(m{2*b+1} AS VARCHAR) AS band_key FROM tsigs"
+        for b in range(4)
+    )
+    eband = "\n    UNION ALL\n    ".join(
+        f"SELECT eval_id, {b} AS band_idx, "
+        f"CAST(m{2*b} AS VARCHAR) || '|' || CAST(m{2*b+1} AS VARCHAR) AS band_key FROM esigs"
+        for b in range(4)
+    )
+    est = " + ".join(
+        f"(CASE WHEN sa.m{i} = sb.m{i} THEN 1 ELSE 0 END)" for i in range(8)
+    )
+    return f"""
+WITH ev AS (
+    SELECT doc_id AS eval_id, text || ' {_FUZZY_EVAL_SUFFIX}' AS text
+    FROM documents WHERE doc_id % 10 = 0
+), twords AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+    FROM documents
+), tsh AS (
+    SELECT DISTINCT doc_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+    FROM twords, unnest(range(greatest(len(w) - 2, 0))) AS r(i)
+), tsigs AS (
+    SELECT doc_id, {mins}
+    FROM tsh GROUP BY doc_id
+), ewords AS (
+    SELECT eval_id,
+           list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x <> '') AS w
+    FROM ev
+), esh AS (
+    SELECT DISTINCT eval_id, array_to_string(w[i+1:i+3], ' ') AS shingle
+    FROM ewords, unnest(range(greatest(len(w) - 2, 0))) AS r(i)
+), esigs AS (
+    SELECT eval_id, {mins}
+    FROM esh GROUP BY eval_id
+), tband AS (
+    {tband}
+), eband AS (
+    {eband}
+), cand AS (
+    SELECT DISTINCT t.doc_id, e.eval_id
+    FROM tband t JOIN eband e
+      ON t.band_idx = e.band_idx AND t.band_key = e.band_key
+), flagged AS (
+    SELECT c.doc_id, c.eval_id, CAST({est} AS DOUBLE) / 8 AS ej
+    FROM cand c
+    JOIN tsigs sa ON c.doc_id = sa.doc_id
+    JOIN esigs sb ON c.eval_id = sb.eval_id
+    WHERE CAST({est} AS DOUBLE) / 8 >= {_FUZZY_MIN_EJ}
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT eval_id) AS BIGINT) AS n_eval_docs,
+       MAX(ej) AS max_est_jaccard
+FROM flagged GROUP BY 1
+"""
+
+
 # ---------------------------------------------------------------- DSIR importance resampling (r17 wave 4)
 # shared key parameters — the Spark query and the DuckDB oracle are
 # generated from the same constants so they cannot drift
@@ -3319,6 +3416,9 @@ QUERIES = {
     # r17 wave 4: DSIR importance resampling (fit + score +
     # hash-Gumbel selection) — also PERMANENT_EXTERNAL
     "dsir_select": q_dsir_select,
+    # r17 wave 4: MinHash fuzzy decontamination (near-dup eval
+    # overlap the exact n-gram rule misses) — also PERMANENT_EXTERNAL
+    "decontaminate_fuzzy": q_decontaminate_fuzzy,
     # r16: PCM WAV decode + audio quality stats — also
     # PERMANENT_EXTERNAL (same capacity terms)
     "audio_pcm": q_audio_pcm,
@@ -3431,6 +3531,9 @@ ORACLES = {
     # dsir_select (r17 wave 4): training, scoring, the hash-Gumbel
     # transform and the quantized-group selection all replayed
     "dsir_select": _dsir_select_oracle(),
+    # decontaminate_fuzzy (r17 wave 4): both sides' shingles, the
+    # minhash family, band collision and the component estimate
+    "decontaminate_fuzzy": _decontaminate_fuzzy_oracle(),
     # audio_pcm (r16): every stat recomputed from the closed-form
     # sample formula — exact-integer rms via a float-sqrt guess with
     # ±1 correction, so float rounding can never diverge the hash

@@ -425,6 +425,15 @@ PERMANENT_EXTERNAL = [
     # Reason (b), same capacity terms. Twin parity + target/noise
     # separation + ∝-weight sampling pytests in tests/test_dsir.py.
     "dsir_select",
+    # r17 wave 4: MinHash fuzzy decontamination — near-duplicate
+    # eval-set overlap (light paraphrases) that the exact n-gram
+    # rule under-flags: both sides' 3-gram shingles through the
+    # dedup family's 8-hash minhash + 4-band LSH, eval index
+    # broadcast, est_jaccard = component matches / 8, per-doc
+    # census. The oracle replays the whole chain. Reason (b), same
+    # capacity terms. Paraphrase-catch + threshold/divisibility
+    # guard pytests in tests/test_llm_ops.py.
+    "decontaminate_fuzzy",
 ]
 
 

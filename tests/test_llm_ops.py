@@ -6234,3 +6234,130 @@ def test_pipeline_perplexity_bucket_gate(spark):
                 shard_budget_tokens=2000, minhash_hashes=16, lsh_bands=4,
             ),
         )
+
+
+def test_decontamination_fraction_rule(spark):
+    """r17 wave 4 — the PaLM-style fraction rule: min_shared_frac
+    flags a doc only when the contaminated share of its distinct
+    n-grams reaches num/den (exact integer arithmetic); the default
+    None leaves rows and schema byte-identical to the count rule; a
+    boundary doc at exactly the threshold is kept (>=); composes
+    with min_shared."""
+    from gcp_dataengineering_spark.llm_ops.decontam import (
+        contamination_hits,
+        decontaminate,
+    )
+
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon zeta eta theta")],
+        "doc_id long, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            # doc 0: 8 words -> 4 distinct 5-grams, ALL from the eval
+            # doc (a verbatim copy): share = 4/4 = 1
+            (0, "alpha beta gamma delta epsilon zeta eta theta"),
+            # doc 1: eval 5-gram embedded in 12 words -> 8 distinct
+            # 5-grams, 1 shared: share = 1/8
+            (1, "one two three alpha beta gamma delta epsilon four five six seven"),
+            # doc 2: 10 words, 6 grams, 4 shared: share = 4/6 = 2/3
+            (2, "alpha beta gamma delta epsilon zeta eta theta pad1 pad2"),
+        ],
+        "doc_id long, text string",
+    )
+    base = {r["doc_id"]: r for r in contamination_hits(train, ev, n=5).collect()}
+    assert set(base) == {0, 1, 2}
+    assert "n_grams_total" not in base[0].asDict()
+
+    frac = {
+        r["doc_id"]: r
+        for r in contamination_hits(
+            train, ev, n=5, min_shared_frac=(2, 3)
+        ).collect()
+    }
+    # doc 2 sits exactly AT 2/3 (4*3 == 2*6) -> kept by >=
+    assert set(frac) == {0, 2}
+    assert frac[0]["n_grams_total"] == 4 and frac[0]["n_shared_grams"] == 4
+    assert frac[2]["n_grams_total"] == 6 and frac[2]["n_shared_grams"] == 4
+
+    kept = sorted(
+        r["doc_id"]
+        for r in decontaminate(train, ev, n=5, min_shared_frac=(2, 3)).collect()
+    )
+    assert kept == [1]
+
+    # composes with min_shared: the floor applies on top of the share
+    both = {
+        r["doc_id"]
+        for r in contamination_hits(
+            train, ev, n=5, min_shared=5, min_shared_frac=(2, 3)
+        ).collect()
+    }
+    assert both == set()
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="min_shared_frac"):
+        contamination_hits(train, ev, n=5, min_shared_frac=(0, 3))
+
+
+def test_decontamination_fuzzy_minhash(spark):
+    """r17 wave 4 — fuzzy decontamination: a light paraphrase of an
+    eval item (suffix words appended, exact 13-gram overlap broken by
+    an early edit) is flagged by contamination_minhash and removed by
+    decontaminate_fuzzy; unrelated docs survive; the estimate matches
+    the direct signature-component count; threshold/divisibility
+    guards raise."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from gcp_dataengineering_spark.llm_ops.decontam import (
+        contamination_minhash,
+        decontaminate_fuzzy,
+    )
+    from gcp_dataengineering_spark.llm_ops.dedup import minhash_signatures
+
+    eval_text = (
+        "which planet in the solar system has the largest ring system "
+        "and what is it mostly made of in the outer bands"
+    )
+    train = spark.createDataFrame(
+        [
+            # near-copy: one word swapped early -> most 3-gram
+            # shingles survive, exact long-n-gram decontam misses it
+            (0, eval_text.replace("largest", "biggest") + " answer saturn ice"),
+            (1, "completely unrelated text about spark shuffle partitions and joins"),
+            (2, eval_text),  # verbatim
+        ],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame([(900, eval_text)], "doc_id long, text string")
+
+    hits = {
+        r["doc_id"]: r
+        for r in contamination_minhash(train, ev, min_est_jaccard=0.5).collect()
+    }
+    assert 2 in hits and hits[2]["max_est_jaccard"] == 1.0
+    assert 0 in hits and hits[0]["max_est_jaccard"] >= 0.5
+    assert 1 not in hits
+    assert hits[0]["n_eval_docs"] == 1
+
+    # the estimate IS the signature-component match count / 8
+    sig_t = minhash_signatures(train.filter(F.col("doc_id") == 0)).collect()[0]
+    sig_e = minhash_signatures(
+        ev.withColumnRenamed("doc_id", "doc_id")
+    ).collect()[0]
+    n_match = sum(
+        1 for i in range(8) if sig_t[f"m{i}"] == sig_e[f"m{i}"]
+    )
+    assert hits[0]["max_est_jaccard"] == n_match / 8
+
+    kept = sorted(
+        r["doc_id"] for r in decontaminate_fuzzy(train, ev).collect()
+    )
+    assert kept == [1]
+
+    with _pytest.raises(ValueError, match="divisible"):
+        contamination_minhash(train, ev, num_hashes=8, bands=3)
+    with _pytest.raises(ValueError, match="min_est_jaccard"):
+        contamination_minhash(train, ev, min_est_jaccard=1.5)
