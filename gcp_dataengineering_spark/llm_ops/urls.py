@@ -669,6 +669,46 @@ def _curated_psl() -> tuple[str, ...]:
         "manaus goiania campinas cuiaba aju bel macapa bhz bsb "
         "curitiba"
     ).split()]
+    # r17 tranche 7 — the PRIVATE-section bulk: the AWS regional
+    # suffix families (the single largest documented block in the
+    # real list's private section — every S3 website / EC2 hostname
+    # / Beanstalk app / ELB endpoint is a distinct registrant per
+    # regional suffix, exactly what a crawl's per-tenant split
+    # needs), the Blogger regional ccTLD family, and hosting
+    # stragglers
+    _aws_regions = (
+        "us-east-1 us-east-2 us-west-1 us-west-2 ca-central-1 "
+        "sa-east-1 eu-west-1 eu-west-2 eu-west-3 eu-central-1 "
+        "eu-north-1 eu-south-1 ap-northeast-1 ap-northeast-2 "
+        "ap-northeast-3 ap-southeast-1 ap-southeast-2 ap-south-1 "
+        "ap-east-1 af-south-1 me-south-1 il-central-1"
+    ).split()
+    for _r in _aws_regions:
+        rules += [
+            f"s3.{_r}.amazonaws.com",
+            f"s3-website.{_r}.amazonaws.com",
+            f"{_r}.compute.amazonaws.com",
+            f"{_r}.elasticbeanstalk.com",
+            f"{_r}.elb.amazonaws.com",
+        ]
+    rules += [
+        # legacy/global AWS forms (pre-regional-endpoint era)
+        "compute-1.amazonaws.com", "compute.amazonaws.com",
+        "s3-website-us-east-1.amazonaws.com", "elb.amazonaws.com",
+    ]
+    # Blogger's regional ccTLD mirrors — one registrant (blog) per
+    # name under every regional domain, same as blogspot.com
+    rules += [f"blogspot.{x}" for x in (
+        "ae al am ba be bg ca ch cl cz de dk fi fr gr hk hr hu ie "
+        "in is it jp kr li lt lu md mk mx my nl no pe pt re ro rs "
+        "ru se sg si sk sn td tw ug vn "
+        "co.at co.id co.il co.ke co.nz co.uk co.za "
+        "com.ar com.au com.br com.by com.co com.cy com.ee com.eg "
+        "com.es com.mt com.ng com.tr com.uy"
+    ).split()]
+    # hosting stragglers: GitHub user content and the classic
+    # Japanese shared-hosting family
+    rules += ["githubusercontent.com", "sakura.ne.jp"]
     return tuple(rules)
 
 
