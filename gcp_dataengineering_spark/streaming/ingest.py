@@ -62,6 +62,12 @@ def ingest_stream(
     quality_model: DataFrame | None = None,
     quality_model_threshold: int = 0,
     quality_model_ngrams: int | str = 1,
+    dsir_model: DataFrame | None = None,
+    dsir_min_key: int | None = None,
+    dsir_gumbel: bool = True,
+    dsir_key_shift: int | None = None,
+    dsir_ngrams: int | str = 2,
+    dsir_id_col: str = "doc_id",
 ) -> DataFrame:
     """Quality-gated, PII-scrubbed, language-tagged, corpus-deduped
     document stream. Returns the admitted rows with `lang_pred`,
@@ -83,7 +89,22 @@ def ingest_stream(
     array into the stream; scoring is a per-row map, so a document
     admitted online is the document a batch rebuild would admit —
     the module's stream/batch parity promise extends to the learned
-    gate). ``nbq_score`` rides on the admitted rows."""
+    gate). ``nbq_score`` rides on the admitted rows.
+
+    ``dsir_model`` + ``dsir_min_key`` (r17 wave 4): the DSIR
+    distribution-matching gate, online. A stream cannot run the
+    batch selection's corpus-global running totals, but the batch
+    boundary IS a fixed quantized-key threshold — calibrate it once
+    from a batch :func:`llm_ops.dsir.dsir_resample` run (the
+    smallest selected ``dsir_key >> key_shift``) and every online
+    verdict reproduces the batch decision exactly: the hash-Gumbel
+    noise is content-stable, so ``(logw + G(id)) >> shift ≥
+    dsir_min_key`` is deterministic per document. Same stateless
+    broadcast-scoring shape as the NB gate (a dense weight array in
+    a 1-row static broadcast, per-row aggregate — no state, no
+    shuffle). ``dsir_logw`` and ``dsir_key`` ride on admitted rows;
+    ``dsir_gumbel=False`` gates on the noise-free weight (the top-k
+    ablation form)."""
     feats = quality_features(stream, text_col)
     gated = feats.filter(gate if gate is not None else default_quality_gate()).drop(
         "n_chars_calc", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio"
@@ -97,6 +118,33 @@ def ingest_stream(
             text_col=text_col,
             threshold=quality_model_threshold,
             ngrams=quality_model_ngrams,
+        )
+    if dsir_model is not None:
+        if dsir_min_key is None:
+            raise ValueError(
+                "dsir_model given without dsir_min_key — calibrate the "
+                "selection boundary from a batch dsir_resample run (the "
+                "smallest selected quantized key)"
+            )
+        from ..llm_ops.dsir import (
+            DSIR_KEY_SHIFT,
+            dsir_score,
+            hash_gumbel,
+        )
+
+        shift = DSIR_KEY_SHIFT if dsir_key_shift is None else dsir_key_shift
+        key = F.col("dsir_logw")
+        if dsir_gumbel:
+            key = key + hash_gumbel(F.col(dsir_id_col))
+        gated = (
+            dsir_score(gated, dsir_model, text_col=text_col, ngrams=dsir_ngrams)
+            .withColumn("dsir_key", key.cast("long"))
+            .filter(
+                F.call_function(
+                    "shiftright", F.col("dsir_key"), F.lit(int(shift))
+                )
+                >= F.lit(int(dsir_min_key))
+            )
         )
     scrubbed = (
         scrub_pii(gated, text_col, out_col="_text_scrubbed")
@@ -127,6 +175,10 @@ def ingest_stream_semantic(
     quality_model: DataFrame | None = None,
     quality_model_threshold: int = 0,
     quality_model_ngrams: int | str = 1,
+    dsir_model: DataFrame | None = None,
+    dsir_min_key: int | None = None,
+    dsir_gumbel: bool = True,
+    dsir_ngrams: int | str = 2,
     semantic_cos: int = 92,
     semantic_dim: int = 16,
     semantic_max_chars: int = 256,
@@ -179,6 +231,11 @@ def ingest_stream_semantic(
         quality_model=quality_model,
         quality_model_threshold=quality_model_threshold,
         quality_model_ngrams=quality_model_ngrams,
+        dsir_model=dsir_model,
+        dsir_min_key=dsir_min_key,
+        dsir_gumbel=dsir_gumbel,
+        dsir_ngrams=dsir_ngrams,
+        dsir_id_col=id_col,
     )
     pre_gate = None
     if perplexity_model is not None:

@@ -2028,3 +2028,87 @@ def test_fuzzy_store_auto_compaction_policy(spark, tmp_path):
     assert 9002 not in admitted_all  # near-dup caught through FOLDED state
     twin_meta = json.load(open(os.path.join(twin, "meta.json")))
     assert len(twin_meta["segments"]) == 5  # un-policed twin kept all
+
+
+def test_ingest_stream_dsir_gate_reproduces_batch_selection(spark, tmp_path):
+    """r17 wave 4 — the DSIR gate online: calibrate the selection
+    boundary from a batch dsir_resample run (the smallest selected
+    quantized key), then the stream admits EXACTLY the batch-selected
+    documents with identical weights and keys (the hash-Gumbel noise
+    is content-stable, so the fixed threshold reproduces the sampled
+    verdicts deterministically); a model without a threshold raises."""
+    import pytest as _pytest
+
+    from gcp_dataengineering_spark.llm_ops.dedup import dedup_exact
+    from gcp_dataengineering_spark.llm_ops.dsir import (
+        DSIR_KEY_SHIFT,
+        dsir_fit,
+        dsir_resample,
+        dsir_score,
+    )
+    from gcp_dataengineering_spark.streaming.ingest import ingest_stream
+
+    targetish = (
+        "the quick brown fox jumps over the lazy dog while the quiet "
+        "library keeps its long rows of heavy books in order"
+    )
+    noisy = (
+        "click here to buy cheap pills and win the big lottery prize "
+        "now with this amazing offer you cannot refuse today friend"
+    )
+
+    def page(i):
+        base = targetish if i % 2 == 0 else noisy
+        return (i, f"{base} page number marker {i} closes the page")
+
+    batch = spark.createDataFrame(
+        [page(i) for i in range(12)], "doc_id long, text string"
+    )
+    target = spark.createDataFrame(
+        [(f"{targetish} sample {j}",) for j in range(4)], "text string"
+    )
+    model_rows = dsir_fit(target, batch.select("text"), num_buckets=128).collect()
+    model = spark.createDataFrame(
+        model_rows, "bucket long, c_target long, c_raw long, weight long"
+    )
+
+    # batch calibration: run the real resample, read off the boundary
+    sel = dsir_resample(
+        dsir_score(batch, model), 1, 2, gumbel=True
+    ).collect()
+    selected = {r.doc_id: (r.dsir_logw, r.dsir_key) for r in sel if r.selected}
+    min_key = min(k for _, k in selected.values()) >> DSIR_KEY_SHIFT
+
+    corpus_fps = dedup_exact(
+        spark.createDataFrame(
+            [(999, "unrelated corpus doc")], "doc_id long, text string"
+        )
+    )
+    src = tmp_path / "dsir_src"
+    src.mkdir()
+    batch.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src) + "/*.parquet"
+    )
+    name = f"dsir_{uuid.uuid4().hex[:8]}"
+    q = (
+        ingest_stream(
+            stream, corpus_fps, dsir_model=model, dsir_min_key=min_key
+        )
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = {
+            r.doc_id: (r.dsir_logw, r.dsir_key)
+            for r in spark.sql(f"SELECT * FROM {name}").collect()
+        }
+    finally:
+        q.stop()
+    assert got == selected  # same docs, same weights, same keys
+
+    with _pytest.raises(ValueError, match="dsir_min_key"):
+        ingest_stream(stream, corpus_fps, dsir_model=model)
