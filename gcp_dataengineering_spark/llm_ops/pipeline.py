@@ -92,6 +92,17 @@ class PipelineConfig:
     minhash_hashes: int = 8
     lsh_bands: int = 4
     decontam_ngram: int = 13
+    # PaLM-style fraction rule for the exact decontam stage (r17
+    # wave 4): flag a doc only when the contaminated share of its
+    # distinct n-grams reaches num/den (None = the GPT-3 count rule,
+    # any collision flags). Exact integer verdict.
+    decontam_min_shared_frac: tuple | None = None
+    # MinHash FUZZY decontamination (r17 wave 4): also drop docs
+    # whose est_jaccard against any eval item reaches this threshold
+    # — the near-duplicate overlap (light paraphrases) the exact
+    # n-gram rule misses. None = stage off. Runs right after the
+    # exact rule, reusing minhash_hashes/lsh_bands; needs eval_df.
+    decontam_fuzzy_min_est_jaccard: float | None = None
     max_tokens_per_source: int | None = None
     shard_budget_tokens: int = 2_000_000
     # strip sep-split segments appearing in at least ceil(total *
@@ -662,11 +673,30 @@ def build_training_corpus(
         )
 
     cleaned = span_stripped if span_stripped is not None else deduped
-    decontaminated = (
-        decontaminate(cleaned, eval_df, text_col, id_col, n=cfg.decontam_ngram)
-        if eval_df is not None
-        else cleaned
-    )
+    if eval_df is not None:
+        decontaminated = decontaminate(
+            cleaned, eval_df, text_col, id_col, n=cfg.decontam_ngram,
+            min_shared_frac=cfg.decontam_min_shared_frac,
+        )
+        if cfg.decontam_fuzzy_min_est_jaccard is not None:
+            # 6b. the fuzzy complement (r17 wave 4): near-dup eval
+            # overlap the exact rule misses. Both rules share the
+            # minhash/LSH family settings; the eval index broadcasts.
+            from .decontam import decontaminate_fuzzy
+
+            decontaminated = decontaminate_fuzzy(
+                decontaminated, eval_df, text_col, id_col,
+                num_hashes=cfg.minhash_hashes, bands=cfg.lsh_bands,
+                min_est_jaccard=cfg.decontam_fuzzy_min_est_jaccard,
+                materialize=materialize if materialize is not False else False,
+            )
+    else:
+        if cfg.decontam_fuzzy_min_est_jaccard is not None:
+            raise ValueError(
+                "decontam_fuzzy_min_est_jaccard needs eval_df — there is "
+                "no eval set to decontaminate against"
+            )
+        decontaminated = cleaned
 
     if cfg.bpe_merges is not None:
         # real-tokenizer accounting: every downstream budget (source

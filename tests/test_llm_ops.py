@@ -6361,3 +6361,65 @@ def test_decontamination_fuzzy_minhash(spark):
         contamination_minhash(train, ev, num_hashes=8, bands=3)
     with _pytest.raises(ValueError, match="min_est_jaccard"):
         contamination_minhash(train, ev, min_est_jaccard=1.5)
+
+
+def test_pipeline_fuzzy_decontam_stage(spark):
+    """r17 wave 4 — the fuzzy decontam stage inside the composed
+    build: a light paraphrase of an eval item survives the exact
+    13-gram rule but is dropped once decontam_fuzzy_min_est_jaccard
+    is set; the fraction rule narrows the exact stage; fuzzy without
+    an eval set raises."""
+    import pytest as _pytest
+
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+
+    eval_text = (
+        "which planet in the solar system has the largest ring system "
+        "and what is it mostly made of in the outer bands of dust"
+    )
+    filler = " ".join(f"filler{i} common word run" for i in range(6))
+
+    def page(i, text):
+        return (i, text, f"s{i % 2}", "en")
+
+    docs = spark.createDataFrame(
+        [
+            # paraphrase: two word swaps ~12 words apart break every
+            # 13-word run (verified: 0 shared 13-grams) while 3-gram
+            # jaccard stays 0.571 -> est_jaccard 4/8 = 0.5, flagged
+            page(0, eval_text.replace("largest", "biggest").replace("mostly", "mainly")),
+            page(1, f"clean document about spark joins {filler}"),
+            page(2, f"another clean page on shuffle partitions {filler}"),
+        ],
+        "doc_id long, text string, source string, lang string",
+    )
+    ev = spark.createDataFrame([(900, eval_text)], "doc_id long, text string")
+    base_cfg = dict(shard_budget_tokens=2000, minhash_hashes=8, lsh_bands=4)
+
+    exact_only = build_training_corpus(
+        docs, eval_df=ev, config=PipelineConfig(**base_cfg)
+    )
+    kept_exact = {
+        r["doc_id"] for r in exact_only["decontaminated"].select("doc_id").collect()
+    }
+    assert 0 in kept_exact  # the paraphrase slips the exact rule
+
+    fuzzy = build_training_corpus(
+        docs, eval_df=ev,
+        config=PipelineConfig(decontam_fuzzy_min_est_jaccard=0.5, **base_cfg),
+    )
+    kept_fuzzy = {
+        r["doc_id"] for r in fuzzy["decontaminated"].select("doc_id").collect()
+    }
+    assert kept_fuzzy == kept_exact - {0}  # fuzzy catches it, nothing else
+
+    with _pytest.raises(ValueError, match="needs eval_df"):
+        build_training_corpus(
+            docs,
+            config=PipelineConfig(
+                decontam_fuzzy_min_est_jaccard=0.5, **base_cfg
+            ),
+        )
