@@ -79,6 +79,7 @@ from .text import md5_60bit
 __all__ = [
     "DSIR_SALT", "DSIR_GUMBEL_SALT", "DSIR_KEY_SHIFT",
     "dsir_fit", "dsir_fit_py", "dsir_score", "dsir_score_py",
+    "dsir_save", "dsir_load",
     "hash_gumbel", "hash_gumbel_py", "hash_gumbel_sql",
     "dsir_resample",
 ]
@@ -261,6 +262,47 @@ def hash_gumbel_sql(
     )
     v = f"greatest({_HASH_BITS * s} - {llog2_sql(h, frac_bits)}, 1)"
     return f"(-({llog2_sql(v, frac_bits)} - {frac_bits * s}))"
+
+
+def dsir_save(
+    model: DataFrame,
+    path: str,
+    salt: str = DSIR_SALT,
+    ngrams=2,
+    word_pattern: str = NB_WORD_PATTERN,
+) -> None:
+    """Persist a :func:`dsir_fit` model: the dense bucket table as
+    parquet under ``path``/weights, the feature settings (salt,
+    ngrams, word pattern — scoring MUST mirror the fit's extraction)
+    in meta.json. The deployable artifact a streaming ingest gate
+    reloads once (:func:`dsir_load`) and scores every micro-batch
+    against — the lm_save/lm_load discipline."""
+    import json
+    import os
+
+    os.makedirs(path, exist_ok=True)
+    model.write.mode("overwrite").parquet(os.path.join(path, "weights"))
+    tmp = os.path.join(path, "meta.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"salt": salt, "ngrams": ngrams, "word_pattern": word_pattern},
+            fh,
+        )
+    os.replace(tmp, os.path.join(path, "meta.json"))
+
+
+def dsir_load(spark, path: str) -> tuple[DataFrame, dict]:
+    """Reload a :func:`dsir_save` artifact: (model frame, meta).
+    Callers pass meta["salt"]/["ngrams"]/["word_pattern"] through to
+    :func:`dsir_score` so fit and score can never disagree on the
+    feature extraction (nb_score's dense-table guard still verifies
+    the bucket census independently)."""
+    import json
+    import os
+
+    with open(os.path.join(path, "meta.json")) as fh:
+        meta = json.load(fh)
+    return spark.read.parquet(os.path.join(path, "weights")), meta
 
 
 def dsir_resample(

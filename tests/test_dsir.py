@@ -241,3 +241,42 @@ def test_pipeline_dsir_stage(spark):
                 shard_budget_tokens=2000, minhash_hashes=16, lsh_bands=4,
             ),
         )
+
+
+def test_dsir_save_load_round_trip(spark, tmp_path):
+    """dsir_save/dsir_load: the persisted model scores a corpus
+    bit-identically to the in-memory one, and the meta carries the
+    feature settings the scorer must mirror."""
+    from gcp_dataengineering_spark.llm_ops.dsir import (
+        dsir_fit,
+        dsir_load,
+        dsir_save,
+        dsir_score,
+    )
+
+    target = spark.createDataFrame([(t,) for t in _TARGET], "text string")
+    raw = spark.createDataFrame(
+        [(t,) for t in _TARGET + _RAW_NOISE], "text string"
+    )
+    model = dsir_fit(target, raw, num_buckets=64, ngrams=1)
+    path = str(tmp_path / "dsir_model")
+    dsir_save(model, path, ngrams=1)
+    loaded, meta = dsir_load(spark, path)
+    assert meta == {"salt": "dsir", "ngrams": 1, "word_pattern": "[^a-z]+"}
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(_TARGET + _RAW_NOISE)],
+        "doc_id long, text string",
+    )
+    want = {
+        r.doc_id: r.dsir_logw
+        for r in dsir_score(docs, model, ngrams=1).collect()
+    }
+    got = {
+        r.doc_id: r.dsir_logw
+        for r in dsir_score(
+            docs, loaded, ngrams=meta["ngrams"], salt=meta["salt"],
+            word_pattern=meta["word_pattern"],
+        ).collect()
+    }
+    assert got == want
