@@ -318,6 +318,7 @@ def dsir_resample(
     key_shift: int = DSIR_KEY_SHIFT,
     frac_bits: int = FRAC_BITS,
     materialize: str | MaterializeFn | bool | None = None,
+    part_cols: list[str] | tuple[str, ...] = (),
 ) -> DataFrame:
     """Gumbel-top-k importance resampling: keep ≈ ``keep_num /
     keep_den`` of the corpus, sampled without replacement with
@@ -328,19 +329,27 @@ def dsir_resample(
     ``flag_col``; returns ALL rows so callers can audit the boundary
     — filter on ``flag_col`` to materialize the selection.
 
+    ``part_cols`` enforces the fraction WITHIN each partition (e.g.
+    ``("lang",)`` — the CCNet-style per-language budget, so a
+    high-resource language cannot absorb the whole selection): the
+    census, running totals and verdicts are all per-partition, same
+    arithmetic.
+
     100 TB shape (perplexity_buckets' recipe): the corpus is never
     globally sorted. Keys quantize by an arithmetic ``>> key_shift``;
     one aggregation to the distinct-key-GROUP table (bounded by key
-    resolution, not corpus size), a descending running total over
-    that small table, and a broadcast join back. A whole tied group
-    is selected iff the count strictly above it is under the target
-    (``before·den < total·num``) — selected count is the target up to
-    tie granularity, deterministic in every engine (Spark/DuckDB/
-    Python arithmetic shifts all floor)."""
+    resolution — per partition with ``part_cols`` — not corpus
+    size), a descending running total over that small table, and a
+    broadcast join back. A whole tied group is selected iff the
+    count strictly above it is under the target (``before·den <
+    total·num``) — selected count is the target up to tie
+    granularity, deterministic in every engine (Spark/DuckDB/Python
+    arithmetic shifts all floor)."""
     if keep_num <= 0 or keep_den <= 0:
         raise ValueError(
             f"keep fraction must be positive, got {keep_num}/{keep_den}"
         )
+    parts = list(part_cols)
     key = F.col(score_col)
     if gumbel:
         key = key + hash_gumbel(F.col(id_col), gumbel_salt, frac_bits)
@@ -353,29 +362,38 @@ def dsir_resample(
     qkey = F.call_function(
         "shiftright", F.col(key_col), F.lit(int(key_shift))
     )
-    groups = keyed.groupBy(qkey.alias("_qk")).agg(
+    groups = keyed.groupBy(*parts, qkey.alias("_qk")).agg(
         F.count(F.lit(1)).alias("_c")
     )
     w_cum = (
-        Window.orderBy(F.col("_qk").desc())
+        Window.partitionBy(*parts)
+        .orderBy(F.col("_qk").desc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    w_all = Window.partitionBy()
+    w_all = Window.partitionBy(*parts)
     ranked = groups.select(
+        *parts,
         "_qk",
         (F.sum("_c").over(w_cum) - F.col("_c")).alias("_before"),
         F.sum("_c").over(w_all).alias("_tot"),
     )
     labeled = ranked.select(
+        *[F.col(c).alias(f"_p_{c}") for c in parts],
         "_qk",
         (
             F.col("_before") * F.lit(keep_den)
             < F.col("_tot") * F.lit(keep_num)
         ).alias(flag_col),
     )
-    return keyed.join(
-        F.broadcast(labeled), qkey == F.col("_qk"), "left"
-    ).drop("_qk")
+    cond = [F.col(c) == F.col(f"_p_{c}") for c in parts] + [
+        qkey == F.col("_qk")
+    ]
+    on = cond[0]
+    for c in cond[1:]:
+        on = on & c
+    return keyed.join(F.broadcast(labeled), on, "left").drop(
+        "_qk", *[f"_p_{c}" for c in parts]
+    )
 
 
 def dsir_resample_py(

@@ -280,3 +280,26 @@ def test_dsir_save_load_round_trip(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+def test_dsir_resample_per_partition_budget(spark):
+    """part_cols=("lang",): the keep fraction is enforced WITHIN each
+    language (the CCNet-style budget — a high-resource language
+    cannot absorb the whole selection), each partition's verdicts
+    equal an independent per-partition twin run, and the global path
+    (no part_cols) is byte-unchanged."""
+    rng = random.Random(11)
+    rows = [(i, rng.randrange(-(1 << 24), 1 << 24), "en" if i < 300 else "fr")
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "doc_id long, dsir_logw long, lang string")
+    out = {
+        r.doc_id: (r.dsir_key, r.selected, r.lang)
+        for r in dsir_resample(df, 1, 4, part_cols=("lang",)).collect()
+    }
+    for lang, ids in (("en", range(300)), ("fr", range(300, 400))):
+        sub = [(i, s) for i, s, l in rows if l == lang]
+        want = dsir_resample_py(sub, 1, 4)
+        got = {i: (k, s) for i, (k, s, l) in out.items() if l == lang}
+        assert got == want, lang
+        n_sel = sum(1 for _, s in got.values() if s)
+        assert abs(n_sel - len(sub) // 4) <= 8  # per-partition budget holds
