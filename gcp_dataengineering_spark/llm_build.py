@@ -236,8 +236,104 @@ def build_arg_parser() -> argparse.ArgumentParser:
         help="word-count floor for the Gopher gate (the paper's 50 is "
         "aggressive for short-form corpora)",
     )
+    p.add_argument(
+        "--perplexity-max-bits",
+        type=float,
+        default=None,
+        metavar="BITS",
+        help="enable the CCNet-style n-gram LM perplexity gate (r16): "
+        "keep documents scoring at most this many bits/token; trains "
+        "on --perplexity-ref when given, self-trained otherwise",
+    )
+    p.add_argument(
+        "--perplexity-ref",
+        default=None,
+        metavar="PARQUET",
+        help="trusted reference corpus (text column) to train the LM "
+        "on — the published CCNet recipe (e.g. Wikipedia)",
+    )
+    p.add_argument(
+        "--perplexity-order",
+        type=int,
+        default=2,
+        choices=(2, 3, 4, 5),
+        help="n-gram order of the LM (4/5 require --perplexity-smoothing kn)",
+    )
+    p.add_argument(
+        "--perplexity-smoothing",
+        default="laplace",
+        choices=("laplace", "kn"),
+        help="LM smoothing family (kn = Kneser-Ney, the KenLM family)",
+    )
+    p.add_argument(
+        "--perplexity-bucket-keep",
+        default=None,
+        metavar="BUCKETS",
+        help="CCNet's head/middle/tail cut: comma list of buckets to "
+        "keep (e.g. head,middle — the published quality recipe); "
+        "buckets are per-language terciles of the LM scores",
+    )
+    p.add_argument(
+        "--dsir-target",
+        default=None,
+        metavar="PARQUET",
+        help="target-domain corpus (text column) for DSIR importance "
+        "resampling (r17): select the documents that make the corpus "
+        "look like this distribution; writes the fitted density-ratio "
+        "model to <out>/dsir_model.parquet",
+    )
+    p.add_argument(
+        "--dsir-keep",
+        default="1/4",
+        metavar="NUM/DEN",
+        help="DSIR keep fraction (default 1/4 of the corpus)",
+    )
+    p.add_argument(
+        "--dsir-buckets",
+        type=int,
+        default=4096,
+        help="hashed-feature bucket count for the DSIR model",
+    )
+    p.add_argument(
+        "--dsir-top-k",
+        action="store_true",
+        help="deterministic highest-weight-first selection (the "
+        "paper's top-k ablation) instead of Gumbel sampling",
+    )
+    p.add_argument(
+        "--decontam-min-shared-frac",
+        default=None,
+        metavar="NUM/DEN",
+        help="PaLM-style fraction rule for the exact decontam stage: "
+        "flag a doc only when this share of its distinct n-grams is "
+        "contaminated (e.g. 7/10); default = any collision flags",
+    )
+    p.add_argument(
+        "--decontam-fuzzy-min-est-jaccard",
+        type=float,
+        default=None,
+        metavar="J",
+        help="also run MinHash FUZZY decontamination at this estimated "
+        "Jaccard threshold (near-dup eval overlap the exact n-gram "
+        "rule misses); requires --eval",
+    )
     p.add_argument("--cpus", default=None)
     return p
+
+
+def _parse_frac(text: str, flag: str) -> tuple[int, int]:
+    """'NUM/DEN' → (num, den) with loud failures — fraction flags
+    must not silently parse to garbage."""
+    parts = text.split("/")
+    if len(parts) != 2:
+        raise SystemExit(f"{flag} expects NUM/DEN (e.g. 1/4), got {text!r}")
+    try:
+        num, den = int(parts[0]), int(parts[1])
+    except ValueError:
+        raise SystemExit(f"{flag} expects NUM/DEN (e.g. 1/4), got {text!r}")
+    if num <= 0 or den <= 0:
+        raise SystemExit(f"{flag} expects a positive NUM/DEN, got {text!r}")
+    return num, den
 
 
 def main(argv: list[str] | None = None) -> int:
@@ -286,6 +382,33 @@ def main(argv: list[str] | None = None) -> int:
             "which contradicts --bpe-byte-level's lossless contract; use "
             "'whitespace' (the byte-level default) or 'unicode'"
         )
+    if args.decontam_fuzzy_min_est_jaccard is not None and not args.eval:
+        raise SystemExit(
+            "--decontam-fuzzy-min-est-jaccard requires --eval — there is "
+            "no eval set to decontaminate against"
+        )
+    if args.perplexity_order in (4, 5) and args.perplexity_smoothing != "kn":
+        raise SystemExit(
+            "--perplexity-order 4/5 requires --perplexity-smoothing kn "
+            "(the generalized-order LM has no laplace-escape form)"
+        )
+    bucket_keep = None
+    if args.perplexity_bucket_keep is not None:
+        bucket_keep = tuple(
+            b.strip() for b in args.perplexity_bucket_keep.split(",") if b.strip()
+        )
+        bad = [b for b in bucket_keep if b not in ("head", "middle", "tail")]
+        if bad or not bucket_keep:
+            raise SystemExit(
+                "--perplexity-bucket-keep expects a comma list from "
+                f"head,middle,tail — got {args.perplexity_bucket_keep!r}"
+            )
+    dsir_keep = _parse_frac(args.dsir_keep, "--dsir-keep")
+    decontam_frac = (
+        _parse_frac(args.decontam_min_shared_frac, "--decontam-min-shared-frac")
+        if args.decontam_min_shared_frac is not None
+        else None
+    )
     spark = get_spark("llm_build", cpus=args.cpus)
     docs = spark.read.parquet(args.docs)
     eval_df = spark.read.parquet(args.eval) if args.eval else None
@@ -374,6 +497,25 @@ def main(argv: list[str] | None = None) -> int:
             mixture_by=args.mixture_by,
             gopher=args.gopher,
             gopher_min_words=args.gopher_min_words,
+            perplexity_max_bits=args.perplexity_max_bits,
+            perplexity_ref=(
+                spark.read.parquet(args.perplexity_ref)
+                if args.perplexity_ref
+                else None
+            ),
+            perplexity_order=args.perplexity_order,
+            perplexity_smoothing=args.perplexity_smoothing,
+            perplexity_bucket_keep=bucket_keep,
+            dsir_target=(
+                spark.read.parquet(args.dsir_target)
+                if args.dsir_target
+                else None
+            ),
+            dsir_keep=dsir_keep,
+            dsir_buckets=args.dsir_buckets,
+            dsir_gumbel=not args.dsir_top_k,
+            decontam_min_shared_frac=decontam_frac,
+            decontam_fuzzy_min_est_jaccard=args.decontam_fuzzy_min_est_jaccard,
         ),
         # CLI writes corpus AND shards (two actions) and runs
         # stage_counts: pin the branch points so the corpus is
@@ -387,6 +529,12 @@ def main(argv: list[str] | None = None) -> int:
         # without its quality model is not reproducible
         stages["quality_model"].coalesce(1).write.mode("overwrite").parquet(
             os.path.join(args.out, "quality_model.parquet")
+        )
+    if "dsir_model" in stages:
+        # same rule for the selection model: the density-ratio
+        # weights the shipped corpus was sampled under
+        stages["dsir_model"].coalesce(1).write.mode("overwrite").parquet(
+            os.path.join(args.out, "dsir_model.parquet")
         )
     stages["corpus"].write.mode("overwrite").partitionBy("split").parquet(corpus_dir)
     stages["shards"].select(

@@ -1286,3 +1286,80 @@ def test_build_training_corpus_unigram_sampled_budgets(spark):
     assert any(
         list(corpus[d].tokens) != list(corpus1[d].tokens) for d in corpus
     )
+
+
+def test_llm_build_cli_guards_wave4():
+    """r17 wave 4 CLI flags fail loudly BEFORE Spark starts: bad
+    fraction syntax, fuzzy decontam without an eval set, order-4
+    laplace, and a bad bucket list are all SystemExit with pointed
+    messages."""
+    import pytest as _pytest
+
+    from gcp_dataengineering_spark.llm_build import main
+
+    base = ["--docs", "/nonexistent", "--out", "/tmp/never"]
+    with _pytest.raises(SystemExit, match="NUM/DEN"):
+        main(base + ["--dsir-keep", "quarter"])
+    with _pytest.raises(SystemExit, match="positive"):
+        main(base + ["--dsir-keep", "0/4"])
+    with _pytest.raises(SystemExit, match="NUM/DEN"):
+        main(base + ["--decontam-min-shared-frac", "7/10/2"])
+    with _pytest.raises(SystemExit, match="requires --eval"):
+        main(base + ["--decontam-fuzzy-min-est-jaccard", "0.5"])
+    with _pytest.raises(SystemExit, match="smoothing kn"):
+        main(base + ["--perplexity-order", "4"])
+    with _pytest.raises(SystemExit, match="head,middle,tail"):
+        main(base + ["--perplexity-bucket-keep", "head,best"])
+
+
+def test_llm_build_cli_wave4_stages(spark, tmp_path):
+    """The wave-4 CLI surface end-to-end in one subprocess: DSIR
+    selection (+ persisted density-ratio model), the perplexity gate
+    with the CCNet bucket cut, and fuzzy decontamination all compose;
+    the report carries each stage's census and the corpus shrinks
+    through the selection."""
+    import json
+    import os
+    import subprocess
+    import sys
+
+    from pyspark.sql import functions as F
+
+    src = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    docs_path = str(tmp_path / "docs.parquet")
+    src.write.parquet(docs_path)
+    target_path = str(tmp_path / "target.parquet")
+    src.filter(F.col("lang") == "en").select("text").write.parquet(target_path)
+    eval_path = str(tmp_path / "eval.parquet")
+    src.filter(F.col("doc_id") % 50 == 0).select(
+        "doc_id", F.concat(F.col("text"), F.lit(" eval suffix run")).alias("text")
+    ).write.parquet(eval_path)
+
+    out = str(tmp_path / "build_out")
+    proc = subprocess.run(
+        [sys.executable, "-m", "gcp_dataengineering_spark.llm_build",
+         "--docs", docs_path, "--out", out, "--cpus", "4",
+         "--shard-budget", "2000",
+         "--eval", eval_path,
+         "--decontam-fuzzy-min-est-jaccard", "0.5",
+         "--dsir-target", target_path, "--dsir-keep", "1/2",
+         "--dsir-buckets", "256",
+         "--perplexity-max-bits", "30",
+         "--perplexity-bucket-keep", "head,middle"],
+        capture_output=True, text=True, timeout=600,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:] + proc.stdout[-500:]
+    line = [ln for ln in proc.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    report = json.loads(line)
+    for key in ("dsir", "dsir_model", "perplexity", "perplexity_buckets", "corpus"):
+        assert key in report, key
+    assert report["corpus"] > 0
+    # the DSIR frame audits every gated candidate; the selection cut
+    # the corpus (keep 1/2 + downstream gates)
+    assert report["corpus"] < report["dsir"]
+    assert report["dsir_model"] == 256
+
+    model = spark.read.parquet(out + "/dsir_model.parquet")
+    assert model.count() == 256
+    assert set(model.columns) == {"bucket", "c_target", "c_raw", "weight"}
