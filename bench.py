@@ -171,6 +171,10 @@ HEADLINE = [
     # should price near quality_classifier (same fit/score shape,
     # bigram features, plus the tiny group window)
     "dsir_select",
+    # round-17 wave 5: the full Gopher repetition set — the 9-order
+    # positioned n-gram explode is the cost driver (inherent to the
+    # published rule); aggregations all doc-keyed
+    "gopher_repetition",
     # round-17 wave 4: fuzzy decontamination — two shingle+minhash
     # legs (corpus + derived eval) and a broadcast band join; should
     # price near dedup_minhash plus the small eval leg

@@ -8,7 +8,7 @@ full column pruning.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # BPE-ish word splitter: runs of non-alphanumerics separate tokens.
@@ -388,6 +388,283 @@ def gopher_pass(min_words: int = 50, max_words: int = 100_000) -> Column:
         & (F.col("g_alpha_word_frac") >= 0.8)
         & (F.col("g_stopword_hits") >= 2)
     )
+
+
+# Gopher §A1.2 (Rae et al. 2021, Table A1): the COMPLETE published
+# repetition-filter thresholds. repetition_features carries the
+# occurrence-share forms (dup words, top 2/3-gram share);
+# gopher_repetition_features below adds the paper's remaining rules —
+# duplicate line/paragraph fractions (count and character) and the
+# per-n character-coverage fractions.
+GOPHER_REPETITION_LIMITS = {
+    "dup_line_frac": 0.30,
+    "dup_para_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "dup_para_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def gopher_repetition_features(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    materialize=None,
+) -> DataFrame:
+    """The COMPLETE Gopher §A1.2 repetition rule set (Rae et al.
+    2021, Table A1) — the rules :func:`repetition_features` doesn't
+    carry, with the paper's thresholds in
+    :data:`GOPHER_REPETITION_LIMITS`:
+
+    - ``dup_line_frac`` / ``dup_para_frac``: fraction of line /
+      paragraph occurrences whose (trimmed, nonempty) value appears
+      ≥ 2 times in the document;
+    - ``dup_line_char_frac`` / ``dup_para_char_frac``: the same,
+      weighted by characters;
+    - ``top_{2,3,4}gram_char_frac``: the most frequent word n-gram's
+      character coverage — ``count × length(gram)`` over the
+      whitespace-collapsed content length (ties resolve to the
+      longest gram, then lexicographically first — deterministic and
+      engine-portable);
+    - ``dup_{5..10}gram_char_frac``: fraction of word characters
+      covered by n-grams occurring ≥ 2 times, overlaps counted ONCE
+      (the union of covered word positions) — numerator and
+      denominator are word characters (separators excluded);
+    - ``rep_pass``: the conjunction of all thirteen thresholds over
+      the ROUNDED (4-decimal) fractions.
+
+    Lines/paragraphs compare on RAW trimmed text (a duplicated line
+    is byte-identical chrome); n-grams use lowercased words (the
+    repetition_features convention). Empty documents score 0.0
+    everywhere and pass.
+
+    Shape at scale: one explode per unit kind (lines, paragraphs) and
+    one tagged n-gram explode for n = 2..10 with start positions —
+    the 9× token fan-out is inherent to the published rule set. Every
+    aggregation is keyed on doc_id (documents are the unit of work,
+    no skew); the per-(doc, n) top-gram window runs over the
+    gram-count table, not corpus rows. The tokenized base and the
+    gram table each feed multiple consumers — both are branch-point
+    materialized (see llm_ops.materialize)."""
+    from .materialize import materialize as _materialize
+
+    raw = F.coalesce(F.col(text_col), F.lit(""))
+    words = F.filter(F.split(F.lower(raw), "\\s+"), lambda t: t != "")
+    base = _materialize(
+        df.select(
+            F.col(id_col).alias("doc_id"), words.alias("_w"), raw.alias("_t")
+        ),
+        materialize,
+    )
+    w = F.col("_w")
+    doc_stats = base.select(
+        "doc_id",
+        F.size(w).cast("long").alias("_nw"),
+        F.aggregate(
+            w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        ).alias("_wchars"),
+    )
+
+    # ------------------------------------------------ line/para units
+    def _units(kind: str, pattern: str):
+        arr = F.filter(
+            F.transform(F.split(F.col("_t"), pattern), lambda s: F.trim(s)),
+            lambda s: s != "",
+        )
+        return base.select(
+            "doc_id", F.lit(kind).alias("_k"), F.explode(arr).alias("val")
+        )
+
+    unit_rows = _units("line", "\n").unionByName(_units("para", "\n{2,}"))
+    ucnt = unit_rows.groupBy("doc_id", "_k", "val").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dup_cnt = F.sum(F.when(F.col("cnt") >= 2, F.col("cnt")).otherwise(0))
+    dup_chars = F.sum(
+        F.when(F.col("cnt") >= 2, F.col("cnt") * F.length("val")).otherwise(0)
+    )
+    per_kind = ucnt.groupBy("doc_id", "_k").agg(
+        F.sum("cnt").alias("_units"),
+        F.sum(F.col("cnt") * F.length("val")).alias("_chars"),
+        dup_cnt.alias("_dups"),
+        dup_chars.alias("_dchars"),
+    )
+    kfrac = lambda k, n, d: F.round(  # noqa: E731
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("_k") == k,
+                    F.col(n) / F.greatest(F.col(d).cast("double"), F.lit(1.0)),
+                )
+            ),
+            F.lit(0.0),
+        ),
+        4,
+    )
+    unit_fracs = per_kind.groupBy("doc_id").agg(
+        kfrac("line", "_dups", "_units").alias("dup_line_frac"),
+        kfrac("line", "_dchars", "_chars").alias("dup_line_char_frac"),
+        kfrac("para", "_dups", "_units").alias("dup_para_frac"),
+        kfrac("para", "_dchars", "_chars").alias("dup_para_char_frac"),
+    )
+
+    # ------------------------------------------------ n-gram tables
+    def _grams(n: int) -> Column:
+        k = F.size(w) - F.lit(n - 1)
+        return F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.struct(
+                    F.lit(n).alias("n"),
+                    i.cast("int").alias("p"),
+                    F.concat_ws(" ", F.slice(w, i, n)).alias("gram"),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,p:int,gram:string>>"))
+
+    grams = _materialize(
+        base.select(
+            "doc_id",
+            F.explode(
+                F.concat(*[_grams(n) for n in range(2, 11)])
+            ).alias("_g"),
+        ).select(
+            "doc_id",
+            F.col("_g.n").alias("n"),
+            F.col("_g.p").alias("p"),
+            F.col("_g.gram").alias("gram"),
+        ),
+        materialize,
+    )
+    gcnt = _materialize(
+        grams.groupBy("doc_id", "n", "gram").agg(
+            F.count(F.lit(1)).alias("cnt")
+        ),
+        materialize,
+    )
+
+    # top 2/3/4-gram character coverage over the collapsed content
+    win = Window.partitionBy("doc_id", "n").orderBy(
+        F.col("cnt").desc(), F.length("gram").desc(), F.col("gram").asc()
+    )
+    top = (
+        gcnt.filter(F.col("n") <= 4)
+        .withColumn("_rn", F.row_number().over(win))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "doc_id", "n",
+            (F.col("cnt") * F.length("gram")).cast("long").alias("_cov"),
+        )
+    )
+    top_fracs = (
+        top.join(doc_stats, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.round(
+                    F.coalesce(
+                        F.max(
+                            F.when(
+                                F.col("n") == n,
+                                F.col("_cov")
+                                / F.greatest(
+                                    (
+                                        F.col("_wchars")
+                                        + F.greatest(
+                                            F.col("_nw") - 1, F.lit(0)
+                                        )
+                                    ).cast("double"),
+                                    F.lit(1.0),
+                                ),
+                            )
+                        ),
+                        F.lit(0.0),
+                    ),
+                    4,
+                ).alias(f"top_{n}gram_char_frac")
+                for n in (2, 3, 4)
+            ]
+        )
+    )
+
+    # duplicate 5..10-gram character coverage (overlaps counted once)
+    dup_grams = gcnt.filter((F.col("n") >= 5) & (F.col("cnt") >= 2)).select(
+        "doc_id", "n", "gram"
+    )
+    cover = (
+        grams.filter(F.col("n") >= 5)
+        .join(dup_grams, ["doc_id", "n", "gram"])
+        .select(
+            "doc_id", "n",
+            F.explode(
+                F.sequence(F.col("p"), F.col("p") + F.col("n") - 1)
+            ).alias("wp"),
+        )
+        .distinct()
+    )
+    wlen = base.select(
+        "doc_id", F.posexplode(w).alias("_wp0", "_word")
+    ).select(
+        "doc_id",
+        (F.col("_wp0") + 1).alias("wp"),
+        F.length("_word").alias("_wl"),
+    )
+    covered = cover.join(wlen, ["doc_id", "wp"]).groupBy("doc_id", "n").agg(
+        F.sum("_wl").cast("long").alias("_cov")
+    )
+    dup_fracs = (
+        covered.join(doc_stats, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.round(
+                    F.coalesce(
+                        F.max(
+                            F.when(
+                                F.col("n") == n,
+                                F.col("_cov")
+                                / F.greatest(
+                                    F.col("_wchars").cast("double"),
+                                    F.lit(1.0),
+                                ),
+                            )
+                        ),
+                        F.lit(0.0),
+                    ),
+                    4,
+                ).alias(f"dup_{n}gram_char_frac")
+                for n in range(5, 11)
+            ]
+        )
+    )
+
+    out = doc_stats.select("doc_id")
+    for frame in (unit_fracs, top_fracs, dup_fracs):
+        out = out.join(frame, "doc_id", "left")
+    out = out.fillna(0.0)
+    gate = F.lit(True)
+    for colname, limit in GOPHER_REPETITION_LIMITS.items():
+        gate = gate & (F.col(colname) <= F.lit(limit))
+    return out.withColumn("rep_pass", gate)
+
+
+def gopher_repetition_pass() -> Column:
+    """The §A1.2 gate over :func:`gopher_repetition_features` output
+    — apply with ``.filter(gopher_repetition_pass())`` (or read the
+    precomputed ``rep_pass`` column)."""
+    gate = F.lit(True)
+    for colname, limit in GOPHER_REPETITION_LIMITS.items():
+        gate = gate & (F.col(colname) <= F.lit(limit))
+    return gate
 
 
 def lang_scores(col: Column | str) -> dict[str, Column]:

@@ -3126,6 +3126,161 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------- Gopher §A1.2 full repetition set (r17 wave 5)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE Gopher §A1.2 repetition rule set
+    (llm_ops/text.gopher_repetition_features): duplicate line /
+    paragraph fractions (count + character), top 2/3/4-gram character
+    coverage, duplicate 5..10-gram character coverage with overlaps
+    counted once, and the 13-threshold pass verdict. Every 7th
+    document is augmented to ``text + newline + text`` IN-QUERY so
+    the duplicate branches (lines, paragraphs, every dup-n-gram
+    order) score real rows at any SF; the oracle replays the
+    augmentation and the whole chain. PERMANENT_EXTERNAL."""
+    docs = _t(spark, sf_dir, "documents")
+    aug = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(F.col("text"), F.lit("\n"), F.col("text")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return T.gopher_repetition_features(aug)
+
+
+def gopher_repetition_sql(docs_sql: str = "SELECT doc_id, text FROM documents") -> str:
+    """DuckDB replay of :func:`text.gopher_repetition_features` over
+    any (doc_id, text) subquery — generated from the same threshold
+    constants so gate and oracle cannot drift. Exposed for the pytest
+    fixture replay as well as the suite oracle."""
+    lim = T.GOPHER_REPETITION_LIMITS
+    ufr = ",\n           ".join(
+        f"ROUND(COALESCE(MAX(CASE WHEN k = '{k}' THEN "
+        f"CAST({num} AS DOUBLE) / greatest(CAST({den} AS DOUBLE), 1.0) "
+        f"END), 0.0), 4) AS {name}"
+        for name, k, num, den in (
+            ("dup_line_frac", "line", "dups", "units"),
+            ("dup_line_char_frac", "line", "dchars", "chars"),
+            ("dup_para_frac", "para", "dups", "units"),
+            ("dup_para_char_frac", "para", "dchars", "chars"),
+        )
+    )
+    topf = ",\n           ".join(
+        f"ROUND(COALESCE(MAX(CASE WHEN n = {n} THEN CAST(cov AS DOUBLE) / "
+        f"greatest(CAST(wchars + greatest(nw - 1, 0) AS DOUBLE), 1.0) END), 0.0), 4) "
+        f"AS top_{n}gram_char_frac"
+        for n in (2, 3, 4)
+    )
+    dupf = ",\n           ".join(
+        f"ROUND(COALESCE(MAX(CASE WHEN n = {n} THEN CAST(cov AS DOUBLE) / "
+        f"greatest(CAST(wchars AS DOUBLE), 1.0) END), 0.0), 4) "
+        f"AS dup_{n}gram_char_frac"
+        for n in range(5, 11)
+    )
+    out_cols = ",\n       ".join(
+        f"COALESCE({src}.{c}, 0.0) AS {c}"
+        for src, cols in (
+            ("u", ["dup_line_frac", "dup_line_char_frac",
+                   "dup_para_frac", "dup_para_char_frac"]),
+            ("tf", [f"top_{n}gram_char_frac" for n in (2, 3, 4)]),
+            ("df", [f"dup_{n}gram_char_frac" for n in range(5, 11)]),
+        )
+        for c in cols
+    )
+    gate = " AND ".join(
+        f"COALESCE({src}.{c}, 0.0) <= {lim[c]}"
+        for src, cols in (
+            ("u", ["dup_line_frac", "dup_line_char_frac",
+                   "dup_para_frac", "dup_para_char_frac"]),
+            ("tf", [f"top_{n}gram_char_frac" for n in (2, 3, 4)]),
+            ("df", [f"dup_{n}gram_char_frac" for n in range(5, 11)]),
+        )
+        for c in cols
+    )
+    return f"""
+WITH docs AS ({docs_sql}
+), words AS (
+    SELECT doc_id,
+           list_filter(regexp_split_to_array(lower(coalesce(text, '')), '\\s+'),
+                       x -> x <> '') AS w
+    FROM docs
+), stats AS (
+    SELECT doc_id, CAST(len(w) AS BIGINT) AS nw,
+           CAST(coalesce(list_sum(list_transform(w, x -> length(x))), 0) AS BIGINT) AS wchars
+    FROM words
+), units AS (
+    SELECT doc_id, 'line' AS k, trim(u) AS val
+    FROM docs, unnest(string_split(coalesce(text, ''), chr(10))) AS t(u)
+    UNION ALL
+    SELECT doc_id, 'para' AS k, trim(u) AS val
+    FROM docs, unnest(regexp_split_to_array(coalesce(text, ''), '\\n{{2,}}')) AS t(u)
+), ucnt AS (
+    SELECT doc_id, k, val, COUNT(*) AS cnt
+    FROM units WHERE val <> '' GROUP BY 1, 2, 3
+), perk AS (
+    SELECT doc_id, k, SUM(cnt) AS units,
+           SUM(cnt * length(val)) AS chars,
+           SUM(CASE WHEN cnt >= 2 THEN cnt ELSE 0 END) AS dups,
+           SUM(CASE WHEN cnt >= 2 THEN cnt * length(val) ELSE 0 END) AS dchars
+    FROM ucnt GROUP BY 1, 2
+), ufr AS (
+    SELECT doc_id,
+           {ufr}
+    FROM perk GROUP BY 1
+), grams AS (
+    SELECT doc_id, nn.n AS n, r.i + 1 AS p,
+           array_to_string(w[r.i + 1 : r.i + nn.n], ' ') AS gram
+    FROM words,
+         unnest([2, 3, 4, 5, 6, 7, 8, 9, 10]) AS nn(n),
+         unnest(range(greatest(len(w) - nn.n + 1, 0))) AS r(i)
+), gcnt AS (
+    SELECT doc_id, n, gram, COUNT(*) AS cnt FROM grams GROUP BY 1, 2, 3
+), top AS (
+    SELECT doc_id, n, cnt * length(gram) AS cov,
+           ROW_NUMBER() OVER (PARTITION BY doc_id, n
+                              ORDER BY cnt DESC, length(gram) DESC, gram ASC) AS rn
+    FROM gcnt WHERE n <= 4
+), topf AS (
+    SELECT t.doc_id,
+           {topf}
+    FROM top t JOIN stats USING (doc_id) WHERE rn = 1 GROUP BY 1
+), dupg AS (
+    SELECT doc_id, n, gram FROM gcnt WHERE n >= 5 AND cnt >= 2
+), occ AS (
+    SELECT g.doc_id, g.n, g.p
+    FROM grams g JOIN dupg d USING (doc_id, n, gram)
+    WHERE g.n >= 5
+), cover AS (
+    SELECT DISTINCT doc_id, n, r.wp FROM occ, unnest(range(p, p + n)) AS r(wp)
+), wlen AS (
+    SELECT doc_id, r.i + 1 AS wp, length(w[r.i + 1]) AS wl
+    FROM words, unnest(range(len(w))) AS r(i)
+), cov AS (
+    SELECT c.doc_id, c.n, SUM(wl) AS cov
+    FROM cover c JOIN wlen USING (doc_id, wp) GROUP BY 1, 2
+), dupfr AS (
+    SELECT c.doc_id,
+           {dupf}
+    FROM cov c JOIN stats USING (doc_id) GROUP BY 1
+)
+SELECT s.doc_id,
+       {out_cols},
+       ({gate}) AS rep_pass
+FROM stats s
+LEFT JOIN ufr u USING (doc_id)
+LEFT JOIN topf tf USING (doc_id)
+LEFT JOIN dupfr df USING (doc_id)
+"""
+
+
+_GOPHER_REP_AUG = (
+    "SELECT doc_id, CASE WHEN doc_id % 7 = 0 "
+    "THEN text || chr(10) || text ELSE text END AS text FROM documents"
+)
+
+
 # ---------------------------------------------------------------- fuzzy decontamination (r17 wave 4)
 # eval set derived from the corpus itself (the bpe_encode recipe —
 # both engines build the same artifact): every 10th document with a
@@ -3419,6 +3574,9 @@ QUERIES = {
     # r17 wave 4: MinHash fuzzy decontamination (near-dup eval
     # overlap the exact n-gram rule misses) — also PERMANENT_EXTERNAL
     "decontaminate_fuzzy": q_decontaminate_fuzzy,
+    # r17 wave 5: the COMPLETE Gopher §A1.2 repetition rule set —
+    # also PERMANENT_EXTERNAL
+    "gopher_repetition": q_gopher_repetition,
     # r16: PCM WAV decode + audio quality stats — also
     # PERMANENT_EXTERNAL (same capacity terms)
     "audio_pcm": q_audio_pcm,
@@ -3534,6 +3692,10 @@ ORACLES = {
     # decontaminate_fuzzy (r17 wave 4): both sides' shingles, the
     # minhash family, band collision and the component estimate
     "decontaminate_fuzzy": _decontaminate_fuzzy_oracle(),
+    # gopher_repetition (r17 wave 5): augmentation, units, positioned
+    # grams, top coverage, dup coverage union and the 13-threshold
+    # verdict all replayed, generated from the same constants
+    "gopher_repetition": gopher_repetition_sql(_GOPHER_REP_AUG),
     # audio_pcm (r16): every stat recomputed from the closed-form
     # sample formula — exact-integer rms via a float-sqrt guess with
     # ±1 correction, so float rounding can never diverge the hash

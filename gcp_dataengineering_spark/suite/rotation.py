@@ -434,6 +434,17 @@ PERMANENT_EXTERNAL = [
     # capacity terms. Paraphrase-catch + threshold/divisibility
     # guard pytests in tests/test_llm_ops.py.
     "decontaminate_fuzzy",
+    # r17 wave 5: the COMPLETE Gopher §A1.2 repetition rule set —
+    # dup line/paragraph fractions (count + character), top 2/3/4-
+    # gram character coverage (deterministic tie rule), dup 5..10-
+    # gram character coverage with overlaps counted ONCE (union of
+    # covered word positions), and the paper's 13-threshold verdict.
+    # In-query augmentation (every 7th doc doubled) drives every
+    # duplicate branch at any SF; the oracle is GENERATED from the
+    # same threshold constants. Reason (b), same capacity terms.
+    # Hand-pinned fixtures + fixture-level DuckDB replay pytest in
+    # tests/test_llm_ops.py.
+    "gopher_repetition",
 ]
 
 

@@ -6423,3 +6423,69 @@ def test_pipeline_fuzzy_decontam_stage(spark):
                 decontam_fuzzy_min_est_jaccard=0.5, **base_cfg
             ),
         )
+
+
+def test_gopher_repetition_features_full_ruleset(spark):
+    """r17 wave 5 — the COMPLETE Gopher §A1.2 repetition set: every
+    fraction pinned against hand-computed values on discriminating
+    fixtures (dup lines, dup paragraphs, a dominating 2-gram with
+    coverage > 1, overlapping dup 5/6-grams counted once, empty and
+    NULL docs), the 13-threshold verdict, and a DuckDB bit-parity
+    replay of the same frame through the generated oracle SQL."""
+    import duckdb as _duckdb
+    import pandas as _pd
+
+    from gcp_dataengineering_spark.llm_ops.text import (
+        GOPHER_REPETITION_LIMITS,
+        gopher_repetition_features,
+    )
+    from gcp_dataengineering_spark.suite.llm import gopher_repetition_sql
+
+    rows = [
+        (0, "intro line\nrepeat me\nrepeat me\nend line"),
+        (1, "spam spam spam spam eggs"),
+        (2, "one two three four five six ONE two three four five six seven"),
+        (3, ""),
+        (4, None),
+        (5, "para one\n\npara one\n\npara two"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r.asDict() for r in gopher_repetition_features(df).collect()}
+
+    # doc 0: 4 lines, "repeat me" x2 -> 2/4; chars 18/36
+    assert got[0]["dup_line_frac"] == 0.5
+    assert got[0]["dup_line_char_frac"] == 0.5
+    assert got[0]["dup_para_frac"] == 0.0  # one paragraph, no dup
+    # doc 1: top 2-gram "spam spam" cnt 3 x len 9 over content 24 —
+    # overlap-driven coverage above 1 is possible and documented
+    assert got[1]["top_2gram_char_frac"] == 1.125
+    assert got[1]["rep_pass"] is False
+    # doc 2: "one two three four five" + "two three four five six"
+    # each x2 -> union covers word positions 1..12 of 13; chars 44/49
+    assert got[2]["dup_5gram_char_frac"] == 0.898
+    assert got[2]["dup_6gram_char_frac"] == 0.898
+    assert got[2]["dup_7gram_char_frac"] == 0.0  # no 7-gram repeats
+    assert got[2]["rep_pass"] is False
+    # empty / NULL: all zeros, pass
+    for d in (3, 4):
+        assert got[d]["rep_pass"] is True
+        assert all(
+            got[d][c] == 0.0 for c in GOPHER_REPETITION_LIMITS
+        )
+    # doc 5: paragraphs "para one" x2 of 3 -> 2/3 both ways
+    assert got[5]["dup_para_frac"] == 0.6667
+    assert got[5]["dup_para_char_frac"] == 0.6667
+    assert got[5]["dup_line_frac"] == 0.6667
+
+    # DuckDB replay of the SAME frame through the generated oracle
+    con = _duckdb.connect()
+    con.register("fixture", _pd.DataFrame(rows, columns=["doc_id", "text"]))
+    sql = gopher_repetition_sql("SELECT doc_id, text FROM fixture")
+    cols = None
+    for rec in con.execute(sql).fetchall():
+        if cols is None:
+            cols = [d[0] for d in con.description]
+        want = dict(zip(cols, rec))
+        g = got[want["doc_id"]]
+        for c in cols:
+            assert g[c] == want[c], (want["doc_id"], c, g[c], want[c])
