@@ -237,6 +237,13 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "aggressive for short-form corpora)",
     )
     p.add_argument(
+        "--gopher-repetition",
+        action="store_true",
+        help="also apply Gopher's thirteen repetition thresholds "
+        "(A1.2: dup lines/paragraphs, top/dup n-gram character "
+        "coverage) after the reputation gate",
+    )
+    p.add_argument(
         "--perplexity-max-bits",
         type=float,
         default=None,
@@ -497,6 +504,7 @@ def main(argv: list[str] | None = None) -> int:
             mixture_by=args.mixture_by,
             gopher=args.gopher,
             gopher_min_words=args.gopher_min_words,
+            gopher_repetition=args.gopher_repetition,
             perplexity_max_bits=args.perplexity_max_bits,
             perplexity_ref=(
                 spark.read.parquet(args.perplexity_ref)

@@ -87,6 +87,14 @@ class PipelineConfig:
     # for short-form corpora)
     gopher: bool = False
     gopher_min_words: int = 50
+    # the OTHER half of the published Gopher gate (r17 wave 5):
+    # §A1.2's thirteen repetition thresholds (dup lines/paragraphs,
+    # top 2/3/4-gram character coverage, dup 5..10-gram coverage).
+    # A separate stage from `gopher` because these are aggregations
+    # (explodes + doc-keyed groupBys), not row-map projections — they
+    # run right after the reputation gate, before the learned gates,
+    # so the n-gram fan-out only prices the reputable survivors.
+    gopher_repetition: bool = False
     min_source_pass_pct: int = 50       # source reputation bar
     min_source_docs: int = 1
     minhash_hashes: int = 8
@@ -385,6 +393,26 @@ def build_training_corpus(
         # ^ re-gate: a document that was ALL chrome passes the quality
         # gate on its raw text but is empty after the strip — an empty
         # string has no place in a training corpus
+
+    gopher_rep: DataFrame | None = None
+    if cfg.gopher_repetition:
+        # 2b. Gopher §A1.2 repetition thresholds (r17 wave 5): the
+        # features reference their input three times (units, grams,
+        # word lengths) — pin the branch point per the documented
+        # rule; the verdict frame is a release artifact
+        # (stages["gopher_repetition"]).
+        from .text import gopher_repetition_features
+
+        if materialize is not False:
+            reputable = _materialize(reputable, materialize)
+        gopher_rep = gopher_repetition_features(
+            reputable, text_col, id_col,
+            materialize=materialize if materialize is not False else False,
+        )
+        keep = gopher_rep.filter(F.col("rep_pass")).select(
+            F.col("doc_id").alias(id_col)
+        )
+        reputable = reputable.join(keep, id_col, "left_semi")
 
     quality_model: DataFrame | None = None
     model_gated: DataFrame | None = None
@@ -849,6 +877,10 @@ def build_training_corpus(
         stages["perplexity"] = perplexity_scores
     if perplexity_bucketed is not None:
         stages["perplexity_buckets"] = perplexity_bucketed
+    if gopher_rep is not None:
+        # the per-doc repetition fractions + verdicts: the release
+        # report's evidence for what the §A1.2 gate removed
+        stages["gopher_repetition"] = gopher_rep
     if dsir_scored is not None:
         # both are release artifacts: the density-ratio model the
         # selection shipped under, and every candidate's weight /

@@ -6489,3 +6489,55 @@ def test_gopher_repetition_features_full_ruleset(spark):
         g = got[want["doc_id"]]
         for c in cols:
             assert g[c] == want[c], (want["doc_id"], c, g[c], want[c])
+
+
+def test_pipeline_gopher_repetition_gate(spark):
+    """r17 wave 5 — the §A1.2 gate inside the composed build: a
+    keyword-stuffed page (top 2-gram coverage over the 0.20
+    threshold) passes the shape gates but is dropped with
+    gopher_repetition=True; the verdict frame ships as
+    stages["gopher_repetition"] and matches a direct features run."""
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+    from gcp_dataengineering_spark.llm_ops.text import (
+        gopher_repetition_features,
+    )
+
+    # the A1.2 thresholds presuppose Gopher's 50-word floor: with all
+    # n-gram counts 1, top_4gram_char_frac is the longest 4-window
+    # over the content (~4/n_words), so a clean page must be long
+    # enough — 60 distinct words keeps every fraction well under the
+    # limits, matching the paper's operating range
+    clean = " ".join(f"w{i}token" for i in range(60))
+    stuffed = (
+        "buy gold " * 22 + "plus filler words to pass the length gates"
+    ).strip()
+
+    docs = spark.createDataFrame(
+        [(0, clean, "s0", "en"), (1, stuffed, "s0", "en"),
+         (2, clean + " second variant page", "s1", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    base = dict(shard_budget_tokens=2000, minhash_hashes=8, lsh_bands=4)
+    off = build_training_corpus(docs, config=PipelineConfig(**base))
+    kept_off = {r["doc_id"] for r in off["exact_deduped"].select("doc_id").collect()}
+    assert 1 in kept_off  # shape gates alone admit the stuffed page
+
+    on = build_training_corpus(
+        docs, config=PipelineConfig(gopher_repetition=True, **base)
+    )
+    assert "gopher_repetition" in on
+    kept_on = {r["doc_id"] for r in on["exact_deduped"].select("doc_id").collect()}
+    assert kept_on == kept_off - {1}
+
+    got = {
+        r["doc_id"]: r["rep_pass"]
+        for r in on["gopher_repetition"].collect()
+    }
+    want = {
+        r["doc_id"]: r["rep_pass"]
+        for r in gopher_repetition_features(docs.drop("source", "lang")).collect()
+    }
+    assert got == want and want[1] is False
