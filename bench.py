@@ -171,6 +171,10 @@ HEADLINE = [
     # should price near quality_classifier (same fit/score shape,
     # bigram features, plus the tiny group window)
     "dsir_select",
+    # round-17 wave 6: D4 cluster-balanced sampling — the IVF build
+    # cost (3 Lloyd's iterations) plus one cluster-partitioned rank
+    # window; should price at embedding_ivf minus the search leg
+    "cluster_balanced_sample",
     # round-17 wave 5: the full Gopher repetition set — the 9-order
     # positioned n-gram explode is the cost driver (inherent to the
     # published rule); aggregations all doc-keyed

@@ -451,6 +451,62 @@ def ivf_index(
     return assign, centroids
 
 
+def cluster_balanced_sample(
+    corpus: DataFrame,
+    per_cluster_cap: int,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    n_iter: int = 3,
+    order_salt: str = "cbal",
+    flag_col: str = "selected",
+    materialize: str | MaterializeFn | bool | None = None,
+) -> DataFrame:
+    """D4-style cluster-balanced selection (Tirumala et al. 2023 —
+    the published recipe that follows semantic dedup: k-means the
+    embedding space, then RE-BALANCE the corpus across clusters so
+    dense regions — boilerplate templates, topic gluts, semantic
+    near-dup families — stop dominating while sparse regions survive
+    whole): cluster with the SAME deterministic integer Lloyd's
+    build the IVF index uses (:func:`ivf_index` — quantized
+    arithmetic, seeded hash init, engine-replayable), then keep at
+    most ``per_cluster_cap`` vectors per cluster.
+
+    Within-cluster keep priority is a content-stable salted hash of
+    the id (md5-60bit — NOT raw id order, which correlates with
+    crawl order and would bias the survivors toward early capture),
+    ties to the lower id. Returns every input id with its
+    ``cluster`` and the boolean ``flag_col`` so the cut is
+    auditable; filter on the flag to materialize the selection.
+
+    Scale shape: the build is ivf_index's (k-row broadcast assign,
+    k×d-partial mean shuffles); the cap is ONE rank window
+    partitioned by cluster (the cap_source_tokens shape — a sort per
+    cluster partition, never a global sort or a driver collect)."""
+    if per_cluster_cap < 1:
+        raise ValueError(
+            f"per_cluster_cap must be >= 1, got {per_cluster_cap}"
+        )
+    from .text import md5_60bit
+
+    assigned, _ = ivf_index(
+        corpus, n_clusters, id_col, vec_col, seed, n_iter,
+        materialize=materialize,
+    )
+    okey = md5_60bit(
+        F.concat(F.lit(order_salt), F.lit("\x1f"), F.col("vec_id").cast("string"))
+    )
+    w = Window.partitionBy("cluster").orderBy(
+        okey.asc(), F.col("vec_id").asc()
+    )
+    return assigned.select(
+        "vec_id",
+        "cluster",
+        (F.row_number().over(w) <= F.lit(int(per_cluster_cap))).alias(flag_col),
+    )
+
+
 def cosine_topk_ivf_from_index(
     corpus: DataFrame,
     queries: DataFrame,

@@ -3126,6 +3126,38 @@ FROM documents d LEFT JOIN agg a USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------- D4 cluster-balanced sampling (r17 wave 6)
+_CBAL_CAP = 20
+
+
+def q_cluster_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D4-style cluster-balanced selection (similarity.
+    cluster_balanced_sample; Tirumala et al. 2023): the IVF build's
+    deterministic integer k-means over the embeddings table, then at
+    most 20 survivors per cluster by content-stable hash priority —
+    dense semantic regions are cut, sparse clusters survive whole.
+    Output pins every vector's cluster AND its keep verdict; the
+    oracle replays the full Lloyd's build (the shared
+    _ivf_build_ctes chain) plus the salted-hash rank cut.
+    PERMANENT_EXTERNAL."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return S.cluster_balanced_sample(emb, per_cluster_cap=_CBAL_CAP)
+
+
+ORACLE_CLUSTER_BALANCED_SAMPLE = f"""
+WITH {_ivf_build_ctes()}, okey AS (
+    SELECT vec_id, cluster,
+           ('0x' || substring(md5('cbal' || chr(31) || CAST(vec_id AS VARCHAR)), 1, 15))::BIGINT AS ok
+    FROM assigned
+), ranked AS (
+    SELECT vec_id, cluster,
+           ROW_NUMBER() OVER (PARTITION BY cluster ORDER BY ok ASC, vec_id ASC) AS rn
+    FROM okey
+)
+SELECT vec_id, cluster, (rn <= {_CBAL_CAP}) AS selected FROM ranked
+"""
+
+
 # ---------------------------------------------------------------- Gopher §A1.2 full repetition set (r17 wave 5)
 def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The COMPLETE Gopher §A1.2 repetition rule set
@@ -3577,6 +3609,9 @@ QUERIES = {
     # r17 wave 5: the COMPLETE Gopher §A1.2 repetition rule set —
     # also PERMANENT_EXTERNAL
     "gopher_repetition": q_gopher_repetition,
+    # r17 wave 6: D4 cluster-balanced sampling over the shared
+    # k-means build — also PERMANENT_EXTERNAL
+    "cluster_balanced_sample": q_cluster_balanced_sample,
     # r16: PCM WAV decode + audio quality stats — also
     # PERMANENT_EXTERNAL (same capacity terms)
     "audio_pcm": q_audio_pcm,
@@ -3696,6 +3731,9 @@ ORACLES = {
     # grams, top coverage, dup coverage union and the 13-threshold
     # verdict all replayed, generated from the same constants
     "gopher_repetition": gopher_repetition_sql(_GOPHER_REP_AUG),
+    # cluster_balanced_sample (r17 wave 6): the full Lloyd's build
+    # (shared _ivf_build_ctes) + the salted-hash rank cut
+    "cluster_balanced_sample": ORACLE_CLUSTER_BALANCED_SAMPLE,
     # audio_pcm (r16): every stat recomputed from the closed-form
     # sample formula — exact-integer rms via a float-sqrt guess with
     # ±1 correction, so float rounding can never diverge the hash

@@ -445,6 +445,15 @@ PERMANENT_EXTERNAL = [
     # Hand-pinned fixtures + fixture-level DuckDB replay pytest in
     # tests/test_llm_ops.py.
     "gopher_repetition",
+    # r17 wave 6: D4 cluster-balanced sampling (Tirumala et al.
+    # 2023) — the SHARED deterministic integer Lloyd's build
+    # (similarity.ivf_index, already oracle-proven under
+    # embedding_ivf) + a per-cluster salted-hash rank cut, so dense
+    # semantic regions are capped and sparse clusters survive whole.
+    # The oracle replays build + cut via the shared _ivf_build_ctes
+    # chain. Reason (b), same capacity terms. Dense-cut/sparse-
+    # survives + build-identity pytest in tests/test_embed.py.
+    "cluster_balanced_sample",
 ]
 
 

@@ -450,3 +450,49 @@ def test_generated_embeddings_retrieval_recall(spark):
         S.cosine_topk_ivf(emb128, q128, k=K, n_clusters=16, nprobe=8), t128
     )
     assert r128 >= 0.75, r128
+
+
+def test_cluster_balanced_sample_caps_dense_keeps_sparse(spark):
+    """r17 wave 6 — D4 cluster-balanced selection: with a planted
+    dense region and a sparse one, the dense cluster is cut to the
+    cap while every sparse-cluster vector survives; assignments equal
+    the shared ivf_index build; the cap guard raises."""
+    import pytest as _pytest
+
+    from gcp_dataengineering_spark.llm_ops.similarity import (
+        cluster_balanced_sample,
+        ivf_index,
+    )
+
+    # 40 vectors near (+1, +1, ...), 5 near (-1, -1, ...): k=2 Lloyd's
+    # separates them regardless of the hash init
+    def vec(base, i):
+        return [float(base + 0.001 * ((i * 7 + d) % 5)) for d in range(8)]
+
+    rows = [(i, vec(1.0, i)) for i in range(40)] + [
+        (100 + i, vec(-1.0, i)) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = cluster_balanced_sample(
+        df, per_cluster_cap=10, n_clusters=2, n_iter=4
+    )
+    got = {r.vec_id: (r.cluster, r.selected) for r in out.collect()}
+    assert len(got) == 45
+
+    dense = {i for i in range(40)}
+    sparse = {100 + i for i in range(5)}
+    dense_clusters = {got[i][0] for i in dense}
+    sparse_clusters = {got[i][0] for i in sparse}
+    assert len(dense_clusters) == 1 and len(sparse_clusters) == 1
+    assert dense_clusters != sparse_clusters
+    # dense cut to exactly the cap; sparse survives whole
+    assert sum(1 for i in dense if got[i][1]) == 10
+    assert all(got[i][1] for i in sparse)
+
+    # the clustering IS the shared IVF build
+    assigned, _ = ivf_index(df, n_clusters=2, n_iter=4)
+    want = {r.vec_id: r.cluster for r in assigned.collect()}
+    assert {i: c for i, (c, _) in got.items()} == want
+
+    with _pytest.raises(ValueError, match="per_cluster_cap"):
+        cluster_balanced_sample(df, per_cluster_cap=0, n_clusters=2)
