@@ -141,6 +141,43 @@ def decontaminate(
     )
 
 
+def contamination_by_eval(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 13,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """The EVAL-side census — the flip side of
+    :func:`contamination_hits`: per compromised eval item,
+    ``(eval_id, n_train_docs, n_shared_grams)`` (distinct train
+    documents hit, distinct contaminated grams of the item). Used to
+    report EVAL VALIDITY for an already-released corpus: decontam
+    cleans the training set; this tells you which benchmark items'
+    scores are untrustworthy against a corpus you cannot re-cut.
+    Same posting-list join shape (the eval side broadcasts)."""
+    tr = shingle_rows(train, text_col, id_col, n)
+    ev = shingle_rows(eval_df, text_col, id_col, n).select(
+        "shingle", F.col("doc_id").alias("eval_id")
+    )
+    if max_gram_freq is not None:
+        freq = ev.groupBy("shingle").agg(
+            F.count_distinct("eval_id").alias("ev_df")
+        )
+        ev = ev.join(
+            freq.filter(F.col("ev_df") <= max_gram_freq), "shingle"
+        ).drop("ev_df")
+    return (
+        tr.join(ev, "shingle")
+        .groupBy("eval_id")
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_train_docs"),
+            F.count_distinct("shingle").cast("long").alias("n_shared_grams"),
+        )
+    )
+
+
 def contamination_minhash(
     train: DataFrame,
     eval_df: DataFrame,

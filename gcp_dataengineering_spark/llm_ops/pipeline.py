@@ -190,6 +190,19 @@ class PipelineConfig:
     # L=8) for 25% less bucket work — raise to 8 to match the oracle
     # key's setting when recall matters more than cost.
     semantic_dedup_tables: int = 6
+    # D4-style cluster balancing (similarity.cluster_balanced_sample,
+    # r17 wave 6): None = stage off. Embeds the dedup survivors
+    # in-engine (embed.doc_embed_table — no vector column needed),
+    # k-means them with the IVF build, and keeps at most this many
+    # documents per embedding-space cluster — dense semantic regions
+    # (template families, topic gluts) are capped AFTER near/semantic
+    # dedup removed their outright duplicates; sparse clusters
+    # survive whole. The per-doc (cluster, verdict) frame ships as
+    # stages["cluster_balance"].
+    cluster_balance_cap: int | None = None
+    cluster_balance_k: int = 16
+    cluster_balance_dim: int = 16
+    cluster_balance_max_chars: int = 256
     # temperature-weighted source mixing (corpus.mixture_plan +
     # apply_mixture, r11): None = stage off. Runs AFTER the per-source
     # cap and right before the split, so the plan is computed from
@@ -667,6 +680,37 @@ def build_training_corpus(
     # removed
     deduped = semantic_deduped if semantic_deduped is not None else near_deduped
 
+    cluster_balance: DataFrame | None = None
+    if cfg.cluster_balance_cap is not None:
+        # 5b. D4 cluster balancing (r17 wave 6): runs AFTER the dedup
+        # family (outright duplicates are gone; this caps what's left
+        # of each dense semantic region). The embedding feeds the
+        # iterative Lloyd's build — pin the branch point per the
+        # documented rule.
+        from .embed import doc_embed_table
+        from .similarity import cluster_balanced_sample
+
+        if materialize is not False:
+            deduped = _materialize(deduped, materialize)
+        emb = doc_embed_table(
+            deduped.select(id_col, text_col), id_col, text_col,
+            "embedding", dim=cfg.cluster_balance_dim,
+            max_chars=cfg.cluster_balance_max_chars,
+        )
+        verdicts = cluster_balanced_sample(
+            emb.select(F.col(id_col).alias("vec_id"), "embedding"),
+            per_cluster_cap=cfg.cluster_balance_cap,
+            n_clusters=cfg.cluster_balance_k,
+            materialize=materialize if materialize is not False else False,
+        )
+        cluster_balance = verdicts.select(
+            F.col("vec_id").alias("doc_id"), "cluster", "selected"
+        )
+        keep = verdicts.filter(F.col("selected")).select(
+            F.col("vec_id").alias(id_col)
+        )
+        deduped = deduped.join(keep, id_col, "left_semi")
+
     span_stripped: DataFrame | None = None
     if cfg.span_dedup_k is not None:
         # the span machinery references its input three times (gram
@@ -877,6 +921,10 @@ def build_training_corpus(
         stages["perplexity"] = perplexity_scores
     if perplexity_bucketed is not None:
         stages["perplexity_buckets"] = perplexity_bucketed
+    if cluster_balance is not None:
+        # the per-doc cluster + verdict frame: the release report's
+        # evidence for what the balancing cut and where
+        stages["cluster_balance"] = cluster_balance
     if gopher_rep is not None:
         # the per-doc repetition fractions + verdicts: the release
         # report's evidence for what the §A1.2 gate removed

@@ -6541,3 +6541,96 @@ def test_pipeline_gopher_repetition_gate(spark):
         for r in gopher_repetition_features(docs.drop("source", "lang")).collect()
     }
     assert got == want and want[1] is False
+
+
+def test_pipeline_cluster_balance_stage(spark):
+    """r17 wave 6 — D4 cluster balancing inside the composed build:
+    with cluster_balance_cap set, the dedup survivors are embedded,
+    clustered and capped exactly as the direct doc_embed_table →
+    cluster_balanced_sample composition; the verdict frame ships as
+    stages["cluster_balance"]; downstream sees only the survivors."""
+    from pyspark.sql import functions as F
+
+    from gcp_dataengineering_spark.llm_ops.embed import doc_embed_table
+    from gcp_dataengineering_spark.llm_ops.pipeline import (
+        PipelineConfig,
+        build_training_corpus,
+    )
+    from gcp_dataengineering_spark.llm_ops.similarity import (
+        cluster_balanced_sample,
+    )
+
+    # 14 docs in two obvious text families so the embedding space
+    # has a dense and a sparse region
+    fam_a = "the quick brown fox jumps over the lazy dog in the library"
+    fam_b = "completely different financial ledger numbers and balance sheets"
+
+    def page(i):
+        base = fam_a if i < 11 else fam_b
+        return (i, f"{base} unique marker token number {i} padded words "
+                   f"fill the quality gates with enough length here", "s0", "en")
+
+    docs = spark.createDataFrame(
+        [page(i) for i in range(14)],
+        "doc_id long, text string, source string, lang string",
+    )
+    cfg = PipelineConfig(
+        cluster_balance_cap=4, cluster_balance_k=2,
+        shard_budget_tokens=2000, minhash_hashes=8, lsh_bands=4,
+    )
+    stages = build_training_corpus(docs, config=cfg)
+    assert "cluster_balance" in stages
+    got = {
+        r["doc_id"]: (r["cluster"], r["selected"])
+        for r in stages["cluster_balance"].collect()
+    }
+
+    # direct twin over the pipeline's own dedup survivors
+    survivors = stages["near_deduped"].select("doc_id", "text")
+    emb = doc_embed_table(survivors, "doc_id", "text", "embedding",
+                          dim=16, max_chars=256)
+    direct = cluster_balanced_sample(
+        emb.select(F.col("doc_id").alias("vec_id"), "embedding"),
+        per_cluster_cap=4, n_clusters=2,
+    )
+    want = {
+        r["vec_id"]: (r["cluster"], r["selected"]) for r in direct.collect()
+    }
+    assert got == want
+    kept = {r["doc_id"] for r in stages["decontaminated"].select("doc_id").collect()}
+    assert kept == {d for d, (_, s) in got.items() if s}
+    # the cap actually bit: at most 4 per cluster, fewer docs than input
+    from collections import Counter
+    sizes = Counter(c for d, (c, s) in got.items() if s)
+    assert all(v <= 4 for v in sizes.values()) and len(kept) < 14
+
+
+def test_contamination_by_eval_census(spark):
+    """r17 wave 6 — the eval-side validity census: per compromised
+    eval item, distinct train docs hit and distinct contaminated
+    grams; clean eval items are absent; the stop-gram cap applies."""
+    from gcp_dataengineering_spark.llm_ops.decontam import (
+        contamination_by_eval,
+    )
+
+    eval_rows = [
+        (100, "the capital of france is paris obviously"),
+        (101, "two plus two equals four in base ten"),
+        (102, "a perfectly uncompromised benchmark question here"),
+    ]
+    train_rows = [
+        (0, "filler then the capital of france is paris obviously end"),
+        (1, "again the capital of france is paris obviously copied"),
+        (2, "two plus two equals four in base ten verbatim"),
+        (3, "clean unrelated training prose about shuffles"),
+    ]
+    tr = spark.createDataFrame(train_rows, "doc_id long, text string")
+    ev = spark.createDataFrame(eval_rows, "doc_id long, text string")
+    got = {
+        r.eval_id: (r.n_train_docs, r.n_shared_grams)
+        for r in contamination_by_eval(tr, ev, n=5).collect()
+    }
+    # item 100 hit by docs 0 and 1 (3 shared 5-grams each, same grams)
+    assert got[100] == (2, 3)
+    assert got[101] == (1, 4)
+    assert 102 not in got
