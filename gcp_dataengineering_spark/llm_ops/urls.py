@@ -709,6 +709,22 @@ def _curated_psl() -> tuple[str, ...]:
     # hosting stragglers: GitHub user content and the classic
     # Japanese shared-hosting family
     rules += ["githubusercontent.com", "sakura.ne.jp"]
+    # r17 tranche 8 — the Fastly shared-TLS/LB suffix families (each
+    # customer is a distinct registrant under the shared cert/LB
+    # hosts — the canonical private-section CDN block), the missing
+    # NASK city second-levels, and .at's private registry level
+    rules += [
+        "fastly.net",
+        "global.ssl.fastly.net", "global.prod.fastly.net",
+        "a.ssl.fastly.net", "b.ssl.fastly.net",
+        "a.prod.fastly.net", "b.prod.fastly.net",
+        "freetls.fastly.net", "map.fastly.net",
+        "fastlylb.net", "map.fastlylb.net",
+    ]
+    rules += [f"{x}.pl" for x in (
+        "krakow poznan lublin kielce torun lodz"
+    ).split()]
+    rules += ["priv.at"]
     return tuple(rules)
 
 
