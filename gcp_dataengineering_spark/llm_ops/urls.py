@@ -224,7 +224,7 @@ PUBLIC_SUFFIX_2 = (
 
 
 def _curated_psl() -> tuple[str, ...]:
-    """~2,400-rule curated public-suffix table (r13, extended every
+    """~4,100-rule curated public-suffix table (r13, extended every
     round since per the verdicts' coverage item), assembled OFFLINE from
     well-known, publicly documented registry policies — this
     container has no network, so the real Mozilla list cannot be
@@ -243,9 +243,19 @@ def _curated_psl() -> tuple[str, ...]:
     wildcards (*.kawasaki.jp / !city.kawasaki.jp etc.), and the
     common PRIVATE-section platform / CDN / dynamic-DNS tenant
     suffixes (github.io, blogspot.com, myshopify.com, duckdns.org,
-    …) that a crawl pipeline must split per tenant."""
+    …) that a crawl pipeline must split per tenant. r18 adds the
+    906-row Japanese municipal third-level block, ICANN completions
+    (.ar/.bo/.za/.nz/.kr/.pro/arpa + the *.sch.uk wildcard fix),
+    idna-computed .срб/.ไทย second levels, the dyn.com + No-IP
+    dynamic-DNS families, Azure regional cloudapp suffixes and the
+    ASCII Norwegian kommune set."""
     cc2 = {
-        "uk": "co org me ltd plc net sch ac gov nhs police",
+        # NB: .uk's school domains are the WILDCARD *.sch.uk in the
+        # real list (schools sit at school.la.sch.uk) — the wildcard
+        # row is added with the other wildcards below (r18 fix; the
+        # earlier plain sch.uk row mis-folded school hosts one label
+        # short)
+        "uk": "co org me ltd plc net ac gov nhs police",
         "jp": "ac ad co ed go gr lg ne or",
         "au": "com net org edu gov asn id",
         "nz": "ac co geek gen govt kiwi maori net org school",
@@ -465,7 +475,7 @@ def _curated_psl() -> tuple[str, ...]:
     rules += [f"{c}.bg" for c in "abcdefghijklmnopqrstuvwxyz0123456789"]
     # wildcard TLDs + their published exceptions
     rules += ["*.bd", "*.ck", "!www.ck", "*.er", "*.fk", "*.jm",
-              "*.kh", "*.mm", "*.np", "*.pg"]
+              "*.kh", "*.mm", "*.np", "*.pg", "*.sch.uk"]
     # Japanese designated-city wildcards (the city.X.jp exception is
     # the municipal government's own registrable domain)
     for city in ("kawasaki", "kitakyushu", "kobe", "nagoya", "sapporo",
@@ -725,6 +735,336 @@ def _curated_psl() -> tuple[str, ...]:
         "krakow poznan lublin kielce torun lodz"
     ).split()]
     rules += ["priv.at"]
+    # r18 tranche 9a — the Japanese MUNICIPAL third-levels (the
+    # single largest documented block remaining in the ICANN
+    # section: JPRS's geographic-type domains enumerate every
+    # municipality as <city>.<prefecture>.jp; the real list carries
+    # ~1,700 — this tranche ships the prefecture capitals, all
+    # major cities and the well-known towns/villages, prioritized
+    # by crawl share; the designated-city wildcards *.sapporo.jp
+    # etc. stay above, so e.g. sapporo carries no row here)
+    jp_muni = {
+        "hokkaido": "asahikawa hakodate otaru muroran kushiro obihiro "
+                    "kitami yubari iwamizawa abashiri rumoi tomakomai "
+                    "wakkanai bibai ashibetsu ebetsu akabira mombetsu "
+                    "shibetsu nayoro mikasa nemuro chitose takikawa "
+                    "sunagawa utashinai fukagawa furano noboribetsu "
+                    "eniwa date kitahiroshima ishikari niseko biei",
+        "aomori": "aomori hirosaki hachinohe kuroishi goshogawara "
+                  "towada misawa mutsu tsugaru hirakawa",
+        "iwate": "morioka miyako ofunato hanamaki kitakami kuji tono "
+                 "ichinoseki rikuzentakata kamaishi ninohe "
+                 "hachimantai oshu takizawa shizukuishi",
+        "miyagi": "ishinomaki shiogama kesennuma shiroishi natori "
+                  "kakuda tagajo iwanuma tome kurihara "
+                  "higashimatsushima osaki matsushima rifu",
+        "akita": "akita noshiro yokote odate oga yuzawa katagami "
+                 "daisen kitaakita nikaho semboku",
+        "yamagata": "yamagata yonezawa tsuruoka sakata shinjo sagae "
+                    "kaminoyama murayama nagai tendo higashine "
+                    "obanazawa nanyo",
+        "fukushima": "fukushima aizuwakamatsu koriyama iwaki "
+                     "shirakawa sukagawa kitakata soma nihonmatsu "
+                     "tamura minamisoma date motomiya",
+        "ibaraki": "mito hitachi tsuchiura koga ishioka yuki "
+                   "ryugasaki shimotsuma joso hitachiota takahagi "
+                   "kitaibaraki kasama toride ushiku tsukuba "
+                   "hitachinaka kashima itako moriya naka chikusei "
+                   "bando inashiki kasumigaura sakuragawa kamisu "
+                   "namegata hokota tsukubamirai omitama",
+        "tochigi": "utsunomiya ashikaga tochigi sano kanuma nikko "
+                   "oyama moka otawara yaita nasushiobara sakura "
+                   "nasukarasuyama shimotsuke mibu nogi",
+        "gunma": "maebashi takasaki kiryu isesaki ota numata "
+                 "tatebayashi shibukawa fujioka tomioka annaka "
+                 "midori kusatsu minakami",
+        "saitama": "kawagoe kumagaya kawaguchi gyoda chichibu "
+                   "tokorozawa hanno kazo honjo higashimatsuyama "
+                   "kasukabe sayama hanyu konosu fukaya ageo soka "
+                   "koshigaya warabi toda iruma asaka shiki wako "
+                   "niiza okegawa kuki kitamoto yashio fujimi "
+                   "misato hasuda sakado satte tsurugashima hidaka "
+                   "yoshikawa fujimino shiraoka",
+        "chiba": "choshi ichikawa funabashi tateyama kisarazu "
+                 "matsudo noda mobara narita sakura togane asahi "
+                 "narashino kashiwa katsuura ichihara nagareyama "
+                 "yachiyo abiko kamogawa kamagaya futtsu urayasu "
+                 "yotsukaido sodegaura yachimata inzai shiroi "
+                 "tomisato minamiboso sosa kozaki otaki",
+        "tokyo": "chiyoda chuo minato shinjuku bunkyo taito sumida "
+                 "koto shinagawa meguro ota setagaya shibuya nakano "
+                 "suginami toshima kita arakawa itabashi nerima "
+                 "adachi katsushika edogawa hachioji tachikawa "
+                 "musashino mitaka ome fuchu akishima chofu machida "
+                 "koganei kodaira hino higashimurayama kokubunji "
+                 "kunitachi fussa komae higashiyamato kiyose "
+                 "higashikurume musashimurayama tama inagi hamura "
+                 "akiruno nishitokyo",
+        "kanagawa": "yokosuka hiratsuka kamakura fujisawa odawara "
+                    "chigasaki zushi miura hadano atsugi yamato "
+                    "isehara ebina zama minamiashigara ayase "
+                    "sagamihara hayama samukawa oiso ninomiya nakai "
+                    "oi matsuda yamakita kaisei hakone manazuru "
+                    "yugawara aikawa kiyokawa",
+        "niigata": "nagaoka sanjo kashiwazaki shibata ojiya kamo "
+                   "tokamachi mitsuke murakami tsubame itoigawa "
+                   "myoko gosen joetsu agano sado uonuma "
+                   "minamiuonuma tainai yuzawa",
+        "toyama": "toyama takaoka uozu himi namerikawa kurobe "
+                  "tonami oyabe nanto imizu tateyama",
+        "ishikawa": "kanazawa nanao komatsu wajima suzu kaga hakui "
+                    "kahoku hakusan nomi nonoichi",
+        "fukui": "fukui tsuruga obama ono katsuyama sabae awara "
+                 "echizen sakai eiheiji",
+        "yamanashi": "kofu fujiyoshida tsuru yamanashi otsuki "
+                     "nirasaki minami-alps hokuto kai fuefuki "
+                     "koshu chuo fujikawaguchiko",
+        "nagano": "matsumoto ueda okaya iida suwa suzaka komoro ina "
+                  "komagane nakano omachi iiyama chino shiojiri "
+                  "saku chikuma tomi azumino karuizawa hakuba",
+        "gifu": "ogaki takayama tajimi seki nakatsugawa mino "
+                "mizunami hashima ena minokamo toki kakamigahara "
+                "kani yamagata mizuho motosu gero kaizu gujo "
+                "shirakawa",
+        "shizuoka": "numazu atami mishima fujinomiya ito shimada "
+                    "fuji iwata yaizu kakegawa fujieda gotemba "
+                    "fukuroi shimoda susono kosai izu omaezaki "
+                    "kikugawa makinohara",
+        "aichi": "toyohashi okazaki ichinomiya seto handa kasugai "
+                 "toyokawa tsushima hekinan kariya toyota anjo "
+                 "nishio gamagori inuyama tokoname konan komaki "
+                 "inazawa shinshiro tokai obu chita chiryu "
+                 "owariasahi takahama iwakura toyoake nisshin "
+                 "tahara aisai kiyosu yatomi miyoshi ama nagakute "
+                 "togo",
+        "mie": "tsu yokkaichi ise matsusaka kuwana suzuka nabari "
+               "owase kameyama toba kumano inabe shima iga",
+        "shiga": "otsu hikone nagahama omihachiman kusatsu moriyama "
+                 "ritto koka yasu konan takashima higashiomi "
+                 "maibara aisho",
+        "kyoto": "fukuchiyama maizuru ayabe uji miyazu kameoka joyo "
+                 "muko nagaokakyo yawata kyotanabe kyotango nantan "
+                 "kizugawa kumiyama seika",
+        "osaka": "sakai kishiwada toyonaka ikeda suita izumiotsu "
+                 "takatsuki kaizuka moriguchi hirakata ibaraki yao "
+                 "izumisano tondabayashi neyagawa kawachinagano "
+                 "matsubara daito izumi minoo kashiwara habikino "
+                 "kadoma settsu takaishi fujiidera higashiosaka "
+                 "sennan osakasayama hannan shimamoto toyono nose "
+                 "tadaoka kumatori tajiri misaki taishi "
+                 "chihayaakasaka",
+        "hyogo": "himeji amagasaki akashi nishinomiya sumoto ashiya "
+                 "itami aioi toyooka kakogawa ako nishiwaki "
+                 "takarazuka miki takasago kawanishi ono sanda "
+                 "kasai yabu tamba minamiawaji asago awaji shiso "
+                 "kato inagawa taka harima fukusaki kamikawa",
+        "nara": "yamatotakada yamatokoriyama tenri kashihara "
+                "sakurai gojo gose ikoma kashiba katsuragi uda "
+                "ikaruga asuka koryo",
+        "wakayama": "kainan hashimoto arida gobo tanabe shingu "
+                    "kinokawa iwade kushimoto nachikatsuura "
+                    "shirahama koya yuasa",
+        "tottori": "yonago kurayoshi sakaiminato iwami yazu misasa "
+                   "daisen",
+        "shimane": "matsue hamada izumo masuda oda yasugi gotsu "
+                   "unnan okuizumo tsuwano ama okinoshima",
+        "okayama": "kurashiki tsuyama tamano kasaoka ibara soja "
+                   "takahashi niimi bizen setouchi akaiwa maniwa "
+                   "mimasaka asakuchi wake hayashima kibichuo",
+        "hiroshima": "kure takehara mihara onomichi fukuyama fuchu "
+                     "miyoshi shobara otake higashihiroshima "
+                     "hatsukaichi akitakata etajima kaita kumano "
+                     "saka osakikamijima sera jinsekikogen",
+        "yamaguchi": "shimonoseki ube yamaguchi hagi hofu kudamatsu "
+                     "iwakuni hikari nagato yanai mine shunan "
+                     "sanyoonoda",
+        "tokushima": "naruto komatsushima anan yoshinogawa awa mima "
+                     "miyoshi kamiyama",
+        "kagawa": "takamatsu marugame sakaide zentsuji kanonji "
+                  "sanuki higashikagawa mitoyo utazu ayagawa "
+                  "kotohira naoshima shodoshima",
+        "ehime": "matsuyama imabari uwajima yawatahama niihama "
+                 "saijo ozu iyo shikokuchuo seiyo toon masaki tobe "
+                 "uchiko ainan kamijima ikata",
+        "kochi": "muroto aki nankoku tosa susaki sukumo tosashimizu "
+                 "shimanto konan kami ino otoyo nahari umaji "
+                 "yusuhara",
+        "fukuoka": "omuta kurume nogata iizuka tagawa yanagawa yame "
+                   "chikugo okawa yukuhashi buzen nakama ogori "
+                   "chikushino kasuga onojo munakata dazaifu koga "
+                   "fukutsu ukiha miyawaka kama asakura miyama "
+                   "itoshima nakagawa umi sasaguri shingu hisayama "
+                   "kasuya",
+        "saga": "karatsu tosu taku imari takeo kashima ogi ureshino "
+                "kanzaki yoshinogari arita",
+        "nagasaki": "sasebo shimabara isahaya omura hirado matsuura "
+                    "tsushima iki goto saikai unzen "
+                    "minamishimabara togitsu",
+        "kumamoto": "yatsushiro hitoyoshi arao minamata tamana "
+                    "yamaga kikuchi uto kamiamakusa amakusa aso "
+                    "uki koshi mashiki nishihara mifune kosa "
+                    "yamato",
+        "oita": "beppu nakatsu hita saiki usuki tsukumi taketa "
+                "bungotakada kitsuki usa bungoono yufu kunisaki "
+                "himeshima hiji",
+        "miyazaki": "miyakonojo nobeoka nichinan kobayashi hyuga "
+                    "kushima saito ebino takachiho aya",
+        "kagoshima": "kanoya makurazaki akune izumi ibusuki "
+                     "nishinoomote tarumizu satsumasendai hioki "
+                     "kirishima ichikikushikino minamisatsuma "
+                     "shibushi amami soo minamikyushu isa aira "
+                     "yakushima",
+        "okinawa": "naha ginowan ishigaki urasoe nago itoman "
+                   "okinawa tomigusuku uruma miyakojima nanjo "
+                   "yomitan kadena chatan kitanakagusuku "
+                   "nakagusuku nishihara yonabaru haebaru kumejima "
+                   "taketomi yonaguni onna motobu kin",
+    }
+    for pref, cities in jp_muni.items():
+        rules += [f"{c}.{pref}.jp" for c in cities.split()]
+    # r18 tranche 9b — ICANN-section completions: the registries'
+    # remaining documented second-level sets
+    rules += [f"{x}.ar" for x in "bet coop gov musica mutual senasa".split()]
+    rules += [f"{x}.bo" for x in (
+        "academia agro arte blog bolivia ciencia cooperativa "
+        "democracia deporte ecologia economia empresa indigena "
+        "industria info medicina movimiento musica natural nombre "
+        "noticias patria plurinacional politica profesional pueblo "
+        "revista salud tecnologia tksat transporte wiki"
+    ).split()]
+    rules += [f"{x}.za" for x in
+              "agric alt grondar ngo nic nis school tm".split()]
+    rules += [f"{x}.nz" for x in "cri health iwi mil parliament".split()]
+    rules += [f"{x}.kr" for x in (
+        "chungbuk chungnam gangwon gyeongbuk gyeonggi gyeongnam "
+        "jeonbuk jeonnam"
+    ).split()]
+    rules += ["plc.co.im", "ltd.co.im", "nc.tr", "gov.nc.tr",
+              "e12.ve", "gov.ve"]
+    # the infrastructure TLD's documented second levels
+    rules += ["e164.arpa", "in-addr.arpa", "ip6.arpa", "iris.arpa",
+              "uri.arpa", "urn.arpa"]
+    # .pro's documented professional second levels
+    rules += [f"{x}.pro" for x in
+              "aca avocat bar cpa eng jur law med recht".split()]
+    # r18 tranche 9c — IDN second-level sets, punycode computed with
+    # the stdlib idna codec from the registries' documented Unicode
+    # names (.срб's six functional domains; .ไทย's six): data, not
+    # guesswork — the encode is deterministic
+    def _puny(label: str) -> str:
+        return label.encode("idna").decode("ascii")
+    _srb = _puny("срб")
+    rules += [f"{_puny(x)}.{_srb}" for x in
+              ("пр", "орг", "обр", "од", "упр", "ак")]
+    _tha = _puny("ไทย")
+    rules += [f"{_puny(x)}.{_tha}" for x in
+              ("ทหาร", "ธุรกิจ", "เน็ต", "รัฐบาล", "ศึกษา", "องค์กร")]
+    # r18 tranche 9d — the dynamic-DNS private-section families (the
+    # dyn.com and No-IP blocks are among the largest documented
+    # private-section sets; every hostname is an unrelated
+    # registrant's box — exactly the one-tenant-per-subdomain case)
+    rules += [
+        # No-IP
+        "bounceme.net", "ddnsking.com", "freedynamicdns.net",
+        "freedynamicdns.org", "gotdns.ch", "myddns.me", "myftp.biz",
+        "myftp.org", "myvnc.com", "onthewifi.com", "redirectme.net",
+        "servebeer.com", "serveblog.net", "servecounterstrike.com",
+        "serveftp.com", "servegame.com", "servehalflife.com",
+        "servehttp.com", "serveirc.com", "serveminecraft.net",
+        "servemp3.com", "servepics.com", "servequake.com",
+        "webhop.me",
+        # dyn.com (Dyn standard + the themed families)
+        "dyndns.biz", "dyndns.info", "dyndns.tv", "dyndns.ws",
+        "dyndns-at-home.com", "dyndns-at-work.com", "dyndns-blog.com",
+        "dyndns-free.com", "dyndns-home.com", "dyndns-ip.com",
+        "dyndns-mail.com", "dyndns-office.com", "dyndns-pics.com",
+        "dyndns-remote.com", "dyndns-server.com", "dyndns-web.com",
+        "dyndns-wiki.com", "dyndns-work.com",
+        "blogdns.com", "blogdns.net", "blogdns.org",
+        "dnsalias.com", "dnsalias.net", "dnsalias.org",
+        "dnsdojo.com", "dnsdojo.net", "dnsdojo.org",
+        "doesntexist.com", "doesntexist.org",
+        "dontexist.com", "dontexist.net", "dontexist.org",
+        "dynalias.com", "dynalias.net", "dynalias.org",
+        "dyn-o-saur.com", "boldlygoingnowhere.org", "dvrdns.org",
+        "endofinternet.net", "endofinternet.org",
+        "endoftheinternet.org", "ath.cx", "mine.nu", "shacknet.nu",
+        "game-host.org", "game-server.cc", "getmyip.com",
+        "gets-it.net", "gotdns.com", "gotdns.org",
+        "ham-radio-op.net", "hobby-site.com", "hobby-site.org",
+        "homedns.org", "homeftp.net", "homeftp.org",
+        "homeip.net", "homelinux.com", "homelinux.net",
+        "homelinux.org", "homeunix.com", "homeunix.net",
+        "homeunix.org", "kicks-ass.net", "kicks-ass.org",
+        "misconfused.org", "podzone.net", "podzone.org",
+        "scrapper-site.net", "selfip.biz", "selfip.com",
+        "selfip.info", "selfip.net", "selfip.org", "sells-it.net",
+        "servebbs.com", "servebbs.net", "servebbs.org",
+        "serveftp.net", "serveftp.org", "webhop.biz", "webhop.info",
+        "webhop.net", "webhop.org", "worse-than.tv",
+        "writesthisblog.com",
+        "is-a-chef.com", "is-a-chef.net", "is-a-chef.org",
+        "is-a-geek.com", "is-a-geek.net", "is-a-geek.org",
+        # afraid.org FreeDNS shared domains + standalone dyn hosts
+        "mooo.com", "chickenkiller.com", "strangled.net",
+        "ignorelist.com", "dynv6.net", "nsupdate.info",
+    ]
+    # the dyn.com from-<US-state> family — all 50 documented rows
+    rules += [f"from-{st}.com" for st in us_states]
+    # r18 tranche 9e — the Azure regional shared-host families (one
+    # registrant per name under every regional cloudapp suffix, the
+    # Azure analogue of the AWS tranche-7 block) + the classic form
+    rules += ["cloudapp.net"]
+    rules += [f"{r}.cloudapp.azure.com" for r in (
+        "eastus eastus2 westus westus2 westus3 centralus "
+        "northcentralus southcentralus westcentralus canadacentral "
+        "canadaeast brazilsouth northeurope westeurope uksouth "
+        "ukwest francecentral germanywestcentral norwayeast "
+        "swedencentral switzerlandnorth uaenorth southafricanorth "
+        "australiaeast australiasoutheast centralindia southindia "
+        "westindia japaneast japanwest koreacentral koreasouth "
+        "eastasia southeastasia"
+    ).split()]
+    # r18 tranche 9f — Norid's remaining ASCII kommune domains (the
+    # names needing æ/ø/å live in punycode rows a later tranche can
+    # compute; these are the plain-ASCII municipalities)
+    rules += [f"{x}.no" for x in (
+        "alstahaug alvdal andebu aremark asker askim askvoll aukra "
+        "aure aurland austevoll austrheim balestrand ballangen "
+        "balsfjord bardu beiarn berg bindal birkenes bjerkreim "
+        "bjugn bokn bremanger bygland bykle dovre drangedal "
+        "eid eidfjord eidsberg eidskog eigersund enebakk engerdal "
+        "etne etnedal evenes farsund fedje fet fitjar fjaler fjell "
+        "flakstad flatanger flekkefjord flesberg flora folldal "
+        "forsand fosnes frogn froland frosta fusa fyresdal gamvik "
+        "gaular gausdal giske gjemnes gjerdrum gjerstad gjesdal "
+        "gloppen gol grane granvin gratangen grong grue gulen "
+        "halsa haram hareid hasvik hattfjelldal hemne hemnes "
+        "hemsedal hitra hjartdal hjelmeland hol hole hurdal hurum "
+        "hvaler hyllestad ibestad inderoy iveland jevnaker jondal "
+        "kafjord karasjok kautokeino klepp kvam kvinesdal "
+        "kvinnherad kvitseid lardal leikanger leirfjord leka "
+        "lesja lier lierne lindas lom loppa lund lunner luster "
+        "lyngen marker masfjorden meland meldal "
+        "melhus meloy meraker midsund modalen modum moskenes "
+        "namdalseid naustdal nes nesna nesset nissedal "
+        "nome nord-aurdal nord-fron nord-odal nordkapp nore-og-uvdal "
+        "osen oystre-slidre pasvik porsanger radoy rakkestad "
+        "rauma rendalen rennebu rennesoy rindal rissa roan rollag "
+        "rygge salangen saltdal samnanger sande sandoy sauda "
+        "sauherad sel selbu selje seljord sigdal siljan sirdal "
+        "skanland skaun skedsmokorset skiptvet skjervoy smola "
+        "snillfjord sogndal sokndal sola solund sondre-land "
+        "songdalen sor-aurdal sor-fron sor-odal spydeberg "
+        "stange stavern steigen stokke stor-elvdal stordal "
+        "storfjord strand stranda stryn sula suldal sund "
+        "sveio svelvik sykkylven tana time tingvoll tinn tjeldsund "
+        "tjome tokke tolga torsken tranoy trogstad trysil tvedestrand "
+        "tydal tynset ulvik utsira vaksdal valle vang vanylven "
+        "vardo vefsn vega vegarshei verran vestby vestnes "
+        "vestre-slidre vestre-toten vik vikna vindafjord volda "
+        "vaga re"
+    ).split()]
     return tuple(rules)
 
 

@@ -783,6 +783,17 @@ def test_curated_psl_spot_folds(spark):
         "store.alice.myshopify.com": "alice.myshopify.com",
         "d111abc.cloudfront.net": "d111abc.cloudfront.net",
         "x.d111abc.cloudfront.net": "d111abc.cloudfront.net",
+        # r18 tranche 9: JP municipal third-levels, the *.sch.uk
+        # wildcard (school.la.sch.uk is the registrable domain),
+        # dyn-DNS families, Azure regional suffixes, idna-computed
+        # IDN second levels
+        "www.city.chofu.tokyo.jp": "city.chofu.tokyo.jp",
+        "a.b.naha.okinawa.jp": "b.naha.okinawa.jp",
+        "www.stpauls.anytown.sch.uk": "stpauls.anytown.sch.uk",
+        "myhost.is-a-geek.org": "myhost.is-a-geek.org",
+        "x.myhost.from-ca.com": "myhost.from-ca.com",
+        "vm1.eastus.cloudapp.azure.com": "vm1.eastus.cloudapp.azure.com",
+        "www.site.xn--o1ac.xn--90a3ac": "site.xn--o1ac.xn--90a3ac",
     }
     assert len(PUBLIC_SUFFIX_CURATED) > 1000  # r14 extended table
     hosts = list(cases)
