@@ -183,6 +183,11 @@ HEADLINE = [
     # legs (corpus + derived eval) and a broadcast band join; should
     # price near dedup_minhash plus the small eval leg
     "decontaminate_fuzzy",
+    # round-18: the video container near-dup chain (synth + box walk
+    # + mdat envelope fingerprint inside one Arrow pass, then
+    # banding + duration guard + CC — the audio_neardup cost class,
+    # video flavor)
+    "video_neardup",
     # round-7: the COMPOSED corpus build as its own row — regressions
     # in the composition (stage chaining, the branch-point persist,
     # shuffle reuse between stages), not just in its member

@@ -1003,6 +1003,280 @@ def synth_envelope_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+# ------------------------------------------------------------ video near-dup
+def video_fingerprint_py(payload: bytes | None):
+    """(vfp, duration_ms, codec) container fingerprint of an MP4
+    payload — the honest-scope video near-dup signal (r18, the r17
+    verdict's item 2). Full H.264/H.265 decode is out of pure-Python
+    scope, so the fingerprint reads the CONTAINER: the first
+    top-level ``mdat`` box's bytes through the same 65-window
+    integer energy envelope as the audio fingerprint (byte b → Σb²
+    per window, bit k = [E(k+1) > E(k)], signed-64 fold), plus the
+    mvhd duration and first stsd codec for the pair-stage duration
+    check and reporting.
+
+    What it CAN catch: exact dups, remuxes that preserve the coded
+    byte stream (box reorder — e.g. faststart moov-before-mdat vs
+    streaming mdat-first — metadata edits, added free boxes), and
+    exact resegmentations that repeat/duplicate mdat bytes in place.
+    What it CANNOT catch (documented quarantine, by design): true
+    re-encodes and muxers that re-interleave the mdat sample layout
+    — those change the byte stream itself and need a real decoder.
+
+    ``None`` when the payload is not MP4, has no mdat, or the mdat
+    is shorter than 65 bytes (too short to carry an envelope)."""
+    import numpy as np
+
+    from .phash import _to_signed64
+
+    if not payload or len(payload) < 12:
+        return None
+    meta = parse_av_header(payload)
+    if meta[0] != "mp4":
+        return None
+    # top-level box walk (same framing rules as parse_av_header)
+    mdat = None
+    i = 0
+    while i + 8 <= len(payload):
+        size = int.from_bytes(payload[i : i + 4], "big")
+        typ = payload[i + 4 : i + 8]
+        if size == 0:
+            size = len(payload) - i
+        if size < 8 or i + size > len(payload):
+            break
+        if typ == b"mdat" and mdat is None:
+            mdat = payload[i + 8 : i + size]
+        i += size
+    if mdat is None or len(mdat) < AUDIO_FP_WINDOWS:
+        return None
+    b = np.frombuffer(mdat, dtype=np.uint8).astype(np.int64)
+    n = int(b.shape[0])
+    w = (np.arange(n, dtype=np.int64) * AUDIO_FP_WINDOWS) // n
+    e = np.zeros(AUDIO_FP_WINDOWS, dtype=np.int64)
+    np.add.at(e, w, b * b)
+    fp = 0
+    for k in range(AUDIO_FP_WINDOWS - 1):
+        if e[k + 1] > e[k]:
+            fp |= 1 << k
+    return _to_signed64(fp), meta[3], meta[6]
+
+
+VIDEO_FP_SCHEMA = (
+    "media_id long, fmt string, n_mdat long, vfp long, "
+    "duration_ms long, codec string"
+)
+
+
+def video_container_fp(df: DataFrame, batch_rows: int = 1024) -> DataFrame:
+    """Fingerprint pass over binary video payloads via mapInPandas —
+    VIDEO_FP_SCHEMA rows; quarantined payloads (non-MP4 / no mdat /
+    too short) keep NULL vfp. One int64 + two small scalars per clip
+    leave the UDF — the shuffle currency is tiny at any corpus
+    size."""
+
+    def fp_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def sliced():
+            for pdf in batches:
+                for lo in range(0, len(pdf), max(batch_rows, 1)):
+                    yield pdf.iloc[lo : lo + max(batch_rows, 1)]
+
+        for pdf in sliced():
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = bytes(payload) if payload is not None else b""
+                got = video_fingerprint_py(b)
+                if got is None:
+                    rows.append((mid, None, None, None, None, None))
+                    continue
+                vfp, dur, codec = got
+                i, n_mdat = 0, None
+                while i + 8 <= len(b):
+                    size = int.from_bytes(b[i : i + 4], "big")
+                    typ = b[i + 4 : i + 8]
+                    if size == 0:
+                        size = len(b) - i
+                    if size < 8 or i + size > len(b):
+                        break
+                    if typ == b"mdat":
+                        n_mdat = size - 8
+                        break
+                    i += size
+                rows.append((mid, "mp4", n_mdat, vfp, dur, codec))
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "fmt", "n_mdat", "vfp",
+                         "duration_ms", "codec"],
+            )
+
+    cols = df.select(F.col("media_id").cast("long"), F.col("payload"))
+    return cols.mapInPandas(fp_batches, VIDEO_FP_SCHEMA)
+
+
+def video_neardup(
+    media: DataFrame,
+    max_hamming: int = 3,
+    bands: int = 4,
+    dur_tol_ms: int = 100,
+    batch_rows: int = 1024,
+    materialize=None,
+) -> DataFrame:
+    """End-to-end video container near-dup — completes the
+    text/image/audio/VIDEO dedup matrix (r18, the r17 verdict's
+    item 2): payloads → mdat-envelope container fingerprints
+    (video_container_fp) → the SAME pigeonhole band blocking as
+    image/audio (phash.phash_candidate_pairs — bucketed equi-join,
+    complete for hamming ≤ bands−1, never a cross join) → exact
+    hamming filter → a CONTAINER-SIGNAL guard (|Δduration_ms| ≤
+    dur_tol_ms when both durations are present — a remux preserves
+    duration, so the guard only cuts false envelope collisions,
+    never real remux pairs) → resolve_dup_groups connected
+    components. Returns (media_id, group_id); quarantined clips are
+    absent. Scope statement: see video_fingerprint_py — remux-level
+    dups yes, re-encodes no."""
+    if max_hamming >= bands:
+        raise ValueError(
+            f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
+            "pigeonhole banding only guarantees completeness up to "
+            "bands − 1 differing bits — raise bands instead"
+        )
+    from .dedup import resolve_dup_groups
+    from .phash import phash_candidate_pairs
+
+    fps = video_container_fp(media, batch_rows=batch_rows)
+    if materialize is not None:
+        fps = materialize(fps)
+    cands = phash_candidate_pairs(
+        fps, hash_col="vfp", bands=bands, id_col="media_id",
+        materialize=materialize,
+    )
+    durs = fps.select(F.col("media_id"), F.col("duration_ms"))
+    pairs = (
+        cands.filter(F.col("hamming") <= max_hamming)
+        .join(durs.select(F.col("media_id").alias("id_a"),
+                          F.col("duration_ms").alias("dur_a")), "id_a")
+        .join(durs.select(F.col("media_id").alias("id_b"),
+                          F.col("duration_ms").alias("dur_b")), "id_b")
+        .filter(
+            F.col("dur_a").isNull()
+            | F.col("dur_b").isNull()
+            | (F.abs(F.col("dur_a") - F.col("dur_b")) <= F.lit(dur_tol_ms))
+        )
+        .select(F.col("id_a"), F.col("id_b"))
+    )
+    ids = fps.filter(F.col("vfp").isNotNull()).select(
+        F.col("media_id").alias("doc_id")
+    )
+    groups = resolve_dup_groups(ids, pairs, id_col="doc_id", materialize=materialize)
+    return groups.select(F.col("doc_id").alias("media_id"), "group_id")
+
+
+def synth_video_payload(doc_id: int) -> bytes:
+    """Spec-valid MP4 whose mdat bytes are a closed-form function of
+    the id, with PLANTED near-dup structure: group g = id // 4,
+    member m = id % 4 —
+
+    - mdat length n = 650 (members 0-2; the 65-window split is
+      exact) or 1300 (member 3 — an EXACT 2× byte-repeat of member
+      0: b(i) = b₀(i//2), so every window energy doubles exactly and
+      the fingerprint is provably identical — the "same coded stream
+      re-padded/re-segmented" case);
+    - byte(g, i) = (env(g, w) · base(g, i)) mod 251 with the audio
+      fixture's squared-mix envelope env = 1 + (((g·131071 +
+      w·524287 + 17)² mod 2³¹) // 1024) mod 31 and base = ((g·7919 +
+      i·104729) mod 200) + 1 — the mod-251 product mixes well, so
+      unrelated groups separate (measured while building: 125
+      planted groups → the component count the pytest pins);
+    - member 0: canonical faststart mux (ftyp, moov, mdat);
+    - member 1: the REMUX twin — byte-identical mdat, but mdat
+      BEFORE moov, a free box added, and different mvhd
+      creation/modification stamps (exactly what a remux tool
+      changes) — fingerprint-identical by construction;
+    - member 2: window-7 perturbation — bytes in window 7 become
+      (byte + 101) mod 251, so only boundary bits 6/7 can move (the
+      hamming ≤ 2 leg);
+    - every member keeps duration_ms = 1000 + (g·37) mod 4000 (a
+      remux preserves duration — the pair-stage guard must pass) and
+      stsd codec (avc1, hev1, vp09)[g mod 3].
+
+    The SQL oracle (suite/llm.py video_neardup) replays the whole
+    chain — byte formula, window split (i·65 // n), Σb² energies,
+    sign bits, signed fold, banding, hamming, the duration guard,
+    transitive closure — straight from these formulas."""
+    import numpy as np
+
+    g, m = doc_id // 4, doc_id % 4
+    n = 1300 if m == 3 else 650
+    i = np.arange(n, dtype=np.int64)
+    ib = i // 2 if m == 3 else i
+    w = (ib * AUDIO_FP_WINDOWS) // 650
+    q = g * 131071 + w * 524287 + 17
+    env = 1 + ((q * q) % 2**31) // 1024 % 31
+    base = ((g * 7919 + ib * 104729) % 200) + 1
+    byte = (env * base) % 251
+    if m == 2:
+        byte = np.where(w == 7, (byte + 101) % 251, byte)
+    mdat_body = byte.astype(np.uint8).tobytes()
+    mdat = struct.pack(">I", 8 + len(mdat_body)) + b"mdat" + mdat_body
+
+    dur = 1000 + (g * 37) % 4000
+    creation = 12345 if m == 1 else 0
+    fourcc = (b"avc1", b"hev1", b"vp09")[g % 3]
+    ftyp = struct.pack(">I", 16) + b"ftypisom" + struct.pack(">I", 0)
+    mvhd = (
+        struct.pack(">I", 108) + b"mvhd" + b"\x00\x00\x00\x00"
+        + struct.pack(">II", creation, creation)
+        + struct.pack(">II", 1000, dur)
+        + struct.pack(">I", 0x00010000)
+        + struct.pack(">H", 0x0100) + b"\x00" * 10
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                      0x40000000)
+        + b"\x00" * 24 + struct.pack(">I", 2)
+    )
+    tkhd = (
+        struct.pack(">I", 92) + b"tkhd" + b"\x00\x00\x00\x07"
+        + struct.pack(">III", creation, creation, 1)
+        + struct.pack(">I", 0)
+        + struct.pack(">I", dur)
+        + b"\x00" * 8
+        + struct.pack(">HHHH", 0, 0, 0, 0)
+        + struct.pack(">9I", 0x00010000, 0, 0, 0, 0x00010000, 0, 0, 0,
+                      0x40000000)
+        + struct.pack(">II", 320 << 16, 240 << 16)
+    )
+    entry = struct.pack(">I", 16) + fourcc + b"\x00" * 6 + struct.pack(">H", 1)
+    stsd = (struct.pack(">I", 32) + b"stsd" + b"\x00\x00\x00\x00"
+            + struct.pack(">I", 1) + entry)
+    stbl = struct.pack(">I", 40) + b"stbl" + stsd
+    minf = struct.pack(">I", 48) + b"minf" + stbl
+    mdia = struct.pack(">I", 56) + b"mdia" + minf
+    trak = struct.pack(">I", 156) + b"trak" + tkhd + mdia
+    moov = struct.pack(">I", 272) + b"moov" + mvhd + trak
+    if m == 1:
+        free = struct.pack(">I", 16) + b"free" + b"\x00" * 8
+        return ftyp + mdat + free + moov
+    return ftyp + moov + mdat
+
+
+def synth_video_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, media_type, payload) of closed-form planted-group
+    MP4s — the fixture generator for the video_neardup oracle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].astype("int64")
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.values,
+                    "media_type": ["video/mp4"] * len(ids),
+                    "payload": [synth_video_payload(int(i)) for i in ids],
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema="media_id long, media_type string, payload binary"
+    )
+
+
 def frame_sample_plan(df: DataFrame, every_n: int = 30) -> DataFrame:
     """Video frame-sampling *plan*: expands each media row into frame
     descriptors (frame_idx) without decoding — the decode of selected

@@ -1337,6 +1337,105 @@ FROM reach GROUP BY src
 """
 
 
+# ---------------------------------------------------------------- video near-dup
+def q_video_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE video container near-dup chain under one oracle
+    (r18 — the r17 verdict's item 2; completes the
+    text/image/audio/VIDEO dedup matrix at honest scope): closed-form
+    MP4s with planted duplicate structure (byte-identical remux twin
+    with reordered boxes + metadata edits, window-7 perturbed
+    hamming ≤ 2 variant, exact 2× byte-repeat sibling —
+    multimodal.synth_video_payload) → top-level box walk → mdat
+    65-window exact integer Σb² energy envelope → 64 sign-of-delta
+    bits → signed fold → pigeonhole band blocking → hamming ≤ 3 →
+    the duration container-signal guard → connected components →
+    (media_id, group_id). The oracle replays every stage from the
+    byte formulas. Scope: remux-level dups, NOT re-encodes
+    (video_fingerprint_py docstring). PERMANENT_EXTERNAL."""
+    docs = _t(spark, sf_dir, "documents")
+    media = M.synth_video_corpus(docs, id_col="doc_id")
+    return M.video_neardup(media)
+
+
+ORACLE_VIDEO_NEARDUP = """
+WITH RECURSIVE dims AS (
+  SELECT doc_id,
+         CAST(doc_id // 4 AS BIGINT) AS g,
+         CAST(doc_id % 4 AS BIGINT) AS m,
+         CAST(CASE WHEN doc_id % 4 = 3 THEN 1300 ELSE 650 END AS BIGINT) AS n,
+         CAST(1000 + (doc_id // 4 * 37) % 4000 AS BIGINT) AS dur
+  FROM documents
+), bytes AS (
+  -- member 3 is an exact 2x byte repeat: base index ib = i // 2
+  SELECT d.doc_id, d.g, d.m,
+         CASE WHEN d.m = 3 THEN r.i // 2 ELSE r.i END AS ib,
+         (CASE WHEN d.m = 3 THEN r.i // 2 ELSE r.i END) * 65 // 650 AS w
+  FROM dims d, unnest(range(d.n)) AS r(i)
+), vals AS (
+  SELECT doc_id, w,
+         CASE WHEN m = 2 AND w = 7 THEN (b + 101) % 251 ELSE b END AS b
+  FROM (
+    SELECT doc_id, m, w,
+           ((1 + ((((g*131071 + w*524287 + 17)*(g*131071 + w*524287 + 17)) % 2147483648) // 1024) % 31)
+            * (((g*7919 + ib*104729) % 200) + 1)) % 251 AS b
+    FROM bytes
+  )
+), energy AS (
+  SELECT doc_id, w, CAST(SUM(b * b) AS BIGINT) AS e
+  FROM vals GROUP BY doc_id, w
+), bitsrc AS (
+  SELECT doc_id, w, e,
+         LEAD(e) OVER (PARTITION BY doc_id ORDER BY w) AS e_next
+  FROM energy
+), fp AS (
+  SELECT doc_id,
+         CAST((CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+              * 4294967296 + lo AS BIGINT) AS vfp
+  FROM (
+    SELECT doc_id,
+      COALESCE(SUM(CASE WHEN e_next > e AND w < 32
+                        THEN (CAST(1 AS BIGINT) << CAST(w AS INTEGER))
+                        ELSE 0 END), 0) AS lo,
+      COALESCE(SUM(CASE WHEN e_next > e AND w >= 32 AND w < 64
+                        THEN (CAST(1 AS BIGINT) << CAST(w - 32 AS INTEGER))
+                        ELSE 0 END), 0) AS hi
+    FROM bitsrc GROUP BY doc_id)
+), uh AS (
+    SELECT doc_id,
+           CAST(vfp AS HUGEINT)
+           + CASE WHEN vfp < 0 THEN CAST('18446744073709551616' AS HUGEINT)
+                  ELSE CAST(0 AS HUGEINT) END AS u,
+           vfp
+    FROM fp
+), bands AS (
+    SELECT doc_id, vfp, b.b AS band_idx,
+           CAST((u // (CAST(1 AS HUGEINT) << CAST(16*b.b AS INTEGER))) % 65536 AS BIGINT) AS band_val
+    FROM uh, range(4) AS b(b)
+), cands AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.vfp AS ha, b.vfp AS hb
+    FROM bands a JOIN bands b
+      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+), pairs AS (
+    SELECT c.id_a, c.id_b
+    FROM cands c
+    JOIN dims da ON da.doc_id = c.id_a
+    JOIN dims db ON db.doc_id = c.id_b
+    WHERE bit_count(xor(c.ha, c.hb)) <= 3
+      AND ABS(da.dur - db.dur) <= 100
+), edges AS (
+    SELECT id_a AS src, id_b AS dst FROM pairs
+    UNION
+    SELECT id_b, id_a FROM pairs
+), reach(src, dst) AS (
+    SELECT doc_id AS src, doc_id AS dst FROM documents
+    UNION
+    SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+)
+SELECT src AS media_id, CAST(MIN(dst) AS BIGINT) AS group_id
+FROM reach GROUP BY src
+"""
+
+
 # ---------------------------------------------------------------- PCM audio stats
 def q_audio_pcm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PCM audio-quality stats, differentially checked end-to-end:
@@ -3618,6 +3717,10 @@ QUERIES = {
     # r17: the complete audio near-dup chain (fingerprint envelope +
     # banding + hamming + CC) — also PERMANENT_EXTERNAL
     "audio_neardup": q_audio_neardup,
+    # r18: the video container near-dup chain (mdat envelope
+    # fingerprint + duration guard + banding + CC) — also
+    # PERMANENT_EXTERNAL
+    "video_neardup": q_video_neardup,
     "embedding_lsh": q_embedding_lsh,
     "embedding_neardup_lsh": q_embedding_neardup_lsh,
     # multimodal_meta: demoted round 5 (fake-decoder path,
@@ -3741,6 +3844,9 @@ ORACLES = {
     # audio_neardup (r17): the whole fingerprint->groups chain from
     # the closed-form envelope formulas
     "audio_neardup": ORACLE_AUDIO_NEARDUP,
+    # video_neardup (r18): the container fingerprint->groups chain
+    # from the closed-form mdat byte formulas
+    "video_neardup": ORACLE_VIDEO_NEARDUP,
     "embedding_lsh": ORACLE_EMBEDDING_LSH,
     "embedding_neardup_lsh": ORACLE_EMBEDDING_NEARDUP_LSH,
     "multimodal_meta": ORACLE_MULTIMODAL_META,

@@ -454,6 +454,17 @@ PERMANENT_EXTERNAL = [
     # chain. Reason (b), same capacity terms. Dense-cut/sparse-
     # survives + build-identity pytest in tests/test_embed.py.
     "cluster_balanced_sample",
+    # r18: video container near-dup — the honest-scope video leg of
+    # the dedup modality matrix (the r17 verdict's item 2): mdat
+    # 65-window Σb² envelope → 64-bit sign-of-delta fingerprint →
+    # the SAME banding/hamming/CC machinery as image/audio, plus a
+    # duration container-signal pair guard; all replayed in SQL from
+    # closed-form MP4s with planted remux/repeat/perturbed structure.
+    # Catches remux-level dups, documented NOT to catch re-encodes.
+    # Reason (b), same capacity terms. Remux-identity + 2×-repeat
+    # identity + no-cartesian plan receipt pytests in
+    # tests/test_llm_ops.py.
+    "video_neardup",
 ]
 
 

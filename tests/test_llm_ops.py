@@ -6066,6 +6066,103 @@ def test_audio_neardup_groups_planted_duplicates(spark):
         audio_neardup(media, max_hamming=4, bands=4)
 
 
+def test_video_fingerprint_invariants():
+    """r18 unit level: the mdat-envelope container fingerprint is
+    byte-remux invariant (box reorder + metadata edits + free boxes
+    leave it identical), exact-2×-byte-repeat invariant, confines
+    the window-7 perturbation to bits 6/7, and quarantines
+    everything that is not an MP4 with a ≥65-byte mdat."""
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        synth_video_payload,
+        video_fingerprint_py,
+    )
+
+    f0, d0, c0 = video_fingerprint_py(synth_video_payload(0))
+    f1, d1, c1 = video_fingerprint_py(synth_video_payload(1))  # remux
+    f2, _, _ = video_fingerprint_py(synth_video_payload(2))    # window 7
+    f3, _, _ = video_fingerprint_py(synth_video_payload(3))    # 2x repeat
+    assert f0 == f1 and d0 == d1 and c0 == c1
+    assert f0 == f3
+    diff = (f0 & 0xFFFFFFFFFFFFFFFF) ^ (f2 & 0xFFFFFFFFFFFFFFFF)
+    assert bin(diff).count("1") <= 2
+    assert diff & ~((1 << 6) | (1 << 7)) == 0
+    # unrelated group is far away
+    fo, _, _ = video_fingerprint_py(synth_video_payload(40))
+    assert bin((f0 & 0xFFFFFFFFFFFFFFFF) ^ (fo & 0xFFFFFFFFFFFFFFFF)).count("1") > 3
+    # quarantine: not MP4 / MP4 without mdat / short mdat / None
+    assert video_fingerprint_py(b"RIFF....WAVEnot video") is None
+    import struct as _s
+
+    ftyp = _s.pack(">I", 16) + b"ftypisom" + _s.pack(">I", 0)
+    assert video_fingerprint_py(ftyp) is None  # no mdat
+    short = ftyp + _s.pack(">I", 8 + 64) + b"mdat" + b"\x01" * 64
+    assert video_fingerprint_py(short) is None  # mdat < 65 bytes
+    ok = ftyp + _s.pack(">I", 8 + 65) + b"mdat" + b"\x01" * 65
+    assert video_fingerprint_py(ok) is not None
+    assert video_fingerprint_py(None) is None
+    assert video_fingerprint_py(b"") is None
+
+
+def test_video_neardup_groups_planted_duplicates(spark):
+    """End-to-end video_neardup: the remux twin, exact 2× byte
+    repeat and window-perturbed variants of one clip group together;
+    an unrelated clip stays a singleton; quarantined payloads are
+    absent; a fingerprint-identical clip with a DIFFERENT duration
+    is NOT merged (the container-signal guard); candidate plan is
+    the banded equi-join — no cartesian (the image/audio receipt,
+    video flavor)."""
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        synth_video_payload,
+        video_container_fp,
+        video_neardup,
+    )
+    from gcp_dataengineering_spark.llm_ops.phash import phash_candidate_pairs
+
+    p0 = synth_video_payload(0)
+    # duration-guard foil: byte-identical to p0 except the mvhd
+    # duration field (mvhd content duration at ftyp 16 + moov hdr 8
+    # + mvhd hdr 8 + version/flags 4 + creation 4 + modification 4 +
+    # timescale 4 = offset 48) — fingerprint identical, duration 9s
+    import struct as _s
+
+    foil = bytearray(p0)
+    assert foil[44:48] == _s.pack(">I", 1000)  # timescale sanity
+    foil[48:52] = _s.pack(">I", 9000)
+    rows = [
+        (0, bytearray(p0)),
+        (1, bytearray(synth_video_payload(1))),
+        (2, bytearray(synth_video_payload(2))),
+        (3, bytearray(synth_video_payload(3))),
+        (40, bytearray(synth_video_payload(40))),   # unrelated group
+        (90, bytearray(b"not an mp4 at all")),      # quarantine
+        (91, foil),                                  # duration foil
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    fps = {r["media_id"]: r for r in video_container_fp(media).collect()}
+    assert fps[90]["vfp"] is None
+    assert fps[0]["vfp"] == fps[1]["vfp"] == fps[3]["vfp"] == fps[91]["vfp"]
+    assert fps[91]["duration_ms"] == 9000
+    assert fps[0]["codec"] == "avc1"
+
+    groups = {r["media_id"]: r["group_id"] for r in video_neardup(media).collect()}
+    assert set(groups) == {0, 1, 2, 3, 40, 91}
+    assert groups[0] == groups[1] == groups[2] == groups[3] == 0
+    assert groups[40] == 40
+    assert groups[91] == 91  # same fingerprint, wrong duration
+
+    plan = phash_candidate_pairs(
+        video_container_fp(media), hash_col="vfp", id_col="media_id"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="pigeonhole"):
+        video_neardup(media, max_hamming=4, bands=4)
+
+
 def test_lm_fit_score_matrix_equals_one_shot(spark, tmp_path):
     """r17: the deployable fit-once/score-many split covers the full
     matrix — order 2 and 3, laplace and kn — and each combination is
