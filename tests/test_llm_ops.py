@@ -6066,6 +6066,74 @@ def test_audio_neardup_groups_planted_duplicates(spark):
         audio_neardup(media, max_hamming=4, bands=4)
 
 
+def test_mp4_audio_track_bridge_same_audio_different_container(spark):
+    """r18 (r17 verdict item 7): the SAME audio packaged as a WAV and
+    as a PCM sound track inside an MP4 (full stsd/stsz/stsc/stco
+    sample-table walk, both 'sowt' LE and 'twos' BE, ragged chunks)
+    fingerprints identically and audio_neardup(containers='wav+mp4')
+    groups the two packagings together; the default WAV-only mode
+    (the oracle-pinned behavior) quarantines the MP4; a compressed
+    (mp4a) track quarantines in both modes."""
+    import numpy as np
+
+    from gcp_dataengineering_spark.llm_ops.multimodal import (
+        audio_fingerprint_py,
+        audio_neardup,
+        audio_perceptual_fp,
+        av_audio_fingerprint_py,
+        mp4_pcm_decode,
+        synth_envelope_wav,
+        synth_pcm_mp4,
+        wav_pcm_decode,
+    )
+
+    wav = synth_envelope_wav(0)
+    sr, ch, _, x = wav_pcm_decode(wav)
+    mp4_le = synth_pcm_mp4(x, sr, fourcc="sowt", n_chunks=3)
+    mp4_be = synth_pcm_mp4(x, sr, fourcc="twos", n_chunks=7)
+    other = synth_envelope_wav(40)
+
+    # bit-exact decode round trip + identical fingerprints
+    assert np.array_equal(mp4_pcm_decode(mp4_le)[3], x)
+    assert np.array_equal(mp4_pcm_decode(mp4_be)[3], x)
+    fw = audio_fingerprint_py(wav)
+    assert av_audio_fingerprint_py(mp4_le) == ("mp4pcm", x.shape[0], fw)
+    assert av_audio_fingerprint_py(mp4_be) == ("mp4pcm", x.shape[0], fw)
+
+    rows = [
+        (1, bytearray(wav)),
+        (2, bytearray(mp4_le)),
+        (3, bytearray(mp4_be)),
+        (4, bytearray(other)),
+    ]
+    media = spark.createDataFrame(rows, "media_id long, payload binary")
+
+    bridged = {
+        r["media_id"]: r
+        for r in audio_perceptual_fp(media, containers="wav+mp4").collect()
+    }
+    assert bridged[1]["fmt"] == "wav" and bridged[2]["fmt"] == "mp4pcm"
+    assert bridged[1]["afp"] == bridged[2]["afp"] == bridged[3]["afp"]
+
+    groups = {
+        r["media_id"]: r["group_id"]
+        for r in audio_neardup(media, containers="wav+mp4").collect()
+    }
+    assert groups[1] == groups[2] == groups[3] == 1
+    assert groups[4] == 4
+
+    # default mode: MP4 payloads quarantine (oracle-pinned behavior)
+    plain = {
+        r["media_id"]: r for r in audio_perceptual_fp(media).collect()
+    }
+    assert plain[2]["afp"] is None and plain[3]["afp"] is None
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="containers"):
+        audio_perceptual_fp(media, containers="wav+ogg")
+
+
 def test_video_fingerprint_invariants():
     """r18 unit level: the mdat-envelope container fingerprint is
     byte-remux invariant (box reorder + metadata edits + free boxes
