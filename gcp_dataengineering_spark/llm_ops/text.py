@@ -29,11 +29,16 @@ TOKEN_SPLIT_RE = "[^a-zA-Z0-9]+"
 # families, then Cyrillic ru/uk; the space-delimited zh/ja/ko/th/
 # ar/he/el/hi route through SCRIPT detection instead (see
 # SCRIPT_RANGES / lang_id), because stopword tokens barely exist in
-# unsegmented scripts. Known limits, documented: da/no/sv share much
-# of their function-word inventory (the fixture measures the
-# realized confusion); 'ar' is script-level (fa/ur collapse into
-# it), 'zh' likewise absorbs kanji-only ja snippets unless kana
-# appears.
+# unsegmented scripts. r18 (the r17 verdict's item 3) widened again
+# to 38 stopword languages (+14 Latin, +4 Cyrillic, appended so
+# every prior priority is preserved) and gave da/no/sv distinctive
+# tails that close the old carve-out on clean prose; 15 more
+# one-script languages route via the widened SCRIPT_RANGES. Known
+# limits, documented: 'ar' is script-level (fa/ur collapse into it),
+# 'zh' likewise absorbs kanji-only ja snippets unless kana appears,
+# 'id' absorbs ms, Latin-script sr votes hr (digraphia), and the
+# r18 script rows carry the same script-level honesty (bn absorbs
+# as, am absorbs ti, hi already absorbs mr/ne).
 STOPWORDS = {
     "en": ["the", "and", "of", "to", "a", "in", "is", "it", "you", "that",
            "was", "for", "are", "with", "his", "they", "this", "have",
@@ -57,15 +62,27 @@ STOPWORDS = {
            "je", "niet", "zijn", "is", "was", "op", "aan", "met", "als",
            "voor", "er", "maar", "om", "dan"],
     # r12 additions — Latin-script families
+    # r18 (r17 verdict item 3): each Nordic list grows a tail of
+    # words the OTHER two don't use (da af/efter/ud/op/mig/hvad vs
+    # no av/etter/ut/opp/meg/hva vs sv efter/ut/…/bara/mellan/några)
+    # — the carve-out was ties on the shared inventory; distinctive
+    # tails break them (the fixture's realized-confusion measurement
+    # is the receipt)
     "da": ["og", "jeg", "det", "at", "en", "den", "til", "er", "som",
            "på", "de", "med", "han", "af", "ikke", "der", "var", "mig",
-           "sig", "men", "et", "har", "om", "hvad"],
+           "sig", "men", "et", "har", "om", "hvad",
+           "ud", "op", "dig", "nogle", "meget", "uden", "hvordan",
+           "kun", "hende", "efter"],
     "sv": ["och", "det", "att", "i", "en", "jag", "hon", "som", "han",
            "på", "den", "med", "var", "sig", "för", "så", "till", "är",
-           "men", "ett", "om", "hade", "av", "inte"],
+           "men", "ett", "om", "hade", "av", "inte",
+           "även", "vilket", "mellan", "några", "mycket", "utan",
+           "bara", "blev", "vara", "sådan"],
     "no": ["og", "jeg", "det", "at", "en", "et", "den", "til", "er",
            "som", "på", "de", "med", "han", "av", "ikke", "der", "så",
-           "var", "men", "seg", "har", "hva", "skal"],
+           "var", "men", "seg", "har", "hva", "skal",
+           "etter", "ut", "opp", "deg", "noen", "mellom", "blir",
+           "ble", "mye", "meg"],
     "fi": ["ja", "on", "ei", "se", "että", "hän", "oli", "ovat", "mutta",
            "kun", "niin", "kuin", "myös", "jos", "mitä", "tämä", "ole",
            "sen", "vain", "joka", "sitä", "olen", "minä", "hänen"],
@@ -100,6 +117,77 @@ STOPWORDS = {
     "uk": ["і", "в", "не", "на", "що", "я", "з", "до", "це", "як", "за",
            "від", "так", "але", "його", "був", "вона", "ми", "у", "та",
            "про", "або", "коли", "є"],
+    # r18 additions (r17 verdict item 3) — Latin-script families.
+    # Same design rules as r12: exact lowercase tokens, diacritics
+    # included, distinctive function words preferred over the
+    # pan-Romance/pan-Slavic shared ones; close pairs get
+    # deliberately disjoint tails (sk "sa/čo/keď" vs cs "se/co/když";
+    # hr "i/što/će" vs sl "in/tudi/še"). Documented absorptions:
+    # id absorbs ms (their function-word inventories are nearly
+    # identical); sr Latin-script text votes hr (digraphia — the
+    # Cyrillic sr list below catches ћирилица).
+    "ca": ["el", "la", "de", "que", "i", "els", "les", "un", "una",
+           "amb", "per", "és", "al", "més", "aquest", "com", "dels",
+           "seu", "seva", "això", "també", "són", "hi", "ha"],
+    "af": ["die", "en", "van", "het", "nie", "is", "in", "wat", "om",
+           "te", "sy", "hy", "was", "vir", "met", "aan", "dat", "haar",
+           "hulle", "ons", "jy", "baie", "maar", "gesê"],
+    "et": ["ja", "on", "ei", "et", "ta", "see", "kui", "oli", "ka",
+           "mis", "aga", "oma", "siis", "nagu", "või", "tema", "seda",
+           "kes", "üks", "välja", "olid", "mida", "kas", "nii"],
+    "lt": ["ir", "yra", "kad", "tai", "bet", "kaip", "jis", "buvo",
+           "su", "iš", "apie", "dar", "jau", "tik", "labai", "savo",
+           "kas", "taip", "jos", "mes", "prie", "per", "nes", "arba"],
+    "lv": ["un", "ir", "ka", "tas", "bet", "ar", "no", "par", "kā",
+           "viņš", "bija", "arī", "uz", "vai", "tikai", "ļoti", "savu",
+           "kas", "tā", "mēs", "pie", "jau", "vēl", "šis"],
+    "sk": ["a", "sa", "na", "je", "že", "v", "som", "to", "ale",
+           "ako", "za", "po", "od", "pre", "tak", "čo", "keď", "alebo",
+           "už", "bol", "aj", "môže", "ktorý", "jeho"],
+    "sl": ["in", "je", "se", "na", "da", "so", "pa", "tudi", "za",
+           "ne", "kot", "še", "bil", "ni", "bi", "ali", "ker", "ko",
+           "lahko", "smo", "ga", "vendar", "kar", "več"],
+    "hr": ["i", "u", "je", "da", "su", "se", "na", "za", "ne", "od",
+           "kao", "ali", "ili", "će", "bio", "nije", "što", "samo",
+           "ga", "smo", "koji", "kada", "već", "bez"],
+    "sq": ["dhe", "në", "e", "të", "që", "për", "me", "një", "nga",
+           "është", "por", "si", "ka", "më", "se", "janë", "kjo", "ai",
+           "ajo", "këtë", "duke", "ishte", "edhe", "nuk"],
+    "is": ["og", "að", "er", "það", "sem", "en", "við", "ekki", "um",
+           "hann", "hún", "var", "með", "til", "af", "því", "þetta",
+           "eru", "þá", "hafa", "svo", "eða", "ég", "þau"],
+    "eu": ["eta", "da", "ez", "du", "bat", "zen", "dira", "baina",
+           "ere", "hau", "hori", "dela", "egin", "izan", "zuen",
+           "behar", "beste", "oso", "gero", "baita", "edo", "guztiak",
+           "bere", "dute"],
+    "sw": ["na", "ya", "wa", "ni", "kwa", "katika", "za", "la",
+           "kuwa", "hii", "kama", "lakini", "pia", "sana", "yake",
+           "hata", "watu", "wake", "baada", "ambayo", "hivyo", "au",
+           "bila", "kila"],
+    "tl": ["ang", "ng", "sa", "na", "mga", "ay", "at", "ito", "siya",
+           "ko", "mo", "niya", "ako", "ikaw", "kung", "para", "hindi",
+           "may", "pero", "naman", "lang", "din", "rin", "namin"],
+    "az": ["və", "bu", "bir", "ki", "da", "də", "üçün", "ilə", "daha",
+           "kimi", "amma", "ən", "o", "var", "sonra", "mən", "onun",
+           "olan", "olaraq", "çox", "hər", "deyil", "edir", "bütün"],
+    # Cyrillic additions — the script router sends Cyrillic to the
+    # vote, so bg/sr/be/kk separate from ru/uk on their distinct
+    # function words (bg е/са/ще/това, sr је/су/што/ће with the
+    # Serbian ј, be і/ён/гэта/што, kk және/бұл/үшін with the Kazakh
+    # letters)
+    "bg": ["и", "в", "на", "не", "се", "да", "е", "за", "от", "са",
+           "ще", "това", "като", "който", "към", "със", "при", "беше",
+           "но", "ако", "или", "само", "може", "те"],
+    "sr": ["и", "у", "је", "да", "се", "на", "су", "за", "не", "од",
+           "као", "али", "што", "ће", "био", "само", "му", "га",
+           "смо", "ли", "кад", "већ", "без", "док"],
+    "be": ["і", "у", "не", "на", "я", "што", "ён", "з", "як", "гэта",
+           "да", "па", "але", "было", "быў", "мы", "вы", "ці", "або",
+           "каб", "яна", "яго", "так", "пра"],
+    "kk": ["және", "бұл", "мен", "бар", "үшін", "деп", "жоқ", "керек",
+           "еді", "өз", "бір", "сол", "осы", "егер", "дейін",
+           "сияқты", "арқылы", "туралы", "кейін", "бірақ", "болып",
+           "болды", "немесе", "оның"],
 }
 
 # Major Unicode script ranges (BMP blocks — public Unicode data).
@@ -119,13 +207,42 @@ SCRIPT_RANGES: dict[str, list[tuple[int, int]]] = {
     "kana": [(0x3040, 0x30FF)],  # hiragana + katakana, contiguous
     "hangul": [(0x1100, 0x11FF), (0x3130, 0x318F), (0xAC00, 0xD7AF)],
     "thai": [(0xE00, 0xE7F)],
+    # r18 additions (r17 verdict item 3) — the remaining
+    # one-script-one-language BMP blocks a web crawl actually hits:
+    # the Indic family, SE Asia, the Caucasus and Ethiopic. Every
+    # range starts at or above U+0370, so the Latin fast-path probe
+    # in lang_id still short-circuits all of them.
+    "bengali": [(0x980, 0x9FF)],
+    "gurmukhi": [(0xA00, 0xA7F)],
+    "gujarati": [(0xA80, 0xAFF)],
+    "oriya": [(0xB00, 0xB7F)],
+    "tamil": [(0xB80, 0xBFF)],
+    "telugu": [(0xC00, 0xC7F)],
+    "kannada": [(0xC80, 0xCFF)],
+    "malayalam": [(0xD00, 0xD7F)],
+    "sinhala": [(0xD80, 0xDFF)],
+    "myanmar": [(0x1000, 0x109F)],
+    "khmer": [(0x1780, 0x17FF)],
+    "lao": [(0xE80, 0xEFF)],
+    "georgian": [(0x10A0, 0x10FF)],
+    "armenian": [(0x530, 0x58F)],
+    "ethiopic": [(0x1200, 0x137F)],
 }
 
 # script → language for the one-script-one-language cases; han/kana
 # interplay (ja vs zh) is the router's explicit rule in lang_id.
+# Script-level honesty for the r18 rows mirrors the ar/fa note:
+# 'bn' absorbs Assamese (shared Bengali script), 'hi' already
+# absorbs Marathi/Nepali (Devanagari), 'am' absorbs Tigrinya
+# (Ethiopic), 'pa' is the Gurmukhi (Indian) side only.
 SCRIPT_DIRECT_LANG = {
     "greek": "el", "arabic": "ar", "hebrew": "he",
     "devanagari": "hi", "hangul": "ko", "thai": "th",
+    "bengali": "bn", "gurmukhi": "pa", "gujarati": "gu",
+    "oriya": "or", "tamil": "ta", "telugu": "te",
+    "kannada": "kn", "malayalam": "ml", "sinhala": "si",
+    "myanmar": "my", "khmer": "km", "lao": "lo",
+    "georgian": "ka", "armenian": "hy", "ethiopic": "am",
 }
 
 
@@ -143,20 +260,61 @@ def _script_class_re2(ranges: list[tuple[int, int]]) -> str:
     )
 
 
+# Everything below U+0370 (plus the surrogate block) belongs to no
+# non-Latin range in SCRIPT_RANGES — stripping it first costs ONE
+# scan and leaves a residue the 24 non-Latin counts then scan at
+# residue length (≈0 on the Latin-dominant majority of a crawl).
+_NON_LATIN_KEEP_NEG = "[^\u0370-\uD7FF\uE000-\uFFFF]"
+
+
+def _class_count(src: Column, ranges: list[tuple[int, int]]) -> Column:
+    """Count of characters of ``src`` inside a single-char class:
+    ``regexp_count`` — match-counting only, no replaced-string
+    allocation (the r18 measurement: the old ``length −
+    length(regexp_replace(class, ''))`` spelling paid a full string
+    copy per script per row; counting is ~35-40% cheaper at 25
+    scripts, value-identical because every class is single-char so
+    matches == chars)."""
+    return F.regexp_count(src, F.lit(_script_class_java(ranges))).cast("long")
+
+
 def script_counts(col: Column | str) -> dict[str, Column]:
-    """Per-script character counts (r12): one ``length − length(
-    regexp_replace(class, ''))`` scan per script over
-    :data:`SCRIPT_RANGES` — pure column expressions, same cost model
-    as the pii scrubber's per-class scans. NULL text counts as
-    empty. Both engines count CODE POINTS (all ranges are BMP), so
-    the DuckDB twin (:func:`script_counts_sql`) is byte-identical."""
+    """Per-script character counts (r12): one ``regexp_count(class)``
+    scan per script over :data:`SCRIPT_RANGES` — pure column
+    expressions, same cost model as the pii scrubber's per-class
+    scans. NULL text counts as empty. Both engines count CODE POINTS
+    (all ranges are BMP), so the DuckDB twin
+    (:func:`script_counts_sql`, which keeps the length-of-replace
+    spelling) is byte-identical. This is the REFERENCE form (each
+    count scans the full text); the argmax consumers
+    (:func:`detect_script`, :func:`lang_id`) use
+    :func:`_script_count_structs` over a lambda-bound non-Latin
+    residue instead — value-identical (stripping non-members cannot
+    change a class count), but the 24 non-Latin scans run at residue
+    length (r18: the 10→25 script widening priced 2× on full-text
+    replace scans; regexp_count + the residue form bought it back —
+    see BENCH_ATTRIBUTION.md r18)."""
     c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
-    return {
-        name: (
-            F.length(c) - F.length(F.regexp_replace(c, _script_class_java(r), ""))
-        ).cast("long")
-        for name, r in SCRIPT_RANGES.items()
-    }
+    return {name: _class_count(c, r) for name, r in SCRIPT_RANGES.items()}
+
+
+def _script_count_structs(c: Column, resid: Column, lang_of=None) -> Column:
+    """array_max-ready struct array of per-script counts: latin
+    scans the full text ONCE; every other script scans the bound
+    ``resid`` (the text stripped to :data:`_NON_LATIN_KEEP_NEG`'s
+    complement). ``lang_of`` optionally maps script name → routed
+    language Column (lang_id's han/kana rule); default labels with
+    the script name itself (detect_script)."""
+    n = len(SCRIPT_RANGES)
+    elems = []
+    for i, (name, r) in enumerate(SCRIPT_RANGES.items()):
+        src = c if name == "latin" else resid
+        cnt = _class_count(src, r)
+        label = lang_of(name, resid) if lang_of else F.lit(name)
+        elems.append(
+            F.struct(cnt.alias("s"), F.lit(n - i).alias("p"), label.alias("l"))
+        )
+    return F.array_max(F.array(*elems))
 
 
 def script_counts_sql(expr: str) -> dict[str, str]:
@@ -185,25 +343,18 @@ def _bind1(value: Column, fn) -> Column:
 
 
 def detect_script(col: Column | str, default: str = "unknown") -> Column:
-    """Dominant script of a text column: argmax of
-    :func:`script_counts` (ties resolve to SCRIPT_RANGES order, zero
-    counts → ``default``). One ``array_max`` over a struct array —
-    each count evaluated once (the argmax result is lambda-BOUND via
-    :func:`_bind1`, so the per-script scans run once, not once per
-    downstream reference)."""
-    counts = script_counts(col)
-    n = len(counts)
-    best = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    cnt.alias("s"),
-                    F.lit(n - i).alias("p"),
-                    F.lit(name).alias("l"),
-                )
-                for i, (name, cnt) in enumerate(counts.items())
-            ]
-        )
+    """Dominant script of a text column: argmax of the per-script
+    counts (ties resolve to SCRIPT_RANGES order, zero counts →
+    ``default``). One ``array_max`` over a struct array — each count
+    evaluated once (the argmax result is lambda-BOUND via
+    :func:`_bind1`). r18: the 24 non-Latin counts scan a lambda-bound
+    NON-LATIN RESIDUE (one full-text strip scan) instead of the full
+    text — value-identical, and the script-coverage widening stops
+    pricing per-script on Latin-dominant corpora."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    best = _bind1(
+        F.regexp_replace(c, _NON_LATIN_KEEP_NEG, ""),
+        lambda resid: _script_count_structs(c, resid),
     )
     return _bind1(
         best,
@@ -678,29 +829,32 @@ def lang_id(col: Column | str, default: str = "und") -> Column:
 
     1. SCRIPT route: the dominant Unicode script
        (:func:`detect_script`) hard-maps the one-script-one-language
-       cases — el/ar/he/hi/ko/th — plus the han/kana rule: dominant
+       cases — el/ar/he/hi/ko/th + the 15 r18 rows (Indic family,
+       my/km/lo, ka/hy/am) — plus the han/kana rule: dominant
        kana → ``ja``; dominant han → ``ja`` if ANY kana is present
        (kana never occurs in Chinese prose), else ``zh``. Script-
        level honesty: ``ar`` absorbs fa/ur, ``zh`` absorbs
        kanji-only ja snippets.
     2. STOPWORD vote for Latin/Cyrillic/unknown scripts: argmax of
-       distinct stopword hits over the 20 :data:`STOPWORDS`
-       languages — ONE ``array_max`` over a struct array (each score
+       distinct stopword hits over the 38 :data:`STOPWORDS`
+       languages (r18) — ONE ``array_max`` over a struct array (each score
        evaluated once; ties resolve to STOPWORDS order; zero hits →
        ``default``).
 
     No shuffle, no UDF — and the expression is built for SINGLE
     evaluation of every heavy subterm (measured, see :func:`_bind1`):
-    the token array is split ONCE and lambda-bound across the 20
+    the token array is split ONCE and lambda-bound across the 38
     intersects; each script element of the argmax carries its ROUTED
     language directly (han embeds the kana>0 ja/zh conditional), so
     no downstream when-chain re-references the scans; and a 1-scan
     non-Latin PROBE (any char ≥ U+0370 — every non-Latin range this
     module knows starts there) short-circuits the whole script
     machinery on the Latin-only majority of a real crawl. Cost per
-    row on Latin text: one probe scan + one split + 20 array
-    intersects. On non-Latin text: + the 10 per-script scans (kana
-    twice, for the han rule).
+    row on Latin text: one probe scan + one split + 38 array
+    intersects. On non-Latin text: + the 25 per-script scans (kana
+    twice, for the han rule) — the scan count is the price of the
+    r18 script-coverage widening and scales with SCRIPT_RANGES, not
+    with corpus Latin share.
 
     It's the cheap first-pass router, not a fastText replacement
     (see the STOPWORDS honesty note; the pytest fixture corpus
@@ -730,29 +884,21 @@ def lang_id(col: Column | str, default: str = "und") -> Column:
             )
         ),
     )
-    counts = script_counts(c)
-    kana = counts["kana"]
-    routed_lang = {
-        "han": F.when(kana > 0, F.lit("ja")).otherwise(F.lit("zh")),
-        "kana": F.lit("ja"),
-        **{
-            sc: F.lit(lang) for sc, lang in SCRIPT_DIRECT_LANG.items()
-        },
-    }
-    ns = len(counts)
-    sbest = F.array_max(
-        F.array(
-            *[
-                F.struct(
-                    cnt.alias("s"),
-                    F.lit(ns - i).alias("p"),
-                    routed_lang.get(name, F.lit(None).cast("string")).alias(
-                        "l"
-                    ),
-                )
-                for i, (name, cnt) in enumerate(counts.items())
-            ]
-        )
+    def _routed(name: str, resid: Column) -> Column:
+        # the han/kana rule re-scans kana on the RESIDUE (cheap) —
+        # kana never occurs in Chinese prose
+        if name == "han":
+            kana = _class_count(resid, SCRIPT_RANGES["kana"])
+            return F.when(kana > 0, F.lit("ja")).otherwise(F.lit("zh"))
+        if name == "kana":
+            return F.lit("ja")
+        if name in SCRIPT_DIRECT_LANG:
+            return F.lit(SCRIPT_DIRECT_LANG[name])
+        return F.lit(None).cast("string")
+
+    sbest = _bind1(
+        F.regexp_replace(c, _NON_LATIN_KEEP_NEG, ""),
+        lambda resid: _script_count_structs(c, resid, lang_of=_routed),
     )
     # NULL routed language = latin/cyrillic/zero-count → the vote.
     # The probe class is U+0370–U+FFFF MINUS the surrogate block

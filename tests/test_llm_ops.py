@@ -1210,12 +1210,13 @@ def test_pack_sequences_straggler_guard_bounds_partitions(spark):
 
 def test_lang_id_accuracy_on_fixture_corpus(spark):
     """Honesty gate for the two-stage lang_id (r12: script router +
-    20-language stopword vote). Measured capability on clean prose:
-    script-routed languages (zh/ja/ko/ar/he/el/hi/th) and Cyrillic
-    ru/uk must be 100%; Latin stopword languages must be 100% except
-    inside the documented da/no/sv confusion set (their function
-    words overlap heavily); overall accuracy floor 0.95. Gibberish
-    and tokenless text still fall through to 'und'."""
+    stopword vote; r18: 38 stopword + 15 new script languages = 53
+    total with ja/zh). Measured capability on clean prose: 100%
+    across every language in the fixture — including the formerly
+    carved-out da/no/sv set, whose r18 distinctive stopword tails
+    (af/ud/mig vs av/ut/meg vs bara/mellan) break the old
+    shared-inventory ties. Gibberish and tokenless text still fall
+    through to 'und'."""
     sentences = {
         "en": [
             "this is the house that we have built and they are proud of it",
@@ -1322,16 +1323,105 @@ def test_lang_id_accuracy_on_fixture_corpus(spark):
         "el": ["αυτό είναι ένα ελληνικό κείμενο για δοκιμή με πολλές λέξεις"],
         "hi": ["यह परीक्षण के लिए एक हिंदी वाक्य है जिसमें कई शब्द हैं"],
         "th": ["นี่คือประโยคภาษาไทยสำหรับการทดสอบที่มีคำมากมาย"],
+        # r18 Latin-script additions (2 sentences each)
+        "ca": [
+            "els llibres que em vas donar són per a una amiga i els seus pares",
+            "això també és per als nens que hi ha a la casa del seu avi",
+        ],
+        "af": [
+            "die boeke wat jy vir my gegee het is nie vir haar nie maar vir ons",
+            "hy het gesê dat hulle baie bly was om die huis aan ons te wys",
+        ],
+        "et": [
+            "ma ei tea mis juhtus aga see ei ole nii lihtne kui sa arvad",
+            "ta oli ka seda meelt et see on üks asi mida tuleb teha",
+        ],
+        "lt": [
+            "aš nežinau kas atsitiko bet tai nėra taip paprasta kaip manai",
+            "jis buvo labai laimingas nes jau žinojo apie savo namus ir mus",
+        ],
+        "lv": [
+            "es nezinu kas notika bet tas nav tik vienkārši kā tu domā",
+            "viņš bija arī ļoti priecīgs par savu māju un par mums visiem",
+        ],
+        "sk": [
+            "neviem čo sa stalo ale nie je to také jednoduché ako si myslíš",
+            "bol to deň keď sa všetko zmenilo pre nás aj pre jeho rodinu",
+        ],
+        "sl": [
+            "ne vem kaj se je zgodilo pa tudi ni tako preprosto kot misliš",
+            "to je bil dan ko se je še vse spremenilo za nas in za njega",
+        ],
+        "hr": [
+            "ne znam što se dogodilo ali nije tako jednostavno kao što misliš",
+            "bio je to dan kada se sve već promijenilo za nas i za njega",
+        ],
+        "sq": [
+            "nuk e di se çfarë ndodhi por nuk është aq e lehtë sa mendon ti",
+            "ai tha se ata ishin në shtëpinë tonë dhe ne nuk e dinim këtë",
+        ],
+        "is": [
+            "ég veit ekki hvað gerðist en það er ekki svo auðvelt sem þú heldur",
+            "hann sagði að þau hafa verið í húsinu með því að við vissum ekki",
+        ],
+        "eu": [
+            "ez dakit zer gertatu zen baina ez da hain erraza zuk uste duzun bezala",
+            "hark esan zuen haiek gure etxean izan zirela eta guk ez genekien hori",
+        ],
+        "sw": [
+            "sijui nini kilitokea lakini si rahisi kama unavyofikiri wewe",
+            "alisema kuwa walikuwa katika nyumba yetu na hatukujua hata kidogo",
+        ],
+        "tl": [
+            "hindi ko alam kung ano ang nangyari pero hindi ito madali para sa akin",
+            "sinabi niya na sila ay nasa bahay namin at hindi namin alam ito",
+        ],
+        "az": [
+            "mən bilmirəm nə oldu amma bu sənin düşündüyün kimi asan deyil",
+            "o dedi ki onlar bizim evdə idilər və biz bunu bilmirdik heç",
+        ],
+        # r18 Cyrillic additions
+        "bg": [
+            "не знам какво се случи но това не е толкова просто както мислиш",
+            "той каза че те са били при нас и ние не знаехме за това",
+        ],
+        "sr": [
+            "не знам шта се догодило али није тако једноставно као што мислиш",
+            "био је то дан кад се све већ променило за нас и за њега",
+        ],
+        "be": [
+            "я не ведаю што здарылася але гэта не так проста як ты думаеш",
+            "ён сказаў што яны былі ў нас і мы не ведалі пра гэта",
+        ],
+        "kk": [
+            "мен не болғанын білмеймін бірақ бұл сен ойлағандай оңай емес",
+            "ол біздің үйде болғандары туралы айтты және біз оны білмедік",
+        ],
+        # r18 script-routed additions (hard maps, one sentence each)
+        "bn": ["এটি পরীক্ষার জন্য একটি বাংলা বাক্য যাতে অনেক শব্দ আছে"],
+        "pa": ["ਇਹ ਜਾਂਚ ਲਈ ਇੱਕ ਪੰਜਾਬੀ ਵਾਕ ਹੈ ਜਿਸ ਵਿੱਚ ਬਹੁਤ ਸ਼ਬਦ ਹਨ"],
+        "gu": ["આ પરીક્ષણ માટે એક ગુજરાતી વાક્ય છે જેમાં ઘણા શબ્દો છે"],
+        "or": ["ଏହା ପରୀକ୍ଷା ପାଇଁ ଏକ ଓଡ଼ିଆ ବାକ୍ୟ ଯେଉଁଥିରେ ଅନେକ ଶବ୍ଦ ଅଛି"],
+        "ta": ["இது சோதனைக்கான ஒரு தமிழ் வாக்கியம் இதில் பல சொற்கள் உள்ளன"],
+        "te": ["ఇది పరీక్ష కోసం ఒక తెలుగు వాక్యం ఇందులో చాలా పదాలు ఉన్నాయి"],
+        "kn": ["ಇದು ಪರೀಕ್ಷೆಗಾಗಿ ಒಂದು ಕನ್ನಡ ವಾಕ್ಯ ಇದರಲ್ಲಿ ಹಲವು ಪದಗಳಿವೆ"],
+        "ml": ["ഇത് പരീക്ഷണത്തിനുള്ള ഒരു മലയാളം വാക്യമാണ് ഇതിൽ ധാരാളം വാക്കുകൾ ഉണ്ട്"],
+        "si": ["මෙය පරීක්ෂණය සඳහා සිංහල වාක්‍යයක් වන අතර බොහෝ වචන ඇත"],
+        "my": ["ဤသည်မှာ စမ်းသပ်ရန်အတွက် မြန်မာစာကြောင်းတစ်ကြောင်းဖြစ်သည်"],
+        "km": ["នេះគឺជាប្រយោគខ្មែរសម្រាប់ការធ្វើតេស្តដែលមានពាក្យច្រើន"],
+        "lo": ["ນີ້ແມ່ນປະໂຫຍກພາສາລາວສໍາລັບການທົດສອບທີ່ມີຄໍາຫຼາຍ"],
+        "ka": ["ეს არის ქართული წინადადება ტესტისთვის რომელშიც ბევრი სიტყვაა"],
+        "hy": ["սա հայերեն նախադասություն է փորձարկման համար շատ բառերով"],
+        "am": ["ይህ ለሙከራ የአማርኛ ዓረፍተ ነገር ነው ብዙ ቃላት አሉት"],
     }
     rows = [(lang, s) for lang, sents in sentences.items() for s in sents]
     df = spark.createDataFrame(rows, "lang string, text string")
     got = df.select("lang", "text", lang_id("text").alias("pred")).collect()
-    nordic = {"da", "no", "sv"}
     wrong = [(r["lang"], r["pred"], r["text"][:30]) for r in got if r["lang"] != r["pred"]]
-    hard_wrong = [w for w in wrong if not (w[0] in nordic and w[1] in nordic)]
-    assert not hard_wrong, f"lang_id misfires outside da/no/sv: {hard_wrong}"
-    acc = 1 - len(wrong) / len(got)
-    assert acc >= 0.95, (acc, wrong)
+    # r18: the da/no/sv carve-out is CLOSED on clean prose — the
+    # distinctive stopword tails break the old shared-inventory
+    # ties, so the fixture now demands 100% across all 53 languages
+    assert not wrong, f"lang_id misfires: {wrong}"
     # gibberish / stopword-free latin still falls through to default
     other = spark.createDataFrame(
         [(1, "xyzzy plugh qwerty"), (2, ""), (3, "12345 67890")],
@@ -1347,6 +1437,72 @@ def test_lang_id_accuracy_on_fixture_corpus(spark):
         [(1, "这 是 一 个 中文 句子 没有 任何 拉丁 功能 词")], "i long, text string"
     )
     assert zh.select(lang_id("text").alias("p")).collect()[0]["p"] == "zh"
+
+
+def test_new_languages_route_per_language_budgets(spark):
+    """r18 (r17 verdict item 3, the 'done' clause): languages new to
+    the r18 router — stopword-voted (sw, tl, bg) and script-routed
+    (bn, ka) — flow through the per-language budget operators
+    correctly: lang_id tags them, perplexity_buckets cuts terciles
+    WITHIN each new language (2/2/2 on six distinct scores per
+    language, no cross-language bleed), and dsir_resample with
+    part_cols=('lang',) enforces the keep fraction per language."""
+    from pyspark.sql import functions as F
+
+    from gcp_dataengineering_spark.llm_ops.dsir import dsir_resample
+    from gcp_dataengineering_spark.llm_ops.ngram_lm import perplexity_buckets
+    from gcp_dataengineering_spark.llm_ops.text import lang_id
+
+    base = {
+        "sw": "sijui nini kilitokea lakini si rahisi kama unavyofikiri wewe",
+        "tl": "hindi ko alam kung ano ang nangyari pero hindi ito madali",
+        "bg": "не знам какво се случи но това не е толкова просто както мислиш",
+        "bn": "এটি পরীক্ষার জন্য একটি বাংলা বাক্য যাতে অনেক শব্দ আছে",
+        "ka": "ეს არის ქართული წინადადება ტესტისთვის რომელშიც ბევრი სიტყვაა",
+    }
+    rows = []
+    did = 0
+    for want, text in base.items():
+        for k in range(6):
+            rows.append((did, f"{text} {k}", want, float(k + 1)))
+            did += 1
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, want string, ppl_bits double"
+    )
+    tagged = df.withColumn("lang", lang_id("text"))
+    mis = tagged.filter(F.col("lang") != F.col("want")).collect()
+    assert not mis, [(r["want"], r["lang"]) for r in mis]
+
+    bucketed = perplexity_buckets(tagged, part_cols=("lang",))
+    per = {
+        (r["lang"], r["bucket"]): r["n"]
+        for r in bucketed.groupBy("lang", "bucket").agg(
+            F.count("*").alias("n")
+        ).collect()
+    }
+    for lang in base:
+        assert per[(lang, "head")] == 2, (lang, per)
+        assert per[(lang, "middle")] == 2
+        assert per[(lang, "tail")] == 2
+    # head really is the lowest-score third within each language
+    heads = bucketed.filter(F.col("bucket") == "head").select(
+        "lang", "ppl_bits"
+    ).collect()
+    assert all(r["ppl_bits"] <= 2.0 for r in heads)
+
+    picked = dsir_resample(
+        tagged.withColumn("dsir_logw", (F.col("ppl_bits") * 1000).cast("long")),
+        keep_num=1,
+        keep_den=3,
+        gumbel=False,
+        part_cols=("lang",),
+    )
+    kept = picked.filter(F.col("selected")).groupBy("lang").agg(
+        F.count("*").alias("n"), F.min("dsir_logw").alias("lo")
+    ).collect()
+    assert {r["lang"]: r["n"] for r in kept} == {l: 2 for l in base}
+    # highest-weight-first within the language, not globally
+    assert all(r["lo"] == 5000 for r in kept)
 
 
 def test_detect_script_semantics(spark):
