@@ -57,6 +57,8 @@ def ingest_stream(
     corpus_fps: DataFrame,
     text_col: str = "text",
     gate: Column | None = None,
+    gopher: bool = False,
+    gopher_min_words: int = 50,
     event_time_col: str | None = None,
     watermark: str = "10 minutes",
     quality_model: DataFrame | None = None,
@@ -104,10 +106,34 @@ def ingest_stream(
     a 1-row static broadcast, per-row aggregate — no state, no
     shuffle). ``dsir_logw`` and ``dsir_key`` ride on admitted rows;
     ``dsir_gumbel=False`` gates on the noise-free weight (the top-k
-    ablation form)."""
+    ablation form).
+
+    ``gopher=True`` (r18 — the r17 verdict's item 4): conjoin the
+    published Gopher §A1.1 structural rules into the page gate, the
+    SAME stage position as the batch pipeline's
+    ``PipelineConfig.gopher`` (llm_ops/pipeline.py stage 2a) and the
+    same shared expressions (text.gopher_features/gopher_pass) — the
+    rules are pure column projections, so they run in-query on the
+    stream with no state; ``gopher_min_words`` is the one tunable
+    knob, as in batch. The §A1.2 REPETITION rules are doc-keyed
+    aggregations and cannot run in-query — see
+    :func:`ingest_stream_semantic`'s ``gopher_repetition``."""
     feats = quality_features(stream, text_col)
-    gated = feats.filter(gate if gate is not None else default_quality_gate()).drop(
-        "n_chars_calc", "n_tokens", "avg_token_len", "punct_ratio", "stopword_ratio"
+    page_gate = gate if gate is not None else default_quality_gate()
+    gopher_cols: list[str] = []
+    if gopher:
+        from ..llm_ops.text import gopher_features, gopher_pass
+
+        feats = gopher_features(feats, text_col)
+        page_gate = page_gate & gopher_pass(min_words=gopher_min_words)
+        gopher_cols = [
+            "g_n_words", "g_mean_word_len", "g_symbol_ratio",
+            "g_bullet_line_frac", "g_ellipsis_line_frac",
+            "g_alpha_word_frac", "g_stopword_hits",
+        ]
+    gated = feats.filter(page_gate).drop(
+        "n_chars_calc", "n_tokens", "avg_token_len", "punct_ratio",
+        "stopword_ratio", *gopher_cols
     )
     if quality_model is not None:
         from ..llm_ops.quality_model import nb_quality_gate
@@ -170,6 +196,9 @@ def ingest_stream_semantic(
     id_col: str = "doc_id",
     text_col: str = "text",
     gate: Column | None = None,
+    gopher: bool = False,
+    gopher_min_words: int = 50,
+    gopher_repetition: bool = False,
     event_time_col: str | None = None,
     watermark: str = "10 minutes",
     quality_model: DataFrame | None = None,
@@ -218,7 +247,22 @@ def ingest_stream_semantic(
     stage here), the batch pipeline scores pre-scrub; decisions
     agree for any document whose tokens the scrub leaves alone, and
     the stream side is pinned equal to batch scoring OF THE SAME
-    ROWS by pytest."""
+    ROWS by pytest.
+
+    ``gopher`` / ``gopher_repetition`` (r18 — the r17 verdict's item
+    4): the two batch Gopher stages, online. The §A1.1 structural
+    rules (``gopher=True``) are pure column expressions and run
+    in-query inside :func:`ingest_stream` at the batch stage-2a
+    position. The §A1.2 repetition rules (``gopher_repetition=True``)
+    are doc-keyed aggregations (positioned n-gram explodes + per-doc
+    fraction windows) — unsupported in-query on a stream — so they
+    run inside the foreachBatch turn as the FIRST pre-gate stage,
+    before the LM gate, mirroring the batch order (pipeline stage 2b
+    precedes the perplexity cut). Both reuse the batch expressions
+    verbatim (text.gopher_features / gopher_repetition_features), so
+    a document admitted online is the document a batch rebuild with
+    the same flags would admit — pinned by pytest with planted
+    structural and repetition violators."""
     from .semantic import semantic_dedup_stream
 
     admitted = ingest_stream(
@@ -226,6 +270,8 @@ def ingest_stream_semantic(
         corpus_fps,
         text_col=text_col,
         gate=gate,
+        gopher=gopher,
+        gopher_min_words=gopher_min_words,
         event_time_col=event_time_col,
         watermark=watermark,
         quality_model=quality_model,
@@ -237,7 +283,24 @@ def ingest_stream_semantic(
         dsir_ngrams=dsir_ngrams,
         dsir_id_col=id_col,
     )
-    pre_gate = None
+    pre_gates = []
+    if gopher_repetition:
+        from ..llm_ops.text import gopher_repetition_features
+
+        def rep_gate(batch: DataFrame) -> DataFrame:
+            # micro-batches are bounded, so the features' 3-way
+            # input fan-out recomputes a bounded frame; the left-semi
+            # keeps only rep_pass docs — identical decision to the
+            # batch pipeline's stage 2b over the same rows
+            rep = gopher_repetition_features(
+                batch, text_col, id_col, materialize=False
+            )
+            keep = rep.filter(F.col("rep_pass")).select(
+                F.col("doc_id").alias(id_col)
+            )
+            return batch.join(keep, id_col, "left_semi")
+
+        pre_gates.append(rep_gate)
     if perplexity_model is not None:
         if perplexity_max_bits is None:
             raise ValueError(
@@ -252,7 +315,7 @@ def ingest_stream_semantic(
             else perplexity_model
         )
 
-        def pre_gate(batch: DataFrame) -> DataFrame:
+        def ppl_gate(batch: DataFrame) -> DataFrame:
             kw = (
                 {"backoff_bits": perplexity_backoff_bits}
                 if model.get("order", 2) == 2
@@ -264,6 +327,16 @@ def ingest_stream_semantic(
                 F.col("doc_id").alias(id_col)
             )
             return batch.join(fluent, id_col, "left_semi")
+
+        pre_gates.append(ppl_gate)
+
+    pre_gate = None
+    if pre_gates:
+
+        def pre_gate(batch: DataFrame) -> DataFrame:
+            for g in pre_gates:
+                batch = g(batch)
+            return batch
 
     return semantic_dedup_stream(
         admitted,

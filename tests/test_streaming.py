@@ -2112,3 +2112,105 @@ def test_ingest_stream_dsir_gate_reproduces_batch_selection(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="dsir_min_key"):
         ingest_stream(stream, corpus_fps, dsir_model=model)
+
+
+def test_ingest_stream_gopher_gates_match_batch_stages(spark, tmp_path):
+    """r18 (r17 verdict item 4): BOTH batch Gopher stages run online
+    in the composed semantic ingest — the §A1.1 structural rules
+    in-query (gopher=True, batch stage-2a position) and the §A1.2
+    repetition rules inside the foreachBatch turn (the doc-keyed
+    aggregations are unsupported in-query; batch stage-2b position,
+    before the LM gate). Planted: a structural violator that passes
+    the base heuristic gate (60 twelve-char words: mean word length
+    over 10, zero required stopwords) and a repetition violator that
+    passes the structural rules (one line repeated 8x: dup_line_frac
+    far over 0.30). Stream admission is pinned EQUAL to applying the
+    batch stage expressions (gopher_features/gopher_pass then
+    gopher_repetition_features.rep_pass) over the same rows, stage
+    by stage."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from gcp_dataengineering_spark.llm_ops.dedup import dedup_exact
+    from gcp_dataengineering_spark.llm_ops.text import (
+        corpus_quality_gate,
+        gopher_features,
+        gopher_pass,
+        gopher_repetition_features,
+        quality_features,
+    )
+    from gcp_dataengineering_spark.streaming.ingest import (
+        ingest_stream_semantic,
+    )
+
+    clean = "\n".join(
+        f"the harbor{i} and gulls{i} of morning{i} that boats{i} have "
+        f"sails{i} with winds{i}"
+        for i in range(6)
+    )  # 60 words, distinct lines/grams, 6 required-stopword hits
+    structural = " ".join(f"abcdefghij{i:02d}" for i in range(60))
+    # mean word length 12 > 10 and zero required stopwords — but the
+    # BASE heuristic gate passes (60 tokens, no punctuation)
+    rep_line = "the cats and dogs of that barn have slept with straw"
+    repetitive = "\n".join([rep_line] * 8)  # dup_line_frac 7/8
+
+    rows = [(1, clean), (2, structural), (3, repetitive)]
+    batch = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus_fps = dedup_exact(
+        spark.createDataFrame(
+            [(99, "unrelated corpus document text")],
+            "doc_id long, text string",
+        )
+    )
+
+    # --- batch twin, stage by stage (the shared expressions) ---
+    base_keep = {
+        r.doc_id
+        for r in quality_features(batch, "text")
+        .filter(corpus_quality_gate())
+        .collect()
+    }
+    assert base_keep == {1, 2, 3}, "violators must pass the BASE gate"
+    struct_keep = {
+        r.doc_id
+        for r in gopher_features(quality_features(batch, "text"), "text")
+        .filter(corpus_quality_gate() & gopher_pass())
+        .collect()
+    }
+    assert struct_keep == {1, 3}, "structural stage must drop doc 2 only"
+    rep_rows = {
+        r.doc_id: r.rep_pass
+        for r in gopher_repetition_features(
+            batch.filter(F.col("doc_id").isin(*struct_keep)), "text", "doc_id"
+        ).collect()
+    }
+    assert rep_rows[1] and not rep_rows[3]
+    batch_admitted = {d for d in struct_keep if rep_rows[d]}
+    assert batch_admitted == {1}
+
+    # --- the stream, both flags on ---
+    src = tmp_path / "src"
+    src.mkdir()
+    batch.coalesce(1).write.parquet(str(src / "b1.parquet"))
+    stream = spark.readStream.schema("doc_id long, text string").parquet(
+        str(src) + "/*.parquet"
+    )
+    out = str(tmp_path / "out")
+    q = ingest_stream_semantic(
+        stream,
+        corpus_fps,
+        str(tmp_path / "store"),
+        out,
+        checkpoint_dir=str(tmp_path / f"ckpt_{_uuid.uuid4().hex[:8]}"),
+        gopher=True,
+        gopher_repetition=True,
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.read.parquet(out)
+    assert {r.doc_id for r in got.collect()} == batch_admitted == {1}
+    # the structural feature columns are working columns, not payload
+    assert not [c for c in got.columns if c.startswith("g_")]
