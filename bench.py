@@ -117,6 +117,11 @@ HEADLINE = [
     # hard-EM Viterbi rounds + per-word DP folds — the
     # iterative-trainer cost class beside bpe_encode)
     "unigram_encode",
+    # round-18: SentencePiece-style byte fallback — whitespace/case-
+    # kept tokenization over a synthesized multi-script corpus, the
+    # <0xNN> expansion on vocab-unknown pieces; the encode cost
+    # class of unigram_encode plus the wider distinct-word table
+    "unigram_byte_fallback",
     # round-14: soft (expected-count) EM unigram training — the
     # forward-backward folds over every distinct word's lattice are
     # the iterative-trainer cost class one notch heavier than the

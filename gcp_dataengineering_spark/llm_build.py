@@ -97,6 +97,15 @@ def build_arg_parser() -> argparse.ArgumentParser:
         "the pieces this epoch's sampled corpus consumes",
     )
     p.add_argument(
+        "--unigram-byte-fallback",
+        action="store_true",
+        help="SentencePiece-style byte fallback (r18): vocab-unknown "
+        "pieces encode as reserved <0xNN> byte pieces (negative ids) "
+        "and the doc tokenization switches to the lossless-per-word "
+        "convention (case kept, whitespace split) — any script "
+        "round-trips; mutually exclusive with --unigram-sample-alpha",
+    )
+    p.add_argument(
         "--unigram-sample-salt",
         default="ep0",
         help="epoch salt for --unigram-sample-alpha: the sampling is "
@@ -482,6 +491,7 @@ def main(argv: list[str] | None = None) -> int:
             bpe_byte_level=args.bpe_byte_level,
             unigram_vocab=unigram_df,
             unigram_max_piece_len=args.unigram_max_piece_len,
+            unigram_byte_fallback=args.unigram_byte_fallback,
             unigram_sample_alpha=args.unigram_sample_alpha,
             unigram_sample_salt=args.unigram_sample_salt,
             mixture_budget_tokens=args.mixture_budget,

@@ -147,6 +147,14 @@ class PipelineConfig:
     # exclusive with bpe_merges — one tokenizer denominates a build.
     unigram_vocab: object | None = None
     unigram_max_piece_len: int = 6
+    # r18 (r17 verdict item 5): SentencePiece-style byte fallback for
+    # the Viterbi encoder — vocab-unknown pieces become reserved
+    # <0xNN> byte pieces (negative ids), the doc tokenization
+    # switches to the lossless-per-word convention (case kept,
+    # whitespace split), and budgets count those byte pieces like
+    # any other token. Exclusive with unigram_sample_alpha (the
+    # sampled lattice has no fallback path).
+    unigram_byte_fallback: bool = False
     # subword REGULARIZATION (r14): with unigram_vocab set, a non-None
     # alpha switches the encode from Viterbi to SAMPLED segmentation
     # (unigram.unigram_sample_docs — md5-seeded lattice filtration at
@@ -339,6 +347,11 @@ def build_training_corpus(
     from .materialize import materialize as _materialize
 
     cfg = config or PipelineConfig()
+    if cfg.unigram_byte_fallback and cfg.unigram_sample_alpha is not None:
+        raise ValueError(
+            "unigram_byte_fallback and unigram_sample_alpha are mutually "
+            "exclusive — the sampled lattice encoder has no fallback path"
+        )
     if cfg.bpe_merges is not None and cfg.unigram_vocab is not None:
         raise ValueError(
             "bpe_merges and unigram_vocab are mutually exclusive — a "
@@ -825,6 +838,7 @@ def build_training_corpus(
                 id_col=id_col,
                 text_col=text_col,
                 max_piece_len=cfg.unigram_max_piece_len,
+                byte_fallback=cfg.unigram_byte_fallback,
             )
         tok = tok.select(
             id_col,

@@ -61,6 +61,7 @@ from .quality_model import FRAC_BITS, llog2, llog2_py
 __all__ = [
     "MICRO", "UNK_SCORE", "WORD_PATTERN", "unigram_train",
     "unigram_train_soft", "unigram_encode_words", "unigram_encode_docs",
+    "unigram_decode_pieces",
     "unigram_sample_words", "unigram_sample_words_py",
     "unigram_sample_docs",
     "unigram_train_py", "unigram_train_soft_py", "viterbi_py",
@@ -349,53 +350,144 @@ def unigram_encode_words(
     words: DataFrame,
     vocab: DataFrame,
     max_piece_len: int = 6,
+    byte_fallback: bool = False,
 ) -> DataFrame:
     """(word, n, pieces, piece_ids) under a trained vocab —
     segmentation via the same Viterbi fold; ids resolved by ONE more
-    broadcast join at the piece level (OOV chars get id NULL)."""
+    broadcast join at the piece level (OOV chars get id NULL).
+    ``byte_fallback=True`` (r18): the SentencePiece deployment
+    standard instead of NULL — see :func:`_attach_piece_ids`."""
     return _attach_piece_ids(
-        _segment_words(words, vocab, max_piece_len), vocab
+        _segment_words(words, vocab, max_piece_len), vocab,
+        byte_fallback=byte_fallback,
     )
 
 
-def _attach_piece_ids(seg: DataFrame, vocab: DataFrame) -> DataFrame:
+def _byte_expansion(piece: Column) -> Column:
+    """A string piece → its SentencePiece byte-piece expansion:
+    array<struct(sub, piece, piece_id)> with one ``<0xNN>`` entry per
+    UTF-8 byte (uppercase zero-padded hex — the SentencePiece
+    spelling) and the RESERVED id ``-(byte + 1)`` (negative = the
+    byte space, disjoint from the rank ids, stable under any vocab
+    size). Pure codegen: encode → per-byte binary substring → hex;
+    no lookup table, no UDF."""
+    bin_ = F.encode(piece, "UTF-8")
+    return F.transform(
+        F.sequence(F.lit(1), F.length(bin_)),
+        lambda i: F.struct(
+            i.cast("int").alias("sub"),
+            F.concat(
+                F.lit("<0x"), F.hex(F.substring(bin_, i, F.lit(1))), F.lit(">")
+            ).alias("piece"),
+            (
+                -(F.conv(F.hex(F.substring(bin_, i, F.lit(1))), 16, 10)
+                  .cast("int") + 1)
+            ).alias("piece_id"),
+        ),
+    )
+
+
+def _attach_piece_ids(
+    seg: DataFrame, vocab: DataFrame, byte_fallback: bool = False
+) -> DataFrame:
     """(word, n, pieces) → + piece_ids via one broadcast vocab join
     (OOV pieces get id NULL) — shared by the Viterbi and sampled
-    encoders."""
+    encoders.
+
+    ``byte_fallback=True`` (r18 — the r17 verdict's item 5): the
+    SentencePiece byte-fallback standard. A piece the vocab doesn't
+    know (the Viterbi's UNK_SCORE single-char edges) expands into
+    its UTF-8 bytes as reserved ``<0xNN>`` pieces with ids
+    ``-(byte+1)`` instead of riding as a NULL-id OOV — so ANY input
+    word round-trips losslessly (:func:`unigram_decode_pieces`
+    inverts). In-vocab segmentation is byte-identical to the
+    fallback-off twin (the expansion only ever touches NULL-id
+    pieces), pinned by pytest. Mirrors ``bpe_encode_docs``'s
+    byte-level contract at the piece level; vocab scores are
+    unchanged (fallback is an ENCODE-time representation, not a
+    training change — documented delta from SentencePiece, which
+    also trains the byte pieces)."""
     exploded = seg.select(
         "word", "n", F.posexplode("pieces").alias("ord", "piece")
     ).join(
         F.broadcast(vocab.select("piece", "piece_id")), "piece", "left"
     )
+    if not byte_fallback:
+        return (
+            exploded.groupBy("word", "n")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("ord", "piece", "piece_id"))
+                ).alias("_z")
+            )
+            .select(
+                "word",
+                "n",
+                F.transform(F.col("_z"), lambda z: z["piece"]).alias("pieces"),
+                F.transform(F.col("_z"), lambda z: z["piece_id"]).alias(
+                    "piece_ids"
+                ),
+            )
+        )
+    parts = F.when(
+        F.col("piece_id").isNotNull(),
+        F.array(
+            F.struct(
+                F.lit(1).cast("int").alias("sub"),
+                F.col("piece").alias("piece"),
+                F.col("piece_id").alias("piece_id"),
+            )
+        ),
+    ).otherwise(_byte_expansion(F.col("piece")))
     return (
-        exploded.groupBy("word", "n")
+        exploded.select("word", "n", "ord", parts.alias("_parts"))
+        .groupBy("word", "n")
         .agg(
             F.array_sort(
-                F.collect_list(F.struct("ord", "piece", "piece_id"))
+                F.collect_list(F.struct("ord", "_parts"))
             ).alias("_z")
         )
         .select(
             "word",
             "n",
-            F.transform(F.col("_z"), lambda z: z["piece"]).alias("pieces"),
-            F.transform(F.col("_z"), lambda z: z["piece_id"]).alias(
-                "piece_ids"
-            ),
+            F.flatten(
+                F.transform(
+                    F.col("_z"),
+                    lambda z: F.transform(z["_parts"], lambda p: p["piece"]),
+                )
+            ).alias("pieces"),
+            F.flatten(
+                F.transform(
+                    F.col("_z"),
+                    lambda z: F.transform(
+                        z["_parts"], lambda p: p["piece_id"]
+                    ),
+                )
+            ).alias("piece_ids"),
         )
     )
 
 
-def _doc_tokens(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def _doc_tokens(
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    word_pattern: str = WORD_PATTERN,
+    lower: bool = True,
+    max_word_len: int | None = None,
+) -> DataFrame:
     """(id, pos, word): the position-keyed word explode both doc
-    encoders share."""
+    encoders share. The classic convention (lower + ``[^a-z]+``) is
+    the default; the byte-fallback doc encoder passes the
+    lossless-per-word convention (case kept, whitespace split, BPE's
+    straggler cap) instead."""
+    base = F.lower(F.col(text_col)) if lower else F.col(text_col)
+    arr = F.filter(F.split(base, word_pattern), lambda t: t != "")
+    if max_word_len is not None:
+        arr = F.filter(arr, lambda t: F.length(t) <= max_word_len)
     return docs.select(
         F.col(id_col),
-        F.posexplode(
-            F.filter(
-                F.split(F.lower(F.col(text_col)), WORD_PATTERN),
-                lambda t: t != "",
-            )
-        ).alias("pos", "word"),
+        F.posexplode(arr).alias("pos", "word"),
     )
 
 
@@ -405,28 +497,108 @@ def unigram_encode_docs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_piece_len: int = 6,
+    byte_fallback: bool = False,
+    max_word_len: int = 64,
 ) -> DataFrame:
     """(id, pieces array<string>, piece_ids array<int>, n_pieces,
     n_oov) per document: words in order, each replaced by its
     Viterbi segmentation. Distinct-word segmentation computed ONCE
     and joined back — corpus scale pays one word explode and one
-    word-keyed join, never per-word DP re-runs."""
-    tokens = _doc_tokens(docs, id_col, text_col)
+    word-keyed join, never per-word DP re-runs.
+
+    ``byte_fallback=True`` (r18 — the r17 verdict's item 5): the
+    SentencePiece deployment standard. Tokenization switches to the
+    lossless-per-word convention ``bpe_encode_docs(byte_level=True)``
+    established (case KEPT, whitespace split, ``max_word_len``
+    straggler cap — a megabyte 'word' is garbage, not language), and
+    every vocab-unknown piece encodes as reserved ``<0xNN>`` byte
+    pieces (ids ``-(byte+1)``) instead of a NULL-id OOV — any
+    script, emoji included, round-trips word-losslessly through
+    :func:`unigram_decode_pieces`. ``n_oov`` is 0 by construction
+    under fallback (count negative ids for the bytes-used census).
+    Default off: the classic lower + ``[^a-z]+`` path is
+    byte-identical to r17."""
+    tokens = (
+        _doc_tokens(
+            docs, id_col, text_col,
+            word_pattern=r"\s+", lower=False, max_word_len=max_word_len,
+        )
+        if byte_fallback
+        else _doc_tokens(docs, id_col, text_col)
+    )
     wseg = unigram_encode_words(
         tokens.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n")),
         vocab,
         max_piece_len,
+        byte_fallback=byte_fallback,
     ).select("word", "pieces", "piece_ids")
-    return _assemble_docs(docs, tokens, wseg, id_col)
+    return _assemble_docs(
+        docs, tokens, wseg, id_col,
+        # words join on the reserved space byte piece, so the doc
+        # stream decodes to the whitespace-NORMALIZED text (runs
+        # collapse to one space — the same normalization the
+        # fingerprint contract uses); without it the flattened
+        # stream would lose the word boundaries the split consumed
+        word_sep=("<0x20>", -(0x20 + 1)) if byte_fallback else None,
+    )
+
+
+_BYTE_PIECE_RE = re.compile(r"^<0x([0-9A-F]{2})>$")
+
+
+def unigram_decode_pieces(
+    pieces: list[str], piece_ids: list[int] | None = None
+) -> str:
+    """Python inverse of a byte-fallback encoding (tests/display):
+    ``<0xNN>`` pieces contribute their byte, every other piece its
+    UTF-8 bytes; the buffer decodes as UTF-8. Pass ``piece_ids`` to
+    disambiguate a vocab piece that LOOKS like a byte piece (a
+    literal '<0x41>' token in whitespace-split text): only negative
+    ids are treated as bytes then — the reserved-id space is the
+    authoritative marker, the spelling is for display."""
+    buf = bytearray()
+    for i, p in enumerate(pieces):
+        m = _BYTE_PIECE_RE.match(p)
+        is_byte = (
+            piece_ids[i] is not None and piece_ids[i] < 0
+            if piece_ids is not None
+            else bool(m)
+        )
+        if is_byte and m:
+            buf.append(int(m.group(1), 16))
+        else:
+            buf.extend(p.encode("utf-8"))
+    return buf.decode("utf-8", errors="replace")
 
 
 def _assemble_docs(
-    docs: DataFrame, tokens: DataFrame, wseg: DataFrame, id_col: str
+    docs: DataFrame,
+    tokens: DataFrame,
+    wseg: DataFrame,
+    id_col: str,
+    word_sep: tuple[str, int] | None = None,
 ) -> DataFrame:
     """Re-assemble per-word segmentations into per-doc sequences —
     shared by the Viterbi and sampled doc encoders. ``wseg`` is
-    (word, pieces, piece_ids)."""
+    (word, pieces, piece_ids). ``word_sep`` (piece, id) — byte
+    fallback's reserved space piece — is prepended to every word
+    but the first, preserving word boundaries in the flat stream."""
     joined = tokens.join(wseg, "word")
+
+    def _flat(field: str, sep):
+        if word_sep is None:
+            return F.flatten(
+                F.transform(F.col("_z"), lambda z: z[field])
+            )
+        return F.flatten(
+            F.transform(
+                F.col("_z"),
+                lambda z, i: F.when(i == 0, z[field]).otherwise(
+                    F.concat(F.array(sep), z[field])
+                ),
+            )
+        )
+
     out = (
         joined.groupBy(id_col)
         .agg(
@@ -436,11 +608,12 @@ def _assemble_docs(
         )
         .select(
             id_col,
-            F.flatten(
-                F.transform(F.col("_z"), lambda z: z["pieces"])
-            ).alias("pieces"),
-            F.flatten(
-                F.transform(F.col("_z"), lambda z: z["piece_ids"])
+            _flat("pieces", F.lit(word_sep[0]) if word_sep else None).alias(
+                "pieces"
+            ),
+            _flat(
+                "piece_ids",
+                F.lit(word_sep[1]).cast("int") if word_sep else None,
             ).alias("piece_ids"),
         )
         .withColumn("n_pieces", F.size("pieces"))

@@ -275,11 +275,17 @@ _SCRIPT_SNIPPETS = [
 
 
 def q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """text.script_counts + detect_script + the r12 two-stage
-    lang_id over deterministic multi-script pages — per doc: all ten
-    per-script character counts, the dominant script, and the routed
-    language prediction (hash-gated; the pytest fixture measures
-    accuracy, this key gates the arithmetic and the routing)."""
+    """The one-pass script/language profile (r18: text.script_profile
+    — the fused form of script_counts + detect_script + lang_id's
+    script route, sharing ONE residue and ONE set of per-script
+    scans across all three legs) + the stopword vote, over
+    deterministic multi-script pages — per doc: every per-script
+    character count, the dominant script, and the routed language
+    prediction (hash-gated; the pytest fixture measures accuracy and
+    pins profile ≡ the standalone operators, this key gates the
+    arithmetic and the routing). ``F.inline`` is the generator
+    barrier that stops projection collapse from re-expanding the
+    profile struct once per output column."""
     docs = _t(spark, sf_dir, "documents")
     snippet = F.element_at(
         F.array(*[F.lit(s) for s in _SCRIPT_SNIPPETS]),
@@ -292,12 +298,23 @@ def q_script_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.repeat(snippet, 2),
     )
     base = docs.select("doc_id", synth.alias("t"))
-    counts = T.script_counts("t")
-    return base.select(
+    flat = base.select(
+        "doc_id", "t", F.inline(F.array(T.script_profile("t")))
+    )
+    probe = F.col("t").rlike("[\u0370-\uD7FF\uE000-\uFFFF]")
+    lang_pred = T._bind1(
+        T._stopword_vote(F.col("t")),
+        lambda v: F.coalesce(
+            F.when(probe, F.col("script_lang")),
+            F.when(v["s"] > 0, v["l"]),
+            F.lit("und"),
+        ),
+    )
+    return flat.select(
         "doc_id",
-        *[c.alias(f"n_{name}") for name, c in counts.items()],
-        T.detect_script("t").alias("script"),
-        T.lang_id("t").alias("lang_pred"),
+        *[f"n_{name}" for name in T.SCRIPT_RANGES],
+        "script",
+        lang_pred.alias("lang_pred"),
     )
 
 
@@ -3085,11 +3102,12 @@ def q_unigram_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _uni_segment_sql(tag: str, scores_cte: str) -> str:
+def _uni_segment_sql(tag: str, scores_cte: str, words: str = "wc") -> str:
     """One all-paths Viterbi block: paths{tag} enumerates every
-    segmentation of every distinct word under ``scores_cte``
-    (piece, score), best{tag} picks (score DESC, reversed boundary
-    list ASC), segp{tag} rebuilds (word, sub, piece)."""
+    segmentation of every distinct word of ``words`` under
+    ``scores_cte`` (piece, score), best{tag} picks (score DESC,
+    reversed boundary list ASC), segp{tag} rebuilds
+    (word, sub, piece)."""
     from ..llm_ops.unigram import UNK_SCORE
 
     return f"""edges{tag} AS MATERIALIZED (
@@ -3101,7 +3119,7 @@ def _uni_segment_sql(tag: str, scores_cte: str) -> str:
     FROM (
         SELECT word, i.i AS i, i.i + l.l AS j,
                substr(word, i.i + 1, l.l) AS piece
-        FROM wc,
+        FROM {words},
              unnest(range(length(word))) AS i(i),
              unnest(range(1, {_UNI_L + 1})) AS l(l)
         WHERE i.i + l.l <= length(word)
@@ -3109,7 +3127,7 @@ def _uni_segment_sql(tag: str, scores_cte: str) -> str:
     LEFT JOIN {scores_cte} s ON s.piece = sp.piece
     WHERE s.piece IS NOT NULL OR sp.j - sp.i = 1
 ), paths{tag}(word, pos, sc, bnds) AS (
-    SELECT word, 0, CAST(0 AS BIGINT), CAST([] AS INTEGER[]) FROM wc
+    SELECT word, 0, CAST(0 AS BIGINT), CAST([] AS INTEGER[]) FROM {words}
     UNION ALL
     SELECT p.word, e.j, p.sc + e.score, list_append(p.bnds, p.pos)
     FROM paths{tag} p
@@ -3160,13 +3178,17 @@ def _uni_em_round_sql(k: int) -> str:
 )"""
 
 
-def _unigram_oracle() -> str:
+def _uni_train_sql() -> str:
+    """The shared training-replay WITH prefix (docs_w … vocab):
+    classic tokenization, seed candidates, {_UNI_EM} hard-EM rounds,
+    rank ids — used verbatim by the classic encode oracle and the
+    byte-fallback oracle (fallback is an ENCODE-time change, the
+    trained table is identical)."""
     from ..llm_ops.quality_model import llog2_sql as lg
 
     rounds = ",\n".join(_uni_em_round_sql(k) for k in range(_UNI_EM))
     final = _UNI_EM
-    return f"""
-WITH RECURSIVE docs_w AS (
+    return f"""docs_w AS (
     SELECT doc_id,
            list_filter(regexp_split_to_array(lower(coalesce(text, '')), '[^a-z]+'),
                        x -> x <> '') AS toks
@@ -3199,7 +3221,12 @@ vocab AS MATERIALIZED (
     SELECT piece, cnt, score,
            CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC) AS INTEGER) AS pid
     FROM s{final}
-),
+)"""
+
+
+def _unigram_oracle() -> str:
+    return f"""
+WITH RECURSIVE {_uni_train_sql()},
 {_uni_segment_sql("F", "vocab")},
 tok AS (
     SELECT doc_id, i.i AS pos, toks[i.i + 1] AS word
@@ -3222,6 +3249,118 @@ SELECT d.doc_id,
        COALESCE(a.n_pieces, 0) AS n_pieces,
        COALESCE(a.n_oov, 0) AS n_oov
 FROM documents d LEFT JOIN agg a USING (doc_id)
+"""
+
+
+# -------------------------------------------- byte fallback (r18, PE)
+# Deterministic multi-script page suffixes: CJK, astral emoji,
+# combining-accent Latin, digits/punctuation, Cyrillic, Greek,
+# Hangul, underscore-joined — every one whitespace-split into words
+# the classic [^a-z]+ tokenizer could not represent, so the reserved
+# <0xNN> expansion fires on every document.
+_UBF_SNIPS = [
+    "中文字", "😀ok", "café", "3.14!", "тест", "αβγδ", "한글자", "x_y",
+]
+_UBF_CAP = 64  # bpe_encode_docs' straggler-cap convention
+
+
+def q_unigram_byte_fallback(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r18 (r17 verdict item 5): SentencePiece-style byte fallback,
+    end to end — the SAME trained vocab as ``unigram_encode``
+    (fallback is an encode-time representation, not a training
+    change), Viterbi-encoding a synthesized multi-script corpus
+    (each document plus a script snippet by doc_id) under the
+    lossless-per-word convention: case kept, whitespace split,
+    vocab-unknown pieces expand to reserved ``<0xNN>`` byte pieces
+    with ids ``-(byte+1)``, words joined by the reserved space piece.
+    The oracle replays training AND the byte expansion (hex-pair
+    arithmetic over DuckDB's encode()) bit-for-bit; zero NULL ids by
+    construction."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = UG.unigram_train(
+        docs, vocab_size=_UNI_V, max_piece_len=_UNI_L, em_iters=_UNI_EM
+    )
+    snip = F.element_at(
+        F.array(*[F.lit(s) for s in _UBF_SNIPS]),
+        (F.pmod(F.col("doc_id"), F.lit(len(_UBF_SNIPS))) + 1).cast("int"),
+    )
+    synth = docs.select(
+        "doc_id",
+        F.concat(
+            F.coalesce(F.col("text"), F.lit("")), F.lit(" "), snip
+        ).alias("text"),
+    )
+    enc = UG.unigram_encode_docs(
+        synth, vocab, max_piece_len=_UNI_L,
+        byte_fallback=True, max_word_len=_UBF_CAP,
+    )
+    ids_md5 = F.md5(
+        F.array_join(
+            F.transform(F.col("piece_ids"), lambda x: x.cast("string")), ","
+        )
+    )
+    return enc.select(
+        "doc_id",
+        ids_md5.alias("ids_md5"),
+        F.col("n_pieces").cast("int").alias("n_pieces"),
+        F.size(F.filter(F.col("piece_ids"), lambda i: i < 0))
+        .cast("int")
+        .alias("n_byte_pieces"),
+    )
+
+
+def _unigram_bf_oracle() -> str:
+    snips = ", ".join("'" + s + "'" for s in _UBF_SNIPS)
+    hexd = "0123456789ABCDEF"
+    return f"""
+WITH RECURSIVE {_uni_train_sql()},
+enc_w AS (
+    SELECT doc_id,
+           list_filter(
+               regexp_split_to_array(coalesce(text, '') || ' ' ||
+                   ([{snips}])[(doc_id % {len(_UBF_SNIPS)}) + 1], '\\s+'),
+               x -> x <> '' AND length(x) <= {_UBF_CAP}) AS toks
+    FROM documents
+), wce AS MATERIALIZED (
+    SELECT DISTINCT unnest(toks) AS word FROM enc_w
+),
+{_uni_segment_sql("E", "vocab", "wce")},
+tokE AS (
+    SELECT doc_id, i.i AS pos, toks[i.i + 1] AS word
+    FROM enc_w, unnest(range(len(toks))) AS i(i)
+), docsegE AS (
+    SELECT t.doc_id, t.pos, sp.sub, sp.piece, v.pid
+    FROM tokE t
+    JOIN segpE sp USING (word)
+    LEFT JOIN vocab v ON v.piece = sp.piece
+), expanded AS (
+    -- in-vocab pieces ride as-is; vocab-unknown pieces expand into
+    -- their UTF-8 bytes via hex-pair arithmetic (id -(byte+1));
+    -- every word after the first is preceded by the reserved space
+    -- piece <0x20> (id -33) — exactly the engine's assembly
+    SELECT doc_id, pos, sub, 0 AS bsub, pid
+    FROM docsegE WHERE pid IS NOT NULL
+    UNION ALL
+    SELECT doc_id, pos, sub, b.b + 1 AS bsub,
+           -(1 + (strpos('{hexd}', substr(hx, b.b * 2 + 1, 1)) - 1) * 16
+               + (strpos('{hexd}', substr(hx, b.b * 2 + 2, 1)) - 1)) AS pid
+    FROM (
+        SELECT doc_id, pos, sub, hex(encode(piece)) AS hx
+        FROM docsegE WHERE pid IS NULL
+    ), unnest(range(length(hx) // 2)) AS b(b)
+    UNION ALL
+    SELECT doc_id, pos, -1 AS sub, 0 AS bsub, -33 AS pid
+    FROM (SELECT DISTINCT doc_id, pos FROM tokE) WHERE pos > 0
+), aggE AS (
+    SELECT doc_id,
+           md5(string_agg(CAST(pid AS VARCHAR), ','
+                          ORDER BY pos, sub, bsub)) AS ids_md5,
+           CAST(COUNT(*) AS INTEGER) AS n_pieces,
+           CAST(SUM(CASE WHEN pid < 0 THEN 1 ELSE 0 END) AS INTEGER)
+               AS n_byte_pieces
+    FROM expanded GROUP BY doc_id
+)
+SELECT doc_id, ids_md5, n_pieces, n_byte_pieces FROM aggE
 """
 
 
@@ -3631,6 +3770,7 @@ QUERIES = {
     "embedding_generate": q_embedding_generate,
     "semantic_dedup": q_semantic_dedup,
     "unigram_encode": q_unigram_encode,
+    "unigram_byte_fallback": q_unigram_byte_fallback,
     "mixture_plan": q_mixture_plan,
     "quality_classifier": q_quality_classifier,
     "script_detect": q_script_detect,
@@ -3747,6 +3887,7 @@ ORACLES = {
     "embedding_generate": ORACLE_EMBEDDING_GENERATE,
     "semantic_dedup": _semantic_dedup_oracle(),
     "unigram_encode": _unigram_oracle(),
+    "unigram_byte_fallback": _unigram_bf_oracle(),
     "bpe_encode": ORACLE_BPE_ENCODE,
     "dedup_spans": ORACLE_DEDUP_SPANS,
     "domain_stats": _domain_stats_oracle(),

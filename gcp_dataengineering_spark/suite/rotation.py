@@ -465,6 +465,16 @@ PERMANENT_EXTERNAL = [
     # identity + no-cartesian plan receipt pytests in
     # tests/test_llm_ops.py.
     "video_neardup",
+    # r18: SentencePiece-style byte fallback for the unigram encoder
+    # — the same trained vocab as unigram_encode, whitespace/case-
+    # kept tokenization, vocab-unknown pieces expanded to reserved
+    # <0xNN> byte pieces (hex-pair arithmetic replayed in SQL over
+    # DuckDB's encode()), words joined on the reserved space piece.
+    # Reason (b), same capacity terms. Lossless any-script round-trip
+    # + fallback-inert-on-covered-text + composed-build budget
+    # consistency pytests in tests/test_unigram.py /
+    # tests/test_pipelines.py.
+    "unigram_byte_fallback",
 ]
 
 

@@ -302,3 +302,109 @@ def test_sample_words_matches_python_twin_and_covers(spark):
     ).collect()
     for r in out_h:
         assert "".join(r.pieces) == r.word
+
+
+def test_byte_fallback_lossless_roundtrip_any_script(spark):
+    """r18 (r17 verdict item 5): SentencePiece-style byte fallback —
+    vocab-unknown pieces encode to reserved <0xNN> byte pieces with
+    negative ids instead of NULL-id OOVs, so ANY word round-trips
+    losslessly through unigram_decode_pieces: mixed-case Latin,
+    CJK, emoji (astral, 4-byte UTF-8), combining accents, digits and
+    punctuation the classic [^a-z]+ tokenizer would have discarded."""
+    vocab = U.unigram_train(_docs(spark), vocab_size=25, max_piece_len=4)
+    texts = {
+        11: "The cat sat, naturally.",
+        12: "这是中文文本 and the mat",
+        13: "emoji 😀🎉 here",
+        14: "héllo café naïve",
+        15: "한국어 テスト текст",
+        16: "mat 3.14159 (cat)",
+    }
+    docs = spark.createDataFrame(
+        list(texts.items()), "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in U.unigram_encode_docs(
+            docs, vocab, max_piece_len=4, byte_fallback=True
+        ).collect()
+    }
+    for did, text in texts.items():
+        r = out[did]
+        assert all(i is not None for i in r.piece_ids), (did, r.piece_ids)
+        assert r.n_oov == 0
+        # word-lossless: decoding re-joins the whitespace-split words
+        got = U.unigram_decode_pieces(list(r.pieces), list(r.piece_ids))
+        assert got == " ".join(text.split()), (did, got)
+    # byte pieces carry the reserved ids: <0xNN> <-> -(byte+1)
+    emoji = out[13]
+    byte_ids = [i for i in emoji.piece_ids if i < 0]
+    assert byte_ids, "emoji must fall back to byte pieces"
+    for p, i in zip(emoji.pieces, emoji.piece_ids):
+        if i < 0:
+            assert p == f"<0x{-i - 1:02X}>", (p, i)
+
+
+def test_byte_fallback_inert_on_covered_text(spark):
+    """Fallback only ever touches NULL-id pieces: on text the vocab
+    fully covers, encode with byte_fallback on vs off produces
+    byte-identical segmentations (per word — the doc tokenization
+    convention differs by design: whitespace vs [^a-z]+)."""
+    vocab = U.unigram_train(_docs(spark), vocab_size=25, max_piece_len=4)
+    words = spark.createDataFrame(
+        [("cats", 1), ("scattered", 1), ("mat", 1), ("thematter", 1)],
+        "word string, n long",
+    )
+    off = {
+        r.word: (list(r.pieces), list(r.piece_ids))
+        for r in U.unigram_encode_words(words, vocab, 4).collect()
+    }
+    on = {
+        r.word: (list(r.pieces), list(r.piece_ids))
+        for r in U.unigram_encode_words(
+            words, vocab, 4, byte_fallback=True
+        ).collect()
+    }
+    assert on == off
+    # and the classic doc path is byte-identical to r17 (default off)
+    docs = spark.createDataFrame(
+        [(1, "the cat sat on the mat")], "doc_id long, text string"
+    )
+    d_off = U.unigram_encode_docs(docs, vocab, max_piece_len=4).collect()[0]
+    assert d_off.n_oov == 0 and "".join(d_off.pieces) == "thecatsatonthemat"
+
+
+def test_byte_fallback_mixed_word_splits_only_unknown_pieces(spark):
+    """A word that is PART in-vocab, part unknown falls back only on
+    the unknown pieces: 'catsé' keeps the learned 'cats'
+    segmentation and expands only 'é' (2 UTF-8 bytes, C3 A9) — the
+    in-vocab prefix is not degraded to bytes."""
+    vocab = U.unigram_train(_docs(spark), vocab_size=25, max_piece_len=4)
+    scores = {r.piece: r.score for r in vocab.collect()}
+    words = spark.createDataFrame([("catsé", 1)], "word string, n long")
+    r = U.unigram_encode_words(words, vocab, 4, byte_fallback=True).collect()[0]
+    want_prefix = U.viterbi_py("cats", scores, 4)
+    assert list(r.pieces) == want_prefix + ["<0xC3>", "<0xA9>"]
+    assert U.unigram_decode_pieces(list(r.pieces), list(r.piece_ids)) == "catsé"
+    assert [i for i in r.piece_ids if i < 0] == [-(0xC3 + 1), -(0xA9 + 1)]
+
+
+def test_byte_fallback_straggler_cap_and_empty(spark):
+    """The byte-mode straggler cap mirrors bpe_encode_docs: a word
+    over max_word_len (pre-mapping characters) is dropped with the
+    same garbage-not-language contract; empty docs keep a row."""
+    vocab = U.unigram_train(_docs(spark), vocab_size=25, max_piece_len=4)
+    long_word = "x" * 80
+    docs = spark.createDataFrame(
+        [(1, f"cat {long_word} mat"), (2, "   ")], "doc_id long, text string"
+    )
+    out = {
+        r.doc_id: r
+        for r in U.unigram_encode_docs(
+            docs, vocab, max_piece_len=4, byte_fallback=True, max_word_len=64
+        ).collect()
+    }
+    assert U.unigram_decode_pieces(
+        list(out[1].pieces), list(out[1].piece_ids)
+    ) == "cat mat"
+    assert list(out[2].pieces) == [] and out[2].n_pieces == 0
