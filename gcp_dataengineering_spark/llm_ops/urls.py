@@ -1065,6 +1065,138 @@ def _curated_psl() -> tuple[str, ...]:
         "vestre-slidre vestre-toten vik vikna vindafjord volda "
         "vaga re"
     ).split()]
+    # r18 tranche 10a — Norid's IDN kommune rows. The registry lists
+    # BOTH the transliterated ASCII form and the æ/ø/å original for
+    # its geographic domains, so every unicode kommune lands as its
+    # punycode (matching real crawl hosts, which are always ASCII);
+    # the ACE form is computed at table-build time with the stdlib
+    # IDNA codec — deterministic, no vendored table. Where the
+    # transliterated twin wasn't already in an earlier tranche it
+    # ships here too.
+    no_idn = (
+        # unicode kommune names (transliterations derive by
+        # ø→o, å→a, æ→ae below where not already present)
+        "bodø tromsø ålesund bærum røros brønnøy sørfold måsøy "
+        "båtsfjord værøy røst rødøy dønna lærdal øksnes øyer "
+        "øygarden ørskog ørland åmot åmli ås åseral åsnes årdal "
+        "ål åfjord søgne sørreisa tysvær kvæfjord skjåk sømna "
+        "gjøvik lørenskog bømlo frøya finnøy førde gildeskål "
+        "høyanger høylandet jølster klæbu krødsherad kvitsøy "
+        "lødingen målselv nærøy osterøy øvre-eiker råde rælingen "
+        "rømskog røyken røyrvik stjørdal tønsberg vadsø vestvågøy "
+        "vågan vågsøy aurskog-høland ørsta hå lindås smøla "
+        "sør-aurdal sør-fron sør-odal søndre-land øystre-slidre "
+        "radøy meløy rennesøy skjervøy tranøy trøgstad vardø "
+        "sandøy inderøy kåfjord tjøme vågå skånland"
+    ).split()
+    have = set(rules)
+    for name in no_idn:
+        ace = name.encode("idna").decode("ascii")
+        if f"{ace}.no" not in have:
+            rules += [f"{ace}.no"]
+        ascii_twin = (
+            name.replace("ø", "o").replace("å", "a").replace("æ", "ae")
+        )
+        if ascii_twin != ace and f"{ascii_twin}.no" not in have | set(rules):
+            rules += [f"{ascii_twin}.no"]
+    # r18 tranche 10b — JPRS geographic third-levels, towns/villages
+    # wave: the municipalities beyond tranche 9a's cities (JPRS
+    # enumerates EVERY current municipality; this tranche carries
+    # the well-known towns and villages, prioritized by crawl
+    # share — onsen/resort towns, metro-belt towns, island
+    # villages)
+    jp_towns = {
+        "hokkaido": "kutchan rusutsu yoichi shakotan toyako shiraoi "
+                    "biratori kimobetsu kyogoku makkari rankoshi "
+                    "niki furubira akaigawa kamifurano nakafurano "
+                    "minamifurano shimukappu urakawa samani erimo "
+                    "shinhidaka atsuma abira mukawa hiroo memuro "
+                    "otofuke shihoro kamishihoro shikaoi shintoku "
+                    "urahoro toyokoro honbetsu ashoro rikubetsu "
+                    "akkeshi hamanaka teshikaga shibecha betsukai "
+                    "nakashibetsu rausu tsurui bihoro tsubetsu "
+                    "ozora engaru yubetsu pippu aibetsu "
+                    "higashikagura higashikawa takasu wassamu "
+                    "kenbuchi shimokawa bifuka horokanai rishiri "
+                    "rishirifuji toyotomi hamatonbetsu "
+                    "nakatonbetsu toyoura sobetsu tobetsu "
+                    "naganuma kuriyama",
+        "aomori": "oirase rokunohe gonohe shichinohe sannohe nanbu "
+                  "hashikami inakadate itayanagi fujisaki owani "
+                  "ajigasawa fukaura noheji yokohama rokkasho oma "
+                  "sai kazamaura hiranai imabetsu sotogahama",
+        "iwate": "kuzumaki iwate shiwa yahaba nishiwaga kanegasaki "
+                 "hiraizumi sumita otsuchi yamada iwaizumi "
+                 "tanohata fudai noda hirono karumai ichinohe "
+                 "kunohe",
+        "miyagi": "zao shichikashuku ogawara murata shibata "
+                  "kawasaki marumori watari yamamoto shikama kami "
+                  "wakuya misato onagawa minamisanriku taiwa "
+                  "osato ohira",
+        "akita": "kazuno yurihonjo kosaka fujisato mitane happo "
+                 "gojome hachirogata ikawa misato ugo "
+                 "higashinaruse",
+        "yamagata": "yamanobe nakayama kahoku nishikawa asahi oe "
+                    "oishida kaneyama mogami funagata mamurogawa "
+                    "tozawa takahata kawanishi iide shirataka "
+                    "yuza mikawa",
+        "fukushima": "kunimi kawamata otama kagamiishi tenei "
+                     "shimogo tadami minamiaizu kitashiobara "
+                     "nishiaizu bandai inawashiro aizubange "
+                     "yanaizu mishima kaneyama showa yugawa "
+                     "hirata ishikawa asakawa furudono miharu "
+                     "ono hirono naraha tomioka kawauchi okuma "
+                     "futaba namie katsurao iitate shinchi "
+                     "yamatsuri tanagura hanawa samegawa",
+        "gunma": "naganohara tsumagoi kawaba katashina showa "
+                 "shinto yoshioka tamamura oizumi ora",
+        "tochigi": "mashiko motegi ichikai haga kaminokawa shioya "
+                   "takanezawa nasu nakagawa",
+        "saitama": "miyashiro sugito matsubushi ina ogose moroyama "
+                   "ranzan namegawa ogawa tokigawa yokoze minano "
+                   "nagatoro kamikawa kamisato yorii hatoyama "
+                   "higashichichibu",
+        "chiba": "kujukuri ichinomiya onjuku shirako chonan chosei "
+                 "mutsuzawa nagara shisui sakae kyonan tako",
+        "nagano": "nozawaonsen obuse yamanouchi iizuna shinano "
+                  "otari miyada achi agematsu nagiso tateshina "
+                  "iijima matsukawa takamori anan sakaki ikeda "
+                  "aoki nagawa",
+        "yamanashi": "yamanakako oshino narusawa hayakawa "
+                     "minobu nanbu ichikawamisato doshi nishikatsura "
+                     "tabayama kosuge",
+        "shizuoka": "kawazu higashiizu matsuzaki nishiizu kannami "
+                    "shimizu nagaizumi oyama yoshida mori",
+        "aichi": "agui higashiura minamichita mihama taketoyo "
+                 "kanie oharu tobishima shitara toei toyone kota "
+                 "oguchi fuso",
+        "mie": "kisosaki toin komono asahi kawagoe taki meiwa "
+               "odai taiki minamiise kihoku mihama kiho tamaki "
+               "watarai",
+        "kyoto": "ine wazuka ujitawara kasagi minamiyamashiro "
+                 "oyamazaki",
+        "nara": "yoshino totsukawa tenkawa shimoichi oyodo "
+                "kawakami higashiyoshino tawaramoto sango ando "
+                "kawai oji kanmaki",
+        "wakayama": "katsuragi kudoyama kimino aridagawa "
+                    "hidakagawa susami taiji kozagawa kitayama "
+                    "mihama inami hirogawa",
+        "okinawa": "zamami tokashiki ie ginoza izena iheya "
+                   "minamidaito kitadaito tarama aguni ogimi "
+                   "higashi nakijin kunigami",
+    }
+    for pref, towns in jp_towns.items():
+        rules += [
+            f"{t}.{pref}.jp" for t in towns.split() if "?" not in t
+        ]
+    # r18 tranche 10c — remaining documented platform rows + the two
+    # 2021 .th additions
+    rules += [
+        "herokussl.com", "pantheonsite.io", "loca.lt",
+        "hatenablog.com", "hatenablog.jp", "hatenadiary.com",
+        "hatenadiary.jp", "hatenadiary.org", "hateblo.jp",
+        "online.th", "shop.th",
+    ]
     return tuple(rules)
 
 
