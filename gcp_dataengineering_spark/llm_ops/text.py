@@ -362,6 +362,108 @@ def detect_script(col: Column | str, default: str = "unknown") -> Column:
     )
 
 
+def _stopword_vote(c: Column) -> Column:
+    """The stopword-vote leg shared by :func:`lang_id` and the suite
+    key's fused profile path: argmax struct (s hits, p priority,
+    l language) of distinct stopword hits over :data:`STOPWORDS` —
+    the token array is split ONCE and lambda-bound across the
+    intersects."""
+    toks = F.split(F.lower(F.coalesce(c, F.lit(""))), "\\s+")
+    langs = list(STOPWORDS)
+    n = len(langs)
+    return _bind1(
+        toks,
+        lambda t: F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        F.size(
+                            F.array_intersect(
+                                t, F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+                            )
+                        ).alias("s"),
+                        F.lit(n - i).alias("p"),
+                        F.lit(lang).alias("l"),
+                    )
+                    for i, lang in enumerate(langs)
+                ]
+            )
+        ),
+    )
+
+
+def script_profile(col: Column | str, default: str = "unknown") -> Column:
+    """ONE-PASS script profile: a struct with every per-script count
+    (``n_<script>``), the dominant ``script``
+    (:func:`detect_script` semantics) and the script-ROUTED language
+    ``script_lang`` (:func:`lang_id`'s rule 1 — NULL when the script
+    resolves latin/cyrillic/none and the stopword vote must decide).
+
+    The point is scan sharing (r18): a caller that wants counts AND
+    the dominant script AND the routed language — the
+    ``script_detect`` suite key's exact shape — would otherwise pay
+    the 25 class scans once per leg plus a residue strip each
+    (75 scans / 3 strips at the r18 script coverage). Residue counts
+    are VALUE-IDENTICAL to full-text counts (no non-Latin class can
+    lose members to the strip), so one bound residue and one set of
+    25 counts serve all three fields. Pure column expression, no
+    UDF."""
+    c = F.coalesce(F.col(col) if isinstance(col, str) else col, F.lit(""))
+    n = len(SCRIPT_RANGES)
+    names = list(SCRIPT_RANGES)
+
+    def from_counts(cs: Column) -> Column:
+        # cs is the lambda-BOUND struct of 25 counts — every
+        # reference below is a field extraction, never a re-scan
+        # (the han/kana ja-vs-zh rule reuses cs.kana: the residue
+        # kana count IS the full-text kana count)
+        def routed(name: str) -> Column:
+            if name == "han":
+                return F.when(cs["kana"] > 0, F.lit("ja")).otherwise(
+                    F.lit("zh")
+                )
+            if name == "kana":
+                return F.lit("ja")
+            if name in SCRIPT_DIRECT_LANG:
+                return F.lit(SCRIPT_DIRECT_LANG[name])
+            return F.lit(None).cast("string")
+
+        best = F.array_max(
+            F.array(
+                *[
+                    F.struct(
+                        cs[name].alias("s"),
+                        F.lit(n - i).alias("p"),
+                        F.lit(name).alias("l"),
+                        routed(name).alias("r"),
+                    )
+                    for i, name in enumerate(names)
+                ]
+            )
+        )
+        return _bind1(
+            best,
+            lambda b: F.struct(
+                *[cs[name].alias(f"n_{name}") for name in names],
+                F.when(b["s"] > 0, b["l"])
+                .otherwise(F.lit(default))
+                .alias("script"),
+                F.when(b["s"] > 0, b["r"]).alias("script_lang"),
+            ),
+        )
+
+    def build(resid: Column) -> Column:
+        counts = F.struct(
+            *[
+                _class_count(c if name == "latin" else resid, r).alias(name)
+                for name, r in SCRIPT_RANGES.items()
+            ]
+        )
+        return _bind1(counts, from_counts)
+
+    return _bind1(F.regexp_replace(c, _NON_LATIN_KEEP_NEG, ""), build)
+
+
 def md5_60bit(c: Column) -> Column:
     """First 60 bits of md5(c) as a BIGINT — the engine-portable
     numeric hash used by the minhash family and dataset splitting.
@@ -862,28 +964,7 @@ def lang_id(col: Column | str, default: str = "und") -> Column:
     expect materially lower accuracy on short/noisy/code-mixed
     text)."""
     c = F.col(col) if isinstance(col, str) else col
-    toks = F.split(F.lower(F.coalesce(c, F.lit(""))), "\\s+")
-    langs = list(STOPWORDS)
-    n = len(langs)
-    vote = _bind1(
-        toks,
-        lambda t: F.array_max(
-            F.array(
-                *[
-                    F.struct(
-                        F.size(
-                            F.array_intersect(
-                                t, F.array(*[F.lit(w) for w in STOPWORDS[lang]])
-                            )
-                        ).alias("s"),
-                        F.lit(n - i).alias("p"),
-                        F.lit(lang).alias("l"),
-                    )
-                    for i, lang in enumerate(langs)
-                ]
-            )
-        ),
-    )
+    vote = _stopword_vote(c)
     def _routed(name: str, resid: Column) -> Column:
         # the han/kana rule re-scans kana on the RESIDUE (cheap) —
         # kana never occurs in Chinese prose

@@ -6955,3 +6955,67 @@ def test_contamination_by_eval_census(spark):
     assert got[100] == (2, 3)
     assert got[101] == (1, 4)
     assert 102 not in got
+
+
+def test_script_profile_equals_standalone_operators(spark):
+    """r18: the fused one-pass script_profile (shared residue + one
+    set of per-script scans) is value-identical to the standalone
+    operators on every leg — counts == script_counts, script ==
+    detect_script, and lang routing: coalescing its script_lang with
+    the stopword vote reproduces lang_id exactly — across Latin,
+    Cyrillic, CJK (han/kana rule both ways), script-routed, mixed,
+    empty and NULL text."""
+    from pyspark.sql import functions as F
+
+    from gcp_dataengineering_spark.llm_ops import text as T
+
+    rows = [
+        (1, "the cat and the dog were in the house that they have"),
+        (2, "он сказал что это было не так и они не знали как"),
+        (3, "这是用于测试的中文文本内容还有更多字符"),
+        (4, "これはテストのための日本語ですもっと文字"),
+        (5, "日本語の漢字ばかりの文 とかな"),   # han-dominant + kana → ja
+        (6, "यह परीक्षण के लिए एक हिंदी वाक्य है"),
+        (7, "ეს არის ქართული წინადადება ტესტისთვის"),
+        (8, "mixed latin με ελληνικά words"),
+        (9, ""),
+        (10, None),
+        (11, "12345 !!! ..."),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    flat = df.select(
+        "doc_id", "text", F.inline(F.array(T.script_profile("text")))
+    )
+    probe = F.col("text").rlike("[Ͱ-퟿-￿]")
+    fused_lang = T._bind1(
+        T._stopword_vote(F.col("text")),
+        lambda v: F.coalesce(
+            F.when(probe, F.col("script_lang")),
+            F.when(v["s"] > 0, v["l"]),
+            F.lit("und"),
+        ),
+    )
+    got = {
+        r.doc_id: r
+        for r in flat.select(
+            "doc_id",
+            *[f"n_{n}" for n in T.SCRIPT_RANGES],
+            "script",
+            fused_lang.alias("lang_fused"),
+        ).collect()
+    }
+    counts = T.script_counts("text")
+    want = {
+        r.doc_id: r
+        for r in df.select(
+            "doc_id",
+            *[c.alias(f"n_{n}") for n, c in counts.items()],
+            T.detect_script("text").alias("script"),
+            T.lang_id("text").alias("lang"),
+        ).collect()
+    }
+    for did in want:
+        for n in T.SCRIPT_RANGES:
+            assert got[did][f"n_{n}"] == want[did][f"n_{n}"], (did, n)
+        assert got[did]["script"] == want[did]["script"], did
+        assert got[did]["lang_fused"] == want[did]["lang"], did
