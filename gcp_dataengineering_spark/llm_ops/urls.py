@@ -1197,6 +1197,41 @@ def _curated_psl() -> tuple[str, ...]:
         "hatenadiary.jp", "hatenadiary.org", "hateblo.jp",
         "online.th", "shop.th",
     ]
+    # r18 tranche 10d — Norid's COUNTY-QUALIFIED duplicate kommuner:
+    # six kommune names exist in two counties each, so the registry
+    # (and the real PSL) qualifies them as <kommune>.<county>.no —
+    # in the transliterated AND the IDN spelling (per-label ACE
+    # computed with the stdlib codec, as in 10a) — plus svalbard.no
+    no_qualified = [
+        ("bø", "telemark"), ("bø", "nordland"),
+        ("herøy", "møre-og-romsdal"), ("herøy", "nordland"),
+        ("nes", "akershus"), ("nes", "buskerud"),
+        ("os", "hedmark"), ("os", "hordaland"),
+        ("sande", "møre-og-romsdal"), ("sande", "vestfold"),
+        ("våler", "østfold"), ("våler", "hedmark"),
+    ]
+    have2 = set(rules)
+    for kom, cty in no_qualified:
+        ace = ".".join(
+            lbl.encode("idna").decode("ascii") for lbl in (kom, cty)
+        )
+        tr = ".".join(
+            lbl.replace("ø", "o").replace("å", "a").replace("æ", "ae")
+            for lbl in (kom, cty)
+        )
+        for row in {f"{ace}.no", f"{tr}.no"}:
+            if row not in have2:
+                rules += [row]
+                have2.add(row)
+    if "svalbard.no" not in have2:
+        rules += ["svalbard.no"]
+    # the IDN twins of the special-char COUNTY suffixes themselves
+    for cty in ("østfold", "møre-og-romsdal", "sør-trøndelag",
+                "trøndelag"):
+        ace = cty.encode("idna").decode("ascii")
+        if f"{ace}.no" not in have2:
+            rules += [f"{ace}.no"]
+            have2.add(f"{ace}.no")
     return tuple(rules)
 
 
