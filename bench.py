@@ -122,6 +122,10 @@ HEADLINE = [
     # <0xNN> expansion on vocab-unknown pieces; the encode cost
     # class of unigram_encode plus the wider distinct-word table
     "unigram_byte_fallback",
+    # round-18: PDF text extraction — synth classic-xref corpus +
+    # the vendored parser over mapInPandas (Arrow batches); the
+    # per-document cost class of the image/audio real decodes
+    "pdf_text",
     # round-14: soft (expected-count) EM unigram training — the
     # forward-backward folds over every distinct word's lattice are
     # the iterative-trainer cost class one notch heavier than the

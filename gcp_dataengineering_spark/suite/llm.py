@@ -1127,6 +1127,63 @@ FROM documents
 """
 
 
+# ---------------------------------------------------------------- pdf text (r18)
+def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PDF text/metadata extraction, differentially checked:
+    for every document id, llm_ops/pdf.synth_pdf_corpus emits a
+    spec-valid classic-xref PDF whose TEXT is a closed-form function
+    of the id (pdf._pdf_line), cycling 8 variants by id%8 —
+    uncompressed, two-page, FlateDecode content, TJ-array kerning,
+    escape/hex strings, a ToUnicode CMap that remaps 'w'→'→' (the
+    planted proof the CMap drives the decode), a truncated file and
+    an /Encrypt-flagged file (both quarantine). pdf_text_extract
+    parses the bytes back OUT via the vendored pure-Python parser
+    (xref table walk, object graph, zlib streams, BT/ET operators,
+    CMap). The oracle rebuilds every field from the id formulas
+    alone — one misparsed token and the hash diverges. r18;
+    PERMANENT_EXTERNAL (universe at capacity — see ROTATION.md)."""
+    from ..llm_ops import pdf as PDF
+
+    docs = _t(spark, sf_dir, "documents")
+    media = PDF.synth_pdf_corpus(docs, id_col="doc_id")
+    return PDF.pdf_text_extract(media)
+
+
+ORACLE_PDF_TEXT = """
+WITH v AS (
+    SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS var FROM documents
+), ln AS (
+    SELECT doc_id, var, p.p AS p, k.k AS k,
+           'pdf ' || doc_id || ' page ' || p.p || ' line ' || k.k ||
+           ' w' || ((doc_id * (k.k + 1)) % 7) AS line
+    FROM v, unnest(range(2)) AS p(p), unnest(range(3)) AS k(k)
+    WHERE p.p < CASE WHEN var = 1 THEN 2 ELSE 1 END
+), pages AS (
+    SELECT doc_id, var, p,
+           CASE WHEN var = 3 THEN string_agg(line, '' ORDER BY k)
+                ELSE string_agg(line, chr(10) ORDER BY k) END AS ptext
+    FROM ln GROUP BY doc_id, var, p
+), body AS (
+    SELECT doc_id, var,
+           string_agg(ptext, chr(10) || chr(10) ORDER BY p) AS text
+    FROM pages GROUP BY doc_id, var
+)
+SELECT v.doc_id AS media_id,
+       CAST(v.var NOT IN (6, 7) AS BOOLEAN) AS ok,
+       CASE v.var WHEN 6 THEN 'no-startxref'
+                  WHEN 7 THEN 'encrypted' END AS err,
+       '1.4' AS pdf_version,
+       CAST(CASE WHEN v.var IN (6, 7) THEN NULL
+                 WHEN v.var = 1 THEN 2 ELSE 1 END AS INTEGER) AS n_pages,
+       CASE WHEN v.var IN (6, 7) THEN NULL
+            ELSE 'Fixture ' || v.doc_id END AS title,
+       CASE WHEN v.var IN (6, 7) THEN NULL
+            WHEN v.var = 5 THEN replace(b.text, 'w', chr(8594))
+            ELSE b.text END AS text
+FROM v JOIN body b USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------- perceptual hash
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image hashing, differentially checked end-to-end:
@@ -3771,6 +3828,7 @@ QUERIES = {
     "semantic_dedup": q_semantic_dedup,
     "unigram_encode": q_unigram_encode,
     "unigram_byte_fallback": q_unigram_byte_fallback,
+    "pdf_text": q_pdf_text,
     "mixture_plan": q_mixture_plan,
     "quality_classifier": q_quality_classifier,
     "script_detect": q_script_detect,
@@ -3888,6 +3946,7 @@ ORACLES = {
     "semantic_dedup": _semantic_dedup_oracle(),
     "unigram_encode": _unigram_oracle(),
     "unigram_byte_fallback": _unigram_bf_oracle(),
+    "pdf_text": ORACLE_PDF_TEXT,
     "bpe_encode": ORACLE_BPE_ENCODE,
     "dedup_spans": ORACLE_DEDUP_SPANS,
     "domain_stats": _domain_stats_oracle(),

@@ -475,6 +475,16 @@ PERMANENT_EXTERNAL = [
     # consistency pytests in tests/test_unigram.py /
     # tests/test_pipelines.py.
     "unigram_byte_fallback",
+    # r18: PDF text/metadata extraction — the document-format matrix
+    # completed next to html_text (vendored pure-Python parser:
+    # classic xref walk, object graph, zlib streams, BT/ET text
+    # operators, ToUnicode CMaps; PDF-1.5 xref streams and
+    # encryption quarantine loudly). Oracle fixture: closed-form
+    # classic-xref PDFs cycling 8 parser legs by id, every field
+    # rebuilt from the id formulas in SQL. Reason (b), same capacity
+    # terms. Parser-generality (handwritten non-fixture PDFs),
+    # quarantine-reason and CMap pytests in tests/test_llm_ops.py.
+    "pdf_text",
 ]
 
 

@@ -7019,3 +7019,120 @@ def test_script_profile_equals_standalone_operators(spark):
             assert got[did][f"n_{n}"] == want[did][f"n_{n}"], (did, n)
         assert got[did]["script"] == want[did]["script"], did
         assert got[did]["lang_fused"] == want[did]["lang"], did
+
+
+def _handwritten_pdf() -> bytes:
+    """A PDF assembled BY HAND in a deliberately different style from
+    the fixture writer: comments, odd whitespace, out-of-order
+    object numbering, an indirect /Length, a /Contents ARRAY, CRLF
+    stream delimiters — if the parser only handled the writer's
+    layout, this file would break it."""
+    objs = {}
+    objs[7] = b"<< /Type /Catalog /Pages 3 0 R >>"
+    objs[3] = b"<< /Type/Pages/Count 1/Kids[ 5 0 R ] >>"
+    objs[5] = (b"<<\n  % a comment inside a dict is legal\n"
+               b"  /Type /Page /Parent 3 0 R\n"
+               b"  /MediaBox [0 0 200 200]\n"
+               b"  /Resources << /Font << /F9 9 0 R >> >>\n"
+               b"  /Contents [ 2 0 R 4 0 R ]\n>>")
+    s1 = b"BT /F9 10 Tf (Hello \\(escaped\\) world) Tj ET"
+    objs[2] = (b"<< /Length 8 0 R >>\r\nstream\r\n" + s1 +
+               b"\r\nendstream")
+    objs[8] = str(len(s1)).encode()
+    s2 = b"BT /F9 10 Tf (second \\164ream) Tj ET"  # octal 164 = 't'
+    objs[4] = (b"<< /Length " + str(len(s2)).encode() +
+               b" >>\nstream\n" + s2 + b"\nendstream")
+    objs[9] = b"<< /Type/Font/Subtype/Type1/BaseFont/Courier >>"
+    out = bytearray(b"%PDF-1.3\n% handwritten fixture\n")
+    offsets = {}
+    for num in (7, 3, 5, 2, 8, 4, 9):
+        offsets[num] = len(out)
+        out += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(out)
+    maxn = 10
+    out += b"xref\n0 1\n0000000000 65535 f \n"
+    for num in sorted(offsets):
+        out += b"%d 1\n%010d 00000 n \n" % (num, offsets[num])
+    out += (b"trailer\n<< /Size %d /Root 7 0 R >>\nstartxref\n%d\n%%%%EOF\n"
+            % (maxn, xref_at))
+    return bytes(out)
+
+
+def test_pdf_parser_generality_and_quarantine():
+    """r18: the vendored PDF parser handles a HANDWRITTEN document in
+    a different authoring style from the fixture writer (comments,
+    odd whitespace, non-sequential object numbers, indirect /Length,
+    /Contents array, CRLF stream delimiters, octal escapes) — and
+    quarantines garbage with stable reasons instead of emitting
+    wrong text."""
+    from gcp_dataengineering_spark.llm_ops.pdf import parse_pdf
+
+    ok, err, ver, n_pages, title, text = parse_pdf(_handwritten_pdf())
+    assert ok, err
+    assert ver == "1.3" and n_pages == 1 and title is None
+    assert text == "Hello (escaped) world\nsecond tream"
+
+    assert parse_pdf(None) == (False, "empty", None, None, None, None)
+    assert parse_pdf(b"<html>not a pdf</html>")[1] == "no-header"
+    assert parse_pdf(b"%PDF-1.4\ngarbage with no tail")[1] == "no-startxref"
+    # a PDF-1.5 xref STREAM quarantines loudly, never mis-parses
+    xs = (b"%PDF-1.5\n1 0 obj\n<< /Type /XRef >>\nstream\nx\nendstream\n"
+          b"endobj\nstartxref\n9\n%%EOF\n")
+    assert parse_pdf(xs)[1] == "xref-stream-unsupported"
+
+
+def test_pdf_fixture_variants_roundtrip():
+    """Every writer variant round-trips through the parser with the
+    exact closed-form text: plain, two-page, Flate, TJ-kerning
+    (concatenated run, numbers ignored), escape/hex strings, the
+    ToUnicode remap ('w' -> U+2192 everywhere), and the two planted
+    quarantines."""
+    from gcp_dataengineering_spark.llm_ops.pdf import (
+        _pdf_line,
+        parse_pdf,
+        synth_pdf_payload,
+    )
+
+    for did in range(24):
+        var = did % 8
+        ok, err, ver, n_pages, title, text = parse_pdf(
+            synth_pdf_payload(did)
+        )
+        if var in (6, 7):
+            assert not ok and err in ("no-startxref", "encrypted")
+            continue
+        assert ok and ver == "1.4" and title == f"Fixture {did}"
+        want_pages = 2 if var == 1 else 1
+        assert n_pages == want_pages
+        sep = "" if var == 3 else "\n"
+        pages = [
+            sep.join(_pdf_line(did, p, k) for k in range(3))
+            for p in range(want_pages)
+        ]
+        want = "\n\n".join(pages)
+        if var == 5:
+            want = want.replace("w", "→")
+        assert text == want, (did, var, text, want)
+
+
+def test_pdf_text_extract_spark_schema_and_quarantine(spark):
+    """The Spark operator keeps one row per document (quarantined
+    rows with ok=False + reason, text NULL) and the Arrow batch
+    boundary preserves ids."""
+    from pyspark.sql import functions as F
+
+    from gcp_dataengineering_spark.llm_ops.pdf import (
+        pdf_text_extract,
+        synth_pdf_corpus,
+    )
+
+    docs = spark.range(0, 40).select(F.col("id").alias("doc_id"))
+    out = pdf_text_extract(synth_pdf_corpus(docs)).collect()
+    assert len(out) == 40
+    by = {r.media_id: r for r in out}
+    assert sum(1 for r in out if not r.ok) == 10  # variants 6,7 of 8
+    for mid, r in by.items():
+        if mid % 8 in (6, 7):
+            assert not r.ok and r.text is None and r.err
+        else:
+            assert r.ok and r.err is None and f"pdf {mid} page 0" in r.text
