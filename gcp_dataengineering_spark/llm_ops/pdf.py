@@ -10,6 +10,11 @@ Supported — a real parser, not a fixture-only shim:
 - the classic cross-reference TABLE (``xref`` sections + trailer,
   ``/Prev`` chains), indirect-object resolution with a per-document
   cache;
+- PDF-1.5 cross-reference STREAMS (``/W``-packed rows, ``/Index``
+  subsections, PNG predictors 0-4 via ``/DecodeParms``), OBJECT
+  streams (``/ObjStm`` compressed objects) and hybrid-reference
+  files (``/XRefStm`` in a classic trailer) — the modern compressed
+  layout most post-2005 PDFs use;
 - the full PDF object syntax: dictionaries, arrays, names (with
   ``#xx`` escapes), integers/reals, literal strings (all escape
   forms incl. octal and line continuations), hex strings, booleans,
@@ -32,10 +37,9 @@ Quarantined (ok=False + a stable machine-readable reason — the
 module-wide rule: a lying or unsupported file must never produce
 silently wrong text):
 - encrypted documents (``/Encrypt`` in the trailer);
-- cross-reference STREAMS / object streams (PDF 1.5 compressed
-  layout) — ``xref-stream-unsupported``;
 - filters other than FlateDecode; broken zlib data; truncated
-  files; cyclic or malformed page trees; missing trailer keys.
+  files; cyclic or malformed page trees; missing trailer keys;
+  malformed xref/object streams.
 
 Scale shape: per-document work over a binary column via
 ``mapInPandas`` (Arrow batches), identical to the image/audio
@@ -229,14 +233,57 @@ def parse_object(data: bytes, pos: int):
     raise PdfError("bad-token")
 
 
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse the PNG row predictors (bpp=1 — the xref-stream
+    case): each row is one filter-type byte + ``columns`` data
+    bytes; filters 0-4 (none/sub/up/average/paeth) per the PNG
+    spec."""
+    if columns < 1:
+        raise PdfError("bad-predictor-columns")
+    out = bytearray()
+    prev = bytes(columns)
+    rl = columns + 1
+    for i in range(0, len(data) - rl + 1, rl):
+        ft = data[i]
+        row = bytearray(data[i + 1:i + rl])
+        if ft == 1:
+            for j in range(1, columns):
+                row[j] = (row[j] + row[j - 1]) & 0xFF
+        elif ft == 2:
+            for j in range(columns):
+                row[j] = (row[j] + prev[j]) & 0xFF
+        elif ft == 3:
+            for j in range(columns):
+                left = row[j - 1] if j else 0
+                row[j] = (row[j] + ((left + prev[j]) >> 1)) & 0xFF
+        elif ft == 4:
+            for j in range(columns):
+                a = row[j - 1] if j else 0
+                b = prev[j]
+                c = prev[j - 1] if j else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c
+                )
+                row[j] = (row[j] + pred) & 0xFF
+        elif ft != 0:
+            raise PdfError("bad-predictor-filter")
+        out += row
+        prev = bytes(row)
+    return bytes(out)
+
+
 class _Doc:
     """Parsed document state: xref offsets, object cache, trailer."""
 
     def __init__(self, data: bytes):
         self.data = data
         self.xref: dict[int, int] = {}
+        self.in_objstm: dict[int, int] = {}  # obj num -> ObjStm num
         self.trailer: dict = {}
         self._cache: dict[int, object] = {}
+        self._loaded_objstms: set[int] = set()
         self._load_xref()
 
     # ---------------------------------------------- xref + trailer
@@ -256,33 +303,43 @@ class _Doc:
                 raise PdfError("bad-xref-offset")
             seen.add(offset)
             pos = _skip_ws(data, offset)
-            if data[pos:pos + 4] != b"xref":
-                # a number here means a PDF-1.5 xref STREAM
-                raise PdfError("xref-stream-unsupported")
-            pos += 4
-            while True:
-                pos = _skip_ws(data, pos)
-                if data[pos:pos + 7] == b"trailer":
-                    pos += 7
-                    break
-                m = re.compile(rb"(\d+)\s+(\d+)").match(data, pos)
-                if not m:
-                    raise PdfError("bad-xref-section")
-                first, count = int(m.group(1)), int(m.group(2))
-                pos = _skip_ws(data, m.end())
-                for k in range(count):
-                    ent = data[pos:pos + 20]
-                    em = re.compile(
-                        rb"(\d{10})\s+(\d{5})\s+([nf])"
-                    ).match(ent)
-                    if not em:
-                        raise PdfError("bad-xref-entry")
-                    if em.group(3) == b"n":
-                        self.xref.setdefault(first + k, int(em.group(1)))
-                    pos += 20
-            tr, pos = parse_object(data, pos)
-            if not isinstance(tr, dict):
-                raise PdfError("bad-trailer")
+            if data[pos:pos + 4] == b"xref":
+                pos += 4
+                while True:
+                    pos = _skip_ws(data, pos)
+                    if data[pos:pos + 7] == b"trailer":
+                        pos += 7
+                        break
+                    m = re.compile(rb"(\d+)\s+(\d+)").match(data, pos)
+                    if not m:
+                        raise PdfError("bad-xref-section")
+                    first, count = int(m.group(1)), int(m.group(2))
+                    pos = _skip_ws(data, m.end())
+                    for k in range(count):
+                        ent = data[pos:pos + 20]
+                        em = re.compile(
+                            rb"(\d{10})\s+(\d{5})\s+([nf])"
+                        ).match(ent)
+                        if not em:
+                            raise PdfError("bad-xref-entry")
+                        if em.group(3) == b"n":
+                            self.xref.setdefault(
+                                first + k, int(em.group(1))
+                            )
+                        pos += 20
+                tr, pos = parse_object(data, pos)
+                if not isinstance(tr, dict):
+                    raise PdfError("bad-trailer")
+                # hybrid-reference file: the classic trailer points
+                # at a supplementary xref STREAM (the PDF-1.5 dual
+                # layout for old readers)
+                if "/XRefStm" in tr:
+                    self._load_xref_stream(
+                        _skip_ws(data, tr["/XRefStm"])
+                    )
+            else:
+                # PDF-1.5: the xref IS a cross-reference stream
+                tr = self._load_xref_stream(pos)
             for k, v in tr.items():
                 self.trailer.setdefault(k, v)
             if "/Prev" in tr:
@@ -293,6 +350,103 @@ class _Doc:
             raise PdfError("encrypted")
         if "/Root" not in self.trailer:
             raise PdfError("no-root")
+
+    # ------------------------------------- PDF-1.5 xref streams
+    def _load_xref_stream(self, pos: int) -> dict:
+        """Parse a cross-reference STREAM at ``pos`` (PDF 1.5+):
+        /W-packed big-endian entry rows, optional PNG predictors,
+        type-1 (offset) and type-2 (inside an object stream)
+        entries. Returns the stream dict (it carries the trailer
+        keys). /Length must be direct here — the spec's own
+        chicken-and-egg rule."""
+        data = self.data
+        m = re.compile(rb"(\d+)\s+(\d+)\s+obj").match(data, pos)
+        if not m:
+            raise PdfError("bad-xref-stream")
+        d, p = parse_object(data, m.end())
+        if not isinstance(d, dict) or d.get("/Type") != "/XRef":
+            raise PdfError("bad-xref-stream")
+        p = _skip_ws(data, p)
+        if data[p:p + 6] != b"stream":
+            raise PdfError("bad-xref-stream")
+        p += 6
+        if data[p:p + 2] == b"\r\n":
+            p += 2
+        elif data[p:p + 1] == b"\n":
+            p += 1
+        length = d.get("/Length")
+        if not isinstance(length, int):
+            raise PdfError("bad-stream-length")
+        raw = data[p:p + length]
+        if len(raw) < length:
+            raise PdfError("truncated-stream")
+        if d.get("/Filter") == "/FlateDecode":
+            try:
+                raw = zlib.decompress(raw)
+            except zlib.error as ex:
+                raise PdfError("bad-flate-data") from ex
+        elif d.get("/Filter") is not None:
+            raise PdfError("filter-unsupported")
+        parms = d.get("/DecodeParms")
+        if isinstance(parms, dict) and parms.get("/Predictor", 1) >= 10:
+            raw = _png_unpredict(raw, int(parms.get("/Columns", 1)))
+        w = d.get("/W")
+        if not (isinstance(w, list) and len(w) == 3):
+            raise PdfError("bad-xref-w")
+        w1, w2, w3 = (int(x) for x in w)
+        rl = w1 + w2 + w3
+        index = d.get("/Index", [0, d.get("/Size", 0)])
+        rows = [raw[i:i + rl] for i in range(0, len(raw) - rl + 1, rl)]
+        ri = 0
+        for s in range(0, len(index) - 1, 2):
+            first, count = int(index[s]), int(index[s + 1])
+            for k in range(count):
+                if ri >= len(rows):
+                    raise PdfError("bad-xref-stream-rows")
+                row = rows[ri]
+                ri += 1
+                t = int.from_bytes(row[:w1], "big") if w1 else 1
+                f2 = int.from_bytes(row[w1:w1 + w2], "big")
+                f3 = int.from_bytes(row[w1 + w2:], "big")
+                num = first + k
+                if t == 1:
+                    self.xref.setdefault(num, f2)
+                elif t == 2:
+                    if num not in self.in_objstm:
+                        self.in_objstm[num] = f2
+                _ = f3
+        return d
+
+    def _load_objstm(self, stm_num: int):
+        """Parse every object of an object stream (/Type/ObjStm)
+        into the cache: header is /N (num, offset) integer pairs,
+        bodies start at /First."""
+        if stm_num in self._loaded_objstms:
+            return
+        self._loaded_objstms.add(stm_num)
+        obj = self._object(stm_num)
+        if not (isinstance(obj, tuple) and obj[0] == "stream"):
+            raise PdfError("bad-objstm")
+        d = obj[1]
+        if self.resolve(d.get("/Type")) != "/ObjStm":
+            raise PdfError("bad-objstm")
+        n = self.resolve(d.get("/N"))
+        first = self.resolve(d.get("/First"))
+        payload = self.stream_data(obj)
+        pos = 0
+        pairs = []
+        for _ in range(int(n)):
+            m1 = _NUM_RE.match(payload, _skip_ws(payload, pos))
+            if not m1:
+                raise PdfError("bad-objstm-header")
+            m2 = _NUM_RE.match(payload, _skip_ws(payload, m1.end()))
+            if not m2:
+                raise PdfError("bad-objstm-header")
+            pairs.append((int(m1.group(0)), int(m2.group(0))))
+            pos = m2.end()
+        for onum, ooff in pairs:
+            val, _ = parse_object(payload, int(first) + ooff)
+            self._cache.setdefault(onum, val)
 
     # ---------------------------------------------- object access
     def resolve(self, v):
@@ -305,7 +459,11 @@ class _Doc:
             return self._cache[num]
         off = self.xref.get(num)
         if off is None:
-            return None  # the PSL-of-PDF: missing object == null
+            stm = self.in_objstm.get(num)
+            if stm is not None:
+                self._load_objstm(stm)
+                return self._cache.get(num)
+            return None  # missing object == null, per spec
         data = self.data
         m = re.compile(rb"(\d+)\s+(\d+)\s+obj").match(
             data, _skip_ws(data, off)
@@ -656,11 +814,12 @@ def _build_pdf(objects: list[bytes], version: str = "1.4") -> bytes:
 
 
 def synth_pdf_payload(doc_id: int) -> bytes:
-    """Deterministic PDF per id — 8 variants cycling by doc_id % 8,
+    """Deterministic PDF per id — 10 variants cycling by doc_id % 10,
     each exercising one parser leg; 6/7 are planted quarantine
-    cases. Layout is classic-xref throughout (the supported
-    subset)."""
-    variant = doc_id % 8
+    cases. Variants 0-5 are classic-xref; 8 is a PDF-1.5
+    cross-reference STREAM (W-packed, PNG up-predictor); 9 is the
+    full compressed layout (object stream + xref stream)."""
+    variant = doc_id % 10
     n_pages = 2 if variant == 1 else 1
 
     def content_ops(page: int) -> bytes:
@@ -757,6 +916,8 @@ def synth_pdf_payload(doc_id: int) -> bytes:
     objs.append(
         b"<< /Title (" + title.encode("latin-1") + b") >>"
     )
+    if variant in (8, 9):
+        return _build_pdf_15(objs, variant, content_nums)
     out = _build_pdf(objs)
     if variant == 6:  # truncated mid-file → quarantine
         return out[: len(out) // 2]
@@ -765,6 +926,108 @@ def synth_pdf_payload(doc_id: int) -> bytes:
             b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 1 0 R", 1
         )
     return out
+
+
+def _xref_stream_rows(entries: list[tuple[int, int, int]]) -> bytes:
+    """W=[1,2,1] big-endian packed rows for (type, f2, f3)."""
+    out = bytearray()
+    for t, f2, f3 in entries:
+        out += bytes([t]) + f2.to_bytes(2, "big") + f3.to_bytes(1, "big")
+    return bytes(out)
+
+
+def _png_up_predict(raw: bytes, columns: int) -> bytes:
+    """ENCODE with the PNG up filter (type 2) per row — the inverse
+    of _png_unpredict's up leg, used by the variant-8 fixture."""
+    out = bytearray()
+    prev = bytes(columns)
+    for i in range(0, len(raw), columns):
+        row = raw[i:i + columns]
+        out.append(2)
+        out += bytes((row[j] - prev[j]) & 0xFF for j in range(len(row)))
+        prev = row
+    return bytes(out)
+
+
+def _build_pdf_15(objs: list[bytes], variant: int, content_nums):
+    """PDF-1.5 assemblies for the fixture: variant 8 = classic
+    objects + a cross-reference STREAM (FlateDecode + PNG
+    up-predictor); variant 9 = the full compressed layout (every
+    non-stream object inside an /ObjStm, type-2 xref entries)."""
+    head = b"%PDF-1.5\n"
+    n_body = len(objs)
+    if variant == 8:
+        out = bytearray(head)
+        offsets = {}
+        for i, body in enumerate(objs, start=1):
+            offsets[i] = len(out)
+            out += f"{i} 0 obj\n".encode() + body + b"\nendobj\n"
+        xnum = n_body + 1
+        entries = [(0, 0, 0)] + [
+            (1, offsets[i], 0) for i in range(1, n_body + 1)
+        ]
+        xref_at = len(out)
+        entries.append((1, xref_at, 0))
+        comp = zlib.compress(_png_up_predict(_xref_stream_rows(entries), 4), 6)
+        xd = (
+            f"<< /Type /XRef /Size {xnum + 1} /W [1 2 1] "
+            f"/Root 1 0 R /Info {n_body} 0 R "
+            f"/Filter /FlateDecode "
+            f"/DecodeParms << /Predictor 12 /Columns 4 >> "
+            f"/Length {len(comp)} >>"
+        ).encode()
+        out += (f"{xnum} 0 obj\n".encode() + xd + b"\nstream\n"
+                + comp + b"\nendstream\nendobj\n")
+        out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+        return bytes(out)
+    # variant 9: objects {catalog, pages, page, font, info} move into
+    # an ObjStm; streams (the content) stay top-level by spec
+    stream_nums = set(content_nums)
+    dict_nums = [
+        i for i in range(1, n_body + 1) if i not in stream_nums
+    ]
+    objstm_num = n_body + 1
+    xnum = n_body + 2
+    header = bytearray()
+    bodies = bytearray()
+    inner_idx = {}
+    for k, num in enumerate(dict_nums):
+        inner_idx[num] = k
+        header += f"{num} {len(bodies)} ".encode()
+        bodies += objs[num - 1] + b"\n"
+    payload = bytes(header) + bytes(bodies)
+    comp = zlib.compress(payload, 6)
+    out = bytearray(head)
+    offsets = {}
+    for num in sorted(stream_nums):
+        offsets[num] = len(out)
+        out += f"{num} 0 obj\n".encode() + objs[num - 1] + b"\nendobj\n"
+    offsets[objstm_num] = len(out)
+    out += (
+        f"{objstm_num} 0 obj\n<< /Type /ObjStm /N {len(dict_nums)} "
+        f"/First {len(header)} /Filter /FlateDecode "
+        f"/Length {len(comp)} >>\nstream\n".encode()
+        + comp + b"\nendstream\nendobj\n"
+    )
+    entries = [(0, 0, 0)]
+    for num in range(1, xnum):
+        if num in inner_idx:
+            entries.append((2, objstm_num, inner_idx[num]))
+        elif num in offsets:
+            entries.append((1, offsets[num], 0))
+        else:
+            entries.append((0, 0, 0))
+    xref_at = len(out)
+    entries.append((1, xref_at, 0))
+    rows = _xref_stream_rows(entries)
+    xd = (
+        f"<< /Type /XRef /Size {xnum + 1} /W [1 2 1] "
+        f"/Root 1 0 R /Info {n_body} 0 R /Length {len(rows)} >>"
+    ).encode()
+    out += (f"{xnum} 0 obj\n".encode() + xd + b"\nstream\n"
+            + rows + b"\nendstream\nendobj\n")
+    out += f"startxref\n{xref_at}\n%%EOF\n".encode()
+    return bytes(out)
 
 
 def synth_pdf_corpus(df: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -1132,11 +1132,13 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL PDF text/metadata extraction, differentially checked:
     for every document id, llm_ops/pdf.synth_pdf_corpus emits a
     spec-valid classic-xref PDF whose TEXT is a closed-form function
-    of the id (pdf._pdf_line), cycling 8 variants by id%8 —
+    of the id (pdf._pdf_line), cycling 10 variants by id%10 —
     uncompressed, two-page, FlateDecode content, TJ-array kerning,
     escape/hex strings, a ToUnicode CMap that remaps 'w'→'→' (the
-    planted proof the CMap drives the decode), a truncated file and
-    an /Encrypt-flagged file (both quarantine). pdf_text_extract
+    planted proof the CMap drives the decode), a truncated file, an
+    /Encrypt-flagged file (both quarantine), a PDF-1.5 xref STREAM
+    (W-packed + PNG up-predictor) and the full compressed layout
+    (object stream + xref stream). pdf_text_extract
     parses the bytes back OUT via the vendored pure-Python parser
     (xref table walk, object graph, zlib streams, BT/ET operators,
     CMap). The oracle rebuilds every field from the id formulas
@@ -1151,7 +1153,7 @@ def q_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 ORACLE_PDF_TEXT = """
 WITH v AS (
-    SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS var FROM documents
+    SELECT doc_id, CAST(doc_id % 10 AS INTEGER) AS var FROM documents
 ), ln AS (
     SELECT doc_id, var, p.p AS p, k.k AS k,
            'pdf ' || doc_id || ' page ' || p.p || ' line ' || k.k ||
@@ -1172,7 +1174,8 @@ SELECT v.doc_id AS media_id,
        CAST(v.var NOT IN (6, 7) AS BOOLEAN) AS ok,
        CASE v.var WHEN 6 THEN 'no-startxref'
                   WHEN 7 THEN 'encrypted' END AS err,
-       '1.4' AS pdf_version,
+       CASE WHEN v.var IN (8, 9) THEN '1.5' ELSE '1.4' END
+           AS pdf_version,
        CAST(CASE WHEN v.var IN (6, 7) THEN NULL
                  WHEN v.var = 1 THEN 2 ELSE 1 END AS INTEGER) AS n_pages,
        CASE WHEN v.var IN (6, 7) THEN NULL

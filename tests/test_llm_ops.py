@@ -7075,10 +7075,11 @@ def test_pdf_parser_generality_and_quarantine():
     assert parse_pdf(None) == (False, "empty", None, None, None, None)
     assert parse_pdf(b"<html>not a pdf</html>")[1] == "no-header"
     assert parse_pdf(b"%PDF-1.4\ngarbage with no tail")[1] == "no-startxref"
-    # a PDF-1.5 xref STREAM quarantines loudly, never mis-parses
+    # a MALFORMED PDF-1.5 xref stream quarantines loudly (the
+    # well-formed layouts are parsed — fixture variants 8/9)
     xs = (b"%PDF-1.5\n1 0 obj\n<< /Type /XRef >>\nstream\nx\nendstream\n"
           b"endobj\nstartxref\n9\n%%EOF\n")
-    assert parse_pdf(xs)[1] == "xref-stream-unsupported"
+    assert parse_pdf(xs)[1] == "bad-stream-length"
 
 
 def test_pdf_fixture_variants_roundtrip():
@@ -7093,15 +7094,16 @@ def test_pdf_fixture_variants_roundtrip():
         synth_pdf_payload,
     )
 
-    for did in range(24):
-        var = did % 8
+    for did in range(30):
+        var = did % 10
         ok, err, ver, n_pages, title, text = parse_pdf(
             synth_pdf_payload(did)
         )
         if var in (6, 7):
             assert not ok and err in ("no-startxref", "encrypted")
             continue
-        assert ok and ver == "1.4" and title == f"Fixture {did}"
+        want_ver = "1.5" if var in (8, 9) else "1.4"
+        assert ok and ver == want_ver and title == f"Fixture {did}"
         want_pages = 2 if var == 1 else 1
         assert n_pages == want_pages
         sep = "" if var == 3 else "\n"
@@ -7130,9 +7132,9 @@ def test_pdf_text_extract_spark_schema_and_quarantine(spark):
     out = pdf_text_extract(synth_pdf_corpus(docs)).collect()
     assert len(out) == 40
     by = {r.media_id: r for r in out}
-    assert sum(1 for r in out if not r.ok) == 10  # variants 6,7 of 8
+    assert sum(1 for r in out if not r.ok) == 8  # variants 6,7 of 10
     for mid, r in by.items():
-        if mid % 8 in (6, 7):
+        if mid % 10 in (6, 7):
             assert not r.ok and r.text is None and r.err
         else:
             assert r.ok and r.err is None and f"pdf {mid} page 0" in r.text
