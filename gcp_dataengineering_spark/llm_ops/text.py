@@ -30,13 +30,15 @@ TOKEN_SPLIT_RE = "[^a-zA-Z0-9]+"
 # ar/he/el/hi route through SCRIPT detection instead (see
 # SCRIPT_RANGES / lang_id), because stopword tokens barely exist in
 # unsegmented scripts. r18 (the r17 verdict's item 3) widened again
-# to 38 stopword languages (+14 Latin, +4 Cyrillic, appended so
+# to 46 stopword languages (waves: +14 Latin, +4 Cyrillic, then
+# +4 Latin and +4 Cyrillic more in wave 2, appended so
 # every prior priority is preserved) and gave da/no/sv distinctive
 # tails that close the old carve-out on clean prose; 15 more
 # one-script languages route via the widened SCRIPT_RANGES. Known
 # limits, documented: 'ar' is script-level (fa/ur collapse into it),
 # 'zh' likewise absorbs kanji-only ja snippets unless kana appears,
-# 'id' absorbs ms, Latin-script sr votes hr (digraphia), and the
+# 'id' absorbs ms, Latin-script sr votes hr (digraphia), Galician
+# stays absorbed by pt/es (wave 2 note at the list tail), and the
 # r18 script rows carry the same script-level honesty (bn absorbs
 # as, am absorbs ti, hi already absorbs mr/ne).
 STOPWORDS = {
@@ -188,6 +190,44 @@ STOPWORDS = {
            "еді", "өз", "бір", "сол", "осы", "егер", "дейін",
            "сияқты", "арқылы", "туралы", "кейін", "бірақ", "болып",
            "болды", "немесе", "оның"],
+    # r18 wave 2 — the remaining crawl-visible Latin/Cyrillic
+    # families. Same rules: distinctive function words over shared
+    # inventory (cy yn/mae/wedi vs nothing else Latin; ga agus/atá;
+    # mt's għ- digraph words; fo tað/ikki vs is það/ekki — different
+    # orthography breaks the tie). Documented absorption: Galician
+    # stays absorbed by pt/es (its function-word inventory is almost
+    # wholly shared — a gl list would mostly retag pt text, the
+    # da/no/sv lesson in reverse). Cyrillic: mk ќе/оваа (ќ is
+    # Macedonian-only), mn's ө/ү vowels, ky жана vs kk және, tg's
+    # ҳ/ҷ letters.
+    "cy": ["yn", "y", "mae", "wedi", "ei", "ar", "yr", "fod", "gan",
+           "am", "ond", "fel", "pan", "neu", "hefyd", "cael", "wrth",
+           "dros", "rhwng", "heb", "bod", "roedd", "hyn", "iawn"],
+    "ga": ["agus", "an", "ar", "na", "is", "le", "go", "sé", "sí",
+           "ach", "mar", "atá", "bhí", "sin", "seo", "ag", "as",
+           "nach", "níl", "chun", "faoi", "idir", "beidh", "raibh"],
+    "mt": ["u", "li", "ta", "il", "ma", "huwa", "hija", "dan", "din",
+           "kien", "kienet", "għal", "bħal", "iżda", "jew", "meta",
+           "fejn", "ukoll", "hemm", "qed", "se", "minn", "fuq",
+           "biex"],
+    "fo": ["og", "at", "er", "til", "hann", "hon", "tað", "ikki",
+           "sum", "men", "við", "um", "so", "hava", "verða", "eftir",
+           "úr", "tey", "teir", "hetta", "eisini", "millum", "uttan",
+           "vóru"],
+    "mk": ["и", "на", "се", "да", "не", "со", "за", "од", "е", "во",
+           "ќе", "што", "како", "но", "го", "му", "беше", "оваа",
+           "тоа", "само", "или", "кога", "нема", "биле"],
+    "mn": ["нь", "юм", "байна", "бол", "энэ", "тэр", "би", "гэж",
+           "байгаа", "болон", "дээр", "их", "өөр", "хүн", "гэсэн",
+           "байсан", "тухай", "үед", "мөн", "бүх", "хэрэв", "гэдэг",
+           "байх", "тул"],
+    "ky": ["жана", "бул", "мен", "бар", "үчүн", "деп", "жок",
+           "керек", "эле", "өз", "бир", "ошол", "ушул", "эгер",
+           "чейин", "аркылуу", "жөнүндө", "кийин", "бирок", "болуп",
+           "болду", "же", "анын", "эмес"],
+    "tg": ["ва", "ин", "бо", "аз", "ба", "ки", "он", "барои", "дар",
+           "ҳам", "аммо", "як", "худ", "мо", "шумо", "онҳо", "буд",
+           "аст", "мешавад", "чун", "агар", "то", "ё", "ҳар"],
 }
 
 # Major Unicode script ranges (BMP blocks — public Unicode data).
@@ -938,21 +978,21 @@ def lang_id(col: Column | str, default: str = "und") -> Column:
        level honesty: ``ar`` absorbs fa/ur, ``zh`` absorbs
        kanji-only ja snippets.
     2. STOPWORD vote for Latin/Cyrillic/unknown scripts: argmax of
-       distinct stopword hits over the 38 :data:`STOPWORDS`
+       distinct stopword hits over the 46 :data:`STOPWORDS`
        languages (r18) — ONE ``array_max`` over a struct array (each score
        evaluated once; ties resolve to STOPWORDS order; zero hits →
        ``default``).
 
     No shuffle, no UDF — and the expression is built for SINGLE
     evaluation of every heavy subterm (measured, see :func:`_bind1`):
-    the token array is split ONCE and lambda-bound across the 38
+    the token array is split ONCE and lambda-bound across the 46
     intersects; each script element of the argmax carries its ROUTED
     language directly (han embeds the kana>0 ja/zh conditional), so
     no downstream when-chain re-references the scans; and a 1-scan
     non-Latin PROBE (any char ≥ U+0370 — every non-Latin range this
     module knows starts there) short-circuits the whole script
     machinery on the Latin-only majority of a real crawl. Cost per
-    row on Latin text: one probe scan + one split + 38 array
+    row on Latin text: one probe scan + one split + 46 array
     intersects. On non-Latin text: + the 25 per-script scans (kana
     twice, for the han rule) — the scan count is the price of the
     r18 script-coverage widening and scales with SCRIPT_RANGES, not

@@ -1210,7 +1210,7 @@ def test_pack_sequences_straggler_guard_bounds_partitions(spark):
 
 def test_lang_id_accuracy_on_fixture_corpus(spark):
     """Honesty gate for the two-stage lang_id (r12: script router +
-    stopword vote; r18: 38 stopword + 15 new script languages = 53
+    stopword vote; r18: 46 stopword + 15 new script languages = 61
     total with ja/zh). Measured capability on clean prose: 100%
     across every language in the fixture — including the formerly
     carved-out da/no/sv set, whose r18 distinctive stopword tails
@@ -1397,6 +1397,40 @@ def test_lang_id_accuracy_on_fixture_corpus(spark):
             "мен не болғанын білмеймін бірақ бұл сен ойлағандай оңай емес",
             "ол біздің үйде болғандары туралы айтты және біз оны білмедік",
         ],
+        # r18 wave-2 Latin additions
+        "cy": [
+            "mae hyn wedi bod yn dda iawn ond roedd y plant hefyd wrth eu bodd",
+            "pan fydd hi yn dod adref mae ei mam yn cael te gan y teulu",
+        ],
+        "ga": [
+            "bhí sé ag obair agus níl a fhios agam cad atá le déanamh anois",
+            "nach raibh siad anseo mar a bhí an plean agus beidh sin go maith",
+        ],
+        "mt": [
+            "dan kien meta hija kienet hemm u huwa kien qed jistenna fejn kien hemm ukoll",
+            "din hija għal kulħadd iżda se jkun hemm biex naraw jew le minn fuq",
+        ],
+        "fo": [
+            "hetta er ikki so gott men tey hava verið har og tað er eisini rætt",
+            "hann og hon vóru við til at hjálpa sum altíð millum teirra uttan iva",
+        ],
+        # r18 wave-2 Cyrillic additions
+        "mk": [
+            "не знам што се случи но тоа не е толку едноставно како што мислиш и ќе видиме",
+            "тој рече дека ќе дојде ама оваа работа нема да се заврши само така",
+        ],
+        "mn": [
+            "энэ бол их сайхан юм гэж би байнга боддог бөгөөд тэр ч бас үнэн байсан юм",
+            "хүн бүх зүйлийг мэдэх боломжгүй тухай мөн өөр үед ярьж байсан гэдэг",
+        ],
+        "ky": [
+            "бул жакшы эмес деп мен айттым бирок алар дагы келишти жана ошол жерде болду",
+            "эгер сен келбесең анда биз өз ишибизди жөнүндө сүйлөшүп кийин бүтүрөбүз же жок",
+        ],
+        "tg": [
+            "ман намедонам ки чӣ шуд аммо ин барои мо он қадар осон нест ва ҳар кас инро медонад",
+            "ӯ гуфт ки онҳо дар хонаи мо буданд ва мо инро намедонистем то имрӯз",
+        ],
         # r18 script-routed additions (hard maps, one sentence each)
         "bn": ["এটি পরীক্ষার জন্য একটি বাংলা বাক্য যাতে অনেক শব্দ আছে"],
         "pa": ["ਇਹ ਜਾਂਚ ਲਈ ਇੱਕ ਪੰਜਾਬੀ ਵਾਕ ਹੈ ਜਿਸ ਵਿੱਚ ਬਹੁਤ ਸ਼ਬਦ ਹਨ"],
@@ -1420,7 +1454,7 @@ def test_lang_id_accuracy_on_fixture_corpus(spark):
     wrong = [(r["lang"], r["pred"], r["text"][:30]) for r in got if r["lang"] != r["pred"]]
     # r18: the da/no/sv carve-out is CLOSED on clean prose — the
     # distinctive stopword tails break the old shared-inventory
-    # ties, so the fixture now demands 100% across all 53 languages
+    # ties, so the fixture now demands 100% across all 61 languages
     assert not wrong, f"lang_id misfires: {wrong}"
     # gibberish / stopword-free latin still falls through to default
     other = spark.createDataFrame(
