@@ -126,6 +126,9 @@ HEADLINE = [
     # the vendored parser over mapInPandas (Arrow batches); the
     # per-document cost class of the image/audio real decodes
     "pdf_text",
+    # round-18: the mixed-format ingestion router — binary sniff +
+    # three extraction legs (pdf UDF / html codegen / text) + union
+    "doc_ingest",
     # round-14: soft (expected-count) EM unigram training — the
     # forward-backward folds over every distinct word's lattice are
     # the iterative-trainer cost class one notch heavier than the

@@ -1187,6 +1187,67 @@ FROM v JOIN body b USING (doc_id)
 """
 
 
+# ---------------------------------------------------------------- doc ingest router (r18)
+def q_doc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The document-format ingestion router end to end
+    (llm_ops/docformats.extract_documents): a mixed binary corpus
+    (real PDFs — with the pdf fixture's own quarantine plants riding
+    along — closed-form HTML pages, plain UTF-8, invalid bytes) is
+    sniffed and routed: PDFs through the vendored parser, HTML
+    through the codegen extractor, text as-is, junk quarantined. The
+    oracle rebuilds every leg from the id formulas: the pdf text
+    CTEs, html_text_sql over the SAME closed-form page string, the
+    literal text, the quarantine rows. r18; PERMANENT_EXTERNAL."""
+    from ..llm_ops import docformats as DF2
+
+    docs = _t(spark, sf_dir, "documents")
+    return DF2.extract_documents(DF2.synth_doc_corpus(docs))
+
+
+def _doc_ingest_oracle() -> str:
+    from ..llm_ops.html import html_text_sql
+
+    html_expr = (
+        "'<html><head><title>T' || doc_id || '</title>"
+        "<script>var x=' || doc_id || ';</script></head>"
+        "<body><p>para ' || doc_id || ' one &amp; two</p>"
+        "<div>div ' || doc_id || '</div></body></html>'"
+    )
+    return f"""
+WITH k AS (
+    SELECT doc_id, CAST(doc_id % 4 AS INTEGER) AS kind,
+           CAST(doc_id % 10 AS INTEGER) AS pv
+    FROM documents
+), pdftext AS (
+    -- kind-0 ids are multiples of 4, so the pdf variant is always
+    -- even: single page, plain layout (0/2/4/8) or the truncated
+    -- quarantine (6)
+    SELECT doc_id,
+           string_agg('pdf ' || doc_id || ' page 0 line ' || kk.k ||
+                      ' w' || ((doc_id * (kk.k + 1)) % 7),
+                      chr(10) ORDER BY kk.k) AS t
+    FROM k, unnest(range(3)) AS kk(k)
+    WHERE kind = 0 GROUP BY doc_id
+)
+SELECT k.doc_id,
+       CASE kind WHEN 0 THEN 'pdf' WHEN 1 THEN 'html'
+                 WHEN 2 THEN 'text' ELSE 'binary' END AS format,
+       CAST(NOT (kind = 3 OR (kind = 0 AND pv = 6)) AS BOOLEAN) AS ok,
+       CASE WHEN kind = 3 THEN 'binary-unknown'
+            WHEN kind = 0 AND pv = 6 THEN 'no-startxref' END AS err,
+       CASE WHEN kind = 0 AND pv <> 6
+            THEN 'Fixture ' || k.doc_id END AS title,
+       CAST(CASE WHEN kind = 0 AND pv <> 6 THEN 1 END AS INTEGER)
+           AS n_pages,
+       CASE WHEN kind = 0 AND pv <> 6 THEN p.t
+            WHEN kind = 1 THEN {html_text_sql(html_expr)}
+            WHEN kind = 2 THEN 'plain text doc ' || k.doc_id ||
+                               ' café r' || (k.doc_id % 5)
+       END AS text
+FROM k LEFT JOIN pdftext p USING (doc_id)
+"""
+
+
 # ---------------------------------------------------------------- perceptual hash
 def q_image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image hashing, differentially checked end-to-end:
@@ -3832,6 +3893,7 @@ QUERIES = {
     "unigram_encode": q_unigram_encode,
     "unigram_byte_fallback": q_unigram_byte_fallback,
     "pdf_text": q_pdf_text,
+    "doc_ingest": q_doc_ingest,
     "mixture_plan": q_mixture_plan,
     "quality_classifier": q_quality_classifier,
     "script_detect": q_script_detect,
@@ -3950,6 +4012,7 @@ ORACLES = {
     "unigram_encode": _unigram_oracle(),
     "unigram_byte_fallback": _unigram_bf_oracle(),
     "pdf_text": ORACLE_PDF_TEXT,
+    "doc_ingest": _doc_ingest_oracle(),
     "bpe_encode": ORACLE_BPE_ENCODE,
     "dedup_spans": ORACLE_DEDUP_SPANS,
     "domain_stats": _domain_stats_oracle(),

@@ -485,6 +485,13 @@ PERMANENT_EXTERNAL = [
     # terms. Parser-generality (handwritten non-fixture PDFs),
     # quarantine-reason and CMap pytests in tests/test_llm_ops.py.
     "pdf_text",
+    # r18: the document-format ingestion router — mixed binary
+    # payloads sniffed and routed (PDF magic → the vendored parser,
+    # HTML head signal → the codegen extractor, clean UTF-8 → plain
+    # text, invalid bytes → quarantine). Oracle replays every leg
+    # from the id formulas (pdf CTEs + html_text_sql over the same
+    # closed-form page + literal text). Reason (b).
+    "doc_ingest",
 ]
 
 

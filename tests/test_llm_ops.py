@@ -7172,3 +7172,62 @@ def test_pdf_text_extract_spark_schema_and_quarantine(spark):
             assert not r.ok and r.text is None and r.err
         else:
             assert r.ok and r.err is None and f"pdf {mid} page 0" in r.text
+
+
+def test_extract_documents_routes_formats(spark):
+    """r18: the document-format ingestion router — raw binary
+    payloads land in the right extractor leg: %PDF magic through the
+    vendored parser (title/n_pages ride), HTML through the codegen
+    extractor (leg pinned equal to html_to_text over the decoded
+    string), clean UTF-8 as plain text, and undecodable bytes / NULs
+    quarantine with a stable reason. One output row per input row."""
+    from pyspark.sql import functions as F
+
+    from gcp_dataengineering_spark.llm_ops.docformats import (
+        extract_documents,
+    )
+    from gcp_dataengineering_spark.llm_ops.html import html_to_text
+    from gcp_dataengineering_spark.llm_ops.pdf import (
+        parse_pdf,
+        synth_pdf_payload,
+    )
+
+    html_page = (b"<!DOCTYPE html><html><head><title>t</title>"
+                 b"<script>var x=1;</script></head>"
+                 b"<body><p>Hello &amp; welcome</p><div>to the page"
+                 b"</div></body></html>")
+    rows = [
+        (1, synth_pdf_payload(10)),            # pdf, variant 0
+        (2, html_page),                        # html
+        (3, "plain utf-8 text with café".encode("utf-8")),
+        (4, b"\x00\x01\x02\xff\xfe garbage"),  # binary junk
+        (5, synth_pdf_payload(16)),            # pdf, truncated (6)
+        (6, b""),                              # empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r for r in extract_documents(df).collect()}
+    assert len(got) == 6
+
+    assert got[1].format == "pdf" and got[1].ok
+    want = parse_pdf(synth_pdf_payload(10))
+    assert got[1].text == want[5] and got[1].title == want[4]
+    assert got[1].n_pages == want[3]
+
+    assert got[2].format == "html" and got[2].ok
+    want_html = (
+        df.filter(F.col("doc_id") == 2)
+        .select(html_to_text(F.decode("payload", "UTF-8")).alias("t"))
+        .collect()[0]["t"]
+    )
+    assert got[2].text == want_html
+    assert "Hello & welcome" in got[2].text and "var x" not in got[2].text
+
+    assert got[3].format == "text" and got[3].ok
+    assert got[3].text == "plain utf-8 text with café"
+
+    assert got[4].format == "binary" and not got[4].ok
+    assert got[4].err == "binary-unknown" and got[4].text is None
+
+    assert got[5].format == "pdf" and not got[5].ok and got[5].err
+
+    assert got[6].format == "binary" and not got[6].ok
