@@ -55,8 +55,12 @@ _HTML_HEAD_RE = (
 
 
 def _is_pdf(payload: Column) -> Column:
-    # the 5-byte magic; binary substring works JVM-side
-    return F.substring(payload, 1, 5) == F.lit(b"%PDF-")
+    # the 5-byte magic; binary substring works JVM-side. NULL-safe:
+    # a NULL payload must fall through to the quarantine leg, not
+    # evaluate both route filters to NULL and vanish from the output
+    return (F.substring(payload, 1, 5) == F.lit(b"%PDF-")).eqNullSafe(
+        F.lit(True)
+    )
 
 
 def extract_documents(

@@ -7203,10 +7203,11 @@ def test_extract_documents_routes_formats(spark):
         (4, b"\x00\x01\x02\xff\xfe garbage"),  # binary junk
         (5, synth_pdf_payload(16)),            # pdf, truncated (6)
         (6, b""),                              # empty
+        (7, None),                             # NULL payload
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r.doc_id: r for r in extract_documents(df).collect()}
-    assert len(got) == 6
+    assert len(got) == 7
 
     assert got[1].format == "pdf" and got[1].ok
     want = parse_pdf(synth_pdf_payload(10))
@@ -7231,3 +7232,6 @@ def test_extract_documents_routes_formats(spark):
     assert got[5].format == "pdf" and not got[5].ok and got[5].err
 
     assert got[6].format == "binary" and not got[6].ok
+    # a NULL payload must not vanish from the output (null-safe
+    # route predicate) — it quarantines like any junk row
+    assert got[7].format == "binary" and not got[7].ok
