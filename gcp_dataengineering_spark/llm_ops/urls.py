@@ -1225,6 +1225,58 @@ def _curated_psl() -> tuple[str, ...]:
                 have2.add(row)
     if "svalbard.no" not in have2:
         rules += ["svalbard.no"]
+    # r18 tranche 11 — JPRS towns/villages, Kyushu/Shikoku/Chubu
+    # wave (the prefectures tranche 10b undercovered), same
+    # confidence bar: every name is a current municipality of that
+    # prefecture; same-romaji city/town pairs collapse into the one
+    # rule string they share
+    jp_towns_11 = {
+        "gunma": "kanna nanmoku takayama ueno",
+        "nagano": "minamimaki kawakami hara fujimi sakuho koumi "
+                  "miyota omi ikusaka yasuoka neba hiraya urugi "
+                  "takagi toyooka",
+        "fukui": "wakasa takahama oi mihama minamiechizen ikeda",
+        "ishikawa": "uchinada tsubata shika hodatsushimizu "
+                    "nakanoto anamizu noto",
+        "toyama": "kamiichi nyuzen asahi funahashi",
+        "okayama": "satosho yakage kumenan misaki shoo nagi "
+                   "nishiawakura kagamino",
+        "yamaguchi": "suooshima waki kaminoseki tabuse hirao abu",
+        "tokushima": "katsuura kamikatsu ishii kitajima aizumi "
+                     "itano kamiita tsurugi higashimiyoshi",
+        "kagawa": "tonosho miki manno",
+        "ehime": "kihoku matsuno kumakogen",
+        "kochi": "toyo tano yasuda kitagawa mihara kuroshio otsuki "
+                 "tsuno niyodogawa ochi hidaka sakawa okawa",
+        "fukuoka": "keisen kotake kurate mizumaki okagaki onga "
+                   "ashiya chikuzen tachiarai oki hirokawa soeda "
+                   "itoda kawara oto fukuchi",
+        "saga": "genkai omachi kohoku shiroishi tara",
+        "nagasaki": "nagayo kawatana hasami ojika shinkamigoto",
+        "kumamoto": "ozu kikuyo minamioguni oguni takamori gyokuto "
+                    "nagasu reihoku",
+        "oita": "kokonoe kusu",
+        "miyazaki": "takanabe shintomi kijo kawaminami tsuno "
+                    "kadogawa misato gokase kunitomi mimata",
+        "kagoshima": "setouchi tatsugo kikai tokunoshima wadomari "
+                     "yoron minamitane nakatane mishima toshima "
+                     "osaki higashikushira kinko yusui",
+    }
+    have3 = set(rules)
+    for pref, towns in jp_towns_11.items():
+        for t in towns.split():
+            row = f"{t}.{pref}.jp"
+            if row not in have3:
+                rules += [row]
+                have3.add(row)
+    # tranche 11b — remaining documented platform rows (each a
+    # one-registrant-per-subdomain service)
+    for row in ("translate.goog", "000webhostapp.com", "shinyapps.io",
+                "pythonanywhere.com", "eu.pythonanywhere.com",
+                "alwaysdata.net", "streamlitapp.com"):
+        if row not in have3:
+            rules += [row]
+            have3.add(row)
     # the IDN twins of the special-char COUNTY suffixes themselves
     for cty in ("østfold", "møre-og-romsdal", "sør-trøndelag",
                 "trøndelag"):
