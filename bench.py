@@ -219,8 +219,9 @@ def _corpus_e2e(spark, sf_dir: str):
         PipelineConfig,
         build_training_corpus,
     )
+    from gcp_dataengineering_spark.ops.scan import fan_out_scan
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     stages = build_training_corpus(
         docs,
         config=PipelineConfig(shard_budget_tokens=200_000),
@@ -237,8 +238,9 @@ def _unigram_soft(spark, sf_dir: str):
     the expected-count E-step (forward-backward per distinct word +
     the micro-rounded piece aggregation) is the timed surface."""
     from gcp_dataengineering_spark.llm_ops.unigram import unigram_train_soft
+    from gcp_dataengineering_spark.ops.scan import fan_out_scan
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     return unigram_train_soft(
         docs, vocab_size=200, max_piece_len=5, em_iters=1, materialize=None
     )
@@ -262,8 +264,9 @@ def _unigram_sampled(spark, sf_dir: str):
         PipelineConfig,
         build_training_corpus,
     )
+    from gcp_dataengineering_spark.ops.scan import fan_out_scan
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs = fan_out_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     vocab = _UNIGRAM_VOCAB_CACHE.get(sf_dir)
     if vocab is None:
         from gcp_dataengineering_spark.llm_ops.unigram import (

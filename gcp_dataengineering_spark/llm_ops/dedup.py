@@ -590,7 +590,19 @@ def resolve_dup_groups(
     in-component node ids; at the fixpoint every edge (u, v) has
     L(u) ≤ L(v) and (edges are symmetrized) L(v) ≤ L(u), so labels
     are constant per component, and the component's min node keeps
-    its own id. Raises if not converged in ``max_iter`` rounds."""
+    its own id. Raises if not converged in ``max_iter`` rounds.
+
+    r18 optimization: the loop iterates over the PAIR-GRAPH NODES
+    only (ids with at least one incident edge), not the whole corpus.
+    In the corpus-wide form every untouched id provably keeps its own
+    label each round (no neighbor row; hop label = own label), so the
+    loop re-joined and re-checkpointed the entire corpus per round to
+    move nothing; untouched ids now rejoin as (id, id) at the end.
+    Per-round join + checkpoint volume drops from O(corpus) to
+    O(dup-graph nodes) — at crawl scale the dup graph is a small
+    fraction of the corpus. The round-1 pointer-doubling self-join is
+    also skipped: L(L(v)) = L(v) when every label is still its own
+    node id."""
     if algorithm not in ("twohop", "propagate"):
         raise ValueError(
             f"unknown CC algorithm {algorithm!r}: expected 'twohop' or 'propagate'"
@@ -607,21 +619,31 @@ def resolve_dup_groups(
         .distinct(),
         materialize,
     )
-    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
-    for _ in range(max_iter):
+    # The ids projection feeds two consumers now (the touched semi-join
+    # and the untouched anti-join); pin it so an expensive lineage
+    # (e.g. a decode UDF upstream) runs once, exactly as the old
+    # round-1 label consumption did.
+    all_ids = _materialize(ids.select(F.col(id_col).alias("node")), materialize)
+    # edges is symmetrized, so src alone covers every endpoint
+    endpoints = edges.select(F.col("src").alias("node")).distinct()
+    labels = all_ids.join(endpoints, "node", "semi").select(
+        "node", F.col("node").alias("label")
+    )
+    for it in range(max_iter):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.node)
             .groupBy("src")
             .agg(F.min("label").alias("nbr_label"))
         )
         stepped = labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
-        if algorithm == "twohop":
+        if algorithm == "twohop" and it > 0:
             # Pointer doubling: L(L(v)). Every label value is itself a
             # node id present in `labels` (labels start as own-id and
             # only ever adopt other in-component node ids), so the
             # self-join on label == node is total; the left join is
             # belt-and-braces for callers whose `pairs` mention ids
-            # missing from `ids`.
+            # missing from `ids`. Skipped in round 1, where
+            # L(L(v)) = L(v) by construction.
             hop = labels.select(
                 F.col("node").alias("h_node"), F.col("label").alias("hop_label")
             )
@@ -659,7 +681,12 @@ def resolve_dup_groups(
             break
     else:
         raise RuntimeError(f"dup-group resolution did not converge in {max_iter} rounds")
-    return labels.select(F.col("node").alias(id_col), F.col("label").alias("group_id"))
+    untouched = all_ids.join(endpoints, "node", "anti").select(
+        "node", F.col("node").alias("label")
+    )
+    return labels.unionByName(untouched).select(
+        F.col("node").alias(id_col), F.col("label").alias("group_id")
+    )
 
 
 # ------------------------------------------------------------ SimHash

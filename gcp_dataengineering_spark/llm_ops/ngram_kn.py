@@ -28,11 +28,18 @@ is a hit (0 = the continuation-unigram base),
 order-2/3 branch semantics, cross-validated exactly against
 ngram_lm's independent implementations in pytest).
 
-Every count table sits at n-gram-type altitude; the top-order count
-join is a key-bucketed SMJ (a 100 TB 5-gram vocabulary is not
-broadcastable — the ngram_lm rule one order up), low-order
-context/continuation tables broadcast; 2·(K−1)+1 bounded driver
-scalars (count-of-counts per order + the bigram type total).
+Every count table sits at n-gram-type altitude. Scoring joins
+(r18 shape): at each order k ≥ 3 the transitions join the CONTEXT
+table once — a key-bucketed SMJ at 100 TB — and read the kept
+per-token count from a token→count map riding on the context row
+(fan-out = the context's continuation count, bounded for multi-word
+contexts), so the per-order (context,token) hit join is folded away;
+the k = 2 hit join stays a separate key-bucketed SMJ (a bigram
+vocabulary's hot contexts have vocab-sized fan-out and its type
+table must not broadcast), and the order-2 context/continuation
+tables broadcast. All discount scalars + the bigram type total
+arrive in ONE driver action (a union of per-order count-of-count
+aggregates over the checkpointed type tables).
 
 Count-threshold pruning (r17 wave 3 — KenLM's ``--prune``, the knob
 that makes a 5-gram model DEPLOYABLE at 100 TB: an unpruned 5-gram
@@ -140,32 +147,66 @@ def _build_tables(trans_train: DataFrame, order: int, frac_bits: int,
         )
     ctxs: dict[int, DataFrame] = {}
     for k in range(2, order + 1):
+        kept_cond = F.col(f"c{k}") >= pr[k]
         aggs = [
             F.sum(f"c{k}").alias(f"ctx{k}"),
             F.count(F.lit(1)).alias(f"n1_{k}"),
         ]
         if pr[k] > 1:
-            kept_cond = F.col(f"c{k}") >= pr[k]
             aggs += [
                 F.sum(kept_cond.cast("long")).alias(f"kept{k}"),
                 F.coalesce(
                     F.sum(F.when(kept_cond, F.col(f"c{k}"))), F.lit(0)
                 ).alias(f"keptc{k}"),
             ]
+        if k >= 3:
+            # r18: the scoring join at order k >= 3 reads the KEPT
+            # per-token count from a token→count map riding on the
+            # context row — one context-keyed join per order instead
+            # of the (context,token) hit join PLUS the context join
+            # (guide §2.4: two operations keyed the same way share
+            # one exchange; here they share one JOIN). collect_list
+            # skips the NULLs the prune filter leaves, so the map
+            # holds exactly the threshold-kept entries. Map fan-out
+            # is the context's continuation count — bounded at k >= 3
+            # (multi-word contexts); the k = 2 table (the full bigram
+            # vocabulary, with its vocab-sized hot-context fan-out)
+            # deliberately keeps the separate key-bucketed hit join.
+            entry = F.struct(F.col("token"), F.col(f"c{k}"))
+            if pr[k] > 1:
+                entry = F.when(kept_cond, entry)
+            aggs.append(
+                F.map_from_entries(F.collect_list(entry)).alias(f"_m{k}")
+            )
         ctxs[k] = counts[k].groupBy(*pcols[: k - 1]).agg(*aggs)
     kept: dict[int, DataFrame] = {
         k: (counts[k].filter(F.col(f"c{k}") >= pr[k]) if pr[k] > 1 else counts[k])
         for k in range(2, order + 1)
     }
     cont1 = counts[2].groupBy("token").agg(F.count(F.lit(1)).alias("n1cw"))
-    dn: dict[int, int] = {}
+    # ONE action for every discount scalar and the bigram type total
+    # (r18 — was: one collect per order plus a count, five sequential
+    # driver round-trips at order 5; the inputs are all checkpointed
+    # type tables, so the union is a cheap scan of each)
+    stats = None
     for k in range(2, order + 1):
-        d = counts[k].agg(
-            F.coalesce(F.sum((F.col(f"c{k}") == 1).cast("long")), F.lit(0)).alias("n1"),
-            F.coalesce(F.sum((F.col(f"c{k}") == 2).cast("long")), F.lit(0)).alias("n2"),
-        ).collect()[0]
-        dn[k] = _kn_discount(int(d["n1"]), int(d["n2"]))
-    n1pp = int(counts[2].count())
+        s = counts[k].agg(
+            F.lit(k).alias("k"),
+            F.coalesce(
+                F.sum((F.col(f"c{k}") == 1).cast("long")), F.lit(0)
+            ).alias("n1"),
+            F.coalesce(
+                F.sum((F.col(f"c{k}") == 2).cast("long")), F.lit(0)
+            ).alias("n2"),
+            F.count(F.lit(1)).alias("ntypes"),
+        )
+        stats = s if stats is None else stats.unionByName(s)
+    srows = {int(r["k"]): r for r in stats.collect()}
+    dn: dict[int, int] = {
+        k: _kn_discount(int(srows[k]["n1"]), int(srows[k]["n2"]))
+        for k in range(2, order + 1)
+    }
+    n1pp = int(srows[2]["ntypes"])
     return {
         "counts": counts,
         "kept": kept,
@@ -187,14 +228,24 @@ def _score_trans(docs: DataFrame, trans_score: DataFrame, tables: dict,
     pr = tables.get("prune") or {k: 1 for k in range(2, order + 1)}
     dn, l_n1pp = tables["dn"], tables["l_n1pp"]
     j = trans_score
-    j = j.join(kept[order], pcols[: order - 1] + ["token"], "left")
-    j = j.join(ctxs[order], pcols[: order - 1], "left")
-    for k in range(order - 1, 1, -1):
-        j = j.join(kept[k], pcols[: k - 1] + ["token"], "left")
+    for k in range(order, 1, -1):
         ctx_df = ctxs[k]
         if k <= 2:
             ctx_df = F.broadcast(ctx_df)
-        j = j.join(ctx_df, pcols[: k - 1], "left")
+        if k >= 3:
+            # r18: one context-keyed join per order — the kept count
+            # comes from the token→count map on the context row
+            # (NULL on a pruned/unseen continuation, exactly the old
+            # hit-join miss). The k = 2 hit join stays key-bucketed:
+            # its map form would put the whole bigram vocabulary on
+            # vocab-sized context rows, which must not broadcast or
+            # fan out at 100 TB.
+            j = j.join(ctx_df, pcols[: k - 1], "left").withColumn(
+                f"c{k}", F.element_at(F.col(f"_m{k}"), F.col("token"))
+            )
+        else:
+            j = j.join(kept[k], pcols[: k - 1] + ["token"], "left")
+            j = j.join(ctx_df, pcols[: k - 1], "left")
     j = j.join(F.broadcast(tables["cont1"]), ["token"], "left")
 
     base1 = (

@@ -740,13 +740,23 @@ def gopher_repetition_features(
     everywhere and pass.
 
     Shape at scale: one explode per unit kind (lines, paragraphs) and
-    one tagged n-gram explode for n = 2..10 with start positions —
-    the 9× token fan-out is inherent to the published rule set. Every
-    aggregation is keyed on doc_id (documents are the unit of work,
-    no skew); the per-(doc, n) top-gram window runs over the
-    gram-count table, not corpus rows. The tokenized base and the
-    gram table each feed multiple consumers — both are branch-point
-    materialized (see llm_ops.materialize)."""
+    one tagged n-gram explode per consumer family — the 9× token
+    fan-out is inherent to the published rule set. Every aggregation
+    is keyed on doc_id (documents are the unit of work, no skew); the
+    per-(doc, n) top-gram window runs over the gram-count table, not
+    corpus rows. The tokenized base feeds every leg and is
+    branch-point materialized (see llm_ops.materialize).
+
+    r18 optimization (guide §2.4 — remove shuffles/barriers
+    outright): the gram table is no longer a shared materialized
+    branch point. Orders 2..4 explode WITHOUT positions straight into
+    the count aggregate that feeds the top-gram window; orders 5..10
+    explode WITH positions and get their occurrence count from a
+    window over the same (doc, n, gram) key the old aggregate used —
+    value-identical counts, but the aggregate+join-back pair (which
+    re-shuffled the full gram table a second time) and BOTH eager
+    gram checkpoints (2×~2.5M rows at sf0.1) are gone; each explode
+    now has exactly one consumer."""
     from .materialize import materialize as _materialize
 
     raw = F.coalesce(F.col(text_col), F.lit(""))
@@ -810,48 +820,49 @@ def gopher_repetition_features(
     )
 
     # ------------------------------------------------ n-gram tables
-    def _grams(n: int) -> Column:
+    def _grams(n: int, with_pos: bool) -> Column:
         k = F.size(w) - F.lit(n - 1)
-        return F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.struct(
+        if with_pos:
+            def elem(i: Column) -> Column:
+                return F.struct(
                     F.lit(n).alias("n"),
                     i.cast("int").alias("p"),
                     F.concat_ws(" ", F.slice(w, i, n)).alias("gram"),
-                ),
-            ),
-        ).otherwise(F.array().cast("array<struct<n:int,p:int,gram:string>>"))
+                )
 
-    grams = _materialize(
+            empty_t = "array<struct<n:int,p:int,gram:string>>"
+        else:
+            def elem(i: Column) -> Column:
+                return F.struct(
+                    F.lit(n).alias("n"),
+                    F.concat_ws(" ", F.slice(w, i, n)).alias("gram"),
+                )
+
+            empty_t = "array<struct<n:int,gram:string>>"
+        return F.when(
+            k > 0, F.transform(F.sequence(F.lit(1), k), elem)
+        ).otherwise(F.array().cast(empty_t))
+
+    # top 2/3/4-gram character coverage over the collapsed content:
+    # counts only — positions are never needed at these orders
+    gcnt_low = (
         base.select(
             "doc_id",
             F.explode(
-                F.concat(*[_grams(n) for n in range(2, 11)])
+                F.concat(*[_grams(n, False) for n in (2, 3, 4)])
             ).alias("_g"),
-        ).select(
-            "doc_id",
-            F.col("_g.n").alias("n"),
-            F.col("_g.p").alias("p"),
-            F.col("_g.gram").alias("gram"),
-        ),
-        materialize,
+        )
+        .select(
+            "doc_id", F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram")
+        )
+        .groupBy("doc_id", "n", "gram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    gcnt = _materialize(
-        grams.groupBy("doc_id", "n", "gram").agg(
-            F.count(F.lit(1)).alias("cnt")
-        ),
-        materialize,
-    )
-
-    # top 2/3/4-gram character coverage over the collapsed content
     win = Window.partitionBy("doc_id", "n").orderBy(
         F.col("cnt").desc(), F.length("gram").desc(), F.col("gram").asc()
     )
     top = (
-        gcnt.filter(F.col("n") <= 4)
-        .withColumn("_rn", F.row_number().over(win))
+        gcnt_low.withColumn("_rn", F.row_number().over(win))
         .filter(F.col("_rn") == 1)
         .select(
             "doc_id", "n",
@@ -889,13 +900,24 @@ def gopher_repetition_features(
         )
     )
 
-    # duplicate 5..10-gram character coverage (overlaps counted once)
-    dup_grams = gcnt.filter((F.col("n") >= 5) & (F.col("cnt") >= 2)).select(
-        "doc_id", "n", "gram"
-    )
+    # duplicate 5..10-gram character coverage (overlaps counted once):
+    # the per-occurrence count comes from a window over the same
+    # (doc, n, gram) key the old aggregate+join-back pair used —
+    # one shuffle of the positioned gram table instead of two
+    occ_w = Window.partitionBy("doc_id", "n", "gram")
     cover = (
-        grams.filter(F.col("n") >= 5)
-        .join(dup_grams, ["doc_id", "n", "gram"])
+        base.select(
+            "doc_id",
+            F.explode(
+                F.concat(*[_grams(n, True) for n in range(5, 11)])
+            ).alias("_g"),
+        )
+        .select(
+            "doc_id", F.col("_g.n").alias("n"), F.col("_g.p").alias("p"),
+            F.col("_g.gram").alias("gram"),
+        )
+        .withColumn("_cnt", F.count(F.lit(1)).over(occ_w))
+        .filter(F.col("_cnt") >= 2)
         .select(
             "doc_id", "n",
             F.explode(

@@ -34,7 +34,22 @@ from ..llm_ops import text as T
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name in ("documents", "embeddings"):
+        # r18 optimization: the fixture tables are single-row-group
+        # parquet files, so the scan — and the whole map side of every
+        # downstream stage (explodes, regex scans, Arrow UDF decodes,
+        # partial aggregates) — was ONE task on a 32-core session.
+        # Scale-adaptive fan-out (guide §2.5 input skew): no-op when
+        # the scan already has >= default-parallelism splits, which is
+        # always true at production scale. Applied to the two tables
+        # whose downstream work is map-heavy; every consuming query is
+        # integer/string-exact or rounds before output, so results are
+        # partitioning-independent (re-verified against the oracles).
+        from ..ops.scan import fan_out_scan
+
+        df = fan_out_scan(df)
+    return df
 
 
 def r4(c):

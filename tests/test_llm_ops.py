@@ -124,6 +124,29 @@ def test_resolve_dup_groups_algorithms_agree(spark):
     assert a[3] == 0 and a[9] == 5 and a[11] == 10 and a[4] == 4
 
 
+def test_resolve_dup_groups_untouched_and_stray_endpoints(spark):
+    """r18 edge-restricted iteration: ids with no incident edge rejoin
+    as (id, id) after the loop, pair endpoints absent from `ids` are
+    neither emitted nor allowed to bridge components (the historical
+    contract), and an empty pair set is the identity labeling."""
+    from gcp_dataengineering_spark.llm_ops.dedup import resolve_dup_groups
+
+    ids = spark.createDataFrame([(i,) for i in range(6)], "doc_id long")
+    # 99 is a stray endpoint: (1, 99) and (99, 4) must NOT merge 1 and 4
+    pairs = spark.createDataFrame(
+        [(1, 99), (99, 4), (2, 3)], "id_a long, id_b long"
+    )
+    got = {r["doc_id"]: r["group_id"] for r in resolve_dup_groups(ids, pairs).collect()}
+    assert got == {0: 0, 1: 1, 2: 2, 3: 2, 4: 4, 5: 5}
+
+    empty_pairs = spark.createDataFrame([], "id_a long, id_b long")
+    got2 = {
+        r["doc_id"]: r["group_id"]
+        for r in resolve_dup_groups(ids, empty_pairs).collect()
+    }
+    assert got2 == {i: i for i in range(6)}
+
+
 def test_simhash_near_dups_close_in_hamming(docs):
     h = {r["doc_id"]: r["simhash"] for r in simhash16(docs).collect()}
     def ham(a, b):
