@@ -1088,19 +1088,27 @@ def audio_neardup(
             "bands − 1 differing bits — raise bands instead"
         )
     from .dedup import resolve_dup_groups
+    from .materialize import materialize as _materialize
     from .phash import phash_candidate_pairs
 
-    fps = audio_perceptual_fp(media, batch_rows=batch_rows, containers=containers)
+    # pin the (id, fingerprint) projection ONCE: it feeds the band
+    # self-join AND the component id list, and its lineage is the
+    # full decode UDF — unpinned, the id leg re-decoded every payload
+    # a second time (r18)
+    fps = _materialize(
+        audio_perceptual_fp(media, batch_rows=batch_rows, containers=containers)
+        .filter(F.col("afp").isNotNull())
+        .select("media_id", "afp"),
+        materialize,
+    )
     cands = phash_candidate_pairs(
         fps, hash_col="afp", bands=bands, id_col="media_id",
-        materialize=materialize,
+        materialize=False,
     )
     pairs = cands.filter(F.col("hamming") <= max_hamming).select(
         F.col("id_a"), F.col("id_b")
     )
-    ids = fps.filter(F.col("afp").isNotNull()).select(
-        F.col("media_id").alias("doc_id")
-    )
+    ids = fps.select(F.col("media_id").alias("doc_id"))
     groups = resolve_dup_groups(ids, pairs, id_col="doc_id", materialize=materialize)
     return groups.select(F.col("doc_id").alias("media_id"), "group_id")
 
@@ -1398,14 +1406,25 @@ def video_neardup(
             "bands − 1 differing bits — raise bands instead"
         )
     from .dedup import resolve_dup_groups
+    from .materialize import materialize as _materialize
     from .phash import phash_candidate_pairs
 
-    fps = video_container_fp(media, batch_rows=batch_rows)
-    if materialize is not None:
-        fps = materialize(fps)
+    # pin the (id, fingerprint, duration) projection ONCE: it feeds
+    # the band self-join, BOTH duration-guard joins, and the
+    # component id list — four consumers whose shared lineage is the
+    # full container-walk UDF; unpinned, every consumer re-decoded
+    # every payload (r18). Filtering to non-null vfp up front is
+    # value-neutral for the duration joins: they only ever see ids
+    # that came out of the band join, which all carry a fingerprint.
+    fps = _materialize(
+        video_container_fp(media, batch_rows=batch_rows)
+        .filter(F.col("vfp").isNotNull())
+        .select("media_id", "vfp", "duration_ms"),
+        materialize,
+    )
     cands = phash_candidate_pairs(
         fps, hash_col="vfp", bands=bands, id_col="media_id",
-        materialize=materialize,
+        materialize=False,
     )
     durs = fps.select(F.col("media_id"), F.col("duration_ms"))
     pairs = (
@@ -1421,9 +1440,7 @@ def video_neardup(
         )
         .select(F.col("id_a"), F.col("id_b"))
     )
-    ids = fps.filter(F.col("vfp").isNotNull()).select(
-        F.col("media_id").alias("doc_id")
-    )
+    ids = fps.select(F.col("media_id").alias("doc_id"))
     groups = resolve_dup_groups(ids, pairs, id_col="doc_id", materialize=materialize)
     return groups.select(F.col("doc_id").alias("media_id"), "group_id")
 

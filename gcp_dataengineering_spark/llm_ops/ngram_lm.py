@@ -96,6 +96,30 @@ _KN_DNUM_SQL = (
 ).format(half=KN_DDEN // 2, dmax=KN_DDEN - 1, dden=KN_DDEN)
 
 
+def _kn_cc_stats(hi: DataFrame, hi_col: str, lo: DataFrame, lo_col: str):
+    """Both orders' count-of-count scalars (n1, n2 per order, plus
+    the lower order's type total ``n1pp2``) in ONE driver action — a
+    union of two bounded aggregates over the (checkpointed) type
+    tables, replacing two sequential collects."""
+    def cc(df: DataFrame, col: str, tag: int) -> DataFrame:
+        return df.agg(
+            F.lit(tag).alias("k"),
+            F.coalesce(
+                F.sum((F.col(col) == 1).cast("long")), F.lit(0)
+            ).alias("n1"),
+            F.coalesce(
+                F.sum((F.col(col) == 2).cast("long")), F.lit(0)
+            ).alias("n2"),
+            F.count(F.lit(1)).alias("n1pp2"),
+        )
+
+    rows = {
+        int(r["k"]): r
+        for r in cc(hi, hi_col, 3).unionByName(cc(lo, lo_col, 2)).collect()
+    }
+    return rows[3], rows[2]
+
+
 def _word_rows(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """(doc_id, pos, word) — 1-based position, lowercase nonempty
     whitespace tokens."""
@@ -931,16 +955,10 @@ def trigram_perplexity(
         )
         cont1 = cc2.groupBy("token").agg(F.count(F.lit(1)).alias("n1cw"))
         # five bounded driver scalars: per-order count-of-counts and
-        # the bigram-type total
-        d3 = c3.agg(
-            F.coalesce(F.sum((F.col("c3") == 1).cast("long")), F.lit(0)).alias("n1"),
-            F.coalesce(F.sum((F.col("c3") == 2).cast("long")), F.lit(0)).alias("n2"),
-        ).collect()[0]
-        d2 = cc2.agg(
-            F.count(F.lit(1)).alias("n1pp2"),
-            F.coalesce(F.sum((F.col("cc2") == 1).cast("long")), F.lit(0)).alias("n1"),
-            F.coalesce(F.sum((F.col("cc2") == 2).cast("long")), F.lit(0)).alias("n2"),
-        ).collect()[0]
+        # the bigram-type total — ONE action (r18: was two sequential
+        # collects; both inputs are checkpointed type tables, so the
+        # union is a cheap scan of each)
+        d3, d2 = _kn_cc_stats(c3, "c3", cc2, "cc2")
         dn3 = _kn_discount(int(d3["n1"]), int(d3["n2"]))
         dn2 = _kn_discount(int(d2["n1"]), int(d2["n2"]))
         l_n1pp2 = llog2_py(max(int(d2["n1pp2"]), 1), frac_bits)
@@ -1402,15 +1420,8 @@ def trigram_lm_fit(
             F.sum("cc2").alias("cc2ctx"), F.count(F.lit(1)).alias("n1vcc")
         )
         model["cont1"] = cc2.groupBy("token").agg(F.count(F.lit(1)).alias("n1cw"))
-        d3 = c3.agg(
-            F.coalesce(F.sum((F.col("c3") == 1).cast("long")), F.lit(0)).alias("n1"),
-            F.coalesce(F.sum((F.col("c3") == 2).cast("long")), F.lit(0)).alias("n2"),
-        ).collect()[0]
-        d2 = cc2.agg(
-            F.count(F.lit(1)).alias("n1pp2"),
-            F.coalesce(F.sum((F.col("cc2") == 1).cast("long")), F.lit(0)).alias("n1"),
-            F.coalesce(F.sum((F.col("cc2") == 2).cast("long")), F.lit(0)).alias("n2"),
-        ).collect()[0]
+        # one driver action for both orders' count-of-counts (r18)
+        d3, d2 = _kn_cc_stats(c3, "c3", cc2, "cc2")
         model["dn3"] = _kn_discount(int(d3["n1"]), int(d3["n2"]))
         model["dn2"] = _kn_discount(int(d2["n1"]), int(d2["n2"]))
         model["l_n1pp2"] = llog2_py(max(int(d2["n1pp2"]), 1), frac_bits)

@@ -289,7 +289,12 @@ def image_neardup(
 
     Completeness bound: ``max_hamming`` must be < ``bands`` for the
     pigeonhole guarantee to hold — a larger radius would silently
-    miss pairs, so it raises instead."""
+    miss pairs, so it raises instead.
+
+    The (id, hash) projection is pinned ONCE here and feeds BOTH the
+    band self-join and the component id list — the hash lineage is
+    the full decode UDF, and the unpinned id leg used to re-run
+    every payload decode a second time just to list the ids."""
     if max_hamming >= bands:
         raise ValueError(
             f"max_hamming ({max_hamming}) must be < bands ({bands}): the "
@@ -298,16 +303,19 @@ def image_neardup(
         )
     from .dedup import resolve_dup_groups
 
-    hashes = image_perceptual_hash(media, batch_rows=batch_rows)
+    hs = _materialize(
+        image_perceptual_hash(media, batch_rows=batch_rows)
+        .filter(F.col(hash_col).isNotNull())
+        .select("media_id", hash_col),
+        materialize,
+    )
     cands = phash_candidate_pairs(
-        hashes, hash_col=hash_col, bands=bands, materialize=materialize
+        hs, hash_col=hash_col, bands=bands, materialize=False
     )
     pairs = cands.filter(F.col("hamming") <= max_hamming).select(
         F.col("id_a"), F.col("id_b")
     )
-    ids = hashes.filter(F.col(hash_col).isNotNull()).select(
-        F.col("media_id").alias("doc_id")
-    )
+    ids = hs.select(F.col("media_id").alias("doc_id"))
     groups = resolve_dup_groups(ids, pairs, id_col="doc_id", materialize=materialize)
     return groups.select(F.col("doc_id").alias("media_id"), "group_id")
 

@@ -389,13 +389,20 @@ def ivf_index(
       lowest cluster id (min over (dist, cluster) structs —
       HashAggregate with map-side partial min, no window sort).
 
-    Scale shape per iteration: the mean step is posexplode →
-    groupBy(cluster, dim) with map-side combine (shuffle is k×d
-    partials, never N×d); the assign step is a k-row broadcast cross
-    join scored by a codegen'd zip_with fold. At 100 TB the index is
-    built once, persisted with the table (ideally as the bucketing
-    key), and reused by every query batch; intermediates materialize
-    per the ``materialize`` strategy (llm_ops.materialize)."""
+    Scale shape per iteration (r18 — ZERO corpus shuffles): the
+    quantized vector rides on the assignment frame, so the mean step
+    reads it directly (no assign⋈vectors join) and shuffles only k×d
+    partials with map-side combine; reassignment collapses the k-row
+    centroid table to ONE broadcast row carrying all centroids and
+    computes each vector's argmin as a row-wise array_min over a
+    codegen'd zip_with fold — no N×k explode, no N-row groupBy
+    exchange. The pre-r18 shape paid an assign⋈vq join plus a
+    corpus-wide argmin aggregation per iteration; identical
+    assignments (exact integer distances, same (dist, cluster)
+    lexicographic tie-break). At 100 TB the index is built once,
+    persisted with the table (ideally as the bucketing key), and
+    reused by every query batch; intermediates materialize per the
+    ``materialize`` strategy (llm_ops.materialize)."""
     from .corpus import hash_bucket
 
     if n_iter < 1:
@@ -403,23 +410,23 @@ def ivf_index(
             f"n_iter ({n_iter}) must be >= 1: zero iterations would leave "
             "no centroids to return (assignments alone are the seeded hash init)"
         )
-    vq_df = corpus.select(
-        F.col(id_col).alias("vec_id"), quantize_fixed(F.col(vec_col)).alias("vq")
-    )
-    # consumed by every iteration's mean AND assign stage
-    vq_df = _materialize(vq_df, materialize)
-    assign = vq_df.select(
-        "vec_id",
-        hash_bucket("vec_id", salt=f"ivf{seed}", buckets=n_clusters)
-        .cast("int")
-        .alias("cluster"),
+    # (vec_id, vq, cluster) — one frame through the loop, seeded by
+    # the hash init; each iteration's mean AND reassign read it
+    frame = _materialize(
+        corpus.select(
+            F.col(id_col).alias("vec_id"),
+            quantize_fixed(F.col(vec_col)).alias("vq"),
+            hash_bucket(id_col, salt=f"ivf{seed}", buckets=n_clusters)
+            .cast("int")
+            .alias("cluster"),
+        ),
+        materialize,
     )
     centroids_q = None
     for _ in range(n_iter):
-        exploded = assign.join(vq_df, "vec_id").select(
+        cent_long = frame.select(
             "cluster", F.posexplode("vq").alias("j", "val")
-        )
-        cent_long = exploded.groupBy("cluster", "j").agg(
+        ).groupBy("cluster", "j").agg(
             F.floor(F.sum("val").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
             .cast("bigint")
             .alias("cq")
@@ -429,19 +436,32 @@ def ivf_index(
                 F.array_sort(F.collect_list(F.struct("j", "cq"))), lambda s: s["cq"]
             ).alias("cq_arr")
         )
-        dist = F.aggregate(
-            F.zip_with(F.col("vq"), F.col("cq_arr"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+        cent_arr = centroids_q.agg(
+            F.collect_list(F.struct("cluster", "cq_arr")).alias("_cents")
         )
-        assign = (
-            vq_df.crossJoin(F.broadcast(centroids_q))
-            .withColumn("dist", dist)
-            .groupBy("vec_id")
-            .agg(F.min(F.struct(F.col("dist"), F.col("cluster"))).alias("best"))
-            .select("vec_id", F.col("best.cluster").alias("cluster"))
+        best = F.array_min(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("vq"), c["cq_arr"],
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
         )
-        assign = _materialize(assign, materialize)
+        frame = _materialize(
+            frame.crossJoin(F.broadcast(cent_arr)).select(
+                "vec_id", "vq", best["cluster"].alias("cluster")
+            ),
+            materialize,
+        )
+    assign = frame.select("vec_id", "cluster")
     centroids = centroids_q.select(
         "cluster",
         F.transform(
@@ -866,10 +886,17 @@ def pq_index(
     mean), so an external engine replays the build bit-for-bit — the
     same property the IVF oracle exploits.
 
-    Scale shape per iteration: mean step shuffles m × k × ds partial
-    sums (never N×d); assign step is an m×k-row broadcast join scored
-    by a codegen'd integer fold. Build once, persist codes bucketed by
-    (sub, cluster) alongside the table."""
+    Scale shape per iteration (r18 — ZERO corpus shuffles, the
+    ivf_index restructure with ``sub`` on every key): the subvector
+    rides on the assignment frame, so the mean step reads it
+    directly (no assign⋈sv join) and shuffles only m × k × ds
+    partial sums; reassignment collapses the codebook to one
+    broadcast row PER SUBSPACE (m rows) and computes each
+    subvector's argmin as a row-wise array_min over a codegen'd
+    integer fold — no N×m×k explode, no corpus-wide groupBy
+    exchange. Identical codes (exact integer distances, same
+    (dist, cluster) tie-break). Build once, persist codes bucketed
+    by (sub, cluster) alongside the table."""
     from .text import md5_60bit
 
     if m < 1 or n_clusters < 2 or n_iter < 1:
@@ -880,27 +907,31 @@ def pq_index(
         # rotation — pass it to pq_topk_adc / pq_topk_rerank too
         corpus = apply_signed_permutation(corpus, rotation, vec_col)
     sv = pq_subvectors(corpus, m, id_col, vec_col)
-    sv = _materialize(sv, materialize)
-    assign = sv.select(
-        "vec_id",
-        "sub",
-        (
-            md5_60bit(
-                F.concat(
-                    F.lit(f"pq{seed}"), F.lit("\x1f"),
-                    F.col("vec_id").cast("string"), F.lit("\x1f"),
-                    F.col("sub").cast("string"),
+    # (vec_id, sub, svq, cluster) — one frame through the loop,
+    # seeded by the per-(vec, sub) hash init
+    frame = _materialize(
+        sv.select(
+            "vec_id",
+            "sub",
+            "svq",
+            (
+                md5_60bit(
+                    F.concat(
+                        F.lit(f"pq{seed}"), F.lit("\x1f"),
+                        F.col("vec_id").cast("string"), F.lit("\x1f"),
+                        F.col("sub").cast("string"),
+                    )
                 )
-            )
-            % n_clusters
-        ).cast("int").alias("cluster"),
+                % n_clusters
+            ).cast("int").alias("cluster"),
+        ),
+        materialize,
     )
     codebook = None
     for _ in range(n_iter):
-        exploded = assign.join(sv, ["vec_id", "sub"]).select(
+        cent_long = frame.select(
             "sub", "cluster", F.posexplode("svq").alias("j", "val")
-        )
-        cent_long = exploded.groupBy("sub", "cluster", "j").agg(
+        ).groupBy("sub", "cluster", "j").agg(
             F.floor(F.sum("val").cast("double") / F.count(F.lit(1)) + F.lit(0.5))
             .cast("bigint")
             .alias("cq")
@@ -910,20 +941,32 @@ def pq_index(
                 F.array_sort(F.collect_list(F.struct("j", "cq"))), lambda s: s["cq"]
             ).alias("cq_arr")
         )
-        dist = F.aggregate(
-            F.zip_with(F.col("svq"), F.col("cq_arr"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0).cast("bigint"),
-            lambda acc, x: acc + x,
+        cb_arr = codebook.groupBy("sub").agg(
+            F.collect_list(F.struct("cluster", "cq_arr")).alias("_cents")
         )
-        assign = (
-            sv.join(F.broadcast(codebook), "sub")
-            .withColumn("dist", dist)
-            .groupBy("vec_id", "sub")
-            .agg(F.min(F.struct(F.col("dist"), F.col("cluster"))).alias("best"))
-            .select("vec_id", "sub", F.col("best.cluster").alias("cluster"))
+        best = F.array_min(
+            F.transform(
+                F.col("_cents"),
+                lambda c: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col("svq"), c["cq_arr"],
+                            lambda a, b: (a - b) * (a - b),
+                        ),
+                        F.lit(0).cast("bigint"),
+                        lambda acc, x: acc + x,
+                    ).alias("dist"),
+                    c["cluster"].alias("cluster"),
+                ),
+            )
         )
-        assign = _materialize(assign, materialize)
-    return assign, codebook
+        frame = _materialize(
+            frame.join(F.broadcast(cb_arr), "sub").select(
+                "vec_id", "sub", "svq", best["cluster"].alias("cluster")
+            ),
+            materialize,
+        )
+    return frame.select("vec_id", "sub", "cluster"), codebook
 
 
 def _pq_query_lut(

@@ -749,14 +749,16 @@ def gopher_repetition_features(
 
     r18 optimization (guide §2.4 — remove shuffles/barriers
     outright): the gram table is no longer a shared materialized
-    branch point. Orders 2..4 explode WITHOUT positions straight into
-    the count aggregate that feeds the top-gram window; orders 5..10
-    explode WITH positions and get their occurrence count from a
-    window over the same (doc, n, gram) key the old aggregate used —
-    value-identical counts, but the aggregate+join-back pair (which
-    re-shuffled the full gram table a second time) and BOTH eager
-    gram checkpoints (2×~2.5M rows at sf0.1) are gone; each explode
-    now has exactly one consumer."""
+    branch point. Orders 2..4 never explode at all — the top gram by
+    (count desc, length desc, gram asc) is a row-wise
+    longest-equal-run fold over the doc's SORTED gram array (the
+    repetition_features trick), so the whole top-gram leg rides in
+    the doc_stats projection at scan speed with zero exchanges;
+    orders 5..10 explode WITH positions and get their occurrence
+    count from a window over the same (doc, n, gram) key the old
+    aggregate used — value-identical counts, but the
+    aggregate+join-back pair (which re-shuffled the full gram table
+    a second time) and BOTH eager gram checkpoints are gone."""
     from .materialize import materialize as _materialize
 
     raw = F.coalesce(F.col(text_col), F.lit(""))
@@ -768,12 +770,58 @@ def gopher_repetition_features(
         materialize,
     )
     w = F.col("_w")
+
+    def _top_cov(n: int) -> Column:
+        # coverage (count × gram length) of the top n-gram by
+        # (count desc, length desc, gram asc), row-wise: fold the
+        # sorted gram array for the longest equal-run; ties switch
+        # only to a longer gram (equal-length ties keep the earlier
+        # = lexicographically smaller gram, the sort order)
+        k = F.size(w) - F.lit(n - 1)
+        garr = F.array_sort(
+            F.when(
+                k > 0,
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+        zero = F.lit(0).cast("long")
+
+        def step(acc: Column, x: Column) -> Column:
+            run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                F.lit(1).cast("long")
+            )
+            better = (run > acc["bc"]) | (
+                (run == acc["bc"]) & (F.length(x) > F.length(acc["bg"]))
+            )
+            return F.struct(
+                x.alias("prev"),
+                run.alias("run"),
+                F.when(better, run).otherwise(acc["bc"]).alias("bc"),
+                F.when(better, x).otherwise(acc["bg"]).alias("bg"),
+            )
+
+        return F.aggregate(
+            garr,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                zero.alias("run"),
+                zero.alias("bc"),
+                F.lit("").alias("bg"),
+            ),
+            step,
+            lambda acc: acc["bc"] * F.length(acc["bg"]).cast("long"),
+        )
+
     doc_stats = base.select(
         "doc_id",
         F.size(w).cast("long").alias("_nw"),
         F.aggregate(
             w, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
         ).alias("_wchars"),
+        *[_top_cov(n).alias(f"_tc{n}") for n in (2, 3, 4)],
     )
 
     # ------------------------------------------------ line/para units
@@ -820,84 +868,37 @@ def gopher_repetition_features(
     )
 
     # ------------------------------------------------ n-gram tables
-    def _grams(n: int, with_pos: bool) -> Column:
+    def _grams(n: int) -> Column:
         k = F.size(w) - F.lit(n - 1)
-        if with_pos:
-            def elem(i: Column) -> Column:
-                return F.struct(
+        return F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.struct(
                     F.lit(n).alias("n"),
                     i.cast("int").alias("p"),
                     F.concat_ws(" ", F.slice(w, i, n)).alias("gram"),
-                )
+                ),
+            ),
+        ).otherwise(F.array().cast("array<struct<n:int,p:int,gram:string>>"))
 
-            empty_t = "array<struct<n:int,p:int,gram:string>>"
-        else:
-            def elem(i: Column) -> Column:
-                return F.struct(
-                    F.lit(n).alias("n"),
-                    F.concat_ws(" ", F.slice(w, i, n)).alias("gram"),
-                )
-
-            empty_t = "array<struct<n:int,gram:string>>"
-        return F.when(
-            k > 0, F.transform(F.sequence(F.lit(1), k), elem)
-        ).otherwise(F.array().cast(empty_t))
-
-    # top 2/3/4-gram character coverage over the collapsed content:
-    # counts only — positions are never needed at these orders
-    gcnt_low = (
-        base.select(
-            "doc_id",
-            F.explode(
-                F.concat(*[_grams(n, False) for n in (2, 3, 4)])
-            ).alias("_g"),
-        )
-        .select(
-            "doc_id", F.col("_g.n").alias("n"), F.col("_g.gram").alias("gram")
-        )
-        .groupBy("doc_id", "n", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    # top 2/3/4-gram character coverage over the collapsed content —
+    # row-wise from the _top_cov folds riding on doc_stats
+    collapsed_len = F.greatest(
+        (F.col("_wchars") + F.greatest(F.col("_nw") - 1, F.lit(0))).cast(
+            "double"
+        ),
+        F.lit(1.0),
     )
-    win = Window.partitionBy("doc_id", "n").orderBy(
-        F.col("cnt").desc(), F.length("gram").desc(), F.col("gram").asc()
-    )
-    top = (
-        gcnt_low.withColumn("_rn", F.row_number().over(win))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "doc_id", "n",
-            (F.col("cnt") * F.length("gram")).cast("long").alias("_cov"),
-        )
-    )
-    top_fracs = (
-        top.join(doc_stats, "doc_id")
-        .groupBy("doc_id")
-        .agg(
-            *[
-                F.round(
-                    F.coalesce(
-                        F.max(
-                            F.when(
-                                F.col("n") == n,
-                                F.col("_cov")
-                                / F.greatest(
-                                    (
-                                        F.col("_wchars")
-                                        + F.greatest(
-                                            F.col("_nw") - 1, F.lit(0)
-                                        )
-                                    ).cast("double"),
-                                    F.lit(1.0),
-                                ),
-                            )
-                        ),
-                        F.lit(0.0),
-                    ),
-                    4,
-                ).alias(f"top_{n}gram_char_frac")
-                for n in (2, 3, 4)
-            ]
-        )
+    top_fracs = doc_stats.select(
+        "doc_id",
+        *[
+            F.round(
+                F.col(f"_tc{n}") / collapsed_len,
+                4,
+            ).alias(f"top_{n}gram_char_frac")
+            for n in (2, 3, 4)
+        ],
     )
 
     # duplicate 5..10-gram character coverage (overlaps counted once):
@@ -909,7 +910,7 @@ def gopher_repetition_features(
         base.select(
             "doc_id",
             F.explode(
-                F.concat(*[_grams(n, True) for n in range(5, 11)])
+                F.concat(*[_grams(n) for n in range(5, 11)])
             ).alias("_g"),
         )
         .select(
@@ -962,10 +963,19 @@ def gopher_repetition_features(
         )
     )
 
-    out = doc_stats.select("doc_id")
-    for frame in (unit_fracs, top_fracs, dup_fracs):
+    # top_fracs is a full-coverage row-wise projection (one row per
+    # input doc) — start from it instead of joining it back
+    out = top_fracs
+    for frame in (unit_fracs, dup_fracs):
         out = out.join(frame, "doc_id", "left")
-    out = out.fillna(0.0)
+    out = out.fillna(0.0).select(
+        "doc_id",
+        "dup_line_frac", "dup_line_char_frac",
+        "dup_para_frac", "dup_para_char_frac",
+        "top_2gram_char_frac", "top_3gram_char_frac",
+        "top_4gram_char_frac",
+        *[f"dup_{n}gram_char_frac" for n in range(5, 11)],
+    )
     gate = F.lit(True)
     for colname, limit in GOPHER_REPETITION_LIMITS.items():
         gate = gate & (F.col(colname) <= F.lit(limit))
@@ -1079,12 +1089,14 @@ def repetition_features(
       has fewer than n words) — the published repeated-phrase
       filters (Gopher §A1.2 uses exactly these fractions).
 
-    Shape at scale: the word-level stats are a pure projection (no
-    explode, scan speed); the n-gram fractions are ONE explode of
-    tagged (n, gram) rows → count per (doc, n, gram) → max/sum per
-    (doc, n) → conditional-pivot back to columns. Both aggregations
-    hash-partition on doc_id — no skew (a document's grams land in
-    one partition, and documents are the natural unit of work).
+    Shape at scale (r18 — the whole query is now a pure projection,
+    scan speed, ZERO shuffles): a gram's occurrence count is its run
+    length in the doc's SORTED gram array, so the top-gram share is
+    a row-wise longest-equal-run fold over ``array_sort`` — the old
+    explode → count per (doc, n, gram) → max/sum per (doc, n) →
+    pivot-back chain (two corpus-gram exchanges + a join) computed
+    the identical value. Per-doc work is O(g log g) in the doc's own
+    gram count; documents stay the unit of work, no skew.
     Returns (id, n_words, dup_word_frac, top_bigram_frac,
     top_trigram_frac), fractions rounded to 4 decimals. NULL text is
     treated as empty (coalesce before split — size(NULL) would
@@ -1096,20 +1108,50 @@ def repetition_features(
     base = df.select(F.col(id_col).alias("doc_id"), words.alias("_w"))
     w = F.col("_w")
 
-    def grams(n: int) -> Column:
+    def top_frac(n: int) -> Column:
+        # top n-gram occurrence share, row-wise: sort the doc's gram
+        # array, fold for the longest run of equal neighbors (= the
+        # max occurrence count), divide by the gram total
         k = F.size(w) - F.lit(n - 1)
-        return F.when(
-            k > 0,
-            F.transform(
-                F.sequence(F.lit(1), k),
-                lambda i: F.struct(
-                    F.lit(n).alias("n"),
-                    F.concat_ws(" ", F.slice(w, i, n)).alias("gram"),
+        garr = F.array_sort(
+            F.when(
+                k > 0,
+                F.transform(
+                    F.sequence(F.lit(1), k),
+                    lambda i: F.concat_ws(" ", F.slice(w, i, n)),
                 ),
+            ).otherwise(F.array().cast("array<string>"))
+        )
+        zero = F.lit(0).cast("long")
+        best = F.aggregate(
+            garr,
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                zero.alias("run"),
+                zero.alias("best"),
             ),
-        ).otherwise(F.array().cast("array<struct<n:int,gram:string>>"))
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                F.when(x == acc["prev"], acc["run"] + 1)
+                .otherwise(F.lit(1).cast("long"))
+                .alias("run"),
+                F.greatest(
+                    acc["best"],
+                    F.when(x == acc["prev"], acc["run"] + 1).otherwise(
+                        F.lit(1).cast("long")
+                    ),
+                ).alias("best"),
+            ),
+            lambda acc: acc["best"],
+        )
+        return F.round(
+            F.when(
+                k > 0, best.cast("double") / k.cast("double")
+            ).otherwise(F.lit(0.0)),
+            4,
+        )
 
-    word_stats = base.select(
+    return base.select(
         "doc_id",
         F.size(w).cast("long").alias("n_words"),
         F.round(
@@ -1120,32 +1162,9 @@ def repetition_features(
             ).otherwise(F.lit(0.0)),
             4,
         ).alias("dup_word_frac"),
-    )
-    exploded = base.select(
-        "doc_id", F.explode(F.concat(grams(2), grams(3))).alias("g")
-    ).select("doc_id", F.col("g.n").alias("n"), F.col("g.gram").alias("gram"))
-    per_n = (
-        exploded.groupBy("doc_id", "n", "gram")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .groupBy("doc_id", "n")
-        .agg((F.max("cnt").cast("double") / F.sum("cnt").cast("double")).alias("frac"))
-    )
-    fracs = per_n.groupBy("doc_id").agg(
-        F.round(F.coalesce(F.max(F.when(F.col("n") == 2, F.col("frac"))), F.lit(0.0)), 4)
-        .alias("top_bigram_frac"),
-        F.round(F.coalesce(F.max(F.when(F.col("n") == 3, F.col("frac"))), F.lit(0.0)), 4)
-        .alias("top_trigram_frac"),
-    )
-    return (
-        word_stats.join(fracs, "doc_id", "left")
-        .select(
-            F.col("doc_id").alias(id_col),
-            "n_words",
-            "dup_word_frac",
-            F.coalesce("top_bigram_frac", F.lit(0.0)).alias("top_bigram_frac"),
-            F.coalesce("top_trigram_frac", F.lit(0.0)).alias("top_trigram_frac"),
-        )
-    )
+        top_frac(2).alias("top_bigram_frac"),
+        top_frac(3).alias("top_trigram_frac"),
+    ).withColumnRenamed("doc_id", id_col)
 
 
 # PII patterns — RE2-compatible (DuckDB) AND Java-regex-compatible

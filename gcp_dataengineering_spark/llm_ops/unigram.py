@@ -622,9 +622,14 @@ def _assemble_docs(
             F.size(F.filter(F.col("piece_ids"), lambda x: x.isNull())),
         )
     )
-    # docs with zero words keep a row (empty arrays)
+    # docs with zero words keep a row (empty arrays). Anti-join
+    # against the TOKEN ids, not `out`: out's id set equals tokens'
+    # (wseg covers every distinct word — OOV chars segment via the
+    # UNK edge — so the inner join drops nothing), and referencing
+    # `out` here re-ran its whole join+groupBy lineage a second time
+    # just to list ids (r18).
     empties = docs.select(F.col(id_col)).join(
-        out.select(id_col), id_col, "left_anti"
+        tokens.select(id_col), id_col, "left_anti"
     ).select(
         F.col(id_col),
         F.array().cast("array<string>").alias("pieces"),
