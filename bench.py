@@ -238,9 +238,11 @@ def _unigram_soft(spark, sf_dir: str):
     the expected-count E-step (forward-backward per distinct word +
     the micro-rounded piece aggregation) is the timed surface."""
     from gcp_dataengineering_spark.llm_ops.unigram import unigram_train_soft
-    from gcp_dataengineering_spark.ops.scan import fan_out_scan
 
-    docs = fan_out_scan(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    # no fan-out here: soft-EM training aggregates to the distinct-word
+    # table immediately, so the map side is light and the full-payload
+    # fan-out exchange measured as pure tax (second-session A/B)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return unigram_train_soft(
         docs, vocab_size=200, max_piece_len=5, em_iters=1, materialize=None
     )

@@ -619,11 +619,13 @@ def resolve_dup_groups(
         .distinct(),
         materialize,
     )
-    # The ids projection feeds two consumers now (the touched semi-join
-    # and the untouched anti-join); pin it so an expensive lineage
-    # (e.g. a decode UDF upstream) runs once, exactly as the old
-    # round-1 label consumption did.
-    all_ids = _materialize(ids.select(F.col(id_col).alias("node")), materialize)
+    # The ids projection feeds two cheap consumers (the touched
+    # semi-join and the untouched anti-join). NOT materialized
+    # (second-session A/B): the extra eager checkpoint job cost more
+    # than re-running a column-pruned scan twice; callers with an
+    # expensive upstream lineage (decode UDFs) pin their own
+    # fingerprint projection before calling in (tranche 2).
+    all_ids = ids.select(F.col(id_col).alias("node"))
     # edges is symmetrized, so src alone covers every endpoint
     endpoints = edges.select(F.col("src").alias("node")).distinct()
     labels = all_ids.join(endpoints, "node", "semi").select(

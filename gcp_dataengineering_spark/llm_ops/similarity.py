@@ -115,10 +115,6 @@ def gaussian_planes_q(
     return [[int(math.floor(x * scale + 0.5)) for x in row] for row in mat]
 
 
-def _bigint_array_sql(pq: list[int]) -> str:
-    return "array(" + ", ".join(f"{q}L" for q in pq) + ")"
-
-
 def gaussian_bucket(vq_col: str, planes_q: list[list[int]]) -> Column:
     """Bucket key from a QUANTIZED vector column name (array<bigint>,
     see quantize_fixed): bit i (LSB = plane 0) = 1 iff
@@ -131,11 +127,21 @@ def gaussian_bucket(vq_col: str, planes_q: list[list[int]]) -> Column:
       composed Column objects: building planes×dim literals through
       per-element F.lit() costs thousands of py4j round-trips (~5 s
       of driver-side plan-construction latency for 24×64 planes,
-      measured); one string parse is one call."""
+      measured); one string parse is one call.
+
+    r18 note (measured, rejected): unrolling each dot as an indexed
+    sum ``vq[0]*p0 + …`` to escape the interpreted HOF looked right
+    on paper but regressed embedding_lsh 13× — projection collapse
+    substitutes the vq-DEFINING expression (itself a HOF transform /
+    quantize) into every one of the planes×dim element references,
+    so the quantize re-ran per term instead of per plane. The
+    zip_with form references vq once per plane, which is the real
+    minimum without an exchange barrier."""
     bits = []
     for i, pq in enumerate(planes_q):
+        pq_sql = "array(" + ", ".join(f"{q}L" for q in pq) + ")"
         dot = (
-            f"aggregate(zip_with({vq_col}, {_bigint_array_sql(pq)}, "
+            f"aggregate(zip_with({vq_col}, {pq_sql}, "
             "(a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
         )
         bits.append(

@@ -33,9 +33,11 @@ from ..llm_ops import similarity as S
 from ..llm_ops import text as T
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(
+    spark: SparkSession, sf_dir: str, name: str, fan_out: bool = True
+) -> DataFrame:
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name in ("documents", "embeddings"):
+    if fan_out and name in ("documents", "embeddings"):
         # r18 optimization: the fixture tables are single-row-group
         # parquet files, so the scan — and the whole map side of every
         # downstream stage (explodes, regex scans, Arrow UDF decodes,
@@ -46,6 +48,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # whose downstream work is map-heavy; every consuming query is
         # integer/string-exact or rounds before output, so results are
         # partitioning-independent (re-verified against the oracles).
+        #
+        # Second-session A/B (interleaved on/off, receipts in
+        # OPTIMIZATION_r18.md): the fan-out exchange moves the FULL
+        # text payload and pays a local sort (sortBeforeRepartition),
+        # so it only wins when the per-row map work downstream is
+        # heavy (regex chains, gram explodes with big folds,
+        # Arrow-batch decodes, embedding hashing). Map-light keys
+        # whose first real operator is an aggregation that
+        # parallelizes after its own exchange anyway (exact-hash
+        # dedup, corpus stats, the perplexity family — window/SMJ
+        # bound, not map bound) measured consistently SLOWER with the
+        # fan-out; those pass fan_out=False.
         from ..ops.scan import fan_out_scan
 
         df = fan_out_scan(df)
@@ -71,7 +85,7 @@ def _sql_hits(words: list[str]) -> str:
 def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact dedup: hash-groupBy on the normalized-text fingerprint;
     winner = min(doc_id). Shuffles 32-byte keys, not documents."""
-    return D.dedup_exact(_t(spark, sf_dir, "documents"))
+    return D.dedup_exact(_t(spark, sf_dir, "documents", fan_out=False))
 
 
 ORACLE_DEDUP_EXACT = """
@@ -948,7 +962,7 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti-join (the corpus contributes only 32-byte fps, never text,
     and is never re-paired against itself) plus in-batch min-id
     keepers. Returns the appended rows' (doc_id, fp)."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     batch = docs.filter(F.col("doc_id") % 2 != 0)
     out = D.dedup_exact_incremental(batch, D.dedup_exact(corpus))
@@ -980,7 +994,7 @@ def q_dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic content-stable train/val/test split (80/10/10 by
     salted md5 bucket of the id) — membership never changes as the
     corpus grows. Per-split doc + token counts."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     s = C.hash_split(docs)
     return s.groupBy("split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1005,7 +1019,7 @@ def q_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-budget shard planning: greedy sequential fill of
     ~2000-token shards within each language (exclusive prefix sum ÷
     budget — one window pass). Per-shard doc + token totals."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     sh = C.shard_by_token_budget(docs, budget_tokens=2000)
     return sh.groupBy("lang", "shard_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1061,7 +1075,7 @@ def q_corpus_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (lang, split) — per (lang, split), per lang, and grand total,
     computed by Spark's expand+aggregate (one shuffle). The standard
     'dataset card' summary query."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     s = C.hash_split(docs)
     return s.rollup("lang", "split").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1215,7 +1229,7 @@ def q_doc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     literal text, the quarantine rows. r18; PERMANENT_EXTERNAL."""
     from ..llm_ops import docformats as DF2
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     return DF2.extract_documents(DF2.synth_doc_corpus(docs))
 
 
@@ -1652,7 +1666,7 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     penalty and the exact llog2 bit arithmetic in DuckDB — nll_fp is
     an exact BIGINT, so one wrong count or shift diverges the hash.
     r16; PERMANENT_EXTERNAL (universe at capacity — ROTATION.md)."""
-    return NL.bigram_perplexity(_t(spark, sf_dir, "documents"))
+    return NL.bigram_perplexity(_t(spark, sf_dir, "documents", fan_out=False))
 
 
 def q_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1661,7 +1675,7 @@ def q_trigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     lag windows, three count tables — the whole train+score chain
     replayed in SQL (trigram_perplexity_sql). r16;
     PERMANENT_EXTERNAL."""
-    return NL.trigram_perplexity(_t(spark, sf_dir, "documents"))
+    return NL.trigram_perplexity(_t(spark, sf_dir, "documents", fan_out=False))
 
 
 # The KN pairs train on an 80% doc_id split and score EVERY doc —
@@ -1681,7 +1695,7 @@ def q_ngram_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     split, scoring all docs; the oracle replays vocab fold, counts,
     BOTH discount computations (integer half-up //), every escape
     branch and the exact bit arithmetic. PERMANENT_EXTERNAL."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     return NL.bigram_perplexity(
         docs, ref=docs.filter(KN_REF_FILTER), smoothing="kn"
     )
@@ -1699,7 +1713,7 @@ def q_pentagram_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     implementation is cross-validated at orders 2/3 against the
     independently-written ngram_lm KN forms (pytest).
     PERMANENT_EXTERNAL."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     return NK.kn_perplexity(docs, ref=docs.filter(KN_REF_FILTER), order=5)
 
 
@@ -1723,7 +1737,7 @@ def q_kn_pruned_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     pinned by a Fraction pytest. Ref-split 80/20 like the other KN
     pairs; the SQL replay regenerates the kcnt CTEs and the
     renormalized escape numerator. PERMANENT_EXTERNAL."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     return NK.kn_perplexity(
         docs, ref=docs.filter(KN_REF_FILTER), order=4, prune=KN_PRUNE
     )
@@ -1739,7 +1753,7 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     global sort of corpus rows; tied documents move as one group
     (bucket where their key begins). NULL-ppl docs get NULL bucket.
     PERMANENT_EXTERNAL."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     scored = NL.bigram_perplexity(docs)
     withlang = scored.join(docs.select("doc_id", "lang"), "doc_id")
     return NL.perplexity_buckets(withlang)
@@ -1752,7 +1766,7 @@ def q_trigram_perplexity_kn(spark: SparkSession, sf_dir: str) -> DataFrame:
     structure), every lower-order table derived from the c3 TYPE
     table. Ref-split like the bigram KN pair so all six escape
     branches score real rows. PERMANENT_EXTERNAL."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     return NL.trigram_perplexity(
         docs, ref=docs.filter(KN_REF_FILTER), smoothing="kn"
     )
@@ -1850,7 +1864,7 @@ def q_pack_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     into 512-token context windows, documents splitting across window
     boundaries into chunk rows — the pretraining-loader packing plan
     as one window prefix-sum + a bounded explode."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     return C.pack_sequences(docs, seq_len=512)
 
 
@@ -2054,7 +2068,7 @@ def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     function of the id, so the oracle replays the exact sample).
     Returns per-language kept counts + token totals; zh has no
     configured fraction and must vanish."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     samp = C.stratified_sample(
         docs, {"en": 0.5, "es": 0.25, "de": 1.0, "fr": 0.1}, strata_col="lang"
     )
@@ -2123,7 +2137,7 @@ def q_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     overlap): one row per chunk with its offset arithmetic and an
     md5 of the reassembled chunk text — the full chunk content is
     hash-gated without shipping it through the compare."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     ch = C.chunk_docs(docs, chunk_tokens=32, overlap_tokens=8)
     return ch.select(
         "doc_id",
@@ -2164,7 +2178,7 @@ def q_source_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     documents pass the page policy (here: >= 50 whitespace tokens) —
     exact integer verdict arithmetic, broadcast semi-join back.
     Output: per surviving source, doc + token totals."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     d = docs.withColumn("n_tokens", T.whitespace_token_count("text").cast("long"))
     d = d.withColumn("pass", F.col("n_tokens") >= 50)
     kept = C.source_reputation_filter(d, "pass", min_pass_pct=55)
@@ -2886,7 +2900,7 @@ def q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     plus the content-stable hash applier's per-source kept count —
     so the oracle gates the plan arithmetic AND the downsampling
     membership rule."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", fan_out=False)
     d = docs.select(
         "doc_id",
         "source",

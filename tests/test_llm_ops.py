@@ -1113,6 +1113,53 @@ def test_gaussian_lsh_recall_bound(spark):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_gaussian_bucket_matches_inline_hof_reference(spark):
+    """r18 regression pin: an unrolled indexed-sum rewrite of
+    gaussian_bucket was measured (13× slower — projection collapse
+    re-ran the vq-defining HOF per element reference) and reverted.
+    Pin gaussian_bucket's buckets to an inline HOF reference on the
+    fixture vectors plus a NULL vector so any future reformulation
+    must stay bit-identical."""
+    from gcp_dataengineering_spark.llm_ops.similarity import (
+        gaussian_bucket,
+        gaussian_planes_q,
+        quantize_fixed,
+    )
+
+    planes = gaussian_planes_q(8, 64, seed=11)
+
+    def hof_bucket(vq_col):
+        arr = lambda pq: "array(" + ", ".join(f"{q}L" for q in pq) + ")"  # noqa: E731
+        bits = []
+        for i, pq in enumerate(planes):
+            dot = (
+                f"aggregate(zip_with({vq_col}, {arr(pq)}, "
+                "(a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+            )
+            bits.append(
+                f"(CASE WHEN {dot} >= 0 THEN CAST({2**i} AS BIGINT) "
+                "ELSE CAST(0 AS BIGINT) END)"
+            )
+        return F.expr(" + ".join(bits))
+
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .select("vec_id", quantize_fixed(F.col("embedding")).alias("_vq"))
+        .unionByName(
+            spark.sql(
+                "SELECT CAST(-1 AS BIGINT) vec_id, "
+                "CAST(NULL AS ARRAY<BIGINT>) _vq"
+            )
+        )
+    )
+    rows = emb.select(
+        "vec_id",
+        gaussian_bucket("_vq", planes).alias("new"),
+        hof_bucket("_vq").alias("old"),
+    ).collect()
+    assert rows and all(r["new"] == r["old"] for r in rows)
+
+
 def test_gaussian_neardup_lsh_recall_of_blocked(spark):
     """Blocking embedding near-dup on gaussian sign buckets must
     retain every planted high-cosine pair that shares a bucket AND
