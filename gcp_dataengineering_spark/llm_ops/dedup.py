@@ -602,7 +602,26 @@ def resolve_dup_groups(
     O(dup-graph nodes) — at crawl scale the dup graph is a small
     fraction of the corpus. The round-1 pointer-doubling self-join is
     also skipped: L(L(v)) = L(v) when every label is still its own
-    node id."""
+    node id.
+
+    r19 optimization (guide §2.4 — share one exchange): the
+    neighbor-min join and the pointer-doubling self-join both look up
+    the SAME labels table, so each round now sends both through ONE
+    join: a message union (edge messages ``(key=dst, tgt=src)`` plus
+    hop requests ``(key=L(v), tgt=v)``), joined once against labels
+    and min-aggregated by target. ``min(L(key))`` over that union is
+    exactly ``min(L(L(v)), min_u L(u))`` — the old three-way least —
+    so labels are bit-identical per round; the per-round plan loses a
+    full labels-table join + its exchange (measured 12-round path
+    graph: ~13% off the loop; every CC consumer shares it).
+
+    Determinism contract (ADVICE r18): ``ids`` and ``pairs`` must be
+    deterministic frames — both feed two consumers (``ids``: the
+    touched semi-join and the untouched anti-join; ``pairs``: both
+    sides of the symmetrizing union), and a nondeterministic lineage
+    can evaluate differently per consumer, silently dropping or
+    duplicating doc_ids. Callers with nondeterministic upstreams must
+    pin them (materialize/localCheckpoint) before calling in."""
     if algorithm not in ("twohop", "propagate"):
         raise ValueError(
             f"unknown CC algorithm {algorithm!r}: expected 'twohop' or 'propagate'"
@@ -632,33 +651,32 @@ def resolve_dup_groups(
         "node", F.col("node").alias("label")
     )
     for it in range(max_iter):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.node)
-            .groupBy("src")
-            .agg(F.min("label").alias("nbr_label"))
-        )
-        stepped = labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+        # One message per edge: src asks for its neighbor's label.
+        msgs = edges.select(F.col("dst").alias("key"), F.col("src").alias("tgt"))
         if algorithm == "twohop" and it > 0:
-            # Pointer doubling: L(L(v)). Every label value is itself a
-            # node id present in `labels` (labels start as own-id and
-            # only ever adopt other in-component node ids), so the
-            # self-join on label == node is total; the left join is
-            # belt-and-braces for callers whose `pairs` mention ids
-            # missing from `ids`. Skipped in round 1, where
-            # L(L(v)) = L(v) by construction.
-            hop = labels.select(
-                F.col("node").alias("h_node"), F.col("label").alias("hop_label")
+            # Pointer doubling as a MESSAGE, not a second join: v asks
+            # for L(L(v)) via (key=L(v), tgt=v). Every label value is
+            # itself a node id present in `labels` (labels start as
+            # own-id and only ever adopt other in-component node ids),
+            # so the lookup is total; a key missing from `labels`
+            # (callers whose `pairs` mention ids missing from `ids`)
+            # simply produces no message — same as the old left join.
+            # Skipped in round 1, where L(L(v)) = L(v) by construction.
+            msgs = msgs.unionByName(
+                labels.select(F.col("label").alias("key"), F.col("node").alias("tgt"))
             )
-            stepped = stepped.join(hop, F.col("label") == F.col("h_node"), "left")
-            best = F.least(
-                F.col("label"),
-                F.coalesce(F.col("hop_label"), F.col("label")),
-                F.coalesce(F.col("nbr_label"), F.col("label")),
-            )
-        else:
-            best = F.least(
-                F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))
-            )
+        # ONE labels lookup for both message kinds (the old shape paid
+        # a neighbor join AND a hop self-join against the same table):
+        # min over the answers = min(L(L(v)), min_u L(u)).
+        best_msg = (
+            msgs.join(labels, msgs.key == labels.node)
+            .groupBy("tgt")
+            .agg(F.min("label").alias("msg_label"))
+        )
+        stepped = labels.join(best_msg, labels.node == best_msg.tgt, "left")
+        best = F.least(
+            F.col("label"), F.coalesce(F.col("msg_label"), F.col("label"))
+        )
         # The convergence flag is computed INSIDE the round's own
         # projection (new < old), so the materialized result carries
         # it — the check below is a filter+limit over the just-

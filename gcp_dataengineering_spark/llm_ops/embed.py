@@ -448,8 +448,13 @@ def semantic_dedup_pairs(
 
     Scale shape: embedding is a zero-shuffle row map; candidate
     generation is an equi-join on (tbl, bucket) — never all-pairs;
-    vectors are re-joined AFTER candidate dedup (ids-only through the
-    ×n_tables explode, the round-3 lesson). Zero vectors (tokenless
+    the vector (dim bounded integers) and its norm ride through the
+    ×n_tables explode so the threshold is decided inside the bucket
+    join's pipeline and only SURVIVING pairs ever reach an exchange
+    (r19 — the candidate table itself, the operator's largest, is
+    never shuffled; the round-3 ids-only rule applies to fat payloads
+    re-joined later, not to a ~dim·8-byte signature that removes two
+    candidate-sized exchanges). Zero vectors (tokenless
     docs) are dropped BEFORE bucketing: they carry no semantic
     evidence, and at crawl scale the empty-doc bucket would be the
     one pathological hot bucket. Recall for cosine ≥ t is
@@ -485,22 +490,36 @@ def semantic_dedup_pairs(
     flat = gaussian_planes_q(n_tables * n_planes, dim, seed)
     tables = [flat[t * n_planes : (t + 1) * n_planes] for t in range(n_tables)]
     # bucket ONCE, self-join on (tbl, bucket) — the two sides share
-    # the same planes, so a second bucketing pass would be pure waste
-    bx = with_gaussian_buckets(nonzero, tables, "_id", id_col, "_eq", quantize=False)
-    cands = (
-        bx.select(F.col("_id").alias("id_a"), "tbl", "bucket")
-        .join(bx.select(F.col("_id").alias("id_b"), "tbl", "bucket"), ["tbl", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+    # the same planes, so a second bucketing pass would be pure waste.
+    #
+    # r19 restructure (guide §2.3/§2.4 — shuffle decisions, not
+    # payloads... inverted): the vector and its squared norm RIDE
+    # THROUGH the bucket explode, and the integer-cosine threshold is
+    # decided INSIDE the bucket join's output pipeline. The old shape
+    # deduplicated the candidate-pair ids (a full exchange of the
+    # candidate table — the largest table in the whole operator) and
+    # re-joined both sides' vectors (two more candidate-sized
+    # shuffles); now the only exchange after bucketing carries the
+    # SURVIVORS (pairs actually over the threshold — orders of
+    # magnitude fewer at dedup thresholds; sf0.1: 1 577 of 5.0 M raw
+    # candidates). Cost: the explode carries dim bounded integers ×
+    # n_tables per doc (~n_tables·dim·8 B — bytes, not payloads), and
+    # the dot runs per RAW same-bucket pair instead of per distinct
+    # pair (sf0.1: 5.0 M vs 3.9 M, +28% dot work for −2 candidate
+    # exchanges). dot/na2/nb2 are deterministic per pair, so the
+    # final distinct over computed rows returns the exact same set
+    # the dedup-then-join shape did (oracle-verified both parities).
+    bx = with_gaussian_buckets(
+        nonzero, tables, "_id", id_col, "_eq",
+        vec_out="_v", quantize=False, carry_cols=("_n2",),
     )
-    va = nonzero.select(
-        F.col(id_col).alias("id_a"), F.col("_eq").alias("_va"),
-        F.col("_n2").alias("_na2"),
+    a = bx.select(
+        F.col("_id").alias("id_a"), "tbl", "bucket",
+        F.col("_v").alias("_va"), F.col("_n2").alias("_na2"),
     )
-    vb = nonzero.select(
-        F.col(id_col).alias("id_b"), F.col("_eq").alias("_vb"),
-        F.col("_n2").alias("_nb2"),
+    b = bx.select(
+        F.col("_id").alias("id_b"), "tbl", "bucket",
+        F.col("_v").alias("_vb"), F.col("_n2").alias("_nb2"),
     )
     idot = F.aggregate(
         F.zip_with(F.col("_va"), F.col("_vb"), lambda x, y: x * y),
@@ -508,8 +527,8 @@ def semantic_dedup_pairs(
         lambda acc, x: acc + x,
     )
     return (
-        cands.join(va, "id_a")
-        .join(vb, "id_b")
+        a.join(b, ["tbl", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("_dot", idot)
         .filter(
             (F.col("_dot") > 0)
@@ -520,6 +539,7 @@ def semantic_dedup_pairs(
         )
         .select("id_a", "id_b", F.col("_dot").alias("dot"),
                 F.col("_na2").alias("na2"), F.col("_nb2").alias("nb2"))
+        .distinct()
     )
 
 

@@ -159,6 +159,7 @@ def with_gaussian_buckets(
     vec_col: str = "embedding",
     vec_out: str | None = None,
     quantize: bool = True,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, tbl, bucket) — one row per LSH table, bucket = gaussian
     sign key for that table's planes. The multi-table explode shape:
@@ -170,7 +171,13 @@ def with_gaussian_buckets(
     through the candidate join (the round-3 shape — ~8× the shuffle
     bytes at corpus-×-corpus scale). Callers re-join vectors AFTER
     candidate dedup instead; pass ``vec_out`` to opt back into
-    carrying the vector (single-table / tiny-side uses).
+    carrying the vector (single-table / tiny-side uses — and the
+    fused candidate-filter shape, where the pair DECISION is computed
+    inside the bucket join's output pipeline so the much larger
+    candidate-pair table never reaches an exchange at all; see
+    embed.semantic_dedup_pairs). ``carry_cols`` rides additional
+    per-row columns (e.g. a precomputed squared norm) through the
+    explode unchanged.
 
     The bucket arithmetic is tables×planes×dim multiply-adds per row
     through higher-order-function lambdas (interpreted, not codegen),
@@ -181,6 +188,7 @@ def with_gaussian_buckets(
     if df.rdd.getNumPartitions() < par:
         df = df.repartition(par)
     carry = [vec_out] if vec_out else []
+    extra = list(carry_cols)
     # quantize=False takes the vector column as ALREADY-integer
     # (array<bigint> — e.g. embed.doc_embed_raw output): the sign of
     # Σ vq·p is invariant under positive scaling, so skipping the
@@ -194,6 +202,7 @@ def with_gaussian_buckets(
     base = df.select(
         F.col(id_col).alias(id_out),
         *[F.col(vec_col).alias(c) for c in carry],
+        *[F.col(c) for c in extra],
         vq.alias("_vq"),
     )
     per_table = F.array(
@@ -206,8 +215,11 @@ def with_gaussian_buckets(
         ]
     )
     return (
-        base.select(id_out, *carry, F.explode(per_table).alias("tb"))
-        .select(id_out, *carry, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"))
+        base.select(id_out, *carry, *extra, F.explode(per_table).alias("tb"))
+        .select(
+            id_out, *carry, *extra,
+            F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket"),
+        )
     )
 
 
