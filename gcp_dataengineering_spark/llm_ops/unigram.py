@@ -337,7 +337,13 @@ def unigram_train(
         pieces = _with_scores(
             _prune(counts.unionByName(chars), vocab_size)
         )
-    ranked = pieces.withColumn(
+    # Pin the FINAL table too (r19): the loop only materialized each
+    # round's INPUT, so the returned vocab's lineage still carried the
+    # last E-step — and the doc encoders broadcast the vocab twice
+    # (scores for the Viterbi, ids for the attach), re-running that
+    # corpus-scale segmentation once per broadcast. One vocab-sized
+    # checkpoint buys single evaluation for every downstream consumer.
+    ranked = _materialize(pieces, materialize).withColumn(
         "piece_id",
         F.row_number().over(
             Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
@@ -468,6 +474,23 @@ def _attach_piece_ids(
     )
 
 
+def _token_array(
+    text_col: str,
+    word_pattern: str = WORD_PATTERN,
+    lower: bool = True,
+    max_word_len: int | None = None,
+) -> Column:
+    """The per-doc token array expression both doc encoders split
+    on — exposed separately so callers can ask row-wise questions
+    about it (e.g. "is this doc tokenless?") without re-running the
+    positional explode."""
+    base = F.lower(F.col(text_col)) if lower else F.col(text_col)
+    arr = F.filter(F.split(base, word_pattern), lambda t: t != "")
+    if max_word_len is not None:
+        arr = F.filter(arr, lambda t: F.length(t) <= max_word_len)
+    return arr
+
+
 def _doc_tokens(
     docs: DataFrame,
     id_col: str,
@@ -481,13 +504,11 @@ def _doc_tokens(
     the default; the byte-fallback doc encoder passes the
     lossless-per-word convention (case kept, whitespace split, BPE's
     straggler cap) instead."""
-    base = F.lower(F.col(text_col)) if lower else F.col(text_col)
-    arr = F.filter(F.split(base, word_pattern), lambda t: t != "")
-    if max_word_len is not None:
-        arr = F.filter(arr, lambda t: F.length(t) <= max_word_len)
     return docs.select(
         F.col(id_col),
-        F.posexplode(arr).alias("pos", "word"),
+        F.posexplode(
+            _token_array(text_col, word_pattern, lower, max_word_len)
+        ).alias("pos", "word"),
     )
 
 
@@ -518,14 +539,12 @@ def unigram_encode_docs(
     under fallback (count negative ids for the bytes-used census).
     Default off: the classic lower + ``[^a-z]+`` path is
     byte-identical to r17."""
-    tokens = (
-        _doc_tokens(
-            docs, id_col, text_col,
-            word_pattern=r"\s+", lower=False, max_word_len=max_word_len,
-        )
+    tok_args = (
+        dict(word_pattern=r"\s+", lower=False, max_word_len=max_word_len)
         if byte_fallback
-        else _doc_tokens(docs, id_col, text_col)
+        else {}
     )
+    tokens = _doc_tokens(docs, id_col, text_col, **tok_args)
     wseg = unigram_encode_words(
         tokens.groupBy("word").agg(F.count(F.lit(1)).cast("long").alias("n")),
         vocab,
@@ -534,6 +553,7 @@ def unigram_encode_docs(
     ).select("word", "pieces", "piece_ids")
     return _assemble_docs(
         docs, tokens, wseg, id_col,
+        empty_arr=_token_array(text_col, **tok_args),
         # words join on the reserved space byte piece, so the doc
         # stream decodes to the whitespace-NORMALIZED text (runs
         # collapse to one space — the same normalization the
@@ -577,12 +597,19 @@ def _assemble_docs(
     wseg: DataFrame,
     id_col: str,
     word_sep: tuple[str, int] | None = None,
+    empty_arr: Column | None = None,
 ) -> DataFrame:
     """Re-assemble per-word segmentations into per-doc sequences —
     shared by the Viterbi and sampled doc encoders. ``wseg`` is
     (word, pieces, piece_ids). ``word_sep`` (piece, id) — byte
     fallback's reserved space piece — is prepended to every word
-    but the first, preserving word boundaries in the flat stream."""
+    but the first, preserving word boundaries in the flat stream.
+    ``empty_arr`` (r19): the caller's token-array expression over
+    ``docs`` — when given, zero-word docs are found with a row-wise
+    ``size(arr) == 0`` filter on the doc scan instead of a third
+    evaluation of the token explode plus an anti-join exchange
+    (``tokens`` has a row iff that array is non-empty, so the two
+    forms are identical by construction)."""
     joined = tokens.join(wseg, "word")
 
     def _flat(field: str, sep):
@@ -627,10 +654,17 @@ def _assemble_docs(
     # (wseg covers every distinct word — OOV chars segment via the
     # UNK edge — so the inner join drops nothing), and referencing
     # `out` here re-ran its whole join+groupBy lineage a second time
-    # just to list ids (r18).
-    empties = docs.select(F.col(id_col)).join(
-        tokens.select(id_col), id_col, "left_anti"
-    ).select(
+    # just to list ids (r18). With `empty_arr` the anti-join (and the
+    # third token-explode evaluation feeding it) disappears entirely
+    # (r19) — one row-wise filter over the doc scan.
+    base = (
+        docs.filter(F.size(empty_arr) == 0).select(F.col(id_col))
+        if empty_arr is not None
+        else docs.select(F.col(id_col)).join(
+            tokens.select(id_col), id_col, "left_anti"
+        )
+    )
+    empties = base.select(
         F.col(id_col),
         F.array().cast("array<string>").alias("pieces"),
         F.array().cast("array<int>").alias("piece_ids"),
@@ -1247,4 +1281,6 @@ def unigram_sample_docs(
         ),
         vocab,
     ).select("word", "pieces", "piece_ids")
-    return _assemble_docs(docs, tokens, sseg, id_col)
+    return _assemble_docs(
+        docs, tokens, sseg, id_col, empty_arr=_token_array(text_col)
+    )
